@@ -1,0 +1,160 @@
+"""Analysis chains: the map_batches tokenizer and its row-wise twin.
+
+The reference analyzes ``TextField`` values with Lucene's default
+StandardAnalyzer at ``addDocument`` time (SimpleFDBDirectoryTest.java:
+202-214) and indexes ``StringField`` verbatim (keyword). The target
+analyzer chain (BASELINE.json north_star) is lowercase -> stopword ->
+Porter stem over a word tokenizer.
+
+Token definition (both here and in every DuckDB oracle):
+``[0-9a-z_]+`` runs over the lowercased text — i.e. split on
+``[^0-9a-z_]+`` and drop empties. Chosen over ``\\w`` so Python (unicode
+``\\w``) and RE2/DuckDB agree byte-for-byte.
+
+Two implementations, tested identical:
+
+- ``Analyzer.tokens(text)`` — pure-Python row-wise (the oracle path);
+- ``tokenize_batch`` — vectorized over an Arrow column:
+  ``pc.utf8_lower`` + ``pc.split_pattern_regex``, stopword filter via
+  ``pc.is_in``, stemming amortized over *unique* surface forms per batch
+  with a per-actor memo cache. No Python loop over rows or tokens.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fdblucene_ray.analysis.porter import porter_stem
+from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
+
+TOKEN_SPLIT_PATTERN = "[^0-9a-z_]+"
+_TOKEN_RE = re.compile(r"[0-9a-z_]+")
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """An analysis chain. ``name`` is the stable config identifier."""
+
+    name: str
+    lowercase: bool = True
+    stopwords: frozenset = frozenset()
+    stem: Callable[[str], str] | None = None
+
+    def tokens(self, text: str) -> list[str]:
+        """Row-wise analysis (oracle / query parsing path)."""
+        if text is None:
+            return []
+        if self.lowercase:
+            text = text.lower()
+        toks = _TOKEN_RE.findall(text)
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        if self.stem is not None:
+            stem = self.stem
+            toks = [stem(t) for t in toks]
+        return toks
+
+
+ANALYZERS: dict[str, Analyzer] = {
+    # Lucene-StandardAnalyzer-equivalent chain per BASELINE.json north_star
+    "lucene": Analyzer("lucene", stopwords=ENGLISH_STOPWORDS, stem=porter_stem),
+    # lowercase + word-split only — every step SQL-expressible (DuckDB oracle)
+    "simple": Analyzer("simple"),
+    # lowercase + word-split + stopword removal (SQL-expressible)
+    "simple_stop": Analyzer("simple_stop", stopwords=ENGLISH_STOPWORDS),
+}
+
+
+def get_analyzer(name_or_analyzer) -> Analyzer:
+    if isinstance(name_or_analyzer, Analyzer):
+        return name_or_analyzer
+    return ANALYZERS[name_or_analyzer]
+
+
+class BatchTokenizer:
+    """Vectorized tokenizer used inside ``map_batches`` (stateful: holds a
+    stem memo cache — pass the class to map_batches for an actor pool, per
+    SURVEY.md §2.3 ST-pattern, when stemming is enabled)."""
+
+    def __init__(self, analyzer="lucene"):
+        self.analyzer = get_analyzer(analyzer)
+        self._stem_cache: dict[str, str] = {}
+        self._stop_arr = (
+            pa.array(sorted(self.analyzer.stopwords)) if self.analyzer.stopwords else None
+        )
+
+    def flat_tokens(self, text_col: pa.ChunkedArray | pa.Array):
+        """Tokenize a string column -> (row_idx int64 np, terms pa.StringArray).
+
+        ``row_idx[i]`` is the row of ``terms[i]``; terms are fully analyzed.
+        """
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        n = len(text_col)
+        lowered = pc.utf8_lower(text_col) if self.analyzer.lowercase else text_col
+        toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_PATTERN)
+        # flatten with parent row indices from the list offsets
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = toks.flatten()
+        if len(flat) != int(counts.sum()):
+            # nulls in the list array would desync flatten(); inputs are
+            # non-null text columns, enforce that assumption loudly
+            raise ValueError("null text values not supported in tokenize")
+        # drop empty strings produced by split at string edges
+        keep = pc.not_equal(flat, "")
+        if self._stop_arr is not None:
+            keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self._stop_arr)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        row_idx = row_idx[keep_np]
+        if self.analyzer.stem is not None:
+            flat = self._stem_array(flat)
+        return row_idx, flat
+
+    def _stem_array(self, flat: pa.Array) -> pa.Array:
+        """Stem via dictionary-encode: Python cost is per *unique* term."""
+        denc = flat.dictionary_encode()
+        vocab = denc.dictionary.to_pylist()
+        cache = self._stem_cache
+        stem = self.analyzer.stem
+        stemmed_vocab = []
+        for t in vocab:
+            s = cache.get(t)
+            if s is None:
+                s = stem(t)
+                cache[t] = s
+            stemmed_vocab.append(s)
+        indices = denc.indices.to_numpy(zero_copy_only=False)
+        return pa.array(stemmed_vocab, type=pa.string()).take(
+            pa.array(indices, type=pa.int32())
+        )
+
+    def term_frequencies(self, text_col):
+        """-> per-(row, term) tf plus per-row doc length.
+
+        Returns ``(post_rows, post_terms(pa.Array), post_tfs, doc_lens)``
+        where post_rows are input-row indices and doc_lens is per input
+        row (token count after the full chain).
+        """
+        n = len(text_col)
+        row_idx, flat = self.flat_tokens(text_col)
+        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
+        # group (row, term) -> tf without leaving numpy: encode terms to
+        # codes, combine with row index into one int64 key
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vocab = max(1, len(denc.dictionary))
+        key = row_idx * n_vocab + codes
+        uniq, tfs = np.unique(key, return_counts=True)
+        post_rows = uniq // n_vocab
+        post_codes = uniq % n_vocab
+        post_terms = denc.dictionary.take(pa.array(post_codes, type=pa.int64()))
+        return post_rows, post_terms, tfs.astype(np.int32), doc_lens

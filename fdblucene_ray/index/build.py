@@ -1,0 +1,307 @@
+"""Distributed index build: the Ray-Data restatement of the reference's
+write path (SURVEY.md §3.1).
+
+    read_parquet (pruned: only id + indexed columns leave storage)
+      -> map_batches(TokenizeToPostings)     zero-copy Arrow batches ->
+         posting rows {part, key, doc_id, tf, norm} + doc-stat sentinels
+      -> groupby("part")                     the ONE all-to-all shuffle,
+                                             keyed by salted term hash
+      -> map_groups(EncodeGroup)             sort, delta+varint block
+                                             encode, write immutable
+                                             segment, emit lineage row
+      -> driver folds lineage rows into a Manifest -> atomic publish
+         (the analog of the reference's rename commit,
+         FDBDirectory.java:351-365)
+
+Skew: Zipfian head terms are salted — the shuffle key of a head term is
+``hash(key) + golden * (doc_id // salt_chunk)`` so its postings spread
+over many partitions; multi-segment search semantics (df summed across
+segments) make this correctness-free (SURVEY.md §4 "Skew").
+
+Resumability: the build is idempotent (deterministic doc ids) and
+checkpointed at two levels — whole-job (manifest records the input
+signature; a re-run with the same signature is a no-op) and
+per-partition (lineage records let a crashed run's encode work be
+reused). ``build_sharded`` additionally checkpoints per input shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from fdblucene_ray.analysis.analyzer import BatchTokenizer, get_analyzer
+from fdblucene_ray.codec.postings import BLOCK_SIZE
+from fdblucene_ray.codec.smallfloat import encode_lengths
+from fdblucene_ray.index.manifest import (
+    Manifest,
+    SegmentMeta,
+    load_manifest,
+    publish_manifest,
+    read_lineage,
+    write_lineage,
+)
+from fdblucene_ray.index.segment import DOC_SENTINEL, FIELD_SEP, write_segment
+from fdblucene_ray.sources.corpus import corpus_signature, read_corpus_with_doc_ids
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_hash(keys: list[str]) -> np.ndarray:
+    """Stable per-process-independent hash of term keys (crc32)."""
+    return np.fromiter(
+        (zlib.crc32(k.encode("utf-8", "surrogatepass")) for k in keys),
+        dtype=np.uint64,
+        count=len(keys),
+    )
+
+
+class TokenizeToPostings:
+    """Actor-pool map_batches stage (SURVEY.md §2.3): analyzer tables and
+    the stem memo cache are built once per actor in ``__init__``, each
+    ``__call__`` is fully vectorized over one Arrow batch."""
+
+    def __init__(
+        self,
+        fields: dict[str, dict],
+        num_partitions: int,
+        id_col: str = "doc_id",
+        head_terms: frozenset[str] | None = None,
+        salt_chunk: int = 1 << 16,
+    ):
+        self.fields = fields
+        self.tokenizers = {
+            f: BatchTokenizer(cfg["analyzer"])
+            for f, cfg in fields.items()
+            if cfg["analyzer"] != "keyword"
+        }
+        self.P = num_partitions
+        self.id_col = id_col
+        self.head_terms = head_terms or frozenset()
+        self.salt_chunk = salt_chunk
+
+    def _emit_field(self, field, cfg, batch, doc_ids, out):
+        col = batch[cfg["column"]]
+        if cfg["analyzer"] == "keyword":
+            # StringField semantics: verbatim single token, dl == 1
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            terms = col.cast(pa.string())
+            n = len(terms)
+            post_rows = np.arange(n, dtype=np.int64)
+            tfs = np.ones(n, dtype=np.int32)
+            doc_lens = np.ones(n, dtype=np.int32)
+            post_docs = doc_ids
+        else:
+            tk = self.tokenizers[field]
+            post_rows, terms, tfs, doc_lens = tk.term_frequencies(col)
+            post_docs = doc_ids[post_rows]
+        norms = encode_lengths(doc_lens)
+
+        # shuffle partition: hash of the namespaced key, salted for head terms
+        prefix = field + FIELD_SEP
+        denc = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
+        vocab = denc.dictionary.to_pylist()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        base_hash = _key_hash([prefix + t for t in vocab])
+        row_hash = base_hash[codes]
+        if self.head_terms:
+            is_head = np.array([t in self.head_terms for t in vocab], dtype=bool)[codes]
+            if is_head.any():
+                salt = (post_docs[is_head].astype(np.uint64) // np.uint64(self.salt_chunk)) * _GOLDEN
+                row_hash = row_hash.copy()
+                row_hash[is_head] += salt
+        part = (row_hash % np.uint64(self.P)).astype(np.int32)
+
+        if isinstance(post_rows, np.ndarray) and cfg["analyzer"] != "keyword":
+            norm_rows = norms[post_rows]
+        else:
+            norm_rows = norms
+        key_arr = pa.DictionaryArray.from_arrays(
+            pa.array(codes, pa.int32()), pa.array([prefix + t for t in vocab], pa.string())
+        ).cast(pa.string())
+        out.append(
+            pa.table(
+                {
+                    "part": pa.array(part, pa.int32()),
+                    "key": key_arr,
+                    "doc_id": pa.array(post_docs, pa.int64()),
+                    "tf": pa.array(tfs, pa.int32()),
+                    "norm": pa.array(norm_rows, pa.uint8()),
+                }
+            )
+        )
+
+        # doc-stat sentinels for docs with tokens (dc / sum_dl partials),
+        # salted across ALL partitions by doc chunk
+        has = np.flatnonzero(doc_lens > 0)
+        if len(has):
+            sdocs = doc_ids[has]
+            sdl = doc_lens[has]
+            skey = prefix + DOC_SENTINEL
+            h = np.uint64(zlib.crc32(skey.encode("utf-8", "surrogatepass")))
+            spart = (
+                (h + (sdocs.astype(np.uint64) // np.uint64(self.salt_chunk)) * _GOLDEN)
+                % np.uint64(self.P)
+            ).astype(np.int32)
+            out.append(
+                pa.table(
+                    {
+                        "part": pa.array(spart, pa.int32()),
+                        "key": pa.array([skey] * len(has), pa.string()),
+                        "doc_id": pa.array(sdocs, pa.int64()),
+                        "tf": pa.array(sdl, pa.int32()),
+                        "norm": pa.array(encode_lengths(sdl), pa.uint8()),
+                    }
+                )
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out: list[pa.Table] = []
+        for field, cfg in self.fields.items():
+            self._emit_field(field, cfg, batch, doc_ids, out)
+        return pa.concat_tables(out)
+
+
+class EncodeGroup:
+    """map_groups callable: one shuffle partition -> one immutable segment
+    plus a lineage row. Plain tasks (no state to amortize beyond args)."""
+
+    def __init__(self, index_dir: str, signature: str, block_size: int, resume: bool):
+        self.__name__ = "EncodeGroup"  # map_groups wraps fn and reads __name__
+        self.index_dir = index_dir
+        self.signature = signature
+        self.block_size = block_size
+        self.resume = resume
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        name = f"seg-{self.signature}-{part:05d}"
+        t0 = time.perf_counter()
+        if self.resume:
+            rec = read_lineage(self.index_dir, self.signature, part)
+            if rec is not None and os.path.isdir(
+                os.path.join(self.index_dir, "segments", rec["meta"]["name"])
+            ):
+                return self._row(part, SegmentMeta.from_json(rec["meta"]), 0.0, True)
+        meta = write_segment(
+            self.index_dir, name, group.drop_columns(["part"]), self.block_size
+        )
+        wall = time.perf_counter() - t0
+        write_lineage(
+            self.index_dir,
+            self.signature,
+            part,
+            {"meta": meta.to_json(), "wall_s": wall, "rows": group.num_rows},
+        )
+        return self._row(part, meta, wall, False)
+
+    @staticmethod
+    def _row(part: int, meta: SegmentMeta, wall: float, skipped: bool) -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "segment_meta": pa.array([json.dumps(meta.to_json())], pa.string()),
+                "wall_s": pa.array([wall], pa.float64()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+
+def default_fields(text_col: str = "text", analyzer: str = "lucene") -> dict[str, dict]:
+    return {"text": {"column": text_col, "analyzer": analyzer}}
+
+
+def build_index(
+    source,
+    index_dir: str,
+    *,
+    fields: dict[str, dict] | None = None,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    batch_size: int = 2048,
+    block_size: int = BLOCK_SIZE,
+    head_terms: frozenset[str] | None = None,
+    salt_chunk: int = 1 << 16,
+    tokenize_concurrency=None,
+    resume: bool = True,
+    signature: str | None = None,
+) -> Manifest:
+    """Build an index from parquet paths or a Dataset that already has
+    ``id_col``. Returns the published manifest."""
+    fields = fields or default_fields()
+    for cfg in fields.values():
+        get_analyzer(cfg["analyzer"]) if cfg["analyzer"] != "keyword" else None
+
+    if isinstance(source, (str, list, tuple)):
+        cols = sorted({cfg["column"] for cfg in fields.values()})
+        sig = signature or corpus_signature(
+            source, json.dumps([sorted(fields.items()), num_partitions, block_size], default=str)
+        )
+        ds = read_corpus_with_doc_ids(source, columns=cols)
+    else:
+        ds = source
+        sig = signature or f"ds{int(time.time())}"
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, 2 * cpus)
+
+    # whole-job checkpoint: same signature already committed -> no-op
+    if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
+        prev = load_manifest(index_dir)
+        if prev.extra.get("signature") == sig:
+            return prev
+
+    if tokenize_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        tokenize_concurrency = (1, max(2, cpus))
+
+    postings = ds.map_batches(
+        TokenizeToPostings,
+        fn_constructor_kwargs=dict(
+            fields=fields,
+            num_partitions=num_partitions,
+            id_col=id_col,
+            head_terms=head_terms,
+            salt_chunk=salt_chunk,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=tokenize_concurrency,
+        zero_copy_batch=True,
+    )
+    lineage_ds = postings.groupby("part").map_groups(
+        EncodeGroup(index_dir, sig, block_size, resume),
+        batch_format="pyarrow",
+    )
+    records = lineage_ds.take_all()  # one tiny row per partition
+
+    segs = sorted(
+        (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
+        key=lambda m: m.name,
+    )
+    version = 0
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        version = load_manifest(index_dir).version + 1
+    manifest = Manifest(
+        analyzers={f: cfg["analyzer"] for f, cfg in fields.items()},
+        block_size=block_size,
+        segments=segs,
+        version=version,
+        extra={
+            "signature": sig,
+            "num_partitions": num_partitions,
+            "built_at_unix": int(time.time()),
+        },
+    )
+    publish_manifest(index_dir, manifest)
+    return manifest

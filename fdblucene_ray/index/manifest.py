@@ -1,0 +1,137 @@
+"""Index manifest: the commit point of a build.
+
+The reference publishes an index state by atomically renaming the
+Lucene segments file inside one FDB transaction
+(FDBDirectory.java:351-365 — "rename" is the single linearization
+point). Here the analog is a JSON manifest listing the live segments
+plus aggregated collection statistics, published by writing
+``manifest.json.tmp`` and ``os.replace``-ing it over ``manifest.json``
+(atomic on POSIX; on an object store this maps to a conditional put).
+
+Per-partition lineage records (``lineage/{signature}/part-N.json``)
+are written *before* a partition's segment is eligible for the
+manifest, making builds resumable: a re-run with the same input
+signature skips partitions whose lineage + files verify
+(north_rule checkpoint-resumability; reference analog: uncommitted
+files are invisible until the segments-file rename, README.md:71-86).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+FORMAT_VERSION = 1
+
+
+@dataclass
+class SegmentMeta:
+    name: str
+    n_terms: int
+    n_postings: int
+    # per-field stats: field -> {"dc": docs-with-tokens, "sum_dl": total tokens,
+    #                            "sdf": postings count}
+    field_stats: dict[str, dict[str, int]]
+    postings_crc: int
+    skips_crc: int
+    doc_id_min: int
+    doc_id_max: int
+
+    def to_json(self) -> dict[str, Any]:
+        return dict(self.__dict__)
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "SegmentMeta":
+        return SegmentMeta(**d)
+
+
+@dataclass
+class Manifest:
+    analyzers: dict[str, str]  # field -> analyzer name
+    block_size: int
+    segments: list[SegmentMeta] = field(default_factory=list)
+    version: int = 0
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def field_totals(self) -> dict[str, dict[str, int]]:
+        """Collection-wide per-field stats, summed across live segments
+        (Lucene semantics: collection statistics aggregate over segments,
+        SURVEY.md §2.5 A2/A3)."""
+        out: dict[str, dict[str, int]] = {}
+        for seg in self.segments:
+            for f, st in seg.field_stats.items():
+                acc = out.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
+                for k in acc:
+                    acc[k] += st.get(k, 0)
+        return out
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "format_version": FORMAT_VERSION,
+            "version": self.version,
+            "analyzers": self.analyzers,
+            "block_size": self.block_size,
+            "segments": [s.to_json() for s in self.segments],
+            "extra": self.extra,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Manifest":
+        return Manifest(
+            analyzers=d["analyzers"],
+            block_size=d["block_size"],
+            segments=[SegmentMeta.from_json(s) for s in d["segments"]],
+            version=d.get("version", 0),
+            extra=d.get("extra", {}),
+        )
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def load_manifest(index_dir: str) -> Manifest:
+    with open(manifest_path(index_dir)) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def publish_manifest(index_dir: str, manifest: Manifest) -> None:
+    """Atomic manifest swap — the engine's ``rename`` commit."""
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path(index_dir))
+
+
+def lineage_dir(index_dir: str, signature: str) -> str:
+    return os.path.join(index_dir, "lineage", signature)
+
+
+def lineage_path(index_dir: str, signature: str, part: int) -> str:
+    return os.path.join(lineage_dir(index_dir, signature), f"part-{part:05d}.json")
+
+
+def write_lineage(index_dir: str, signature: str, part: int, record: dict) -> None:
+    d = lineage_dir(index_dir, signature)
+    os.makedirs(d, exist_ok=True)
+    tmp = lineage_path(index_dir, signature, part) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, sort_keys=True)
+    os.replace(tmp, lineage_path(index_dir, signature, part))
+
+
+def read_lineage(index_dir: str, signature: str, part: int) -> dict | None:
+    p = lineage_path(index_dir, signature, part)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None

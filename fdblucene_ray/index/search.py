@@ -1,0 +1,432 @@
+"""Query engine: BM25 top-k over the segment postings.
+
+Read-path restatement of SURVEY.md §3.2: a ``Searcher`` pins one
+manifest snapshot (the analog of ``DirectoryReader.open`` reading the
+published segments file), lazily loads each segment's term dictionary
+and memory-maps its posting blob, and evaluates queries per segment,
+merging per-segment top-k heaps by (score desc, doc_id asc).
+
+Scoring is Lucene-8 BM25 (pom.xml:31 pins Lucene 8.1.0; the 8.x form
+has no (k1+1) numerator factor):
+
+    idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    K(d) = k1 * (1 - b + b * dl(d) / avgdl)
+    s    = idf * tf / (tf + K)
+
+with N = docCount and avgdl = sumTotalTermFreq / docCount summed across
+live segments (DATA.md:33-35 — exactly the stored field statistics),
+dl = the lossy-decoded 1-byte norm (DATA.md:37 / SmallFloat), df/ttf
+summed across segments (DATA.md:47-48). Since salting spreads one
+term's postings over several segments, collection-summed stats are also
+what makes head-term salting semantics-free.
+
+Two evaluation strategies, property-tested identical:
+- ``exhaustive``: decode full posting lists, vectorized numpy scoring;
+- ``wand``: document-at-a-time block-max WAND using the per-block
+  (max_tf, min_norm) impact metadata — the scale path that skips
+  non-competitive blocks without decoding them.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from fdblucene_ray.analysis.analyzer import get_analyzer
+from fdblucene_ray.codec.postings import decode_all, decode_block
+from fdblucene_ray.codec.smallfloat import DECODE_TABLE
+from fdblucene_ray.index.manifest import Manifest, load_manifest
+from fdblucene_ray.index.segment import SegmentReader
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_norm_cache(avgdl: float) -> np.ndarray:
+    """K(norm_byte) for all 256 norm bytes (Lucene's per-query cache)."""
+    return K1 * (1.0 - B + B * DECODE_TABLE.astype(np.float64) / avgdl)
+
+
+@dataclass
+class TermCursor:
+    """Block-at-a-time cursor over one term's postings in one segment."""
+
+    blob: memoryview
+    skips: np.ndarray
+    n_docs: int
+    block_size: int
+    idf: float
+    norm_cache: np.ndarray
+    qidx: int  # query clause index (fixed accumulation order for float identity)
+
+    bi: int = -1
+    pos: int = 0
+    docs: np.ndarray | None = None
+    tfs: np.ndarray | None = None
+    norms: np.ndarray | None = None
+    max_score: float = 0.0  # global upper bound over all blocks
+
+    def __post_init__(self):
+        mt = self.skips["max_tf"].astype(np.float64)
+        kk = self.norm_cache[self.skips["min_norm"]]
+        self._block_ub = self.idf * mt / (mt + kk)
+        self.max_score = float(self._block_ub.max()) if len(self._block_ub) else 0.0
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        self.bi = bi
+        self.docs, self.tfs, self.norms = decode_block(
+            self.blob, self.skips, bi, self.n_docs, self.block_size
+        )
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos]) if self.docs is not None else _EXHAUSTED
+
+    def exhausted(self) -> bool:
+        return self.docs is None
+
+    def block_ub(self) -> float:
+        return float(self._block_ub[self.bi])
+
+    def block_last_doc(self) -> int:
+        return int(self.skips[self.bi]["last_doc"])
+
+    def score_current(self) -> float:
+        tf = float(self.tfs[self.pos])
+        return self.idf * tf / (tf + float(self.norm_cache[self.norms[self.pos]]))
+
+    def next(self):
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            if self.bi + 1 < len(self.skips):
+                self._load_block(self.bi + 1)
+            else:
+                self.docs = None
+
+    def advance(self, target: int):
+        """Skip to the first doc >= target using the skip table."""
+        if self.docs is None:
+            return
+        if target > self.block_last_doc():
+            # binary search the skip table for the first block that can hold target
+            nbi = int(np.searchsorted(self.skips["last_doc"], target, side="left"))
+            if nbi >= len(self.skips):
+                self.docs = None
+                return
+            self._load_block(nbi)
+        # within-block advance
+        self.pos += int(np.searchsorted(self.docs[self.pos :], target, side="left"))
+        if self.pos >= len(self.docs):  # pragma: no cover — guarded by last_doc
+            self.next()
+
+    def shallow_advance(self, target: int):
+        """Move the *block* pointer (not positions) so block_ub/last_doc
+        reflect the block that would contain target; cheap (no decode)."""
+        if self.docs is None:
+            return
+        if target > self.block_last_doc():
+            nbi = int(np.searchsorted(self.skips["last_doc"], target, side="left"))
+            if nbi >= len(self.skips):
+                self.docs = None
+            else:
+                self._load_block(nbi)
+
+
+_EXHAUSTED = 1 << 62
+
+
+class Searcher:
+    """One index snapshot; reusable across queries (ST6 in SURVEY.md)."""
+
+    def __init__(self, index_dir: str, manifest: Manifest | None = None):
+        self.index_dir = index_dir
+        self.manifest = manifest or load_manifest(index_dir)
+        self.readers = [SegmentReader(index_dir, m) for m in self.manifest.segments]
+        self.totals = self.manifest.field_totals()
+
+    # ---- stats ----
+    def field_stats(self, field: str) -> tuple[int, int, float]:
+        st = self.totals.get(field, {"dc": 0, "sum_dl": 0})
+        dc = st["dc"]
+        avgdl = (st["sum_dl"] / dc) if dc else 1.0
+        return dc, st["sum_dl"], avgdl
+
+    def term_stats(self, field: str, term: str) -> tuple[int, int]:
+        df = ttf = 0
+        for r in self.readers:
+            d, t = r.term_stats(field, term)
+            df += d
+            ttf += t
+        return df, ttf
+
+    def num_docs(self, field: str = "text") -> int:
+        return self.field_stats(field)[0]
+
+    # ---- query API ----
+    def parse(self, query: str, field: str = "text") -> list[str]:
+        """Analyze query text with the field's analyzer; duplicate terms
+        are collapsed (one clause per unique term, first-seen order)."""
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        if az_name == "keyword":
+            return [query]
+        toks = get_analyzer(az_name).tokens(query)
+        return list(dict.fromkeys(toks))
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        operator: str = "or",
+        mode: str = "wand",
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), score desc then doc_id asc."""
+        terms = self.parse(query, field)
+        return self.search_terms(terms, k, field=field, operator=operator, mode=mode)
+
+    def search_terms(self, terms, k=10, *, field="text", operator="or", mode="wand"):
+        """Segments are TERM shards (the build shuffle partitions by term
+        hash, with head terms salted over several shards), so evaluation
+        merges per-term streams ACROSS segments — unlike Lucene's
+        doc-partitioned segments. A (term, doc) posting exists in exactly
+        one segment, so the union of per-(term, segment) cursors behaves
+        like one doc-sorted stream per clause."""
+        if not terms:
+            return []
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl)
+        # clause list: (qidx order preserved for float-identical accumulation)
+        live = []
+        for t in terms:
+            df, _ = self.term_stats(field, t)
+            if df == 0:
+                if operator == "and":
+                    return []  # conjunction with an absent term matches nothing
+                continue
+            live.append((t, bm25_idf(dc, df)))
+        if not live:
+            return []
+        bs = self.manifest.block_size
+        if mode == "exhaustive" or operator == "and":
+            # conjunction = merge-join (sorted-array intersection) of the
+            # per-term streams (SURVEY.md §2.4 J2); vectorized in numpy.
+            candidates = _exhaustive(self.readers, live, field, ncache, operator, k, bs)
+        else:
+            candidates = _wand(self.readers, live, field, ncache, k, bs)
+        candidates.sort(key=lambda x: (-x[1], x[0]))
+        return candidates[:k]
+
+    def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
+        """Number of matching docs (exhaustive; used by tests/oracles)."""
+        terms = self.parse(query, field)
+        if not terms:
+            return 0
+        docs: np.ndarray | None = None
+        for reader_docs in _matching_docs_per_term(self.readers, terms, field):
+            if operator == "and":
+                docs = reader_docs if docs is None else np.intersect1d(docs, reader_docs)
+            else:
+                docs = reader_docs if docs is None else np.union1d(docs, reader_docs)
+        return int(len(docs)) if docs is not None else 0
+
+
+def _matching_docs_per_term(readers, terms, field):
+    for t in terms:
+        per_seg = []
+        for r in readers:
+            h = r.postings_handle(field, t)
+            if h is not None:
+                blob, skips, n = h
+                d, _, _ = decode_all(blob, skips, n)
+                per_seg.append(d)
+        yield np.concatenate(per_seg) if per_seg else np.empty(0, np.int64)
+
+
+def _gather_handles(readers, field, term):
+    """All (blob, skips, n_docs) handles for a term across segments."""
+    out = []
+    for r in readers:
+        h = r.postings_handle(field, term)
+        if h is not None:
+            out.append(h)
+    return out
+
+
+def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size):
+    """Vectorized full-decode scoring across all segments.
+
+    Per clause: decode every segment's stream, merge into one doc-sorted
+    array (streams are doc-disjoint), score with one numpy expression.
+    """
+    per_term = []
+    for t, idf in live_terms:  # query order == accumulation order
+        parts_d, parts_t, parts_n = [], [], []
+        for blob, skips, n in _gather_handles(readers, field, t):
+            d, tf, nb = decode_all(blob, skips, n, block_size)
+            parts_d.append(d)
+            parts_t.append(tf)
+            parts_n.append(nb)
+        if not parts_d:
+            if operator == "and":
+                return []
+            continue
+        docs = np.concatenate(parts_d)
+        tfs = np.concatenate(parts_t).astype(np.float64)
+        norms = np.concatenate(parts_n)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, norms = docs[order], tfs[order], norms[order]
+        scores = idf * tfs / (tfs + ncache[norms])
+        per_term.append((docs, scores))
+    if not per_term:
+        return []
+    if operator == "and":
+        cand = per_term[0][0]
+        for docs, _ in per_term[1:]:
+            cand = np.intersect1d(cand, docs)
+        if not len(cand):
+            return []
+        total = np.zeros(len(cand))
+        for docs, scores in per_term:  # clause-order accumulation
+            total += scores[np.searchsorted(docs, cand)]
+        docs_all, score_all = cand, total
+    else:
+        all_docs = np.concatenate([d for d, _ in per_term])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        total = np.zeros(len(uniq))
+        off = 0
+        for docs, scores in per_term:  # clause-order accumulation
+            np.add.at(total, inv[off : off + len(docs)], scores)
+            off += len(docs)
+        docs_all, score_all = uniq, total
+    sel = np.lexsort((docs_all, -score_all))[:k]
+    return [(int(docs_all[i]), float(score_all[i])) for i in sel]
+
+
+def _wand(readers, live_terms, field, ncache, k, block_size):
+    """Disjunctive block-max WAND (Ding & Suel 2011 style) over the union
+    of per-(clause, segment) cursors. Because a (term, doc) posting lives
+    in exactly one segment, cursors of the same clause are doc-disjoint
+    and the union behaves like one doc-sorted stream per clause; summing
+    every cursor's max_score in pivot selection stays a valid (looser)
+    upper bound for salted terms."""
+    cursors: list[TermCursor] = []
+    for qidx, (t, idf) in enumerate(live_terms):
+        for blob, skips, n in _gather_handles(readers, field, t):
+            cursors.append(TermCursor(blob, skips, n, block_size, idf, ncache, qidx))
+    if not cursors:
+        return []
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    threshold = -math.inf
+
+    def consider(doc: int, score: float):
+        nonlocal threshold
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+
+    live = [c for c in cursors if not c.exhausted()]
+    while True:
+        live = [c for c in live if not c.exhausted()]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        full = len(heap) == k
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.max_score
+            if not full or acc > threshold:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even the sum of all remaining UBs can't compete
+        pivot_doc = live[pivot_idx].doc
+        if live[0].doc == pivot_doc:
+            # every cursor up to the pivot sits ON the pivot doc;
+            # block-max refinement before paying the full evaluation
+            lead = [c for c in live if c.doc == pivot_doc]
+            bub = sum(c.block_ub() for c in lead)
+            if full and bub <= threshold:
+                # provably non-competitive through the shallowest block —
+                # but only for docs no other (later-sorted) cursor could
+                # still contribute to, so cap the jump at the next doc
+                boundary = min(c.block_last_doc() for c in lead)
+                next_doc = min(
+                    (c.doc for c in live if c.doc > pivot_doc), default=_EXHAUSTED
+                )
+                target = max(pivot_doc + 1, min(boundary + 1, next_doc))
+                for c in lead:
+                    c.advance(target)
+                continue
+            contribs = sorted(lead, key=lambda c: c.qidx)
+            score = 0.0
+            for c in contribs:  # fixed clause order -> float-identical
+                score += c.score_current()
+            consider(pivot_doc, score)
+            for c in lead:
+                c.next()
+        else:
+            # advance the laggards up to the pivot doc
+            for c in live[:pivot_idx]:
+                if c.doc < pivot_doc:
+                    c.advance(pivot_doc)
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+class SearchQueries:
+    """Batch query evaluation as a map_batches actor stage:
+    ``queries_ds.map_batches(SearchQueries, fn_constructor_kwargs=...)``.
+
+    Input batch: {qid, query}; output: {qid, rank, doc_id, score}.
+    The searcher (manifest snapshot + term dictionaries) loads once per
+    actor (__init__), queries stream through __call__.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, field: str = "text",
+                 operator: str = "or", mode: str = "wand"):
+        self.searcher = Searcher(index_dir)
+        self.k = k
+        self.field = field
+        self.operator = operator
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, q in zip(batch["qid"].to_pylist(), batch["query"].to_pylist()):
+            hits = self.searcher.search(
+                q, self.k, field=self.field, operator=self.operator, mode=self.mode
+            )
+            for rank, (d, s) in enumerate(hits, 1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+                scores.append(s)
+        return pa.table(
+            {
+                "qid": pa.array(qids),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,273 @@
+"""Immutable segment: write a partition of posting rows, read it back.
+
+A segment is the engine's analog of a Lucene segment stored through the
+reference's virtual files (FDBDirectory.java:54-89): an immutable,
+atomically-published directory
+
+    segments/{name}/
+      terms.parquet   # sorted (field, term) dictionary + blob offsets
+      postings.bin    # concatenated per-term block-coded posting lists
+      skips.bin       # concatenated packed skip tables
+      meta.json       # stats + CRC32s (analog of FDBIndexOutput's
+                      # streaming CRC, FDBIndexOutput.java:113-115)
+
+Terms are namespaced by field as ``field + '\\x1f' + term`` in the
+shuffle; the terms table stores field and term separately. Postings for
+one term are sorted by ascending doc_id (the reference's KV-order
+invariant, DATA.md:53) and carry the 1-byte norm inline (impact).
+
+Doc-stat sentinel rows (term == DOC_SENTINEL, tf == exact doc length,
+norm == encoded length) ride the same shuffle, salted across all
+partitions by doc-id chunk; each partition folds them into its
+per-field ``(dc, sum_dl)`` partials so the build needs exactly ONE
+tokenize pass and ONE shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import uuid
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from fdblucene_ray.codec.postings import (
+    BLOCK_SIZE,
+    SKIP_DTYPE,
+    encode_postings,
+    read_skips,
+)
+from fdblucene_ray.index.manifest import SegmentMeta
+
+# reserved term for per-doc stat rows; real tokens match [0-9a-z_]+ and
+# keyword terms are raw field values, so '\x00' cannot collide with an
+# analyzed term (keyword fields with NUL bytes are rejected at build).
+DOC_SENTINEL = "\x00doc"
+FIELD_SEP = "\x1f"
+
+TERMS_FILE = "terms.parquet"
+POSTINGS_FILE = "postings.bin"
+SKIPS_FILE = "skips.bin"
+META_FILE = "meta.json"
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("key", pa.string()),  # field \x1f term  (or field \x1f DOC_SENTINEL)
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("norm", pa.uint8()),
+    ]
+)
+
+
+def segments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def segment_path(index_dir: str, name: str) -> str:
+    return os.path.join(segments_dir(index_dir), name)
+
+
+def write_segment(
+    index_dir: str,
+    name: str,
+    table: pa.Table,
+    block_size: int = BLOCK_SIZE,
+) -> SegmentMeta:
+    """Encode one shuffle partition (posting rows) into a segment.
+
+    ``table`` columns: key, doc_id, tf, norm. Written to a temp dir and
+    atomically renamed into place; if the segment already exists (retry
+    of an idempotent task — doc ids are deterministic so a re-run is
+    byte-identical) the existing one wins.
+    """
+    # fold out sentinel rows -> per-field (dc, sum_dl)
+    keys = table["key"]
+    is_sent = pc.match_substring(keys, FIELD_SEP + DOC_SENTINEL)
+    sent = table.filter(is_sent)
+    posts = table.filter(pc.invert(is_sent))
+
+    field_stats: dict[str, dict[str, int]] = {}
+    if sent.num_rows:
+        sfield = pc.replace_substring(
+            sent["key"], FIELD_SEP + DOC_SENTINEL, ""
+        )
+        agg = (
+            pa.table({"field": sfield, "dl": sent["tf"]})
+            .group_by("field")
+            .aggregate([("dl", "sum"), ("dl", "count")])
+        )
+        for row in agg.to_pylist():
+            field_stats[row["field"]] = {
+                "dc": int(row["dl_count"]),
+                "sum_dl": int(row["dl_sum"]),
+                "sdf": 0,
+            }
+
+    # sort by (key, doc_id): ascending-docID postings per term (DATA.md:53)
+    # and lexicographic term order in the dictionary (DATA.md:47)
+    idx = pc.sort_indices(
+        posts, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+    )
+    posts = posts.take(idx).combine_chunks()
+
+    key_arr = posts["key"].combine_chunks() if posts.num_rows else pa.array([], pa.string())
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    doc_ids = posts["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = posts["tf"].to_numpy(zero_copy_only=False)
+    norms = posts["norm"].to_numpy(zero_copy_only=False)
+
+    # term run boundaries: dictionary codes are assigned in first-seen
+    # order, which over a sorted column is monotone non-decreasing
+    denc = key_arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    n_terms = len(denc.dictionary)
+    bounds = np.flatnonzero(np.diff(codes)) + 1 if len(codes) else np.empty(0, np.int64)
+    starts = np.concatenate(([0], bounds)).astype(np.int64) if len(codes) else np.empty(0, np.int64)
+    ends = np.concatenate((bounds, [len(codes)])).astype(np.int64) if len(codes) else np.empty(0, np.int64)
+
+    post_buf = io.BytesIO()
+    skip_buf = io.BytesIO()
+    t_field, t_term, t_df, t_ttf = [], [], [], []
+    t_poff, t_plen, t_soff, t_nblocks = [], [], [], []
+    vocab = denc.dictionary.to_pylist()
+    for ti in range(n_terms):
+        lo, hi = int(starts[ti]), int(ends[ti])
+        d, t = doc_ids[lo:hi], tfs[lo:hi]
+        ep = encode_postings(d, t, norms[lo:hi], block_size)
+        f, _, term = vocab[ti].partition(FIELD_SEP)
+        t_field.append(f)
+        t_term.append(term)
+        t_df.append(hi - lo)
+        t_ttf.append(int(t.sum()))
+        t_poff.append(post_buf.tell())
+        t_plen.append(len(ep.blob))
+        t_soff.append(skip_buf.tell())
+        t_nblocks.append(len(ep.skips) // SKIP_DTYPE.itemsize)
+        post_buf.write(ep.blob)
+        skip_buf.write(ep.skips)
+        stats = field_stats.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
+        stats["sdf"] += hi - lo
+
+    terms_table = pa.table(
+        {
+            "field": pa.array(t_field, pa.string()),
+            "term": pa.array(t_term, pa.string()),
+            "df": pa.array(t_df, pa.int64()),
+            "ttf": pa.array(t_ttf, pa.int64()),
+            "post_offset": pa.array(t_poff, pa.int64()),
+            "post_len": pa.array(t_plen, pa.int64()),
+            "skip_offset": pa.array(t_soff, pa.int64()),
+            "n_blocks": pa.array(t_nblocks, pa.int32()),
+        }
+    )
+
+    post_bytes = post_buf.getvalue()
+    skip_bytes = skip_buf.getvalue()
+    meta = SegmentMeta(
+        name=name,
+        n_terms=n_terms,
+        n_postings=int(posts.num_rows),
+        field_stats=field_stats,
+        postings_crc=zlib.crc32(post_bytes),
+        skips_crc=zlib.crc32(skip_bytes),
+        doc_id_min=int(doc_ids.min()) if len(doc_ids) else -1,
+        doc_id_max=int(doc_ids.max()) if len(doc_ids) else -1,
+    )
+
+    final = segment_path(index_dir, name)
+    if os.path.exists(final):
+        return meta  # idempotent retry — deterministic content already there
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
+    with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
+        fh.write(post_bytes)
+    with open(os.path.join(tmp, SKIPS_FILE), "wb") as fh:
+        fh.write(skip_bytes)
+    with open(os.path.join(tmp, META_FILE), "w") as fh:
+        json.dump(meta.to_json(), fh, sort_keys=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        if not os.path.exists(final):  # pragma: no cover
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return meta
+
+
+class SegmentReader:
+    """Read-side view of one segment. Memory-maps the posting blob
+    (zero-copy; the analog of FDBIndexInput's page-buffered random reads,
+    FDBIndexInput.java:113-124, minus the coordination — segments are
+    immutable so no read-version logic is needed, cf ReadVersionCache)."""
+
+    def __init__(self, index_dir: str, meta: SegmentMeta):
+        self.meta = meta
+        self.path = segment_path(index_dir, meta.name)
+        self._terms: pa.Table | None = None
+        self._postings = None
+        self._skips = None
+        self._lookup: dict[tuple[str, str], int] | None = None
+
+    @property
+    def terms(self) -> pa.Table:
+        if self._terms is None:
+            self._terms = pq.read_table(os.path.join(self.path, TERMS_FILE))
+        return self._terms
+
+    def _blob(self):
+        if self._postings is None:
+            self._postings = np.memmap(
+                os.path.join(self.path, POSTINGS_FILE), dtype=np.uint8, mode="r"
+            ) if os.path.getsize(os.path.join(self.path, POSTINGS_FILE)) else np.empty(0, np.uint8)
+            self._skips = (
+                np.memmap(os.path.join(self.path, SKIPS_FILE), dtype=np.uint8, mode="r")
+                if os.path.getsize(os.path.join(self.path, SKIPS_FILE))
+                else np.empty(0, np.uint8)
+            )
+        return self._postings, self._skips
+
+    def term_index(self, field: str, term: str) -> int | None:
+        """Row index of (field, term) in the terms table, or None."""
+        if self._lookup is None:
+            t = self.terms
+            self._lookup = {
+                (f, tm): i
+                for i, (f, tm) in enumerate(
+                    zip(t["field"].to_pylist(), t["term"].to_pylist())
+                )
+            }
+        return self._lookup.get((field, term))
+
+    def term_stats(self, field: str, term: str) -> tuple[int, int]:
+        """(df, ttf) of the term in this segment (0, 0) if absent."""
+        i = self.term_index(field, term)
+        if i is None:
+            return 0, 0
+        t = self.terms
+        return int(t["df"][i].as_py()), int(t["ttf"][i].as_py())
+
+    def postings_handle(self, field: str, term: str):
+        """-> (blob_view, skips_array, n_docs) or None."""
+        i = self.term_index(field, term)
+        if i is None:
+            return None
+        t = self.terms
+        off = int(t["post_offset"][i].as_py())
+        plen = int(t["post_len"][i].as_py())
+        soff = int(t["skip_offset"][i].as_py())
+        nb = int(t["n_blocks"][i].as_py())
+        df = int(t["df"][i].as_py())
+        blob, skips = self._blob()
+        sk = read_skips(memoryview(skips)[soff : soff + nb * SKIP_DTYPE.itemsize])
+        return memoryview(blob)[off : off + plen], sk, df

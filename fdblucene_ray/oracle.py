@@ -1,0 +1,109 @@
+"""Single-process reference oracle: same analyzer + BM25 semantics,
+exhaustive scoring, zero Ray.
+
+The reference validates its storage layer by running Lucene's own
+conformance suites against it (FDBDirectoryTest.java:30 extends
+BaseDirectoryTestCase); our analog (SURVEY.md §5.1) is this pure-Python
+oracle — the distributed engine must be rank- and score-identical to it
+on every corpus/query pair.
+
+Scoring identities with the engine are bit-exact: identical formula
+(Lucene-8 BM25, no (k1+1)), identical lossy norms, and identical
+floating-point accumulation order (clauses in query order).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+
+from fdblucene_ray.analysis.analyzer import get_analyzer
+from fdblucene_ray.codec.smallfloat import byte4_to_int, int_to_byte4
+from fdblucene_ray.index.search import B, K1, bm25_idf
+
+
+class OracleIndex:
+    """In-memory single-field inverted index with exact Lucene-style stats."""
+
+    def __init__(self, analyzer="lucene"):
+        self.analyzer = get_analyzer(analyzer) if analyzer != "keyword" else "keyword"
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.norm_byte: dict[int, int] = {}
+        self.dc = 0  # docs with >= 1 token
+        self.sum_dl = 0  # exact sumTotalTermFreq
+
+    def add(self, doc_id: int, text: str):
+        if self.analyzer == "keyword":
+            toks = [text]
+        else:
+            toks = self.analyzer.tokens(text)
+        if not toks:
+            return
+        self.dc += 1
+        self.sum_dl += len(toks)
+        self.norm_byte[doc_id] = int_to_byte4(len(toks))
+        for term, tf in Counter(toks).items():
+            self.postings.setdefault(term, []).append((doc_id, tf))
+
+    @classmethod
+    def from_table(cls, table: pa.Table, text_col="text", id_col="doc_id", analyzer="lucene"):
+        ix = cls(analyzer)
+        for d, t in zip(table[id_col].to_pylist(), table[text_col].to_pylist()):
+            ix.add(d, t)
+        return ix
+
+    # ---- stats ----
+    @property
+    def avgdl(self) -> float:
+        return self.sum_dl / self.dc if self.dc else 1.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    # ---- search ----
+    def parse(self, query: str) -> list[str]:
+        if self.analyzer == "keyword":
+            return [query]
+        return list(dict.fromkeys(self.analyzer.tokens(query)))
+
+    def search(self, query: str, k: int = 10, operator: str = "or"):
+        terms = self.parse(query)
+        if not terms:
+            return []
+        avgdl = self.avgdl
+        kcache = [K1 * (1 - B + B * byte4_to_int(nb) / avgdl) for nb in range(256)]
+        per_doc: dict[int, float] = {}
+        matched: dict[int, int] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                if operator == "and":
+                    return []
+                continue
+            idf = bm25_idf(self.dc, len(plist))
+            for doc, tf in plist:
+                s = idf * tf / (tf + kcache[self.norm_byte[doc]])
+                per_doc[doc] = per_doc.get(doc, 0.0) + s
+                matched[doc] = matched.get(doc, 0) + 1
+        if operator == "and":
+            need = len(terms)
+            per_doc = {d: s for d, s in per_doc.items() if matched[d] == need}
+        hits = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def count(self, query: str, operator: str = "or") -> int:
+        terms = self.parse(query)
+        if not terms:
+            return 0
+        sets = [set(d for d, _ in self.postings.get(t, ())) for t in terms]
+        if operator == "and":
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return len(out)
+        out = set()
+        for s in sets:
+            out |= s
+        return len(out)

@@ -1,0 +1,138 @@
+"""Codec round-trip + boundary tests.
+
+Models the reference's test strategy (SURVEY.md §5): boundary sizes
+around the block size (BoundaryTest.java:44-59) and seeded randomized
+cases (FDBIndexInputTest.java:111-129).
+"""
+
+import numpy as np
+import pytest
+
+from fdblucene_ray.codec import (
+    byte4_to_int,
+    decode_all,
+    decode_block,
+    decode_norms,
+    encode_lengths,
+    encode_postings,
+    int_to_byte4,
+    read_skips,
+    varint_decode,
+    varint_encode,
+)
+
+B = 128  # default block size
+
+
+class TestVarint:
+    def test_boundaries(self):
+        v = np.array(
+            [0, 1, 127, 128, 129, 16383, 16384, 2**21 - 1, 2**21, 2**62],
+            dtype=np.uint64,
+        )
+        assert np.array_equal(varint_decode(varint_encode(v), len(v)), v)
+
+    def test_empty(self):
+        assert varint_encode(np.empty(0, np.uint64)) == b""
+        assert len(varint_decode(b"", 0)) == 0
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random(self, seed):
+        rng = np.random.default_rng(seed)
+        # mixed magnitudes
+        v = (rng.integers(0, 2**60, 2000).astype(np.uint64)
+             >> rng.integers(0, 60, 2000).astype(np.uint64))
+        assert np.array_equal(varint_decode(varint_encode(v), len(v)), v)
+
+    def test_truncated_raises(self):
+        v = np.array([300, 300], dtype=np.uint64)
+        enc = varint_encode(v)
+        with pytest.raises(ValueError):
+            varint_decode(enc[:-1], 2)
+
+
+class TestSmallFloat:
+    def test_exact_below_free(self):
+        for i in range(24):
+            assert int_to_byte4(i) == i
+            assert byte4_to_int(i) == i
+
+    def test_lossy_floor(self):
+        for i in [0, 1, 23, 24, 25, 100, 1000, 65537, 10**9]:
+            d = byte4_to_int(int_to_byte4(i))
+            assert d <= i
+            # next representable value is > i
+            if int_to_byte4(i) < 255:
+                assert byte4_to_int(int_to_byte4(i) + 1) > i
+
+    def test_monotone(self):
+        prev = -1
+        for b in range(256):
+            v = byte4_to_int(b)
+            assert v > prev
+            prev = v
+
+    def test_vectorized_matches_scalar(self):
+        lens = np.arange(0, 200000, 13)
+        enc = encode_lengths(lens)
+        for ln, e in zip(lens[::37], enc[::37]):
+            assert int_to_byte4(int(ln)) == int(e)
+        dec = decode_norms(enc)
+        assert np.all(dec <= lens)
+
+
+class TestPostings:
+    @pytest.mark.parametrize(
+        "n", [0, 1, B - 1, B, B + 1, 3 * B - 1, 3 * B, 3 * B + 1, 1000]
+    )
+    def test_roundtrip_boundaries(self, n):
+        rng = np.random.default_rng(n)
+        docs = np.sort(rng.choice(10**8, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 500, n).astype(np.uint32)
+        norms = rng.integers(0, 256, n).astype(np.uint8)
+        ep = encode_postings(docs, tfs, norms)
+        sk = read_skips(ep.skips)
+        d, t, nn = decode_all(ep.blob, sk, ep.n_docs)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(nn, norms)
+
+    def test_block_independence(self):
+        """Each block decodes alone given only its skip entry + predecessor
+        last_doc — the property skip-based advance relies on."""
+        rng = np.random.default_rng(7)
+        n = 5 * B + 17
+        docs = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+        tfs = np.ones(n, dtype=np.uint32)
+        norms = np.zeros(n, dtype=np.uint8)
+        ep = encode_postings(docs, tfs, norms)
+        sk = read_skips(ep.skips)
+        for bi in range(len(sk)):
+            d, _, _ = decode_block(ep.blob, sk, bi, n)
+            lo, hi = bi * B, min((bi + 1) * B, n)
+            assert np.array_equal(d, docs[lo:hi])
+            assert int(sk[bi]["last_doc"]) == docs[hi - 1]
+
+    def test_skip_metadata(self):
+        docs = np.arange(0, 1000, dtype=np.int64)
+        tfs = (docs % 9 + 1).astype(np.uint32)
+        norms = (docs % 200).astype(np.uint8)
+        ep = encode_postings(docs, tfs, norms)
+        sk = read_skips(ep.skips)
+        for bi in range(len(sk)):
+            lo, hi = bi * B, min((bi + 1) * B, 1000)
+            assert int(sk[bi]["max_tf"]) == int(tfs[lo:hi].max())
+            assert int(sk[bi]["min_norm"]) == int(norms[lo:hi].min())
+
+    @pytest.mark.parametrize("block_size", [32, 128, 256])
+    def test_param_block_sizes(self, block_size):
+        rng = np.random.default_rng(block_size)
+        n = 777
+        docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, n).astype(np.uint32)
+        norms = rng.integers(0, 250, n).astype(np.uint8)
+        ep = encode_postings(docs, tfs, norms, block_size)
+        d, t, nn = decode_all(ep.blob, read_skips(ep.skips), n, block_size)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(nn, norms)
