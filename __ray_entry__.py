@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code these callables use) calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``  — flagship pipeline at sf0.001: build the Lucene-chain
+  inverted index over ``documents`` and run the BM25 WAND query set.
+- ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data ops (dedup / ANN / text analysis /
+  multimodal plumbing).
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for every
+  SQL-expressible query (same column names, floats rounded identically
+  on both sides). Non-SQL-expressible ops (Porter-stemmed BM25+WAND,
+  minhash-LSH, simhash, winnowing, IVF) are covered by pytest against
+  pure-Python oracles instead.
 """
 
 from __future__ import annotations
@@ -21,24 +24,18 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from fdblucene_ray.pipelines.queries import q_search_lucene
+
+    return q_search_lucene("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fdblucene_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fdblucene_ray.pipelines import queries as q
+
+    return q.oracle_sql()

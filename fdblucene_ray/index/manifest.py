@@ -59,13 +59,19 @@ class Manifest:
     def field_totals(self) -> dict[str, dict[str, int]]:
         """Collection-wide per-field stats, summed across live segments
         (Lucene semantics: collection statistics aggregate over segments,
-        SURVEY.md §2.5 A2/A3)."""
+        SURVEY.md §2.5 A2/A3) plus any merge-carried base stats
+        (``extra["base_field_stats"]`` — a merge sums its sources' dc and
+        sum_dl instead of re-tokenizing, see index/merge.py)."""
         out: dict[str, dict[str, int]] = {}
         for seg in self.segments:
             for f, st in seg.field_stats.items():
                 acc = out.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
                 for k in acc:
                     acc[k] += st.get(k, 0)
+        for f, st in self.extra.get("base_field_stats", {}).items():
+            acc = out.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
+            for k in acc:
+                acc[k] += st.get(k, 0)
         return out
 
     def to_json(self) -> dict[str, Any]:

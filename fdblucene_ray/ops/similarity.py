@@ -1,0 +1,221 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is
+  broadcast once (``ray.put``) and every batch does one numpy matmul;
+  per-batch local top-k keeps the shuffle tiny (batches emit k rows per
+  query, the driver merges a few thousand candidate rows).
+- ``ivf_topk``: IVF-style scale path — deterministic k-means centroids
+  trained on a sample, vectors assigned to their nearest centroid
+  (one map_batches pass), queries probe only ``nprobe`` centroid
+  partitions. Approximate; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _stack(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column -> (n, d) matrix.
+
+    float64 by default: the DuckDB oracle computes cosine in double, and
+    float32 matmul would diverge at ~1e-7 — past the 6-dp rounding the
+    comparison uses. (At 10^12 scale flip to float32 for 2x bandwidth
+    when no oracle parity is needed.)
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    d = int(widths[0]) if len(widths) else 0
+    if len(widths) and not np.all(widths == d):
+        raise ValueError("ragged embedding column")
+    lo = int(offsets[0])
+    return flat[lo : lo + len(widths) * d].reshape(len(widths), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchCosineTopK:
+    """map_batches: emit per-batch top-k (query_id, vec_id, sim) rows."""
+
+    def __init__(self, queries_ref, query_ids, k: int, vec_col: str, id_col: str):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.qn = _normalize(q.astype(np.float64)).T  # (d, nq)
+        self.query_ids = np.asarray(query_ids, np.int64)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = m @ self.qn  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            sel = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.append(np.full(len(sel), self.query_ids[qi], np.int64))
+            out_v.append(ids[sel].astype(np.int64))
+            out_s.append(s[sel].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def _merge_topk(df, k: int) -> pa.Table:
+    """Driver-side merge of per-batch candidates (small pandas frame).
+    Ranks on EXACT sims (rounding only the output) so the top-k set
+    matches an exact-order oracle."""
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["sim"] = df["sim"].round(5)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k; sims rounded to 5 dp in the output (DuckDB's
+    list_cosine_similarity computes in float32; 5 dp absorbs the gap)."""
+    qref = ray.put(np.asarray(queries, np.float64))
+    cand = ds.map_batches(
+        BatchCosineTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, query_ids=query_ids, k=k, vec_col=vec_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _merge_topk(cand.to_pandas(), k)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (seeded)."""
+    rng = np.random.default_rng(42)
+    x = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class AssignCentroid:
+    def __init__(self, centroids_ref, vec_col: str):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.c = _normalize(c.astype(np.float64)).T
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch[self.vec_col]))
+        assign = np.argmax(m @ self.c, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(assign))
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` nearest centroid
+    partitions per query. At scale the assignment pass is also the
+    partitioned-layout writer (write_parquet partitioned by centroid) so
+    queries read just their probed partitions."""
+    rows = ds.limit(sample_rows).take_all()
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    cents = train_centroids(sample, n_centroids)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        AssignCentroid, fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    qn = _normalize(np.asarray(queries, np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed = np.array(sorted(set(probe.flatten().tolist())), np.int32)
+    # evaluate each query only against its probed partitions
+    import pyarrow.compute as pc
+
+    sub = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid"], value_set=pa.array(probed))),
+        batch_format="pyarrow",
+    )
+    qref = ray.put(qn)
+    cand = sub.map_batches(
+        _IVFTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+            probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _merge_topk(cand.to_pandas(), k)
+
+
+class _IVFTopK(BatchCosineTopK):
+    def __init__(self, queries_ref, query_ids, probe, k, vec_col, id_col):
+        super().__init__(queries_ref, query_ids, k, vec_col, id_col)
+        self.probe = probe  # (nq, nprobe) centroid ids per query
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cents = batch["centroid"].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(self.qn.shape[1]):
+            mask = np.isin(cents, self.probe[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ self.qn[:, qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(s))
+            sel = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.append(np.full(len(sel), self.query_ids[qi], np.int64))
+            out_v.append(sel_ids[sel].astype(np.int64))
+            out_s.append(s[sel].astype(np.float64))
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )

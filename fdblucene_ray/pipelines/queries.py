@@ -1,0 +1,538 @@
+"""Query registry: every operator exposed as a ``(sf_dir) -> result``
+callable plus (where expressible) an ANSI-SQL DuckDB oracle that the
+driver runs side-by-side (CORRECTNESS gate).
+
+Column names match between the Ray result and the SQL exactly; every
+float that crosses the comparison is rounded to a fixed number of
+decimals ON BOTH SIDES, and the SQL mirrors the engine's floating-point
+expression shapes (e.g. ``dl / (sttf/dc)``, not ``dl*dc/sttf``) so the
+doubles agree bit-for-bit wherever the math is shared.
+
+Queries whose semantics are not SQL-expressible (Porter-stemmed BM25
+with WAND, minhash-LSH, simhash, winnowing, IVF) are registered without
+an oracle — the driver records a rows-only check and pytest holds the
+strong oracle (fdblucene_ray.oracle / planted-duplicate corpora).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
+from fdblucene_ray.codec.smallfloat import DECODE_TABLE
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.codec.postings import decode_all
+
+CACHE_ROOT = "/tmp/fdblucene_ray_cache"
+
+# ---------------------------------------------------------------- helpers
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _docs_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(_docs_path(sf_dir), columns=columns)
+
+
+def _index_dir(sf_dir: str, flavor: str) -> str:
+    key = hashlib.sha1(f"{sf_dir}:{flavor}".encode()).hexdigest()[:12]
+    return os.path.join(CACHE_ROOT, f"ix-{flavor}-{key}")
+
+
+def _ensure_index(sf_dir: str, flavor: str) -> str:
+    """Build (or reuse via the signature checkpoint) the documents index."""
+    ix = _index_dir(sf_dir, flavor)
+    if flavor == "simple":
+        fields = {"text": {"column": "text", "analyzer": "simple"},
+                  "source": {"column": "source", "analyzer": "keyword"}}
+    else:
+        fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    build_index(
+        _docs_path(sf_dir), ix, fields=fields, num_partitions=16, batch_size=2048
+    )
+    return ix
+
+
+def _round_col(arr: np.ndarray, nd: int) -> pa.Array:
+    return pa.array(np.round(arr, nd).astype(np.float64))
+
+
+# shared SQL fragments ---------------------------------------------------
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, tok FROM ("
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok "
+    "FROM documents) WHERE tok <> '')"
+)
+DL_CTE = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
+STATS_CTE = (
+    "stats AS (SELECT count(*)::DOUBLE AS dc, sum(dl)::DOUBLE AS sttf FROM dl)"
+)
+NORMVALS_CTE = "normvals(v) AS (VALUES " + ", ".join(
+    f"({int(v)})" for v in DECODE_TABLE
+) + ")"
+# lossy norm: largest representable value <= dl (SmallFloat floor semantics)
+DLQ_CTE = (
+    "dlq AS (SELECT d.doc_id, max(v) AS dlq FROM dl d "
+    "JOIN normvals ON v <= d.dl GROUP BY d.doc_id)"
+)
+
+
+def _bm25_sql(terms: list[str], operator: str = "or", k: int = 10) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if operator == "and" else ""
+    return f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ({term_list}) GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id {having})
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- fulltext
+
+
+def _hits_table(hits) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score": _round_col(np.array([s for _, s in hits] or [], np.float64), 4),
+        }
+    )
+
+
+def q_ft_bm25_single(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search_terms(["data"], 10, mode="wand"))
+
+
+def q_ft_bm25_or(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
+
+
+def q_ft_bm25_and(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search_terms(["window", "batch"], 10, operator="and"))
+
+
+def q_ft_term_stats(sf_dir: str) -> pa.Table:
+    terms = ["data", "merge", "join", "window", "the", "zzzznotaterm"]
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = [(t, *s.term_stats("text", t)) for t in terms]
+    rows = [(t, df, ttf) for t, df, ttf in rows if df > 0]
+    rows.sort()
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "ttf": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_field_stats(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    dc, sum_dl, avgdl = s.field_stats("text")
+    sdf = sum(seg.field_stats.get("text", {}).get("sdf", 0) for seg in s.manifest.segments)
+    return pa.table(
+        {
+            "dc": pa.array([dc], pa.int64()),
+            "sttf": pa.array([sum_dl], pa.int64()),
+            "sdf": pa.array([sdf], pa.int64()),
+            "avgdl": _round_col(np.array([avgdl]), 6),
+        }
+    )
+
+
+def q_ft_vocab(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    terms: set[str] = set()
+    for r in s.readers:
+        t = r.terms
+        terms.update(
+            tm for f, tm in zip(t["field"].to_pylist(), t["term"].to_pylist())
+            if f == "text"
+        )
+    return pa.table({"n_terms": pa.array([len(terms)], pa.int64())})
+
+
+def q_ft_top_terms(sf_dir: str) -> pa.Table:
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    agg: dict[str, int] = {}
+    for r in s.readers:
+        t = r.terms
+        for f, tm, df in zip(
+            t["field"].to_pylist(), t["term"].to_pylist(), t["df"].to_pylist()
+        ):
+            if f == "text":
+                agg[tm] = agg.get(tm, 0) + int(df)
+    rows = sorted(agg.items(), key=lambda x: (-x[1], x[0]))[:20]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_keyword_lookup(sf_dir: str) -> pa.Table:
+    """Exact keyword-field lookup (StringField semantics, SURVEY M9/q01)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    docs = []
+    for r in s.readers:
+        h = r.postings_handle("source", "src5")
+        if h:
+            blob, skips, n = h
+            d, _, _ = decode_all(blob, skips, n, s.manifest.block_size)
+            docs.extend(d.tolist())
+    docs.sort()
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def q_ft_doc_norms(sf_dir: str) -> pa.Table:
+    """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
+    from fdblucene_ray.analysis.analyzer import BatchTokenizer
+    from fdblucene_ray.codec.smallfloat import decode_norms, encode_lengths
+
+    class Norms:
+        def __init__(self):
+            self.tk = BatchTokenizer("simple")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            _, _, _, dls = self.tk.term_frequencies(batch["text"])
+            keep = dls > 0
+            dl = dls[keep].astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "dl": pa.array(dl),
+                    "norm_dl": pa.array(decode_norms(encode_lengths(dl))),
+                }
+            )
+
+    out = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        Norms, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return _collect(out)
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def q_ft_numeric_range(sf_dir: str) -> pa.Table:
+    """Numeric range predicate with parquet row-group pruning (J5)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir),
+        columns=["doc_id", "n_chars"],
+        filter=(pc.field("n_chars") >= 200) & (pc.field("n_chars") <= 400),
+    )
+    return _collect(ds)
+
+
+def q_search_lucene(sf_dir: str) -> pa.Table:
+    """Flagship: full Lucene-chain analyzer + block-max WAND top-10.
+    Non-SQL-expressible (Porter stemming); conformance held by pytest
+    against the pure-Python oracle."""
+    s = Searcher(_ensure_index(sf_dir, "lucene"))
+    queries = ["data merge", "running window", "the quick join", "stream", "batch value sort"]
+    qids, docs, scores, ranks = [], [], [], []
+    for qi, q in enumerate(queries):
+        for rank, (d, sc) in enumerate(s.search(q, 10, mode="wand"), 1):
+            qids.append(qi)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(sc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": _round_col(np.array(scores or [], np.float64), 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------- ops
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return _collect(out)
+
+
+def q_dedup_minhash(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.dedup import simhash_fingerprints
+
+    return _collect(simhash_fingerprints(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.ops.dedup import ngram_jaccard_vs_anchor
+
+    anchor = pq.read_table(_docs_path(sf_dir), columns=["text"])["text"][0].as_py()
+    out = ngram_jaccard_vs_anchor(_docs_ds(sf_dir, ["doc_id", "text"]), anchor)
+    return _collect(out)
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.textstats import lang_id
+
+    return _collect(lang_id(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
+def q_text_quality(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.textstats import quality_scores
+
+    return _collect(quality_scores(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
+def q_token_count(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.textstats import token_counts
+
+    return _collect(token_counts(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.textstats import fingerprints
+
+    out = _collect(
+        fingerprints(_docs_ds(sf_dir, ["doc_id", "text"])).select_columns(
+            ["doc_id", "n_fingerprints"]
+        )
+    )
+    return out
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, ids) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    lookup = {int(v): i for i, v in enumerate(vid)}
+    return np.array(
+        [t["embedding"][lookup[q]].as_py() for q in ids], dtype=np.float64
+    )
+
+
+def q_ann_cosine(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.similarity import brute_force_topk
+
+    q = _query_vectors(sf_dir, [0])
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, q, [0], k=10)
+
+
+def q_ann_batch(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.similarity import brute_force_topk
+
+    ids = [0, 1, 2, 3, 4]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, q, ids, k=3)
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    from fdblucene_ray.ops.similarity import ivf_topk
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, ids, k=10, n_centroids=16, nprobe=4)
+
+
+def q_multimodal_meta(sf_dir: str) -> pa.Table:
+    """Binary-payload decode plumbing (stubbed decoder, real actor pool)."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.multimodal import decode_media
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column(
+            "payload", t["text"].combine_chunks().cast(pa.binary())
+        ).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    out = decode_media(ds, payload_col="payload", batch_size=256)
+    return _collect(out.select_columns(["doc_id", "n_bytes"]))
+
+
+# ---------------------------------------------------------------- registry
+
+
+def queries() -> dict:
+    return {
+        "ft_bm25_single": q_ft_bm25_single,
+        "ft_bm25_or": q_ft_bm25_or,
+        "ft_bm25_and": q_ft_bm25_and,
+        "ft_term_stats": q_ft_term_stats,
+        "ft_field_stats": q_ft_field_stats,
+        "ft_vocab": q_ft_vocab,
+        "ft_top_terms": q_ft_top_terms,
+        "ft_keyword_lookup": q_ft_keyword_lookup,
+        "ft_doc_norms": q_ft_doc_norms,
+        "ft_numeric_range": q_ft_numeric_range,
+        "search_lucene": q_search_lucene,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "ann_batch": q_ann_batch,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict:
+    lang_counts = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in __import__(
+            "fdblucene_ray.ops.textstats", fromlist=["LANG_MARKERS"]
+        ).LANG_MARKERS.items()
+    }
+    return {
+        "ft_bm25_single": _bm25_sql(["data"]),
+        "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        "ft_bm25_and": _bm25_sql(["window", "batch"], operator="and"),
+        "ft_term_stats": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM toks WHERE tok IN ('data','merge','join','window','the','zzzznotaterm')
+GROUP BY tok ORDER BY term
+""",
+        "ft_field_stats": f"""
+WITH {TOKS_CTE}, {DL_CTE}
+SELECT count(*)::BIGINT AS dc, sum(dl)::BIGINT AS sttf,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, tok FROM toks))::BIGINT AS sdf,
+       CAST(round(sum(dl)::DOUBLE / count(*), 6) AS DOUBLE) AS avgdl
+FROM dl
+""",
+        "ft_vocab": f"""
+WITH {TOKS_CTE}
+SELECT count(DISTINCT tok)::BIGINT AS n_terms FROM toks
+""",
+        "ft_top_terms": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks GROUP BY tok ORDER BY df DESC, term LIMIT 20
+""",
+        "ft_keyword_lookup": "SELECT doc_id FROM documents WHERE source = 'src5' ORDER BY doc_id",
+        "ft_doc_norms": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}
+SELECT d.doc_id, d.dl::BIGINT AS dl, max(v)::BIGINT AS norm_dl
+FROM dl d JOIN normvals ON v <= d.dl GROUP BY d.doc_id, d.dl
+""",
+        "ft_numeric_range": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= 200 AND n_chars <= 400"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "lang_id": f"""
+WITH {TOKS_CTE},
+c AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE tok IN ({lang_counts['en']})) AS n_en,
+    count(*) FILTER (WHERE tok IN ({lang_counts['de']})) AS n_de,
+    count(*) FILTER (WHERE tok IN ({lang_counts['fr']})) AS n_fr
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN coalesce(c.n_en,0) >= coalesce(c.n_de,0)
+            AND coalesce(c.n_en,0) >= coalesce(c.n_fr,0) THEN 'en'
+       WHEN coalesce(c.n_de,0) >= coalesce(c.n_fr,0) THEN 'de'
+       ELSE 'fr' END AS pred_lang,
+  coalesce(c.n_en,0)::BIGINT AS n_en,
+  coalesce(c.n_de,0)::BIGINT AS n_de,
+  coalesce(c.n_fr,0)::BIGINT AS n_fr
+FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+""",
+        "text_quality": f"""
+WITH {TOKS_CTE},
+t AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE tok IN ({_STOPLIST_SQL})) AS n_stop,
+         sum(length(tok)) AS sum_len
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+  CAST(round(coalesce(t.n_stop,0) / greatest(coalesce(t.n_tokens,0), 1)::DOUBLE, 6) AS DOUBLE) AS stop_ratio,
+  CAST(round(length(regexp_replace(d.text, '[0-9A-Za-z_ ]', '', 'g'))
+       / greatest(length(d.text), 1)::DOUBLE, 6) AS DOUBLE) AS punct_ratio,
+  CAST(round(coalesce(t.sum_len,0) / greatest(coalesce(t.n_tokens,0), 1)::DOUBLE, 6) AS DOUBLE) AS mean_token_len
+FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
+""",
+        "token_count": """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents
+""",
+        "ann_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT 0::BIGINT AS query_id, e.vec_id,
+       CAST(round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10
+""",
+        "ann_batch": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 3
+""",
+        "multimodal_meta": "SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",
+    }

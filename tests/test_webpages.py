@@ -1,0 +1,167 @@
+"""Webpages corpus: extraction invariant + multi-field build + merge.
+
+Covers the BASELINE.json input_hint contract (byte-identical extracted
+text per url), deterministic doc-id assignment, keyword-field lookup
+(q01), and the addIndexes-style merge (q19 / SimpleFDBDirectoryTest
+.java:162-187).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.merge import compact_index, merge_indexes, plan_tiered
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.oracle import OracleIndex
+from fdblucene_ray.sources.corpus import plan_fragments, read_corpus_with_doc_ids
+from fdblucene_ray.sources.webpages import (
+    extract_text,
+    extract_text_batch,
+    generate_webpages,
+    synth_webpages_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("web"))
+    paths = synth_webpages_parquet(d, 1200, rows_per_file=500, row_group_size=200)
+    return d, paths
+
+
+class TestExtraction:
+    def test_row_invariant_byte_identical(self, corpus):
+        _, paths = corpus
+        t = pq.read_table(paths[0])
+        for html, text in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+            assert extract_text(html) == text.encode()
+
+    def test_batch_extraction_matches(self, corpus, ray_session):
+        _, paths = corpus
+        ds = ray.data.read_parquet(paths, columns=["url", "html", "text"])
+        out = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+        bad = out.map_batches(
+            lambda t: t.filter(
+                pa.compute.not_equal(t["text_extracted"], t["text"])
+            ),
+            batch_format="pyarrow",
+        )
+        assert bad.count() == 0
+
+    def test_generator_deterministic(self):
+        a = generate_webpages(100, 50)
+        b = generate_webpages(100, 50)
+        assert a.equals(b)
+
+
+class TestDocIds:
+    def test_fragment_plan_covers_rows(self, corpus):
+        _, paths = corpus
+        frags = plan_fragments(paths)
+        assert sum(f["num_rows"] for f in frags) == 1200
+        # bases are dense and deterministic
+        assert frags[0]["base"] == 0
+        for i in range(1, len(frags)):
+            assert frags[i]["base"] == frags[i - 1]["base"] + frags[i - 1]["num_rows"]
+
+    def test_doc_ids_dense_and_stable(self, corpus, ray_session):
+        _, paths = corpus
+        ds = read_corpus_with_doc_ids(paths, columns=["url"])
+        ids1 = sorted(r["doc_id"] for r in ds.take_all())
+        assert ids1 == list(range(1200))
+        ids2 = sorted(r["doc_id"] for r in read_corpus_with_doc_ids(paths, columns=["url"]).take_all())
+        assert ids1 == ids2
+
+
+@pytest.fixture(scope="module")
+def web_index(corpus, tmp_path_factory, ray_session):
+    d, paths = corpus
+    ix = str(tmp_path_factory.mktemp("webix"))
+    fields = {
+        "text": {"column": "text", "analyzer": "lucene"},
+        "url": {"column": "url", "analyzer": "keyword"},
+    }
+    manifest = build_index(paths, ix, fields=fields, num_partitions=6, batch_size=256)
+    return ix, manifest, paths
+
+
+class TestWebIndex:
+    def test_keyword_url_lookup(self, web_index):
+        """q01 analog: TermQuery on the un-analyzed keyword field, then
+        stored-field round-trip via the doc store."""
+        ix, _, paths = web_index
+        s = Searcher(ix)
+        hits = s.search("https://example-3.com/p/100", k=5, field="url")
+        assert len(hits) == 1
+        assert hits[0][0] == 100
+
+    def test_text_search_matches_oracle(self, web_index):
+        ix, _, paths = web_index
+        s = Searcher(ix)
+        oracle = OracleIndex("lucene")
+        did = 0
+        for p in paths:
+            t = pq.read_table(p, columns=["text"])
+            for txt in t["text"].to_pylist():
+                oracle.add(did, txt)
+                did += 1
+        for q in ["hello everybody", "term1 term17", "running", "term4999"]:
+            got = s.search(q, 10, mode="wand")
+            exp = oracle.search(q, 10)
+            assert [d for d, _ in got] == [d for d, _ in exp], q
+            for (_, a), (_, b) in zip(got, exp):
+                assert a == pytest.approx(b, rel=1e-12)
+
+    def test_stopword_only_query(self, web_index):
+        ix, _, _ = web_index
+        assert Searcher(ix).search("the to that", 10) == []
+
+
+class TestMerge:
+    def test_addindexes_semantics(self, tmp_path, ray_session):
+        """Build two sub-indexes, merge with doc-id bases; numDocs sums
+        and queries equal a single build over the union."""
+        t1 = generate_webpages(0, 300)
+        t2 = generate_webpages(300, 300)
+        d1, d2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+        os.makedirs(d1)
+        os.makedirs(d2)
+        pq.write_table(t1, f"{d1}/a.parquet")
+        pq.write_table(t2, f"{d2}/b.parquet")
+        ix1, ix2 = str(tmp_path / "ix1"), str(tmp_path / "ix2")
+        ixm = str(tmp_path / "ixm")
+        ixu = str(tmp_path / "ixu")
+        build_index(f"{d1}/a.parquet", ix1, num_partitions=3)
+        build_index(f"{d2}/b.parquet", ix2, num_partitions=3)
+        # sub-index 2 was built with local ids [0,300) -> base 300 on merge
+        merge_indexes([(ix1, 0), (ix2, 300)], ixm, num_partitions=4)
+        build_index([f"{d1}/a.parquet", f"{d2}/b.parquet"], ixu, num_partitions=4)
+
+        sm, su = Searcher(ixm), Searcher(ixu)
+        assert sm.num_docs("text") == su.num_docs("text") == 600
+        assert sm.field_stats("text") == su.field_stats("text")
+        for q in ["hello everybody", "term1", "term12 term5"]:
+            gm = sm.search(q, 10, mode="wand")
+            gu = su.search(q, 10, mode="wand")
+            assert gm == gu, q
+
+    def test_compact_preserves_results(self, web_index, tmp_path, ray_session):
+        ix, manifest, _ = web_index
+        out = str(tmp_path / "compact")
+        m2 = compact_index(ix, out, num_partitions=2)
+        assert len(m2.segments) <= 2
+        s1, s2 = Searcher(ix), Searcher(out)
+        assert s1.num_docs("text") == s2.num_docs("text")
+        for q in ["hello everybody", "term3 term9"]:
+            assert s1.search(q, 10) == s2.search(q, 10), q
+
+    def test_plan_tiered(self, web_index):
+        _, manifest, _ = web_index
+        plans = plan_tiered(manifest, tier_factor=4, min_merge=2)
+        planned = {n for group in plans for n in group}
+        assert planned <= {s.name for s in manifest.segments}
