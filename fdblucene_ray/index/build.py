@@ -220,6 +220,43 @@ def default_fields(text_col: str = "text", analyzer: str = "lucene") -> dict[str
     return {"text": {"column": text_col, "analyzer": analyzer}}
 
 
+def _write_docstore(index_dir: str, store_ds) -> None:
+    """Stored-fields sink (S16): doc_id-keyed parquet, written to a temp
+    dir and atomically renamed (idempotent under retries)."""
+    import shutil
+
+    final = os.path.join(index_dir, "docstore")
+    if os.path.isdir(final):
+        return
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    store_ds.write_parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def hydrate(index_dir: str, doc_ids, columns: list[str] | None = None):
+    """Stored-field lookup for a (small) top-k id list (J3): broadcast
+    the id set into a parquet predicate — row groups that can't contain
+    the ids are pruned via min/max stats."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    store = os.path.join(index_dir, "docstore")
+    if not os.path.isdir(store):
+        raise FileNotFoundError(
+            f"no docstore at {store}: build with docstore_cols=..."
+        )
+    ids = sorted(int(d) for d in doc_ids)
+    dataset = pads.dataset(store, format="parquet")
+    table = dataset.to_table(
+        columns=columns, filter=pc.field("doc_id").isin(ids)
+    )
+    return table.sort_by("doc_id")
+
+
 def build_index(
     source,
     index_dir: str,
@@ -234,9 +271,17 @@ def build_index(
     tokenize_concurrency=None,
     resume: bool = True,
     signature: str | None = None,
+    docstore_cols: list[str] | None = None,
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
-    ``id_col``. Returns the published manifest."""
+    ``id_col``. Returns the published manifest.
+
+    ``docstore_cols``: stored fields (SURVEY S16) — written as a
+    doc_id-keyed parquet doc store under ``{index_dir}/docstore`` for
+    query-time hydration (J3). Leave None when the input parquet itself
+    can serve as the doc store (deterministic ids make doc_id -> (file,
+    row) a pure function — the zero-copy choice at 100 TB).
+    """
     fields = fields or default_fields()
     for cfg in fields.values():
         get_analyzer(cfg["analyzer"]) if cfg["analyzer"] != "keyword" else None
@@ -247,9 +292,15 @@ def build_index(
             source, json.dumps([sorted(fields.items()), num_partitions, block_size], default=str)
         )
         ds = read_corpus_with_doc_ids(source, columns=cols)
+        store_ds = (
+            read_corpus_with_doc_ids(source, columns=docstore_cols)
+            if docstore_cols
+            else None
+        )
     else:
         ds = source
         sig = signature or f"ds{int(time.time())}"
+        store_ds = source.select_columns([id_col] + docstore_cols) if docstore_cols else None
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -284,6 +335,9 @@ def build_index(
         batch_format="pyarrow",
     )
     records = lineage_ds.take_all()  # one tiny row per partition
+
+    if store_ds is not None:
+        _write_docstore(index_dir, store_ds)
 
     segs = sorted(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),

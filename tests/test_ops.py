@@ -1,0 +1,198 @@
+"""Training-data ops: oracles for dedup / similarity / text analysis.
+
+Where SQL can't express the op (minhash, simhash, winnowing, IVF), the
+oracle is either a planted-ground-truth corpus or a brute-force
+reference computed here.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_vs_anchor,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from fdblucene_ray.ops.similarity import brute_force_topk, ivf_topk
+from fdblucene_ray.ops.textstats import fingerprints, lang_id, quality_scores
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+        }
+    )
+
+
+@pytest.fixture
+def planted(ray_session):
+    """Corpus with planted exact and near duplicates."""
+    base = [
+        " ".join(f"w{(i * 7 + j) % 50}" for j in range(60)) for i in range(40)
+    ]
+    rows = list(base)
+    rows.append(base[3])  # exact dup of 3 -> id 40
+    rows.append(base[5])  # exact dup of 5 -> id 41
+    near7 = base[7].split()
+    near7[10] = "changed"
+    rows.append(" ".join(near7))  # near dup of 7 -> id 42
+    return ray.data.from_arrow(_docs_table(rows)), rows
+
+
+class TestExactDedup:
+    def test_planted_exact_dups(self, planted):
+        ds, rows = planted
+        out = exact_dedup(ds).to_pandas()
+        assert len(out) == len(rows) - 2  # two exact dups collapse
+        kept = set(out["doc_id"])
+        assert 3 in kept and 40 not in kept
+        assert 5 in kept and 41 not in kept
+        assert out.loc[out.doc_id == 3, "dup_count"].iloc[0] == 2
+        assert 42 in kept  # near-dup is NOT an exact dup
+
+    def test_all_unique_passthrough(self, ray_session):
+        ds = ray.data.from_arrow(_docs_table([f"unique text {i}" for i in range(20)]))
+        out = exact_dedup(ds).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(20))
+        assert (out["dup_count"] == 1).all()
+
+
+class TestMinHash:
+    def test_planted_near_dups_found(self, planted):
+        ds, rows = planted
+        pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (3, 40) in got  # exact dups are jaccard-1 pairs
+        assert (5, 41) in got
+        assert (7, 42) in got  # near dup above threshold
+        # jaccard values are exact (verified), not estimates
+        j = pairs.set_index(["a", "b"])["jaccard"]
+        assert j[(3, 40)] == 1.0
+        assert 0.5 <= j[(7, 42)] < 1.0
+
+    def test_no_false_pairs_on_distinct_corpus(self, ray_session):
+        rows = [
+            " ".join(f"t{i}_{j}" for j in range(30)) for i in range(30)
+        ]
+        ds = ray.data.from_arrow(_docs_table(rows))
+        pairs = minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
+        assert len(pairs) == 0
+
+
+class TestSimHash:
+    def test_deterministic(self, planted):
+        ds, _ = planted
+        a = simhash_fingerprints(ds).to_pandas().sort_values("doc_id")
+        b = simhash_fingerprints(ds).to_pandas().sort_values("doc_id")
+        assert (a["simhash"].to_numpy() == b["simhash"].to_numpy()).all()
+
+    def test_exact_dups_same_hash_and_near_pairs(self, planted):
+        ds, _ = planted
+        fp = simhash_fingerprints(ds).to_pandas().set_index("doc_id")["simhash"]
+        assert fp[3] == fp[40]
+        assert fp[5] == fp[41]
+        pairs = simhash_near_pairs(ds, max_hamming=3)
+        got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+        assert (3, 40) in got and (5, 41) in got
+
+
+class TestNgramJaccard:
+    def test_anchor_self_is_one(self, planted):
+        ds, rows = planted
+        out = ngram_jaccard_vs_anchor(ds, rows[0]).to_pandas().set_index("doc_id")
+        assert out.loc[0, "jaccard"] == 1.0
+        assert (out["jaccard"] <= 1.0).all()
+        # brute-force a couple of rows
+        import re
+
+        def sh(text):
+            toks = re.findall(r"[0-9a-z_]+", text.lower())
+            return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        for d in [1, 7, 42]:
+            a, b = sh(rows[0]), sh(rows[d])
+            exp = len(a & b) / len(a | b) if a | b else 0.0
+            assert out.loc[d, "jaccard"] == pytest.approx(exp, abs=1e-6)
+
+
+class TestSimilarity:
+    @pytest.fixture
+    def vectors(self, ray_session):
+        rng = np.random.default_rng(7)
+        # 8 clusters of 40 vectors
+        centers = rng.normal(size=(8, 16))
+        vecs = np.concatenate(
+            [c + 0.1 * rng.normal(size=(40, 16)) for c in centers]
+        ).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        return ray.data.from_arrow(t), vecs
+
+    def test_brute_force_matches_numpy(self, vectors):
+        ds, vecs = vectors
+        q = vecs[:2].astype(np.float64)
+        out = brute_force_topk(ds, q, [0, 1], k=5).to_pandas()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for qi in range(2):
+            qn = q[qi] / np.linalg.norm(q[qi])
+            sims = vn @ qn
+            exp = np.argsort(-sims, kind="stable")[:5]
+            got = out[out.query_id == qi].sort_values(
+                ["sim", "vec_id"], ascending=[False, True]
+            )["vec_id"].to_numpy()
+            assert set(got) == set(exp)
+
+    def test_ivf_recall(self, vectors):
+        ds, vecs = vectors
+        ids = [0, 50, 100]
+        q = vecs[ids].astype(np.float64)
+        exact = brute_force_topk(ds, q, ids, k=10).to_pandas()
+        approx = ivf_topk(ds, q, ids, k=10, n_centroids=8, nprobe=3).to_pandas()
+        for qid in ids:
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            assert len(e & a) / len(e) >= 0.9, qid
+
+
+class TestTextStats:
+    def test_lang_id_priority_and_counts(self, ray_session):
+        rows = [
+            "the cat and the dog of the house",  # en
+            "der hund und die katze ist nicht da",  # de
+            "le chat et la maison est une belle",  # fr
+            "xyz qrs tuv",  # no markers -> en by priority
+        ]
+        out = lang_id(ray.data.from_arrow(_docs_table(rows))).to_pandas()
+        out = out.sort_values("doc_id")
+        assert list(out["pred_lang"]) == ["en", "de", "fr", "en"]
+
+    def test_quality_scores_known_values(self, ray_session):
+        rows = ["The cat sat!", ""]
+        out = quality_scores(ray.data.from_arrow(_docs_table(rows))).to_pandas()
+        r0 = out[out.doc_id == 0].iloc[0]
+        assert r0["n_tokens"] == 3
+        assert r0["stop_ratio"] == pytest.approx(round(1 / 3, 6))
+        assert r0["punct_ratio"] == pytest.approx(round(1 / 12, 6))
+        r1 = out[out.doc_id == 1].iloc[0]
+        assert r1["n_tokens"] == 0 and r1["stop_ratio"] == 0.0
+
+    def test_fingerprints_deterministic_and_shift_invariant(self, ray_session):
+        text = " ".join(f"w{i % 23}" for i in range(100))
+        rows = [text, "prefix " * 3 + text]
+        out = fingerprints(
+            ray.data.from_arrow(_docs_table(rows)), k=4, w=5
+        ).to_pandas().set_index("doc_id")
+        f0 = set(out.loc[0, "fingerprints"])
+        f1 = set(out.loc[1, "fingerprints"])
+        # winnowing guarantees high overlap for a shared long substring
+        assert len(f0 & f1) / len(f0) > 0.8

@@ -1,0 +1,89 @@
+"""Property-style randomized search tests (the reference's randomized
+pattern, FDBIndexInputTest.java:111-129 — many seeded cases, one
+invariant): WAND == exhaustive == oracle on random corpora, including
+block-boundary and tie-heavy shapes (SURVEY.md §7 hard part (d))."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.oracle import OracleIndex
+
+
+def _random_corpus(seed: int, n_docs: int, vocab: int, max_len: int):
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n_docs):
+        ln = int(rng.integers(1, max_len))
+        # zipf-ish skew so some terms have long posting lists
+        words = (rng.zipf(1.3, size=ln) - 1) % vocab
+        texts.append(" ".join(f"w{w}" for w in words))
+    return texts
+
+
+@pytest.mark.parametrize("seed,block_size", [(1, 8), (2, 8), (3, 32), (4, 128)])
+def test_wand_exhaustive_oracle_identity(seed, block_size, tmp_path, ray_session):
+    # small vocab + many docs => posting lists span many blocks and tie
+    # scores are common (identical tf/dl combos)
+    texts = _random_corpus(seed, 400, 30, 40)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=5, batch_size=64, block_size=block_size,
+    )
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+
+    rng = np.random.default_rng(seed + 100)
+    for _ in range(25):
+        nt = int(rng.integers(1, 4))
+        terms = [f"w{int(rng.integers(0, 35))}" for _ in range(nt)]
+        q = " ".join(terms)
+        k = int(rng.choice([1, 3, 10, 50]))
+        exact = s.search(q, k, mode="exhaustive")
+        wand = s.search(q, k, mode="wand")
+        exp = oracle.search(q, k)
+        assert wand == exact, (q, k)
+        assert [d for d, _ in exact] == [d for d, _ in exp], (q, k)
+        for (_, a), (_, b) in zip(exact, exp):
+            assert a == pytest.approx(b, rel=1e-12)
+        # AND operator
+        got_and = s.search(q, k, operator="and")
+        exp_and = oracle.search(q, k, operator="and")
+        assert [d for d, _ in got_and] == [d for d, _ in exp_and], (q, k, "and")
+
+
+def test_many_heap_sizes_with_ties(tmp_path, ray_session):
+    """All docs identical -> every score ties; ranking must be doc_id asc."""
+    texts = ["same words here"] * 57
+    t = pa.table(
+        {"doc_id": pa.array(range(57), pa.int64()), "text": pa.array(texts)}
+    )
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix, fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=3, batch_size=16, block_size=8)
+    s = Searcher(ix)
+    for k in [1, 5, 57, 100]:
+        hits = s.search("same", k, mode="wand")
+        assert [d for d, _ in hits] == list(range(min(k, 57)))
+        assert hits == s.search("same", k, mode="exhaustive")

@@ -86,7 +86,10 @@ def web_index(corpus, tmp_path_factory, ray_session):
         "text": {"column": "text", "analyzer": "lucene"},
         "url": {"column": "url", "analyzer": "keyword"},
     }
-    manifest = build_index(paths, ix, fields=fields, num_partitions=6, batch_size=256)
+    manifest = build_index(
+        paths, ix, fields=fields, num_partitions=6, batch_size=256,
+        docstore_cols=["url", "warc_ts", "lang"],
+    )
     return ix, manifest, paths
 
 
@@ -99,6 +102,20 @@ class TestWebIndex:
         hits = s.search("https://example-3.com/p/100", k=5, field="url")
         assert len(hits) == 1
         assert hits[0][0] == 100
+
+    def test_stored_field_hydration(self, web_index):
+        """J3: top-k ids -> stored fields from the doc store."""
+        from fdblucene_ray.index.build import hydrate
+
+        ix, _, _ = web_index
+        s = Searcher(ix)
+        hits = s.search("hello everybody", 5, mode="wand")
+        assert hits
+        ids = [d for d, _ in hits]
+        stored = hydrate(ix, ids, columns=["doc_id", "url", "lang"])
+        assert stored["doc_id"].to_pylist() == sorted(ids)
+        for d, u in zip(stored["doc_id"].to_pylist(), stored["url"].to_pylist()):
+            assert u.endswith(f"/p/{d}")
 
     def test_text_search_matches_oracle(self, web_index):
         ix, _, paths = web_index
