@@ -1,0 +1,204 @@
+"""Benchmark harness.
+
+Default mode: time the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_s_build": ...}
+
+``--scaling``: run the same index build twice in fresh processes at 8
+and 32 CPUs over the same deterministic synthetic webpages corpus
+(sized so the 8-CPU build is non-trivial) and report both throughputs
+plus scaling_efficiency = (docs_per_s_hi / docs_per_s_lo) / (hi/lo).
+
+``--build-only --cpus N --rows M``: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _fresh_dir(tag: str) -> str:
+    d = f"/tmp/fdbl_bench/{tag}-{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+BENCH_CORPUS_DIR = "/tmp/fdbl_bench_corpus"
+BENCH_ROWS = 120_000
+
+
+def _ensure_bench_corpus(rows: int) -> list[str]:
+    from fdblucene_ray.sources.webpages import synth_webpages_parquet
+
+    return synth_webpages_parquet(
+        os.path.join(BENCH_CORPUS_DIR, str(rows)), rows,
+        rows_per_file=20_000, row_group_size=4_000,
+    )
+
+
+def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
+    from fdblucene_ray.index.build import build_index
+
+    t0 = time.perf_counter()
+    build_index(
+        paths,
+        out_dir,
+        fields={"text": {"column": "text", "analyzer": analyzer}},
+        num_partitions=max(8, 2 * num_cpus),
+        batch_size=2048,
+        resume=False,
+    )
+    return time.perf_counter() - t0
+
+
+def run_build_only(num_cpus: int, rows: int) -> None:
+    paths = _ensure_bench_corpus(rows)
+    _init_ray(num_cpus)
+    # warm the page cache so both levels measure compute+shuffle
+    import pyarrow.parquet as pq
+
+    for p in paths:
+        pq.read_table(p, columns=["text"])
+    out = _fresh_dir(f"scale-{num_cpus}")
+    sec = _build(paths, out, num_cpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({"num_cpus": num_cpus, "rows": rows, "sec": round(sec, 3),
+                      "docs_per_s": round(rows / sec, 1)}))
+
+
+def run_scaling(rows: int, lo: int = 8, hi: int = 32) -> None:
+    _ensure_bench_corpus(rows)  # generate once, outside the timed children
+
+    def child(ncpu: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only",
+             "--cpus", str(ncpu), "--rows", str(rows)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = child(lo), child(hi)
+    eff = (r_hi["docs_per_s"] / r_lo["docs_per_s"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "index-build scaling efficiency (N to 4N CPUs, fresh ray sessions)",
+        "rows": rows,
+        f"docs_per_s_{lo}": r_lo["docs_per_s"],
+        f"docs_per_s_{hi}": r_hi["docs_per_s"],
+        f"sec_{lo}": r_lo["sec"],
+        f"sec_{hi}": r_hi["sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def run_default() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    _init_ray(num_cpus)
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from fdblucene_ray.index.search import SearchQueries, Searcher
+    from fdblucene_ray.pipelines import queries as q
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(docs_path).num_rows
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full Lucene-chain inverted-index build (fresh, no cache)
+    ix_dir = _fresh_dir("ix-lucene")
+    timed("build_index_lucene", lambda: _build(docs_path, ix_dir, num_cpus))
+
+    # batch query evaluation through the searcher actor pool
+    def search_batch():
+        searcher = Searcher(ix_dir)  # warm load check
+        vocab_terms = ["data", "merge", "join", "window", "stream", "batch",
+                       "vector", "hash", "sort", "filter"]
+        queries = []
+        for i in range(200):
+            a = vocab_terms[i % len(vocab_terms)]
+            b = vocab_terms[(i * 7 + 3) % len(vocab_terms)]
+            queries.append({"qid": i, "query": f"{a} {b}"})
+        qds = ray.data.from_items(queries)
+        res = qds.map_batches(
+            SearchQueries,
+            fn_constructor_kwargs=dict(index_dir=ix_dir, k=10),
+            batch_size=32,
+            batch_format="pyarrow",
+            concurrency=(1, max(2, num_cpus // 2)),
+        )
+        return res.count()
+
+    timed("search_200_queries", search_batch)
+    timed("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
+    timed("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
+    timed("ann_cosine", lambda: q.q_ann_cosine(sf_dir))
+    timed("text_quality", lambda: q.q_text_quality(sf_dir))
+    timed("lang_id", lambda: q.q_lang_id(sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)
+    print(json.dumps({
+        "metric": "fdblucene_ray headline: lucene-chain index build + BM25 "
+                  "WAND query batch + data-hygiene ops over documents",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_s_build": build_docs_per_s,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--build-only" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+        run_build_only(cpus, rows)
+    elif "--scaling" in sys.argv:
+        rows = BENCH_ROWS
+        if "--rows" in sys.argv:
+            rows = int(sys.argv[sys.argv.index("--rows") + 1])
+        run_scaling(rows)
+    else:
+        run_default()

@@ -1,5 +1,7 @@
 from fdblucene_ray.codec.postings import (  # noqa: F401
     BLOCK_SIZE,
+    PartitionPostings,
+    encode_partition,
     EncodedPostings,
     decode_all,
     decode_block,

@@ -131,7 +131,8 @@ def merge_indexes(
             concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
         )
         .groupby("part")
-        .map_groups(EncodeGroup(out_dir, sig, block_size, resume), batch_format="pyarrow")
+        .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=False),
+                    batch_format="pyarrow")
     )
     records = lineage_ds.take_all()
     segs = sorted(

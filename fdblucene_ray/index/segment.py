@@ -25,7 +25,6 @@ tokenize pass and ONE shuffle.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import uuid
@@ -39,7 +38,7 @@ import pyarrow.parquet as pq
 from fdblucene_ray.codec.postings import (
     BLOCK_SIZE,
     SKIP_DTYPE,
-    encode_postings,
+    encode_partition,
     read_skips,
 )
 from fdblucene_ray.index.manifest import SegmentMeta
@@ -129,52 +128,167 @@ def write_segment(
     denc = key_arr.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False)
     n_terms = len(denc.dictionary)
-    bounds = np.flatnonzero(np.diff(codes)) + 1 if len(codes) else np.empty(0, np.int64)
-    starts = np.concatenate(([0], bounds)).astype(np.int64) if len(codes) else np.empty(0, np.int64)
-    ends = np.concatenate((bounds, [len(codes)])).astype(np.int64) if len(codes) else np.empty(0, np.int64)
+    if len(codes):
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], bounds)).astype(np.int64)
+    else:
+        starts = np.empty(0, np.int64)
 
-    post_buf = io.BytesIO()
-    skip_buf = io.BytesIO()
-    t_field, t_term, t_df, t_ttf = [], [], [], []
-    t_poff, t_plen, t_soff, t_nblocks = [], [], [], []
     vocab = denc.dictionary.to_pylist()
+    return _finalize_segment(
+        index_dir, name, vocab, doc_ids, tfs, norms, starts, field_stats, block_size
+    )
+
+
+def _concat_binary(arr) -> np.ndarray:
+    """uint8 view of the concatenation of a pa.binary column's cells
+    (cells live back-to-back in the values buffer, in logical order).
+    Handles both binary (int32 offsets) and large_binary (int64) — some
+    shuffle implementations round-trip through large types."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint8)
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        odtype, osize = np.int64, 8
+    else:
+        odtype, osize = np.int32, 4
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=odtype, count=len(arr) + 1, offset=arr.offset * osize
+    )
+    values = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return values[offsets[0] : offsets[-1]]
+
+
+def write_segment_runs(
+    index_dir: str,
+    name: str,
+    runs: pa.Table,
+    block_size: int = BLOCK_SIZE,
+) -> SegmentMeta:
+    """Encode one shuffle partition of RUN rows into a segment.
+
+    ``runs`` columns: key, min_doc, n, sum_tf, docs/tfs/norms (binary
+    cells packing this batch's postings for the term). Runs of one term
+    normally cover disjoint ascending doc ranges (batches are contiguous
+    doc ranges), so ordering runs by (key, min_doc) concatenates into
+    sorted posting lists; a vectorized monotonicity check catches the
+    rare interleaved case and falls back to a per-partition lexsort.
+    """
+    keys = runs["key"]
+    is_sent = pc.match_substring(keys, FIELD_SEP + DOC_SENTINEL)
+    sent = runs.filter(is_sent)
+    posts = runs.filter(pc.invert(is_sent))
+
+    field_stats: dict[str, dict[str, int]] = {}
+    if sent.num_rows:
+        sfield = pc.replace_substring(sent["key"], FIELD_SEP + DOC_SENTINEL, "")
+        agg = (
+            pa.table({"field": sfield, "n": sent["n"], "dl": sent["sum_tf"]})
+            .group_by("field")
+            .aggregate([("n", "sum"), ("dl", "sum")])
+        )
+        for row in agg.to_pylist():
+            field_stats[row["field"]] = {
+                "dc": int(row["n_sum"]),
+                "sum_dl": int(row["dl_sum"]),
+                "sdf": 0,
+            }
+
+    idx = pc.sort_indices(
+        posts, sort_keys=[("key", "ascending"), ("min_doc", "ascending")]
+    )
+    posts = posts.take(idx).combine_chunks()
+    key_arr = posts["key"].combine_chunks() if posts.num_rows else pa.array([], pa.string())
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+
+    doc_ids = _concat_binary(posts["docs"]).view("<i8") if posts.num_rows else np.empty(0, np.int64)
+    tfs = _concat_binary(posts["tfs"]).view("<i4") if posts.num_rows else np.empty(0, np.int32)
+    norms = (
+        _concat_binary(posts["norms"]).copy() if posts.num_rows else np.empty(0, np.uint8)
+    )
+    n_per_run = posts["n"].to_numpy(zero_copy_only=False) if posts.num_rows else np.empty(0, np.int64)
+    run_offsets = np.concatenate(([0], np.cumsum(n_per_run))).astype(np.int64)
+
+    denc = key_arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    if len(codes):
+        run_bounds = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1))
+        term_starts = run_offsets[run_bounds]
+    else:
+        run_bounds = np.empty(0, np.int64)
+        term_starts = np.empty(0, np.int64)
+
+    # monotonicity check: doc ids strictly increase within each term
+    if len(doc_ids) > 1:
+        ok = np.diff(doc_ids) > 0
+        ok[term_starts[1:] - 1] = True  # term boundaries may go backwards
+        if not ok.all():
+            term_of_post = np.repeat(
+                np.arange(len(term_starts)),
+                np.diff(np.concatenate((term_starts, [len(doc_ids)]))),
+            )
+            order = np.lexsort((doc_ids, term_of_post))
+            doc_ids = np.ascontiguousarray(doc_ids[order])
+            tfs = np.ascontiguousarray(tfs[order])
+            norms = norms[order]
+
+    # dictionary codes are first-seen order == sorted order over the
+    # sorted key column; one vocab entry per term (first run of each)
+    vocab = [denc.dictionary[int(codes[b])].as_py() for b in run_bounds]
+    return _finalize_segment(
+        index_dir, name, vocab, doc_ids, tfs, norms, term_starts, field_stats, block_size
+    )
+
+
+def _finalize_segment(
+    index_dir: str,
+    name: str,
+    vocab: list[str],
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    term_starts: np.ndarray,
+    field_stats: dict[str, dict[str, int]],
+    block_size: int,
+) -> SegmentMeta:
+    """Bulk-encode sorted postings + write the segment files atomically."""
+    pp = encode_partition(doc_ids, tfs, norms, term_starts, block_size)
+    n_terms = len(vocab)
+    if n_terms != len(pp.df):
+        raise ValueError(
+            f"vocab/postings desync: {n_terms} terms vs {len(pp.df)} encoded "
+            f"({len(doc_ids)} postings) — binary run payload misread?"
+        )
+
+    t_field, t_term = [], []
     for ti in range(n_terms):
-        lo, hi = int(starts[ti]), int(ends[ti])
-        d, t = doc_ids[lo:hi], tfs[lo:hi]
-        ep = encode_postings(d, t, norms[lo:hi], block_size)
         f, _, term = vocab[ti].partition(FIELD_SEP)
         t_field.append(f)
         t_term.append(term)
-        t_df.append(hi - lo)
-        t_ttf.append(int(t.sum()))
-        t_poff.append(post_buf.tell())
-        t_plen.append(len(ep.blob))
-        t_soff.append(skip_buf.tell())
-        t_nblocks.append(len(ep.skips) // SKIP_DTYPE.itemsize)
-        post_buf.write(ep.blob)
-        skip_buf.write(ep.skips)
         stats = field_stats.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
-        stats["sdf"] += hi - lo
+        stats["sdf"] += int(pp.df[ti])
 
     terms_table = pa.table(
         {
             "field": pa.array(t_field, pa.string()),
             "term": pa.array(t_term, pa.string()),
-            "df": pa.array(t_df, pa.int64()),
-            "ttf": pa.array(t_ttf, pa.int64()),
-            "post_offset": pa.array(t_poff, pa.int64()),
-            "post_len": pa.array(t_plen, pa.int64()),
-            "skip_offset": pa.array(t_soff, pa.int64()),
-            "n_blocks": pa.array(t_nblocks, pa.int32()),
+            "df": pa.array(pp.df, pa.int64()),
+            "ttf": pa.array(pp.ttf, pa.int64()),
+            "post_offset": pa.array(pp.post_offset, pa.int64()),
+            "post_len": pa.array(pp.post_len, pa.int64()),
+            "skip_offset": pa.array(pp.skip_offset, pa.int64()),
+            "n_blocks": pa.array(pp.n_blocks.astype(np.int32)),
         }
     )
 
-    post_bytes = post_buf.getvalue()
-    skip_bytes = skip_buf.getvalue()
+    post_bytes = pp.blob
+    skip_bytes = pp.skips
     meta = SegmentMeta(
         name=name,
         n_terms=n_terms,
-        n_postings=int(posts.num_rows),
+        n_postings=int(len(doc_ids)),
         field_stats=field_stats,
         postings_crc=zlib.crc32(post_bytes),
         skips_crc=zlib.crc32(skip_bytes),

@@ -54,22 +54,60 @@ def plan_fragments(paths) -> list[dict]:
     return frags
 
 
-class _FragmentLoader:
-    """map_batches callable: fragment descriptor rows -> data rows with doc_id."""
+def _load_fragment(frag: dict, columns: list[str] | None) -> pa.Table:
+    f = pq.ParquetFile(frag["path"])
+    t = f.read_row_group(frag["row_group"], columns=columns)
+    doc_ids = pa.array(
+        np.arange(frag["base"], frag["base"] + t.num_rows, dtype=np.int64)
+    )
+    return t.add_column(0, "doc_id", doc_ids)
 
-    def __init__(self, columns: list[str] | None):
-        self.columns = columns
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = []
-        for row in batch.to_pylist():
-            f = pq.ParquetFile(row["path"])
-            t = f.read_row_group(row["row_group"], columns=self.columns)
-            doc_ids = pa.array(
-                np.arange(row["base"], row["base"] + t.num_rows, dtype=np.int64)
+class DocIdParquetDatasource(ray.data.datasource.Datasource):
+    """Parquet source emitting one ReadTask per row group with real size
+    metadata, each block carrying the deterministic ``doc_id`` column.
+
+    A plain ``from_items(descriptors).map_batches(load)`` pipeline ends
+    up as a handful of giant tasks — Ray sizes tasks by input BYTES and
+    descriptor rows are ~80 bytes — so the read (and everything fused
+    after it) loses all parallelism. A Datasource gives the scheduler
+    honest per-task row/byte estimates.
+    """
+
+    def __init__(self, paths, columns: list[str] | None = None):
+        self._frags = plan_fragments(paths)
+        self._columns = columns
+        sizes = []
+        for path in {f["path"] for f in self._frags}:
+            md = pq.read_metadata(path)
+            for rg in range(md.num_row_groups):
+                sizes.append(md.row_group(rg).total_byte_size)
+        self._total_bytes = int(sum(sizes))
+
+    def estimate_inmemory_data_size(self):
+        return self._total_bytes
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        out = []
+        per_frag_bytes = max(1, self._total_bytes // max(1, len(self._frags)))
+        cols = self._columns
+        for frag in self._frags:
+            meta = BlockMetadata(
+                num_rows=frag["num_rows"],
+                size_bytes=per_frag_bytes,
+                exec_stats=None,
+                input_files=[frag["path"]],
             )
-            tables.append(t.add_column(0, "doc_id", doc_ids))
-        return pa.concat_tables(tables) if tables else batch.slice(0, 0)
+            out.append(
+                ReadTask(
+                    lambda frag=frag: [_load_fragment(frag, cols)],
+                    meta,
+                )
+            )
+        return out
 
 
 def read_corpus_with_doc_ids(
@@ -79,14 +117,9 @@ def read_corpus_with_doc_ids(
     override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """read_parquet + deterministic ``doc_id`` column (column-pruned)."""
-    frags = plan_fragments(paths)
-    ds = ray.data.from_items(frags)
-    if override_num_blocks:
-        ds = ds.repartition(min(override_num_blocks, max(1, len(frags))))
-    return ds.map_batches(
-        _FragmentLoader(columns),
-        batch_format="pyarrow",
-        batch_size=1,  # one row group per task: bounded memory, max parallelism
+    return ray.data.read_datasource(
+        DocIdParquetDatasource(paths, columns),
+        override_num_blocks=override_num_blocks,
     )
 
 
