@@ -283,6 +283,23 @@ class EncodeGroup:
         )
 
 
+def _run_with_push_shuffle(fn):
+    """Execute a consuming Dataset call under the push-based sort shuffle
+    (pipelines map->reduce instead of a pull barrier; ~2x on the build's
+    all-to-all locally, and the documented large-cluster strategy).
+    Scoped: the global DataContext is restored afterwards."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        return fn()
+    finally:
+        ctx.shuffle_strategy = prev
+
+
 def default_fields(text_col: str = "text", analyzer: str = "lucene") -> dict[str, dict]:
     return {"text": {"column": text_col, "analyzer": analyzer}}
 
@@ -339,6 +356,8 @@ def build_index(
     resume: bool = True,
     signature: str | None = None,
     docstore_cols: list[str] | None = None,
+    doc_base: int = 0,
+    publish: bool = True,
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
     ``id_col``. Returns the published manifest.
@@ -358,9 +377,9 @@ def build_index(
         sig = signature or corpus_signature(
             source, json.dumps([sorted(fields.items()), num_partitions, block_size], default=str)
         )
-        ds = read_corpus_with_doc_ids(source, columns=cols)
+        ds = read_corpus_with_doc_ids(source, columns=cols, base=doc_base)
         store_ds = (
-            read_corpus_with_doc_ids(source, columns=docstore_cols)
+            read_corpus_with_doc_ids(source, columns=docstore_cols, base=doc_base)
             if docstore_cols
             else None
         )
@@ -401,7 +420,7 @@ def build_index(
         EncodeGroup(index_dir, sig, block_size, resume),
         batch_format="pyarrow",
     )
-    records = lineage_ds.take_all()  # one tiny row per partition
+    records = _run_with_push_shuffle(lambda: lineage_ds.take_all())
 
     if store_ds is not None:
         _write_docstore(index_dir, store_ds)
@@ -423,6 +442,80 @@ def build_index(
             "num_partitions": num_partitions,
             "built_at_unix": int(time.time()),
         },
+    )
+    if publish:
+        publish_manifest(index_dir, manifest)
+    return manifest
+
+
+def build_sharded(
+    shards: list[list[str] | str],
+    index_dir: str,
+    *,
+    fields: dict[str, dict] | None = None,
+    num_partitions_per_shard: int | None = None,
+    resume: bool = True,
+    **kw,
+) -> Manifest:
+    """Input-shard-level checkpointed build: each shard (a group of
+    input files) becomes an independent sub-build with globally-offset
+    doc ids; a completed shard leaves a done-record and is SKIPPED
+    entirely on re-run — its input is never re-read. One manifest is
+    published atomically at the end (the near-real-time refresh analog
+    of SURVEY.md §2.9: new input files => one more shard => new
+    manifest version)."""
+    from fdblucene_ray.sources.corpus import plan_fragments
+
+    fields = fields or default_fields()
+    # global doc-id bases per shard from footer metadata only
+    bases = []
+    base = 0
+    for shard in shards:
+        bases.append(base)
+        frags = plan_fragments(shard, base)
+        base = frags[-1]["base"] + frags[-1]["num_rows"] if frags else base
+
+    all_segs: list[SegmentMeta] = []
+    sig_parts = []
+    for i, (shard, sbase) in enumerate(zip(shards, bases)):
+        ssig = corpus_signature(
+            shard, json.dumps([sorted(fields.items()), sbase], default=str)
+        ) + f"-s{i:04d}"
+        sig_parts.append(ssig)
+        done_path = os.path.join(index_dir, "lineage", ssig, "_shard_done.json")
+        if resume and os.path.exists(done_path):
+            with open(done_path) as f:
+                metas = json.load(f)["segments"]
+            all_segs.extend(SegmentMeta.from_json(m) for m in metas)
+            continue
+        sub = build_index(
+            shard,
+            index_dir,
+            fields=fields,
+            num_partitions=num_partitions_per_shard,
+            doc_base=sbase,
+            signature=ssig,
+            resume=resume,
+            publish=False,
+            **kw,
+        )
+        os.makedirs(os.path.dirname(done_path), exist_ok=True)
+        tmp = done_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segments": [m.to_json() for m in sub.segments]}, f)
+        os.replace(tmp, done_path)
+        all_segs.extend(sub.segments)
+
+    version = 0
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        version = load_manifest(index_dir).version + 1
+    manifest = Manifest(
+        analyzers={f: cfg["analyzer"] for f, cfg in fields.items()},
+        block_size=kw.get("block_size", BLOCK_SIZE),
+        segments=sorted(all_segs, key=lambda m: m.name),
+        version=version,
+        extra={"signature": "+".join(sig_parts), "sharded": True,
+               "built_at_unix": int(time.time())},
     )
     publish_manifest(index_dir, manifest)
     return manifest

@@ -134,7 +134,9 @@ def merge_indexes(
         .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=False),
                     batch_format="pyarrow")
     )
-    records = lineage_ds.take_all()
+    from fdblucene_ray.index.build import _run_with_push_shuffle
+
+    records = _run_with_push_shuffle(lambda: lineage_ds.take_all())
     segs = sorted(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
         key=lambda m: m.name,

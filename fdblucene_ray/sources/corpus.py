@@ -41,10 +41,10 @@ def _expand_paths(paths) -> list[str]:
     return out
 
 
-def plan_fragments(paths) -> list[dict]:
-    """[{path, row_group, base, num_rows}] with cumulative doc-id bases."""
+def plan_fragments(paths, base: int = 0) -> list[dict]:
+    """[{path, row_group, base, num_rows}] with cumulative doc-id bases
+    starting at ``base`` (shard builds pass their global offset)."""
     frags = []
-    base = 0
     for path in _expand_paths(paths):
         md = pq.read_metadata(path)
         for rg in range(md.num_row_groups):
@@ -74,8 +74,8 @@ class DocIdParquetDatasource(ray.data.datasource.Datasource):
     honest per-task row/byte estimates.
     """
 
-    def __init__(self, paths, columns: list[str] | None = None):
-        self._frags = plan_fragments(paths)
+    def __init__(self, paths, columns: list[str] | None = None, base: int = 0):
+        self._frags = plan_fragments(paths, base)
         self._columns = columns
         sizes = []
         for path in {f["path"] for f in self._frags}:
@@ -114,11 +114,12 @@ def read_corpus_with_doc_ids(
     paths,
     columns: list[str] | None = None,
     *,
+    base: int = 0,
     override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """read_parquet + deterministic ``doc_id`` column (column-pruned)."""
     return ray.data.read_datasource(
-        DocIdParquetDatasource(paths, columns),
+        DocIdParquetDatasource(paths, columns, base),
         override_num_blocks=override_num_blocks,
     )
 

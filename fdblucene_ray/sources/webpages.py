@@ -34,54 +34,95 @@ _LANGS = ["en"] * 18 + ["de", "fr"]
 _BODY_RE = re.compile(rb"<body>(.*?)</body>", re.S)
 
 
-def _hash_u64(x: int) -> int:
-    return int.from_bytes(hashlib.blake2b(x.to_bytes(8, "little"), digest_size=8).digest(), "little")
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _zipf_rank(u: float, n: int, s: float = 1.07) -> int:
-    """Map uniform u in [0,1) to a Zipf-ish rank in [0, n) (inverse-CDF
-    approximation via the power-law tail; deterministic)."""
-    # ranks ~ u^{-1/(s-1)} style heavy tail, clamped
-    r = int(n * (u ** 3.5))  # cubic bias toward 0 → heavy head
-    return min(r, n - 1)
-
-
-def _doc_tokens(i: int) -> list[str]:
-    h = _hash_u64(i)
-    length = 3 + (h % 498)
-    toks = []
-    for j in range(length):
-        u = (_hash_u64(i * 1_000_003 + j) % 2**53) / 2**53
-        toks.append(f"term{_zipf_rank(u, VOCAB_SIZE)}")
-    # sprinkle fixed phrases so reference-derived queries (q02-q04) have hits
-    if i % 7 == 0:
-        toks.extend(PHRASES[i % len(PHRASES)].split())
-    return toks
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x += _GOLD
+    x ^= x >> np.uint64(30)
+    x *= _M1
+    x ^= x >> np.uint64(27)
+    x *= _M2
+    x ^= x >> np.uint64(31)
+    return x
 
 
 def generate_webpages(start: int, count: int) -> pa.Table:
-    """Rows [start, start+count) of the deterministic webpages table."""
-    urls, ts, htmls, texts, langs = [], [], [], [], []
+    """Rows [start, start+count) of the deterministic webpages table.
+
+    Fully vectorized (the generator must not be the bottleneck when
+    synthesizing the >=100k-doc bench corpus): Zipf-ish token ranks via
+    splitmix64 inverse-CDF bias, per-row text assembled with Arrow's
+    binary_join over a ListArray — no per-token Python.
+    """
+    ids = np.arange(start, start + count, dtype=np.uint64)
+    lens = (3 + _splitmix(ids) % np.uint64(498)).astype(np.int64)
+
+    # flat (doc, position) streams
+    row_of_tok = np.repeat(np.arange(count), lens)
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    seed = ids[row_of_tok] * np.uint64(1_000_003) + pos.astype(np.uint64)
+    u = (_splitmix(seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    codes = np.minimum(
+        (VOCAB_SIZE * u**3.5).astype(np.int64), VOCAB_SIZE - 1
+    )  # heavy head -> Zipf-like skew for salting scenarios
+
+    # extended vocabulary: termK plus the phrase words (so phrase
+    # insertion is pure code concatenation — no Python string arrays)
+    phrase_words = list(dict.fromkeys(w for p in PHRASES for w in p.split()))
+    vocab_strings = [f"term{k}" for k in range(VOCAB_SIZE)] + phrase_words
+    word_code = {w: VOCAB_SIZE + i for i, w in enumerate(phrase_words)}
+
+    # sprinkle fixed phrases on every 7th doc so reference-derived
+    # queries (q02-q04: "hello", stemming, stopwords) have hits
+    extra_rows, extra_codes = [], []
     for i in range(start, start + count):
-        text = " ".join(_doc_tokens(i))
-        url = f"https://example-{i % 97}.com/p/{i}"
-        html = (
-            b"<html><head><title>t" + str(i).encode() + b"</title></head><body>"
-            + text.encode() + b"</body></html>"
+        if i % 7 == 0:
+            for w in PHRASES[i % len(PHRASES)].split():
+                extra_rows.append(i - start)
+                extra_codes.append(word_code[w])
+    if extra_codes:
+        codes = np.concatenate((codes, np.array(extra_codes, np.int64)))
+        row_of_tok = np.concatenate(
+            (row_of_tok, np.array(extra_rows, dtype=np.int64))
         )
-        urls.append(url)
-        ts.append(1_500_000_000_000_000 + i * 1_000_000)  # us epoch
-        htmls.append(html)
-        texts.append(text)
-        langs.append(_LANGS[i % len(_LANGS)])
+        order = np.argsort(row_of_tok, kind="stable")  # phrases at row end
+        codes = codes[order]
+        row_of_tok = row_of_tok[order]
+
+    counts = np.bincount(row_of_tok, minlength=count)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    flat_pa = pa.DictionaryArray.from_arrays(
+        pa.array(codes.astype(np.int32)), pa.array(vocab_strings, pa.string())
+    ).cast(pa.string())
+    tok_list = pa.ListArray.from_arrays(pa.array(offsets), flat_pa)
+    texts = pc.binary_join(tok_list, " ")
+
+    idx = np.arange(start, start + count)
+    # per-row f-strings are fine here: O(count), not O(tokens)
+    urls = pa.array(
+        [f"https://example-{i % 97}.com/p/{i}" for i in range(start, start + count)],
+        pa.string(),
+    )
+    pre = pa.array(
+        [
+            f"<html><head><title>t{i}</title></head><body>"
+            for i in range(start, start + count)
+        ],
+        pa.string(),
+    )
+    htmls = pc.binary_join_element_wise(
+        pre, texts, pa.scalar("</body></html>"), ""
+    ).cast(pa.binary())
+    ts = pa.array(1_500_000_000_000_000 + idx * 1_000_000, pa.timestamp("us"))
+    langs = pa.array(np.array(_LANGS, dtype=object)[idx % len(_LANGS)], pa.string())
     return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
+        {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": langs}
     )
 
 

@@ -1,0 +1,106 @@
+"""Checkpoint / resume / lineage semantics (north_rule requirement).
+
+The reference's commit model: nothing is visible before the atomic
+segments-file publish, and anything unpublished is re-creatable
+(README.md:71-86). Here: lineage records + idempotent deterministic
+builds make re-runs no-ops and shard builds skip finished input.
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index, build_sharded
+from fdblucene_ray.index.manifest import load_manifest
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.sources.webpages import generate_webpages
+
+
+@pytest.fixture(scope="module")
+def shard_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    paths = []
+    for i in range(3):
+        p = str(d / f"shard{i}.parquet")
+        pq.write_table(generate_webpages(i * 200, 200), p)
+        paths.append(p)
+    return paths
+
+
+def test_sharded_build_matches_monolithic(shard_files, tmp_path, ray_session):
+    ix_s = str(tmp_path / "sharded")
+    ix_m = str(tmp_path / "mono")
+    fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    ms = build_sharded(
+        [[p] for p in shard_files], ix_s, fields=fields,
+        num_partitions_per_shard=3,
+    )
+    build_index(shard_files, ix_m, fields=fields, num_partitions=3)
+    ss, sm = Searcher(ix_s), Searcher(ix_m)
+    assert ss.num_docs("text") == sm.num_docs("text") == 600
+    assert ss.field_stats("text") == sm.field_stats("text")
+    for q in ["hello everybody", "term1 term7", "running"]:
+        assert ss.search(q, 10) == sm.search(q, 10), q
+
+
+def test_sharded_resume_skips_done_shards(shard_files, tmp_path, ray_session):
+    ix = str(tmp_path / "resume")
+    fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    m1 = build_sharded([[p] for p in shard_files], ix, fields=fields,
+                       num_partitions_per_shard=3)
+    # count shard done-records
+    done = []
+    for root, _, files in os.walk(os.path.join(ix, "lineage")):
+        done.extend(f for f in files if f == "_shard_done.json")
+    assert len(done) == 3
+    # poison one done-record's mtime marker then re-run: nothing rebuilt,
+    # manifest version bumps, same segments
+    m2 = build_sharded([[p] for p in shard_files], ix, fields=fields,
+                       num_partitions_per_shard=3)
+    assert [s.name for s in m2.segments] == [s.name for s in m1.segments]
+    assert m2.version == m1.version + 1
+
+
+def test_incremental_shard_append(shard_files, tmp_path, ray_session):
+    """Near-real-time refresh analog: add a shard, re-run, only the new
+    shard builds; doc count grows."""
+    ix = str(tmp_path / "incr")
+    fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    build_sharded([[shard_files[0]]], ix, fields=fields, num_partitions_per_shard=3)
+    n1 = Searcher(ix).num_docs("text")
+    m2 = build_sharded(
+        [[shard_files[0]], [shard_files[1]]], ix, fields=fields,
+        num_partitions_per_shard=3,
+    )
+    s = Searcher(ix)
+    assert s.num_docs("text") == n1 + 200
+
+
+def test_lineage_records_written(tmp_path, ray_session):
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(generate_webpages(0, 100), p)
+    ix = str(tmp_path / "ix")
+    m = build_index(p, ix, num_partitions=4)
+    sig = m.extra["signature"]
+    ldir = os.path.join(ix, "lineage", sig)
+    recs = sorted(os.listdir(ldir))
+    assert recs  # one per non-empty partition
+    r = json.load(open(os.path.join(ldir, recs[0])))
+    assert {"meta", "wall_s", "rows"} <= set(r)
+    assert r["meta"]["name"].startswith("seg-")
+
+
+def test_deterministic_rebuild_identical_manifest(tmp_path, ray_session):
+    """Determinism check (BASELINE.md §3): two fresh builds of the same
+    input produce identical manifests modulo timing fields."""
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(generate_webpages(0, 150), p)
+    m = []
+    for tag in ["a", "b"]:
+        ix = str(tmp_path / tag)
+        man = build_index(p, ix, num_partitions=4).to_json()
+        man["extra"].pop("built_at_unix")
+        m.append(man)
+    assert m[0] == m[1]
