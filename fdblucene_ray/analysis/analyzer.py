@@ -137,12 +137,14 @@ class BatchTokenizer:
             pa.array(indices, type=pa.int32())
         )
 
-    def term_frequencies(self, text_col):
+    def term_frequencies(self, text_col, with_positions: bool = False):
         """-> per-(row, term) tf plus per-row doc length.
 
         Returns ``(post_rows, post_terms(pa.Array), post_tfs, doc_lens)``
-        where post_rows are input-row indices and doc_lens is per input
-        row (token count after the full chain).
+        — plus, when ``with_positions``, a fifth flat int32 array of
+        token positions (position = index in the post-analysis token
+        stream of the row), ordered per (row, term) group in occurrence
+        order: exactly ``sum(tfs)`` entries (the DATA.md:54 positions).
         """
         n = len(text_col)
         row_idx, flat = self.flat_tokens(text_col)
@@ -153,8 +155,31 @@ class BatchTokenizer:
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_vocab = max(1, len(denc.dictionary))
         key = row_idx * n_vocab + codes
-        uniq, tfs = np.unique(key, return_counts=True)
+        if not with_positions:
+            uniq, tfs = np.unique(key, return_counts=True)
+            post_rows = uniq // n_vocab
+            post_codes = uniq % n_vocab
+            post_terms = denc.dictionary.take(pa.array(post_codes, type=pa.int64()))
+            return post_rows, post_terms, tfs.astype(np.int32), doc_lens
+        # stable sort keeps occurrence order within each (row, term) group
+        starts_of_row = np.concatenate(([0], np.cumsum(doc_lens[:-1])))
+        tok_pos = (
+            np.arange(len(row_idx), dtype=np.int64) - starts_of_row[row_idx]
+            if len(row_idx)
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        positions = tok_pos[order].astype(np.int32)
+        if len(k):
+            bounds = np.flatnonzero(np.diff(k)) + 1
+            gstarts = np.concatenate(([0], bounds))
+            gends = np.concatenate((bounds, [len(k)]))
+        else:
+            gstarts = gends = np.empty(0, np.int64)
+        uniq = k[gstarts] if len(k) else gstarts
+        tfs = (gends - gstarts).astype(np.int32)
         post_rows = uniq // n_vocab
         post_codes = uniq % n_vocab
         post_terms = denc.dictionary.take(pa.array(post_codes, type=pa.int64()))
-        return post_rows, post_terms, tfs.astype(np.int32), doc_lens
+        return post_rows, post_terms, tfs, doc_lens, positions

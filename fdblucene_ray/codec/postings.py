@@ -40,8 +40,10 @@ SKIP_DTYPE = np.dtype(
         ("last_doc", "<i8"),
         ("doc_off", "<i8"),  # offset of block's doc varints, relative to term blob
         ("tf_off", "<i8"),  # offset of block's tf varints, relative to term blob
+        ("pos_off", "<i8"),  # offset of block's position varints (0-len if none)
         ("docs_len", "<u4"),
         ("tfs_len", "<u4"),
+        ("pos_len", "<u4"),
         ("max_tf", "<u4"),
         ("min_norm", "u1"),
     ]
@@ -75,9 +77,20 @@ def encode_partition(
     norms: np.ndarray,
     term_starts: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
+    pos_counts: np.ndarray | None = None,
 ) -> PartitionPostings:
     """Encode a partition's postings, sorted by (term, doc_id) with
-    ``term_starts`` marking each term's first row. Fully vectorized."""
+    ``term_starts`` marking each term's first row. Fully vectorized.
+
+    ``positions``: optional flat token-position array (DATA.md:54 "pp"
+    family analog), ordered per (term, doc, occurrence); delta-varint
+    coded per posting into a fourth per-term region
+    ``[docs][tfs][norms][pos]``. ``pos_counts`` gives per-posting
+    position counts (default: tfs) — 0 for postings of fields indexed
+    without positions, letting positional and non-positional terms share
+    one partition.
+    """
     n = len(doc_ids)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
@@ -104,10 +117,30 @@ def encode_partition(
     off_docs = np.concatenate(([0], np.cumsum(_varint_widths(deltas))))
     off_tfs = np.concatenate(([0], np.cumsum(_varint_widths(tf64))))
 
+    # optional position streams: per-posting delta coding (first pos
+    # absolute, then gaps), one varint pass over the whole partition
+    if positions is not None:
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        pc_ = tf64.astype(np.int64) if pos_counts is None else np.asarray(pos_counts, np.int64)
+        ps = np.concatenate(([0], np.cumsum(pc_)))  # n+1
+        pdeltas = np.empty(len(pos), np.uint64)
+        if len(pos) > 1:
+            pdeltas[1:] = np.diff(pos).astype(np.uint64)
+        pdeltas[ps[:-1]] = pos[ps[:-1]].astype(np.uint64)
+        pos_stream = varint_encode(pdeltas)
+        off_pos = np.concatenate(([0], np.cumsum(_varint_widths(pdeltas))))
+        # per-term byte spans of the pos region
+        p_term_lo = off_pos[ps[term_starts]]
+        p_term_hi = off_pos[ps[term_ends]]
+        p_total = p_term_hi - p_term_lo
+    else:
+        pos_stream = b""
+        p_total = np.zeros(T, np.int64)
+
     # per-term region sizes
     d_total = off_docs[term_ends] - off_docs[term_starts]
     t_total = off_tfs[term_ends] - off_tfs[term_starts]
-    post_len = d_total + t_total + lens
+    post_len = d_total + t_total + lens + p_total
     post_offset = np.concatenate(([0], np.cumsum(post_len[:-1])))
 
     # global block index
@@ -119,25 +152,32 @@ def encode_partition(
     lo = term_starts[term_of_block] + block_j * block_size
     hi = np.minimum(lo + block_size, term_ends[term_of_block])
 
-    skips = np.empty(total_blocks, SKIP_DTYPE)
+    skips = np.zeros(total_blocks, SKIP_DTYPE)
     skips["last_doc"] = doc_ids[hi - 1]
     ts = term_starts[term_of_block]
     skips["doc_off"] = off_docs[lo] - off_docs[ts]
     skips["tf_off"] = d_total[term_of_block] + (off_tfs[lo] - off_tfs[ts])
     skips["docs_len"] = (off_docs[hi] - off_docs[lo]).astype(np.uint32)
     skips["tfs_len"] = (off_tfs[hi] - off_tfs[lo]).astype(np.uint32)
+    if positions is not None:
+        base = (d_total + t_total + lens)[term_of_block]
+        skips["pos_off"] = base + (off_pos[ps[lo]] - off_pos[ps[ts]])
+        skips["pos_len"] = (off_pos[ps[hi]] - off_pos[ps[lo]]).astype(np.uint32)
     skips["max_tf"] = np.maximum.reduceat(tfs, lo)
     skips["min_norm"] = np.minimum.reduceat(norms, lo)
 
-    # assemble the partition blob: per term [docs][tfs][norms]
+    # assemble the partition blob: per term [docs][tfs][norms][pos]
     parts: list[bytes | memoryview] = []
     dv = memoryview(docs_stream)
     tv = memoryview(tfs_stream)
     nv = memoryview(norms.tobytes())
+    pv = memoryview(pos_stream) if positions is not None else None
     for t in range(T):
         parts.append(dv[off_docs[term_starts[t]] : off_docs[term_ends[t]]])
         parts.append(tv[off_tfs[term_starts[t]] : off_tfs[term_ends[t]]])
         parts.append(nv[term_starts[t] : term_ends[t]])
+        if pv is not None:
+            parts.append(pv[p_term_lo[t] : p_term_hi[t]])
     blob = b"".join(parts)
 
     skip_offset = first_block * SKIP_DTYPE.itemsize
@@ -165,11 +205,12 @@ def encode_postings(
     tfs: np.ndarray,
     norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> EncodedPostings:
     """Encode one term's postings (sorted ascending unique doc_ids)."""
     pp = encode_partition(
         np.asarray(doc_ids), np.asarray(tfs), np.asarray(norms),
-        np.zeros(1 if len(doc_ids) else 0, np.int64), block_size,
+        np.zeros(1 if len(doc_ids) else 0, np.int64), block_size, positions,
     )
     return EncodedPostings(pp.blob, pp.skips, len(doc_ids))
 
@@ -193,11 +234,56 @@ def decode_block(
     doff, toff = int(s["doc_off"]), int(s["tf_off"])
     deltas = varint_decode(mv[doff : doff + int(s["docs_len"])], count)
     tfs = varint_decode(mv[toff : toff + int(s["tfs_len"])], count).astype(np.uint32)
-    norms_region = len(blob) - n_docs
+    norms_region = int(skips[-1]["tf_off"]) + int(skips[-1]["tfs_len"])
     norms = np.frombuffer(mv[norms_region + lo : norms_region + lo + count], np.uint8)
     base = np.int64(skips[bi - 1]["last_doc"]) if bi > 0 else np.int64(-1)
     docs = np.cumsum(deltas.astype(np.int64)) + base
     return docs, tfs, norms
+
+
+def _expand_position_deltas(pdeltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-posting delta decode: cumsum with resets at posting starts."""
+    out = np.cumsum(pdeltas.astype(np.int64))
+    starts = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))[:-1]
+    # subtract the running total accumulated before each posting
+    corr = np.zeros(len(pdeltas), np.int64)
+    corr[starts[1:]] = out[starts[1:] - 1]
+    np.maximum.accumulate(corr, out=corr)
+    return out - corr
+
+
+def decode_block_positions(
+    blob, skips: np.ndarray, bi: int, n_docs: int, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positions of block ``bi`` -> (flat_positions, per-posting tfs)."""
+    s = skips[bi]
+    lo = bi * block_size
+    count = min(block_size, n_docs - lo)
+    mv = memoryview(blob)
+    toff = int(s["tf_off"])
+    tfs = varint_decode(mv[toff : toff + int(s["tfs_len"])], count).astype(np.int64)
+    total = int(tfs.sum())
+    poff = int(s["pos_off"])
+    plen = int(s["pos_len"])
+    if plen == 0:
+        raise ValueError("positions were not indexed for this term")
+    pdeltas = varint_decode(mv[poff : poff + plen], total)
+    return _expand_position_deltas(pdeltas, tfs), tfs
+
+
+def decode_all_positions(
+    blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full position stream of a term -> (flat_positions, per-posting tfs)
+    aligned with decode_all's doc order."""
+    parts_p, parts_t = [], []
+    for bi in range(len(skips)):
+        p, t = decode_block_positions(blob, skips, bi, n_docs, block_size)
+        parts_p.append(p)
+        parts_t.append(t)
+    if not parts_p:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(parts_p), np.concatenate(parts_t)
 
 
 def decode_all(
@@ -218,7 +304,7 @@ def decode_all(
     tfs_end = int(slast["tf_off"]) + int(slast["tfs_len"])
     deltas = varint_decode(mv[int(s0["doc_off"]) : docs_end], n_docs)
     tfs = varint_decode(mv[int(s0["tf_off"]) : tfs_end], n_docs).astype(np.uint32)
-    norms_region = len(blob) - n_docs
-    norms = np.frombuffer(mv[norms_region:], np.uint8).copy()
+    norms_region = int(slast["tf_off"]) + int(slast["tfs_len"])
+    norms = np.frombuffer(mv[norms_region : norms_region + n_docs], np.uint8).copy()
     docs = np.cumsum(deltas.astype(np.int64)) - 1
     return docs, tfs, norms

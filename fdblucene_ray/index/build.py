@@ -72,6 +72,22 @@ def _key_hash(keys: list[str]) -> np.ndarray:
     )
 
 
+def gather_groups(flat: np.ndarray, group_lens: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Reorder a flat array of variable-length groups by ``perm``
+    (vectorized): group i occupies flat[starts[i]:starts[i]+lens[i]]."""
+    lens = np.asarray(group_lens, np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    L = lens[perm]
+    total = int(L.sum())
+    if total == 0:
+        return flat[:0]
+    dst_starts = np.concatenate(([0], np.cumsum(L[:-1])))
+    idx = np.repeat(starts[perm], L) + (
+        np.arange(total, dtype=np.int64) - np.repeat(dst_starts, L)
+    )
+    return flat[idx]
+
+
 def _packed_binary(values_u8: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Zero-copy pa.binary array whose cell i is values_u8[starts[i]:ends[i]]
     (cells must be back-to-back: ends[i] == starts[i+1])."""
@@ -121,6 +137,8 @@ class TokenizeToPostings:
         cells built straight from numpy buffers.
         """
         col = batch[cfg["column"]]
+        want_pos = bool(cfg.get("positions"))
+        positions = None
         if cfg["analyzer"] == "keyword":
             # StringField semantics: verbatim single token, dl == 1
             if isinstance(col, pa.ChunkedArray):
@@ -130,9 +148,16 @@ class TokenizeToPostings:
             post_rows = np.arange(n, dtype=np.int64)
             tfs = np.ones(n, dtype=np.int32)
             doc_lens = np.ones(n, dtype=np.int32)
+            if want_pos:
+                positions = np.zeros(n, np.int32)
         else:
             tk = self.tokenizers[field]
-            post_rows, terms, tfs, doc_lens = tk.term_frequencies(col)
+            if want_pos:
+                post_rows, terms, tfs, doc_lens, positions = tk.term_frequencies(
+                    col, with_positions=True
+                )
+            else:
+                post_rows, terms, tfs, doc_lens = tk.term_frequencies(col)
         post_docs = doc_ids[post_rows]
         norms = encode_lengths(doc_lens)
         norm_rows = norms[post_rows]
@@ -147,6 +172,10 @@ class TokenizeToPostings:
         d = np.ascontiguousarray(post_docs[order], dtype="<i8")
         t = np.ascontiguousarray(tfs[order], dtype="<i4")
         nr = np.ascontiguousarray(norm_rows[order], dtype=np.uint8)
+        if positions is not None:
+            positions = np.ascontiguousarray(
+                gather_groups(positions, tfs, order), dtype="<i4"
+            )
         if len(c):
             bounds = np.flatnonzero(np.diff(c)) + 1
             starts = np.concatenate(([0], bounds)).astype(np.int64)
@@ -180,6 +209,13 @@ class TokenizeToPostings:
             pa.array(run_codes.astype(np.int32)),
             pa.array([prefix + v for v in vocab], pa.string()),
         ).cast(pa.string())
+        if positions is not None:
+            pcum = np.concatenate(([0], np.cumsum(t.astype(np.int64))))
+            pos_cells = _packed_binary(
+                positions.view(np.uint8), pcum[starts] * 4, pcum[ends] * 4
+            )
+        else:
+            pos_cells = pa.nulls(len(starts), pa.binary())
         out.append(
             pa.table(
                 {
@@ -191,6 +227,7 @@ class TokenizeToPostings:
                     "docs": _packed_binary(d.view(np.uint8), starts * 8, ends * 8),
                     "tfs": _packed_binary(t.view(np.uint8), starts * 4, ends * 4),
                     "norms": _packed_binary(nr, starts, ends),
+                    "pos": pos_cells,
                 }
             )
         )
@@ -216,6 +253,7 @@ class TokenizeToPostings:
                         "docs": empty,
                         "tfs": empty,
                         "norms": empty,
+                        "pos": empty,
                     }
                 )
             )
@@ -440,6 +478,9 @@ def build_index(
         extra={
             "signature": sig,
             "num_partitions": num_partitions,
+            "positions_fields": sorted(
+                f for f, cfg in fields.items() if cfg.get("positions")
+            ),
             "built_at_unix": int(time.time()),
         },
     )

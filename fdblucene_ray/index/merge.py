@@ -105,6 +105,11 @@ def merge_indexes(
     for m in manifests[1:]:
         if m.analyzers != analyzers:
             raise ValueError("cannot merge indexes with different analyzers")
+    if any(m.extra.get("positions_fields") for m in manifests):
+        raise NotImplementedError(
+            "merging positional indexes is not supported yet (the merge "
+            "path re-emits row-level postings without positions)"
+        )
 
     items = []
     for (d, base), m in zip(sources, manifests):

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from fdblucene_ray.analysis.analyzer import get_analyzer
-from fdblucene_ray.codec.postings import decode_all, decode_block
+from fdblucene_ray.codec.postings import decode_all, decode_all_positions, decode_block
 from fdblucene_ray.codec.smallfloat import DECODE_TABLE
 from fdblucene_ray.index.manifest import Manifest, load_manifest
 from fdblucene_ray.index.segment import SegmentReader
@@ -228,6 +228,106 @@ class Searcher:
             candidates = _wand(self.readers, live, field, ncache, k, bs)
         candidates.sort(key=lambda x: (-x[1], x[0]))
         return candidates[:k]
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, *, field: str = "text"
+    ) -> list[tuple[int, float]]:
+        """Exact phrase top-k (PhraseQuery analog; positions must have
+        been indexed — DATA.md:54 "pp" family).
+
+        Semantics: analyze the phrase (keeping order/duplicates); a doc
+        matches when the terms occur at consecutive positions; scored as
+        BM25 with tf = phrase frequency and idf = sum of the clause
+        idfs (Lucene's PhraseQuery/Similarity treatment).
+        """
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        terms = get_analyzer(az_name).tokens(phrase) if az_name != "keyword" else [phrase]
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return self.search_terms(terms, k, field=field)
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl)
+        idf_sum = 0.0
+        for t in terms:
+            df, _ = self.term_stats(field, t)
+            if df == 0:
+                return []
+            idf_sum += bm25_idf(dc, df)
+        matches = self._phrase_matches(terms, field)
+        hits = [
+            (doc, idf_sum * pf / (pf + float(ncache[norm])))
+            for doc, pf, norm in matches
+        ]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def _phrase_matches(self, terms: list[str], field: str) -> list[tuple[int, int, int]]:
+        """All (doc_id, phrase_freq, norm_byte) with phrase_freq > 0."""
+        per_term = []  # (docs, norms, flat_positions, pos_offsets)
+        for t in terms:
+            parts_d, parts_n, parts_p, parts_c = [], [], [], []
+            for blob, skips, n in _gather_handles(self.readers, field, t):
+                d, tf, nb = decode_all(blob, skips, n, self.manifest.block_size)
+                p, c = decode_all_positions(blob, skips, n, self.manifest.block_size)
+                parts_d.append(d)
+                parts_n.append(nb)
+                parts_p.append(p)
+                parts_c.append(c)
+            docs = np.concatenate(parts_d)
+            norms = np.concatenate(parts_n)
+            flat_p = np.concatenate(parts_p)
+            counts = np.concatenate(parts_c)
+            order = np.argsort(docs, kind="stable")
+            # reorder the variable-length position groups with the docs
+            starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+            L = counts[order]
+            dst = np.concatenate(([0], np.cumsum(L[:-1])))
+            idx = (
+                np.repeat(starts[order], L)
+                + (np.arange(int(L.sum())) - np.repeat(dst, L))
+                if len(L)
+                else np.empty(0, np.int64)
+            )
+            per_term.append(
+                (docs[order], norms[order], flat_p[idx],
+                 np.concatenate(([0], np.cumsum(L))))
+            )
+        # doc-level intersection
+        cand = per_term[0][0]
+        for docs, _, _, _ in per_term[1:]:
+            cand = np.intersect1d(cand, docs)
+        out = []
+        for doc in cand:
+            base = None
+            for qi, (docs, norms, flat_p, poff) in enumerate(per_term):
+                i = int(np.searchsorted(docs, doc))
+                p = flat_p[poff[i] : poff[i + 1]] - qi
+                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+                if not len(base):
+                    break
+            pf = len(base) if base is not None else 0
+            if pf:
+                i0 = int(np.searchsorted(per_term[0][0], doc))
+                out.append((int(doc), pf, int(per_term[0][1][i0])))
+        return out
+
+    def phrase_freqs(self, phrase: str, *, field: str = "text") -> list[tuple[int, int]]:
+        """(doc_id, phrase_freq) for every matching doc, doc_id asc."""
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        terms = get_analyzer(az_name).tokens(phrase) if az_name != "keyword" else [phrase]
+        if not terms:
+            return []
+        if len(terms) == 1:
+            out = []
+            for blob, skips, n in _gather_handles(self.readers, field, terms[0]):
+                d, tf, _ = decode_all(blob, skips, n, self.manifest.block_size)
+                out.extend(zip(d.tolist(), tf.tolist()))
+            out.sort()
+            return out
+        return sorted((d, pf) for d, pf, _ in self._phrase_matches(terms, field))
 
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""

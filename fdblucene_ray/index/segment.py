@@ -211,6 +211,24 @@ def write_segment_runs(
     n_per_run = posts["n"].to_numpy(zero_copy_only=False) if posts.num_rows else np.empty(0, np.int64)
     run_offsets = np.concatenate(([0], np.cumsum(n_per_run))).astype(np.int64)
 
+    # optional per-run position payloads: a run either packs 4*sum(tf)
+    # position bytes or none (field indexed without positions)
+    positions = None
+    pos_counts = None
+    if "pos" in posts.column_names and posts.num_rows:
+        pos_col = posts["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        cell_bytes = pc.binary_length(pos_col).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        if cell_bytes.sum() > 0:
+            positions = _concat_binary(pos_col).view("<i4").astype(np.int64)
+            run_positional = cell_bytes > 0
+            pos_counts = tfs.astype(np.int64) * np.repeat(
+                run_positional.astype(np.int64), n_per_run
+            )
+
     denc = key_arr.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False)
     if len(codes):
@@ -230,6 +248,11 @@ def write_segment_runs(
                 np.diff(np.concatenate((term_starts, [len(doc_ids)]))),
             )
             order = np.lexsort((doc_ids, term_of_post))
+            if positions is not None:
+                from fdblucene_ray.index.build import gather_groups
+
+                positions = gather_groups(positions, pos_counts, order)
+                pos_counts = pos_counts[order]
             doc_ids = np.ascontiguousarray(doc_ids[order])
             tfs = np.ascontiguousarray(tfs[order])
             norms = norms[order]
@@ -238,7 +261,8 @@ def write_segment_runs(
     # sorted key column; one vocab entry per term (first run of each)
     vocab = [denc.dictionary[int(codes[b])].as_py() for b in run_bounds]
     return _finalize_segment(
-        index_dir, name, vocab, doc_ids, tfs, norms, term_starts, field_stats, block_size
+        index_dir, name, vocab, doc_ids, tfs, norms, term_starts, field_stats,
+        block_size, positions=positions, pos_counts=pos_counts,
     )
 
 
@@ -252,9 +276,13 @@ def _finalize_segment(
     term_starts: np.ndarray,
     field_stats: dict[str, dict[str, int]],
     block_size: int,
+    positions: np.ndarray | None = None,
+    pos_counts: np.ndarray | None = None,
 ) -> SegmentMeta:
     """Bulk-encode sorted postings + write the segment files atomically."""
-    pp = encode_partition(doc_ids, tfs, norms, term_starts, block_size)
+    pp = encode_partition(
+        doc_ids, tfs, norms, term_starts, block_size, positions, pos_counts
+    )
     n_terms = len(vocab)
     if n_terms != len(pp.df):
         raise ValueError(

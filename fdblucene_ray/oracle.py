@@ -30,6 +30,7 @@ class OracleIndex:
     def __init__(self, analyzer="lucene"):
         self.analyzer = get_analyzer(analyzer) if analyzer != "keyword" else "keyword"
         self.postings: dict[str, list[tuple[int, int]]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.norm_byte: dict[int, int] = {}
         self.dc = 0  # docs with >= 1 token
         self.sum_dl = 0  # exact sumTotalTermFreq
@@ -46,6 +47,8 @@ class OracleIndex:
         self.norm_byte[doc_id] = int_to_byte4(len(toks))
         for term, tf in Counter(toks).items():
             self.postings.setdefault(term, []).append((doc_id, tf))
+        for p, term in enumerate(toks):
+            self.positions.setdefault(term, {}).setdefault(doc_id, []).append(p)
 
     @classmethod
     def from_table(cls, table: pa.Table, text_col="text", id_col="doc_id", analyzer="lucene"):
@@ -107,3 +110,48 @@ class OracleIndex:
         for s in sets:
             out |= s
         return len(out)
+
+    def phrase_matches(self, phrase: str) -> list[tuple[int, int]]:
+        """(doc_id, phrase_freq) for docs containing the exact phrase."""
+        terms = (
+            [phrase] if self.analyzer == "keyword" else self.analyzer.tokens(phrase)
+        )
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return sorted(self.postings.get(terms[0], []))
+        docsets = [set(self.positions.get(t, {})) for t in terms]
+        cand = set.intersection(*docsets) if docsets else set()
+        out = []
+        for doc in sorted(cand):
+            base = set(self.positions[terms[0]][doc])
+            for qi, t in enumerate(terms[1:], 1):
+                base &= {p - qi for p in self.positions[t][doc]}
+                if not base:
+                    break
+            if base:
+                out.append((doc, len(base)))
+        return out
+
+    def search_phrase(self, phrase: str, k: int = 10):
+        """BM25 phrase scoring: tf = phrase freq, idf = sum of clause idfs."""
+        from fdblucene_ray.index.search import B, K1
+
+        terms = (
+            [phrase] if self.analyzer == "keyword" else self.analyzer.tokens(phrase)
+        )
+        if not terms:
+            return []
+        for t in terms:
+            if t not in self.postings:
+                return []
+        if len(terms) == 1:
+            return self.search(phrase, k)
+        avgdl = self.avgdl
+        idf_sum = sum(bm25_idf(self.dc, self.df(t)) for t in terms)
+        hits = []
+        for doc, pf in self.phrase_matches(phrase):
+            kk = K1 * (1 - B + B * byte4_to_int(self.norm_byte[doc]) / avgdl)
+            hits.append((doc, idf_sum * pf / (pf + kk)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

@@ -1,0 +1,122 @@
+"""Positions + phrase queries (DATA.md:54 "pp" family analog)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.oracle import OracleIndex
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "quick brown dogs and quick brown foxes",
+    "brown quick is not quick brown",
+    "a fox a dog a quick brown fox",
+    "completely unrelated words here",
+    "quick quick quick brown brown",
+] * 3 + ["quick brown " * 5]  # doc 18: phrase freq 5
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("ph")
+    src = str(d / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(d / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple", "positions": True}},
+        num_partitions=4, batch_size=5, block_size=8,
+    )
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(TEXTS):
+        oracle.add(i, txt)
+    return ix, oracle
+
+
+class TestPhrase:
+    def test_phrase_matches_oracle(self, built):
+        ix, oracle = built
+        s = Searcher(ix)
+        for phrase in [
+            "quick brown", "brown fox", "quick brown fox", "the quick",
+            "brown quick", "fox dog", "unrelated words here", "quick quick",
+        ]:
+            got = s.phrase_freqs(phrase)
+            exp = oracle.phrase_matches(phrase)
+            assert got == exp, phrase
+
+    def test_phrase_scores_match_oracle(self, built):
+        ix, oracle = built
+        s = Searcher(ix)
+        for phrase in ["quick brown", "brown fox", "a quick brown fox"]:
+            got = s.search_phrase(phrase, 10)
+            exp = oracle.search_phrase(phrase, 10)
+            assert [d for d, _ in got] == [d for d, _ in exp], phrase
+            for (_, a), (_, b) in zip(got, exp):
+                assert a == pytest.approx(b, rel=1e-12)
+
+    def test_phrase_freq_counts(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        freqs = dict(s.phrase_freqs("quick brown"))
+        assert freqs[18] == 5
+        assert freqs[1] == 2
+
+    def test_no_match_phrases(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        assert s.search_phrase("fox jumps dog") == []
+        assert s.search_phrase("zzz yyy") == []
+
+    def test_nonpositional_index_raises(self, tmp_path, ray_session):
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b c"])}
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=2)
+        with pytest.raises(ValueError, match="positions"):
+            Searcher(ix).search_phrase("a b")
+
+    def test_single_term_regular_search(self, built):
+        ix, oracle = built
+        s = Searcher(ix)
+        got = s.search_phrase("quick", 10)
+        exp = oracle.search("quick", 10)
+        assert [d for d, _ in got] == [d for d, _ in exp]
+
+    def test_mixed_fields_positions_subset(self, tmp_path, ray_session):
+        """Positional text field + non-positional keyword field share
+        partitions without corrupting either."""
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(["x y z", "y z x", "z x y", "x x y"]),
+                "tag": pa.array(["a", "b", "a", "c"]),
+            }
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix,
+            fields={
+                "text": {"column": "text", "analyzer": "simple", "positions": True},
+                "tag": {"column": "tag", "analyzer": "keyword"},
+            },
+            num_partitions=3,
+        )
+        s = Searcher(ix)
+        assert dict(s.phrase_freqs("x y")) == {0: 1, 2: 1, 3: 1}
+        assert [d for d, _ in s.search("a", field="tag", k=10)] == [0, 2]
