@@ -1,0 +1,146 @@
+"""Command-line entry points — the ``ray job submit`` surface.
+
+On a real cluster (north_rule: fixed-size multi-node, two cluster
+sizes):
+
+    ray job submit --working-dir . -- \\
+        python -m fdblucene_ray.cli build \\
+        --input /data/webpages --out /shared/index \\
+        --field text:text:lucene --field url:url:keyword \\
+        --num-partitions 512
+
+In this sandbox Ray runs local-only; the CLI initialises its own Ray
+session iff none exists (the driver/test harness owns the session
+otherwise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _parse_fields(specs: list[str]) -> dict:
+    """field specs: NAME:COLUMN:ANALYZER[:positions]"""
+    out = {}
+    for spec in specs or ["text:text:lucene"]:
+        parts = spec.split(":")
+        name, column, analyzer = parts[0], parts[1], parts[2]
+        out[name] = {"column": column, "analyzer": analyzer,
+                     "positions": len(parts) > 3 and parts[3] == "positions"}
+    return out
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.build import build_index
+
+    t0 = time.perf_counter()
+    manifest = build_index(
+        args.input,
+        args.out,
+        fields=_parse_fields(args.field),
+        num_partitions=args.num_partitions,
+        batch_size=args.batch_size,
+        head_terms=frozenset(args.head_term) if args.head_term else None,
+        resume=not args.no_resume,
+        docstore_cols=args.store.split(",") if args.store else None,
+    )
+    totals = manifest.field_totals()
+    print(json.dumps({
+        "index": args.out,
+        "version": manifest.version,
+        "segments": len(manifest.segments),
+        "field_totals": totals,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    if args.phrase:
+        hits = s.search_phrase(args.query, args.k, field=args.field)
+    else:
+        hits = s.search(
+            args.query, args.k, field=args.field, operator=args.operator,
+            mode=args.mode,
+        )
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.merge import merge_indexes
+
+    sources = []
+    for spec in args.source:
+        d, _, base = spec.partition("@")
+        sources.append((d, int(base or 0)))
+    manifest = merge_indexes(sources, args.out, num_partitions=args.num_partitions)
+    print(json.dumps({"out": args.out, "segments": len(manifest.segments)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fdblucene_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from parquet")
+    b.add_argument("--input", required=True, nargs="+")
+    b.add_argument("--out", required=True)
+    b.add_argument("--field", action="append",
+                   help="NAME:COLUMN:ANALYZER[:positions] (repeatable)")
+    b.add_argument("--num-partitions", type=int, default=None)
+    b.add_argument("--batch-size", type=int, default=2048)
+    b.add_argument("--head-term", action="append",
+                   help="salt this head term's shuffle key (repeatable)")
+    b.add_argument("--store", help="comma-separated stored columns (doc store)")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--field", default="text")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--operator", default="or", choices=["or", "and"])
+    s.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    s.add_argument("--phrase", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge", help="merge indexes (addIndexes analog)")
+    m.add_argument("--source", action="append", required=True,
+                   help="INDEX_DIR[@DOC_BASE] (repeatable)")
+    m.add_argument("--out", required=True)
+    m.add_argument("--num-partitions", type=int, default=16)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,7 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
     """Build (or reuse via the signature checkpoint) the documents index."""
     ix = _index_dir(sf_dir, flavor)
     if flavor == "simple":
-        fields = {"text": {"column": "text", "analyzer": "simple"},
+        fields = {"text": {"column": "text", "analyzer": "simple", "positions": True},
                   "source": {"column": "source", "analyzer": "keyword"}}
     else:
         fields = {"text": {"column": "text", "analyzer": "lucene"}}
@@ -257,6 +257,19 @@ def q_ft_numeric_range(sf_dir: str) -> pa.Table:
     return _collect(ds)
 
 
+def q_ft_phrase(sf_dir: str) -> pa.Table:
+    """Exact phrase matching via the positional index (DATA.md:54 "pp"
+    positions; PhraseQuery analog)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.phrase_freqs("batch stream")
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "phrase_freq": pa.array([f for _, f in rows], pa.int64()),
+        }
+    )
+
+
 def q_search_lucene(sf_dir: str) -> pa.Table:
     """Flagship: full Lucene-chain analyzer + block-max WAND top-10.
     Non-SQL-expressible (Porter stemming); conformance held by pytest
@@ -411,6 +424,7 @@ def queries() -> dict:
         "ft_vocab": q_ft_vocab,
         "ft_top_terms": q_ft_top_terms,
         "ft_keyword_lookup": q_ft_keyword_lookup,
+        "ft_phrase": q_ft_phrase,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "search_lucene": q_search_lucene,
@@ -463,6 +477,17 @@ SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks GROUP BY tok ORDER BY df DESC, term LIMIT 20
 """,
         "ft_keyword_lookup": "SELECT doc_id FROM documents WHERE source = 'src5' ORDER BY doc_id",
+        "ft_phrase": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists)
+SELECT t1.doc_id, count(*)::BIGINT AS phrase_freq
+FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.tok = 'batch' AND t2.tok = 'stream'
+GROUP BY t1.doc_id
+""",
         "ft_doc_norms": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}
 SELECT d.doc_id, d.dl::BIGINT AS dl, max(v)::BIGINT AS norm_dl
