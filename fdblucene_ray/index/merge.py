@@ -5,12 +5,13 @@ with doc ids remapped by a base offset and committing via rename
 (SimpleFDBDirectoryTest.java:162-187, SURVEY.md §2.7 D1 / §3.3). Here:
 
     for each source segment: stream-decode its posting lists
-      -> posting rows {part, key, doc_id + base, tf, norm}
+      -> packed RUN rows {part, key, min_doc, n, docs, tfs, norms, pos}
+         (the same shape the tokenizer emits; positions carried through)
       -> the same groupby(part) -> EncodeGroup path as a fresh build
       -> new immutable segments + atomically-published manifest.
 
-Per-field collection stats (dc, sum_dl) are summed from the source
-manifests (no re-tokenize needed — the build stored them exactly);
+Per-field collection stats (dc, sum_dl) flow through re-emitted
+sentinel runs (no re-tokenize needed — the build stored them exactly);
 sdf/df/ttf are recomputed from the merged postings.
 
 ``compact_index`` is the log-structured maintenance path: re-shard an
@@ -38,25 +39,54 @@ from fdblucene_ray.index.manifest import (
     load_manifest,
     publish_manifest,
 )
-from fdblucene_ray.index.segment import FIELD_SEP, SegmentReader
+from fdblucene_ray.index.segment import DOC_SENTINEL, FIELD_SEP, SegmentReader
 
 _ROWS_PER_YIELD = 200_000
 
 
 class DecodeSegmentPostings:
     """map_batches stage: (index_dir, segment, base) descriptor rows ->
-    posting rows, yielded in bounded chunks (streams huge segments)."""
+    packed RUN rows (one per term, same shape the tokenizer emits, incl.
+    positions when indexed), yielded in bounded chunks so huge segments
+    stream instead of materializing."""
 
     def __init__(self, num_partitions: int, block_size: int):
         self.P = num_partitions
         self.block_size = block_size
 
+    def _run_row(self, key, base, d, tf, nb, pos):
+        n = len(d)
+        cells = {
+            "part": pa.array(
+                [int(_key_hash([key])[0] % np.uint64(self.P))], pa.int32()
+            ),
+            "key": pa.array([key], pa.string()),
+            "min_doc": pa.array([int(d[0]) + base], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "sum_tf": pa.array([int(tf.sum())], pa.int64()),
+            "docs": pa.array(
+                [np.ascontiguousarray(d + base, "<i8").tobytes()], pa.binary()
+            ),
+            "tfs": pa.array(
+                [np.ascontiguousarray(tf, "<i4").tobytes()], pa.binary()
+            ),
+            "norms": pa.array([nb.tobytes()], pa.binary()),
+            "pos": pa.array(
+                [np.ascontiguousarray(pos, "<i4").tobytes() if pos is not None else None],
+                pa.binary(),
+            ),
+        }
+        return pa.table(cells)
+
     def __call__(self, batch: pa.Table):
+        from fdblucene_ray.codec.postings import decode_all_positions
+
         for row in batch.to_pylist():
             manifest = load_manifest(row["index_dir"])
             meta = next(
                 s for s in manifest.segments if s.name == row["segment"]
             )
+            pos_fields = set(manifest.extra.get("positions_fields", []))
             reader = SegmentReader(row["index_dir"], meta)
             terms = reader.terms
             fields = terms["field"].to_pylist()
@@ -68,24 +98,39 @@ class DecodeSegmentPostings:
                 h = reader.postings_handle(fields[i], tnames[i])
                 blob, skips, n = h
                 d, tf, nb = decode_all(blob, skips, n, manifest.block_size)
+                pos = None
+                if fields[i] in pos_fields:
+                    pos, _ = decode_all_positions(blob, skips, n, manifest.block_size)
                 key = fields[i] + FIELD_SEP + tnames[i]
-                kh = _key_hash([key])[0]
-                part = np.full(n, int(kh % np.uint64(self.P)), np.int32)
-                bufs.append(
-                    pa.table(
-                        {
-                            "part": pa.array(part),
-                            "key": pa.array([key] * n, pa.string()),
-                            "doc_id": pa.array(d + base, pa.int64()),
-                            "tf": pa.array(tf.astype(np.int32)),
-                            "norm": pa.array(nb),
-                        }
-                    )
-                )
+                bufs.append(self._run_row(key, base, d, tf, nb, pos))
                 buffered += n
                 if buffered >= _ROWS_PER_YIELD:
                     yield pa.concat_tables(bufs)
                     bufs, buffered = [], 0
+            # re-emit doc-stat partials as sentinel runs so the merged
+            # segments carry their own field stats (dc / sum_dl)
+            for f, st in meta.field_stats.items():
+                if st.get("dc") or st.get("sum_dl"):
+                    skey = f + FIELD_SEP + DOC_SENTINEL
+                    kh = _key_hash([skey])[0]
+                    salt = np.uint64(abs(base)) * _GOLDEN
+                    bufs.append(
+                        pa.table(
+                            {
+                                "part": pa.array(
+                                    [int((kh + salt) % np.uint64(self.P))], pa.int32()
+                                ),
+                                "key": pa.array([skey], pa.string()),
+                                "min_doc": pa.array([base], pa.int64()),
+                                "n": pa.array([st["dc"]], pa.int64()),
+                                "sum_tf": pa.array([st["sum_dl"]], pa.int64()),
+                                "docs": pa.array([b""], pa.binary()),
+                                "tfs": pa.array([b""], pa.binary()),
+                                "norms": pa.array([b""], pa.binary()),
+                                "pos": pa.array([b""], pa.binary()),
+                            }
+                        )
+                    )
             if bufs:
                 yield pa.concat_tables(bufs)
 
@@ -105,11 +150,9 @@ def merge_indexes(
     for m in manifests[1:]:
         if m.analyzers != analyzers:
             raise ValueError("cannot merge indexes with different analyzers")
-    if any(m.extra.get("positions_fields") for m in manifests):
-        raise NotImplementedError(
-            "merging positional indexes is not supported yet (the merge "
-            "path re-emits row-level postings without positions)"
-        )
+    positions_fields = sorted(
+        {f for m in manifests for f in m.extra.get("positions_fields", [])}
+    )
 
     items = []
     for (d, base), m in zip(sources, manifests):
@@ -136,7 +179,7 @@ def merge_indexes(
             concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
         )
         .groupby("part")
-        .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=False),
+        .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=True),
                     batch_format="pyarrow")
     )
     from fdblucene_ray.index.build import _run_with_push_shuffle
@@ -146,14 +189,8 @@ def merge_indexes(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
         key=lambda m: m.name,
     )
-    # base (dc, sum_dl) stats come summed from the sources; the merged
-    # segments' own field_stats carry only sdf (no sentinels re-emitted)
-    base_stats: dict[str, dict[str, int]] = {}
-    for m in manifests:
-        for f, st in m.field_totals().items():
-            acc = base_stats.setdefault(f, {"dc": 0, "sum_dl": 0, "sdf": 0})
-            acc["dc"] += st["dc"]
-            acc["sum_dl"] += st["sum_dl"]
+    # (dc, sum_dl) stats flow through re-emitted sentinel runs, so the
+    # merged segments carry their own field stats like a fresh build
     version = 0
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
         version = load_manifest(out_dir).version + 1
@@ -165,7 +202,7 @@ def merge_indexes(
         extra={
             "signature": sig,
             "num_partitions": num_partitions,
-            "base_field_stats": base_stats,
+            "positions_fields": positions_fields,
             "built_at_unix": int(time.time()),
         },
     )

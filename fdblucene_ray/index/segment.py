@@ -379,6 +379,20 @@ class SegmentReader:
             )
         return self._postings, self._skips
 
+    def verify(self) -> None:
+        """CRC32 integrity check of the posting + skip blobs against the
+        manifest (the analog of Lucene's CodecUtil checksum verification /
+        the reference's streaming CRC, FDBIndexOutput.java:113-115).
+        Raises ValueError on mismatch."""
+        import zlib
+
+        with open(os.path.join(self.path, POSTINGS_FILE), "rb") as fh:
+            if zlib.crc32(fh.read()) != self.meta.postings_crc:
+                raise ValueError(f"postings CRC mismatch in {self.meta.name}")
+        with open(os.path.join(self.path, SKIPS_FILE), "rb") as fh:
+            if zlib.crc32(fh.read()) != self.meta.skips_crc:
+                raise ValueError(f"skips CRC mismatch in {self.meta.name}")
+
     def term_index(self, field: str, term: str) -> int | None:
         """Row index of (field, term) in the terms table, or None."""
         if self._lookup is None:

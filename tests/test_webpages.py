@@ -182,3 +182,51 @@ class TestMerge:
         plans = plan_tiered(manifest, tier_factor=4, min_merge=2)
         planned = {n for group in plans for n in group}
         assert planned <= {s.name for s in manifest.segments}
+
+
+class TestIntegrity:
+    def test_crc_verify_and_corruption_detection(self, web_index):
+        import os
+
+        ix, manifest, _ = web_index
+        s = Searcher(ix)
+        for r in s.readers:
+            r.verify()
+        # corrupt a copy -> verify must fail
+        import shutil
+
+        seg = manifest.segments[0]
+        bad_dir = os.path.join(ix, "segments", seg.name + "-bad")
+        shutil.copytree(os.path.join(ix, "segments", seg.name), bad_dir)
+        with open(os.path.join(bad_dir, "postings.bin"), "r+b") as f:
+            f.seek(0)
+            b = f.read(1)
+            f.seek(0)
+            f.write(bytes([b[0] ^ 0xFF]))
+        from fdblucene_ray.index.manifest import SegmentMeta
+        from fdblucene_ray.index.segment import SegmentReader
+
+        bad_meta = SegmentMeta.from_json({**seg.to_json(), "name": seg.name + "-bad"})
+        with pytest.raises(ValueError, match="CRC"):
+            SegmentReader(ix, bad_meta).verify()
+
+
+class TestPositionalMerge:
+    def test_merge_preserves_phrases(self, tmp_path, ray_session):
+        t1 = generate_webpages(0, 150)
+        t2 = generate_webpages(150, 150)
+        d = tmp_path
+        pq.write_table(t1, str(d / "a.parquet"))
+        pq.write_table(t2, str(d / "b.parquet"))
+        fields = {"text": {"column": "text", "analyzer": "lucene", "positions": True}}
+        ix1, ix2, ixm, ixu = (str(d / n) for n in ["i1", "i2", "im", "iu"])
+        build_index(str(d / "a.parquet"), ix1, fields=fields, num_partitions=3)
+        build_index(str(d / "b.parquet"), ix2, fields=fields, num_partitions=3)
+        merge_indexes([(ix1, 0), (ix2, 150)], ixm, num_partitions=4)
+        build_index([str(d / "a.parquet"), str(d / "b.parquet")], ixu,
+                    fields=fields, num_partitions=4)
+        sm, su = Searcher(ixm), Searcher(ixu)
+        assert sm.field_stats("text") == su.field_stats("text")
+        for phrase in ["hello everybody", "quick brown fox"]:
+            assert sm.phrase_freqs(phrase) == su.phrase_freqs(phrase), phrase
+            assert sm.search_phrase(phrase, 10) == su.search_phrase(phrase, 10)
