@@ -89,17 +89,24 @@ class BatchTokenizer:
             pa.array(sorted(self.analyzer.stopwords)) if self.analyzer.stopwords else None
         )
 
-    def flat_tokens(self, text_col: pa.ChunkedArray | pa.Array):
-        """Tokenize a string column -> (row_idx int64 np, terms pa.StringArray).
+    def encoded_tokens(self, text_col):
+        """Tokenize a string column -> (row_idx, codes, vocab).
 
-        ``row_idx[i]`` is the row of ``terms[i]``; terms are fully analyzed.
+        The per-TOKEN work is a handful of Arrow/numpy kernels; stopword
+        filtering and stemming run per *unique surface form* only:
+
+            lower -> split -> flatten -> dictionary_encode,
+            then keep/stem decisions on the (small) dictionary and a
+            vectorized remap of the token code stream.
+
+        ``codes[i]`` indexes ``vocab`` (fully analyzed final terms);
+        ``row_idx[i]`` is the input row of token i (original order kept).
         """
         if isinstance(text_col, pa.ChunkedArray):
             text_col = text_col.combine_chunks()
         n = len(text_col)
         lowered = pc.utf8_lower(text_col) if self.analyzer.lowercase else text_col
         toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_PATTERN)
-        # flatten with parent row indices from the list offsets
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -108,59 +115,70 @@ class BatchTokenizer:
             # nulls in the list array would desync flatten(); inputs are
             # non-null text columns, enforce that assumption loudly
             raise ValueError("null text values not supported in tokenize")
-        # drop empty strings produced by split at string edges
-        keep = pc.not_equal(flat, "")
-        if self._stop_arr is not None:
-            keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=self._stop_arr)))
-        keep_np = keep.to_numpy(zero_copy_only=False)
-        flat = flat.filter(keep)
-        row_idx = row_idx[keep_np]
-        if self.analyzer.stem is not None:
-            flat = self._stem_array(flat)
-        return row_idx, flat
-
-    def _stem_array(self, flat: pa.Array) -> pa.Array:
-        """Stem via dictionary-encode: Python cost is per *unique* term."""
         denc = flat.dictionary_encode()
-        vocab = denc.dictionary.to_pylist()
-        cache = self._stem_cache
-        stem = self.analyzer.stem
-        stemmed_vocab = []
-        for t in vocab:
-            s = cache.get(t)
-            if s is None:
-                s = stem(t)
-                cache[t] = s
-            stemmed_vocab.append(s)
-        indices = denc.indices.to_numpy(zero_copy_only=False)
-        return pa.array(stemmed_vocab, type=pa.string()).take(
-            pa.array(indices, type=pa.int32())
-        )
-
-    def term_frequencies(self, text_col, with_positions: bool = False):
-        """-> per-(row, term) tf plus per-row doc length.
-
-        Returns ``(post_rows, post_terms(pa.Array), post_tfs, doc_lens)``
-        — plus, when ``with_positions``, a fifth flat int32 array of
-        token positions (position = index in the post-analysis token
-        stream of the row), ordered per (row, term) group in occurrence
-        order: exactly ``sum(tfs)`` entries (the DATA.md:54 positions).
-        """
-        n = len(text_col)
-        row_idx, flat = self.flat_tokens(text_col)
-        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
-        # group (row, term) -> tf without leaving numpy: encode terms to
-        # codes, combine with row index into one int64 key
-        denc = flat.dictionary_encode()
+        surface = denc.dictionary
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        n_vocab = max(1, len(denc.dictionary))
+
+        # per-unique keep decision (empty-string + stopword)
+        keep_u = pc.not_equal(surface, "").to_numpy(zero_copy_only=False)
+        if self._stop_arr is not None:
+            keep_u &= pc.invert(
+                pc.is_in(surface, value_set=self._stop_arr)
+            ).to_numpy(zero_copy_only=False)
+
+        # per-unique stem + dedupe into the final vocabulary
+        surf_list = surface.to_pylist()
+        stem = self.analyzer.stem
+        cache = self._stem_cache
+        remap = np.full(len(surf_list), -1, np.int64)
+        vocab: list[str] = []
+        fmap: dict[str, int] = {}
+        for i, s in enumerate(surf_list):
+            if not keep_u[i]:
+                continue
+            if stem is not None:
+                t = cache.get(s)
+                if t is None:
+                    t = stem(s)
+                    cache[s] = t
+            else:
+                t = s
+            j = fmap.get(t)
+            if j is None:
+                j = len(vocab)
+                fmap[t] = j
+                vocab.append(t)
+            remap[i] = j
+        keep_mask = keep_u[codes]
+        return row_idx[keep_mask], remap[codes[keep_mask]], vocab
+
+    def flat_tokens(self, text_col, as_dictionary: bool = False):
+        """Tokenize -> (row_idx, terms). ``as_dictionary=True`` returns a
+        DictionaryArray (cheapest for downstream hashing); else a plain
+        StringArray."""
+        row_idx, codes, vocab = self.encoded_tokens(text_col)
+        arr = pa.DictionaryArray.from_arrays(
+            pa.array(codes.astype(np.int32)), pa.array(vocab, pa.string())
+        )
+        return row_idx, (arr if as_dictionary else arr.cast(pa.string()))
+
+    def term_frequencies_encoded(self, text_col, with_positions: bool = False):
+        """-> (post_rows, post_codes, vocab, post_tfs, doc_lens[, positions])
+        — the zero-string-materialization variant the build uses."""
+        n = len(text_col)
+        row_idx, codes, vocab = self.encoded_tokens(text_col)
+        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
+        n_vocab = max(1, len(vocab))
         key = row_idx * n_vocab + codes
         if not with_positions:
             uniq, tfs = np.unique(key, return_counts=True)
-            post_rows = uniq // n_vocab
-            post_codes = uniq % n_vocab
-            post_terms = denc.dictionary.take(pa.array(post_codes, type=pa.int64()))
-            return post_rows, post_terms, tfs.astype(np.int32), doc_lens
+            return (
+                uniq // n_vocab,
+                uniq % n_vocab,
+                vocab,
+                tfs.astype(np.int32),
+                doc_lens,
+            )
         # stable sort keeps occurrence order within each (row, term) group
         starts_of_row = np.concatenate(([0], np.cumsum(doc_lens[:-1])))
         tok_pos = (
@@ -179,7 +197,22 @@ class BatchTokenizer:
             gstarts = gends = np.empty(0, np.int64)
         uniq = k[gstarts] if len(k) else gstarts
         tfs = (gends - gstarts).astype(np.int32)
-        post_rows = uniq // n_vocab
-        post_codes = uniq % n_vocab
-        post_terms = denc.dictionary.take(pa.array(post_codes, type=pa.int64()))
-        return post_rows, post_terms, tfs, doc_lens, positions
+        return uniq // n_vocab, uniq % n_vocab, vocab, tfs, doc_lens, positions
+
+    def term_frequencies(self, text_col, with_positions: bool = False):
+        """-> per-(row, term) tf plus per-row doc length.
+
+        Returns ``(post_rows, post_terms(pa.Array), post_tfs, doc_lens)``
+        — plus, when ``with_positions``, a fifth flat int32 array of
+        token positions (position = index in the post-analysis token
+        stream of the row), ordered per (row, term) group in occurrence
+        order: exactly ``sum(tfs)`` entries (the DATA.md:54 positions).
+        """
+        out = self.term_frequencies_encoded(text_col, with_positions)
+        post_rows, post_codes, vocab, tfs, doc_lens = out[:5]
+        post_terms = pa.array(vocab, pa.string()).take(
+            pa.array(post_codes, type=pa.int64())
+        )
+        if with_positions:
+            return post_rows, post_terms, tfs, doc_lens, out[5]
+        return post_rows, post_terms, tfs, doc_lens

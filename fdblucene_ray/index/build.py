@@ -143,8 +143,10 @@ class TokenizeToPostings:
             # StringField semantics: verbatim single token, dl == 1
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            terms = col.cast(pa.string())
-            n = len(terms)
+            denc = col.cast(pa.string()).dictionary_encode()
+            vocab = denc.dictionary.to_pylist()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(codes)
             post_rows = np.arange(n, dtype=np.int64)
             tfs = np.ones(n, dtype=np.int32)
             doc_lens = np.ones(n, dtype=np.int32)
@@ -152,19 +154,13 @@ class TokenizeToPostings:
                 positions = np.zeros(n, np.int32)
         else:
             tk = self.tokenizers[field]
+            enc = tk.term_frequencies_encoded(col, with_positions=want_pos)
+            post_rows, codes, vocab, tfs, doc_lens = enc[:5]
             if want_pos:
-                post_rows, terms, tfs, doc_lens, positions = tk.term_frequencies(
-                    col, with_positions=True
-                )
-            else:
-                post_rows, terms, tfs, doc_lens = tk.term_frequencies(col)
+                positions = enc[5]
         post_docs = doc_ids[post_rows]
         norms = encode_lengths(doc_lens)
         norm_rows = norms[post_rows]
-
-        denc = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
-        vocab = denc.dictionary.to_pylist()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
         # group postings by (term, doc): one run per term in the batch
         order = np.lexsort((post_docs, codes))
