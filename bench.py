@@ -52,15 +52,18 @@ def _fresh_dir(tag: str) -> str:
 
 
 BENCH_CORPUS_DIR = "/tmp/fdbl_bench_corpus"
-BENCH_ROWS = 120_000
+BENCH_ROWS = 150_000
 
 
 def _ensure_bench_corpus(rows: int) -> list[str]:
     from fdblucene_ray.sources.webpages import synth_webpages_parquet
 
+    # layout is part of the cache key: mixing files generated with a
+    # different rows_per_file would corrupt the deterministic row ranges
+    rpf, rgs = 25_000, 2_500
     return synth_webpages_parquet(
-        os.path.join(BENCH_CORPUS_DIR, str(rows)), rows,
-        rows_per_file=20_000, row_group_size=4_000,
+        os.path.join(BENCH_CORPUS_DIR, f"{rows}-{rpf}x{rgs}"), rows,
+        rows_per_file=rpf, row_group_size=rgs,
     )
 
 
@@ -72,8 +75,12 @@ def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
         paths,
         out_dir,
         fields={"text": {"column": "text", "analyzer": analyzer}},
-        num_partitions=max(8, 2 * num_cpus),
+        # constant partitioning across parallelism levels: partitions are
+        # sized to the DATA (as on a real cluster), and the N-vs-4N
+        # comparison must run the identical plan
+        num_partitions=64,
         batch_size=2048,
+        tokenize_concurrency=(max(1, num_cpus // 2), num_cpus),
         resume=False,
     )
     return time.perf_counter() - t0

@@ -229,6 +229,85 @@ class Searcher:
         candidates.sort(key=lambda x: (-x[1], x[0]))
         return candidates[:k]
 
+    def search_boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+        *,
+        field: str = "text",
+    ) -> list[tuple[int, float]]:
+        """Lucene-BooleanQuery semantics (the reference's query subset,
+        README.md:53-57 / SURVEY.md J2 incl. the NOT anti-join):
+
+        - a doc must contain every MUST term;
+        - with no MUST clauses, it must contain >= 1 SHOULD term;
+        - MUST_NOT terms exclude docs (never score);
+        - score = sum of BM25 contributions of matching MUST + SHOULD
+          clauses, accumulated in clause order.
+        """
+        must, should, must_not = must or [], should or [], must_not or []
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0 or not (must or should):
+            return []
+        ncache = bm25_norm_cache(avgdl)
+        bs = self.manifest.block_size
+
+        def decode_clause(t):
+            parts_d, parts_t, parts_n = [], [], []
+            for blob, skips, n in _gather_handles(self.readers, field, t):
+                d, tf, nb = decode_all(blob, skips, n, bs)
+                parts_d.append(d)
+                parts_t.append(tf)
+                parts_n.append(nb)
+            if not parts_d:
+                return None
+            docs = np.concatenate(parts_d)
+            tfs = np.concatenate(parts_t).astype(np.float64)
+            norms = np.concatenate(parts_n)
+            order = np.argsort(docs, kind="stable")
+            return docs[order], tfs[order], norms[order]
+
+        scored = []  # (docs, scores) in clause order: must then should
+        cand: np.ndarray | None = None
+        for t in must:
+            df, _ = self.term_stats(field, t)
+            dec = decode_clause(t)
+            if df == 0 or dec is None:
+                return []
+            docs, tfs, norms = dec
+            idf = bm25_idf(dc, df)
+            scored.append((docs, idf * tfs / (tfs + ncache[norms])))
+            cand = docs if cand is None else np.intersect1d(cand, docs)
+        for t in should:
+            df, _ = self.term_stats(field, t)
+            dec = decode_clause(t) if df else None
+            if dec is None:
+                continue
+            docs, tfs, norms = dec
+            idf = bm25_idf(dc, df)
+            scored.append((docs, idf * tfs / (tfs + ncache[norms])))
+            if not must:
+                cand = docs if cand is None else np.union1d(cand, docs)
+        if cand is None or not len(cand):
+            return []
+        for t in must_not:
+            dec = decode_clause(t)
+            if dec is not None:
+                cand = np.setdiff1d(cand, dec[0], assume_unique=True)
+        if not len(cand):
+            return []
+        total = np.zeros(len(cand))
+        for docs, scores in scored:  # clause-order accumulation
+            pos = np.searchsorted(docs, cand)
+            pos_ok = pos < len(docs)
+            hit = np.zeros(len(cand), bool)
+            hit[pos_ok] = docs[pos[pos_ok]] == cand[pos_ok]
+            total[hit] += scores[pos[hit]]
+        sel = np.lexsort((cand, -total))[:k]
+        return [(int(cand[i]), float(total[i])) for i in sel]
+
     def search_phrase(
         self, phrase: str, k: int = 10, *, field: str = "text"
     ) -> list[tuple[int, float]]:

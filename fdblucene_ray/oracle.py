@@ -155,3 +155,44 @@ class OracleIndex:
             hits.append((doc, idf_sum * pf / (pf + kk)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+    def search_boolean(self, must=None, should=None, must_not=None, k: int = 10):
+        """Lucene-BooleanQuery semantics, mirrored from Searcher."""
+        from fdblucene_ray.index.search import B, K1
+
+        must, should, must_not = must or [], should or [], must_not or []
+        if not (must or should):
+            return []
+        avgdl = self.avgdl
+        kcache = [K1 * (1 - B + B * byte4_to_int(nb) / avgdl) for nb in range(256)]
+
+        def clause_scores(t):
+            plist = self.postings.get(t, [])
+            idf = bm25_idf(self.dc, len(plist))
+            return {d: idf * tf / (tf + kcache[self.norm_byte[d]]) for d, tf in plist}
+
+        must_maps = [clause_scores(t) for t in must]
+        if any(not m for m in must_maps):
+            return []
+        should_maps = [clause_scores(t) for t in should]
+        if must:
+            cand = set(must_maps[0])
+            for m in must_maps[1:]:
+                cand &= set(m)
+        else:
+            cand = set()
+            for m in should_maps:
+                cand |= set(m)
+        for t in must_not:
+            cand -= {d for d, _ in self.postings.get(t, [])}
+        hits = []
+        for d in cand:
+            s = 0.0
+            for m in must_maps:
+                s += m[d]
+            for m in should_maps:
+                if d in m:
+                    s += m[d]
+            hits.append((d, s))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

@@ -1,0 +1,89 @@
+"""Boolean queries (MUST/SHOULD/MUST_NOT) + the flagship webpages pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index, hydrate
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.oracle import OracleIndex
+from fdblucene_ray.pipelines.flagship import build_webpages_index
+from fdblucene_ray.sources.webpages import generate_webpages
+
+
+@pytest.fixture(scope="module")
+def booldex(tmp_path_factory, ray_session):
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(f"w{int(x)}" for x in (rng.zipf(1.4, size=int(rng.integers(3, 40))) - 1) % 25)
+        for _ in range(300)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}
+    )
+    d = tmp_path_factory.mktemp("bool")
+    src = str(d / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(d / "ix")
+    build_index(src, ix, fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    return ix, oracle
+
+
+class TestBoolean:
+    CASES = [
+        dict(must=["w0", "w1"]),
+        dict(must=["w0"], must_not=["w1"]),
+        dict(should=["w3", "w7", "w9"]),
+        dict(must=["w0"], should=["w2", "w5"]),
+        dict(must=["w0"], should=["w2"], must_not=["w3", "w4"]),
+        dict(should=["w1"], must_not=["w1"]),  # everything excluded
+        dict(must=["w0", "zzz"]),  # absent MUST -> empty
+        dict(must_not=["w0"]),  # no positive clause -> empty
+    ]
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_matches_oracle(self, booldex, case):
+        ix, oracle = booldex
+        s = Searcher(ix)
+        got = s.search_boolean(**case, k=15)
+        exp = oracle.search_boolean(**case, k=15)
+        assert [d for d, _ in got] == [d for d, _ in exp], case
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-12)
+
+
+class TestFlagship:
+    def test_end_to_end(self, tmp_path, ray_session):
+        p = str(tmp_path / "web.parquet")
+        pq.write_table(generate_webpages(0, 400), p)
+        ix = str(tmp_path / "ix")
+        manifest = build_webpages_index(p, ix, num_partitions=4, batch_size=128)
+        s = Searcher(ix)
+        assert s.num_docs("text") == 400
+        # text search over EXTRACTED text matches oracle over shipped text
+        oracle = OracleIndex("lucene")
+        t = pq.read_table(p, columns=["text"])
+        for i, txt in enumerate(t["text"].to_pylist()):
+            oracle.add(i, txt)
+        got = s.search("hello everybody", 10)
+        exp = oracle.search("hello everybody", 10)
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        # keyword lookup + doc-store hydration round trip
+        hits = s.search("https://example-7.com/p/7", k=3, field="url")
+        assert [d for d, _ in hits] == [7]
+        stored = hydrate(ix, [7], columns=["doc_id", "url", "lang"])
+        assert stored["url"][0].as_py() == "https://example-7.com/p/7"
+
+    def test_invariant_violation_detected(self, tmp_path, ray_session):
+        t = generate_webpages(0, 50).to_pydict()
+        t["text"][3] = t["text"][3] + " TAMPERED"
+        p = str(tmp_path / "bad.parquet")
+        pq.write_table(pa.table(t), p)
+        ix = str(tmp_path / "ix")
+        with pytest.raises(Exception, match="invariant"):
+            build_webpages_index(p, ix, num_partitions=2, batch_size=16)
