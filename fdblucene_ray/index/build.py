@@ -317,21 +317,33 @@ class EncodeGroup:
         )
 
 
-def _run_with_push_shuffle(fn):
-    """Execute a consuming Dataset call under the push-based sort shuffle
-    (pipelines map->reduce instead of a pull barrier; ~2x on the build's
-    all-to-all locally, and the documented large-cluster strategy).
-    Scoped: the global DataContext is restored afterwards."""
+def _run_with_push_shuffle(fn, num_partitions: int | None = None):
+    """Execute a consuming Dataset call under the shuffle strategy that
+    fits the exchange (scoped; the global DataContext is restored):
+
+    - large exchanges (>= 32 partitions): HASH_SHUFFLE with the
+      aggregator-actor pool capped at half the CPUs — no sorting at all,
+      and measured ~2x over push-based sort on the 150k-doc build;
+    - small exchanges: push-based sort shuffle (hash-shuffle actor
+      spin-up would dominate tiny builds, e.g. the test corpora).
+    """
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
     ctx = DataContext.get_current()
     prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    prev_agg = ctx.max_hash_shuffle_aggregators
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_partitions is not None and num_partitions >= 32:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = max(1, min(cpus // 2, num_partitions))
+    else:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     try:
         return fn()
     finally:
         ctx.shuffle_strategy = prev
+        ctx.max_hash_shuffle_aggregators = prev_agg
 
 
 def default_fields(text_col: str = "text", analyzer: str = "lucene") -> dict[str, dict]:
@@ -450,11 +462,11 @@ def build_index(
         concurrency=tokenize_concurrency,
         zero_copy_batch=True,
     )
-    lineage_ds = postings.groupby("part").map_groups(
+    lineage_ds = postings.groupby("part", num_partitions=num_partitions).map_groups(
         EncodeGroup(index_dir, sig, block_size, resume),
         batch_format="pyarrow",
     )
-    records = _run_with_push_shuffle(lambda: lineage_ds.take_all())
+    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
 
     if store_ds is not None:
         _write_docstore(index_dir, store_ds)

@@ -178,13 +178,13 @@ def merge_indexes(
             batch_size=1,
             concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
         )
-        .groupby("part")
+        .groupby("part", num_partitions=num_partitions)
         .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=True),
                     batch_format="pyarrow")
     )
     from fdblucene_ray.index.build import _run_with_push_shuffle
 
-    records = _run_with_push_shuffle(lambda: lineage_ds.take_all())
+    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
     segs = sorted(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
         key=lambda m: m.name,

@@ -257,6 +257,14 @@ def q_ft_numeric_range(sf_dir: str) -> pa.Table:
     return _collect(ds)
 
 
+def q_ft_boolean(sf_dir: str) -> pa.Table:
+    """BooleanQuery: +data merge -window (MUST/SHOULD/MUST_NOT, J2)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_boolean(must=["data"], should=["merge"], must_not=["window"], k=10)
+    )
+
+
 def q_ft_phrase(sf_dir: str) -> pa.Table:
     """Exact phrase matching via the positional index (DATA.md:54 "pp"
     positions; PhraseQuery analog)."""
@@ -425,6 +433,7 @@ def queries() -> dict:
         "ft_top_terms": q_ft_top_terms,
         "ft_keyword_lookup": q_ft_keyword_lookup,
         "ft_phrase": q_ft_phrase,
+        "ft_bm25_boolean": q_ft_boolean,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "search_lucene": q_search_lucene,
@@ -452,6 +461,26 @@ def oracle_sql() -> dict:
     }
     return {
         "ft_bm25_single": _bm25_sql(["data"]),
+        "ft_bm25_boolean": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+excluded AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'window'),
+scored AS (
+  SELECT doc_id, sum(s) AS score FROM contrib
+  WHERE doc_id IN (SELECT doc_id FROM contrib WHERE tok = 'data')
+    AND doc_id NOT IN (SELECT doc_id FROM excluded)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
         "ft_bm25_and": _bm25_sql(["window", "batch"], operator="and"),
         "ft_term_stats": f"""
