@@ -89,11 +89,15 @@ def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
 def run_build_only(num_cpus: int, rows: int) -> None:
     paths = _ensure_bench_corpus(rows)
     _init_ray(num_cpus)
-    # warm the page cache so both levels measure compute+shuffle
+    # warm the OS page cache AND the Ray worker pool (spawning/importing
+    # ~num_cpus python workers is a fixed cost that would otherwise be
+    # billed to the larger cluster, hiding the true compute scaling) with
+    # one untimed build over the first shard
     import pyarrow.parquet as pq
 
     for p in paths:
         pq.read_table(p, columns=["text"])
+    _build(paths[:1], _fresh_dir(f"warm-{num_cpus}"), num_cpus)
     out = _fresh_dir(f"scale-{num_cpus}")
     sec = _build(paths, out, num_cpus)
     import ray
@@ -175,6 +179,19 @@ def run_default() -> None:
         return res.count()
 
     timed("search_200_queries", search_batch)
+
+    # flagship input_hint pipeline: extraction invariant + multi-field
+    # index over one synthetic webpages shard (fixed 25k docs)
+    web_paths = _ensure_bench_corpus(25_000)  # generate/cache outside timing
+
+    def flagship():
+        from fdblucene_ray.pipelines.flagship import build_webpages_index
+
+        build_webpages_index(
+            web_paths, _fresh_dir("ix-web"), num_partitions=32, resume=False
+        )
+
+    timed("build_webpages_25k_flagship", flagship)
     timed("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
     timed("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
     timed("ann_cosine", lambda: q.q_ann_cosine(sf_dir))

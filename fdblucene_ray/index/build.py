@@ -236,7 +236,8 @@ class TokenizeToPostings:
             skey = prefix + DOC_SENTINEL
             h = np.uint64(zlib.crc32(skey.encode("utf-8", "surrogatepass")))
             chunk = int(doc_ids[has].min()) // self.salt_chunk
-            spart = int((h + np.uint64(chunk) * _GOLDEN) % np.uint64(self.P))
+            with np.errstate(over="ignore"):  # modular mixing, wrap intended
+                spart = int((h + np.uint64(chunk) * _GOLDEN) % np.uint64(self.P))
             empty = pa.array([b""], pa.binary())
             out.append(
                 pa.table(

@@ -87,3 +87,29 @@ class TestFlagship:
         ix = str(tmp_path / "ix")
         with pytest.raises(Exception, match="invariant"):
             build_webpages_index(p, ix, num_partitions=2, batch_size=16)
+
+
+class TestSearchActorPool:
+    def test_batch_query_evaluation(self, booldex, ray_session):
+        """ST6: query batches through a searcher actor pool."""
+        import ray.data
+
+        from fdblucene_ray.index.search import SearchQueries
+
+        ix, oracle = booldex
+        qds = ray.data.from_items(
+            [{"qid": i, "query": f"w{i % 5} w{(i + 1) % 5}"} for i in range(20)]
+        )
+        res = qds.map_batches(
+            SearchQueries,
+            fn_constructor_kwargs=dict(index_dir=ix, k=5),
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        ).to_pandas()
+        assert set(res.columns) == {"qid", "rank", "doc_id", "score"}
+        for qid, grp in res.groupby("qid"):
+            q = f"w{qid % 5} w{(qid + 1) % 5}"
+            exp = oracle.search(q, 5)
+            got = grp.sort_values("rank")["doc_id"].tolist()
+            assert got == [d for d, _ in exp], q
