@@ -115,6 +115,39 @@ def publish_manifest(index_dir: str, manifest: Manifest) -> None:
     os.replace(tmp, manifest_path(index_dir))
 
 
+def gc_index(index_dir: str, *, dry_run: bool = False) -> list[str]:
+    """Remove segment directories not referenced by the live manifest —
+    the sweep phase of the reference's delete tolerance (D4: uncommitted
+    writes never become visible, FDBIndexOutput.java:182-189; here,
+    orphaned segment dirs from crashed/aborted runs are GC'd). Lineage
+    records of other signatures are kept (they enable resume)."""
+    import shutil
+
+    live = {s.name for s in load_manifest(index_dir).segments}
+    seg_root = os.path.join(index_dir, "segments")
+    removed = []
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            if name not in live:
+                removed.append(name)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+    return removed
+
+
+def drop_segments(index_dir: str, names: list[str]) -> "Manifest":
+    """Publish a new manifest without ``names`` (deleteFile analog, S11);
+    the dropped segment dirs become garbage for gc_index."""
+    m = load_manifest(index_dir)
+    keep = [s for s in m.segments if s.name not in set(names)]
+    m2 = Manifest(
+        analyzers=m.analyzers, block_size=m.block_size, segments=keep,
+        version=m.version + 1, extra=m.extra,
+    )
+    publish_manifest(index_dir, m2)
+    return m2
+
+
 def lineage_dir(index_dir: str, signature: str) -> str:
     return os.path.join(index_dir, "lineage", signature)
 

@@ -50,9 +50,9 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def bm25_norm_cache(avgdl: float) -> np.ndarray:
+def bm25_norm_cache(avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
     """K(norm_byte) for all 256 norm bytes (Lucene's per-query cache)."""
-    return K1 * (1.0 - B + B * DECODE_TABLE.astype(np.float64) / avgdl)
+    return k1 * (1.0 - b + b * DECODE_TABLE.astype(np.float64) / avgdl)
 
 
 @dataclass
@@ -148,11 +148,16 @@ _EXHAUSTED = 1 << 62
 class Searcher:
     """One index snapshot; reusable across queries (ST6 in SURVEY.md)."""
 
-    def __init__(self, index_dir: str, manifest: Manifest | None = None):
+    def __init__(self, index_dir: str, manifest: Manifest | None = None,
+                 *, k1: float = K1, b: float = B):
+        """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
+        defaults are the Lucene-8 defaults the north star mandates)."""
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
         self.readers = [SegmentReader(index_dir, m) for m in self.manifest.segments]
         self.totals = self.manifest.field_totals()
+        self.k1 = k1
+        self.b = b
 
     # ---- stats ----
     def field_stats(self, field: str) -> tuple[int, int, float]:
@@ -207,7 +212,7 @@ class Searcher:
         dc, _, avgdl = self.field_stats(field)
         if dc == 0:
             return []
-        ncache = bm25_norm_cache(avgdl)
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         # clause list: (qidx order preserved for float-identical accumulation)
         live = []
         for t in terms:
@@ -251,7 +256,7 @@ class Searcher:
         dc, _, avgdl = self.field_stats(field)
         if dc == 0 or not (must or should):
             return []
-        ncache = bm25_norm_cache(avgdl)
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         bs = self.manifest.block_size
 
         def decode_clause(t):
@@ -328,7 +333,7 @@ class Searcher:
         dc, _, avgdl = self.field_stats(field)
         if dc == 0:
             return []
-        ncache = bm25_norm_cache(avgdl)
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         idf_sum = 0.0
         for t in terms:
             df, _ = self.term_stats(field, t)

@@ -278,6 +278,14 @@ def q_ft_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_numeric_sort(sf_dir: str) -> pa.Table:
+    """Numeric doc-values sort (README.md:53-57 NumericDocValuesField
+    analog): top-10 docs by n_chars desc, doc_id asc tie-break."""
+    ds = _docs_ds(sf_dir, ["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return _collect(out)
+
+
 def q_search_lucene(sf_dir: str) -> pa.Table:
     """Flagship: full Lucene-chain analyzer + block-max WAND top-10.
     Non-SQL-expressible (Porter stemming); conformance held by pytest
@@ -436,6 +444,7 @@ def queries() -> dict:
         "ft_bm25_boolean": q_ft_boolean,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
+        "ft_numeric_sort": q_ft_numeric_sort,
         "search_lucene": q_search_lucene,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -525,6 +534,10 @@ FROM dl d JOIN normvals ON v <= d.dl GROUP BY d.doc_id, d.dl
         "ft_numeric_range": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars >= 200 AND n_chars <= 400"
+        ),
+        "ft_numeric_sort": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "

@@ -104,3 +104,36 @@ def test_deterministic_rebuild_identical_manifest(tmp_path, ray_session):
         man["extra"].pop("built_at_unix")
         m.append(man)
     assert m[0] == m[1]
+
+def test_gc_and_drop_segments(tmp_path, ray_session):
+    """S11 delete analog: drop a segment from the manifest, then GC
+    sweeps the orphaned directory; uncommitted dirs are swept too."""
+    import shutil
+
+    from fdblucene_ray.index.manifest import drop_segments, gc_index
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(generate_webpages(0, 100), p)
+    ix = str(tmp_path / "ix")
+    m = build_index(p, ix, num_partitions=4)
+    seg_dir = os.path.join(ix, "segments")
+    # plant an orphan (aborted-run leftover)
+    shutil.copytree(
+        os.path.join(seg_dir, m.segments[0].name),
+        os.path.join(seg_dir, "seg-orphan-zzz"),
+    )
+    removed = gc_index(ix)
+    assert removed == ["seg-orphan-zzz"]
+    # drop a live segment -> next GC removes its files
+    victim = m.segments[0].name
+    m2 = drop_segments(ix, [victim])
+    assert victim not in {s.name for s in m2.segments}
+    assert victim in gc_index(ix)
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(ix)  # remaining segments still searchable
+    assert len(s.readers) == len(m.segments) - 1
+    assert sum(seg.n_postings for seg in m2.segments) < sum(
+        seg.n_postings for seg in m.segments
+    )
+    assert s.search("hello", 5, mode="exhaustive") is not None
