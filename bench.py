@@ -80,7 +80,6 @@ def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
         # comparison must run the identical plan
         num_partitions=64,
         batch_size=2048,
-        tokenize_concurrency=(max(1, num_cpus // 2), num_cpus),
         resume=False,
     )
     return time.perf_counter() - t0
@@ -98,16 +97,26 @@ def run_build_only(num_cpus: int, rows: int) -> None:
     for p in paths:
         pq.read_table(p, columns=["text"])
     _build(paths[:1], _fresh_dir(f"warm-{num_cpus}"), num_cpus)
-    out = _fresh_dir(f"scale-{num_cpus}")
-    sec = _build(paths, out, num_cpus)
+    # best-of-3: the sandbox host's throughput swings ~3x between runs
+    # (documented in BASELINE.md); min wall estimates true capability
+    secs = []
+    for rep in range(3):
+        out = _fresh_dir(f"scale-{num_cpus}-{rep}")
+        secs.append(_build(paths, out, num_cpus))
+    sec = min(secs)
     import ray
 
     ray.shutdown()
     print(json.dumps({"num_cpus": num_cpus, "rows": rows, "sec": round(sec, 3),
+                      "all_secs": [round(s, 2) for s in secs],
                       "docs_per_s": round(rows / sec, 1)}))
 
 
 def run_scaling(rows: int, lo: int = 8, hi: int = 32) -> None:
+    if "--lo" in sys.argv:
+        lo = int(sys.argv[sys.argv.index("--lo") + 1])
+    if "--hi" in sys.argv:
+        hi = int(sys.argv[sys.argv.index("--hi") + 1])
     _ensure_bench_corpus(rows)  # generate once, outside the timed children
 
     def child(ncpu: int) -> dict:
