@@ -1,0 +1,105 @@
+"""High-level facade: the ergonomic surface a user of the reference
+(`IndexWriter` / `IndexSearcher` over an `FDBDirectory`) would reach for.
+
+    from fdblucene_ray.api import Index
+
+    ix = Index.build("/data/webpages/*.parquet", "/shared/idx",
+                     fields={"text": {"column": "text", "analyzer": "lucene"},
+                             "url": {"column": "url", "analyzer": "keyword"}},
+                     docstore_cols=["url", "lang"])
+    hits = ix.search("hello everybody", k=10)           # BM25 WAND top-k
+    hits = ix.search("a b", operator="and")             # conjunction
+    hits = ix.boolean(must=["a"], must_not=["b"])       # BooleanQuery
+    hits = ix.phrase("hello everybody")                 # PhraseQuery
+    rows = ix.stored([d for d, _ in hits])              # stored fields
+    ix2 = Index.merge([(ix, 0), (other, ix.num_docs)], out)  # addIndexes
+"""
+
+from __future__ import annotations
+
+from fdblucene_ray.index.build import build_index, build_sharded, hydrate
+from fdblucene_ray.index.manifest import Manifest, gc_index, load_manifest
+from fdblucene_ray.index.merge import compact_index, merge_indexes, plan_tiered
+from fdblucene_ray.index.search import Searcher
+
+
+class Index:
+    """An opened index snapshot (manifest-pinned, like DirectoryReader)."""
+
+    def __init__(self, index_dir: str, *, k1: float = 1.2, b: float = 0.75):
+        self.index_dir = index_dir
+        self.searcher = Searcher(index_dir, k1=k1, b=b)
+
+    # ---- lifecycle ----
+    @classmethod
+    def build(cls, source, index_dir: str, **kw) -> "Index":
+        build_index(source, index_dir, **kw)
+        return cls(index_dir)
+
+    @classmethod
+    def build_sharded(cls, shards, index_dir: str, **kw) -> "Index":
+        build_sharded(shards, index_dir, **kw)
+        return cls(index_dir)
+
+    @classmethod
+    def merge(cls, sources, out_dir: str, **kw) -> "Index":
+        srcs = [
+            (s.index_dir if isinstance(s, Index) else s, base) for s, base in sources
+        ]
+        merge_indexes(srcs, out_dir, **kw)
+        return cls(out_dir)
+
+    def compact(self, out_dir: str, num_partitions: int) -> "Index":
+        compact_index(self.index_dir, out_dir, num_partitions)
+        return Index(out_dir)
+
+    def refresh(self) -> "Index":
+        """Re-open at the latest published manifest version."""
+        return Index(self.index_dir)
+
+    def gc(self) -> list[str]:
+        return gc_index(self.index_dir)
+
+    # ---- metadata ----
+    @property
+    def manifest(self) -> Manifest:
+        return self.searcher.manifest
+
+    @property
+    def num_docs(self) -> int:
+        return self.searcher.num_docs()
+
+    def verify(self) -> None:
+        for r in self.searcher.readers:
+            r.verify()
+
+    # ---- queries ----
+    def search(self, query: str, k: int = 10, **kw):
+        return self.searcher.search(query, k, **kw)
+
+    def boolean(self, must=None, should=None, must_not=None, k: int = 10, **kw):
+        return self.searcher.search_boolean(must, should, must_not, k, **kw)
+
+    def phrase(self, phrase: str, k: int = 10, **kw):
+        return self.searcher.search_phrase(phrase, k, **kw)
+
+    def count(self, query: str, **kw) -> int:
+        return self.searcher.count(query, **kw)
+
+    def term_stats(self, term: str, field: str = "text"):
+        return self.searcher.term_stats(field, term)
+
+    def stored(self, doc_ids, columns=None):
+        return hydrate(self.index_dir, doc_ids, columns)
+
+
+__all__ = [
+    "Index",
+    "build_index",
+    "build_sharded",
+    "merge_indexes",
+    "compact_index",
+    "plan_tiered",
+    "Searcher",
+    "load_manifest",
+]

@@ -113,3 +113,27 @@ class TestSearchActorPool:
             exp = oracle.search(q, 5)
             got = grp.sort_values("rank")["doc_id"].tolist()
             assert got == [d for d, _ in exp], q
+
+
+class TestFacade:
+    def test_index_api_round_trip(self, tmp_path, ray_session):
+        from fdblucene_ray.api import Index
+
+        p = str(tmp_path / "c.parquet")
+        pq.write_table(generate_webpages(0, 120), p)
+        ix = Index.build(
+            p, str(tmp_path / "ix"),
+            fields={"text": {"column": "text", "analyzer": "lucene"},
+                    "url": {"column": "url", "analyzer": "keyword"}},
+            num_partitions=3, docstore_cols=["url", "lang"],
+        )
+        assert ix.num_docs == 120
+        ix.verify()
+        hits = ix.search("hello everybody", 5)
+        assert hits
+        stored = ix.stored([hits[0][0]], columns=["doc_id", "url"])
+        assert stored.num_rows == 1
+        assert ix.count("hello") > 0
+        assert ix.boolean(must=["hello"], must_not=["everybodi"]) == []
+        assert ix.term_stats("hello")[0] > 0
+        assert ix.gc() == []
