@@ -116,7 +116,13 @@ class TokenizeToPostings:
         id_col: str = "doc_id",
         head_terms: frozenset[str] | None = None,
         salt_chunk: int = 1 << 16,
+        auto_salt_ratio: float = 0.25,
     ):
+        """``head_terms``: explicit terms to salt. ``auto_salt_ratio``:
+        additionally salt any term whose within-batch doc frequency
+        exceeds this fraction of the batch (Zipf heads are heavy in
+        EVERY batch, so this is a deterministic pure function of batch
+        content — no global pre-pass needed). Set to 0/None to disable."""
         self.fields = fields
         self.tokenizers = {
             f: BatchTokenizer(cfg["analyzer"])
@@ -127,6 +133,7 @@ class TokenizeToPostings:
         self.id_col = id_col
         self.head_terms = head_terms or frozenset()
         self.salt_chunk = salt_chunk
+        self.auto_salt_ratio = auto_salt_ratio or 0.0
 
     def _emit_field(self, field, cfg, batch, doc_ids, out):
         """Emit one RUN row per term present in this batch — a packed
@@ -188,18 +195,26 @@ class TokenizeToPostings:
         prefix = field + FIELD_SEP
         base_hash = _key_hash([prefix + v for v in vocab])
         run_hash = base_hash[run_codes]
+        # head-term salting: explicit list OR automatic (df within this
+        # batch above the ratio) — spreads a Zipf head's postings over
+        # many partitions; multi-segment collection stats keep it exact
+        is_head = np.zeros(len(run_codes), dtype=bool)
         if self.head_terms:
-            is_head = np.array(
+            is_head |= np.array(
                 [v in self.head_terms for v in vocab], dtype=bool
             )[run_codes]
-            if is_head.any():
+        if self.auto_salt_ratio and len(batch):
+            is_head |= n_per_run >= max(2, int(self.auto_salt_ratio * len(batch)))
+        if is_head.any():
+            with np.errstate(over="ignore"):
                 salt = (
                     min_docs[is_head].astype(np.uint64)
                     // np.uint64(self.salt_chunk)
                 ) * _GOLDEN
                 run_hash = run_hash.copy()
                 run_hash[is_head] += salt
-        part = (run_hash % np.uint64(self.P)).astype(np.int32)
+        with np.errstate(over="ignore"):
+            part = (run_hash % np.uint64(self.P)).astype(np.int32)
 
         keys = pa.DictionaryArray.from_arrays(
             pa.array(run_codes.astype(np.int32)),
@@ -401,6 +416,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     head_terms: frozenset[str] | None = None,
     salt_chunk: int = 1 << 16,
+    auto_salt_ratio: float = 0.25,
     tokenize_concurrency=None,
     resume: bool = True,
     signature: str | None = None,
@@ -461,6 +477,7 @@ def build_index(
             id_col=id_col,
             head_terms=head_terms,
             salt_chunk=salt_chunk,
+            auto_salt_ratio=auto_salt_ratio,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

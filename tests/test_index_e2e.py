@@ -155,3 +155,37 @@ class TestBuildMechanics:
             assert [d for d, _ in got] == [d for d, _ in exp], q
             for (_, a), (_, b) in zip(got, exp):
                 assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_auto_salting_spreads_head_terms(tmp_path, ray_session):
+    """A term in every doc auto-salts across partitions (no explicit
+    head_terms list) while results stay oracle-identical."""
+    import pyarrow as pa
+
+    from fdblucene_ray.sources.webpages import generate_webpages
+
+    texts = ["common " + t for t in pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()[:300]]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts)})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix, fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=8, batch_size=32, salt_chunk=64,
+    )
+    s = Searcher(ix)
+    seg_with_common = sum(
+        1 for r in s.readers if r.postings_handle("text", "common") is not None
+    )
+    assert seg_with_common > 1  # spread across segments
+    df, ttf = s.term_stats("text", "common")
+    assert df == 300 and ttf == 300
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    got = s.search("common data", 10, mode="wand")
+    exp = oracle.search("common data", 10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
