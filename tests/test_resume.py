@@ -137,3 +137,38 @@ def test_gc_and_drop_segments(tmp_path, ray_session):
         seg.n_postings for seg in m.segments
     )
     assert s.search("hello", 5, mode="exhaustive") is not None
+
+
+def test_manifest_identical_across_batch_and_parallelism_shapes(tmp_path, ray_session):
+    """BASELINE.md §3.4: the published manifest must be byte-identical
+    (modulo timing fields) across executor shapes (actor-pool sizes,
+    scheduling) — segment content is a pure function of the PLAN
+    (input, num_partitions, block_size, batch_size, salting params),
+    never of task scheduling. batch_size is a plan parameter because
+    auto-salting keys off within-batch doc frequency."""
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(generate_webpages(0, 400), p)
+    manifests = []
+    for tag, conc in [("a", (1, 2)), ("b", (2, 4))]:
+        ix = str(tmp_path / tag)
+        man = build_index(
+            p, ix, num_partitions=6, batch_size=128,
+            tokenize_concurrency=conc,
+        ).to_json()
+        man["extra"].pop("built_at_unix")
+        manifests.append(man)
+    assert manifests[0] == manifests[1]
+    # and the segment files themselves are byte-identical
+    import hashlib
+
+    def digest(ix):
+        h = hashlib.sha256()
+        seg_root = os.path.join(ix, "segments")
+        for name in sorted(os.listdir(seg_root)):
+            for f in ["terms.parquet", "postings.bin", "skips.bin"]:
+                fp = os.path.join(seg_root, name, f)
+                if f != "terms.parquet":  # parquet embeds writer metadata
+                    h.update(open(fp, "rb").read())
+        return h.hexdigest()
+
+    assert digest(str(tmp_path / "a")) == digest(str(tmp_path / "b"))
