@@ -219,3 +219,70 @@ class _IVFTopK(BatchCosineTopK):
                 "sim": pa.array(np.concatenate(out_s)),
             }
         )
+
+
+class _BucketPairs:
+    """map_groups: exact cosine pairs within one centroid bucket."""
+
+    def __init__(self, threshold: float, vec_col: str, id_col: str):
+        self.threshold = threshold
+        self.vec_col, self.id_col = vec_col, id_col
+        self.__name__ = "_BucketPairs"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        m = _normalize(_stack(group[self.vec_col]))
+        ids = group[self.id_col].to_numpy(zero_copy_only=False)
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = sims[ii, jj] >= self.threshold
+        a, b = ids[ii[hit]], ids[jj[hit]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "a": pa.array(a2.astype(np.int64)),
+                "b": pa.array(b2.astype(np.int64)),
+                "sim": pa.array(np.round(sims[ii[hit], jj[hit]], 5)),
+            }
+        )
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+    exact: bool = False,
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
+
+    Scale path (default): bucket vectors by nearest centroid (sampled
+    k-means) and compare only within buckets — near-dup pairs at high
+    thresholds land in the same bucket with high probability (recall
+    measured in tests). ``exact=True`` skips bucketing (one all-pairs
+    matmul; only for oracle-sized inputs).
+    """
+    if exact:
+        tall = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        out = _BucketPairs(threshold, vec_col, id_col)(tall)
+    else:
+        rows = ds.limit(sample_rows).take_all()
+        cents = train_centroids(
+            np.array([r[vec_col] for r in rows], np.float64), n_centroids
+        )
+        cref = ray.put(cents)
+        assigned = ds.map_batches(
+            AssignCentroid,
+            fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+        pairs = assigned.groupby("centroid").map_groups(
+            _BucketPairs(threshold, vec_col, id_col), batch_format="pyarrow"
+        )
+        out = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    df = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -411,6 +411,15 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, q, ids, k=10, n_centroids=16, nprobe=4)
 
 
+def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (exact mode at oracle scale so
+    the DuckDB all-pairs oracle matches bit-for-set)."""
+    from fdblucene_ray.ops.similarity import embedding_near_dups
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.4, exact=True)
+
+
 def q_multimodal_meta(sf_dir: str) -> pa.Table:
     """Binary-payload decode plumbing (stubbed decoder, real actor pool)."""
     import pyarrow.compute as pc
@@ -457,6 +466,7 @@ def queries() -> dict:
         "ann_cosine": q_ann_cosine,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
+        "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -600,6 +610,14 @@ r AS (SELECT query_id, vec_id, sim_raw,
 SELECT query_id::BIGINT AS query_id, vec_id,
        CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM r WHERE rn <= 3
+""",
+        "dedup_embedding": """
+WITH s AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim_raw
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT a, b, CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM s WHERE sim_raw >= 0.4 ORDER BY a, b
 """,
         "multimodal_meta": "SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",
     }

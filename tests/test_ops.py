@@ -196,3 +196,31 @@ class TestTextStats:
         f1 = set(out.loc[1, "fingerprints"])
         # winnowing guarantees high overlap for a shared long substring
         assert len(f0 & f1) / len(f0) > 0.8
+
+
+class TestEmbeddingNearDup:
+    def test_planted_near_dup_vectors(self, ray_session):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(50, 16)).astype(np.float32)
+        vecs = list(base)
+        vecs.append(base[7] + 0.01 * rng.normal(size=16).astype(np.float32))  # ~dup of 7 -> 50
+        vecs.append(base[12] * 2.0)  # scaled copy of 12 (cos=1) -> 51
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+        from fdblucene_ray.ops.similarity import embedding_near_dups
+
+        ds = ray.data.from_arrow(t)
+        exact = embedding_near_dups(ds, threshold=0.98, exact=True).to_pandas()
+        got = set(zip(exact["a"], exact["b"]))
+        assert (7, 50) in got and (12, 51) in got
+        # bucketed scale path finds the same planted pairs
+        bucketed = embedding_near_dups(
+            ds, threshold=0.98, n_centroids=4, sample_rows=52
+        ).to_pandas()
+        gb = set(zip(bucketed["a"], bucketed["b"]))
+        assert (7, 50) in gb and (12, 51) in gb
+        assert gb <= got  # bucketing never invents pairs
