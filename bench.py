@@ -52,7 +52,7 @@ def _fresh_dir(tag: str) -> str:
 
 
 BENCH_CORPUS_DIR = "/tmp/fdbl_bench_corpus"
-BENCH_ROWS = 150_000
+BENCH_ROWS = 600_000
 
 
 def _ensure_bench_corpus(rows: int) -> list[str]:

@@ -14,7 +14,6 @@ floating-point accumulation order (clauses in query order).
 
 from __future__ import annotations
 
-import math
 from collections import Counter
 
 import pyarrow as pa

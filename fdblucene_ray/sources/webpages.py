@@ -13,7 +13,6 @@ at small scale.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 
