@@ -60,6 +60,28 @@ class Analyzer:
             toks = [stem(t) for t in toks]
         return toks
 
+    def tokens_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        """(terms, positions) with Lucene StopFilter position-increment
+        semantics: a removed stopword leaves a position gap (position =
+        index in the PRE-stopword token stream), so phrase matching
+        across removed stopwords behaves like Lucene's
+        PhraseQuery/StopFilter (the reference's ('pp', ...) positions
+        preserve increments)."""
+        if text is None:
+            return [], []
+        if self.lowercase:
+            text = text.lower()
+        raw = _TOKEN_RE.findall(text)
+        toks: list[str] = []
+        pos: list[int] = []
+        stem = self.stem
+        for p, t in enumerate(raw):
+            if self.stopwords and t in self.stopwords:
+                continue
+            toks.append(stem(t) if stem is not None else t)
+            pos.append(p)
+        return toks, pos
+
 
 ANALYZERS: dict[str, Analyzer] = {
     # Lucene-StandardAnalyzer-equivalent chain per BASELINE.json north_star
@@ -89,8 +111,12 @@ class BatchTokenizer:
             pa.array(sorted(self.analyzer.stopwords)) if self.analyzer.stopwords else None
         )
 
-    def encoded_tokens(self, text_col):
-        """Tokenize a string column -> (row_idx, codes, vocab).
+    def encoded_tokens(self, text_col, with_positions: bool = False):
+        """Tokenize a string column -> (row_idx, codes, vocab)
+        (plus, when ``with_positions``, a per-token int64 position array
+        with Lucene position-increment semantics: the position is the
+        token's index in the PRE-stopword stream of its row, so removed
+        stopwords leave gaps).
 
         The per-TOKEN work is a handful of Arrow/numpy kernels; stopword
         filtering and stemming run per *unique surface form* only:
@@ -120,11 +146,26 @@ class BatchTokenizer:
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
         # per-unique keep decision (empty-string + stopword)
-        keep_u = pc.not_equal(surface, "").to_numpy(zero_copy_only=False)
+        nonempty_u = pc.not_equal(surface, "").to_numpy(zero_copy_only=False)
+        keep_u = nonempty_u.copy()
         if self._stop_arr is not None:
             keep_u &= pc.invert(
                 pc.is_in(surface, value_set=self._stop_arr)
             ).to_numpy(zero_copy_only=False)
+
+        positions = None
+        if with_positions:
+            # position = rank among the row's NON-EMPTY tokens (empties
+            # are split artifacts, not tokens; stopwords ARE tokens and
+            # consume a position even though they are dropped below)
+            nonempty = nonempty_u[codes]
+            if len(nonempty):
+                cnz = np.cumsum(nonempty)
+                row_first = np.concatenate(([0], np.cumsum(counts[:-1])))
+                base_before = cnz[row_first] - nonempty[row_first]
+                positions = (cnz - 1) - base_before[row_idx]
+            else:
+                positions = np.empty(0, np.int64)
 
         # per-unique stem + dedupe into the final vocabulary
         surf_list = surface.to_pylist()
@@ -150,6 +191,13 @@ class BatchTokenizer:
                 vocab.append(t)
             remap[i] = j
         keep_mask = keep_u[codes]
+        if with_positions:
+            return (
+                row_idx[keep_mask],
+                remap[codes[keep_mask]],
+                vocab,
+                positions[keep_mask],
+            )
         return row_idx[keep_mask], remap[codes[keep_mask]], vocab
 
     def flat_tokens(self, text_col, as_dictionary: bool = False):
@@ -166,11 +214,11 @@ class BatchTokenizer:
         """-> (post_rows, post_codes, vocab, post_tfs, doc_lens[, positions])
         — the zero-string-materialization variant the build uses."""
         n = len(text_col)
-        row_idx, codes, vocab = self.encoded_tokens(text_col)
-        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
-        n_vocab = max(1, len(vocab))
-        key = row_idx * n_vocab + codes
         if not with_positions:
+            row_idx, codes, vocab = self.encoded_tokens(text_col)
+            doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
+            n_vocab = max(1, len(vocab))
+            key = row_idx * n_vocab + codes
             uniq, tfs = np.unique(key, return_counts=True)
             return (
                 uniq // n_vocab,
@@ -179,13 +227,16 @@ class BatchTokenizer:
                 tfs.astype(np.int32),
                 doc_lens,
             )
-        # stable sort keeps occurrence order within each (row, term) group
-        starts_of_row = np.concatenate(([0], np.cumsum(doc_lens[:-1])))
-        tok_pos = (
-            np.arange(len(row_idx), dtype=np.int64) - starts_of_row[row_idx]
-            if len(row_idx)
-            else np.empty(0, np.int64)
+        # positions carry Lucene increment semantics (gaps at removed
+        # stopwords) straight from encoded_tokens; doc_lens stay the
+        # POST-filter token counts (Lucene norms count emitted tokens)
+        row_idx, codes, vocab, tok_pos = self.encoded_tokens(
+            text_col, with_positions=True
         )
+        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
+        n_vocab = max(1, len(vocab))
+        key = row_idx * n_vocab + codes
+        # stable sort keeps occurrence order within each (row, term) group
         order = np.argsort(key, kind="stable")
         k = key[order]
         positions = tok_pos[order].astype(np.int32)

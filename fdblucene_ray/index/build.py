@@ -152,6 +152,17 @@ class TokenizeToPostings:
                 col = col.combine_chunks()
             denc = col.cast(pa.string()).dictionary_encode()
             vocab = denc.dictionary.to_pylist()
+            # enforce the documented reserved-byte rejection (segment.py
+            # DOC_SENTINEL/FIELD_SEP): a keyword value carrying \x00 or
+            # \x1f could masquerade as a sentinel or desync the
+            # field\x1fterm key split — refuse loudly at build time
+            for v in vocab:
+                if "\x00" in v or "\x1f" in v:
+                    raise ValueError(
+                        f"keyword field {field!r}: value {v!r} contains a "
+                        "reserved byte (\\x00 or \\x1f); keyword values "
+                        "must not contain NUL or unit-separator bytes"
+                    )
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             n = len(codes)
             post_rows = np.arange(n, dtype=np.int64)
@@ -434,8 +445,19 @@ def build_index(
     row) a pure function — the zero-copy choice at 100 TB).
     """
     fields = fields or default_fields()
-    for cfg in fields.values():
+    for fname, cfg in fields.items():
         get_analyzer(cfg["analyzer"]) if cfg["analyzer"] != "keyword" else None
+        if "\x00" in fname or "\x1f" in fname:
+            raise ValueError(f"field name {fname!r} contains a reserved byte")
+
+    # resolve every cluster-derived plan parameter BEFORE computing the
+    # resume signature: lineage records are namespaced by the signature,
+    # and a signature embedding `null` while the actual partition count
+    # varies with cluster size would let a resumed build mix segments
+    # encoded under different hash%P layouts (silent term loss/dup)
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, 2 * cpus)
 
     if isinstance(source, (str, list, tuple)):
         cols = sorted({cfg["column"] for cfg in fields.values()})
@@ -452,10 +474,6 @@ def build_index(
         ds = source
         sig = signature or f"ds{int(time.time())}"
         store_ds = source.select_columns([id_col] + docstore_cols) if docstore_cols else None
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(4, 2 * cpus)
 
     # whole-job checkpoint: same signature already committed -> no-op
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
@@ -538,6 +556,13 @@ def build_sharded(
     from fdblucene_ray.sources.corpus import plan_fragments
 
     fields = fields or default_fields()
+    # resolve the cluster-derived partition count up front so it can be
+    # baked into each shard signature (same lineage-mixing hazard as
+    # build_index: a resume on a different-size cluster must not reuse
+    # lineage written under a different hash%P layout)
+    if num_partitions_per_shard is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions_per_shard = max(4, 2 * cpus)
     # global doc-id bases per shard from footer metadata only
     bases = []
     base = 0
@@ -550,7 +575,11 @@ def build_sharded(
     sig_parts = []
     for i, (shard, sbase) in enumerate(zip(shards, bases)):
         ssig = corpus_signature(
-            shard, json.dumps([sorted(fields.items()), sbase], default=str)
+            shard,
+            json.dumps(
+                [sorted(fields.items()), sbase, num_partitions_per_shard],
+                default=str,
+            ),
         ) + f"-s{i:04d}"
         sig_parts.append(ssig)
         done_path = os.path.join(index_dir, "lineage", ssig, "_shard_done.json")

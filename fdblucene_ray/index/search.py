@@ -324,8 +324,7 @@ class Searcher:
         BM25 with tf = phrase frequency and idf = sum of the clause
         idfs (Lucene's PhraseQuery/Similarity treatment).
         """
-        az_name = self.manifest.analyzers.get(field, "lucene")
-        terms = get_analyzer(az_name).tokens(phrase) if az_name != "keyword" else [phrase]
+        terms, offs = self._phrase_terms(phrase, field)
         if not terms:
             return []
         if len(terms) == 1:
@@ -340,7 +339,7 @@ class Searcher:
             if df == 0:
                 return []
             idf_sum += bm25_idf(dc, df)
-        matches = self._phrase_matches(terms, field)
+        matches = self._phrase_matches(terms, field, offs)
         hits = [
             (doc, idf_sum * pf / (pf + float(ncache[norm])))
             for doc, pf, norm in matches
@@ -348,8 +347,27 @@ class Searcher:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
-    def _phrase_matches(self, terms: list[str], field: str) -> list[tuple[int, int, int]]:
-        """All (doc_id, phrase_freq, norm_byte) with phrase_freq > 0."""
+    def _phrase_terms(self, phrase: str, field: str) -> tuple[list[str], list[int]]:
+        """Analyze a phrase -> (terms, relative position offsets).
+        Offsets carry Lucene position-increment semantics: a stopword
+        removed from the middle of the phrase leaves a gap that any
+        single indexed token can fill (StopFilter/PhraseQuery)."""
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        if az_name == "keyword":
+            return [phrase], [0]
+        terms, qpos = get_analyzer(az_name).tokens_with_positions(phrase)
+        if not terms:
+            return [], []
+        return terms, [p - qpos[0] for p in qpos]
+
+    def _phrase_matches(
+        self, terms: list[str], field: str, offs: list[int] | None = None
+    ) -> list[tuple[int, int, int]]:
+        """All (doc_id, phrase_freq, norm_byte) with phrase_freq > 0.
+        ``offs[qi]`` is clause qi's relative position offset (default:
+        consecutive)."""
+        if offs is None:
+            offs = list(range(len(terms)))
         per_term = []  # (docs, norms, flat_positions, pos_offsets)
         for t in terms:
             parts_d, parts_n, parts_p, parts_c = [], [], [], []
@@ -388,7 +406,7 @@ class Searcher:
             base = None
             for qi, (docs, norms, flat_p, poff) in enumerate(per_term):
                 i = int(np.searchsorted(docs, doc))
-                p = flat_p[poff[i] : poff[i + 1]] - qi
+                p = flat_p[poff[i] : poff[i + 1]] - offs[qi]
                 base = p if base is None else np.intersect1d(base, p, assume_unique=True)
                 if not len(base):
                     break
@@ -400,8 +418,7 @@ class Searcher:
 
     def phrase_freqs(self, phrase: str, *, field: str = "text") -> list[tuple[int, int]]:
         """(doc_id, phrase_freq) for every matching doc, doc_id asc."""
-        az_name = self.manifest.analyzers.get(field, "lucene")
-        terms = get_analyzer(az_name).tokens(phrase) if az_name != "keyword" else [phrase]
+        terms, offs = self._phrase_terms(phrase, field)
         if not terms:
             return []
         if len(terms) == 1:
@@ -411,7 +428,7 @@ class Searcher:
                 out.extend(zip(d.tolist(), tf.tolist()))
             out.sort()
             return out
-        return sorted((d, pf) for d, pf, _ in self._phrase_matches(terms, field))
+        return sorted((d, pf) for d, pf, _ in self._phrase_matches(terms, field, offs))
 
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""

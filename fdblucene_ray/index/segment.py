@@ -44,15 +44,25 @@ from fdblucene_ray.codec.postings import (
 from fdblucene_ray.index.manifest import SegmentMeta
 
 # reserved term for per-doc stat rows; real tokens match [0-9a-z_]+ and
-# keyword terms are raw field values, so '\x00' cannot collide with an
-# analyzed term (keyword fields with NUL bytes are rejected at build).
+# keyword values containing '\x00'/'\x1f' are rejected at build
+# (TokenizeToPostings raises), so no indexed term can collide with the
+# sentinel or contain the field separator.
 DOC_SENTINEL = "\x00doc"
 FIELD_SEP = "\x1f"
 
 TERMS_FILE = "terms.parquet"
+TERMS_INDEX_FILE = "terms_index.json"
 POSTINGS_FILE = "postings.bin"
 SKIPS_FILE = "skips.bin"
 META_FILE = "meta.json"
+
+# terms.parquet row-group size: the unit of lazy term-dictionary I/O.
+# A lookup decodes exactly one row group (LRU-cached); the sidecar
+# terms_index.json stores each row group's first key — the analog of
+# Lucene's sampled term index (and of the reference's page-buffered
+# FDBIndexInput reads + JCS block cache, FDBIndexInput.java:113-124,
+# README.md:96-102).
+TERMS_ROW_GROUP = 4096
 
 POSTING_SCHEMA = pa.schema(
     [
@@ -86,9 +96,13 @@ def write_segment(
     of an idempotent task — doc ids are deterministic so a re-run is
     byte-identical) the existing one wins.
     """
-    # fold out sentinel rows -> per-field (dc, sum_dl)
+    # fold out sentinel rows -> per-field (dc, sum_dl). Exact suffix
+    # match (not substring): terms cannot contain \x1f or \x00 — the
+    # analyzer's token charset is [0-9a-z_] and keyword values with
+    # reserved bytes are rejected in TokenizeToPostings — so a key is a
+    # sentinel iff it ends with FIELD_SEP + DOC_SENTINEL.
     keys = table["key"]
-    is_sent = pc.match_substring(keys, FIELD_SEP + DOC_SENTINEL)
+    is_sent = pc.ends_with(keys, FIELD_SEP + DOC_SENTINEL)
     sent = table.filter(is_sent)
     posts = table.filter(pc.invert(is_sent))
 
@@ -176,7 +190,8 @@ def write_segment_runs(
     rare interleaved case and falls back to a per-partition lexsort.
     """
     keys = runs["key"]
-    is_sent = pc.match_substring(keys, FIELD_SEP + DOC_SENTINEL)
+    # exact suffix match — see write_segment for why this is exact
+    is_sent = pc.ends_with(keys, FIELD_SEP + DOC_SENTINEL)
     sent = runs.filter(is_sent)
     posts = runs.filter(pc.invert(is_sent))
 
@@ -329,7 +344,18 @@ def _finalize_segment(
         return meta  # idempotent retry — deterministic content already there
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
+    pq.write_table(
+        terms_table, os.path.join(tmp, TERMS_FILE), row_group_size=TERMS_ROW_GROUP
+    )
+    # sampled term index: first (field \x1f term) key of every row group
+    first_keys = [
+        t_field[i] + FIELD_SEP + t_term[i]
+        for i in range(0, n_terms, TERMS_ROW_GROUP)
+    ]
+    with open(os.path.join(tmp, TERMS_INDEX_FILE), "w") as fh:
+        json.dump(
+            {"row_group_size": TERMS_ROW_GROUP, "first_keys": first_keys}, fh
+        )
     with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
         fh.write(post_bytes)
     with open(os.path.join(tmp, SKIPS_FILE), "wb") as fh:
@@ -353,6 +379,11 @@ class SegmentReader:
     FDBIndexInput.java:113-124, minus the coordination — segments are
     immutable so no read-version logic is needed, cf ReadVersionCache)."""
 
+    # decoded terms row groups kept per reader (Lucene term-index +
+    # block-cache analog); small because each entry is <= TERMS_ROW_GROUP
+    # dictionary rows
+    RG_CACHE_MAX = 32
+
     def __init__(self, index_dir: str, meta: SegmentMeta):
         self.meta = meta
         self.path = segment_path(index_dir, meta.name)
@@ -360,6 +391,10 @@ class SegmentReader:
         self._postings = None
         self._skips = None
         self._lookup: dict[tuple[str, str], int] | None = None
+        self._tindex = None  # (rg_size, first_keys) | False when sidecar absent
+        self._pf = None  # open pq.ParquetFile handle for row-group reads
+        self._rg_cache: dict[int, tuple[list[str], dict]] = {}
+        self.rg_loads = 0  # row groups decoded (bounded-I/O tests/metrics)
 
     @property
     def terms(self) -> pa.Table:
@@ -394,7 +429,9 @@ class SegmentReader:
                 raise ValueError(f"skips CRC mismatch in {self.meta.name}")
 
     def term_index(self, field: str, term: str) -> int | None:
-        """Row index of (field, term) in the terms table, or None."""
+        """Row index of (field, term) in the FULL terms table, or None.
+        Materializes the whole dictionary — legacy/debug path only; the
+        query path uses the lazy ``_term_row`` instead."""
         if self._lookup is None:
             t = self.terms
             self._lookup = {
@@ -405,25 +442,89 @@ class SegmentReader:
             }
         return self._lookup.get((field, term))
 
+    # ---- lazy term dictionary (ST3 page-cache analog) ----
+
+    def _load_tindex(self):
+        if self._tindex is None:
+            p = os.path.join(self.path, TERMS_INDEX_FILE)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    d = json.load(fh)
+                self._tindex = (int(d["row_group_size"]), d["first_keys"])
+            else:
+                self._tindex = False  # pre-sidecar segment: full-dict path
+        return self._tindex
+
+    def _load_rg(self, rg: int) -> tuple[list[str], dict]:
+        """Decode one terms row group -> (sorted keys, column arrays).
+        LRU-cached; a term lookup therefore reads a bounded slice of
+        terms.parquet no matter how large the dictionary is."""
+        hit = self._rg_cache.get(rg)
+        if hit is not None:
+            return hit
+        if self._pf is None:
+            self._pf = pq.ParquetFile(os.path.join(self.path, TERMS_FILE))
+        t = self._pf.read_row_group(rg)
+        self.rg_loads += 1
+        fields = t["field"].to_pylist()
+        tnames = t["term"].to_pylist()
+        keys = [f + FIELD_SEP + tm for f, tm in zip(fields, tnames)]
+        cols = {
+            c: t[c].to_numpy(zero_copy_only=False)
+            for c in ("df", "ttf", "post_offset", "post_len", "skip_offset", "n_blocks")
+        }
+        if len(self._rg_cache) >= self.RG_CACHE_MAX:
+            self._rg_cache.pop(next(iter(self._rg_cache)))
+        self._rg_cache[rg] = (keys, cols)
+        return keys, cols
+
+    def _term_row(self, field: str, term: str):
+        """Lazy dictionary lookup -> column dict row or None. Binary
+        search over the sampled first-keys sidecar, then within the one
+        decoded row group."""
+        import bisect
+
+        idx = self._load_tindex()
+        if idx is False:
+            i = self.term_index(field, term)
+            if i is None:
+                return None
+            t = self.terms
+            return {
+                c: t[c][i].as_py()
+                for c in ("df", "ttf", "post_offset", "post_len",
+                          "skip_offset", "n_blocks")
+            }
+        rg_size, first_keys = idx
+        if not first_keys:
+            return None
+        key = field + FIELD_SEP + term
+        rg = bisect.bisect_right(first_keys, key) - 1
+        if rg < 0:
+            return None
+        keys, cols = self._load_rg(rg)
+        j = bisect.bisect_left(keys, key)
+        if j >= len(keys) or keys[j] != key:
+            return None
+        return {c: int(a[j]) for c, a in cols.items()}
+
     def term_stats(self, field: str, term: str) -> tuple[int, int]:
         """(df, ttf) of the term in this segment (0, 0) if absent."""
-        i = self.term_index(field, term)
-        if i is None:
+        r = self._term_row(field, term)
+        if r is None:
             return 0, 0
-        t = self.terms
-        return int(t["df"][i].as_py()), int(t["ttf"][i].as_py())
+        return int(r["df"]), int(r["ttf"])
 
     def postings_handle(self, field: str, term: str):
         """-> (blob_view, skips_array, n_docs) or None."""
-        i = self.term_index(field, term)
-        if i is None:
+        r = self._term_row(field, term)
+        if r is None:
             return None
-        t = self.terms
-        off = int(t["post_offset"][i].as_py())
-        plen = int(t["post_len"][i].as_py())
-        soff = int(t["skip_offset"][i].as_py())
-        nb = int(t["n_blocks"][i].as_py())
-        df = int(t["df"][i].as_py())
+        off = int(r["post_offset"])
+        plen = int(r["post_len"])
+        soff = int(r["skip_offset"])
+        nb = int(r["n_blocks"])
+        df = int(r["df"])
         blob, skips = self._blob()
         sk = read_skips(memoryview(skips)[soff : soff + nb * SKIP_DTYPE.itemsize])
         return memoryview(blob)[off : off + plen], sk, df

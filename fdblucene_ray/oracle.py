@@ -36,9 +36,11 @@ class OracleIndex:
 
     def add(self, doc_id: int, text: str):
         if self.analyzer == "keyword":
-            toks = [text]
+            toks, tpos = [text], [0]
         else:
-            toks = self.analyzer.tokens(text)
+            # Lucene position-increment semantics: removed stopwords
+            # leave gaps in the recorded positions
+            toks, tpos = self.analyzer.tokens_with_positions(text)
         if not toks:
             return
         self.dc += 1
@@ -46,7 +48,7 @@ class OracleIndex:
         self.norm_byte[doc_id] = int_to_byte4(len(toks))
         for term, tf in Counter(toks).items():
             self.postings.setdefault(term, []).append((doc_id, tf))
-        for p, term in enumerate(toks):
+        for p, term in zip(tpos, toks):
             self.positions.setdefault(term, {}).setdefault(doc_id, []).append(p)
 
     @classmethod
@@ -111,21 +113,25 @@ class OracleIndex:
         return len(out)
 
     def phrase_matches(self, phrase: str) -> list[tuple[int, int]]:
-        """(doc_id, phrase_freq) for docs containing the exact phrase."""
-        terms = (
-            [phrase] if self.analyzer == "keyword" else self.analyzer.tokens(phrase)
-        )
+        """(doc_id, phrase_freq) for docs containing the exact phrase.
+        Query offsets use the analyzed positions (gaps at removed
+        stopwords), matching Lucene's QueryParser/PhraseQuery."""
+        if self.analyzer == "keyword":
+            terms, qpos = [phrase], [0]
+        else:
+            terms, qpos = self.analyzer.tokens_with_positions(phrase)
         if not terms:
             return []
         if len(terms) == 1:
             return sorted(self.postings.get(terms[0], []))
+        offs = [p - qpos[0] for p in qpos]
         docsets = [set(self.positions.get(t, {})) for t in terms]
         cand = set.intersection(*docsets) if docsets else set()
         out = []
         for doc in sorted(cand):
             base = set(self.positions[terms[0]][doc])
-            for qi, t in enumerate(terms[1:], 1):
-                base &= {p - qi for p in self.positions[t][doc]}
+            for qi in range(1, len(terms)):
+                base &= {p - offs[qi] for p in self.positions[terms[qi]][doc]}
                 if not base:
                     break
             if base:

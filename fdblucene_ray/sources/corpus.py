@@ -125,12 +125,16 @@ def read_corpus_with_doc_ids(
 
 
 def corpus_signature(paths, extra: str = "") -> str:
-    """Stable signature of an input (paths + sizes + mtimes + config)."""
+    """Stable signature of an input: paths + sizes + mtimes + config.
+
+    mtime_ns is included so an input file edited in place WITHOUT
+    changing its byte size still invalidates the whole-job checkpoint
+    and every per-partition lineage record derived from it."""
     import hashlib
 
     h = hashlib.sha1()
     for p in _expand_paths(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     h.update(extra.encode())
     return h.hexdigest()[:16]

@@ -189,3 +189,25 @@ def test_auto_salting_spreads_head_terms(tmp_path, ray_session):
     got = s.search("common data", 10, mode="wand")
     exp = oracle.search("common data", 10)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_keyword_reserved_bytes_rejected(tmp_path, ray_session):
+    """Keyword values containing \\x00 or \\x1f are rejected at build
+    (they could masquerade as doc-stat sentinels or desync the
+    field\\x1fterm key split)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "tag": pa.array(["ok", "\x00doc"], pa.string()),
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    with pytest.raises(Exception, match="reserved byte"):
+        build_index(
+            src, str(tmp_path / "ix"),
+            fields={"tag": {"column": "tag", "analyzer": "keyword"}},
+            num_partitions=2,
+        )

@@ -96,6 +96,43 @@ class TestPhrase:
         exp = oracle.search("quick", 10)
         assert [d for d, _ in got] == [d for d, _ in exp]
 
+    def test_stopword_position_gaps(self, tmp_path, ray_session):
+        """Lucene StopFilter/PhraseQuery semantics: a removed stopword
+        leaves a position GAP — "quick fox" must NOT match "quick the
+        fox", while the phrase "quick the fox" (hole in the query)
+        matches any single token in the gap."""
+        texts = [
+            "quick the fox",      # 0: quick@0, fox@2
+            "quick brown fox",    # 1: quick@0, brown@1, fox@2
+            "quick fox runs",     # 2: quick@0, fox@1
+            "the quick fox",      # 3: quick@1, fox@2
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix,
+            fields={"text": {"column": "text", "analyzer": "simple_stop",
+                             "positions": True}},
+            num_partitions=3, batch_size=2,
+        )
+        s = Searcher(ix)
+        oracle = OracleIndex("simple_stop")
+        for i, txt in enumerate(texts):
+            oracle.add(i, txt)
+        # adjacent-phrase query: only docs where quick,fox are CONSECUTIVE
+        assert dict(s.phrase_freqs("quick fox")) == {2: 1, 3: 1}
+        # query with a mid-phrase stopword: the gap matches any token
+        assert dict(s.phrase_freqs("quick the fox")) == {0: 1, 1: 1}
+        for phrase in ["quick fox", "quick the fox", "the quick fox"]:
+            assert s.phrase_freqs(phrase) == oracle.phrase_matches(phrase), phrase
+
     def test_mixed_fields_positions_subset(self, tmp_path, ray_session):
         """Positional text field + non-positional keyword field share
         partitions without corrupting either."""
