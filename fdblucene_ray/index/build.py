@@ -254,8 +254,12 @@ class TokenizeToPostings:
             )
         )
 
-        # one doc-stat sentinel run per batch per field (dc / sum_dl
-        # partials), salted across partitions by doc chunk
+        # one doc-stat sentinel run per batch per field, salted across
+        # partitions by doc chunk. The run's docs/tfs cells pack the
+        # batch's (doc_id, exact dl) pairs — the per-doc norms-file
+        # analog (Lucene .nvd) — so segments can persist exact doc
+        # lengths (doclens.parquet) and merges can purge tombstoned
+        # docs' stats exactly; n/sum_tf stay the (dc, sum_dl) partials.
         has = doc_lens > 0
         n_docs = int(has.sum())
         if n_docs:
@@ -265,16 +269,18 @@ class TokenizeToPostings:
             with np.errstate(over="ignore"):  # modular mixing, wrap intended
                 spart = int((h + np.uint64(chunk) * _GOLDEN) % np.uint64(self.P))
             empty = pa.array([b""], pa.binary())
+            sd = np.ascontiguousarray(doc_ids[has], "<i8")
+            sl = np.ascontiguousarray(doc_lens[has], "<i4")
             out.append(
                 pa.table(
                     {
                         "part": pa.array([spart], pa.int32()),
                         "key": pa.array([skey], pa.string()),
-                        "min_doc": pa.array([int(doc_ids[has].min())], pa.int64()),
+                        "min_doc": pa.array([int(sd.min())], pa.int64()),
                         "n": pa.array([n_docs], pa.int64()),
                         "sum_tf": pa.array([int(doc_lens.sum())], pa.int64()),
-                        "docs": empty,
-                        "tfs": empty,
+                        "docs": pa.array([sd.tobytes()], pa.binary()),
+                        "tfs": pa.array([sl.tobytes()], pa.binary()),
                         "norms": empty,
                         "pos": empty,
                     }

@@ -1,0 +1,115 @@
+"""Doc-level delete: tombstones filtered at search, purged at merge.
+
+The reference's Writer approach supports concurrent add/update/delete
+(/root/reference/README.md:34-38; sparse-id insert-if-absent,
+DATA.md:14-17). The Ray engine's analog is a tombstone sidecar:
+
+- ``delete_docs`` publishes a new manifest version whose
+  ``extra["tombstone_file"]`` names a sorted doc_id parquet under
+  ``{index_dir}/tombstones/`` (atomic: write + publish, old file kept
+  for pinned readers and swept by ``gc_index``);
+- ``Searcher`` filters tombstoned docs out of every match stream
+  (liveDocs semantics: collection/term statistics still include
+  deleted docs until a purge — exactly Lucene's behavior);
+- a FULL rewrite (``compact_index`` / ``merge_indexes``) drops the
+  tombstoned postings and, via the per-doc ``doclens.parquet`` sidecar,
+  subtracts their stats exactly; the merged index starts tombstone-free.
+
+Partial (tiered) merges deliberately do NOT purge: segments are
+term-sharded, so one doc's postings span many segments — purging some
+would leave half-removed stats. Either a doc is fully present
+(tombstone-filtered) or fully gone (full rewrite).
+
+An update is delete(old ids) + append (``build_sharded`` with new
+files) — the dense deterministic id scheme replaces the reference's
+sparse insert-if-absent ids (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fdblucene_ray.index.manifest import (
+    Manifest,
+    load_manifest,
+    publish_manifest,
+)
+
+TOMBSTONES_DIR = "tombstones"
+
+
+def load_tombstones(index_dir: str, manifest: Manifest | None = None) -> np.ndarray:
+    """Sorted int64 doc_id array of the live manifest's tombstone set."""
+    m = manifest or load_manifest(index_dir)
+    fname = m.extra.get("tombstone_file")
+    if not fname:
+        return np.empty(0, np.int64)
+    t = pq.read_table(os.path.join(index_dir, TOMBSTONES_DIR, fname))
+    return t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids) -> Manifest:
+    """Tombstone ``doc_ids`` (idempotent union with the existing set)
+    and publish a new manifest version. Matches become invisible to
+    every Searcher opened on the new manifest; stats stay untouched
+    until a full rewrite purges (Lucene liveDocs semantics)."""
+    m = load_manifest(index_dir)
+    prev = load_tombstones(index_dir, m)
+    add = np.unique(np.asarray(list(doc_ids), np.int64))
+    merged = np.union1d(prev, add)
+    fname = f"tomb-v{m.version + 1:06d}.parquet"
+    d = os.path.join(index_dir, TOMBSTONES_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, fname + ".tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(d, fname))
+    m2 = Manifest(
+        analyzers=m.analyzers,
+        block_size=m.block_size,
+        segments=m.segments,
+        version=m.version + 1,
+        extra={**m.extra, "tombstone_file": fname},
+    )
+    publish_manifest(index_dir, m2)
+    return m2
+
+
+def delete_by_term(index_dir: str, field: str, term: str) -> Manifest:
+    """``IndexWriter.deleteDocuments(Term)`` analog: tombstone every doc
+    whose ``field`` contains ``term`` (exact keyword / analyzed term)."""
+    from fdblucene_ray.codec.postings import decode_all
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(index_dir)
+    docs: list[int] = []
+    for r in s.readers:
+        h = r.postings_handle(field, term)
+        if h is not None:
+            blob, skips, n = h
+            dd, _, _ = decode_all(blob, skips, n, s.manifest.block_size)
+            docs.extend(dd.tolist())
+    if not docs:
+        return s.manifest
+    return delete_docs(index_dir, docs)
+
+
+def gc_tombstones(index_dir: str, *, dry_run: bool = False) -> list[str]:
+    """Sweep tombstone files not referenced by the live manifest."""
+    m = load_manifest(index_dir)
+    live = m.extra.get("tombstone_file")
+    d = os.path.join(index_dir, TOMBSTONES_DIR)
+    removed = []
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f != live:
+                removed.append(f)
+                if not dry_run:
+                    try:
+                        os.remove(os.path.join(d, f))
+                    except OSError:  # pragma: no cover
+                        pass
+    return removed

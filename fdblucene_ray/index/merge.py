@@ -6,17 +6,25 @@ with doc ids remapped by a base offset and committing via rename
 
     for each source segment: stream-decode its posting lists
       -> packed RUN rows {part, key, min_doc, n, docs, tfs, norms, pos}
-         (the same shape the tokenizer emits; positions carried through)
+         (the same shape the tokenizer emits; positions carried through;
+         built in SLABS of ~1k terms per Arrow table, never one table
+         per term)
       -> the same groupby(part) -> EncodeGroup path as a fresh build
       -> new immutable segments + atomically-published manifest.
 
-Per-field collection stats (dc, sum_dl) flow through re-emitted
-sentinel runs (no re-tokenize needed — the build stored them exactly);
-sdf/df/ttf are recomputed from the merged postings.
+Per-field collection stats flow through re-emitted sentinel runs whose
+cells carry the segment's per-doc exact lengths (doclens.parquet, the
+.nvd analog) — so a FULL rewrite purges tombstoned docs' postings AND
+their dc/sum_dl contributions exactly, with no re-tokenize.
 
-``compact_index`` is the log-structured maintenance path: re-shard an
-index's own segments into fewer/larger partitions; ``plan_tiered``
-picks same-size-tier merge candidates the way LSM engines do.
+Maintenance (the merge-policy analog behind the reference's
+``IndexWriter.addIndexes``, SimpleFDBDirectoryTest.java:162-187):
+``merge_segments_inplace`` rewrites a subset of one index's segments
+in place; ``plan_tiered`` picks same-size-tier candidates LSM-style;
+``maintain_index`` drives plan -> merge -> publish -> gc to a bounded
+segment count. Partial merges keep tombstones (term-sharded segments
+mean one doc's postings span many segments — a partial purge would
+half-remove stats); only a full rewrite purges.
 """
 
 from __future__ import annotations
@@ -31,108 +39,292 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from fdblucene_ray.codec.postings import decode_all
-from fdblucene_ray.index.build import EncodeGroup, _GOLDEN, _key_hash
+from fdblucene_ray.codec.postings import (
+    SKIP_DTYPE,
+    decode_all,
+    decode_all_positions,
+    read_skips,
+)
+from fdblucene_ray.index.build import (
+    EncodeGroup,
+    _GOLDEN,
+    _key_hash,
+    _packed_binary,
+    _run_with_push_shuffle,
+)
+from fdblucene_ray.index.delete import gc_tombstones, load_tombstones
 from fdblucene_ray.index.manifest import (
     Manifest,
     SegmentMeta,
+    gc_index,
     load_manifest,
     publish_manifest,
 )
 from fdblucene_ray.index.segment import DOC_SENTINEL, FIELD_SEP, SegmentReader
 
 _ROWS_PER_YIELD = 200_000
+_SLAB_TERMS = 1024
+_EMPTY_TOMB = np.empty(0, np.int64)
+
+
+def _alive(docs: np.ndarray, tomb: np.ndarray) -> np.ndarray | None:
+    if len(tomb) == 0 or len(docs) == 0:
+        return None
+    idx = np.searchsorted(tomb, docs)
+    inb = idx < len(tomb)
+    dead = np.zeros(len(docs), bool)
+    dead[inb] = tomb[idx[inb]] == docs[inb]
+    return None if not dead.any() else ~dead
 
 
 class DecodeSegmentPostings:
     """map_batches stage: (index_dir, segment, base) descriptor rows ->
-    packed RUN rows (one per term, same shape the tokenizer emits, incl.
-    positions when indexed), yielded in bounded chunks so huge segments
-    stream instead of materializing."""
+    packed RUN-row SLABS (one Arrow table per ~1k terms / 200k postings,
+    same shape the tokenizer emits, positions included when indexed).
+    Bulk construction mirrors TokenizeToPostings' packed-buffer style —
+    no per-term Arrow objects (round-1 VERDICT "what's wrong" #2).
 
-    def __init__(self, num_partitions: int, block_size: int):
+    ``tombstones``: {index_dir: sorted doc_id array} — postings and
+    doclens of those docs are dropped (exact purge; requires the
+    doclens sidecar)."""
+
+    def __init__(
+        self,
+        num_partitions: int,
+        block_size: int,
+        tombstones_ref=None,
+        slab_terms: int = _SLAB_TERMS,
+    ):
         self.P = num_partitions
         self.block_size = block_size
+        self.slab_terms = slab_terms
+        if tombstones_ref is None:
+            self.tomb = {}
+        elif isinstance(tombstones_ref, dict):
+            self.tomb = tombstones_ref
+        else:
+            self.tomb = ray.get(tombstones_ref)
 
-    def _run_row(self, key, base, d, tf, nb, pos):
-        n = len(d)
-        cells = {
-            "part": pa.array(
-                [int(_key_hash([key])[0] % np.uint64(self.P))], pa.int32()
-            ),
-            "key": pa.array([key], pa.string()),
-            "min_doc": pa.array([int(d[0]) + base], pa.int64()),
-            "n": pa.array([n], pa.int64()),
-            "sum_tf": pa.array([int(tf.sum())], pa.int64()),
-            "docs": pa.array(
-                [np.ascontiguousarray(d + base, "<i8").tobytes()], pa.binary()
-            ),
-            "tfs": pa.array(
-                [np.ascontiguousarray(tf, "<i4").tobytes()], pa.binary()
-            ),
-            "norms": pa.array([nb.tobytes()], pa.binary()),
-            "pos": pa.array(
-                [np.ascontiguousarray(pos, "<i4").tobytes() if pos is not None else None],
-                pa.binary(),
-            ),
-        }
-        return pa.table(cells)
+    # ---- slab construction ----
 
-    def __call__(self, batch: pa.Table):
-        from fdblucene_ray.codec.postings import decode_all_positions
+    def _flush(self, keys, d_list, tf_list, nrm_list, pos_list, base):
+        lens = np.fromiter((len(x) for x in d_list), np.int64, len(d_list))
+        d_all = np.ascontiguousarray(np.concatenate(d_list) + base, "<i8")
+        tf_all = np.ascontiguousarray(np.concatenate(tf_list), "<i4")
+        nrm_all = np.ascontiguousarray(np.concatenate(nrm_list), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        ends = starts + lens
+        sum_tf = np.add.reduceat(tf_all.astype(np.int64), starts)
+        part = (_key_hash(keys) % np.uint64(self.P)).astype(np.int32)
 
-        for row in batch.to_pylist():
-            manifest = load_manifest(row["index_dir"])
-            meta = next(
-                s for s in manifest.segments if s.name == row["segment"]
+        if any(p is not None for p in pos_list):
+            plens = np.fromiter(
+                (0 if p is None else len(p) for p in pos_list),
+                np.int64,
+                len(pos_list),
             )
-            pos_fields = set(manifest.extra.get("positions_fields", []))
-            reader = SegmentReader(row["index_dir"], meta)
-            terms = reader.terms
-            fields = terms["field"].to_pylist()
-            tnames = terms["term"].to_pylist()
-            base = int(row["base"])
-            bufs: list[pa.Table] = []
-            buffered = 0
-            for i in range(terms.num_rows):
-                h = reader.postings_handle(fields[i], tnames[i])
-                blob, skips, n = h
-                d, tf, nb = decode_all(blob, skips, n, manifest.block_size)
-                pos = None
-                if fields[i] in pos_fields:
-                    pos, _ = decode_all_positions(blob, skips, n, manifest.block_size)
-                key = fields[i] + FIELD_SEP + tnames[i]
-                bufs.append(self._run_row(key, base, d, tf, nb, pos))
-                buffered += n
-                if buffered >= _ROWS_PER_YIELD:
-                    yield pa.concat_tables(bufs)
-                    bufs, buffered = [], 0
-            # re-emit doc-stat partials as sentinel runs so the merged
-            # segments carry their own field stats (dc / sum_dl)
+            pvals = np.ascontiguousarray(
+                np.concatenate([p for p in pos_list if p is not None]), "<i4"
+            )
+            pstarts = np.concatenate(([0], np.cumsum(plens[:-1])))
+            pends = pstarts + plens
+            pos_cells = _packed_binary(
+                pvals.view(np.uint8), pstarts * 4, pends * 4
+            )
+        else:
+            pos_cells = pa.nulls(len(keys), pa.binary())
+
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "key": pa.array(keys, pa.string()),
+                "min_doc": pa.array(d_all[starts], pa.int64()),
+                "n": pa.array(lens, pa.int64()),
+                "sum_tf": pa.array(sum_tf, pa.int64()),
+                "docs": _packed_binary(d_all.view(np.uint8), starts * 8, ends * 8),
+                "tfs": _packed_binary(tf_all.view(np.uint8), starts * 4, ends * 4),
+                "norms": _packed_binary(nrm_all, starts, ends),
+                "pos": pos_cells,
+            }
+        )
+
+    def _sentinel_table(self, reader, meta, base, tomb):
+        """Re-emit the segment's doc-stat partials as sentinel runs.
+        With a doclens sidecar the runs carry exact per-doc lengths
+        (minus tombstoned docs) so the merged segments rebuild their
+        own doclens + exact (dc, sum_dl); without one (legacy), the
+        aggregate-only form is re-emitted and purging is refused."""
+        dl = reader.doclens()
+        rows: dict[str, list] = {
+            "part": [], "key": [], "min_doc": [], "n": [], "sum_tf": [],
+            "docs": [], "tfs": [], "norms": [], "pos": [],
+        }
+
+        def emit(field, part, min_doc, n, sum_tf, docs_cell, tfs_cell):
+            rows["part"].append(part)
+            rows["key"].append(field + FIELD_SEP + DOC_SENTINEL)
+            rows["min_doc"].append(min_doc)
+            rows["n"].append(n)
+            rows["sum_tf"].append(sum_tf)
+            rows["docs"].append(docs_cell)
+            rows["tfs"].append(tfs_cell)
+            rows["norms"].append(b"")
+            rows["pos"].append(b"")
+
+        salt = np.uint64(abs(int(base))) * _GOLDEN
+        if dl is None:
+            has_stats = any(
+                st.get("dc") or st.get("sum_dl")
+                for st in meta.field_stats.values()
+            )
+            if len(tomb) and has_stats:
+                raise ValueError(
+                    f"segment {meta.name} holds doc stats but no doclens "
+                    "sidecar; cannot purge tombstones exactly — rebuild "
+                    "or merge without purge"
+                )
             for f, st in meta.field_stats.items():
                 if st.get("dc") or st.get("sum_dl"):
-                    skey = f + FIELD_SEP + DOC_SENTINEL
-                    kh = _key_hash([skey])[0]
-                    salt = np.uint64(abs(base)) * _GOLDEN
-                    bufs.append(
-                        pa.table(
-                            {
-                                "part": pa.array(
-                                    [int((kh + salt) % np.uint64(self.P))], pa.int32()
-                                ),
-                                "key": pa.array([skey], pa.string()),
-                                "min_doc": pa.array([base], pa.int64()),
-                                "n": pa.array([st["dc"]], pa.int64()),
-                                "sum_tf": pa.array([st["sum_dl"]], pa.int64()),
-                                "docs": pa.array([b""], pa.binary()),
-                                "tfs": pa.array([b""], pa.binary()),
-                                "norms": pa.array([b""], pa.binary()),
-                                "pos": pa.array([b""], pa.binary()),
-                            }
-                        )
+                    kh = _key_hash([f + FIELD_SEP + DOC_SENTINEL])[0]
+                    with np.errstate(over="ignore"):
+                        part = int((kh + salt) % np.uint64(self.P))
+                    emit(f, part, int(base), st["dc"], st["sum_dl"], b"", b"")
+        else:
+            farr = dl["field"]
+            docs = dl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = dl["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            am = _alive(docs, tomb)
+            if am is not None:
+                farr = farr.combine_chunks().filter(pa.array(am)) if isinstance(
+                    farr, pa.ChunkedArray
+                ) else farr.filter(pa.array(am))
+                docs, lens = docs[am], lens[am]
+            if len(docs):
+                fl = farr.to_pylist()
+                # doclens is sorted by (field, doc_id): field boundaries
+                bounds = [0] + [
+                    i for i in range(1, len(fl)) if fl[i] != fl[i - 1]
+                ] + [len(fl)]
+                for bi in range(len(bounds) - 1):
+                    lo, hi = bounds[bi], bounds[bi + 1]
+                    f = fl[lo]
+                    kh = _key_hash([f + FIELD_SEP + DOC_SENTINEL])[0]
+                    with np.errstate(over="ignore"):
+                        part = int((kh + salt) % np.uint64(self.P))
+                    sd = np.ascontiguousarray(docs[lo:hi] + base, "<i8")
+                    sl = np.ascontiguousarray(lens[lo:hi], "<i4")
+                    emit(
+                        f, part, int(sd[0]), hi - lo, int(lens[lo:hi].sum()),
+                        sd.tobytes(), sl.tobytes(),
                     )
-            if bufs:
-                yield pa.concat_tables(bufs)
+        if not rows["key"]:
+            return None
+        return pa.table(
+            {
+                "part": pa.array(rows["part"], pa.int32()),
+                "key": pa.array(rows["key"], pa.string()),
+                "min_doc": pa.array(rows["min_doc"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sum_tf": pa.array(rows["sum_tf"], pa.int64()),
+                "docs": pa.array(rows["docs"], pa.binary()),
+                "tfs": pa.array(rows["tfs"], pa.binary()),
+                "norms": pa.array(rows["norms"], pa.binary()),
+                "pos": pa.array(rows["pos"], pa.binary()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table):
+        for row in batch.to_pylist():
+            idir = row["index_dir"]
+            manifest = load_manifest(idir)
+            meta = next(s for s in manifest.segments if s.name == row["segment"])
+            pos_fields = set(manifest.extra.get("positions_fields", []))
+            tomb = self.tomb.get(idir, _EMPTY_TOMB)
+            reader = SegmentReader(idir, meta)
+            terms = reader.terms
+            fields_l = terms["field"].to_pylist()
+            tnames = terms["term"].to_pylist()
+            po = terms["post_offset"].to_numpy(zero_copy_only=False)
+            pl_ = terms["post_len"].to_numpy(zero_copy_only=False)
+            so = terms["skip_offset"].to_numpy(zero_copy_only=False)
+            nb_ = terms["n_blocks"].to_numpy(zero_copy_only=False)
+            df_ = terms["df"].to_numpy(zero_copy_only=False)
+            blob, skips_blob = reader._blob()
+            bmv, smv = memoryview(blob), memoryview(skips_blob)
+            base = int(row["base"])
+
+            keys: list[str] = []
+            d_list, tf_list, nrm_list, pos_list = [], [], [], []
+            buffered = 0
+            for i in range(terms.num_rows):
+                tb = bmv[po[i] : po[i] + pl_[i]]
+                sk = read_skips(
+                    smv[so[i] : so[i] + int(nb_[i]) * SKIP_DTYPE.itemsize]
+                )
+                n = int(df_[i])
+                d, tf, nrm = decode_all(tb, sk, n, manifest.block_size)
+                pos = None
+                if fields_l[i] in pos_fields:
+                    pos, _ = decode_all_positions(tb, sk, n, manifest.block_size)
+                am = _alive(d, tomb)
+                if am is not None:
+                    if pos is not None:
+                        pos = pos[np.repeat(am, tf.astype(np.int64))]
+                    d, tf, nrm = d[am], tf[am], nrm[am]
+                if len(d) == 0:
+                    continue  # every posting tombstoned -> term dropped
+                keys.append(fields_l[i] + FIELD_SEP + tnames[i])
+                d_list.append(d)
+                tf_list.append(tf)
+                nrm_list.append(nrm)
+                pos_list.append(pos)
+                buffered += len(d)
+                if len(keys) >= self.slab_terms or buffered >= _ROWS_PER_YIELD:
+                    yield self._flush(keys, d_list, tf_list, nrm_list, pos_list, base)
+                    keys, d_list, tf_list, nrm_list, pos_list = [], [], [], [], []
+                    buffered = 0
+            if keys:
+                yield self._flush(keys, d_list, tf_list, nrm_list, pos_list, base)
+            sent = self._sentinel_table(reader, meta, base, tomb)
+            if sent is not None:
+                yield sent
+
+
+def _run_merge_pipeline(
+    items: list[dict],
+    out_dir: str,
+    sig: str,
+    num_partitions: int,
+    block_size: int,
+    resume: bool,
+    tombstones: dict[str, np.ndarray] | None,
+) -> list[SegmentMeta]:
+    """Shared decode -> shuffle -> encode pipeline; returns new segments."""
+    tomb_ref = ray.put(tombstones) if tombstones else None
+    ds = ray.data.from_items(items)
+    lineage_ds = (
+        ds.map_batches(
+            DecodeSegmentPostings,
+            fn_constructor_kwargs=dict(
+                num_partitions=num_partitions,
+                block_size=block_size,
+                tombstones_ref=tomb_ref,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
+        )
+        .groupby("part", num_partitions=num_partitions)
+        .map_groups(
+            EncodeGroup(out_dir, sig, block_size, resume, runs=True),
+            batch_format="pyarrow",
+        )
+    )
+    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
+    return sorted(
+        (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
+        key=lambda m: m.name,
+    )
 
 
 def merge_indexes(
@@ -141,9 +333,13 @@ def merge_indexes(
     *,
     num_partitions: int = 16,
     resume: bool = True,
+    purge_tombstones: bool = True,
 ) -> Manifest:
     """Merge several indexes into one, remapping doc ids by per-source
-    bases (callers guarantee disjoint resulting id ranges)."""
+    bases (callers guarantee disjoint resulting id ranges). Every source
+    is rewritten in full, so each source's tombstones are purged exactly
+    (postings dropped + doclens-backed stats subtracted); the output
+    index starts tombstone-free."""
     manifests = [load_manifest(d) for d, _ in sources]
     analyzers = manifests[0].analyzers
     block_size = manifests[0].block_size
@@ -154,12 +350,25 @@ def merge_indexes(
         {f for m in manifests for f in m.extra.get("positions_fields", [])}
     )
 
+    tombstones: dict[str, np.ndarray] = {}
+    if purge_tombstones:
+        for (d, _), m in zip(sources, manifests):
+            t = load_tombstones(d, m)
+            if len(t):
+                tombstones[d] = t
+
     items = []
     for (d, base), m in zip(sources, manifests):
         for seg in m.segments:
             items.append({"index_dir": d, "segment": seg.name, "base": base})
     sig = "merge-" + format(
-        zlib.crc32(json.dumps([[d, int(b)] for d, b in sources]).encode()), "08x"
+        zlib.crc32(
+            json.dumps(
+                [[d, int(b)] for d, b in sources]
+                + [sorted((k, len(v)) for k, v in tombstones.items())]
+            ).encode()
+        ),
+        "08x",
     )
 
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
@@ -167,30 +376,9 @@ def merge_indexes(
         if prev.extra.get("signature") == sig:
             return prev
 
-    ds = ray.data.from_items(items)
-    lineage_ds = (
-        ds.map_batches(
-            DecodeSegmentPostings,
-            fn_constructor_kwargs=dict(
-                num_partitions=num_partitions, block_size=block_size
-            ),
-            batch_format="pyarrow",
-            batch_size=1,
-            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
-        )
-        .groupby("part", num_partitions=num_partitions)
-        .map_groups(EncodeGroup(out_dir, sig, block_size, resume, runs=True),
-                    batch_format="pyarrow")
+    segs = _run_merge_pipeline(
+        items, out_dir, sig, num_partitions, block_size, resume, tombstones
     )
-    from fdblucene_ray.index.build import _run_with_push_shuffle
-
-    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
-    segs = sorted(
-        (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
-        key=lambda m: m.name,
-    )
-    # (dc, sum_dl) stats flow through re-emitted sentinel runs, so the
-    # merged segments carry their own field stats like a fresh build
     version = 0
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
         version = load_manifest(out_dir).version + 1
@@ -211,9 +399,66 @@ def merge_indexes(
 
 
 def compact_index(index_dir: str, out_dir: str, num_partitions: int) -> Manifest:
-    """Re-shard an index into ``num_partitions`` segments (tiered-merge
-    maintenance: fewer, larger, still term-sharded segments)."""
+    """Re-shard an index into ``num_partitions`` segments (full rewrite:
+    fewer, larger, still term-sharded segments; tombstones purged)."""
     return merge_indexes([(index_dir, 0)], out_dir, num_partitions=num_partitions)
+
+
+def merge_segments_inplace(
+    index_dir: str,
+    names: list[str],
+    *,
+    num_partitions: int = 1,
+    resume: bool = True,
+    gc: bool = True,
+) -> Manifest:
+    """Rewrite segments ``names`` of one index into ``num_partitions``
+    new segments and atomically publish (other segments untouched).
+    The build signature in ``extra`` is preserved — compaction changes
+    layout, not corpus identity. Purges tombstones only when ``names``
+    covers every live segment (a full rewrite); partial merges carry
+    the tombstone set forward (term-sharded segments: a doc's postings
+    span segments, partial purge would half-remove it)."""
+    m = load_manifest(index_dir)
+    live = {s.name for s in m.segments}
+    missing = set(names) - live
+    if missing:
+        raise ValueError(f"segments not in live manifest: {sorted(missing)}")
+    full = set(names) == live
+    tomb = load_tombstones(index_dir, m) if full else _EMPTY_TOMB
+    tombstones = {index_dir: tomb} if len(tomb) else None
+
+    items = [
+        {"index_dir": index_dir, "segment": n, "base": 0} for n in sorted(names)
+    ]
+    sig = "cmp-" + format(
+        zlib.crc32(
+            json.dumps(
+                [sorted(names), m.version, m.extra.get("tombstone_file")]
+            ).encode()
+        ),
+        "08x",
+    )
+    segs = _run_merge_pipeline(
+        items, index_dir, sig, num_partitions, m.block_size, resume, tombstones
+    )
+    keep = [s for s in m.segments if s.name not in set(names)]
+    extra = dict(m.extra)
+    if full:
+        extra.pop("tombstone_file", None)
+    m2 = Manifest(
+        analyzers=m.analyzers,
+        block_size=m.block_size,
+        segments=sorted(keep + segs, key=lambda s: s.name),
+        version=m.version + 1,
+        extra=extra,
+    )
+    publish_manifest(index_dir, m2)
+    if gc:
+        gc_index(index_dir)
+        if full:
+            gc_tombstones(index_dir)
+    return m2
 
 
 def plan_tiered(manifest: Manifest, *, tier_factor: int = 4, min_merge: int = 4):
@@ -229,3 +474,28 @@ def plan_tiered(manifest: Manifest, *, tier_factor: int = 4, min_merge: int = 4)
             t += 1
         tiers.setdefault(t, []).append(seg.name)
     return [names for _, names in sorted(tiers.items()) if len(names) >= min_merge]
+
+
+def maintain_index(
+    index_dir: str,
+    *,
+    tier_factor: int = 4,
+    min_merge: int = 4,
+    max_rounds: int = 8,
+    out_partitions: int = 1,
+) -> Manifest:
+    """Merge-policy maintenance loop: plan_tiered -> in-place merge ->
+    publish -> gc, until no tier holds >= min_merge segments (or
+    max_rounds). Call after ``build_sharded`` appends to keep the
+    segment count bounded — the driver analog of Lucene's background
+    merge policy behind ``IndexWriter.addIndexes``."""
+    m = load_manifest(index_dir)
+    for _ in range(max_rounds):
+        plans = plan_tiered(m, tier_factor=tier_factor, min_merge=min_merge)
+        if not plans:
+            break
+        for names in plans:
+            m = merge_segments_inplace(
+                index_dir, names, num_partitions=out_partitions
+            )
+    return m

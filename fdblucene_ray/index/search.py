@@ -144,6 +144,20 @@ class TermCursor:
 
 _EXHAUSTED = 1 << 62
 
+_NO_TOMB = np.empty(0, np.int64)
+
+
+def _alive_mask(docs: np.ndarray, tomb: np.ndarray) -> np.ndarray | None:
+    """Boolean mask of docs NOT in the sorted tombstone array, or None
+    when there are no tombstones (avoid touching the arrays at all)."""
+    if tomb is None or len(tomb) == 0 or len(docs) == 0:
+        return None
+    idx = np.searchsorted(tomb, docs)
+    inb = idx < len(tomb)
+    dead = np.zeros(len(docs), bool)
+    dead[inb] = tomb[idx[inb]] == docs[inb]
+    return ~dead
+
 
 class Searcher:
     """One index snapshot; reusable across queries (ST6 in SURVEY.md)."""
@@ -152,12 +166,22 @@ class Searcher:
                  *, k1: float = K1, b: float = B):
         """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
         defaults are the Lucene-8 defaults the north star mandates)."""
+        from fdblucene_ray.index.delete import load_tombstones
+
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
         self.readers = [SegmentReader(index_dir, m) for m in self.manifest.segments]
         self.totals = self.manifest.field_totals()
         self.k1 = k1
         self.b = b
+        # liveDocs: tombstoned docs never match; collection/term stats
+        # still INCLUDE them until a full rewrite purges (Lucene
+        # semantics — deletes don't change docCount/df until merge)
+        self.tombstones = load_tombstones(index_dir, self.manifest)
+
+    @property
+    def num_deleted(self) -> int:
+        return int(len(self.tombstones))
 
     # ---- stats ----
     def field_stats(self, field: str) -> tuple[int, int, float]:
@@ -228,9 +252,13 @@ class Searcher:
         if mode == "exhaustive" or operator == "and":
             # conjunction = merge-join (sorted-array intersection) of the
             # per-term streams (SURVEY.md §2.4 J2); vectorized in numpy.
-            candidates = _exhaustive(self.readers, live, field, ncache, operator, k, bs)
+            candidates = _exhaustive(
+                self.readers, live, field, ncache, operator, k, bs, self.tombstones
+            )
         else:
-            candidates = _wand(self.readers, live, field, ncache, k, bs)
+            candidates = _wand(
+                self.readers, live, field, ncache, k, bs, self.tombstones
+            )
         candidates.sort(key=lambda x: (-x[1], x[0]))
         return candidates[:k]
 
@@ -301,6 +329,9 @@ class Searcher:
             dec = decode_clause(t)
             if dec is not None:
                 cand = np.setdiff1d(cand, dec[0], assume_unique=True)
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand = cand[am]
         if not len(cand):
             return []
         total = np.zeros(len(cand))
@@ -397,10 +428,13 @@ class Searcher:
                 (docs[order], norms[order], flat_p[idx],
                  np.concatenate(([0], np.cumsum(L))))
             )
-        # doc-level intersection
+        # doc-level intersection (tombstoned docs never match)
         cand = per_term[0][0]
         for docs, _, _, _ in per_term[1:]:
             cand = np.intersect1d(cand, docs)
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand = cand[am]
         out = []
         for doc in cand:
             base = None
@@ -425,6 +459,9 @@ class Searcher:
             out = []
             for blob, skips, n in _gather_handles(self.readers, field, terms[0]):
                 d, tf, _ = decode_all(blob, skips, n, self.manifest.block_size)
+                am = _alive_mask(d, self.tombstones)
+                if am is not None:
+                    d, tf = d[am], tf[am]
                 out.extend(zip(d.tolist(), tf.tolist()))
             out.sort()
             return out
@@ -441,7 +478,12 @@ class Searcher:
                 docs = reader_docs if docs is None else np.intersect1d(docs, reader_docs)
             else:
                 docs = reader_docs if docs is None else np.union1d(docs, reader_docs)
-        return int(len(docs)) if docs is not None else 0
+        if docs is None:
+            return 0
+        am = _alive_mask(docs, self.tombstones)
+        if am is not None:
+            docs = docs[am]
+        return int(len(docs))
 
 
 def _matching_docs_per_term(readers, terms, field):
@@ -466,11 +508,13 @@ def _gather_handles(readers, field, term):
     return out
 
 
-def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size):
+def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
+                tomb=_NO_TOMB):
     """Vectorized full-decode scoring across all segments.
 
     Per clause: decode every segment's stream, merge into one doc-sorted
     array (streams are doc-disjoint), score with one numpy expression.
+    Tombstoned docs are masked out of every clause stream (liveDocs).
     """
     per_term = []
     for t, idf in live_terms:  # query order == accumulation order
@@ -487,6 +531,11 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size):
         docs = np.concatenate(parts_d)
         tfs = np.concatenate(parts_t).astype(np.float64)
         norms = np.concatenate(parts_n)
+        am = _alive_mask(docs, tomb)
+        if am is not None:
+            docs, tfs, norms = docs[am], tfs[am], norms[am]
+            if operator == "and" and not len(docs):
+                return []
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
         scores = idf * tfs / (tfs + ncache[norms])
@@ -516,7 +565,7 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size):
     return [(int(docs_all[i]), float(score_all[i])) for i in sel]
 
 
-def _wand(readers, live_terms, field, ncache, k, block_size):
+def _wand(readers, live_terms, field, ncache, k, block_size, tomb=_NO_TOMB):
     """Disjunctive block-max WAND (Ding & Suel 2011 style) over the union
     of per-(clause, segment) cursors. Because a (term, doc) posting lives
     in exactly one segment, cursors of the same clause are doc-disjoint
@@ -578,6 +627,15 @@ def _wand(readers, live_terms, field, ncache, k, block_size):
                 for c in lead:
                     c.advance(target)
                 continue
+            # liveDocs check: tombstoned pivots are advanced past, never
+            # scored (their postings still feed block UBs — a looser but
+            # valid bound, exactly like Lucene's deleted docs)
+            if len(tomb):
+                ti = int(np.searchsorted(tomb, pivot_doc))
+                if ti < len(tomb) and int(tomb[ti]) == pivot_doc:
+                    for c in lead:
+                        c.next()
+                    continue
             contribs = sorted(lead, key=lambda c: c.qidx)
             score = 0.0
             for c in contribs:  # fixed clause order -> float-identical

@@ -55,6 +55,7 @@ TERMS_INDEX_FILE = "terms_index.json"
 POSTINGS_FILE = "postings.bin"
 SKIPS_FILE = "skips.bin"
 META_FILE = "meta.json"
+DOCLENS_FILE = "doclens.parquet"  # (field, doc_id, exact dl) — .nvd analog
 
 # terms.parquet row-group size: the unit of lazy term-dictionary I/O.
 # A lookup decodes exactly one row group (LRU-cached); the sidecar
@@ -107,6 +108,7 @@ def write_segment(
     posts = table.filter(pc.invert(is_sent))
 
     field_stats: dict[str, dict[str, int]] = {}
+    doclens: pa.Table | None = None
     if sent.num_rows:
         sfield = pc.replace_substring(
             sent["key"], FIELD_SEP + DOC_SENTINEL, ""
@@ -122,6 +124,14 @@ def write_segment(
                 "sum_dl": int(row["dl_sum"]),
                 "sdf": 0,
             }
+        # row-level sentinels are per (field, doc): tf == exact dl
+        doclens = pa.table(
+            {
+                "field": sfield,
+                "doc_id": sent["doc_id"],
+                "dl": sent["tf"].cast(pa.int64()),
+            }
+        ).sort_by([("field", "ascending"), ("doc_id", "ascending")])
 
     # sort by (key, doc_id): ascending-docID postings per term (DATA.md:53)
     # and lexicographic term order in the dictionary (DATA.md:47)
@@ -150,7 +160,8 @@ def write_segment(
 
     vocab = denc.dictionary.to_pylist()
     return _finalize_segment(
-        index_dir, name, vocab, doc_ids, tfs, norms, starts, field_stats, block_size
+        index_dir, name, vocab, doc_ids, tfs, norms, starts, field_stats,
+        block_size, doclens=doclens,
     )
 
 
@@ -196,6 +207,7 @@ def write_segment_runs(
     posts = runs.filter(pc.invert(is_sent))
 
     field_stats: dict[str, dict[str, int]] = {}
+    doclens: pa.Table | None = None
     if sent.num_rows:
         sfield = pc.replace_substring(sent["key"], FIELD_SEP + DOC_SENTINEL, "")
         agg = (
@@ -209,6 +221,26 @@ def write_segment_runs(
                 "sum_dl": int(row["dl_sum"]),
                 "sdf": 0,
             }
+        # per-doc exact lengths (packed in the sentinel runs' docs/tfs
+        # cells) -> doclens sidecar; empty cells = legacy aggregate-only
+        # sentinels (row-level build path writes its own below)
+        cell_bytes = pc.binary_length(sent["docs"]).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        if cell_bytes.sum() > 0:
+            dl_docs = _concat_binary(sent["docs"]).view("<i8")
+            dl_lens = _concat_binary(sent["tfs"]).view("<i4")
+            n_per = (cell_bytes // 8).astype(np.int64)
+            fields_rep = sfield.take(
+                pa.array(np.repeat(np.arange(sent.num_rows), n_per))
+            )
+            doclens = pa.table(
+                {
+                    "field": fields_rep,
+                    "doc_id": pa.array(dl_docs, pa.int64()),
+                    "dl": pa.array(dl_lens.astype(np.int64), pa.int64()),
+                }
+            ).sort_by([("field", "ascending"), ("doc_id", "ascending")])
 
     idx = pc.sort_indices(
         posts, sort_keys=[("key", "ascending"), ("min_doc", "ascending")]
@@ -277,7 +309,7 @@ def write_segment_runs(
     vocab = [denc.dictionary[int(codes[b])].as_py() for b in run_bounds]
     return _finalize_segment(
         index_dir, name, vocab, doc_ids, tfs, norms, term_starts, field_stats,
-        block_size, positions=positions, pos_counts=pos_counts,
+        block_size, positions=positions, pos_counts=pos_counts, doclens=doclens,
     )
 
 
@@ -293,6 +325,7 @@ def _finalize_segment(
     block_size: int,
     positions: np.ndarray | None = None,
     pos_counts: np.ndarray | None = None,
+    doclens: pa.Table | None = None,
 ) -> SegmentMeta:
     """Bulk-encode sorted postings + write the segment files atomically."""
     pp = encode_partition(
@@ -356,6 +389,8 @@ def _finalize_segment(
         json.dump(
             {"row_group_size": TERMS_ROW_GROUP, "first_keys": first_keys}, fh
         )
+    if doclens is not None and doclens.num_rows:
+        pq.write_table(doclens, os.path.join(tmp, DOCLENS_FILE))
     with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
         fh.write(post_bytes)
     with open(os.path.join(tmp, SKIPS_FILE), "wb") as fh:
@@ -401,6 +436,16 @@ class SegmentReader:
         if self._terms is None:
             self._terms = pq.read_table(os.path.join(self.path, TERMS_FILE))
         return self._terms
+
+    def doclens(self) -> pa.Table | None:
+        """Per-doc exact analyzed lengths (field, doc_id, dl) — the
+        .nvd norms-file analog; None for legacy segments without the
+        sidecar. Used by merge to purge tombstoned docs' collection
+        stats exactly."""
+        p = os.path.join(self.path, DOCLENS_FILE)
+        if not os.path.exists(p):
+            return None
+        return pq.read_table(p)
 
     def _blob(self):
         if self._postings is None:

@@ -16,6 +16,8 @@ dedup generalizes it (SURVEY.md §2.7 D3).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -23,6 +25,17 @@ import ray.data
 
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
 from fdblucene_ray.ops.hashing import combine, content_digest, hash_strings, splitmix64
+
+log = logging.getLogger("fdblucene_ray.dedup")
+
+# popcount LUT for 64-bit hamming distance (vectorized byte-wise)
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP_LUT[np.ascontiguousarray(x, "<u8").view(np.uint8).reshape(-1, 8)].sum(
+        axis=1
+    ).astype(np.int64)
 
 # ---------------------------------------------------------------- exact
 
@@ -183,12 +196,24 @@ class MinHashBands:
         )
 
 
+_BUCKET_CAP = 200
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket (cap guards skew blowup)."""
+    """Candidate pairs within one LSH bucket. Hot buckets (near-dup
+    spam) are capped at _BUCKET_CAP ids to bound the O(n^2) blowup —
+    NEVER silently: the dropped-pair count is logged (no-silent-caps
+    rule)."""
     ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    cap = 200  # a bucket this hot is near-duplicate spam; pairs capped,
-    # logged via the pair count rather than exploding O(n^2)
-    ids = ids[:cap]
+    if len(ids) > _BUCKET_CAP:
+        dropped = len(ids) * (len(ids) - 1) // 2 - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
+        log.warning(
+            "LSH bucket band=%s hash=%s holds %d ids; capped at %d "
+            "(%d candidate pairs dropped)",
+            group["band"][0].as_py(), group["band_hash"][0].as_py(),
+            len(ids), _BUCKET_CAP, dropped,
+        )
+        ids = ids[:_BUCKET_CAP]
     if len(ids) < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     ii, jj = np.triu_indices(len(ids), k=1)
@@ -219,32 +244,113 @@ def minhash_lsh_pairs(
     pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
-    pairs = pairs_ds.to_pandas().drop_duplicates()  # candidate set: small
+    pairs = pairs_ds.to_pandas().drop_duplicates()  # candidate PAIR IDS: small
     if not len(pairs):
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    cand_ids = set(pairs["a"]) | set(pairs["b"])
-    shingles = collect_shingle_sets(
-        ds, cand_ids, text_col, id_col, shingle=shingle, analyzer=analyzer
+    pair_list = [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
+    return _verify_pairs_jaccard(
+        ds, pair_list, text_col, id_col, shingle, analyzer, threshold
     )
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = shingles.get(int(a)), shingles.get(int(b))
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(round(j, 6))
-    order = np.lexsort((out_b, out_a))
+
+
+def _verify_pairs_jaccard(
+    ds, pair_list, text_col, id_col, shingle, analyzer, threshold
+) -> pa.Table:
+    """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
+    broadcast join: the (small) doc->pair mapping is broadcast via
+    ray.put, the corpus streams once emitting (pair_id, side, packed
+    shingle set) only for candidate docs, and a groupby(pair_id)
+    co-locates the two sides to compute exact Jaccard. The driver sees
+    only candidate pair ids in and verified pairs out — no shingle
+    dict is ever materialized driver-side."""
+    doc_pairs: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(pair_list):
+        doc_pairs.setdefault(a, []).append(pid)
+        doc_pairs.setdefault(b, []).append(pid)
+    map_ref = ray.put(doc_pairs)
+    pairs_ref = ray.put(np.asarray(pair_list, np.int64))
+
+    class EmitPairShingles:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+            self.tk = BatchTokenizer(analyzer)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            mask = np.fromiter(
+                (int(i) in self.map for i in ids), bool, len(ids)
+            )
+            sel = batch.filter(pa.array(mask))
+            if sel.num_rows == 0:
+                return pa.table(
+                    {"pid": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "shingles": pa.array([], pa.binary())}
+                )
+            h, srow, offsets, counts = _shingle_hashes(
+                self.tk, sel[text_col], sel.num_rows, shingle
+            )
+            sids = sel[id_col].to_numpy(zero_copy_only=False)
+            pids, dids, cells = [], [], []
+            for i in range(sel.num_rows):
+                s = np.unique(h[offsets[i] : offsets[i + 1]])
+                cell = np.ascontiguousarray(s, "<u8").tobytes()
+                for pid in self.map[int(sids[i])]:
+                    pids.append(pid)
+                    dids.append(int(sids[i]))
+                    cells.append(cell)
+            return pa.table(
+                {
+                    "pid": pa.array(pids, pa.int64()),
+                    "doc_id": pa.array(dids, pa.int64()),
+                    "shingles": pa.array(cells, pa.binary()),
+                }
+            )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        pairs_arr = ray.get(pairs_ref)
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows < 2:
+            return empty
+        pid = int(group["pid"][0].as_py())
+        sa = np.frombuffer(group["shingles"][0].as_py(), "<u8")
+        sb = np.frombuffer(group["shingles"][1].as_py(), "<u8")
+        if not len(sa) or not len(sb):
+            return empty
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j < threshold:
+            return empty
+        a, b = int(pairs_arr[pid][0]), int(pairs_arr[pid][1])
+        return pa.table(
+            {"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64()),
+             "jaccard": pa.array([round(j, 6)], pa.float64())}
+        )
+
+    verify_group.__name__ = "verify_jaccard"
+    verified = (
+        ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("pid")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
+    df = verified.to_pandas()
+    if not len(df):
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table(
         {
-            "a": pa.array(np.array(out_a, np.int64)[order] if len(out_a) else [], pa.int64()),
-            "b": pa.array(np.array(out_b, np.int64)[order] if len(out_b) else [], pa.int64()),
-            "jaccard": pa.array(np.array(out_j)[order] if len(out_j) else [], pa.float64()),
+            "a": pa.array(df["a"].to_numpy(np.int64)),
+            "b": pa.array(df["b"].to_numpy(np.int64)),
+            "jaccard": pa.array(df["jaccard"].to_numpy(np.float64)),
         }
     )
 
@@ -322,42 +428,93 @@ def simhash_fingerprints(ds, text_col="text", id_col="doc_id", analyzer="simple"
     return ds.map_batches(SimHash(text_col, id_col, analyzer), batch_format="pyarrow")
 
 
-def simhash_near_pairs(ds, max_hamming=3, **kw) -> pa.Table:
-    """Candidate near-pairs by 4-way band blocking on the 64-bit simhash
-    (two fingerprints within hamming<=3 share at least one 16-bit quarter),
-    verified by exact popcount."""
-    fp = simhash_fingerprints(ds, **kw).to_pandas()
-    sh = fp["simhash"].to_numpy().astype(np.uint64)
-    ids = fp["doc_id"].to_numpy()
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for qi in range(4):
-        q = ((sh >> np.uint64(16 * qi)) & np.uint64(0xFFFF)).astype(np.int64)
-        for i, qq in enumerate(q):
-            buckets.setdefault((qi, int(qq)), []).append(i)
-    seen = set()
-    out_a, out_b, out_d = [], [], []
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                key = (min(i, j), max(i, j))
-                if key in seen:
-                    continue
-                seen.add(key)
-                d = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
-                if d <= max_hamming:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(d)
-    order = np.lexsort((out_b, out_a))
+def _quarter_bands(batch: pa.Table) -> pa.Table:
+    """map_batches: 4 rows per fingerprint (quarter_idx, 16-bit quarter,
+    doc_id, simhash) — the band-blocking key stream. Two fingerprints
+    within hamming<=3 share at least one quarter (pigeonhole)."""
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(sh)
+    qi = np.repeat(np.arange(4, dtype=np.int32), n)
+    sh4 = np.tile(sh, 4)
+    q = (sh4 >> (np.uint64(16) * qi.astype(np.uint64))) & np.uint64(0xFFFF)
     return pa.table(
         {
-            "a": pa.array(np.array(out_a, np.int64)[order] if out_a else [], pa.int64()),
-            "b": pa.array(np.array(out_b, np.int64)[order] if out_b else [], pa.int64()),
-            "hamming": pa.array(np.array(out_d, np.int64)[order] if out_d else [], pa.int64()),
+            "qi": pa.array(qi),
+            "q": pa.array(q.astype(np.int32)),
+            "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+            "simhash": pa.array(sh4.astype(np.int64)),
+        }
+    )
+
+
+def _simhash_bucket_pairs(max_hamming: int):
+    def fn(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        keep = np.concatenate(([True], np.diff(ids) != 0))
+        ids, sh = ids[keep], sh[keep]
+        if len(ids) > _BUCKET_CAP:
+            dropped = (
+                len(ids) * (len(ids) - 1) // 2
+                - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
+            )
+            log.warning(
+                "simhash bucket qi=%s q=%s holds %d ids; capped at %d "
+                "(%d candidate pairs dropped)",
+                group["qi"][0].as_py(), group["q"][0].as_py(),
+                len(ids), _BUCKET_CAP, dropped,
+            )
+            ids, sh = ids[:_BUCKET_CAP], sh[:_BUCKET_CAP]
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = _popcount64(sh[ii] ^ sh[jj])
+        hit = d <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[hit]], pa.int64()),
+                "b": pa.array(ids[jj[hit]], pa.int64()),
+                "hamming": pa.array(d[hit], pa.int64()),
+            }
+        )
+
+    fn.__name__ = "_simhash_bucket_pairs"
+    return fn
+
+
+def simhash_near_pairs(ds, max_hamming=3, **kw) -> pa.Table:
+    """Near-pairs (a < b, hamming <= max_hamming) by 4-way band blocking
+    on the 64-bit simhash, verified by exact popcount.
+
+    Fully distributed: fingerprints -> 4 quarter-band rows each ->
+    groupby(qi, quarter) -> vectorized intra-bucket popcount verify ->
+    groupby(a, b) dedup (a pair can surface from up to 4 quarters).
+    Nothing but the (small) verified pair set reaches the driver."""
+    fp = simhash_fingerprints(ds, **kw)
+    bands = fp.map_batches(_quarter_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["qi", "q"]).map_groups(
+        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+    uniq = pairs.groupby(["a", "b"]).min("hamming")
+    df = uniq.to_pandas()  # verified pairs: small
+    if not len(df):
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    ham_col = [c for c in df.columns if c.startswith("min")][0]
+    df = df.rename(columns={ham_col: "hamming"}).sort_values(["a", "b"])
+    return pa.table(
+        {
+            "a": pa.array(df["a"].to_numpy(np.int64)),
+            "b": pa.array(df["b"].to_numpy(np.int64)),
+            "hamming": pa.array(df["hamming"].to_numpy(np.int64)),
         }
     )
 

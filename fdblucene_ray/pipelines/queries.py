@@ -43,7 +43,10 @@ def _docs_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 
 def _index_dir(sf_dir: str, flavor: str) -> str:
-    key = hashlib.sha1(f"{sf_dir}:{flavor}".encode()).hexdigest()[:12]
+    # v2: segments carry the doclens sidecar + row-grouped terms dict;
+    # keying the cache by format version keeps stale round-1 layouts
+    # from being reused where the new features (purge) need v2
+    key = hashlib.sha1(f"{sf_dir}:{flavor}:v2".encode()).hexdigest()[:12]
     return os.path.join(CACHE_ROOT, f"ix-{flavor}-{key}")
 
 
@@ -88,11 +91,28 @@ DLQ_CTE = (
 )
 
 
-def _bm25_sql(terms: list[str], operator: str = "or", k: int = 10) -> str:
+def _bm25_sql(
+    terms: list[str],
+    operator: str = "or",
+    k: int = 10,
+    *,
+    corpus_where: str = "",
+    exclude_where: str = "",
+) -> str:
+    """BM25 top-k SQL twin. ``corpus_where``: restrict the corpus the
+    STATS are computed over (purged-index semantics). ``exclude_where``:
+    filter matches AFTER scoring with full-corpus stats (tombstone /
+    liveDocs semantics — Lucene keeps docCount/df until purge)."""
     term_list = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if operator == "and" else ""
+    toks_cte = (
+        "toks AS (SELECT doc_id, tok FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok "
+        f"FROM documents {corpus_where}) WHERE tok <> '')"
+    )
+    final_where = f"WHERE {exclude_where}" if exclude_where else ""
     return f"""
-WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+WITH {toks_cte}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
        WHERE tok IN ({term_list}) GROUP BY doc_id, tok),
 dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
@@ -107,7 +127,7 @@ contrib AS (
 ),
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id {having})
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+FROM scored {final_where} ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -309,6 +329,71 @@ def q_search_lucene(sf_dir: str) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------- delete
+
+
+def _ensure_deleted_index(sf_dir: str) -> str:
+    """documents index (simple + keyword source) with every source='src3'
+    doc tombstoned — the Writer-approach delete capability
+    (/root/reference/README.md:34-38)."""
+    from fdblucene_ray.index.delete import delete_by_term
+
+    ix = _index_dir(sf_dir, "deltest")
+    fields = {
+        "text": {"column": "text", "analyzer": "simple"},
+        "source": {"column": "source", "analyzer": "keyword"},
+    }
+    build_index(
+        _docs_path(sf_dir), ix, fields=fields, num_partitions=16, batch_size=2048
+    )
+    delete_by_term(ix, "source", "src3")
+    return ix
+
+
+_DELETED_PRED = "doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src3')"
+
+
+def q_ft_delete_search(sf_dir: str) -> pa.Table:
+    """Tombstone-filtered BM25 WAND: deleted docs never match, but
+    collection/term stats still include them (Lucene liveDocs
+    semantics — df/docCount unchanged until merge purges)."""
+    s = Searcher(_ensure_deleted_index(sf_dir))
+    return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
+
+
+def q_ft_delete_purge_stats(sf_dir: str) -> pa.Table:
+    """After a FULL compaction, tombstoned docs' postings AND their
+    exact (dc, sum_dl) stat contributions are purged via the doclens
+    sidecar; the result equals a fresh build on the live corpus."""
+    from fdblucene_ray.index.merge import compact_index
+
+    ix = _ensure_deleted_index(sf_dir)
+    out = _index_dir(sf_dir, "deltest-compacted")
+    compact_index(ix, out, num_partitions=4)
+    s = Searcher(out)
+    dc, sttf, avgdl = s.field_stats("text")
+    return pa.table(
+        {
+            "dc": pa.array([dc], pa.int64()),
+            "sttf": pa.array([sttf], pa.int64()),
+            "avgdl": _round_col(np.array([avgdl]), 6),
+            "n_deleted": pa.array([s.num_deleted], pa.int64()),
+        }
+    )
+
+
+def q_ft_delete_purge_search(sf_dir: str) -> pa.Table:
+    """BM25 over the purged index: stats now reflect the live corpus
+    only (df/docCount recomputed by the merge)."""
+    from fdblucene_ray.index.merge import compact_index
+
+    ix = _ensure_deleted_index(sf_dir)
+    out = _index_dir(sf_dir, "deltest-compacted")
+    compact_index(ix, out, num_partitions=4)
+    s = Searcher(out)
+    return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
+
+
 # ---------------------------------------------------------------- ops
 
 
@@ -454,6 +539,9 @@ def queries() -> dict:
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
+        "ft_delete_search": q_ft_delete_search,
+        "ft_delete_purge_stats": q_ft_delete_purge_stats,
+        "ft_delete_purge_search": q_ft_delete_purge_search,
         "search_lucene": q_search_lucene,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -544,6 +632,22 @@ FROM dl d JOIN normvals ON v <= d.dl GROUP BY d.doc_id, d.dl
         "ft_numeric_range": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars >= 200 AND n_chars <= 400"
+        ),
+        "ft_delete_search": _bm25_sql(
+            ["data", "merge"], exclude_where=_DELETED_PRED
+        ),
+        "ft_delete_purge_stats": """
+WITH toks AS (SELECT doc_id, tok FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+  FROM documents WHERE source <> 'src3') WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT count(*)::BIGINT AS dc, sum(dl)::BIGINT AS sttf,
+       CAST(round(sum(dl)::DOUBLE / count(*), 6) AS DOUBLE) AS avgdl,
+       0::BIGINT AS n_deleted
+FROM dl
+""",
+        "ft_delete_purge_search": _bm25_sql(
+            ["data", "merge"], corpus_where="WHERE source <> 'src3'"
         ),
         "ft_numeric_sort": (
             "SELECT doc_id, n_chars FROM documents "
