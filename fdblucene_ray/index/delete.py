@@ -74,7 +74,9 @@ def delete_docs(index_dir: str, doc_ids) -> Manifest:
         version=m.version + 1,
         extra={**m.extra, "tombstone_file": fname},
     )
-    publish_manifest(index_dir, m2)
+    # fenced CAS publish: a concurrent writer on the same index_dir gets
+    # a clean ManifestConflictError instead of silently clobbering
+    publish_manifest(index_dir, m2, expected_version=m.version)
     return m2
 
 

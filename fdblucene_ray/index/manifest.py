@@ -27,6 +27,18 @@ MANIFEST_NAME = "manifest.json"
 FORMAT_VERSION = 1
 
 
+class ManifestConflictError(RuntimeError):
+    """A fenced publish lost the race: the live manifest version moved
+    past ``expected_version`` (another writer committed first). The
+    analog of the reference's FDBLock fencing — insert-if-absent lock
+    record + uuid fence (FDBLock.java:41-61, 94-109) — where the loser
+    gets a clean conflict instead of silently clobbering."""
+
+
+class ManifestLockHeldError(RuntimeError):
+    """The publish lock could not be acquired within the timeout."""
+
+
 @dataclass
 class SegmentMeta:
     name: str
@@ -104,9 +116,68 @@ def load_manifest(index_dir: str) -> Manifest:
         return Manifest.from_json(json.load(f))
 
 
-def publish_manifest(index_dir: str, manifest: Manifest) -> None:
-    """Atomic manifest swap — the engine's ``rename`` commit."""
+def publish_manifest(
+    index_dir: str,
+    manifest: Manifest,
+    *,
+    expected_version: int | None = None,
+    lock_timeout_s: float = 10.0,
+) -> None:
+    """Atomic manifest swap — the engine's ``rename`` commit.
+
+    With ``expected_version`` the publish is a compare-and-swap: the
+    live manifest's version must still equal it under an exclusive
+    publish lock, else ``ManifestConflictError``. Every read-modify-
+    write publisher (delete, in-place merge, drop) passes the version
+    it read, so two concurrent writers on one index_dir can no longer
+    silently clobber each other (FDBLock.java:41-61 analog; on an
+    object store this maps to a conditional put / ETag match).
+    """
     os.makedirs(index_dir, exist_ok=True)
+    if expected_version is None:
+        _write_manifest(index_dir, manifest)
+        return
+    import time as _time
+    import uuid as _uuid
+
+    lock = manifest_path(index_dir) + ".lock"
+    fence = _uuid.uuid4().hex
+    deadline = _time.monotonic() + lock_timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, fence.encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if _time.monotonic() >= deadline:
+                raise ManifestLockHeldError(
+                    f"publish lock {lock} held past {lock_timeout_s}s; "
+                    "remove it manually if the holder crashed"
+                )
+            _time.sleep(0.02)
+    try:
+        current = -1
+        if os.path.exists(manifest_path(index_dir)):
+            current = load_manifest(index_dir).version
+        if current != expected_version:
+            raise ManifestConflictError(
+                f"manifest version moved: expected {expected_version}, "
+                f"live is {current} — reload and retry"
+            )
+        _write_manifest(index_dir, manifest)
+    finally:
+        # uuid fence: only remove the lock we created (a crashed-holder
+        # manual cleanup plus our timeout window could have replaced it)
+        try:
+            with open(lock) as f:
+                if f.read() == fence:
+                    os.remove(lock)
+        except OSError:  # pragma: no cover
+            pass
+
+
+def _write_manifest(index_dir: str, manifest: Manifest) -> None:
     tmp = manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest.to_json(), f, indent=1, sort_keys=True)
@@ -144,7 +215,7 @@ def drop_segments(index_dir: str, names: list[str]) -> "Manifest":
         analyzers=m.analyzers, block_size=m.block_size, segments=keep,
         version=m.version + 1, extra=m.extra,
     )
-    publish_manifest(index_dir, m2)
+    publish_manifest(index_dir, m2, expected_version=m.version)
     return m2
 
 

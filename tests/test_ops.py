@@ -163,6 +163,46 @@ class TestSimilarity:
             a = set(approx[approx.query_id == qid]["vec_id"])
             assert len(e & a) / len(e) >= 0.9, qid
 
+    def test_ivf_indexed_prunes_partitions(self, vectors, tmp_path):
+        """The partitioned IVF layout reads ONLY probed centroid
+        partitions (I/O pruning at the source, not a full-scan filter)
+        and still meets the recall bar."""
+        import os
+
+        from fdblucene_ray.ops.similarity import (
+            build_ivf_index,
+            ivf_topk_indexed,
+            probed_partition_paths,
+        )
+
+        ds, vecs = vectors
+        out = str(tmp_path / "ivf")
+        cents = build_ivf_index(ds, out, n_centroids=8)
+        assert cents.shape[0] == 8
+        parts = sorted(os.listdir(os.path.join(out, "data")))
+        assert len(parts) >= 3 and all(p.startswith("centroid=") for p in parts)
+
+        ids = [0, 50, 100]
+        q = vecs[ids].astype(np.float64)
+        probe, paths = probed_partition_paths(out, q, nprobe=2)
+        assert probe.shape == (3, 2)
+        # strictly fewer partition dirs opened than exist
+        assert 0 < len(paths) < len(parts)
+        probed_set = {int(p.rsplit("=", 1)[1]) for p in
+                      (os.path.basename(x) for x in paths)}
+        assert probed_set == set(int(c) for c in probe.flatten())
+
+        exact = brute_force_topk(ds, q, ids, k=10).to_pandas()
+        approx = ivf_topk_indexed(out, q, ids, k=10, nprobe=3).to_pandas()
+        for qid in ids:
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            assert len(e & a) / len(e) >= 0.9, qid
+
+        # idempotent reuse: second build returns the same centroids
+        cents2 = build_ivf_index(ds, out, n_centroids=8)
+        assert np.array_equal(cents, cents2)
+
 
 class TestTextStats:
     def test_lang_id_priority_and_counts(self, ray_session):

@@ -87,3 +87,88 @@ def test_many_heap_sizes_with_ties(tmp_path, ray_session):
         hits = s.search("same", k, mode="wand")
         assert [d for d, _ in hits] == list(range(min(k, 57)))
         assert hits == s.search("same", k, mode="exhaustive")
+
+
+@pytest.mark.parametrize("seed,block_size", [(11, 8), (12, 32), (13, 128)])
+def test_leapfrog_and_identity_and_skips(seed, block_size, tmp_path, ray_session):
+    """Conjunction leapfrog == exhaustive == oracle at every block size,
+    AND the decode counters prove blocks were skipped on a rare+common
+    conjunction (VERDICT next #6 done-criterion)."""
+    import pyarrow.parquet as pq
+
+    texts = _random_corpus(seed, 500, 25, 40)
+    # plant a rare term co-occurring with the pervasive w0
+    for i in (17, 170, 340, 499):
+        texts[i] = texts[i] + " w0 rareterm"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=4, batch_size=64, block_size=block_size,
+    )
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+
+    rng = np.random.default_rng(seed + 7)
+    for _ in range(20):
+        nt = int(rng.integers(2, 4))
+        terms = [f"w{int(rng.integers(0, 30))}" for _ in range(nt)]
+        q = " ".join(terms)
+        k = int(rng.choice([1, 5, 20]))
+        lf = s.search(q, k, operator="and", mode="wand")
+        ex = s.search(q, k, operator="and", mode="exhaustive")
+        assert [d for d, _ in lf] == [d for d, _ in ex], q
+        for (_, a), (_, b) in zip(lf, ex):
+            assert a == b  # identical accumulation order -> bit-equal
+        orc = oracle.search(q, k, operator="and")
+        assert [d for d, _ in lf] == [d for d, _ in orc], q
+
+    # skip proof: rareterm AND w0 — the w0 stream must not decode all
+    # its blocks when block_size is small enough to have many
+    s.search("rareterm w0", 10, operator="and", mode="wand")
+    stats = s.last_stats
+    assert stats["total_blocks"] > 0
+    if block_size == 8:  # w0 spans many blocks; leapfrog skips most
+        assert stats["blocks_decoded"] < stats["total_blocks"]
+
+
+def test_phrase_lazy_position_decode(tmp_path, ray_session):
+    """Phrase matching decodes positions only for blocks holding
+    doc-intersection candidates."""
+    import pyarrow.parquet as pq
+
+    texts = [f"filler{i} junk{i} noise{i}" for i in range(300)]
+    for i in (5, 150, 299):
+        texts[i] = "alpha beta " + texts[i]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple",
+                         "positions": True}},
+        num_partitions=3, batch_size=64, block_size=8,
+    )
+    s = Searcher(ix)
+    assert dict(s.phrase_freqs("alpha beta")) == {5: 1, 150: 1, 299: 1}
+    stats = s.last_stats
+    # alpha/beta have 3 postings each -> 1 block per (term, segment);
+    # all decoded position blocks must be candidate blocks (tiny)
+    assert stats["pos_blocks_decoded"] <= stats["blocks_decoded"]
+    assert stats["pos_blocks_decoded"] <= 4
