@@ -586,6 +586,93 @@ class Searcher:
         }
         return out
 
+    def search_near(
+        self,
+        phrase: str,
+        window: int,
+        *,
+        field: str = "text",
+        ordered: bool = False,
+    ) -> list[tuple[int, int]]:
+        """Proximity query (SpanNearQuery analog): docs where all the
+        phrase's analyzed terms occur within a ``window``-position span
+        (span = max_pos - min_pos + 1 <= window). Returns
+        (doc_id, minimal_span) sorted by doc_id.
+
+        ``ordered=True`` additionally requires the matched positions to
+        increase in query-term order (SpanNearQuery inOrder). Duplicate
+        query terms are collapsed (distinct-position assignment of the
+        same term is not modeled, matching the SQL-join oracle).
+
+        Uses the same leapfrog + lazy position machinery as phrase
+        matching — only candidate blocks decode their position streams.
+        """
+        terms_all, _ = self._phrase_terms(phrase, field)
+        terms = list(dict.fromkeys(terms_all))
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return [(d, 1) for d, _ in self.phrase_freqs(terms[0], field=field)]
+        bs = self.manifest.block_size
+        dummy_cache = np.zeros(256)
+        unions: list[UnionCursor] = []
+        for qi, t in enumerate(terms):
+            cs = [
+                TermCursor(blob, skips, n, bs, 0.0, dummy_cache, qi)
+                for blob, skips, n in _gather_handles(self.readers, field, t)
+            ]
+            if not cs:
+                return []
+            unions.append(UnionCursor(cs, qi))
+
+        out: list[tuple[int, int]] = []
+
+        def on_match(doc: int):
+            plists = [u.positions_current() for u in unions]
+            span = (
+                _min_ordered_span(plists) if ordered else _min_span(plists)
+            )
+            if span is not None and span <= window:
+                out.append((int(doc), int(span)))
+
+        _leapfrog_intersect(unions, on_match, self.tombstones)
+        return out
+
+    def search_fields(
+        self,
+        query: str,
+        fields: list[str],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Multi-field disjunction (MultiFieldQueryParser analog): the
+        query is analyzed per field with that field's analyzer and a doc
+        scores the SUM of its per-field BM25 contributions (BooleanQuery
+        of SHOULD clauses across fields). Accumulation order: fields in
+        the given order, clauses in query order within each field —
+        float-identical to the SQL oracle's grouped sum shape."""
+        per_doc: dict[int, float] = {}
+        for field in fields:
+            terms = self.parse(query, field)
+            dc, _, avgdl = self.field_stats(field)
+            if dc == 0:
+                continue
+            ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+            live = []
+            for t in terms:
+                df, _ = self.term_stats(field, t)
+                if df:
+                    live.append((t, bm25_idf(dc, df)))
+            if not live:
+                continue
+            hits = _exhaustive(
+                self.readers, live, field, ncache, "or", 1 << 31,
+                self.manifest.block_size, self.tombstones,
+            )
+            for d, s in hits:
+                per_doc[d] = per_doc.get(d, 0.0) + s
+        out = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def phrase_freqs(self, phrase: str, *, field: str = "text") -> list[tuple[int, int]]:
         """(doc_id, phrase_freq) for every matching doc, doc_id asc."""
         terms, offs = self._phrase_terms(phrase, field)
@@ -620,6 +707,58 @@ class Searcher:
         if am is not None:
             docs = docs[am]
         return int(len(docs))
+
+
+def _min_span(plists: list[np.ndarray]) -> int | None:
+    """Minimal window covering >= 1 position from every list (classic
+    k-list min-range sweep), or None if any list is empty."""
+    k = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return None
+    allp = np.concatenate(plists)
+    src = np.concatenate(
+        [np.full(len(p), i, np.int64) for i, p in enumerate(plists)]
+    )
+    order = np.argsort(allp, kind="stable")
+    allp, src = allp[order], src[order]
+    count = np.zeros(k, np.int64)
+    have = 0
+    lo = 0
+    best: int | None = None
+    for hi in range(len(allp)):
+        c = src[hi]
+        if count[c] == 0:
+            have += 1
+        count[c] += 1
+        while have == k:
+            span = int(allp[hi] - allp[lo] + 1)
+            best = span if best is None else min(best, span)
+            cl = src[lo]
+            count[cl] -= 1
+            if count[cl] == 0:
+                have -= 1
+            lo += 1
+    return best
+
+
+def _min_ordered_span(plists: list[np.ndarray]) -> int | None:
+    """Minimal span p_k - p_1 + 1 over strictly-increasing position
+    chains following list order (greedy chain per start is optimal)."""
+    best: int | None = None
+    for p1 in plists[0]:
+        cur = int(p1)
+        ok = True
+        for pl in plists[1:]:
+            i = int(np.searchsorted(pl, cur, side="right"))
+            if i >= len(pl):
+                ok = False
+                break
+            cur = int(pl[i])
+        if not ok:
+            break  # later starts only move cur further right
+        span = cur - int(p1) + 1
+        best = span if best is None else min(best, span)
+    return best
 
 
 def _matching_docs_per_term(readers, terms, field):

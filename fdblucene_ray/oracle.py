@@ -161,6 +161,39 @@ class OracleIndex:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    def search_near(self, phrase: str, window: int, ordered: bool = False):
+        """Proximity oracle: brute-force over ALL position combinations
+        (deliberately a different algorithm than the engine's sweep) —
+        (doc_id, minimal_span) for docs whose distinct terms co-occur
+        within ``window`` positions."""
+        import itertools
+
+        if self.analyzer == "keyword":
+            terms = [phrase]
+        else:
+            terms = list(dict.fromkeys(self.analyzer.tokens(phrase)))
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return [(d, 1) for d, _ in sorted(self.postings.get(terms[0], []))]
+        docsets = [set(self.positions.get(t, {})) for t in terms]
+        cand = set.intersection(*docsets) if docsets else set()
+        out = []
+        for doc in sorted(cand):
+            best = None
+            for combo in itertools.product(
+                *(self.positions[t][doc] for t in terms)
+            ):
+                if ordered and any(
+                    combo[i + 1] <= combo[i] for i in range(len(combo) - 1)
+                ):
+                    continue
+                span = max(combo) - min(combo) + 1
+                best = span if best is None else min(best, span)
+            if best is not None and best <= window:
+                out.append((doc, best))
+        return out
+
     def search_boolean(self, must=None, should=None, must_not=None, k: int = 10):
         """Lucene-BooleanQuery semantics, mirrored from Searcher."""
         from fdblucene_ray.index.search import B, K1

@@ -56,6 +56,11 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
     if flavor == "simple":
         fields = {"text": {"column": "text", "analyzer": "simple", "positions": True},
                   "source": {"column": "source", "analyzer": "keyword"}}
+    elif flavor == "mf":
+        # multi-field flavor: both columns ANALYZED so a query expands
+        # across fields (MultiFieldQueryParser analog)
+        fields = {"text": {"column": "text", "analyzer": "simple"},
+                  "source": {"column": "source", "analyzer": "simple"}}
     else:
         fields = {"text": {"column": "text", "analyzer": "lucene"}}
     build_index(
@@ -336,6 +341,39 @@ def q_search_lucene(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_near_unordered(sf_dir: str) -> pa.Table:
+    """Proximity (SpanNearQuery analog): docs whose terms co-occur in a
+    window; reports the minimal span."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_near("batch stream", 6)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "min_span": pa.array([sp for _, sp in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_near_ordered(sf_dir: str) -> pa.Table:
+    """Ordered proximity (SpanNearQuery inOrder): matched positions must
+    increase in query-term order."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_near("data merge", 8, ordered=True)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "min_span": pa.array([sp for _, sp in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_multifield(sf_dir: str) -> pa.Table:
+    """MultiFieldQueryParser analog: query expanded over (text, source),
+    doc score = sum of per-field BM25 contributions."""
+    s = Searcher(_ensure_index(sf_dir, "mf"))
+    return _hits_table(s.search_fields("data src3", ["text", "source"], k=10))
+
+
 # ---------------------------------------------------------------- delete
 
 
@@ -546,6 +584,9 @@ def queries() -> dict:
         "ft_top_terms": q_ft_top_terms,
         "ft_keyword_lookup": q_ft_keyword_lookup,
         "ft_phrase": q_ft_phrase,
+        "ft_near_unordered": q_ft_near_unordered,
+        "ft_near_ordered": q_ft_near_ordered,
+        "ft_multifield": q_ft_multifield,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
@@ -634,6 +675,63 @@ SELECT t1.doc_id, count(*)::BIGINT AS phrase_freq
 FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.tok = 'batch' AND t2.tok = 'stream'
 GROUP BY t1.doc_id
+""",
+        "ft_near_unordered": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists)
+SELECT t1.doc_id AS doc_id,
+       min(greatest(t1.pos, t2.pos) - least(t1.pos, t2.pos) + 1)::BIGINT AS min_span
+FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id
+WHERE t1.tok = 'batch' AND t2.tok = 'stream'
+GROUP BY t1.doc_id
+HAVING min(greatest(t1.pos, t2.pos) - least(t1.pos, t2.pos) + 1) <= 6
+ORDER BY t1.doc_id
+""",
+        "ft_near_ordered": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists)
+SELECT t1.doc_id AS doc_id, min(t2.pos - t1.pos + 1)::BIGINT AS min_span
+FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos
+WHERE t1.tok = 'data' AND t2.tok = 'merge'
+GROUP BY t1.doc_id
+HAVING min(t2.pos - t1.pos + 1) <= 8
+ORDER BY t1.doc_id
+""",
+        "ft_multifield": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'src3') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+text_contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+-- source field analyzed with the same chain: every doc -> 1 token,
+-- dl = 1, avgdl = 1, so K = k1 = 1.2 exactly
+src_stats AS (SELECT count(*)::DOUBLE AS dc FROM documents),
+src_df AS (SELECT tok, count(*)::DOUBLE AS df FROM (
+  SELECT doc_id, lower(source) AS tok FROM documents) GROUP BY tok),
+src_contrib AS (
+  SELECT d.doc_id,
+         ln(1 + (sc.dc - sd.df + 0.5) / (sd.df + 0.5)) * 1.0 / (1.0 + 1.2) AS s
+  FROM documents d
+  JOIN src_df sd ON sd.tok = lower(d.source)
+  CROSS JOIN src_stats sc
+  WHERE lower(d.source) IN ('data', 'src3')),
+scored AS (
+  SELECT doc_id, sum(s) AS score FROM (
+    SELECT * FROM text_contrib UNION ALL SELECT * FROM src_contrib)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_doc_norms": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}

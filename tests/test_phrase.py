@@ -157,3 +157,73 @@ class TestPhrase:
         s = Searcher(ix)
         assert dict(s.phrase_freqs("x y")) == {0: 1, 2: 1, 3: 1}
         assert [d for d, _ in s.search("a", field="tag", k=10)] == [0, 2]
+
+
+class TestProximity:
+    """SpanNearQuery analog: minimal-span window matching (+ordered)."""
+
+    def test_near_matches_bruteforce_oracle(self, built):
+        ix, oracle = built
+        s = Searcher(ix)
+        for phrase in ["quick fox", "brown dog", "quick brown fox",
+                       "fox dog quick", "unrelated here"]:
+            for w in (2, 3, 5, 9):
+                got = s.search_near(phrase, w)
+                exp = oracle.search_near(phrase, w)
+                assert got == exp, (phrase, w)
+                got_o = s.search_near(phrase, w, ordered=True)
+                exp_o = oracle.search_near(phrase, w, ordered=True)
+                assert got_o == exp_o, (phrase, w, "ordered")
+
+    def test_near_window_semantics(self, tmp_path, ray_session):
+        texts = ["alpha x beta", "beta alpha", "alpha x y z beta", "alpha"]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple",
+                                     "positions": True}},
+                    num_partitions=2)
+        s = Searcher(ix)
+        # span: doc0=3, doc1=2, doc2=5; doc3 lacks beta
+        assert s.search_near("alpha beta", 2) == [(1, 2)]
+        assert s.search_near("alpha beta", 3) == [(0, 3), (1, 2)]
+        assert s.search_near("alpha beta", 5) == [(0, 3), (1, 2), (2, 5)]
+        # ordered: doc1 has beta BEFORE alpha -> excluded
+        assert s.search_near("alpha beta", 5, ordered=True) == [(0, 3), (2, 5)]
+
+
+class TestMultiField:
+    def test_multifield_sums_per_field_bm25(self, tmp_path, ray_session):
+        """search_fields == sum of independent per-field oracle scores."""
+        texts = ["data merge window", "data data join", "window sort",
+                 "merge value data"]
+        titles = ["data report", "join summary", "data window", "misc"]
+        t = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "title": pa.array(titles, pa.string()),
+        })
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"},
+                            "title": {"column": "title", "analyzer": "simple"}},
+                    num_partitions=3)
+        s = Searcher(ix)
+        o_text, o_title = OracleIndex("simple"), OracleIndex("simple")
+        for i in range(4):
+            o_text.add(i, texts[i])
+            o_title.add(i, titles[i])
+        got = s.search_fields("data window", ["text", "title"], k=10)
+        exp: dict[int, float] = {}
+        for orc in (o_text, o_title):
+            for d, sc in orc.search("data window", k=100):
+                exp[d] = exp.get(d, 0.0) + sc
+        exp_sorted = sorted(exp.items(), key=lambda x: (-x[1], x[0]))
+        assert [d for d, _ in got] == [d for d, _ in exp_sorted]
+        for (_, a), (_, b) in zip(got, exp_sorted):
+            assert a == pytest.approx(b, rel=1e-12)
