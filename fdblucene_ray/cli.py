@@ -104,6 +104,62 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.delete import delete_by_term, delete_docs
+
+    if args.term:
+        field, _, term = args.term.partition(":")
+        m = delete_by_term(args.index, field, term)
+    else:
+        m = delete_docs(args.index, [int(d) for d in args.doc_id])
+    print(json.dumps({
+        "index": args.index, "version": m.version,
+        "tombstone_file": m.extra.get("tombstone_file"),
+    }))
+    return 0
+
+
+def cmd_maintain(args) -> int:
+    """Merge-policy maintenance: plan_tiered -> in-place merge -> gc."""
+    _ensure_ray()
+    from fdblucene_ray.index.manifest import load_manifest
+    from fdblucene_ray.index.merge import maintain_index
+
+    before = len(load_manifest(args.index).segments)
+    m = maintain_index(
+        args.index, tier_factor=args.tier_factor, min_merge=args.min_merge,
+        out_partitions=args.out_partitions,
+    )
+    print(json.dumps({
+        "index": args.index, "segments_before": before,
+        "segments_after": len(m.segments), "version": m.version,
+    }))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Full rewrite (purges tombstones exactly via doclens)."""
+    _ensure_ray()
+    from fdblucene_ray.index.merge import compact_index
+
+    m = compact_index(args.index, args.out, num_partitions=args.num_partitions)
+    print(json.dumps({"out": args.out, "segments": len(m.segments)}))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.delete import gc_tombstones
+    from fdblucene_ray.index.manifest import gc_index
+
+    removed = gc_index(args.index, dry_run=args.dry_run)
+    tombs = gc_tombstones(args.index, dry_run=args.dry_run)
+    print(json.dumps({"segments_removed": removed, "tombstones_removed": tombs,
+                      "dry_run": args.dry_run}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fdblucene_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +193,31 @@ def main(argv=None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--num-partitions", type=int, default=16)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser("delete", help="tombstone docs (liveDocs semantics)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-id", action="append", default=[],
+                   help="doc id to delete (repeatable)")
+    d.add_argument("--term", help="FIELD:TERM — deleteDocuments(Term) analog")
+    d.set_defaults(fn=cmd_delete)
+
+    mt = sub.add_parser("maintain", help="tiered merge maintenance loop")
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--tier-factor", type=int, default=4)
+    mt.add_argument("--min-merge", type=int, default=4)
+    mt.add_argument("--out-partitions", type=int, default=1)
+    mt.set_defaults(fn=cmd_maintain)
+
+    c = sub.add_parser("compact", help="full rewrite; purges tombstones")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--num-partitions", type=int, default=16)
+    c.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("gc", help="sweep unreferenced segments + tombstones")
+    g.add_argument("--index", required=True)
+    g.add_argument("--dry-run", action="store_true")
+    g.set_defaults(fn=cmd_gc)
 
     args = p.parse_args(argv)
     return args.fn(args)

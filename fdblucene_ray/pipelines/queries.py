@@ -341,6 +341,32 @@ def q_search_lucene(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_highlight(sf_dir: str) -> pa.Table:
+    """Highlight plumbing: top-10 BM25 hits hydrated straight from the
+    INPUT parquet (doc_id -> row group is a pure function of footer
+    metadata — the zero-copy doc store), then char-offset spans derived
+    by re-analyzing just those 10 docs (DATA.md:54 offsets analog)."""
+    from fdblucene_ray.index.highlight import highlight_spans
+    from fdblucene_ray.sources.corpus import hydrate_from_source
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search_terms(["data"], 10, mode="wand")
+    tbl = hydrate_from_source(
+        _docs_path(sf_dir), [d for d, _ in hits], columns=["text"]
+    )
+    rows = []
+    for doc, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        spans = highlight_spans("simple", text, ["data"])
+        rows.append((doc, len(spans)))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_spans": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_ft_near_unordered(sf_dir: str) -> pa.Table:
     """Proximity (SpanNearQuery analog): docs whose terms co-occur in a
     window; reports the minimal span."""
@@ -584,6 +610,7 @@ def queries() -> dict:
         "ft_top_terms": q_ft_top_terms,
         "ft_keyword_lookup": q_ft_keyword_lookup,
         "ft_phrase": q_ft_phrase,
+        "ft_highlight": q_ft_highlight,
         "ft_near_unordered": q_ft_near_unordered,
         "ft_near_ordered": q_ft_near_ordered,
         "ft_multifield": q_ft_multifield,
@@ -675,6 +702,20 @@ SELECT t1.doc_id, count(*)::BIGINT AS phrase_freq
 FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.tok = 'batch' AND t2.tok = 'stream'
 GROUP BY t1.doc_id
+""",
+        "ft_highlight": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok = 'data' GROUP BY doc_id),
+dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS score,
+         tf.tf AS tf
+  FROM tf CROSS JOIN dfx JOIN dlq ON dlq.doc_id = tf.doc_id CROSS JOIN stats),
+top AS (SELECT doc_id, tf FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+SELECT doc_id, tf::BIGINT AS n_spans FROM top ORDER BY doc_id
 """,
         "ft_near_unordered": """
 WITH lists AS (

@@ -124,6 +124,45 @@ def read_corpus_with_doc_ids(
     )
 
 
+def hydrate_from_source(
+    paths, doc_ids, columns: list[str] | None = None, *, base: int = 0
+) -> pa.Table:
+    """Stored-field lookup (J3) straight from the INPUT parquet — the
+    zero-copy doc store at 100 TB: deterministic ids make
+    ``doc_id -> (file, row_group, row)`` a pure function of the footer
+    metadata, so only the row groups containing the requested ids are
+    read (and only ``columns``). Returns rows sorted by doc_id with a
+    ``doc_id`` column attached."""
+    ids = sorted(int(d) for d in doc_ids)
+    frags = plan_fragments(paths, base)
+    out = []
+    i = 0
+    for frag in frags:
+        lo, hi = frag["base"], frag["base"] + frag["num_rows"]
+        want = []
+        while i < len(ids) and ids[i] < hi:
+            if ids[i] >= lo:
+                want.append(ids[i] - lo)
+            i += 1
+        if want:
+            t = pq.ParquetFile(frag["path"]).read_row_group(
+                frag["row_group"], columns=columns
+            )
+            sel = t.take(pa.array(want, pa.int64()))
+            sel = sel.add_column(
+                0,
+                "doc_id",
+                pa.array(np.asarray(want, np.int64) + lo, pa.int64()),
+            )
+            out.append(sel)
+        if i >= len(ids):
+            break
+    if not out:
+        schema = pa.schema([("doc_id", pa.int64())])
+        return pa.table({"doc_id": pa.array([], pa.int64())}).cast(schema)
+    return pa.concat_tables(out)
+
+
 def corpus_signature(paths, extra: str = "") -> str:
     """Stable signature of an input: paths + sizes + mtimes + config.
 
