@@ -207,14 +207,26 @@ def run_default() -> None:
     # index over one synthetic webpages shard (fixed 25k docs)
     web_paths = _ensure_bench_corpus(25_000)  # generate/cache outside timing
 
+    web_ix_dir = _fresh_dir("ix-web")
+
     def flagship():
         from fdblucene_ray.pipelines.flagship import build_webpages_index
 
         build_webpages_index(
-            web_paths, _fresh_dir("ix-web"), num_partitions=32, resume=False
+            web_paths, web_ix_dir, num_partitions=32, resume=False
         )
 
     timed("build_webpages_25k_flagship", flagship)
+
+    # maintenance path: full compaction of the 25k flagship index
+    # (slab-vectorized decode -> one shuffle -> bulk encode); the
+    # VERDICT round-1 bar is "within ~2x of a fresh build"
+    def compact():
+        from fdblucene_ray.index.merge import compact_index
+
+        compact_index(web_ix_dir, _fresh_dir("ix-web-compact"), num_partitions=8)
+
+    timed("compact_index_25k", compact)
     timed("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
     timed("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
     timed("ann_cosine", lambda: q.q_ann_cosine(sf_dir))

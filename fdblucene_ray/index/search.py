@@ -45,6 +45,11 @@ from fdblucene_ray.index.segment import SegmentReader
 K1 = 1.2
 B = 0.75
 
+# "auto" strategy switch: total candidate postings below this use the
+# vectorized exhaustive scorer; above it, block-max WAND / leapfrog
+# skipping pays for its per-document Python loop
+AUTO_VECTORIZE_MAX = 1 << 18
+
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -75,6 +80,12 @@ class TermCursor:
     max_score: float = 0.0  # global upper bound over all blocks
     blocks_decoded: int = 0  # skip-proof counter (tests/stats)
     pos_blocks_decoded: int = 0
+    # optional shared decoded-block LRU (SegmentReader.block_cache, the
+    # ST3/JCS block-cache analog): hot terms repeated across a query
+    # batch decode each block once per reader, not once per query
+    cache: dict | None = None
+    ckey: int = 0
+    cache_max: int = 256
 
     def __post_init__(self):
         mt = self.skips["max_tf"].astype(np.float64)
@@ -86,11 +97,26 @@ class TermCursor:
 
     def _load_block(self, bi: int):
         self.bi = bi
-        self.docs, self.tfs, self.norms = decode_block(
-            self.blob, self.skips, bi, self.n_docs, self.block_size
-        )
+        if self.cache is not None:
+            k = (self.ckey, bi)
+            hit = self.cache.get(k)
+            if hit is None:
+                hit = decode_block(
+                    self.blob, self.skips, bi, self.n_docs, self.block_size
+                )
+                self.blocks_decoded += 1
+                if len(self.cache) >= self.cache_max:
+                    self.cache.pop(next(iter(self.cache)))
+                self.cache[k] = hit
+            else:  # LRU bump (insertion-ordered dict)
+                self.cache[k] = self.cache.pop(k)
+            self.docs, self.tfs, self.norms = hit
+        else:
+            self.docs, self.tfs, self.norms = decode_block(
+                self.blob, self.skips, bi, self.n_docs, self.block_size
+            )
+            self.blocks_decoded += 1
         self.pos = 0
-        self.blocks_decoded += 1
 
     def positions_current(self) -> np.ndarray:
         """Positions of the CURRENT posting, decoding only this block's
@@ -259,10 +285,7 @@ def _leapfrog_and(readers, live_terms, field, ncache, k, block_size, tomb):
     (hits, unions) — unions expose decode counters."""
     unions: list[UnionCursor] = []
     for qidx, (t, idf) in enumerate(live_terms):
-        cs = [
-            TermCursor(blob, skips, n, block_size, idf, ncache, qidx)
-            for blob, skips, n in _gather_handles(readers, field, t)
-        ]
+        cs = _gather_cursors(readers, field, t, block_size, idf, ncache, qidx)
         if not cs:
             return [], unions
         unions.append(UnionCursor(cs, qidx))
@@ -356,13 +379,13 @@ class Searcher:
         *,
         field: str = "text",
         operator: str = "or",
-        mode: str = "wand",
+        mode: str = "auto",
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc."""
         terms = self.parse(query, field)
         return self.search_terms(terms, k, field=field, operator=operator, mode=mode)
 
-    def search_terms(self, terms, k=10, *, field="text", operator="or", mode="wand"):
+    def search_terms(self, terms, k=10, *, field="text", operator="or", mode="auto"):
         """Segments are TERM shards (the build shuffle partitions by term
         hash, with head terms salted over several shards), so evaluation
         merges per-term streams ACROSS segments — unlike Lucene's
@@ -377,17 +400,26 @@ class Searcher:
         ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         # clause list: (qidx order preserved for float-identical accumulation)
         live = []
+        total_df = 0
         for t in terms:
             df, _ = self.term_stats(field, t)
             if df == 0:
                 if operator == "and":
                     return []  # conjunction with an absent term matches nothing
                 continue
+            total_df += df
             live.append((t, bm25_idf(dc, df)))
         if not live:
             return []
         bs = self.manifest.block_size
         self.last_stats = {}
+        # "auto": the cursor machines (WAND / leapfrog) win only when
+        # skipping avoids decoding HUGE lists; below the threshold the
+        # fully-vectorized exhaustive path (numpy over cached decodes)
+        # is strictly faster than a Python document-at-a-time loop.
+        # Both strategies are property-tested rank+score identical.
+        if mode == "auto":
+            mode = "wand" if total_df > AUTO_VECTORIZE_MAX else "exhaustive"
         if mode == "exhaustive":
             candidates = _exhaustive(
                 self.readers, live, field, ncache, operator, k, bs, self.tombstones
@@ -417,6 +449,7 @@ class Searcher:
         k: int = 10,
         *,
         field: str = "text",
+        mode: str = "auto",
     ) -> list[tuple[int, float]]:
         """Lucene-BooleanQuery semantics (the reference's query subset,
         README.md:53-57 / SURVEY.md J2 incl. the NOT anti-join):
@@ -426,6 +459,13 @@ class Searcher:
         - MUST_NOT terms exclude docs (never score);
         - score = sum of BM25 contributions of matching MUST + SHOULD
           clauses, accumulated in clause order.
+
+        Two property-identical strategies (``mode="auto"`` picks by
+        total posting count, like search_terms): a fully-vectorized
+        decode-and-join for short lists, and cursor-based document-at-
+        a-time (MUST leapfrog + probed SHOULD / MUST_NOT — the
+        ConjunctionDISI + ReqOptSumScorer shape) that never fully
+        decodes a huge list.
         """
         must, should, must_not = must or [], should or [], must_not or []
         dc, _, avgdl = self.field_stats(field)
@@ -433,14 +473,113 @@ class Searcher:
             return []
         ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         bs = self.manifest.block_size
+        if mode == "auto":
+            total_df = sum(
+                self.term_stats(field, t)[0] for t in (*must, *should, *must_not)
+            )
+            mode = "cursors" if total_df > AUTO_VECTORIZE_MAX else "vectorized"
+        if mode == "vectorized":
+            return self._boolean_vectorized(
+                must, should, must_not, k, field, ncache, bs
+            )
+
+        def union_for(t, qidx, scored=True):
+            df, _ = self.term_stats(field, t)
+            if df == 0:
+                return None
+            idf = bm25_idf(dc, df) if scored else 0.0
+            cs = _gather_cursors(self.readers, field, t, bs, idf, ncache, qidx)
+            return UnionCursor(cs, qidx) if cs else None
+
+        must_u: list[UnionCursor] = []
+        for i, t in enumerate(must):
+            u = union_for(t, i)
+            if u is None:
+                return []  # required clause absent -> empty
+            must_u.append(u)
+        should_u = [
+            u
+            for j, t in enumerate(should)
+            if (u := union_for(t, len(must) + j)) is not None
+        ]
+        not_u = [
+            u for t in must_not if (u := union_for(t, 0, scored=False)) is not None
+        ]
+
+        heap: list[tuple[float, int]] = []
+
+        def consider(doc: int, score: float):
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        def excluded(doc: int) -> bool:
+            for u in not_u:
+                if not u.exhausted() and u.doc < doc:
+                    u.advance(doc)
+                if not u.exhausted() and u.doc == doc:
+                    return True
+            return False
+
+        if must_u:
+
+            def on_match(doc: int):
+                if excluded(doc):
+                    return
+                score = 0.0
+                for u in must_u:  # clause-order accumulation
+                    score += u.score_current()
+                for u in should_u:
+                    if not u.exhausted() and u.doc < doc:
+                        u.advance(doc)
+                    if not u.exhausted() and u.doc == doc:
+                        score += u.score_current()
+                consider(doc, score)
+
+            _leapfrog_intersect(must_u, on_match, self.tombstones)
+        else:
+            # pure disjunction: document-at-a-time min-merge over the
+            # SHOULD streams (scored in clause order), NOT anti-join and
+            # tombstones applied per candidate
+            tomb = self.tombstones
+            live = [u for u in should_u if not u.exhausted()]
+            while live:
+                doc = min(u.doc for u in live)
+                dead = False
+                if len(tomb):
+                    ti = int(np.searchsorted(tomb, doc))
+                    dead = ti < len(tomb) and int(tomb[ti]) == doc
+                if not dead and not excluded(doc):
+                    score = 0.0
+                    for u in should_u:  # clause order
+                        if not u.exhausted() and u.doc == doc:
+                            score += u.score_current()
+                    consider(doc, score)
+                for u in live:
+                    if u.doc == doc:
+                        u.next()
+                live = [u for u in live if not u.exhausted()]
+
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    def _boolean_vectorized(self, must, should, must_not, k, field, ncache, bs):
+        """Short-list boolean twin: full decode (reader-cached) + numpy
+        set ops; clause-order accumulation identical to the cursor path."""
+        dc = self.field_stats(field)[0]
 
         def decode_clause(t):
             parts_d, parts_t, parts_n = [], [], []
-            for blob, skips, n in _gather_handles(self.readers, field, t):
-                d, tf, nb = decode_all(blob, skips, n, bs)
-                parts_d.append(d)
-                parts_t.append(tf)
-                parts_n.append(nb)
+            for r in self.readers:
+                dec = r.decode_term_all(field, t, bs)
+                if dec is None:
+                    continue
+                parts_d.append(dec[0])
+                parts_t.append(dec[1])
+                parts_n.append(dec[2])
             if not parts_d:
                 return None
             docs = np.concatenate(parts_d)
@@ -556,10 +695,7 @@ class Searcher:
         dummy_cache = np.zeros(256)
         unions: list[UnionCursor] = []
         for qi, t in enumerate(terms):
-            cs = [
-                TermCursor(blob, skips, n, bs, 0.0, dummy_cache, qi)
-                for blob, skips, n in _gather_handles(self.readers, field, t)
-            ]
+            cs = _gather_cursors(self.readers, field, t, bs, 0.0, dummy_cache, qi)
             if not cs:
                 return []
             unions.append(UnionCursor(cs, qi))
@@ -617,10 +753,7 @@ class Searcher:
         dummy_cache = np.zeros(256)
         unions: list[UnionCursor] = []
         for qi, t in enumerate(terms):
-            cs = [
-                TermCursor(blob, skips, n, bs, 0.0, dummy_cache, qi)
-                for blob, skips, n in _gather_handles(self.readers, field, t)
-            ]
+            cs = _gather_cursors(self.readers, field, t, bs, 0.0, dummy_cache, qi)
             if not cs:
                 return []
             unions.append(UnionCursor(cs, qi))
@@ -783,6 +916,23 @@ def _gather_handles(readers, field, term):
     return out
 
 
+def _gather_cursors(readers, field, term, block_size, idf, ncache, qidx):
+    """Per-segment TermCursors wired to each reader's shared decoded-
+    block LRU (the ST3 block-cache analog)."""
+    out = []
+    for r in readers:
+        h = r.cursor_handle(field, term)
+        if h is not None:
+            blob, skips, n, cache, ckey = h
+            out.append(
+                TermCursor(
+                    blob, skips, n, block_size, idf, ncache, qidx,
+                    cache=cache, ckey=ckey,
+                )
+            )
+    return out
+
+
 def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
                 tomb=_NO_TOMB):
     """Vectorized full-decode scoring across all segments.
@@ -794,8 +944,11 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
     per_term = []
     for t, idf in live_terms:  # query order == accumulation order
         parts_d, parts_t, parts_n = [], [], []
-        for blob, skips, n in _gather_handles(readers, field, t):
-            d, tf, nb = decode_all(blob, skips, n, block_size)
+        for r in readers:
+            dec = r.decode_term_all(field, t, block_size)
+            if dec is None:
+                continue
+            d, tf, nb = dec
             parts_d.append(d)
             parts_t.append(tf)
             parts_n.append(nb)
@@ -849,8 +1002,9 @@ def _wand(readers, live_terms, field, ncache, k, block_size, tomb=_NO_TOMB):
     upper bound for salted terms."""
     cursors: list[TermCursor] = []
     for qidx, (t, idf) in enumerate(live_terms):
-        for blob, skips, n in _gather_handles(readers, field, t):
-            cursors.append(TermCursor(blob, skips, n, block_size, idf, ncache, qidx))
+        cursors.extend(
+            _gather_cursors(readers, field, t, block_size, idf, ncache, qidx)
+        )
     if not cursors:
         return []
 
@@ -938,7 +1092,7 @@ class SearchQueries:
     """
 
     def __init__(self, index_dir: str, k: int = 10, field: str = "text",
-                 operator: str = "or", mode: str = "wand"):
+                 operator: str = "or", mode: str = "auto"):
         self.searcher = Searcher(index_dir)
         self.k = k
         self.field = field

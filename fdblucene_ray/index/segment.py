@@ -430,6 +430,52 @@ class SegmentReader:
         self._pf = None  # open pq.ParquetFile handle for row-group reads
         self._rg_cache: dict[int, tuple[list[str], dict]] = {}
         self.rg_loads = 0  # row groups decoded (bounded-I/O tests/metrics)
+        # decoded posting-block LRU shared across queries on this reader
+        # (the ST3/JCS block-cache analog, README.md:96-102): hot terms
+        # repeated across a query batch decode each block once
+        self.block_cache: dict[tuple[int, int], tuple] = {}
+        self.block_cache_max = 256
+        # full-decode LRU for the vectorized exhaustive path, budgeted
+        # in POSTINGS (not entries — list sizes vary wildly)
+        self.list_cache: dict[int, tuple] = {}
+        self.list_cache_budget = 4_000_000
+        self._list_cache_load = 0
+
+    def decode_term_all(self, field: str, term: str, block_size: int):
+        """Full (docs, tfs, norms) decode of a term's postings, LRU-
+        cached by postings budget — hot query terms repeated across a
+        batch decode once per reader."""
+        from fdblucene_ray.codec.postings import decode_all
+
+        r = self._term_row(field, term)
+        if r is None:
+            return None
+        off = int(r["post_offset"])
+        hit = self.list_cache.get(off)
+        if hit is not None:
+            self.list_cache[off] = self.list_cache.pop(off)  # LRU bump
+            return hit
+        blob, skips = self._blob()
+        sk = read_skips(
+            memoryview(skips)[
+                int(r["skip_offset"]) : int(r["skip_offset"])
+                + int(r["n_blocks"]) * SKIP_DTYPE.itemsize
+            ]
+        )
+        dec = decode_all(
+            memoryview(blob)[off : off + int(r["post_len"])],
+            sk,
+            int(r["df"]),
+            block_size,
+        )
+        n = len(dec[0])
+        if n <= self.list_cache_budget:
+            while self._list_cache_load + n > self.list_cache_budget and self.list_cache:
+                old = self.list_cache.pop(next(iter(self.list_cache)))
+                self._list_cache_load -= len(old[0])
+            self.list_cache[off] = dec
+            self._list_cache_load += n
+        return dec
 
     @property
     def terms(self) -> pa.Table:
@@ -573,3 +619,20 @@ class SegmentReader:
         blob, skips = self._blob()
         sk = read_skips(memoryview(skips)[soff : soff + nb * SKIP_DTYPE.itemsize])
         return memoryview(blob)[off : off + plen], sk, df
+
+    def cursor_handle(self, field: str, term: str):
+        """postings_handle + the reader's shared decoded-block cache:
+        -> (blob_view, skips, n_docs, cache_dict, cache_key) or None.
+        ``cache_key`` (the term's blob offset) uniquely identifies the
+        term within this segment."""
+        r = self._term_row(field, term)
+        if r is None:
+            return None
+        off = int(r["post_offset"])
+        plen = int(r["post_len"])
+        soff = int(r["skip_offset"])
+        nb = int(r["n_blocks"])
+        df = int(r["df"])
+        blob, skips = self._blob()
+        sk = read_skips(memoryview(skips)[soff : soff + nb * SKIP_DTYPE.itemsize])
+        return memoryview(blob)[off : off + plen], sk, df, self.block_cache, off

@@ -172,3 +172,41 @@ def test_phrase_lazy_position_decode(tmp_path, ray_session):
     # all decoded position blocks must be candidate blocks (tiny)
     assert stats["pos_blocks_decoded"] <= stats["blocks_decoded"]
     assert stats["pos_blocks_decoded"] <= 4
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_boolean_strategies_identical(seed, tmp_path, ray_session):
+    """Cursor-based boolean (ConjunctionDISI shape) == vectorized twin
+    == oracle, under random must/should/must_not combinations."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.oracle import OracleIndex
+
+    texts = _random_corpus(seed, 300, 20, 30)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64, block_size=16)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+    rng = np.random.default_rng(seed)
+    for _ in range(15):
+        pool = [f"w{int(rng.integers(0, 22))}" for _ in range(4)]
+        must, should, must_not = [pool[0]], pool[1:3], pool[3:]
+        if rng.random() < 0.3:
+            must = []
+        kwargs = dict(must=must, should=should, must_not=must_not, k=10)
+        cur = s.search_boolean(**kwargs, mode="cursors")
+        vec = s.search_boolean(**kwargs, mode="vectorized")
+        orc = oracle.search_boolean(must=must, should=should,
+                                    must_not=must_not, k=10)
+        assert [d for d, _ in cur] == [d for d, _ in vec] == [d for d, _ in orc], kwargs
+        for (_, a), (_, b), (_, c) in zip(cur, vec, orc):
+            assert a == pytest.approx(c, rel=1e-12)
+            assert b == pytest.approx(c, rel=1e-12)
