@@ -286,6 +286,111 @@ def decode_all_positions(
     return np.concatenate(parts_p), np.concatenate(parts_t)
 
 
+def _gather_ranges(buf_u8, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenate buf_u8[starts[i]:ends[i]] for all i (vectorized gather)."""
+    starts = np.asarray(starts, np.int64)
+    lens = (np.asarray(ends, np.int64) - starts)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    dst = np.concatenate(([0], np.cumsum(lens[:-1])))
+    idx = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(dst, lens)
+    )
+    return np.asarray(buf_u8)[idx]
+
+
+def _reset_cumsum(deltas: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """cumsum(deltas) restarting at each group start (vectorized)."""
+    out = np.cumsum(deltas.astype(np.int64))
+    corr = np.zeros(len(deltas), np.int64)
+    gs = group_starts[group_starts > 0]
+    corr[gs] = out[gs - 1]
+    np.maximum.accumulate(corr, out=corr)
+    return out - corr
+
+
+def bulk_decode_segment(
+    blob_u8,
+    skips_all: np.ndarray,
+    post_offset: np.ndarray,
+    skip_offset: np.ndarray,
+    n_blocks: np.ndarray,
+    df: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode EVERY term's postings of one segment in a handful of
+    vectorized passes -> (docs, tfs, norms, term_starts), flat arrays in
+    term order. The merge/compact scale path: region boundaries come
+    from the segment-wide skip array (one ``np.frombuffer``), regions
+    are gathered into one stream per kind, and each stream decodes with
+    ONE varint pass — no per-term Python/Arrow objects.
+    """
+    itemsize = SKIP_DTYPE.itemsize
+    po = np.asarray(post_offset, np.int64)
+    dfv = np.asarray(df, np.int64)
+    T = len(po)
+    if T == 0 or dfv.sum() == 0:
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, np.uint32), np.empty(0, np.uint8), e
+    first_blk = (np.asarray(skip_offset, np.int64) // itemsize)
+    last_blk = first_blk + np.asarray(n_blocks, np.int64) - 1
+    d_total = skips_all["tf_off"][first_blk].astype(np.int64)
+    t_end = (
+        skips_all["tf_off"][last_blk] + skips_all["tfs_len"][last_blk]
+    ).astype(np.int64)
+    docs_stream = _gather_ranges(blob_u8, po, po + d_total)
+    tfs_stream = _gather_ranges(blob_u8, po + d_total, po + t_end)
+    norms = _gather_ranges(blob_u8, po + t_end, po + t_end + dfv).copy()
+    total = int(dfv.sum())
+    term_starts = np.concatenate(([0], np.cumsum(dfv[:-1])))
+    deltas = varint_decode(docs_stream, total)
+    docs = _reset_cumsum(deltas, term_starts) - 1
+    tfs = varint_decode(tfs_stream, total).astype(np.uint32)
+    return docs, tfs, norms, term_starts
+
+
+def bulk_decode_segment_positions(
+    blob_u8,
+    skips_all: np.ndarray,
+    post_offset: np.ndarray,
+    post_len: np.ndarray,
+    skip_offset: np.ndarray,
+    n_blocks: np.ndarray,
+    df: np.ndarray,
+    tfs: np.ndarray,
+    term_starts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positions companion to ``bulk_decode_segment``:
+    -> (flat_positions, per-posting position counts). Non-positional
+    terms contribute zero-count postings; positional terms' streams are
+    gathered and decoded in one varint pass."""
+    itemsize = SKIP_DTYPE.itemsize
+    po = np.asarray(post_offset, np.int64)
+    dfv = np.asarray(df, np.int64)
+    first_blk = (np.asarray(skip_offset, np.int64) // itemsize)
+    last_blk = first_blk + np.asarray(n_blocks, np.int64) - 1
+    t_end = (
+        skips_all["tf_off"][last_blk] + skips_all["tfs_len"][last_blk]
+    ).astype(np.int64)
+    p_total = np.asarray(post_len, np.int64) - (t_end + dfv)
+    positional = p_total > 0
+    pos_stream = _gather_ranges(
+        blob_u8, (po + t_end + dfv)[positional], (po + np.asarray(post_len, np.int64))[positional]
+    )
+    # per-posting counts: tf where the term is positional, else 0
+    pos_counts = np.where(
+        np.repeat(positional, dfv), tfs.astype(np.int64), 0
+    )
+    n_pos = int(pos_counts.sum())
+    if n_pos == 0:
+        return np.empty(0, np.int64), pos_counts
+    pdeltas = varint_decode(pos_stream, n_pos)
+    posting_starts = np.concatenate(([0], np.cumsum(pos_counts[:-1])))
+    # restart the delta chain at each POSTING with >= 1 position
+    flat = _reset_cumsum(pdeltas, np.unique(posting_starts[pos_counts > 0]))
+    return flat, pos_counts
+
+
 def decode_all(
     blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

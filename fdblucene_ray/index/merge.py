@@ -39,12 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from fdblucene_ray.codec.postings import (
-    SKIP_DTYPE,
-    decode_all,
-    decode_all_positions,
-    read_skips,
-)
+from fdblucene_ray.codec.postings import SKIP_DTYPE
 from fdblucene_ray.index.build import (
     EncodeGroup,
     _GOLDEN,
@@ -104,49 +99,6 @@ class DecodeSegmentPostings:
             self.tomb = tombstones_ref
         else:
             self.tomb = ray.get(tombstones_ref)
-
-    # ---- slab construction ----
-
-    def _flush(self, keys, d_list, tf_list, nrm_list, pos_list, base):
-        lens = np.fromiter((len(x) for x in d_list), np.int64, len(d_list))
-        d_all = np.ascontiguousarray(np.concatenate(d_list) + base, "<i8")
-        tf_all = np.ascontiguousarray(np.concatenate(tf_list), "<i4")
-        nrm_all = np.ascontiguousarray(np.concatenate(nrm_list), np.uint8)
-        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
-        ends = starts + lens
-        sum_tf = np.add.reduceat(tf_all.astype(np.int64), starts)
-        part = (_key_hash(keys) % np.uint64(self.P)).astype(np.int32)
-
-        if any(p is not None for p in pos_list):
-            plens = np.fromiter(
-                (0 if p is None else len(p) for p in pos_list),
-                np.int64,
-                len(pos_list),
-            )
-            pvals = np.ascontiguousarray(
-                np.concatenate([p for p in pos_list if p is not None]), "<i4"
-            )
-            pstarts = np.concatenate(([0], np.cumsum(plens[:-1])))
-            pends = pstarts + plens
-            pos_cells = _packed_binary(
-                pvals.view(np.uint8), pstarts * 4, pends * 4
-            )
-        else:
-            pos_cells = pa.nulls(len(keys), pa.binary())
-
-        return pa.table(
-            {
-                "part": pa.array(part),
-                "key": pa.array(keys, pa.string()),
-                "min_doc": pa.array(d_all[starts], pa.int64()),
-                "n": pa.array(lens, pa.int64()),
-                "sum_tf": pa.array(sum_tf, pa.int64()),
-                "docs": _packed_binary(d_all.view(np.uint8), starts * 8, ends * 8),
-                "tfs": _packed_binary(tf_all.view(np.uint8), starts * 4, ends * 4),
-                "norms": _packed_binary(nrm_all, starts, ends),
-                "pos": pos_cells,
-            }
-        )
 
     def _sentinel_table(self, reader, meta, base, tomb):
         """Re-emit the segment's doc-stat partials as sentinel runs.
@@ -241,53 +193,122 @@ class DecodeSegmentPostings:
             pos_fields = set(manifest.extra.get("positions_fields", []))
             tomb = self.tomb.get(idir, _EMPTY_TOMB)
             reader = SegmentReader(idir, meta)
-            terms = reader.terms
-            fields_l = terms["field"].to_pylist()
-            tnames = terms["term"].to_pylist()
-            po = terms["post_offset"].to_numpy(zero_copy_only=False)
-            pl_ = terms["post_len"].to_numpy(zero_copy_only=False)
-            so = terms["skip_offset"].to_numpy(zero_copy_only=False)
-            nb_ = terms["n_blocks"].to_numpy(zero_copy_only=False)
-            df_ = terms["df"].to_numpy(zero_copy_only=False)
-            blob, skips_blob = reader._blob()
-            bmv, smv = memoryview(blob), memoryview(skips_blob)
-            base = int(row["base"])
-
-            keys: list[str] = []
-            d_list, tf_list, nrm_list, pos_list = [], [], [], []
-            buffered = 0
-            for i in range(terms.num_rows):
-                tb = bmv[po[i] : po[i] + pl_[i]]
-                sk = read_skips(
-                    smv[so[i] : so[i] + int(nb_[i]) * SKIP_DTYPE.itemsize]
-                )
-                n = int(df_[i])
-                d, tf, nrm = decode_all(tb, sk, n, manifest.block_size)
-                pos = None
-                if fields_l[i] in pos_fields:
-                    pos, _ = decode_all_positions(tb, sk, n, manifest.block_size)
-                am = _alive(d, tomb)
-                if am is not None:
-                    if pos is not None:
-                        pos = pos[np.repeat(am, tf.astype(np.int64))]
-                    d, tf, nrm = d[am], tf[am], nrm[am]
-                if len(d) == 0:
-                    continue  # every posting tombstoned -> term dropped
-                keys.append(fields_l[i] + FIELD_SEP + tnames[i])
-                d_list.append(d)
-                tf_list.append(tf)
-                nrm_list.append(nrm)
-                pos_list.append(pos)
-                buffered += len(d)
-                if len(keys) >= self.slab_terms or buffered >= _ROWS_PER_YIELD:
-                    yield self._flush(keys, d_list, tf_list, nrm_list, pos_list, base)
-                    keys, d_list, tf_list, nrm_list, pos_list = [], [], [], [], []
-                    buffered = 0
-            if keys:
-                yield self._flush(keys, d_list, tf_list, nrm_list, pos_list, base)
-            sent = self._sentinel_table(reader, meta, base, tomb)
+            yield from self._decode_segment(reader, manifest, pos_fields, tomb,
+                                            int(row["base"]))
+            sent = self._sentinel_table(reader, meta, int(row["base"]), tomb)
             if sent is not None:
                 yield sent
+
+    def _decode_segment(self, reader, manifest, pos_fields, tomb, base):
+        """Whole-segment bulk decode (one varint pass per stream kind)
+        -> slab tables. No per-term numpy/Arrow calls anywhere."""
+        from fdblucene_ray.codec.postings import (
+            bulk_decode_segment,
+            bulk_decode_segment_positions,
+        )
+
+        terms = reader.terms
+        T = terms.num_rows
+        if T == 0:
+            return
+        fields_l = terms["field"].to_pylist()
+        tnames = terms["term"].to_pylist()
+        po = terms["post_offset"].to_numpy(zero_copy_only=False)
+        pl_ = terms["post_len"].to_numpy(zero_copy_only=False)
+        so = terms["skip_offset"].to_numpy(zero_copy_only=False)
+        nb_ = terms["n_blocks"].to_numpy(zero_copy_only=False)
+        df_ = terms["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blob, skips_blob = reader._blob()
+        skips_all = (
+            np.frombuffer(np.ascontiguousarray(skips_blob), SKIP_DTYPE)
+            if len(skips_blob)
+            else np.empty(0, SKIP_DTYPE)
+        )
+
+        docs, tfs, norms, term_starts = bulk_decode_segment(
+            blob, skips_all, po, so, nb_, df_
+        )
+        lens = df_.copy()
+        flat_pos = pos_counts = None
+        if pos_fields:
+            flat_pos, pos_counts = bulk_decode_segment_positions(
+                blob, skips_all, po, pl_, so, nb_, df_, tfs, term_starts
+            )
+
+        am = _alive(docs, tomb)
+        if am is not None:
+            if pos_counts is not None:
+                flat_pos = flat_pos[np.repeat(am, pos_counts)]
+                pos_counts = pos_counts[am]
+            docs, tfs, norms = docs[am], tfs[am], norms[am]
+            lens = np.add.reduceat(am.astype(np.int64), term_starts)
+            lens[df_ == 0] = 0  # reduceat quirk on empty groups (none expected)
+            term_starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+
+        # per-term position counts + starts (0 for non-positional terms)
+        if pos_counts is not None:
+            tp_counts = np.add.reduceat(pos_counts, term_starts) if len(pos_counts) else np.zeros(T, np.int64)
+            tp_counts[lens == 0] = 0
+            tp_starts = np.concatenate(([0], np.cumsum(tp_counts[:-1])))
+            pos_u8 = np.ascontiguousarray(flat_pos, "<i4").view(np.uint8)
+
+        d_u8 = np.ascontiguousarray(docs + base, "<i8").view(np.uint8)
+        tf_u8 = np.ascontiguousarray(tfs, "<i4").view(np.uint8)
+        nrm_u8 = np.ascontiguousarray(norms, np.uint8)
+        sum_tf = (
+            np.add.reduceat(tfs.astype(np.int64), term_starts)
+            if len(tfs)
+            else np.zeros(T, np.int64)
+        )
+        sum_tf = np.where(lens > 0, sum_tf, 0)
+        d64 = docs + base
+
+        nz = np.flatnonzero(lens > 0)
+        for lo in range(0, len(nz), self.slab_terms):
+            sel = nz[lo : lo + self.slab_terms]
+            s0, s1 = term_starts[sel[0]], term_starts[sel[-1]] + lens[sel[-1]]
+            rel = term_starts[sel] - s0
+            rel_end = rel + lens[sel]
+            keys = [fields_l[i] + FIELD_SEP + tnames[i] for i in sel]
+            part = (_key_hash(keys) % np.uint64(self.P)).astype(np.int32)
+            if pos_counts is not None:
+                p0 = tp_starts[sel[0]]
+                p1 = tp_starts[sel[-1]] + tp_counts[sel[-1]]
+                prel = tp_starts[sel] - p0
+                prel_end = prel + tp_counts[sel]
+                pos_cells = _packed_binary(
+                    pos_u8[p0 * 4 : p1 * 4], prel * 4, prel_end * 4
+                )
+            else:
+                pos_cells = pa.nulls(len(sel), pa.binary())
+            yield pa.table(
+                {
+                    "part": pa.array(part),
+                    "key": pa.array(keys, pa.string()),
+                    "min_doc": pa.array(d64[term_starts[sel]], pa.int64()),
+                    "n": pa.array(lens[sel], pa.int64()),
+                    "sum_tf": pa.array(sum_tf[sel], pa.int64()),
+                    "docs": _packed_binary(
+                        d_u8[s0 * 8 : s1 * 8], rel * 8, rel_end * 8
+                    ),
+                    "tfs": _packed_binary(
+                        tf_u8[s0 * 4 : s1 * 4], rel * 4, rel_end * 4
+                    ),
+                    "norms": _packed_binary(nrm_u8[s0:s1], rel, rel_end),
+                    "pos": pos_cells,
+                }
+            )
+
+
+def _decode_segments_task(batch: pa.Table, *, num_partitions, block_size,
+                          tombstones_ref=None):
+    """Plain-task wrapper around DecodeSegmentPostings: segment decode
+    holds no per-actor state worth amortizing (the tombstone dict is a
+    plasma-local ray.get), and a TASK pool avoids paying an actor-pool
+    spin-up for what is typically a handful of one-segment tasks."""
+    yield from DecodeSegmentPostings(
+        num_partitions, block_size, tombstones_ref
+    )(batch)
 
 
 def _run_merge_pipeline(
@@ -304,15 +325,14 @@ def _run_merge_pipeline(
     ds = ray.data.from_items(items)
     lineage_ds = (
         ds.map_batches(
-            DecodeSegmentPostings,
-            fn_constructor_kwargs=dict(
+            _decode_segments_task,
+            fn_kwargs=dict(
                 num_partitions=num_partitions,
                 block_size=block_size,
                 tombstones_ref=tomb_ref,
             ),
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)))),
         )
         .groupby("part", num_partitions=num_partitions)
         .map_groups(
