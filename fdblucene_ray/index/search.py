@@ -722,6 +722,113 @@ class Searcher:
         }
         return out
 
+    def query(
+        self, q: str, k: int = 10, *, default_field: str = "text"
+    ) -> list[tuple[int, float]]:
+        """Parse-and-search — the QueryParser analog the reference's
+        tests drive queries through (SimpleFDBDirectoryTest.java's
+        ``QueryParser(field, analyzer).parse``): supports ``+``/``-``
+        occurs, ``field:`` overrides and quoted phrases (see
+        analysis/queryparser.py for the grammar).
+
+        Term-only single-field queries dispatch to the scale paths
+        (search / search_boolean); mixed phrase/multi-field queries
+        combine per-clause score maps with BooleanQuery semantics
+        (must-intersect, should-add, must_not-exclude; clause-order
+        accumulation, must buckets before should)."""
+        from fdblucene_ray.analysis.queryparser import parse_query
+
+        pq = parse_query(q, default_field)
+        if pq.is_empty:
+            return []
+        same_field = all(
+            f == default_field
+            for f, _ in (*pq.must, *pq.should, *pq.must_not)
+        ) and all(f == default_field for _, f, _ in pq.phrases)
+        if not pq.phrases and same_field:
+            must_t = [t for _, w in pq.must for t in self.parse(w, default_field)]
+            not_t = [t for _, w in pq.must_not for t in self.parse(w, default_field)]
+            should_t = [t for _, w in pq.should for t in self.parse(w, default_field)]
+            if not must_t and not not_t:
+                return self.search_terms(should_t, k, field=default_field)
+            return self.search_boolean(
+                must=must_t, should=should_t, must_not=not_t, k=k,
+                field=default_field,
+            )
+
+        def term_map(f, w):
+            terms = self.parse(w, f)
+            if not terms:
+                return None  # analyzed to nothing: clause dropped
+            dc, _, avgdl = self.field_stats(f)
+            if dc == 0:
+                return {}
+            ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+            live = []
+            for t in terms:
+                df, _ = self.term_stats(f, t)
+                if df:
+                    live.append((t, bm25_idf(dc, df)))
+            if not live:
+                return {}
+            hits = _exhaustive(
+                self.readers, live, f, ncache, "or", 1 << 31,
+                self.manifest.block_size, self.tombstones,
+            )
+            return dict(hits)
+
+        def phrase_map(f, text):
+            return dict(self.search_phrase(text, 1 << 31, field=f))
+
+        must_maps, should_maps, not_sets = [], [], []
+        for f, w in pq.must:
+            m = term_map(f, w)
+            if m is not None:
+                must_maps.append(m)
+        for f, w in pq.should:
+            m = term_map(f, w)
+            if m:
+                should_maps.append(m)
+        for f, w in pq.must_not:
+            m = term_map(f, w)
+            if m:
+                not_sets.append(set(m))
+        for occur, f, text in pq.phrases:
+            m = phrase_map(f, text)
+            if occur == "must":
+                must_maps.append(m)
+            elif occur == "should":
+                if m:
+                    should_maps.append(m)
+            elif m:
+                not_sets.append(set(m))
+
+        if any(not m for m in must_maps):
+            return []
+        if must_maps:
+            cand = set(must_maps[0])
+            for m in must_maps[1:]:
+                cand &= set(m)
+        else:
+            cand = set()
+            for m in should_maps:
+                cand |= set(m)
+        for s in not_sets:
+            cand -= s
+        if not cand:
+            return []
+        hits = []
+        for d in cand:
+            sc = 0.0
+            for m in must_maps:
+                sc += m[d]
+            for m in should_maps:
+                if d in m:
+                    sc += m[d]
+            hits.append((d, sc))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
     def search_near(
         self,
         phrase: str,

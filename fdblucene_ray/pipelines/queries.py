@@ -596,6 +596,55 @@ def q_multimodal_meta(sf_dir: str) -> pa.Table:
     return _collect(out.select_columns(["doc_id", "n_bytes"]))
 
 
+def _events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def _window_table(ds) -> pa.Table:
+    df = ds.to_pandas().sort_values(["event_type", "window_start"]).reset_index(
+        drop=True
+    )
+    sum_r = np.round(df["sum_value"].to_numpy(np.float64), 4)
+    n = df["n_events"].to_numpy(np.int64)
+    # mean derived from the ROUNDED sum on both sides: distributed and
+    # SQL summation orders differ by ~1e-12, which flips round() exactly
+    # at .xxxx5 boundaries — anchoring on the compared (rounded) sum
+    # makes the comparison deterministic. The division creates EXACT
+    # half-boundary values, where numpy rounds half-to-even but DuckDB
+    # half-away-from-zero — use half-up explicitly (values positive).
+    mean_r = np.floor((sum_r / n) * 1e4 + 0.5) / 1e4
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "window_start": pa.array(df["window_start"].astype("int64")),
+            "n_events": pa.array(n),
+            "sum_value": pa.array(sum_r),
+            "mean_value": pa.array(mean_r.astype(np.float64)),
+        }
+    )
+
+
+def q_window_tumbling(sf_dir: str) -> pa.Table:
+    """Tumbling 1h windows over events: per (event_type, window) count,
+    sum and mean of value (beyond-reference training-telemetry op)."""
+    from fdblucene_ray.ops.windows import tumbling_window_agg
+
+    ds = _events_ds(sf_dir, ["ts", "event_type", "value"])
+    return _window_table(tumbling_window_agg(ds, window_s=3600))
+
+
+def q_window_sliding(sf_dir: str) -> pa.Table:
+    """Sliding 1h windows hopping every 30min (each event in 2 windows)."""
+    from fdblucene_ray.ops.windows import sliding_window_agg
+
+    ds = _events_ds(sf_dir, ["ts", "event_type", "value"])
+    return _window_table(
+        sliding_window_agg(ds, window_s=3600, slide_s=1800)
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -630,6 +679,8 @@ def queries() -> dict:
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
         "ann_cosine": q_ann_cosine,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
@@ -845,6 +896,26 @@ SELECT doc_id,
   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
   length(text)::BIGINT AS n_chars
 FROM documents
+""",
+        "window_tumbling": """
+SELECT event_type,
+       ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+       CAST(round(round(sum(value), 4) / count(*), 4) AS DOUBLE) AS mean_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+""",
+        "window_sliding": """
+WITH e AS (SELECT event_type, value, epoch_us(ts) // 1000000 AS eu FROM events),
+x AS (SELECT event_type, value, eu,
+             unnest([(eu // 1800) * 1800, (eu // 1800) * 1800 - 1800]) AS window_start
+      FROM e)
+SELECT event_type, window_start,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+       CAST(round(round(sum(value), 4) / count(*), 4) AS DOUBLE) AS mean_value
+FROM x WHERE window_start > eu - 3600
+GROUP BY 1, 2 ORDER BY event_type, window_start
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

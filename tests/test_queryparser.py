@@ -1,0 +1,103 @@
+"""QueryParser analog: grammar + Searcher.query dispatch identities."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.analysis.queryparser import parse_query
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+
+TEXTS = [
+    "data merge window batch",
+    "data data join stream",
+    "window sort filter",
+    "merge value data stream",
+    "quick brown fox data",
+    "brown fox jumps",
+]
+
+
+class TestGrammar:
+    def test_occurs_fields_phrases(self):
+        pq_ = parse_query('+data -window merge tag:x +title:"a b" "c d"')
+        assert pq_.must == [("text", "data")]
+        assert pq_.must_not == [("text", "window")]
+        assert pq_.should == [("text", "merge"), ("tag", "x")]
+        assert ("must", "title", "a b") in pq_.phrases
+        assert ("should", "text", "c d") in pq_.phrases
+
+    def test_empty(self):
+        assert parse_query("").is_empty
+        assert parse_query("   ").is_empty
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "tag": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("qp")
+    src = str(d / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(d / "ix")
+    build_index(
+        src, ix,
+        fields={
+            "text": {"column": "text", "analyzer": "simple", "positions": True},
+            "tag": {"column": "tag", "analyzer": "simple"},
+        },
+        num_partitions=3,
+    )
+    return ix
+
+
+class TestQueryDispatch:
+    def test_plain_terms_equal_search(self, built):
+        s = Searcher(built)
+        assert s.query("data merge") == s.search("data merge", 10)
+
+    def test_occurs_equal_boolean(self, built):
+        s = Searcher(built)
+        got = s.query("+data merge -window")
+        exp = s.search_boolean(must=["data"], should=["merge"],
+                               must_not=["window"], k=10)
+        assert got == exp
+
+    def test_quoted_phrase_equal_search_phrase(self, built):
+        s = Searcher(built)
+        got = s.query('"brown fox"')
+        exp = s.search_phrase("brown fox", 10)
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-12)
+
+    def test_phrase_must_with_term(self, built):
+        s = Searcher(built)
+        got = s.query('+"brown fox" data')
+        # docs 4,5 contain the phrase; doc 4 also has data (extra score)
+        assert [d for d, _ in got][0] == 4
+        assert set(d for d, _ in got) == {4, 5}
+
+    def test_field_override(self, built):
+        s = Searcher(built)
+        got = s.query("tag:b")
+        assert set(d for d, _ in got) == {1, 4}
+        exp = s.search("b", 10, field="tag")
+        assert got == exp
+
+    def test_phrase_must_not(self, built):
+        s = Searcher(built)
+        got = s.query('data -"quick brown"')
+        assert 4 not in {d for d, _ in got}
+        assert {d for d, _ in got} == {0, 1, 3}
+
+    def test_stopword_only_clause_dropped(self, built):
+        s = Searcher(built)
+        # 'the' survives in the 'simple' analyzer (no stopwords), so use
+        # an absent term instead: SHOULD clause with no matches
+        assert s.query("data zzzznothing") == s.search("data zzzznothing", 10)

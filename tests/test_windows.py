@@ -1,0 +1,72 @@
+"""Windowed aggregates over event streams (beyond-reference op)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.windows import sliding_window_agg, tumbling_window_agg
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    rng = np.random.default_rng(3)
+    n = 5000
+    ts = rng.integers(1_700_000_000, 1_700_000_000 + 86_400, size=n)
+    keys = rng.choice(["click", "view", "buy"], size=n)
+    vals = rng.random(n) * 10
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.int64()),
+            "event_type": pa.array(keys.tolist(), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(t), ts, keys, vals
+
+
+class TestTumbling:
+    def test_matches_python_oracle(self, events):
+        ds, ts, keys, vals = events
+        out = tumbling_window_agg(ds, window_s=3600).to_pandas()
+        exp: dict = {}
+        for t, k, v in zip(ts, keys, vals):
+            w = (int(t) // 3600) * 3600
+            e = exp.setdefault((k, w), [0, 0.0])
+            e[0] += 1
+            e[1] += v
+        assert len(out) == len(exp)
+        for row in out.itertuples():
+            n, s = exp[(row.event_type, int(row.window_start))]
+            assert row.n_events == n
+            assert row.sum_value == pytest.approx(s, rel=1e-9)
+            assert row.mean_value == pytest.approx(s / n, rel=1e-9)
+
+    def test_counts_partition_total(self, events):
+        ds, ts, _, _ = events
+        out = tumbling_window_agg(ds, window_s=3600).to_pandas()
+        assert out["n_events"].sum() == len(ts)
+
+
+class TestSliding:
+    def test_each_event_in_k_windows(self, events):
+        ds, ts, _, _ = events
+        out = sliding_window_agg(ds, window_s=3600, slide_s=1800).to_pandas()
+        assert out["n_events"].sum() == 2 * len(ts)  # k = 2 windows each
+
+    def test_window_membership_exact(self, events):
+        ds, ts, keys, vals = events
+        out = sliding_window_agg(ds, window_s=3600, slide_s=900).to_pandas()
+        # k = 4: every event in exactly 4 windows
+        assert out["n_events"].sum() == 4 * len(ts)
+        # spot-check one window against brute force
+        row = out.iloc[17]
+        w, k = int(row.window_start), row.event_type
+        mask = (keys == k) & (ts >= w) & (ts < w + 3600)
+        assert row.n_events == int(mask.sum())
+        assert row.sum_value == pytest.approx(float(vals[mask].sum()), rel=1e-9)
+
+    def test_rejects_non_multiple(self, events):
+        ds, *_ = events
+        with pytest.raises(ValueError, match="multiple"):
+            sliding_window_agg(ds, window_s=3600, slide_s=1000)
