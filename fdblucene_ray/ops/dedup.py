@@ -519,6 +519,94 @@ def simhash_near_pairs(ds, max_hamming=3, **kw) -> pa.Table:
     )
 
 
+# ------------------------------------------------------------ keep list
+
+
+def dedup_components(pairs: pa.Table) -> pa.Table:
+    """Connected components over near-duplicate pairs (a, b) — union-
+    find with path compression on the (small) verified pair set; the
+    pair tables come out of the distributed LSH/banding stages, so this
+    driver-side step is O(pairs), not O(corpus).
+
+    Returns (doc_id, keep_id): every doc appearing in a pair mapped to
+    its component representative (the component's min doc_id). Docs in
+    no pair are implicitly their own representative."""
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min id keeps the representative deterministic
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    docs = sorted(set(a.tolist()) | set(b.tolist()))
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "keep_id": pa.array([find(d) for d in docs], pa.int64()),
+        }
+    )
+
+
+def near_dedup_drop_list(pairs: pa.Table) -> np.ndarray:
+    """Doc ids to DROP so each near-duplicate component keeps exactly
+    its min-id representative (sorted int64 — broadcast it into a
+    map_batches filter to materialize the deduplicated corpus)."""
+    comp = dedup_components(pairs)
+    docs = comp["doc_id"].to_numpy(zero_copy_only=False)
+    keep = comp["keep_id"].to_numpy(zero_copy_only=False)
+    return np.sort(docs[docs != keep])
+
+
+def drop_docs(ds: ray.data.Dataset, drop_ids: np.ndarray, id_col: str = "doc_id"):
+    """Stream-filter a corpus against a broadcast drop list."""
+    ref = ray.put(np.sort(np.asarray(drop_ids, np.int64)))
+
+    class Drop:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.drop, ids)
+            inb = idx < len(self.drop)
+            dead = np.zeros(len(ids), bool)
+            dead[inb] = self.drop[idx[inb]] == ids[inb]
+            return batch.filter(pa.array(~dead))
+
+    return ds.map_batches(Drop, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def near_dedup_corpus(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    shingle: int = 3,
+    analyzer: str = "simple",
+):
+    """End-to-end near-dedup: minhash-LSH pairs -> components -> drop
+    non-representatives -> deduplicated Dataset (streams; only the pair
+    set and drop list touch the driver)."""
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col, threshold=threshold, shingle=shingle,
+        analyzer=analyzer,
+    )
+    drop = near_dedup_drop_list(pairs)
+    return drop_docs(ds, drop, id_col)
+
+
 # ---------------------------------------------------------------- n-gram jaccard
 
 

@@ -132,3 +132,128 @@ def decode_media(
         batch_size=batch_size,  # small on purpose: payloads are wide
         concurrency=concurrency,
     )
+
+
+class MediaResize:
+    """Actor-pool resize stage. The image codec is STUBBED (no PIL in
+    this env): the fake 'resize' deterministically downsamples the raw
+    byte stream to ``target_w * target_h`` bytes via strided selection —
+    the schema, payload-shrinking behavior, actor signature and
+    small-batch sizing are the real plumbing a PIL decoder slots into
+    (``resizer=`` in __init__, once per actor)."""
+
+    def __init__(self, target_w: int, target_h: int,
+                 payload_col: str = "payload", id_col: str = "doc_id",
+                 resizer=None):
+        if resizer is not None:  # pragma: no cover
+            raise NotImplementedError(
+                "real image codecs (PIL) are not available in this "
+                "environment; the deterministic stub is the default"
+            )
+        self.n_out = target_w * target_h
+        self.target_w, self.target_h = target_w, target_h
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        payloads = batch[self.payload_col]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        lens = pc.binary_length(payloads).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        odt = np.int64 if pa.types.is_large_binary(payloads.type) else np.int32
+        osz = 8 if odt is np.int64 else 4
+        offsets = np.frombuffer(
+            payloads.buffers()[1], dtype=odt, count=len(payloads) + 1,
+            offset=payloads.offset * osz,
+        ).astype(np.int64)
+        values = np.frombuffer(payloads.buffers()[2], dtype=np.uint8)
+        # strided byte selection per payload (offset arithmetic per row,
+        # one vectorized gather for the bytes)
+        n = len(lens)
+        out_lens = np.minimum(lens, self.n_out)
+        dst = np.concatenate(([0], np.cumsum(out_lens)))
+        sel = np.empty(int(out_lens.sum()), np.int64)
+        for i in range(n):
+            m = int(out_lens[i])
+            if m == 0:
+                continue
+            sel[dst[i] : dst[i] + m] = offsets[i] + (
+                np.arange(m, dtype=np.int64) * lens[i] // m
+            )
+        resized = values[sel]
+        cells = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None,
+             pa.py_buffer(np.concatenate(([0], np.cumsum(out_lens))).astype(np.int32).tobytes()),
+             pa.py_buffer(resized.tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "payload": cells,
+                "width": pa.array(np.full(n, self.target_w, np.int32)),
+                "height": pa.array(np.full(n, self.target_h, np.int32)),
+            }
+        )
+
+
+class FrameSample:
+    """Video frame-sampling stage: each input payload EXPANDS to
+    ``n_frames`` rows (frame_idx, frame payload) — the one-row-to-many
+    flat_map shape a real ffmpeg sampler needs. The frame extraction is
+    a stub (equal byte slices of the payload); the row-expansion
+    plumbing, schema and per-frame ids are real."""
+
+    def __init__(self, n_frames: int = 4, payload_col: str = "payload",
+                 id_col: str = "doc_id", sampler=None):
+        if sampler is not None:  # pragma: no cover
+            raise NotImplementedError(
+                "real video codecs (ffmpeg) are not available in this "
+                "environment; the deterministic stub is the default"
+            )
+        self.n_frames = n_frames
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        pcol = batch[self.payload_col]
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        dids = batch[self.id_col].to_pylist()
+        for d, v in zip(dids, pcol):
+            b = v.as_py() or b""
+            step = max(1, len(b) // self.n_frames)
+            for j in range(self.n_frames):
+                ids.append(d)
+                fidx.append(j)
+                frames.append(b[j * step : (j + 1) * step])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def resize_media(ds, target_w: int, target_h: int, **kw) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h, **kw),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
+def sample_frames(ds, n_frames: int = 4, **kw) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs=dict(n_frames=n_frames, **kw),
+        batch_format="pyarrow",
+        batch_size=16,  # row expansion: keep output blocks bounded
+        concurrency=(1, 8),
+    )

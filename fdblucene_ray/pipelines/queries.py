@@ -481,6 +481,17 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
     return minhash_lsh_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
 
 
+def q_dedup_near_corpus(sf_dir: str) -> pa.Table:
+    """End-to-end near-dedup over documents: minhash-LSH pairs ->
+    union-find components -> drop non-representatives; returns the kept
+    doc ids (non-SQL-expressible; pytest holds the planted-dup oracle)."""
+    from fdblucene_ray.ops.dedup import near_dedup_corpus
+
+    out = near_dedup_corpus(_docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    kept = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(np.int64))})
+
+
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.dedup import simhash_fingerprints
 
@@ -645,6 +656,33 @@ def q_window_sliding(sf_dir: str) -> pa.Table:
     )
 
 
+def q_multimodal_frames(sf_dir: str) -> pa.Table:
+    """Frame-sampling plumbing: one binary payload -> 4 frame rows
+    (stub sampler: equal byte slices; the row-expansion plumbing is
+    real). Compared on per-frame byte counts."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.multimodal import sample_frames
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column(
+            "payload", t["text"].combine_chunks().cast(pa.binary())
+        ).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    out = sample_frames(ds, n_frames=4)
+    df = out.to_pandas()
+    df["n_bytes"] = df["frame"].map(len).astype("int64")
+    df = df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "frame_idx": pa.array(df["frame_idx"].to_numpy(np.int64)),
+            "n_bytes": pa.array(df["n_bytes"].to_numpy(np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -673,6 +711,7 @@ def queries() -> dict:
         "search_lucene": q_search_lucene,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_near_corpus": q_dedup_near_corpus,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -686,6 +725,7 @@ def queries() -> dict:
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -945,4 +985,13 @@ SELECT a, b, CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM s WHERE sim_raw >= 0.4 ORDER BY a, b
 """,
         "multimodal_meta": "SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",
+        "multimodal_frames": """
+WITH d AS (SELECT doc_id, octet_length(text::BLOB)::BIGINT AS L FROM documents),
+j AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       greatest(least((frame_idx + 1) * greatest(L // 4, 1), L)
+                - frame_idx * greatest(L // 4, 1), 0)::BIGINT AS n_bytes
+FROM d CROSS JOIN j
+ORDER BY doc_id, frame_idx
+""",
     }

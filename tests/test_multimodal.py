@@ -71,3 +71,43 @@ class TestDecodePipeline:
     def test_real_decoder_guard(self):
         with pytest.raises(NotImplementedError, match="not available"):
             MediaDecode(decoder="pil")
+
+
+class TestResizeAndFrames:
+    def test_resize_shrinks_payloads(self, ray_session):
+        from fdblucene_ray.ops.multimodal import resize_media
+
+        blobs = [bytes(range(256)) * 4, b"tiny", bytes(100)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                      "payload": pa.array(blobs, pa.binary())})
+        )
+        out = resize_media(ds, 8, 8).to_pandas().sort_values("doc_id")
+        assert out["width"].tolist() == [8, 8, 8]
+        lens = [len(p) for p in out["payload"]]
+        assert lens == [64, 4, 64]  # capped at input length
+        # deterministic strided selection
+        out2 = resize_media(ds, 8, 8).to_pandas().sort_values("doc_id")
+        assert list(out["payload"]) == list(out2["payload"])
+
+    def test_frame_sample_expands_rows(self, ray_session):
+        from fdblucene_ray.ops.multimodal import sample_frames
+
+        blobs = [bytes(range(64)), bytes(range(32))]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([7, 9], pa.int64()),
+                      "payload": pa.array(blobs, pa.binary())})
+        )
+        out = sample_frames(ds, n_frames=4).to_pandas()
+        assert len(out) == 8  # 2 docs x 4 frames
+        d7 = out[out.doc_id == 7].sort_values("frame_idx")
+        assert d7["frame_idx"].tolist() == [0, 1, 2, 3]
+        assert list(d7["frame"])[0] == bytes(range(16))
+
+    def test_real_codec_guards(self):
+        from fdblucene_ray.ops.multimodal import FrameSample, MediaResize
+
+        with pytest.raises(NotImplementedError):
+            MediaResize(8, 8, resizer="pil")
+        with pytest.raises(NotImplementedError):
+            FrameSample(sampler="ffmpeg")

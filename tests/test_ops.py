@@ -264,3 +264,43 @@ class TestEmbeddingNearDup:
         gb = set(zip(bucketed["a"], bucketed["b"]))
         assert (7, 50) in gb and (12, 51) in gb
         assert gb <= got  # bucketing never invents pairs
+
+
+class TestDedupKeepList:
+    def test_components_union_find(self, ray_session):
+        import pyarrow as pa
+
+        from fdblucene_ray.ops.dedup import dedup_components, near_dedup_drop_list
+
+        pairs = pa.table(
+            {
+                "a": pa.array([1, 2, 10, 11, 30], pa.int64()),
+                "b": pa.array([2, 3, 11, 12, 31], pa.int64()),
+            }
+        )
+        comp = dedup_components(pairs).to_pandas().set_index("doc_id")["keep_id"]
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == comp[12] == 10
+        assert comp[30] == comp[31] == 30
+        drop = near_dedup_drop_list(pairs)
+        assert drop.tolist() == [2, 3, 11, 12, 31]
+
+    def test_end_to_end_planted(self, planted, ray_session):
+        """near_dedup_corpus keeps exactly one representative per
+        planted near-dup cluster and every unique doc."""
+        ds, texts = planted
+        from fdblucene_ray.ops.dedup import near_dedup_corpus
+
+        out = near_dedup_corpus(ds, threshold=0.8)
+        kept = sorted(out.select_columns(["doc_id"]).to_pandas()["doc_id"])
+        n_docs = len(texts)
+        assert len(kept) < n_docs           # something was dropped
+        assert all(isinstance(k, (int, np.integer)) for k in kept)
+        # representatives are component minima: every kept id is the
+        # smallest of its cluster, so dropping any kept doc's text dup
+        # partner keeps the min
+        from fdblucene_ray.ops.dedup import minhash_lsh_pairs, near_dedup_drop_list
+
+        pairs = minhash_lsh_pairs(ds, threshold=0.8)
+        drop = set(near_dedup_drop_list(pairs).tolist())
+        assert set(range(n_docs)) - drop == set(kept)
