@@ -440,6 +440,7 @@ def build_index(
     docstore_cols: list[str] | None = None,
     doc_base: int = 0,
     publish: bool = True,
+    codec: str = "varint-block",
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
     ``id_col``. Returns the published manifest.
@@ -450,6 +451,9 @@ def build_index(
     can serve as the doc store (deterministic ids make doc_id -> (file,
     row) a pure function — the zero-copy choice at 100 TB).
     """
+    from fdblucene_ray.codec.registry import get_codec
+
+    get_codec(codec)  # validate the name up front (U3 codec SPI)
     fields = fields or default_fields()
     for fname, cfg in fields.items():
         get_analyzer(cfg["analyzer"]) if cfg["analyzer"] != "keyword" else None
@@ -529,6 +533,7 @@ def build_index(
         block_size=block_size,
         segments=segs,
         version=version,
+        codec=codec,
         extra={
             "signature": sig,
             "num_partitions": num_partitions,
@@ -620,6 +625,7 @@ def build_sharded(
         block_size=kw.get("block_size", BLOCK_SIZE),
         segments=sorted(all_segs, key=lambda m: m.name),
         version=version,
+        codec=kw.get("codec", "varint-block"),
         extra={"signature": "+".join(sig_parts), "sharded": True,
                "built_at_unix": int(time.time())},
     )

@@ -73,6 +73,7 @@ def delete_docs(index_dir: str, doc_ids) -> Manifest:
         segments=m.segments,
         version=m.version + 1,
         extra={**m.extra, "tombstone_file": fname},
+        codec=m.codec,
     )
     # fenced CAS publish: a concurrent writer on the same index_dir gets
     # a clean ManifestConflictError instead of silently clobbering

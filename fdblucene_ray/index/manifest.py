@@ -67,6 +67,9 @@ class Manifest:
     segments: list[SegmentMeta] = field(default_factory=list)
     version: int = 0
     extra: dict[str, Any] = field(default_factory=dict)
+    # postings codec name (U3 codec-SPI analog): resolved through
+    # codec/registry.py on open; unknown names fail loudly
+    codec: str = "varint-block"
 
     def field_totals(self) -> dict[str, dict[str, int]]:
         """Collection-wide per-field stats, summed across live segments
@@ -92,6 +95,7 @@ class Manifest:
             "version": self.version,
             "analyzers": self.analyzers,
             "block_size": self.block_size,
+            "codec": self.codec,
             "segments": [s.to_json() for s in self.segments],
             "extra": self.extra,
         }
@@ -104,6 +108,7 @@ class Manifest:
             segments=[SegmentMeta.from_json(s) for s in d["segments"]],
             version=d.get("version", 0),
             extra=d.get("extra", {}),
+            codec=d.get("codec", "varint-block"),
         )
 
 
@@ -213,7 +218,7 @@ def drop_segments(index_dir: str, names: list[str]) -> "Manifest":
     keep = [s for s in m.segments if s.name not in set(names)]
     m2 = Manifest(
         analyzers=m.analyzers, block_size=m.block_size, segments=keep,
-        version=m.version + 1, extra=m.extra,
+        version=m.version + 1, extra=m.extra, codec=m.codec,
     )
     publish_manifest(index_dir, m2, expected_version=m.version)
     return m2

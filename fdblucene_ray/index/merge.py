@@ -363,9 +363,12 @@ def merge_indexes(
     manifests = [load_manifest(d) for d, _ in sources]
     analyzers = manifests[0].analyzers
     block_size = manifests[0].block_size
+    codec = manifests[0].codec
     for m in manifests[1:]:
         if m.analyzers != analyzers:
             raise ValueError("cannot merge indexes with different analyzers")
+        if m.codec != codec:
+            raise ValueError("cannot merge indexes with different codecs")
     positions_fields = sorted(
         {f for m in manifests for f in m.extra.get("positions_fields", [])}
     )
@@ -407,6 +410,7 @@ def merge_indexes(
         block_size=block_size,
         segments=segs,
         version=version,
+        codec=codec,
         extra={
             "signature": sig,
             "num_partitions": num_partitions,
@@ -472,6 +476,7 @@ def merge_segments_inplace(
         segments=sorted(keep + segs, key=lambda s: s.name),
         version=m.version + 1,
         extra=extra,
+        codec=m.codec,
     )
     publish_manifest(index_dir, m2, expected_version=m.version)
     if gc:

@@ -327,10 +327,17 @@ class Searcher:
                  *, k1: float = K1, b: float = B):
         """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
         defaults are the Lucene-8 defaults the north star mandates)."""
+        from fdblucene_ray.codec.registry import DEFAULT_CODEC, get_codec
         from fdblucene_ray.index.delete import load_tombstones
 
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
+        get_codec(self.manifest.codec)  # unknown codec fails loudly here
+        if self.manifest.codec != DEFAULT_CODEC:  # pragma: no cover
+            raise NotImplementedError(
+                f"read dispatch for codec {self.manifest.codec!r} is not "
+                "wired yet — only the default varint-block codec decodes"
+            )
         self.readers = [SegmentReader(index_dir, m) for m in self.manifest.segments]
         self.totals = self.manifest.field_totals()
         self.k1 = k1

@@ -101,3 +101,57 @@ class TestManifestFence:
         monkeypatch.setattr(delete_mod, "load_manifest", racing_load)
         with pytest.raises(ManifestConflictError):
             delete_mod.delete_docs(ix, [0])
+
+
+class TestCodecRegistry:
+    """U3 codec-SPI analog: named codec recorded in the manifest,
+    resolved through the registry, unknown names fail loudly."""
+
+    def test_default_codec_recorded_and_resolves(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.codec.registry import DEFAULT_CODEC, get_codec
+        from fdblucene_ray.index.build import build_index
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(["a b", "b c"])}), src)
+        m = build_index(src, str(tmp_path / "ix"),
+                        fields={"text": {"column": "text", "analyzer": "simple"}},
+                        num_partitions=2)
+        assert m.codec == DEFAULT_CODEC
+        assert get_codec(m.codec).name == DEFAULT_CODEC
+
+    def test_unknown_codec_rejected_at_build(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(["a b"])}), src)
+        with pytest.raises(ValueError, match="unknown postings codec"):
+            build_index(src, str(tmp_path / "ix"),
+                        fields={"text": {"column": "text", "analyzer": "simple"}},
+                        num_partitions=2, codec="pfor-delta")
+
+    def test_unknown_codec_rejected_at_open(self, tmp_path, ray_session):
+        import json
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.search import Searcher
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(["a b"])}), src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=2)
+        mp = os.path.join(ix, "manifest.json")
+        d = json.load(open(mp))
+        d["codec"] = "pfor-delta"
+        json.dump(d, open(mp, "w"))
+        with pytest.raises(ValueError, match="unknown postings codec"):
+            Searcher(ix)
