@@ -64,6 +64,56 @@ def tumbling_window_agg(
     return out
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: events of one user belong to the same
+    session while consecutive gaps are <= ``gap_s``. The groupby
+    co-locates each user's events; the per-group kernel sorts by time
+    and splits on gaps (vectorized diff) — the canonical
+    ``groupby(key).map_groups`` stateful-within-key Ray shape. Skewed
+    users bound the group size; a power-user beyond worker memory would
+    be pre-split by (user, coarse time bucket) first.
+
+    Output: (user_id, session_id [0-based per user in time order],
+    session_start, session_end, n_events)."""
+
+    def split_sessions(group: pa.Table) -> pa.Table:
+        ts = group[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+            epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // div
+        else:
+            epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(epoch, kind="stable")
+        e = epoch[order]
+        new_sess = np.concatenate(([True], np.diff(e) > gap_s))
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate((starts[1:], [len(e)]))
+        ucol = group[user_col]
+        utype = ucol.type if not isinstance(ucol, pa.ChunkedArray) else ucol.chunk(0).type
+        uid = ucol[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(starts), utype),
+                "session_id": pa.array(np.arange(len(starts)), pa.int64()),
+                "session_start": pa.array(e[starts], pa.int64()),
+                "session_end": pa.array(e[ends - 1], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    split_sessions.__name__ = "split_sessions"
+    return ds.groupby(user_col).map_groups(split_sessions, batch_format="pyarrow")
+
+
 def sliding_window_agg(
     ds: ray.data.Dataset,
     *,

@@ -646,6 +646,29 @@ def q_window_tumbling(sf_dir: str) -> pa.Table:
     return _window_table(tumbling_window_agg(ds, window_s=3600))
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization of the events stream (30-min gap):
+    per-user ordered split via groupby(user).map_groups."""
+    from fdblucene_ray.ops.windows import sessionize
+
+    ds = _events_ds(sf_dir, ["ts", "user_id"])
+    df = (
+        sessionize(ds, gap_s=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "session_id": pa.array(df["session_id"].to_numpy(np.int64)),
+            "session_start": pa.array(df["session_start"].to_numpy(np.int64)),
+            "session_end": pa.array(df["session_end"].to_numpy(np.int64)),
+            "n_events": pa.array(df["n_events"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_window_sliding(sf_dir: str) -> pa.Table:
     """Sliding 1h windows hopping every 30min (each event in 2 windows)."""
     from fdblucene_ray.ops.windows import sliding_window_agg
@@ -720,6 +743,7 @@ def queries() -> dict:
         "fingerprint": q_fingerprint,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
+        "sessionize": q_sessionize,
         "ann_cosine": q_ann_cosine,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
@@ -944,6 +968,23 @@ SELECT event_type,
        CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
        CAST(round(round(sum(value), 4) / count(*), 4) AS DOUBLE) AS mean_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS eu FROM events),
+o AS (SELECT user_id, eu,
+             CASE WHEN lag(eu) OVER (PARTITION BY user_id ORDER BY eu) IS NULL
+                    OR eu - lag(eu) OVER (PARTITION BY user_id ORDER BY eu) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, eu,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY eu
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM o)
+SELECT user_id, session_id,
+       min(eu)::BIGINT AS session_start,
+       max(eu)::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
 """,
         "window_sliding": """
 WITH e AS (SELECT event_type, value, epoch_us(ts) // 1000000 AS eu FROM events),

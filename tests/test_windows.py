@@ -70,3 +70,43 @@ class TestSliding:
         ds, *_ = events
         with pytest.raises(ValueError, match="multiple"):
             sliding_window_agg(ds, window_s=3600, slide_s=1000)
+
+
+class TestSessionize:
+    def test_matches_python_oracle(self, events):
+        from fdblucene_ray.ops.windows import sessionize
+
+        ds, ts, keys, vals = events
+        # reuse the fixture but key sessions by event_type as the "user"
+        out = (
+            sessionize(ds.map_batches(
+                lambda t: t.rename_columns(
+                    ["ts", "user_id", "value"]
+                ), batch_format="pyarrow"
+            ), gap_s=600, user_col="user_id")
+            .to_pandas()
+        )
+        # python oracle over (key -> sorted ts, gap split)
+        import collections
+
+        by_key = collections.defaultdict(list)
+        for t, k in zip(ts, keys):
+            by_key[k].append(int(t))
+        exp_rows = {}
+        for k, lst in by_key.items():
+            lst.sort()
+            sid, start = 0, lst[0]
+            prev = lst[0]
+            n = 0
+            for t in lst:
+                if t - prev > 600:
+                    exp_rows[(k, sid)] = (start, prev, n)
+                    sid += 1
+                    start, n = t, 0
+                n += 1
+                prev = t
+            exp_rows[(k, sid)] = (start, prev, n)
+        assert len(out) == len(exp_rows)
+        for row in out.itertuples():
+            st, en, n = exp_rows[(row.user_id, int(row.session_id))]
+            assert (row.session_start, row.session_end, row.n_events) == (st, en, n)
