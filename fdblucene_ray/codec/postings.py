@@ -57,6 +57,33 @@ def _varint_widths(v: np.ndarray) -> np.ndarray:
     return nb
 
 
+# ---- pluggable integer-stream codecs (U3 codec SPI) ----
+# "varint": LEB128 (compact, the default); "fixed": little-endian u32
+# (larger at rest, branch-free decode — a realistic alternative when
+# decode CPU dominates, e.g. merge-heavy maintenance tiers).
+
+
+def _fixed_encode(v: np.ndarray) -> bytes:
+    return np.ascontiguousarray(v.astype("<u4")).tobytes()
+
+
+def _fixed_widths(v: np.ndarray) -> np.ndarray:
+    return np.full(v.shape, 4, np.int64)
+
+
+def _fixed_decode(buf, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, np.uint64)
+    arr = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    return np.ascontiguousarray(arr[: count * 4]).view("<u4").astype(np.uint64)
+
+
+_STREAMS = {
+    "varint": (varint_encode, _varint_widths, varint_decode),
+    "fixed": (_fixed_encode, _fixed_widths, _fixed_decode),
+}
+
+
 @dataclass
 class PartitionPostings:
     """Bulk-encoded postings for one sorted partition of terms."""
@@ -79,6 +106,7 @@ def encode_partition(
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
     pos_counts: np.ndarray | None = None,
+    streams: str = "varint",
 ) -> PartitionPostings:
     """Encode a partition's postings, sorted by (term, doc_id) with
     ``term_starts`` marking each term's first row. Fully vectorized.
@@ -111,11 +139,12 @@ def encode_partition(
         deltas[1:] = np.diff(doc_ids).astype(np.uint64)
     deltas[term_starts] = (doc_ids[term_starts] + 1).astype(np.uint64)
 
+    enc, widths, _ = _STREAMS[streams]
     tf64 = tfs.astype(np.uint64)
-    docs_stream = varint_encode(deltas)
-    tfs_stream = varint_encode(tf64)
-    off_docs = np.concatenate(([0], np.cumsum(_varint_widths(deltas))))
-    off_tfs = np.concatenate(([0], np.cumsum(_varint_widths(tf64))))
+    docs_stream = enc(deltas)
+    tfs_stream = enc(tf64)
+    off_docs = np.concatenate(([0], np.cumsum(widths(deltas))))
+    off_tfs = np.concatenate(([0], np.cumsum(widths(tf64))))
 
     # optional position streams: per-posting delta coding (first pos
     # absolute, then gaps), one varint pass over the whole partition
@@ -127,8 +156,8 @@ def encode_partition(
         if len(pos) > 1:
             pdeltas[1:] = np.diff(pos).astype(np.uint64)
         pdeltas[ps[:-1]] = pos[ps[:-1]].astype(np.uint64)
-        pos_stream = varint_encode(pdeltas)
-        off_pos = np.concatenate(([0], np.cumsum(_varint_widths(pdeltas))))
+        pos_stream = enc(pdeltas)
+        off_pos = np.concatenate(([0], np.cumsum(widths(pdeltas))))
         # per-term byte spans of the pos region
         p_term_lo = off_pos[ps[term_starts]]
         p_term_hi = off_pos[ps[term_ends]]
@@ -206,11 +235,13 @@ def encode_postings(
     norms: np.ndarray,
     block_size: int = BLOCK_SIZE,
     positions: np.ndarray | None = None,
+    streams: str = "varint",
 ) -> EncodedPostings:
     """Encode one term's postings (sorted ascending unique doc_ids)."""
     pp = encode_partition(
         np.asarray(doc_ids), np.asarray(tfs), np.asarray(norms),
         np.zeros(1 if len(doc_ids) else 0, np.int64), block_size, positions,
+        streams=streams,
     )
     return EncodedPostings(pp.blob, pp.skips, len(doc_ids))
 
@@ -225,15 +256,17 @@ def decode_block(
     bi: int,
     n_docs: int,
     block_size: int = BLOCK_SIZE,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode block ``bi`` of one term's blob -> (doc_ids, tfs, norms)."""
+    dec = _STREAMS[streams][2]
     s = skips[bi]
     lo = bi * block_size
     count = min(block_size, n_docs - lo)
     mv = memoryview(blob)
     doff, toff = int(s["doc_off"]), int(s["tf_off"])
-    deltas = varint_decode(mv[doff : doff + int(s["docs_len"])], count)
-    tfs = varint_decode(mv[toff : toff + int(s["tfs_len"])], count).astype(np.uint32)
+    deltas = dec(mv[doff : doff + int(s["docs_len"])], count)
+    tfs = dec(mv[toff : toff + int(s["tfs_len"])], count).astype(np.uint32)
     norms_region = int(skips[-1]["tf_off"]) + int(skips[-1]["tfs_len"])
     norms = np.frombuffer(mv[norms_region + lo : norms_region + lo + count], np.uint8)
     base = np.int64(skips[bi - 1]["last_doc"]) if bi > 0 else np.int64(-1)
@@ -253,32 +286,35 @@ def _expand_position_deltas(pdeltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
 
 
 def decode_block_positions(
-    blob, skips: np.ndarray, bi: int, n_docs: int, block_size: int = BLOCK_SIZE
+    blob, skips: np.ndarray, bi: int, n_docs: int, block_size: int = BLOCK_SIZE,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Positions of block ``bi`` -> (flat_positions, per-posting tfs)."""
+    dec = _STREAMS[streams][2]
     s = skips[bi]
     lo = bi * block_size
     count = min(block_size, n_docs - lo)
     mv = memoryview(blob)
     toff = int(s["tf_off"])
-    tfs = varint_decode(mv[toff : toff + int(s["tfs_len"])], count).astype(np.int64)
+    tfs = dec(mv[toff : toff + int(s["tfs_len"])], count).astype(np.int64)
     total = int(tfs.sum())
     poff = int(s["pos_off"])
     plen = int(s["pos_len"])
     if plen == 0:
         raise ValueError("positions were not indexed for this term")
-    pdeltas = varint_decode(mv[poff : poff + plen], total)
+    pdeltas = dec(mv[poff : poff + plen], total)
     return _expand_position_deltas(pdeltas, tfs), tfs
 
 
 def decode_all_positions(
-    blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE
+    blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full position stream of a term -> (flat_positions, per-posting tfs)
     aligned with decode_all's doc order."""
     parts_p, parts_t = [], []
     for bi in range(len(skips)):
-        p, t = decode_block_positions(blob, skips, bi, n_docs, block_size)
+        p, t = decode_block_positions(blob, skips, bi, n_docs, block_size, streams)
         parts_p.append(p)
         parts_t.append(t)
     if not parts_p:
@@ -317,6 +353,7 @@ def bulk_decode_segment(
     skip_offset: np.ndarray,
     n_blocks: np.ndarray,
     df: np.ndarray,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode EVERY term's postings of one segment in a handful of
     vectorized passes -> (docs, tfs, norms, term_starts), flat arrays in
@@ -343,9 +380,10 @@ def bulk_decode_segment(
     norms = _gather_ranges(blob_u8, po + t_end, po + t_end + dfv).copy()
     total = int(dfv.sum())
     term_starts = np.concatenate(([0], np.cumsum(dfv[:-1])))
-    deltas = varint_decode(docs_stream, total)
+    dec = _STREAMS[streams][2]
+    deltas = dec(docs_stream, total)
     docs = _reset_cumsum(deltas, term_starts) - 1
-    tfs = varint_decode(tfs_stream, total).astype(np.uint32)
+    tfs = dec(tfs_stream, total).astype(np.uint32)
     return docs, tfs, norms, term_starts
 
 
@@ -359,6 +397,7 @@ def bulk_decode_segment_positions(
     df: np.ndarray,
     tfs: np.ndarray,
     term_starts: np.ndarray,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Positions companion to ``bulk_decode_segment``:
     -> (flat_positions, per-posting position counts). Non-positional
@@ -384,7 +423,7 @@ def bulk_decode_segment_positions(
     n_pos = int(pos_counts.sum())
     if n_pos == 0:
         return np.empty(0, np.int64), pos_counts
-    pdeltas = varint_decode(pos_stream, n_pos)
+    pdeltas = _STREAMS[streams][2](pos_stream, n_pos)
     posting_starts = np.concatenate(([0], np.cumsum(pos_counts[:-1])))
     # restart the delta chain at each POSTING with >= 1 position
     flat = _reset_cumsum(pdeltas, np.unique(posting_starts[pos_counts > 0]))
@@ -392,7 +431,8 @@ def bulk_decode_segment_positions(
 
 
 def decode_all(
-    blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE
+    blob, skips: np.ndarray, n_docs: int, block_size: int = BLOCK_SIZE,
+    streams: str = "varint",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full posting list (exhaustive scoring / merge path) —
     one varint pass per stream, not per block."""
@@ -402,13 +442,14 @@ def decode_all(
             np.empty(0, np.uint32),
             np.empty(0, np.uint8),
         )
+    dec = _STREAMS[streams][2]
     mv = memoryview(blob)
     s0 = skips[0]
     slast = skips[-1]
     docs_end = int(slast["doc_off"]) + int(slast["docs_len"])
     tfs_end = int(slast["tf_off"]) + int(slast["tfs_len"])
-    deltas = varint_decode(mv[int(s0["doc_off"]) : docs_end], n_docs)
-    tfs = varint_decode(mv[int(s0["tf_off"]) : tfs_end], n_docs).astype(np.uint32)
+    deltas = dec(mv[int(s0["doc_off"]) : docs_end], n_docs)
+    tfs = dec(mv[int(s0["tf_off"]) : tfs_end], n_docs).astype(np.uint32)
     norms_region = int(slast["tf_off"]) + int(slast["tfs_len"])
     norms = np.frombuffer(mv[norms_region : norms_region + n_docs], np.uint8).copy()
     docs = np.cumsum(deltas.astype(np.int64)) - 1

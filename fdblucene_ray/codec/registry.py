@@ -12,15 +12,25 @@ without touching build/search/merge code:
     build_index(..., codec="mine")     # write side
     # manifest records the name; readers resolve it on open
 
-One production codec ships: ``varint-block`` — delta+varint doc ids and
-tfs, raw norms, fixed-size blocks with skip/impact metadata
-(codec/postings.py). Opening an index whose manifest names an
-unregistered codec fails loudly (never silently misdecodes).
+Two production codecs ship, sharing the block/skip/impact layout and
+differing only in the integer-stream coding (codec/postings.py):
+
+- ``varint-block`` (default): delta+LEB128-varint doc ids / tfs / pos
+  gaps — the compact at-rest form, matching the north-star
+  delta+varint posting format.
+- ``fixed-block``: little-endian u32 streams — ~2-3x larger at rest,
+  branch-free ``view('<u4')`` decode with zero bit-twiddling; a
+  realistic choice when decode CPU dominates (merge-heavy maintenance
+  tiers, hot in-memory segments).
+
+Opening an index whose manifest names an unregistered codec fails
+loudly (never silently misdecodes).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable
 
 from fdblucene_ray.codec import postings as _vb
@@ -63,15 +73,20 @@ def get_codec(name: str | None) -> PostingsCodec:
     return codec
 
 
-register_codec(
-    PostingsCodec(
-        name=DEFAULT_CODEC,
-        encode_partition=_vb.encode_partition,
-        decode_block=_vb.decode_block,
-        decode_all=_vb.decode_all,
-        decode_block_positions=_vb.decode_block_positions,
-        decode_all_positions=_vb.decode_all_positions,
-        bulk_decode_segment=_vb.bulk_decode_segment,
-        bulk_decode_segment_positions=_vb.bulk_decode_segment_positions,
+def _make_codec(name: str, streams: str) -> PostingsCodec:
+    return PostingsCodec(
+        name=name,
+        encode_partition=partial(_vb.encode_partition, streams=streams),
+        decode_block=partial(_vb.decode_block, streams=streams),
+        decode_all=partial(_vb.decode_all, streams=streams),
+        decode_block_positions=partial(_vb.decode_block_positions, streams=streams),
+        decode_all_positions=partial(_vb.decode_all_positions, streams=streams),
+        bulk_decode_segment=partial(_vb.bulk_decode_segment, streams=streams),
+        bulk_decode_segment_positions=partial(
+            _vb.bulk_decode_segment_positions, streams=streams
+        ),
     )
-)
+
+
+register_codec(_make_codec(DEFAULT_CODEC, "varint"))
+register_codec(_make_codec("fixed-block", "fixed"))

@@ -306,7 +306,7 @@ class EncodeGroup:
 
     def __init__(
         self, index_dir: str, signature: str, block_size: int, resume: bool,
-        runs: bool = True,
+        runs: bool = True, codec: str = "varint-block",
     ):
         self.__name__ = "EncodeGroup"  # map_groups wraps fn and reads __name__
         self.index_dir = index_dir
@@ -314,6 +314,7 @@ class EncodeGroup:
         self.block_size = block_size
         self.resume = resume
         self.runs = runs
+        self.codec = codec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
@@ -327,7 +328,8 @@ class EncodeGroup:
                 return self._row(part, SegmentMeta.from_json(rec["meta"]), 0.0, True)
         writer = write_segment_runs if self.runs else write_segment
         meta = writer(
-            self.index_dir, name, group.drop_columns(["part"]), self.block_size
+            self.index_dir, name, group.drop_columns(["part"]), self.block_size,
+            codec=self.codec,
         )
         wall = time.perf_counter() - t0
         write_lineage(
@@ -513,7 +515,7 @@ def build_index(
         zero_copy_batch=True,
     )
     lineage_ds = postings.groupby("part", num_partitions=num_partitions).map_groups(
-        EncodeGroup(index_dir, sig, block_size, resume),
+        EncodeGroup(index_dir, sig, block_size, resume, codec=codec),
         batch_format="pyarrow",
     )
     records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)

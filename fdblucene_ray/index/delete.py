@@ -84,7 +84,6 @@ def delete_docs(index_dir: str, doc_ids) -> Manifest:
 def delete_by_term(index_dir: str, field: str, term: str) -> Manifest:
     """``IndexWriter.deleteDocuments(Term)`` analog: tombstone every doc
     whose ``field`` contains ``term`` (exact keyword / analyzed term)."""
-    from fdblucene_ray.codec.postings import decode_all
     from fdblucene_ray.index.search import Searcher
 
     s = Searcher(index_dir)
@@ -93,7 +92,7 @@ def delete_by_term(index_dir: str, field: str, term: str) -> Manifest:
         h = r.postings_handle(field, term)
         if h is not None:
             blob, skips, n = h
-            dd, _, _ = decode_all(blob, skips, n, s.manifest.block_size)
+            dd, _, _ = r.codec.decode_all(blob, skips, n, s.manifest.block_size)
             docs.extend(dd.tolist())
     if not docs:
         return s.manifest

@@ -192,7 +192,7 @@ class DecodeSegmentPostings:
             meta = next(s for s in manifest.segments if s.name == row["segment"])
             pos_fields = set(manifest.extra.get("positions_fields", []))
             tomb = self.tomb.get(idir, _EMPTY_TOMB)
-            reader = SegmentReader(idir, meta)
+            reader = SegmentReader(idir, meta, codec=manifest.codec)
             yield from self._decode_segment(reader, manifest, pos_fields, tomb,
                                             int(row["base"]))
             sent = self._sentinel_table(reader, meta, int(row["base"]), tomb)
@@ -202,10 +202,11 @@ class DecodeSegmentPostings:
     def _decode_segment(self, reader, manifest, pos_fields, tomb, base):
         """Whole-segment bulk decode (one varint pass per stream kind)
         -> slab tables. No per-term numpy/Arrow calls anywhere."""
-        from fdblucene_ray.codec.postings import (
-            bulk_decode_segment,
-            bulk_decode_segment_positions,
-        )
+        from fdblucene_ray.codec.registry import get_codec
+
+        _codec = get_codec(manifest.codec)
+        bulk_decode_segment = _codec.bulk_decode_segment
+        bulk_decode_segment_positions = _codec.bulk_decode_segment_positions
 
         terms = reader.terms
         T = terms.num_rows
@@ -319,6 +320,7 @@ def _run_merge_pipeline(
     block_size: int,
     resume: bool,
     tombstones: dict[str, np.ndarray] | None,
+    codec: str = "varint-block",
 ) -> list[SegmentMeta]:
     """Shared decode -> shuffle -> encode pipeline; returns new segments."""
     tomb_ref = ray.put(tombstones) if tombstones else None
@@ -336,7 +338,7 @@ def _run_merge_pipeline(
         )
         .groupby("part", num_partitions=num_partitions)
         .map_groups(
-            EncodeGroup(out_dir, sig, block_size, resume, runs=True),
+            EncodeGroup(out_dir, sig, block_size, resume, runs=True, codec=codec),
             batch_format="pyarrow",
         )
     )
@@ -400,7 +402,8 @@ def merge_indexes(
             return prev
 
     segs = _run_merge_pipeline(
-        items, out_dir, sig, num_partitions, block_size, resume, tombstones
+        items, out_dir, sig, num_partitions, block_size, resume, tombstones,
+        codec=codec,
     )
     version = 0
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
@@ -464,7 +467,8 @@ def merge_segments_inplace(
         "08x",
     )
     segs = _run_merge_pipeline(
-        items, index_dir, sig, num_partitions, m.block_size, resume, tombstones
+        items, index_dir, sig, num_partitions, m.block_size, resume, tombstones,
+        codec=m.codec,
     )
     keep = [s for s in m.segments if s.name not in set(names)]
     extra = dict(m.extra)

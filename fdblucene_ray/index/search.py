@@ -37,7 +37,6 @@ import numpy as np
 import pyarrow as pa
 
 from fdblucene_ray.analysis.analyzer import get_analyzer
-from fdblucene_ray.codec.postings import decode_all, decode_block
 from fdblucene_ray.codec.smallfloat import DECODE_TABLE
 from fdblucene_ray.index.manifest import Manifest, load_manifest
 from fdblucene_ray.index.segment import SegmentReader
@@ -86,8 +85,14 @@ class TermCursor:
     cache: dict | None = None
     ckey: int = 0
     cache_max: int = 256
+    # resolved PostingsCodec for decode dispatch; None = default varint
+    codec: object = None
 
     def __post_init__(self):
+        if self.codec is None:
+            from fdblucene_ray.codec.registry import get_codec
+
+            self.codec = get_codec(None)
         mt = self.skips["max_tf"].astype(np.float64)
         kk = self.norm_cache[self.skips["min_norm"]]
         self._block_ub = self.idf * mt / (mt + kk)
@@ -101,7 +106,7 @@ class TermCursor:
             k = (self.ckey, bi)
             hit = self.cache.get(k)
             if hit is None:
-                hit = decode_block(
+                hit = self.codec.decode_block(
                     self.blob, self.skips, bi, self.n_docs, self.block_size
                 )
                 self.blocks_decoded += 1
@@ -112,7 +117,7 @@ class TermCursor:
                 self.cache[k] = self.cache.pop(k)
             self.docs, self.tfs, self.norms = hit
         else:
-            self.docs, self.tfs, self.norms = decode_block(
+            self.docs, self.tfs, self.norms = self.codec.decode_block(
                 self.blob, self.skips, bi, self.n_docs, self.block_size
             )
             self.blocks_decoded += 1
@@ -122,10 +127,8 @@ class TermCursor:
         """Positions of the CURRENT posting, decoding only this block's
         position stream (lazily, cached per block) — blocks the doc-level
         intersection skipped never pay position decode."""
-        from fdblucene_ray.codec.postings import decode_block_positions
-
         if self._pos_cache is None or self._pos_cache[0] != self.bi:
-            flat, tfs = decode_block_positions(
+            flat, tfs = self.codec.decode_block_positions(
                 self.blob, self.skips, self.bi, self.n_docs, self.block_size
             )
             cums = np.concatenate(([0], np.cumsum(tfs)))
@@ -327,18 +330,18 @@ class Searcher:
                  *, k1: float = K1, b: float = B):
         """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
         defaults are the Lucene-8 defaults the north star mandates)."""
-        from fdblucene_ray.codec.registry import DEFAULT_CODEC, get_codec
+        from fdblucene_ray.codec.registry import get_codec
         from fdblucene_ray.index.delete import load_tombstones
 
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
-        get_codec(self.manifest.codec)  # unknown codec fails loudly here
-        if self.manifest.codec != DEFAULT_CODEC:  # pragma: no cover
-            raise NotImplementedError(
-                f"read dispatch for codec {self.manifest.codec!r} is not "
-                "wired yet — only the default varint-block codec decodes"
-            )
-        self.readers = [SegmentReader(index_dir, m) for m in self.manifest.segments]
+        # resolve the manifest's named codec for ALL read-side decode
+        # dispatch (U3 codec SPI); unknown names fail loudly here
+        self.codec = get_codec(self.manifest.codec)
+        self.readers = [
+            SegmentReader(index_dir, m, codec=self.manifest.codec)
+            for m in self.manifest.segments
+        ]
         self.totals = self.manifest.field_totals()
         self.k1 = k1
         self.b = b
@@ -928,7 +931,9 @@ class Searcher:
         if len(terms) == 1:
             out = []
             for blob, skips, n in _gather_handles(self.readers, field, terms[0]):
-                d, tf, _ = decode_all(blob, skips, n, self.manifest.block_size)
+                d, tf, _ = self.codec.decode_all(
+                    blob, skips, n, self.manifest.block_size
+                )
                 am = _alive_mask(d, self.tombstones)
                 if am is not None:
                     d, tf = d[am], tf[am]
@@ -1015,7 +1020,7 @@ def _matching_docs_per_term(readers, terms, field):
             h = r.postings_handle(field, t)
             if h is not None:
                 blob, skips, n = h
-                d, _, _ = decode_all(blob, skips, n)
+                d, _, _ = r.codec.decode_all(blob, skips, n)
                 per_seg.append(d)
         yield np.concatenate(per_seg) if per_seg else np.empty(0, np.int64)
 
@@ -1041,7 +1046,7 @@ def _gather_cursors(readers, field, term, block_size, idf, ncache, qidx):
             out.append(
                 TermCursor(
                     blob, skips, n, block_size, idf, ncache, qidx,
-                    cache=cache, ckey=ckey,
+                    cache=cache, ckey=ckey, codec=r.codec,
                 )
             )
     return out

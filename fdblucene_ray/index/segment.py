@@ -89,6 +89,7 @@ def write_segment(
     name: str,
     table: pa.Table,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint-block",
 ) -> SegmentMeta:
     """Encode one shuffle partition (posting rows) into a segment.
 
@@ -161,7 +162,7 @@ def write_segment(
     vocab = denc.dictionary.to_pylist()
     return _finalize_segment(
         index_dir, name, vocab, doc_ids, tfs, norms, starts, field_stats,
-        block_size, doclens=doclens,
+        block_size, doclens=doclens, codec=codec,
     )
 
 
@@ -190,6 +191,7 @@ def write_segment_runs(
     name: str,
     runs: pa.Table,
     block_size: int = BLOCK_SIZE,
+    codec: str = "varint-block",
 ) -> SegmentMeta:
     """Encode one shuffle partition of RUN rows into a segment.
 
@@ -310,6 +312,7 @@ def write_segment_runs(
     return _finalize_segment(
         index_dir, name, vocab, doc_ids, tfs, norms, term_starts, field_stats,
         block_size, positions=positions, pos_counts=pos_counts, doclens=doclens,
+        codec=codec,
     )
 
 
@@ -326,9 +329,12 @@ def _finalize_segment(
     positions: np.ndarray | None = None,
     pos_counts: np.ndarray | None = None,
     doclens: pa.Table | None = None,
+    codec: str = "varint-block",
 ) -> SegmentMeta:
     """Bulk-encode sorted postings + write the segment files atomically."""
-    pp = encode_partition(
+    from fdblucene_ray.codec.registry import get_codec
+
+    pp = get_codec(codec).encode_partition(
         doc_ids, tfs, norms, term_starts, block_size, positions, pos_counts
     )
     n_terms = len(vocab)
@@ -419,8 +425,12 @@ class SegmentReader:
     # dictionary rows
     RG_CACHE_MAX = 32
 
-    def __init__(self, index_dir: str, meta: SegmentMeta):
+    def __init__(self, index_dir: str, meta: SegmentMeta,
+                 codec: str = "varint-block"):
+        from fdblucene_ray.codec.registry import get_codec
+
         self.meta = meta
+        self.codec = get_codec(codec)  # decode dispatch (U3 codec SPI)
         self.path = segment_path(index_dir, meta.name)
         self._terms: pa.Table | None = None
         self._postings = None
@@ -445,7 +455,7 @@ class SegmentReader:
         """Full (docs, tfs, norms) decode of a term's postings, LRU-
         cached by postings budget — hot query terms repeated across a
         batch decode once per reader."""
-        from fdblucene_ray.codec.postings import decode_all
+        decode_all = self.codec.decode_all
 
         r = self._term_row(field, term)
         if r is None:

@@ -27,7 +27,6 @@ from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
 from fdblucene_ray.codec.smallfloat import DECODE_TABLE
 from fdblucene_ray.index.build import build_index
 from fdblucene_ray.index.search import Searcher
-from fdblucene_ray.codec.postings import decode_all
 
 CACHE_ROOT = "/tmp/fdblucene_ray_cache"
 
@@ -238,7 +237,7 @@ def q_ft_keyword_lookup(sf_dir: str) -> pa.Table:
         h = r.postings_handle("source", "src5")
         if h:
             blob, skips, n = h
-            d, _, _ = decode_all(blob, skips, n, s.manifest.block_size)
+            d, _, _ = r.codec.decode_all(blob, skips, n, s.manifest.block_size)
             docs.extend(d.tolist())
     docs.sort()
     return pa.table({"doc_id": pa.array(docs, pa.int64())})

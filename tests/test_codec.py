@@ -136,3 +136,93 @@ class TestPostings:
         assert np.array_equal(d, docs)
         assert np.array_equal(t, tfs)
         assert np.array_equal(nn, norms)
+
+
+class TestFixedBlockCodec:
+    """Second production codec (U3 codec SPI): fixed-width u32 streams
+    sharing the block/skip/impact layout. Every decode surface must
+    round-trip and agree with the varint codec's results."""
+
+    def _codec(self):
+        from fdblucene_ray.codec.registry import get_codec
+
+        return get_codec("fixed-block")
+
+    @pytest.mark.parametrize("n", [0, 1, B - 1, B, B + 1, 3 * B + 1, 1000])
+    def test_roundtrip_boundaries(self, n):
+        c = self._codec()
+        rng = np.random.default_rng(n)
+        docs = np.sort(rng.choice(10**8, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 500, n).astype(np.uint32)
+        norms = rng.integers(0, 256, n).astype(np.uint8)
+        starts = np.zeros(1 if n else 0, np.int64)
+        pp = c.encode_partition(docs, tfs, norms, starts)
+        sk = read_skips(pp.skips)
+        d, t, nn = c.decode_all(pp.blob, sk, n)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(nn, norms)
+        # block decode agrees too
+        for bi in range(len(sk)):
+            db, tb, nb = c.decode_block(pp.blob, sk, bi, n)
+            lo, hi = bi * B, min((bi + 1) * B, n)
+            assert np.array_equal(db, docs[lo:hi])
+            assert np.array_equal(tb, tfs[lo:hi])
+            assert np.array_equal(nb, norms[lo:hi])
+
+    def test_positions_roundtrip(self):
+        c = self._codec()
+        rng = np.random.default_rng(9)
+        n = 2 * B + 11
+        docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 5, n).astype(np.uint32)
+        norms = rng.integers(0, 200, n).astype(np.uint8)
+        pos = np.concatenate(
+            [np.sort(rng.choice(500, size=int(t), replace=False)) for t in tfs]
+        ).astype(np.int64)
+        pp = c.encode_partition(docs, tfs, norms, np.zeros(1, np.int64),
+                                positions=pos)
+        sk = read_skips(pp.skips)
+        flat, ptfs = c.decode_all_positions(pp.blob, sk, n)
+        assert np.array_equal(flat, pos)
+        assert np.array_equal(ptfs, tfs.astype(ptfs.dtype))
+
+    def test_bulk_decode_matches_varint(self):
+        """Both codecs bulk-decode a multi-term partition to identical
+        logical postings (merge-path parity)."""
+        from fdblucene_ray.codec.registry import get_codec
+
+        rng = np.random.default_rng(21)
+        T, per = 37, 61
+        docs = np.concatenate(
+            [np.sort(rng.choice(10**6, size=per, replace=False)) for _ in range(T)]
+        ).astype(np.int64)
+        tfs = rng.integers(1, 30, T * per).astype(np.uint32)
+        norms = rng.integers(0, 255, T * per).astype(np.uint8)
+        starts = (np.arange(T) * per).astype(np.int64)
+        outs = []
+        for name in ("varint-block", "fixed-block"):
+            c = get_codec(name)
+            pp = c.encode_partition(docs, tfs, norms, starts)
+            sk = np.frombuffer(pp.skips, dtype=np.dtype(read_skips(pp.skips).dtype))
+            blob_u8 = np.frombuffer(pp.blob, np.uint8)
+            outs.append(
+                c.bulk_decode_segment(
+                    blob_u8, sk, pp.post_offset, pp.skip_offset, pp.n_blocks, pp.df
+                )
+            )
+        for a, b in zip(*outs):
+            assert np.array_equal(a, b)
+        assert np.array_equal(outs[0][0], docs)
+
+    def test_fixed_larger_at_rest(self):
+        """The tradeoff is real: fixed-block trades size for decode CPU."""
+        from fdblucene_ray.codec.registry import get_codec
+
+        docs = np.arange(0, 5000, dtype=np.int64)  # tiny deltas
+        tfs = np.ones(5000, np.uint32)
+        norms = np.zeros(5000, np.uint8)
+        starts = np.zeros(1, np.int64)
+        v = get_codec("varint-block").encode_partition(docs, tfs, norms, starts)
+        f = get_codec("fixed-block").encode_partition(docs, tfs, norms, starts)
+        assert len(f.blob) > 2 * len(v.blob)

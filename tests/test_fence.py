@@ -155,3 +155,51 @@ class TestCodecRegistry:
         json.dump(d, open(mp, "w"))
         with pytest.raises(ValueError, match="unknown postings codec"):
             Searcher(ix)
+
+    def test_fixed_block_end_to_end_parity(self, tmp_path, ray_session):
+        """Build the same corpus under both codecs: identical search
+        results (scores to 1e-12), phrase matches, and compaction output
+        — full read/write dispatch through the registry (U3)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.merge import compact_index
+        from fdblucene_ray.index.search import Searcher
+
+        rng = __import__("numpy").random.default_rng(5)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(3, 30)))
+            for _ in range(400)
+        ]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(texts)}), src)
+        fields = {"text": {"column": "text", "analyzer": "simple",
+                           "positions": True}}
+
+        results = {}
+        for codec in ("varint-block", "fixed-block"):
+            ix = str(tmp_path / f"ix-{codec}")
+            m = build_index(src, ix, fields=fields, num_partitions=4,
+                            codec=codec)
+            assert m.codec == codec
+            s = Searcher(ix)
+            results[codec] = {
+                "or": s.search("alpha gamma", k=20),
+                "and": s.search("alpha gamma", k=20, operator="and"),
+                "phrase": s.phrase_freqs("alpha beta"),
+            }
+            # compaction keeps the codec and the results
+            names = [seg.name for seg in m.segments]
+            if len(names) >= 2:
+                m2 = compact_index(ix, ix, num_partitions=2)
+                assert m2.codec == codec
+                s2 = Searcher(ix)
+                assert s2.search("alpha gamma", k=20) == results[codec]["or"]
+        v, f = results["varint-block"], results["fixed-block"]
+        assert [d for d, _ in v["or"]] == [d for d, _ in f["or"]]
+        for (d1, s1), (d2, s2) in zip(v["or"], f["or"]):
+            assert abs(s1 - s2) < 1e-12
+        assert v["and"] == f["and"]
+        assert v["phrase"] == f["phrase"]
