@@ -10,10 +10,14 @@ Grammar (a practical subset):
 - ``+`` = MUST, ``-`` = MUST_NOT, bare = SHOULD (BooleanQuery occurs);
 - ``FIELD:`` overrides the default field for that clause;
 - quoted text parses as a PhraseQuery on the clause's field;
-- clause text is analyzed with the field's analyzer; a single unquoted
-  word that analyzes to multiple terms keeps them in the same occur
-  bucket (documented simplification of Lucene's graph queries); a word
-  that analyzes to nothing (pure stopword) drops the clause.
+- multi-term clauses: ``pre*`` = PrefixQuery, ``w?ld*card`` =
+  WildcardQuery, ``term~`` / ``term~1`` = FuzzyQuery (default 2 edits)
+  — lowercased but NOT analyzed, matching Lucene's expanded-term
+  handling; evaluated constant-score (CONSTANT_SCORE_REWRITE);
+- other clause text is analyzed with the field's analyzer; a single
+  unquoted word that analyzes to multiple terms keeps them in the same
+  occur bucket (documented simplification of Lucene's graph queries);
+  a word that analyzes to nothing (pure stopword) drops the clause.
 """
 
 from __future__ import annotations
@@ -35,10 +39,14 @@ class ParsedQuery:
     must_not: list = field(default_factory=list)
     # (occur, field, phrase_text) for quoted clauses
     phrases: list = field(default_factory=list)
+    # (occur, field, kind, payload): kind "prefix"|"wildcard" with the
+    # pattern payload, or "fuzzy" with (term, max_edits)
+    multiterm: list = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
-        return not (self.must or self.should or self.must_not or self.phrases)
+        return not (self.must or self.should or self.must_not
+                    or self.phrases or self.multiterm)
 
 
 def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
@@ -52,10 +60,27 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
                  f, m.group("phrase"))
             )
         else:
-            bucket = (
-                out.must_not if occur == "-"
-                else out.must if occur == "+"
-                else out.should
+            w = m.group("word")
+            oname = (
+                "must_not" if occur == "-" else "must" if occur == "+" else "should"
             )
-            bucket.append((f, m.group("word")))
+            fz = re.fullmatch(r"([^*?~]+)~(\d)?", w)
+            if "*" in w or "?" in w:
+                wl = w.lower()
+                if wl.endswith("*") and wl.count("*") == 1 and "?" not in wl:
+                    out.multiterm.append((oname, f, "prefix", wl[:-1]))
+                else:
+                    out.multiterm.append((oname, f, "wildcard", wl))
+            elif fz:
+                out.multiterm.append(
+                    (oname, f, "fuzzy",
+                     (fz.group(1).lower(), int(fz.group(2) or 2)))
+                )
+            else:
+                bucket = (
+                    out.must_not if occur == "-"
+                    else out.must if occur == "+"
+                    else out.should
+                )
+                bucket.append((f, w))
     return out

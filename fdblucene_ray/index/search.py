@@ -755,7 +755,7 @@ class Searcher:
             f == default_field
             for f, _ in (*pq.must, *pq.should, *pq.must_not)
         ) and all(f == default_field for _, f, _ in pq.phrases)
-        if not pq.phrases and same_field:
+        if not pq.phrases and not pq.multiterm and same_field:
             must_t = [t for _, w in pq.must for t in self.parse(w, default_field)]
             not_t = [t for _, w in pq.must_not for t in self.parse(w, default_field)]
             should_t = [t for _, w in pq.should for t in self.parse(w, default_field)]
@@ -790,6 +790,19 @@ class Searcher:
         def phrase_map(f, text):
             return dict(self.search_phrase(text, 1 << 31, field=f))
 
+        def multiterm_map(f, kind, payload):
+            """Expanded multi-term clause -> constant-score doc map
+            (CONSTANT_SCORE_REWRITE: every matching doc contributes
+            1.0, like Lucene's default wildcard/prefix/fuzzy rewrite)."""
+            if kind == "prefix":
+                terms = [t for t, _ in self.expand_prefix(f, payload)]
+            elif kind == "wildcard":
+                terms = [t for t, _ in self.expand_wildcard(f, payload)]
+            else:
+                term, edits = payload
+                terms = [t for t, _, _ in self.expand_fuzzy(f, term, edits)]
+            return {int(d): 1.0 for d in self.multiterm_docs(f, terms)}
+
         must_maps, should_maps, not_sets = [], [], []
         for f, w in pq.must:
             m = term_map(f, w)
@@ -805,6 +818,15 @@ class Searcher:
                 not_sets.append(set(m))
         for occur, f, text in pq.phrases:
             m = phrase_map(f, text)
+            if occur == "must":
+                must_maps.append(m)
+            elif occur == "should":
+                if m:
+                    should_maps.append(m)
+            elif m:
+                not_sets.append(set(m))
+        for occur, f, kind, payload in pq.multiterm:
+            m = multiterm_map(f, kind, payload)
             if occur == "must":
                 must_maps.append(m)
             elif occur == "should":
@@ -959,6 +981,178 @@ class Searcher:
         if am is not None:
             docs = docs[am]
         return int(len(docs))
+
+    # ---- multi-term queries (Lucene MultiTermQuery analogs) ----
+    # PrefixQuery / WildcardQuery / FuzzyQuery: expand against the term
+    # dictionary, then evaluate as a constant-score disjunction (the
+    # CONSTANT_SCORE_REWRITE default — every matching doc scores 1.0,
+    # ties broken by doc id ascending).
+
+    def _prefix_bound(self, prefix: str) -> str | None:
+        """Exclusive upper bound of the terms sharing ``prefix``."""
+        if not prefix:
+            return None
+        last = ord(prefix[-1])
+        if last >= 0x10FFFF:  # pragma: no cover — degenerate prefix
+            return None
+        return prefix[:-1] + chr(last + 1)
+
+    def expand_prefix(
+        self, field: str, prefix: str, max_terms: int = 1024
+    ) -> list[tuple[str, int]]:
+        """Index terms starting with ``prefix`` -> sorted [(term, df)],
+        df summed across segments. Each segment reads only the
+        terms.parquet row groups overlapping the prefix range (the
+        TermsEnum.seekCeil + bounded-scan path). Raises when the
+        expansion exceeds ``max_terms`` (BooleanQuery.maxClauseCount
+        analog) rather than silently truncating."""
+        hi = self._prefix_bound(prefix)
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.term_range(field, prefix, hi):
+                agg[t] = agg.get(t, 0) + df
+                if len(agg) > max_terms:
+                    raise ValueError(
+                        f"prefix {prefix!r} expands to > {max_terms} terms"
+                    )
+        return sorted(agg.items())
+
+    def expand_wildcard(
+        self, field: str, pattern: str, max_terms: int = 1024
+    ) -> list[tuple[str, int]]:
+        """WildcardQuery expansion: ``*`` = any run, ``?`` = exactly one
+        char. The literal prefix before the first wildcard bounds the
+        dictionary scan; a leading wildcard scans the field's whole
+        dictionary (same caveat Lucene documents)."""
+        import re as _re
+
+        wc = [j for j, c in enumerate(pattern) if c in "*?"]
+        prefix = pattern[: wc[0]] if wc else pattern
+        rx = _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + r"\Z"
+        )
+        hi = self._prefix_bound(prefix)
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.term_range(field, prefix, hi):
+                if rx.match(t) is None:
+                    continue
+                agg[t] = agg.get(t, 0) + df
+                if len(agg) > max_terms:
+                    raise ValueError(
+                        f"pattern {pattern!r} expands to > {max_terms} terms"
+                    )
+        return sorted(agg.items())
+
+    def expand_fuzzy(
+        self,
+        field: str,
+        term: str,
+        max_edits: int = 2,
+        prefix_len: int = 0,
+        max_terms: int = 1024,
+    ) -> list[tuple[str, int, int]]:
+        """FuzzyQuery expansion: terms within Levenshtein distance
+        <= ``max_edits`` -> sorted [(term, df, dist)]. Candidates are
+        bounded by the required literal prefix (``prefix_len``, Lucene's
+        prefixLength) and the |length| difference; edit distances are
+        computed with a Wagner-Fischer DP vectorized across the whole
+        candidate set (an automaton-free restatement of Lucene's
+        LevenshteinAutomata intersection)."""
+        prefix = term[:prefix_len]
+        hi = self._prefix_bound(prefix)
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.term_range(field, prefix, hi):
+                if abs(len(t) - len(term)) <= max_edits:
+                    agg[t] = agg.get(t, 0) + df
+        if not agg:
+            return []
+        cands = sorted(agg)
+        dists = _levenshtein_vec(cands, term)
+        out = [
+            (t, agg[t], int(d)) for t, d in zip(cands, dists) if d <= max_edits
+        ]
+        if len(out) > max_terms:
+            raise ValueError(f"fuzzy {term!r} expands to > {max_terms} terms")
+        return out
+
+    def multiterm_docs(self, field: str, terms: list[str]) -> np.ndarray:
+        """Sorted unique live doc ids matching ANY of ``terms``."""
+        parts = []
+        for r in self.readers:
+            for t in terms:
+                h = r.postings_handle(field, t)
+                if h is not None:
+                    blob, skips, n = h
+                    parts.append(
+                        r.codec.decode_all(blob, skips, n, self.manifest.block_size)[0]
+                    )
+        if not parts:
+            return np.empty(0, np.int64)
+        docs = np.unique(np.concatenate(parts))
+        am = _alive_mask(docs, self.tombstones)
+        return docs if am is None else docs[am]
+
+    def search_prefix(self, prefix: str, k: int = 10, *, field: str = "text",
+                      max_terms: int = 1024) -> list[tuple[int, float]]:
+        terms = [t for t, _ in self.expand_prefix(field, prefix, max_terms)]
+        docs = self.multiterm_docs(field, terms)
+        return [(int(d), 1.0) for d in docs[:k]]
+
+    def search_wildcard(self, pattern: str, k: int = 10, *, field: str = "text",
+                        max_terms: int = 1024) -> list[tuple[int, float]]:
+        terms = [t for t, _ in self.expand_wildcard(field, pattern, max_terms)]
+        docs = self.multiterm_docs(field, terms)
+        return [(int(d), 1.0) for d in docs[:k]]
+
+    def search_fuzzy(self, term: str, k: int = 10, *, field: str = "text",
+                     max_edits: int = 2, prefix_len: int = 0,
+                     max_terms: int = 1024) -> list[tuple[int, float]]:
+        terms = [
+            t for t, _, _ in self.expand_fuzzy(
+                field, term, max_edits, prefix_len, max_terms
+            )
+        ]
+        docs = self.multiterm_docs(field, terms)
+        return [(int(d), 1.0) for d in docs[:k]]
+
+
+def _levenshtein_vec(cands: list[str], q: str) -> np.ndarray:
+    """Levenshtein distances of every candidate to ``q`` in one numpy
+    DP: candidates packed into a UCS4 (N, L) code-point matrix, the
+    Wagner-Fischer recurrence run column-by-column vectorized across all
+    N candidates (inner loops are over string lengths, not candidates)."""
+    N = len(cands)
+    m = len(q)
+    lens = np.array([len(c) for c in cands], np.int32)
+    L = int(lens.max()) if N else 0
+    if L == 0:
+        return np.full(N, m, np.int32)
+    M = np.array(cands, dtype=f"U{L}").view(np.uint32).reshape(N, L)
+    q_arr = (
+        np.array([q], dtype=f"U{max(m, 1)}").view(np.uint32)[:m]
+        if m
+        else np.empty(0, np.uint32)
+    )
+    prev = np.tile(np.arange(m + 1, dtype=np.int32), (N, 1))
+    for j in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        cj = M[:, j - 1]
+        for i in range(1, m + 1):
+            cur[:, i] = np.minimum(
+                np.minimum(prev[:, i] + 1, cur[:, i - 1] + 1),
+                prev[:, i - 1] + (cj != q_arr[i - 1]),
+            )
+        ended = lens < j  # candidate already finished: row frozen
+        cur[ended] = prev[ended]
+        prev = cur
+    return prev[:, m]
 
 
 def _min_span(plists: list[np.ndarray]) -> int | None:

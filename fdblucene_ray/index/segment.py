@@ -609,6 +609,42 @@ class SegmentReader:
             return None
         return {c: int(a[j]) for c, a in cols.items()}
 
+    def term_range(self, field: str, lo: str = "", hi: str | None = None):
+        """Iterate ``(term, df)`` over the lexicographic term range
+        ``[lo, hi)`` of ``field``, reading ONLY the terms.parquet row
+        groups that overlap the range (sampled-term-index pruning — the
+        TermsEnum.seekCeil analog; a narrow prefix touches O(1) row
+        groups no matter the dictionary size). ``hi=None`` means the end
+        of the field's terms."""
+        import bisect
+
+        key_lo = field + FIELD_SEP + lo
+        # FIELD_SEP is \x1f, so field+"\x20" upper-bounds every
+        # field+\x1f+term key without bounding any other field
+        key_hi = field + FIELD_SEP + hi if hi is not None else field + "\x20"
+        idx = self._load_tindex()
+        if idx is False:  # pre-sidecar segment: full-table fallback
+            t = self.terms
+            for f, tm, df in zip(
+                t["field"].to_pylist(), t["term"].to_pylist(), t["df"].to_pylist()
+            ):
+                k = f + FIELD_SEP + tm
+                if key_lo <= k < key_hi:
+                    yield tm, int(df)
+            return
+        rg_size, first_keys = idx
+        if not first_keys:
+            return
+        rg_start = max(bisect.bisect_right(first_keys, key_lo) - 1, 0)
+        rg_end = max(bisect.bisect_right(first_keys, key_hi) - 1, 0)
+        for rg in range(rg_start, rg_end + 1):
+            keys, cols = self._load_rg(rg)
+            j0 = bisect.bisect_left(keys, key_lo)
+            j1 = bisect.bisect_left(keys, key_hi)
+            plen = len(field) + 1
+            for j in range(j0, j1):
+                yield keys[j][plen:], int(cols["df"][j])
+
     def term_stats(self, field: str, term: str) -> tuple[int, int]:
         """(df, ttf) of the term in this segment (0, 0) if absent."""
         r = self._term_row(field, term)

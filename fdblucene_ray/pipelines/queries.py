@@ -243,6 +243,42 @@ def q_ft_keyword_lookup(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def q_ft_prefix(sf_dir: str) -> pa.Table:
+    """PrefixQuery expansion against the term dictionary (bounded
+    row-group reads via the sampled term index): terms starting with
+    's' -> (term, df)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    terms = s.expand_prefix("text", "s")
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in terms], pa.string()),
+            "df": pa.array([d for _, d in terms], pa.int64()),
+        }
+    )
+
+
+def q_ft_wildcard(sf_dir: str) -> pa.Table:
+    """WildcardQuery ('s*a*') as a constant-score disjunction: first 20
+    matching doc ids (CONSTANT_SCORE_REWRITE; ties = doc id asc)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search_wildcard("s*a*", k=20)
+    return pa.table({"doc_id": pa.array([d for d, _ in hits], pa.int64())})
+
+
+def q_ft_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzyQuery expansion: terms within edit distance 2 of 'part'
+    -> (term, df, dist); Levenshtein via the vectorized numpy DP."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.expand_fuzzy("text", "part", max_edits=2)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _, _ in rows], pa.string()),
+            "df": pa.array([d for _, d, _ in rows], pa.int64()),
+            "dist": pa.array([x for _, _, x in rows], pa.int64()),
+        }
+    )
+
+
 def q_ft_doc_norms(sf_dir: str) -> pa.Table:
     """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
@@ -718,6 +754,9 @@ def queries() -> dict:
         "ft_vocab": q_ft_vocab,
         "ft_top_terms": q_ft_top_terms,
         "ft_keyword_lookup": q_ft_keyword_lookup,
+        "ft_prefix": q_ft_prefix,
+        "ft_wildcard": q_ft_wildcard,
+        "ft_fuzzy": q_ft_fuzzy,
         "ft_phrase": q_ft_phrase,
         "ft_highlight": q_ft_highlight,
         "ft_near_unordered": q_ft_near_unordered,
@@ -806,6 +845,22 @@ SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks GROUP BY tok ORDER BY df DESC, term LIMIT 20
 """,
         "ft_keyword_lookup": "SELECT doc_id FROM documents WHERE source = 'src5' ORDER BY doc_id",
+        "ft_prefix": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE tok LIKE 's%' GROUP BY tok ORDER BY term
+""",
+        "ft_wildcard": f"""
+WITH {TOKS_CTE}
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 's%a%')
+ORDER BY doc_id LIMIT 20
+""",
+        "ft_fuzzy": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       levenshtein(tok, 'part')::BIGINT AS dist
+FROM toks GROUP BY tok HAVING levenshtein(tok, 'part') <= 2 ORDER BY term
+""",
         "ft_phrase": """
 WITH lists AS (
   SELECT doc_id,

@@ -1,0 +1,210 @@
+"""Multi-term queries: PrefixQuery / WildcardQuery / FuzzyQuery analogs
+(term-dictionary expansion + constant-score disjunction).
+
+The reference inherits these from Lucene's MultiTermQuery over the
+sorted FDB term dictionary (DATA.md:47 lexicographic term order); here
+expansion is a bounded range scan over the sampled term index
+(segment.py term_range) and matching docs score 1.0 (the
+CONSTANT_SCORE_REWRITE default), ties broken doc-id ascending.
+"""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher, _levenshtein_vec
+
+WORDS = [
+    "merge", "marge", "merges", "scan", "span", "spark", "stream",
+    "street", "strain", "join", "joint", "point", "batch", "match",
+    "hash", "cash", "row", "rows", "grow", "window", "widow",
+]
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+    return d[len(b)]
+
+
+@pytest.fixture(scope="module")
+def corpus_ix(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("mtq")
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(2, 12)))
+        for _ in range(300)
+    ]
+    src = str(tmp / "c.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts)}), src
+    )
+    ix = str(tmp / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4)
+    return ix, texts
+
+
+def _brute_terms(texts, pred):
+    vocab = {}
+    docs = set()
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^0-9a-z_]+", t.lower()) if w]
+        hit = False
+        for w in set(toks):
+            if pred(w):
+                vocab[w] = vocab.get(w, 0) + 1
+                hit = True
+        if hit:
+            docs.add(i)
+    return sorted(vocab.items()), sorted(docs)
+
+
+class TestExpansion:
+    def test_prefix(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        got = s.expand_prefix("text", "s")
+        exp, _ = _brute_terms(texts, lambda w: w.startswith("s"))
+        assert got == exp
+
+    def test_prefix_empty_and_missing(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        assert s.expand_prefix("text", "zzz") == []
+        # empty prefix = whole dictionary
+        exp, _ = _brute_terms(texts, lambda w: True)
+        assert s.expand_prefix("text", "") == exp
+
+    def test_prefix_max_terms(self, corpus_ix):
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        with pytest.raises(ValueError, match="expands to"):
+            s.expand_prefix("text", "", max_terms=3)
+
+    @pytest.mark.parametrize("pattern", ["s*n", "*ash", "m?rge*", "r?w", "s*"])
+    def test_wildcard(self, corpus_ix, pattern):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        rx = re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in pattern) + r"\Z"
+        )
+        exp, exp_docs = _brute_terms(texts, lambda w: rx.match(w) is not None)
+        assert s.expand_wildcard("text", pattern) == exp
+        hits = s.search_wildcard(pattern, k=1000)
+        assert [d for d, _ in hits] == exp_docs
+        assert all(sc == 1.0 for _, sc in hits)
+
+    @pytest.mark.parametrize("term,edits", [("merge", 1), ("scan", 2), ("row", 1)])
+    def test_fuzzy(self, corpus_ix, term, edits):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        got = s.expand_fuzzy("text", term, max_edits=edits)
+        exp, _ = _brute_terms(texts, lambda w: _lev(w, term) <= edits)
+        assert [(t, df) for t, df, _ in got] == exp
+        for t, _, d in got:
+            assert d == _lev(t, term)
+
+    def test_fuzzy_prefix_len(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        got = s.expand_fuzzy("text", "merge", max_edits=2, prefix_len=2)
+        exp, _ = _brute_terms(
+            texts, lambda w: w.startswith("me") and _lev(w, "merge") <= 2
+        )
+        assert [(t, df) for t, df, _ in got] == exp
+
+
+class TestBoundedIO:
+    def test_prefix_scan_reads_bounded_row_groups(self, tmp_path, ray_session):
+        """A narrow prefix over a large dictionary touches O(1) terms
+        row groups per segment, not the whole dictionary — the lazy
+        term-index property extended to range scans."""
+        n = 20_000  # > 4 row groups of 4096 terms in one segment
+        texts = [f"t{i:06d}" for i in range(n)]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(texts)}), src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=1)
+        s = Searcher(ix)
+        [r] = s.readers
+        assert r.meta.n_terms == n
+        got = s.expand_prefix("text", "t00001")
+        assert len(got) == 10  # t000010..t000019
+        assert r.rg_loads <= 2  # narrow range: at most 2 covering row groups
+        assert r._terms is None  # never materialized the full dictionary
+
+    def test_range_scan_fallback_without_sidecar(self, tmp_path, ray_session):
+        texts = ["alpha beta", "alphabet beat", "gamma"]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.table({"text": pa.array(texts)}), src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=1)
+        s = Searcher(ix)
+        # simulate a pre-sidecar (legacy) segment
+        for r in s.readers:
+            os.remove(os.path.join(r.path, "terms_index.json"))
+        assert s.expand_prefix("text", "alpha") == [("alpha", 1), ("alphabet", 1)]
+
+
+class TestLevenshteinVec:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_scalar(self, seed):
+        rng = np.random.default_rng(seed)
+        alpha = list("abcdef")
+        cands = [
+            "".join(rng.choice(alpha, size=rng.integers(1, 11)))
+            for _ in range(50)
+        ]
+        q = "".join(rng.choice(alpha, size=rng.integers(0, 9)))
+        got = _levenshtein_vec(cands, q)
+        assert list(got) == [_lev(c, q) for c in cands]
+
+
+class TestQueryParserMultiterm:
+    def test_parse_kinds(self):
+        from fdblucene_ray.analysis.queryparser import parse_query
+
+        pq = parse_query("pre* w?ld*card merge~ scan~1 +title:abc* -junk~2 plain")
+        assert ("should", "text", "prefix", "pre") in pq.multiterm
+        assert ("should", "text", "wildcard", "w?ld*card") in pq.multiterm
+        assert ("should", "text", "fuzzy", ("merge", 2)) in pq.multiterm
+        assert ("should", "text", "fuzzy", ("scan", 1)) in pq.multiterm
+        assert ("must", "title", "prefix", "abc") in pq.multiterm
+        assert ("must_not", "text", "fuzzy", ("junk", 2)) in pq.multiterm
+        assert pq.should == [("text", "plain")]
+
+    def test_query_end_to_end(self, corpus_ix):
+        """Multi-term clauses combine with BooleanQuery semantics:
+        constant-score SHOULD adds 1.0, MUST intersects, MUST_NOT
+        excludes."""
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        # pure prefix SHOULD: same docs as search_prefix
+        hits = s.query("str*", k=1000)
+        exp = s.search_prefix("str", k=1000)
+        assert hits == exp
+        # MUST multiterm intersected with MUST_NOT
+        hits = s.query("+s*n -span", k=1000)
+        rx_docs = set(d for d, _ in s.search_wildcard("s*n", k=10**6))
+        span_docs = set(d for d, _ in s.search_wildcard("span", k=10**6))
+        assert [d for d, _ in hits] == sorted(rx_docs - span_docs)
+        # fuzzy SHOULD combines with a scored term clause
+        hits = dict(s.query("merge marge~1", k=1000))
+        for d in [i for i, t in enumerate(texts) if "marge" in t.split()
+                  or "merge" in t.split()]:
+            assert d in hits
