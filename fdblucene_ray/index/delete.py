@@ -99,6 +99,93 @@ def delete_by_term(index_dir: str, field: str, term: str) -> Manifest:
     return delete_docs(index_dir, docs)
 
 
+def update_documents(
+    index_dir: str,
+    field: str,
+    term: str,
+    source,
+    *,
+    fields: dict[str, dict] | None = None,
+    num_partitions: int | None = None,
+    **build_kw,
+) -> Manifest:
+    """``IndexWriter.updateDocument(Term, doc)`` analog (the Writer
+    approach's concurrent add/update path, /root/reference/README.md:34-38;
+    sparse-id insert-if-absent DATA.md:14-17): tombstone every doc
+    matching ``(field, term)`` and index ``source``'s docs as new
+    segments under fresh doc ids — published as ONE new manifest
+    version (CAS-fenced), so the replacements become visible in the
+    same snapshot that hides the old versions.
+
+    ``fields`` must describe the same analyzer layout as the existing
+    index (asserted); new doc ids start after the current maximum, so
+    stored-source hydration for updated docs must use the new source.
+    """
+    from fdblucene_ray.index.build import build_index, default_fields
+    from fdblucene_ray.index.search import Searcher
+
+    m = load_manifest(index_dir)
+    fields = fields or default_fields()
+    got = {f: cfg["analyzer"] for f, cfg in fields.items()}
+    if got != m.analyzers:
+        raise ValueError(
+            f"update fields analyzers {got} != index analyzers {m.analyzers}"
+        )
+    got_pos = sorted(f for f, cfg in fields.items() if cfg.get("positions"))
+    if got_pos != sorted(m.extra.get("positions_fields", [])):
+        raise ValueError(
+            f"update fields positions {got_pos} != index positions "
+            f"{m.extra.get('positions_fields', [])}"
+        )
+
+    # old versions of the updated docs (read-only scan, no publish yet)
+    s = Searcher(index_dir, m)
+    old: list[int] = []
+    for r in s.readers:
+        h = r.postings_handle(field, term)
+        if h is not None:
+            blob, skips, n = h
+            dd, _, _ = r.codec.decode_all(blob, skips, n, m.block_size)
+            old.extend(dd.tolist())
+
+    # replacement segments under fresh ids, NOT published
+    base = max((seg.doc_id_max for seg in m.segments), default=-1) + 1
+    m_new = build_index(
+        source,
+        index_dir,
+        fields=fields,
+        doc_base=base,
+        publish=False,
+        num_partitions=num_partitions,
+        block_size=m.block_size,
+        codec=m.codec,
+        **build_kw,
+    )
+
+    extra = {**m.extra}
+    if old:
+        prev = load_tombstones(index_dir, m)
+        merged = np.union1d(prev, np.unique(np.asarray(old, np.int64)))
+        fname = f"tomb-v{m.version + 1:06d}.parquet"
+        d = os.path.join(index_dir, TOMBSTONES_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, fname + ".tmp")
+        pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+        os.replace(tmp, os.path.join(d, fname))
+        extra["tombstone_file"] = fname
+
+    m2 = Manifest(
+        analyzers=m.analyzers,
+        block_size=m.block_size,
+        segments=sorted(m.segments + m_new.segments, key=lambda x: x.name),
+        version=m.version + 1,
+        extra=extra,
+        codec=m.codec,
+    )
+    publish_manifest(index_dir, m2, expected_version=m.version)
+    return m2
+
+
 def gc_tombstones(index_dir: str, *, dry_run: bool = False) -> list[str]:
     """Sweep tombstone files not referenced by the live manifest."""
     m = load_manifest(index_dir)

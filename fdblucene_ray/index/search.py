@@ -1081,6 +1081,93 @@ class Searcher:
             raise ValueError(f"fuzzy {term!r} expands to > {max_terms} terms")
         return out
 
+    def expand_term_range(
+        self,
+        field: str,
+        lo: str | None,
+        hi: str | None,
+        *,
+        include_lower: bool = True,
+        include_upper: bool = False,
+        max_terms: int = 1024,
+    ) -> list[tuple[str, int]]:
+        """TermRangeQuery expansion over the sorted dictionary ->
+        sorted [(term, df)]. ``lo=None`` = open lower bound, ``hi=None``
+        = open upper bound; bounds honor UTF-8/codepoint order (F6 —
+        the same lexicographic order the dictionary is stored in)."""
+        rlo = "" if lo is None else (lo if include_lower else lo + "\x00")
+        rhi = None if hi is None else (hi + "\x00" if include_upper else hi)
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.term_range(field, rlo, rhi):
+                agg[t] = agg.get(t, 0) + df
+                if len(agg) > max_terms:
+                    raise ValueError(
+                        f"range [{lo!r}, {hi!r}] expands to > {max_terms} terms"
+                    )
+        return sorted(agg.items())
+
+    def search_term_range(
+        self, lo: str | None, hi: str | None, k: int = 10, *,
+        field: str = "text", include_lower: bool = True,
+        include_upper: bool = False, max_terms: int = 1024,
+    ) -> list[tuple[int, float]]:
+        terms = [
+            t for t, _ in self.expand_term_range(
+                field, lo, hi, include_lower=include_lower,
+                include_upper=include_upper, max_terms=max_terms,
+            )
+        ]
+        docs = self.multiterm_docs(field, terms)
+        return [(int(d), 1.0) for d in docs[:k]]
+
+    def explain(self, query: str, doc_id: int, *, field: str = "text") -> dict:
+        """Score breakdown for one document (IndexSearcher.explain
+        analog): per-term idf / tf / lossy dl / K and contribution,
+        accumulated in clause order so ``total`` is float-identical to
+        the score ``search`` returns for this doc."""
+        terms = self.parse(query, field)
+        dc, _, avgdl = self.field_stats(field)
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        deleted = bool(
+            len(self.tombstones)
+            and np.searchsorted(self.tombstones, doc_id) < len(self.tombstones)
+            and self.tombstones[np.searchsorted(self.tombstones, doc_id)] == doc_id
+        )
+        out = {
+            "doc_id": int(doc_id), "field": field, "deleted": deleted,
+            "total": 0.0, "details": [],
+        }
+        for t in terms:
+            df, ttf = self.term_stats(field, t)
+            tf = norm = None
+            for r in self.readers:
+                dec = r.decode_term_all(field, t, self.manifest.block_size)
+                if dec is None:
+                    continue
+                d, tfs, norms = dec
+                j = int(np.searchsorted(d, doc_id))
+                if j < len(d) and d[j] == doc_id:
+                    tf, norm = int(tfs[j]), int(norms[j])
+                    break
+            if df == 0 or tf is None or deleted:
+                out["details"].append(
+                    {"term": t, "df": df, "match": False, "score": 0.0}
+                )
+                continue
+            idf = bm25_idf(dc, df)
+            kk = float(ncache[norm])
+            sc = idf * tf / (tf + kk)
+            out["total"] += sc
+            out["details"].append(
+                {
+                    "term": t, "df": df, "ttf": ttf, "tf": tf,
+                    "norm_byte": norm, "dl_lossy": int(DECODE_TABLE[norm]),
+                    "idf": idf, "K": kk, "score": sc, "match": True,
+                }
+            )
+        return out
+
     def multiterm_docs(self, field: str, terms: list[str]) -> np.ndarray:
         """Sorted unique live doc ids matching ANY of ``terms``."""
         parts = []

@@ -279,6 +279,41 @@ def q_ft_fuzzy(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_term_range(sf_dir: str) -> pa.Table:
+    """TermRangeQuery expansion: dictionary terms in ['data', 'merge')
+    -> (term, df), bounded row-group range scan."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.expand_term_range("text", "data", "merge")
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "df": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_explain(sf_dir: str) -> pa.Table:
+    """IndexSearcher.explain analog: per-term BM25 breakdown for the
+    top hit of a two-term query (idf/tf/K reconstruct the score)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search_terms(["data", "merge"], 1, mode="wand")
+    doc = hits[0][0]
+    ex = s.explain("data merge", doc)
+    det = [d for d in ex["details"] if d["match"]]
+    return pa.table(
+        {
+            "term": pa.array([d["term"] for d in det], pa.string()),
+            "doc_id": pa.array([doc] * len(det), pa.int64()),
+            "tf": pa.array([d["tf"] for d in det], pa.int64()),
+            "df": pa.array([d["df"] for d in det], pa.int64()),
+            "dl_lossy": pa.array([d["dl_lossy"] for d in det], pa.int64()),
+            "score": _round_col(
+                np.array([d["score"] for d in det], np.float64), 4
+            ),
+        }
+    )
+
+
 def q_ft_doc_norms(sf_dir: str) -> pa.Table:
     """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
@@ -757,6 +792,8 @@ def queries() -> dict:
         "ft_prefix": q_ft_prefix,
         "ft_wildcard": q_ft_wildcard,
         "ft_fuzzy": q_ft_fuzzy,
+        "ft_term_range": q_ft_term_range,
+        "ft_explain": q_ft_explain,
         "ft_phrase": q_ft_phrase,
         "ft_highlight": q_ft_highlight,
         "ft_near_unordered": q_ft_near_unordered,
@@ -860,6 +897,31 @@ WITH {TOKS_CTE}
 SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
        levenshtein(tok, 'part')::BIGINT AS dist
 FROM toks GROUP BY tok HAVING levenshtein(tok, 'part') <= 2 ORDER BY term
+""",
+        "ft_term_range": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE tok >= 'data' AND tok < 'merge' GROUP BY tok ORDER BY term
+""",
+        "ft_explain": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfx.df, dlq.dlq,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 1)
+SELECT c.tok AS term, c.doc_id, c.tf::BIGINT AS tf, c.df::BIGINT AS df,
+       c.dlq::BIGINT AS dl_lossy, CAST(round(c.s, 4) AS DOUBLE) AS score
+FROM contrib c JOIN top1 USING (doc_id) ORDER BY term
 """,
         "ft_phrase": """
 WITH lists AS (

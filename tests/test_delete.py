@@ -212,3 +212,57 @@ class TestDeleteByTerm:
         removed = gc_tombstones(ix)
         assert len(removed) == 1  # the superseded v1 file
         assert len(load_tombstones(ix)) == 2
+
+
+class TestUpdateDocuments:
+    def test_update_replaces_matching_docs(self, tmp_path, ray_session):
+        """updateDocument(Term, doc) analog: old versions hidden and
+        replacements visible in ONE new manifest version."""
+        from fdblucene_ray.index.delete import update_documents
+        from fdblucene_ray.index.manifest import load_manifest
+
+        src = _write_corpus(tmp_path, TEXTS)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields=FIELDS, num_partitions=4, batch_size=16)
+        v0 = load_manifest(ix).version
+        old_g1 = {i for i in range(60) if i % 3 == 1}
+
+        # replacement docs: all carry the marker term "updatedmarker"
+        repl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["updatedmarker fresh data", "updatedmarker merge row"],
+                    pa.string(),
+                ),
+                "tag": pa.array(["g1", "g1"], pa.string()),
+            }
+        )
+        rp = str(tmp_path / "repl.parquet")
+        pq.write_table(repl, rp)
+        m2 = update_documents(ix, "tag", "g1", rp, fields=FIELDS,
+                              num_partitions=2)
+        assert m2.version == v0 + 1
+
+        s = Searcher(ix)
+        # every old g1 doc is tombstoned; replacements got fresh ids
+        assert old_g1 <= set(s.tombstones.tolist())
+        hits = s.search("updatedmarker", 10)
+        assert len(hits) == 2
+        new_ids = {d for d, _ in hits}
+        assert all(d > max(old_g1) for d in new_ids)
+        # old g1 docs never surface in any query
+        assert not set(d for d, _ in s.search("data", 200)) & old_g1
+        # keyword lookup on the updated tag returns ONLY replacements
+        docs = set(s.multiterm_docs("tag", ["g1"]).tolist())
+        assert docs == new_ids
+
+    def test_update_rejects_mismatched_fields(self, tmp_path, ray_session):
+        from fdblucene_ray.index.delete import update_documents
+
+        src = _write_corpus(tmp_path, TEXTS[:10])
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields=FIELDS, num_partitions=2, batch_size=8)
+        bad = {"text": {"column": "text", "analyzer": "lucene"}}
+        with pytest.raises(ValueError, match="analyzers"):
+            update_documents(ix, "tag", "g1", src, fields=bad)

@@ -208,3 +208,70 @@ class TestQueryParserMultiterm:
         for d in [i for i, t in enumerate(texts) if "marge" in t.split()
                   or "merge" in t.split()]:
             assert d in hits
+
+
+class TestTermRange:
+    def test_range_expansion(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        got = s.expand_term_range("text", "m", "s")
+        exp, _ = _brute_terms(texts, lambda w: "m" <= w < "s")
+        assert got == exp
+
+    def test_range_bounds_flags(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        incl = s.expand_term_range("text", "merge", "scan", include_upper=True)
+        excl = s.expand_term_range("text", "merge", "scan")
+        assert [t for t, _ in incl] == [t for t, _ in excl] + ["scan"]
+        no_lo = s.expand_term_range("text", "merge", "scan",
+                                    include_lower=False)
+        assert [t for t, _ in no_lo] == [t for t, _ in excl if t != "merge"]
+        open_both = s.expand_term_range("text", None, None)
+        exp, _ = _brute_terms(texts, lambda w: True)
+        assert open_both == exp
+
+    def test_range_docs(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        _, exp_docs = _brute_terms(texts, lambda w: "m" <= w < "s")
+        hits = s.search_term_range("m", "s", k=1000)
+        assert [d for d, _ in hits] == exp_docs
+
+
+class TestExplain:
+    def test_explain_matches_search_score(self, corpus_ix):
+        """explain() total is float-identical to the search score of
+        the same doc (same accumulation order)."""
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        hits = s.search("merge stream batch", k=50)
+        assert hits
+        for d, sc in hits[:10]:
+            ex = s.explain("merge stream batch", d)
+            assert ex["total"] == sc
+            assert not ex["deleted"]
+            recon = sum(x["score"] for x in ex["details"])
+            assert abs(recon - sc) < 1e-12
+            for x in ex["details"]:
+                if x["match"]:
+                    assert x["score"] == x["idf"] * x["tf"] / (x["tf"] + x["K"])
+
+    def test_explain_non_matching_and_deleted(self, tmp_path, ray_session):
+        from fdblucene_ray.index.delete import delete_docs
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(
+            pa.table({"text": pa.array(["merge scan", "scan row", "row"])}), src
+        )
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=2)
+        s = Searcher(ix)
+        ex = s.explain("merge", 2)  # doc 2 has no 'merge'
+        assert ex["total"] == 0.0 and not ex["details"][0]["match"]
+        delete_docs(ix, [0])
+        s2 = Searcher(ix)
+        ex2 = s2.explain("merge", 0)
+        assert ex2["deleted"] and ex2["total"] == 0.0
