@@ -160,6 +160,23 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_push(args) -> int:
+    from fdblucene_ray.index.store import LocalFSStore, push_index
+
+    n = push_index(args.index, LocalFSStore(args.store))
+    print(json.dumps({"files_uploaded": n, "store": args.store}))
+    return 0
+
+
+def cmd_pull(args) -> int:
+    from fdblucene_ray.index.store import LocalFSStore, pull_index
+
+    m = pull_index(LocalFSStore(args.store), args.index, verify=args.verify)
+    print(json.dumps({"version": m.version, "segments": len(m.segments),
+                      "cache": args.index}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fdblucene_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -213,6 +230,17 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--num-partitions", type=int, default=16)
     c.set_defaults(fn=cmd_compact)
+
+    pu = sub.add_parser("push", help="upload index to a SegmentStore (U1)")
+    pu.add_argument("index")
+    pu.add_argument("store")
+    pu.set_defaults(fn=cmd_push)
+
+    pl = sub.add_parser("pull", help="materialize a SegmentStore index locally")
+    pl.add_argument("store")
+    pl.add_argument("index")
+    pl.add_argument("--verify", action="store_true")
+    pl.set_defaults(fn=cmd_pull)
 
     g = sub.add_parser("gc", help="sweep unreferenced segments + tombstones")
     g.add_argument("--index", required=True)

@@ -1,0 +1,308 @@
+"""SegmentStore — the storage SPI (SURVEY.md §2.10 U1, the Directory
+analog: FDBDirectory.java:52 implements Lucene's pluggable storage; the
+whole of the reference's Layer A is that adapter).
+
+This engine's durable unit is bigger than Lucene's file — an immutable
+SEGMENT DIRECTORY (terms.parquet + postings.bin + skips.bin + meta +
+sidecars) plus one mutable MANIFEST pointer. That shape maps cleanly
+onto any object store:
+
+- segments are immutable and content-named — uploads are idempotent
+  blind puts, downloads cache locally forever (the JCS block-cache
+  analog at file granularity, README.md:96-102);
+- the manifest swap is the ONLY point needing coordination: versioned
+  compare-and-swap (``put_manifest(expected_version=...)``) — on a
+  filesystem an exclusive lock + read-back, on S3 a conditional put /
+  ETag match, on FDB the reference's own insert-if-absent lock
+  (FDBLock.java:41-61).
+
+Two implementations ship:
+
+- ``LocalFSStore`` — plain directory tree (also the NFS case);
+- ``PyArrowFSStore`` — any ``pyarrow.fs.FileSystem`` (S3FileSystem,
+  GcsFileSystem, HadoopFileSystem, LocalFileSystem); tested against
+  LocalFileSystem here (no network in CI), S3 differs only in the
+  constructor.
+
+``push_index`` / ``pull_index`` sync an index between a local working
+dir (where build/search run at memory-map speed) and a store;
+both are incremental by segment name (segments are immutable, so name
+equality is sufficient; ``verify=True`` additionally CRC-checks).
+At 100 TB the push happens once per build partition (each EncodeGroup
+task could push its own segment) and readers pull only the segments a
+query touches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable, Protocol, runtime_checkable
+
+from fdblucene_ray.index.manifest import (
+    MANIFEST_NAME,
+    Manifest,
+    ManifestConflictError,
+)
+
+SEGMENTS = "segments"
+TOMBSTONES = "tombstones"
+
+
+@runtime_checkable
+class SegmentStore(Protocol):
+    """Byte-level contract every backing store implements."""
+
+    def list_files(self, prefix: str = "") -> list[str]:
+        """Relative paths of every stored file under ``prefix``."""
+        ...
+
+    def get(self, rel: str) -> bytes: ...
+
+    def put(self, rel: str, data: bytes) -> None: ...
+
+    def delete(self, rel: str) -> None: ...
+
+    def exists(self, rel: str) -> bool: ...
+
+    def get_manifest(self) -> Manifest | None: ...
+
+    def put_manifest(
+        self, manifest: Manifest, *, expected_version: int | None = None
+    ) -> None:
+        """Publish the manifest; with ``expected_version`` the put is a
+        compare-and-swap that raises ManifestConflictError when the
+        stored version moved (lost race)."""
+        ...
+
+
+class LocalFSStore:
+    """Directory-tree store (local disk / NFS)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def list_files(self, prefix: str = "") -> list[str]:
+        out = []
+        base = self._p(prefix) if prefix else self.root
+        if not os.path.isdir(base):
+            return out
+        for dirpath, _, files in os.walk(base):
+            for f in files:
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), self.root)
+                )
+        return sorted(out)
+
+    def get(self, rel: str) -> bytes:
+        with open(self._p(rel), "rb") as fh:
+            return fh.read()
+
+    def put(self, rel: str, data: bytes) -> None:
+        p = self._p(rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, p)
+
+    def delete(self, rel: str) -> None:
+        try:
+            os.remove(self._p(rel))
+        except FileNotFoundError:
+            pass
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._p(rel))
+
+    def get_manifest(self) -> Manifest | None:
+        if not self.exists(MANIFEST_NAME):
+            return None
+        return Manifest.from_json(json.loads(self.get(MANIFEST_NAME)))
+
+    def put_manifest(
+        self, manifest: Manifest, *, expected_version: int | None = None
+    ) -> None:
+        if expected_version is None:
+            self.put(MANIFEST_NAME, _manifest_bytes(manifest))
+            return
+        # exclusive lock + read-back CAS (publish_manifest's policy,
+        # restated at the store boundary)
+        lock = self._p(MANIFEST_NAME + ".lock")
+        fd = None
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            cur = self.get_manifest()
+            curv = -1 if cur is None else cur.version
+            if curv != expected_version:
+                raise ManifestConflictError(
+                    f"store manifest moved to v{curv}, expected "
+                    f"v{expected_version}"
+                )
+            self.put(MANIFEST_NAME, _manifest_bytes(manifest))
+        finally:
+            if fd is not None:
+                os.close(fd)
+                os.remove(lock)
+
+
+class PyArrowFSStore:
+    """Store over any ``pyarrow.fs.FileSystem`` — pass
+    ``pyarrow.fs.S3FileSystem(...)`` / ``GcsFileSystem`` for object
+    storage; tests use ``LocalFileSystem``.
+
+    CAS caveat (documented, matching object-store reality): pyarrow's
+    FileSystem API exposes no conditional put, so ``put_manifest``'s
+    CAS here is read-back-then-write — atomic only against writers
+    honoring the same protocol. On real S3 swap this for a conditional
+    put (If-Match ETag) or an external lock (e.g. a DynamoDB row — the
+    FDBLock analog)."""
+
+    def __init__(self, fs, root: str):
+        import pyarrow.fs as pafs
+
+        self.fs = fs
+        self.root = root.rstrip("/")
+        self._pafs = pafs
+        fs.create_dir(self.root, recursive=True)
+
+    def _p(self, rel: str) -> str:
+        return f"{self.root}/{rel}" if rel else self.root
+
+    def list_files(self, prefix: str = "") -> list[str]:
+        sel = self._pafs.FileSelector(
+            self._p(prefix), recursive=True, allow_not_found=True
+        )
+        out = [
+            fi.path[len(self.root) + 1 :]
+            for fi in self.fs.get_file_info(sel)
+            if fi.type == self._pafs.FileType.File
+        ]
+        return sorted(out)
+
+    def get(self, rel: str) -> bytes:
+        with self.fs.open_input_file(self._p(rel)) as fh:
+            return fh.read()
+
+    def put(self, rel: str, data: bytes) -> None:
+        parent = os.path.dirname(self._p(rel))
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        with self.fs.open_output_stream(self._p(rel)) as fh:
+            fh.write(data)
+
+    def delete(self, rel: str) -> None:
+        try:
+            self.fs.delete_file(self._p(rel))
+        except FileNotFoundError:
+            pass
+
+    def exists(self, rel: str) -> bool:
+        fi = self.fs.get_file_info(self._p(rel))
+        return fi.type != self._pafs.FileType.NotFound
+
+    def get_manifest(self) -> Manifest | None:
+        if not self.exists(MANIFEST_NAME):
+            return None
+        return Manifest.from_json(json.loads(self.get(MANIFEST_NAME)))
+
+    def put_manifest(
+        self, manifest: Manifest, *, expected_version: int | None = None
+    ) -> None:
+        if expected_version is not None:
+            cur = self.get_manifest()
+            curv = -1 if cur is None else cur.version
+            if curv != expected_version:
+                raise ManifestConflictError(
+                    f"store manifest moved to v{curv}, expected "
+                    f"v{expected_version}"
+                )
+        self.put(MANIFEST_NAME, _manifest_bytes(manifest))
+
+
+def _manifest_bytes(m: Manifest) -> bytes:
+    return json.dumps(m.to_json(), indent=1, sort_keys=True).encode()
+
+
+def _segment_files(index_dir: str, names: Iterable[str]) -> list[str]:
+    out = []
+    for name in names:
+        seg = os.path.join(index_dir, SEGMENTS, name)
+        for f in sorted(os.listdir(seg)):
+            out.append(os.path.join(SEGMENTS, name, f))
+    return out
+
+
+def push_index(index_dir: str, store: SegmentStore, *,
+               expected_version: int | None = None) -> int:
+    """Upload the live manifest's segments + tombstones, then CAS-swap
+    the store manifest. Incremental: a segment directory whose files
+    already exist in the store is skipped (segments are immutable and
+    deterministically named). Returns the number of files uploaded."""
+    from fdblucene_ray.index.manifest import load_manifest
+
+    m = load_manifest(index_dir)
+    uploaded = 0
+    for rel in _segment_files(index_dir, (s.name for s in m.segments)):
+        if store.exists(rel):
+            continue
+        with open(os.path.join(index_dir, rel), "rb") as fh:
+            store.put(rel, fh.read())
+        uploaded += 1
+    tf = m.extra.get("tombstone_file")
+    if tf:
+        rel = os.path.join(TOMBSTONES, tf)
+        if not store.exists(rel):
+            with open(os.path.join(index_dir, rel), "rb") as fh:
+                store.put(rel, fh.read())
+            uploaded += 1
+    if expected_version is None:
+        cur = store.get_manifest()
+        expected_version = -1 if cur is None else cur.version
+    store.put_manifest(m, expected_version=expected_version)
+    return uploaded
+
+
+def pull_index(store: SegmentStore, cache_dir: str, *,
+               verify: bool = False) -> Manifest:
+    """Materialize the store's current manifest into a local cache dir
+    (search/merge then run on local memory-maps). Incremental by
+    segment name; ``verify=True`` CRC-checks every pulled segment.
+    Returns the pinned manifest written to the cache."""
+    from fdblucene_ray.index.manifest import publish_manifest
+    from fdblucene_ray.index.segment import SegmentReader
+
+    m = store.get_manifest()
+    if m is None:
+        raise FileNotFoundError("store has no manifest")
+    os.makedirs(cache_dir, exist_ok=True)
+    for seg in m.segments:
+        dst = os.path.join(cache_dir, SEGMENTS, seg.name)
+        if os.path.isdir(dst):
+            continue
+        tmp = dst + ".tmp-pull"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        prefix = f"{SEGMENTS}/{seg.name}/"
+        for rel in store.list_files(os.path.join(SEGMENTS, seg.name)):
+            assert rel.startswith(prefix)
+            with open(os.path.join(tmp, rel[len(prefix):]), "wb") as fh:
+                fh.write(store.get(rel))
+        os.rename(tmp, dst)
+        if verify:
+            SegmentReader(cache_dir, seg, codec=m.codec).verify()
+    tf = m.extra.get("tombstone_file")
+    if tf:
+        rel = os.path.join(TOMBSTONES, tf)
+        dst = os.path.join(cache_dir, rel)
+        if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(dst, "wb") as fh:
+                fh.write(store.get(rel))
+    publish_manifest(cache_dir, m)
+    return m

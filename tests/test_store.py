@@ -1,0 +1,110 @@
+"""SegmentStore (U1 storage SPI): push/pull an index through a store
+and get identical search results; CAS semantics at the store manifest.
+
+Models the reference's Directory portability (FDBDirectory.java:52 —
+the same Lucene index runs on FDB or local disk); here the same index
+runs from a local dir, a LocalFSStore, or any pyarrow.fs filesystem.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.manifest import ManifestConflictError, load_manifest
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.index.store import (
+    LocalFSStore,
+    PyArrowFSStore,
+    SegmentStore,
+    pull_index,
+    push_index,
+)
+
+WORDS = ["merge", "scan", "stream", "join", "batch", "hash", "row", "window"]
+
+
+@pytest.fixture(scope="module")
+def built_ix(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("store")
+    rng = np.random.default_rng(4)
+    texts = [" ".join(rng.choice(WORDS, size=rng.integers(2, 10)))
+             for _ in range(200)]
+    src = str(tmp / "c.parquet")
+    pq.write_table(pa.table({"text": pa.array(texts)}), src)
+    ix = str(tmp / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4)
+    from fdblucene_ray.index.delete import delete_docs
+
+    delete_docs(ix, [0, 1])  # exercise the tombstone sidecar sync
+    return ix
+
+
+def _stores(tmp_path):
+    import pyarrow.fs as pafs
+
+    return [
+        LocalFSStore(str(tmp_path / "local-store")),
+        PyArrowFSStore(pafs.LocalFileSystem(), str(tmp_path / "pafs-store")),
+    ]
+
+
+class TestPushPull:
+    @pytest.mark.parametrize("kind", ["local", "pyarrowfs"])
+    def test_roundtrip_identical_results(self, built_ix, tmp_path, kind):
+        import pyarrow.fs as pafs
+
+        store = (
+            LocalFSStore(str(tmp_path / "st"))
+            if kind == "local"
+            else PyArrowFSStore(pafs.LocalFileSystem(), str(tmp_path / "st"))
+        )
+        assert isinstance(store, SegmentStore)
+        n = push_index(built_ix, store)
+        assert n > 0
+        cache = str(tmp_path / "cache")
+        m = pull_index(store, cache, verify=True)
+        assert m.version == load_manifest(built_ix).version
+        a = Searcher(built_ix)
+        b = Searcher(cache)
+        assert a.search("merge scan", 20) == b.search("merge scan", 20)
+        assert set(a.tombstones) == set(b.tombstones)
+
+    def test_push_is_incremental(self, built_ix, tmp_path):
+        store = LocalFSStore(str(tmp_path / "st"))
+        n1 = push_index(built_ix, store)
+        n2 = push_index(built_ix, store)  # segments immutable: all skipped
+        assert n1 > 0 and n2 == 0
+
+    def test_pull_is_incremental(self, built_ix, tmp_path):
+        store = LocalFSStore(str(tmp_path / "st"))
+        push_index(built_ix, store)
+        cache = str(tmp_path / "cache")
+        pull_index(store, cache)
+        seg = os.path.join(cache, "segments",
+                           load_manifest(cache).segments[0].name)
+        marker = os.path.join(seg, "terms.parquet")
+        t0 = os.path.getmtime(marker)
+        pull_index(store, cache)  # second pull must not re-download
+        assert os.path.getmtime(marker) == t0
+
+    def test_put_manifest_cas_conflict(self, built_ix, tmp_path):
+        store = LocalFSStore(str(tmp_path / "st"))
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        # a racing writer moved the store version
+        from dataclasses import replace
+
+        store.put_manifest(replace(m, version=m.version + 1))
+        with pytest.raises(ManifestConflictError):
+            push_index(built_ix, store, expected_version=m.version)
+
+    def test_pull_empty_store_raises(self, tmp_path):
+        store = LocalFSStore(str(tmp_path / "st"))
+        with pytest.raises(FileNotFoundError):
+            pull_index(store, str(tmp_path / "cache"))
