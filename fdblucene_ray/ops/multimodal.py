@@ -218,23 +218,58 @@ class FrameSample:
         self.payload_col, self.id_col = payload_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, frames = [], [], []
+        """Whole-batch frame slicing off the Arrow binary buffers:
+        per-frame (start, end) spans from offset arithmetic, ONE gather
+        for the bytes, output cells built directly from buffers — no
+        per-row ``.as_py()`` materialization."""
+        import pyarrow.compute as pc
+
         pcol = batch[self.payload_col]
         if isinstance(pcol, pa.ChunkedArray):
             pcol = pcol.combine_chunks()
-        dids = batch[self.id_col].to_pylist()
-        for d, v in zip(dids, pcol):
-            b = v.as_py() or b""
-            step = max(1, len(b) // self.n_frames)
-            for j in range(self.n_frames):
-                ids.append(d)
-                fidx.append(j)
-                frames.append(b[j * step : (j + 1) * step])
+        n = len(pcol)
+        F = self.n_frames
+        lens = pc.binary_length(pcol).fill_null(0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        odt = np.int64 if pa.types.is_large_binary(pcol.type) else np.int32
+        osz = 8 if odt is np.int64 else 4
+        if n:
+            offsets = np.frombuffer(
+                pcol.buffers()[1], dtype=odt, count=n + 1,
+                offset=pcol.offset * osz,
+            ).astype(np.int64)
+            values = np.frombuffer(pcol.buffers()[2], dtype=np.uint8)
+        else:
+            offsets = np.zeros(1, np.int64)
+            values = np.empty(0, np.uint8)
+
+        # frame j of payload i spans [j*step_i, (j+1)*step_i) clamped to
+        # len_i, step_i = max(1, len_i // F) — same slices the scalar
+        # form `b[j*step:(j+1)*step]` yields
+        step = np.maximum(lens // F, 1)  # (n,)
+        j = np.arange(F, dtype=np.int64)  # (F,)
+        starts = np.minimum(j[None, :] * step[:, None], lens[:, None])
+        ends = np.minimum(starts + step[:, None], lens[:, None])
+        flat_starts = (offsets[:-1, None] + starts).ravel()
+        flat_lens = (ends - starts).ravel()
+        total = int(flat_lens.sum())
+        dst = np.concatenate(([0], np.cumsum(flat_lens)))
+        idx = np.repeat(flat_starts, flat_lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(dst[:-1], flat_lens)
+        )
+        frame_cells = pa.Array.from_buffers(
+            pa.binary(), n * F,
+            [None,
+             pa.py_buffer(dst.astype(np.int32).tobytes()),
+             pa.py_buffer(values[idx].tobytes())],
+        )
+        dids = batch[self.id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(fidx, pa.int32()),
-                "frame": pa.array(frames, pa.binary()),
+                "doc_id": pa.array(np.repeat(dids, F), pa.int64()),
+                "frame_idx": pa.array(np.tile(j, n).astype(np.int32)),
+                "frame": frame_cells,
             }
         )
 
