@@ -1185,28 +1185,39 @@ class Searcher:
         am = _alive_mask(docs, self.tombstones)
         return docs if am is None else docs[am]
 
-    def search_prefix(self, prefix: str, k: int = 10, *, field: str = "text",
-                      max_terms: int = 1024) -> list[tuple[int, float]]:
-        terms = [t for t, _ in self.expand_prefix(field, prefix, max_terms)]
-        docs = self.multiterm_docs(field, terms)
+    def _multiterm_hits(self, field, terms, k, rewrite):
+        """Evaluate an expanded term set under a Lucene rewrite method:
+        ``constant`` = CONSTANT_SCORE_REWRITE (1.0 per matching doc,
+        doc-id-asc ties — the MultiTermQuery default), ``scoring`` =
+        SCORING_BOOLEAN_REWRITE (BM25 disjunction over the expanded
+        terms, each contributing its own idf)."""
+        if rewrite == "scoring":
+            return self.search_terms(list(terms), k, field=field)
+        docs = self.multiterm_docs(field, list(terms))
         return [(int(d), 1.0) for d in docs[:k]]
 
+    def search_prefix(self, prefix: str, k: int = 10, *, field: str = "text",
+                      max_terms: int = 1024,
+                      rewrite: str = "constant") -> list[tuple[int, float]]:
+        terms = [t for t, _ in self.expand_prefix(field, prefix, max_terms)]
+        return self._multiterm_hits(field, terms, k, rewrite)
+
     def search_wildcard(self, pattern: str, k: int = 10, *, field: str = "text",
-                        max_terms: int = 1024) -> list[tuple[int, float]]:
+                        max_terms: int = 1024,
+                        rewrite: str = "constant") -> list[tuple[int, float]]:
         terms = [t for t, _ in self.expand_wildcard(field, pattern, max_terms)]
-        docs = self.multiterm_docs(field, terms)
-        return [(int(d), 1.0) for d in docs[:k]]
+        return self._multiterm_hits(field, terms, k, rewrite)
 
     def search_fuzzy(self, term: str, k: int = 10, *, field: str = "text",
                      max_edits: int = 2, prefix_len: int = 0,
-                     max_terms: int = 1024) -> list[tuple[int, float]]:
+                     max_terms: int = 1024,
+                     rewrite: str = "constant") -> list[tuple[int, float]]:
         terms = [
             t for t, _, _ in self.expand_fuzzy(
                 field, term, max_edits, prefix_len, max_terms
             )
         ]
-        docs = self.multiterm_docs(field, terms)
-        return [(int(d), 1.0) for d in docs[:k]]
+        return self._multiterm_hits(field, terms, k, rewrite)
 
 
 def _levenshtein_vec(cands: list[str], q: str) -> np.ndarray:

@@ -275,3 +275,17 @@ class TestExplain:
         s2 = Searcher(ix)
         ex2 = s2.explain("merge", 0)
         assert ex2["deleted"] and ex2["total"] == 0.0
+
+
+class TestScoringRewrite:
+    def test_scoring_rewrite_matches_or_query(self, corpus_ix):
+        """SCORING_BOOLEAN_REWRITE: the expanded set scores exactly like
+        the equivalent hand-written OR query."""
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        terms = [t for t, _ in s.expand_prefix("text", "s")]
+        assert s.search_prefix("s", k=20, rewrite="scoring") == \
+            s.search_terms(terms, 20)
+        # constant rewrite is unaffected
+        const = s.search_prefix("s", k=20)
+        assert all(sc == 1.0 for _, sc in const)
