@@ -1,0 +1,374 @@
+"""Web-corpus hygiene operators beyond the reference's surface: chunk-level
+exact dedup (the CCNet/C4 paragraph-dedup analog), Gopher-style repetition
+signals, per-source corpus stats, and text normalization.
+
+All stages are vectorized ``map_batches`` over zero-copy Arrow batches;
+the only shuffles are (a) the chunk-hash groupby in ``chunk_dedup`` (the
+same one-exchange shape as the index build) and (b) the tiny post-combine
+``source_stats`` aggregate. Every op has a DuckDB SQL oracle in
+``pipelines/queries.py`` (tokens = whitespace split, exactly
+``regexp_split_to_array(text, '\\s+')`` with empties dropped on both
+sides).
+
+Scale notes (100 TB): ``chunk_dedup`` ships one 16-byte row per 16-token
+chunk through the exchange — ~1/60th of the corpus bytes; duplicate
+groups are bounded by the corpus's true duplication rate, and the
+per-doc rollup is a hash aggregate with map-side combine. Nothing here
+materializes the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fdblucene_ray.ops.hashing import combine, hash_strings
+
+_SEED = np.uint64(0x6A09E667F3BCC908)  # sqrt(2) fractional bits, fixed seed
+
+
+def _ws_tokens(text: pa.ChunkedArray | pa.Array):
+    """Whitespace tokens of a string column -> (row_idx, flat tokens,
+    per-row counts, within-row ordinal), empties dropped. Mirrors the
+    SQL oracle's regexp_split_to_array(text, '\\s+') + tok <> ''."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    ws = pc.split_pattern_regex(text, r"\s+")
+    per_row = np.diff(ws.offsets.to_numpy(zero_copy_only=False))
+    flat = ws.flatten()
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        row_idx = row_idx[nonempty]
+    counts = np.bincount(row_idx, minlength=n).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    ordinal = np.arange(len(row_idx), dtype=np.int64) - starts[row_idx]
+    return row_idx, flat, counts, ordinal
+
+
+class ChunkHashes:
+    """Stage 1 of chunk_dedup: one row per non-overlapping ``w``-token
+    chunk — (chunk_hash, doc_id, chunk_idx, n_toks). The chunk hash is
+    an order-sensitive fold of per-token content hashes (w vector steps
+    per batch, no Python row loop)."""
+
+    def __init__(self, w: int = 16, text_col="text", id_col="doc_id"):
+        self.w, self.text_col, self.id_col = w, text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, flat, counts, ordinal = _ws_tokens(batch[self.text_col])
+        tok_h = hash_strings(flat)
+        w = self.w
+        chunk_idx = ordinal // w
+        # chunks are contiguous runs in (row-major, ordinal) order
+        key_change = np.empty(len(row_idx), dtype=bool)
+        if len(row_idx):
+            key_change[0] = True
+            key_change[1:] = (row_idx[1:] != row_idx[:-1]) | (
+                chunk_idx[1:] != chunk_idx[:-1]
+            )
+        chunk_start = np.flatnonzero(key_change)
+        n_chunks = len(chunk_start)
+        lens = np.diff(np.concatenate((chunk_start, [len(row_idx)]))).astype(
+            np.int64
+        )
+        # padded (n_chunks, w) gather + masked sequential fold
+        idx = chunk_start[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        np.clip(idx, 0, max(len(tok_h) - 1, 0), out=idx)
+        mat = (
+            tok_h[idx]
+            if len(tok_h)
+            else np.zeros((n_chunks, w), np.uint64)
+        )
+        mask = np.arange(w)[None, :] < lens[:, None]
+        h = np.full(n_chunks, _SEED, np.uint64)
+        for j in range(w):
+            m = mask[:, j]
+            if not m.any():
+                break
+            h[m] = combine(h[m], mat[m, j])
+        return pa.table(
+            {
+                "chunk_hash": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(
+                    doc_ids[row_idx[chunk_start]]
+                    if n_chunks
+                    else np.empty(0, np.int64)
+                ),
+                "chunk_idx": pa.array(
+                    chunk_idx[chunk_start]
+                    if n_chunks
+                    else np.empty(0, np.int64)
+                ),
+                "n_toks": pa.array(lens),
+            }
+        )
+
+
+def _mark_dups(group: pa.Table) -> pa.Table:
+    """Stage 2: within one chunk-hash group, the lexicographically first
+    (doc_id, chunk_idx) occurrence is the keeper; the rest are dups."""
+    g = group.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    n = g.num_rows
+    is_dup = np.ones(n, dtype=np.int64)
+    is_dup[0] = 0
+    n_toks = g["n_toks"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "n_toks": g["n_toks"],
+            "dup": pa.array(is_dup),
+            "dup_toks": pa.array(np.where(is_dup > 0, n_toks, 0).astype(np.int64)),
+        }
+    )
+
+
+def chunk_dedup(
+    ds: ray.data.Dataset, w: int = 16, text_col="text", id_col="doc_id"
+) -> ray.data.Dataset:
+    """CCNet-style exact span dedup over non-overlapping w-token chunks.
+
+    Returns per-doc rollup: n_chunks, n_dup_chunks, n_tokens,
+    n_dup_tokens, dup_token_frac (6 dp). A chunk occurrence is a dup
+    iff an identical chunk exists at a smaller (doc_id, chunk_idx).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    chunks = ds.map_batches(
+        ChunkHashes(w, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    marked = chunks.groupby("chunk_hash").map_groups(
+        _mark_dups, batch_format="pyarrow"
+    )
+    agg = marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("dup", alias_name="n_dup_chunks"),
+        Sum("n_toks", alias_name="n_tokens"),
+        Sum("dup_toks", alias_name="n_dup_tokens"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dt = t["n_dup_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chunks": t["n_chunks"].cast(pa.int64()),
+                "n_dup_chunks": t["n_dup_chunks"].cast(pa.int64()),
+                "n_tokens": pa.array(nt),
+                "n_dup_tokens": pa.array(dt),
+                "dup_token_frac": pa.array(
+                    np.round(dt / np.maximum(nt, 1), 6)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+class RepetitionSignals:
+    """Gopher-style per-doc repetition features (Rae et al. 2021, Gopher
+    §A1.1 'repetitious text' filters, re-derived from the published
+    description): fraction of unique tokens, top-bigram fraction,
+    top-trigram fraction. Fully vectorized (np.unique over packed
+    (row, hash) keys)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def _top_count(row, h, n):
+        """max multiplicity of any value per row: (row, hash) pairs."""
+        if len(row) == 0:
+            return np.zeros(n, np.int64)
+        key = (row.astype(np.uint64) << np.uint64(1)) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ h
+        order = np.lexsort((key, row))
+        r, k = row[order], key[order]
+        new = np.empty(len(r), dtype=bool)
+        new[0] = True
+        new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(r)])))
+        top = np.zeros(n, np.int64)
+        np.maximum.at(top, r[starts], cnt)
+        return top
+
+    @staticmethod
+    def _n_unique(row, h, n):
+        if len(row) == 0:
+            return np.zeros(n, np.int64)
+        key = (row.astype(np.uint64) << np.uint64(1)) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) ^ h
+        order = np.lexsort((key, row))
+        r, k = row[order], key[order]
+        new = np.empty(len(r), dtype=bool)
+        new[0] = True
+        new[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+        return np.bincount(r[new], minlength=n).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        row_idx, flat, counts, _ = _ws_tokens(batch[self.text_col])
+        h = hash_strings(flat)
+        n_unique = self._n_unique(row_idx, h, n)
+        # bigrams / trigrams within a row
+        v2 = row_idx[:-1] == row_idx[1:] if len(row_idx) else np.empty(0, bool)
+        b_h = combine(h[:-1], h[1:])[v2] if len(h) else np.empty(0, np.uint64)
+        b_row = row_idx[:-1][v2] if len(row_idx) else np.empty(0, np.int64)
+        v3 = (
+            (row_idx[:-2] == row_idx[2:]) if len(row_idx) > 1 else np.empty(0, bool)
+        )
+        t_h = (
+            combine(combine(h[:-2], h[1:-1]), h[2:])[v3]
+            if len(h) > 1
+            else np.empty(0, np.uint64)
+        )
+        t_row = row_idx[:-2][v3] if len(row_idx) > 1 else np.empty(0, np.int64)
+        top_b = self._top_count(b_row, b_h, n)
+        top_t = self._top_count(t_row, t_h, n)
+        n_b = np.maximum(counts - 1, 0)
+        n_t = np.maximum(counts - 2, 0)
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_tokens": pa.array(counts),
+                "frac_unique": pa.array(
+                    np.round(n_unique / np.maximum(counts, 1), 6)
+                ),
+                "top_bigram_frac": pa.array(
+                    np.round(top_b / np.maximum(n_b, 1), 6)
+                ),
+                "top_trigram_frac": pa.array(
+                    np.round(top_t / np.maximum(n_t, 1), 6)
+                ),
+            }
+        )
+
+
+def repetition_signals(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        RepetitionSignals(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class SourcePartials:
+    """Map-side combiner for source_stats: one row per (source, lang)
+    per batch — the pre-aggregation that keeps the groupby exchange to
+    O(#sources × #langs × #batches) rows regardless of corpus size."""
+
+    def __init__(self, id_col="doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "lang": batch["lang"].to_pandas(),
+                "n_chars": pc.utf8_length(
+                    batch["text"].combine_chunks()
+                    if isinstance(batch["text"], pa.ChunkedArray)
+                    else batch["text"]
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["source", "lang"], sort=True)
+            .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64)),
+            }
+        )
+
+
+def source_stats(ds: ray.data.Dataset) -> pa.Table:
+    """Per-source corpus rollup: n_docs, sum/avg text chars, distinct
+    langs. Partial-aggregated per batch, shuffled as tiny (source, lang)
+    rows, finalized on the (inherently small) aggregate."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        SourcePartials(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = (
+        partial.groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .to_pandas()  # #sources × #langs rows — tiny by construction
+    )
+    g = (
+        agg.groupby("source", sort=True)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            n_langs=("lang", "nunique"),
+        )
+        .reset_index()
+    )
+    avg = np.round(
+        g["sum_chars"].to_numpy(np.float64)
+        / np.maximum(g["n_docs"].to_numpy(np.int64), 1),
+        6,
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64)),
+            "avg_chars": pa.array(avg),
+            "n_langs": pa.array(g["n_langs"].to_numpy(np.int64)),
+        }
+    )
+
+
+class NormalizeText:
+    """Whitespace-collapsing lowercase normalization — the cheap
+    canonical form used before exact dedup in web pipelines. Mirrors
+    the SQL oracle lower(trim(regexp_replace(text,'\\s+',' ','g')))."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "), " "
+        )
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "norm_text": norm,
+                "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+
+def normalize_text(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        NormalizeText(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -776,6 +776,50 @@ def q_multimodal_frames(sf_dir: str) -> pa.Table:
     )
 
 
+def q_chunk_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style exact span dedup: non-overlapping 16-token chunks,
+    corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
+    per-doc dup-token fraction."""
+    from fdblucene_ray.ops.webtext import chunk_dedup
+
+    ds = chunk_dedup(_docs_ds(sf_dir, ["doc_id", "text"]), w=16)
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_chunks": pa.array(df["n_chunks"].to_numpy(np.int64)),
+            "n_dup_chunks": pa.array(df["n_dup_chunks"].to_numpy(np.int64)),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+            "n_dup_tokens": pa.array(df["n_dup_tokens"].to_numpy(np.int64)),
+            "dup_token_frac": pa.array(df["dup_token_frac"].to_numpy(np.float64)),
+        }
+    )
+
+
+def q_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals per doc (unique-token fraction,
+    top bigram/trigram fractions)."""
+    from fdblucene_ray.ops.webtext import repetition_signals
+
+    return _collect(repetition_signals(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
+def q_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source rollup with map-side combine (the broadcast-free
+    partial-aggregation pattern)."""
+    from fdblucene_ray.ops.webtext import source_stats
+
+    return source_stats(_docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]))
+
+
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """Whitespace-collapsing lowercase normalization (exact string
+    compare against the SQL twin — the byte-identical-text invariant)."""
+    from fdblucene_ray.ops.webtext import normalize_text
+
+    return _collect(normalize_text(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -825,6 +869,10 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "chunk_dedup": q_chunk_dedup,
+        "repetition": q_repetition,
+        "source_stats": q_source_stats,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1150,5 +1198,78 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
                 - frame_idx * greatest(L // 4, 1), 0)::BIGINT AS n_bytes
 FROM d CROSS JOIN j
 ORDER BY doc_id, frame_idx
+""",
+        "chunk_dedup": r"""
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS ord
+      FROM raw WHERE tok <> ''),
+chunks AS (
+  SELECT doc_id, ord // 16 AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS chunk, count(*) AS n_toks
+  FROM t GROUP BY doc_id, ord // 16),
+marked AS (
+  SELECT doc_id, n_toks,
+         (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) > 1)::INT AS dup
+  FROM chunks)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(dup)::BIGINT AS n_dup_chunks,
+       sum(n_toks)::BIGINT AS n_tokens,
+       sum(dup * n_toks)::BIGINT AS n_dup_tokens,
+       CAST(round(sum(dup * n_toks)::DOUBLE / greatest(sum(n_toks), 1), 6) AS DOUBLE)
+         AS dup_token_frac
+FROM marked GROUP BY doc_id ORDER BY doc_id
+""",
+        "repetition": r"""
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS ord
+      FROM raw WHERE tok <> ''),
+counts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_unique
+           FROM t GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, tok,
+         tok || ' ' || lead(tok, 1) OVER w AS bg,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tg
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+topb AS (SELECT doc_id, max(c) AS top_b FROM (
+           SELECT doc_id, bg, count(*) AS c FROM grams
+           WHERE bg IS NOT NULL GROUP BY doc_id, bg) GROUP BY doc_id),
+topt AS (SELECT doc_id, max(c) AS top_t FROM (
+           SELECT doc_id, tg, count(*) AS c FROM grams
+           WHERE tg IS NOT NULL GROUP BY doc_id, tg) GROUP BY doc_id)
+SELECT c.doc_id,
+       c.n_tokens::BIGINT AS n_tokens,
+       CAST(round(c.n_unique::DOUBLE / greatest(c.n_tokens, 1), 6) AS DOUBLE)
+         AS frac_unique,
+       CAST(round(coalesce(topb.top_b, 0)::DOUBLE / greatest(c.n_tokens - 1, 1), 6)
+            AS DOUBLE) AS top_bigram_frac,
+       CAST(round(coalesce(topt.top_t, 0)::DOUBLE / greatest(c.n_tokens - 2, 1), 6)
+            AS DOUBLE) AS top_trigram_frac
+FROM counts c
+LEFT JOIN topb ON topb.doc_id = c.doc_id
+LEFT JOIN topt ON topt.doc_id = c.doc_id
+ORDER BY c.doc_id
+""",
+        "source_stats": """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS sum_chars,
+       CAST(round(sum(length(text))::DOUBLE / greatest(count(*), 1), 6) AS DOUBLE)
+         AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source ORDER BY source
+""",
+        "normalize_text": r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+       length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT
+         AS n_chars_norm
+FROM documents ORDER BY doc_id
 """,
     }

@@ -1,0 +1,176 @@
+"""Webtext hygiene ops: chunk dedup (CCNet paragraph-dedup analog),
+Gopher repetition signals, source stats, normalization.
+
+Oracles here are pure-Python brute force over small planted corpora;
+the DuckDB SQL twins run in the driver gate (pipelines/queries.py).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.webtext import (
+    chunk_dedup,
+    normalize_text,
+    repetition_signals,
+    source_stats,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+def _py_chunk_dedup(rows, w):
+    """Brute-force oracle: global first-(doc, chunk_idx) keeps, rest dup."""
+    chunks = []  # (text, doc, idx, ntoks)
+    for doc, text in enumerate(rows):
+        toks = [t for t in text.split() if t]
+        for ci in range(0, (len(toks) + w - 1) // w):
+            seg = toks[ci * w : (ci + 1) * w]
+            chunks.append((" ".join(seg), doc, ci, len(seg)))
+    seen = {}
+    for text, doc, ci, nt in sorted(chunks, key=lambda c: (c[1], c[2])):
+        seen.setdefault(text, (doc, ci))
+    out = {}
+    for text, doc, ci, nt in chunks:
+        st = out.setdefault(doc, [0, 0, 0, 0])
+        dup = seen[text] != (doc, ci)
+        st[0] += 1
+        st[1] += dup
+        st[2] += nt
+        st[3] += nt * dup
+    return out
+
+
+class TestChunkDedup:
+    def test_planted_duplicate_chunks(self, ray_session):
+        base = " ".join(f"tok{i}" for i in range(40))  # 40 toks = 3 chunks(16,16,8)
+        rows = [
+            base,
+            base,  # full dup of doc 0
+            " ".join(f"tok{i}" for i in range(16)) + " unique tail here",
+            "totally different words only once each",
+        ]
+        res = {
+            int(r["doc_id"]): r
+            for r in chunk_dedup(_ds(rows), w=16).take_all()
+        }
+        oracle = _py_chunk_dedup(rows, 16)
+        assert set(res) == set(oracle)
+        for doc, (nc, ndc, nt, ndt) in oracle.items():
+            r = res[doc]
+            assert (r["n_chunks"], r["n_dup_chunks"], r["n_tokens"], r["n_dup_tokens"]) == (
+                nc, ndc, nt, ndt
+            ), doc
+            assert r["dup_token_frac"] == pytest.approx(
+                round(ndt / max(nt, 1), 6), abs=1e-9
+            )
+        # doc 1 is fully duplicated against doc 0
+        assert res[1]["n_dup_chunks"] == res[1]["n_chunks"] == 3
+        assert res[1]["dup_token_frac"] == 1.0
+        # doc 0 is the keeper: zero dups
+        assert res[0]["n_dup_chunks"] == 0
+
+    def test_partial_chunk_and_cross_doc_order(self, ray_session):
+        # chunk dup where the KEEPER is the earlier doc even if the later
+        # doc's copy sits at a smaller chunk_idx
+        a = " ".join(f"x{i}" for i in range(16))
+        rows = ["pad " * 16 + a, a]  # doc0 has it at chunk 1, doc1 at chunk 0
+        res = {
+            int(r["doc_id"]): r
+            for r in chunk_dedup(_ds(rows), w=16).take_all()
+        }
+        oracle = _py_chunk_dedup(rows, 16)
+        for doc in res:
+            assert res[doc]["n_dup_chunks"] == oracle[doc][1], doc
+
+    def test_random_corpus_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(7)
+        rows = [
+            " ".join(f"w{rng.integers(0, 9)}" for _ in range(rng.integers(1, 70)))
+            for _ in range(60)
+        ]
+        res = {
+            int(r["doc_id"]): r
+            for r in chunk_dedup(_ds(rows), w=8).take_all()
+        }
+        oracle = _py_chunk_dedup(rows, 8)
+        assert set(res) == set(oracle)
+        for doc, (nc, ndc, nt, ndt) in oracle.items():
+            r = res[doc]
+            assert (r["n_chunks"], r["n_dup_chunks"], r["n_tokens"], r["n_dup_tokens"]) == (
+                nc, ndc, nt, ndt
+            ), doc
+
+
+class TestRepetition:
+    def test_signals_match_bruteforce(self, ray_session):
+        rows = [
+            "a b a b a b",  # bigram 'a b' x3 of 5; 2 unique of 6
+            "x y z",  # all unique
+            "q",  # single token: no bigrams/trigrams
+            "m m m m",  # one unique; bigram 'm m' x3/3; trigram x2/2
+        ]
+        out = {
+            int(r["doc_id"]): r
+            for r in repetition_signals(_ds(rows)).take_all()
+        }
+        for doc, text in enumerate(rows):
+            toks = text.split()
+            n = len(toks)
+            bigs = [tuple(toks[i : i + 2]) for i in range(n - 1)]
+            tris = [tuple(toks[i : i + 3]) for i in range(n - 2)]
+            top_b = max([bigs.count(b) for b in set(bigs)], default=0)
+            top_t = max([tris.count(t) for t in set(tris)], default=0)
+            r = out[doc]
+            assert r["n_tokens"] == n
+            assert r["frac_unique"] == pytest.approx(
+                round(len(set(toks)) / n, 6), abs=1e-9
+            )
+            assert r["top_bigram_frac"] == pytest.approx(
+                round(top_b / max(n - 1, 1), 6), abs=1e-9
+            ), doc
+            assert r["top_trigram_frac"] == pytest.approx(
+                round(top_t / max(n - 2, 1), 6), abs=1e-9
+            ), doc
+
+
+class TestSourceStats:
+    def test_rollup(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(["aa", "bbbb", "c", "dd", "e", "ffffff"]),
+                "source": pa.array(["s1", "s1", "s2", "s2", "s2", "s3"]),
+                "lang": pa.array(["en", "de", "en", "en", "fr", "en"]),
+            }
+        )
+        res = source_stats(ray.data.from_arrow(t))
+        rows = {r["source"]: r for r in res.to_pylist()}
+        assert rows["s1"]["n_docs"] == 2 and rows["s1"]["sum_chars"] == 6
+        assert rows["s1"]["n_langs"] == 2
+        assert rows["s2"]["n_docs"] == 3 and rows["s2"]["n_langs"] == 2
+        assert rows["s3"]["avg_chars"] == 6.0
+        assert rows["s1"]["avg_chars"] == 3.0
+
+
+class TestNormalize:
+    def test_collapse_and_lower(self, ray_session):
+        rows = ["  Hello   WORLD  ", "a\t\tb\nc", "", "x"]
+        out = {
+            int(r["doc_id"]): r for r in normalize_text(_ds(rows)).take_all()
+        }
+        assert out[0]["norm_text"] == "hello world"
+        assert out[1]["norm_text"] == "a b c"
+        assert out[2]["norm_text"] == ""
+        assert out[3]["norm_text"] == "x"
+        assert out[1]["n_chars_norm"] == 5
