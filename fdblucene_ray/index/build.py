@@ -443,6 +443,7 @@ def build_index(
     doc_base: int = 0,
     publish: bool = True,
     codec: str = "varint-block",
+    term_vectors: bool = False,
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
     ``id_col``. Returns the published manifest.
@@ -522,6 +523,22 @@ def build_index(
 
     if store_ds is not None:
         _write_docstore(index_dir, store_ds)
+
+    if term_vectors:
+        # offsets/payload sidecar (DATA.md:54 analog): term vectors for
+        # the first analyzed field, doc_id-keyed for hit-time pruning
+        from fdblucene_ray.index.termvectors import build_term_vectors
+
+        for fname, cfg in fields.items():
+            if cfg["analyzer"] != "keyword":
+                build_term_vectors(
+                    source if isinstance(source, (str, list, tuple)) else ds,
+                    os.path.join(index_dir, "termvectors"),
+                    analyzer=cfg["analyzer"],
+                    text_col=cfg["column"],
+                    doc_base=doc_base,
+                )
+                break
 
     segs = sorted(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),

@@ -9,9 +9,11 @@ pass) with an offset-preserving twin of the analyzer chain. This is an
 intentional, documented deviation from the reference's at-rest layout;
 the user-facing capability (highlight spans / snippets) is equivalent.
 
-Per-position payloads (the reference's third slot) are not modeled —
-the Writer approach never populates them either (DATA.md:54 notes the
-family exists for Lucene compatibility).
+Per-position payloads (the reference's third slot, which the Writer
+approach never populates — DATA.md:54 notes the family exists for
+Lucene compatibility) and AT-REST offsets are modeled by the optional
+term-vectors sidecar (``index/termvectors.py``): doc-major stored
+spans + payloads, read per hit with doc_id predicate pushdown.
 """
 
 from __future__ import annotations

@@ -776,6 +776,39 @@ def q_multimodal_frames(sf_dir: str) -> pa.Table:
     )
 
 
+def q_term_vectors(sf_dir: str) -> pa.Table:
+    """Stored term vectors (offsets/payloads sidecar, DATA.md:54 analog):
+    per (doc, term) tf and position span read back from the at-rest
+    doc-major layout. Offsets are pytest-verified (exact identity with
+    the offset-preserving analyzer twin, test_termvectors.py); the SQL
+    twin checks term/position semantics."""
+    import pyarrow.dataset as pads
+
+    from fdblucene_ray.index.termvectors import build_term_vectors
+
+    key = hashlib.sha1(f"{sf_dir}:tv-simple:v1".encode()).hexdigest()[:12]
+    tv_dir = os.path.join(CACHE_ROOT, f"tv-{key}")
+    build_term_vectors(_docs_path(sf_dir), tv_dir, analyzer="simple")
+    t = pads.dataset(tv_dir, format="parquet").to_table(
+        columns=["doc_id", "term", "positions"]
+    )
+    pos = t["positions"].combine_chunks()
+    lens = np.diff(pos.offsets.to_numpy(zero_copy_only=False))
+    flat = pos.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    ends = np.cumsum(lens) - 1
+    out = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "term": t["term"],
+            "tf": pa.array(lens.astype(np.int64)),
+            "min_pos": pa.array(flat[starts]),
+            "max_pos": pa.array(flat[ends]),
+        }
+    )
+    return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
 def q_chunk_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style exact span dedup: non-overlapping 16-token chunks,
     corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
@@ -869,6 +902,7 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
@@ -1198,6 +1232,19 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
                 - frame_idx * greatest(L // 4, 1), 0)::BIGINT AS n_bytes
 FROM d CROSS JOIN j
 ORDER BY doc_id, frame_idx
+""",
+        "term_vectors": """
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM raw WHERE tok <> '')
+SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
+       min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
+FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
 """,
         "chunk_dedup": r"""
 WITH raw AS (
