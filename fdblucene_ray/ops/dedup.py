@@ -141,12 +141,14 @@ class MinHashBands:
     """
 
     def __init__(self, text_col="text", id_col="doc_id", shingle=3,
-                 n_perm=N_PERM, n_bands=N_BANDS, analyzer="simple"):
+                 n_perm=N_PERM, n_bands=N_BANDS, analyzer="simple",
+                 num_parts=32):
         self.text_col, self.id_col = text_col, id_col
         self.shingle, self.n_perm, self.n_bands = shingle, n_perm, n_bands
         self.rows_per_band = n_perm // n_bands
         self.tokenizer = BatchTokenizer(analyzer)
         self.a, self.b = _perm_params(n_perm)
+        self.num_parts = num_parts
 
     def signature_matrix(self, texts, n) -> tuple[np.ndarray, np.ndarray]:
         """-> (doc_rows_with_shingles, sig[n_docs_with, n_perm])."""
@@ -171,6 +173,7 @@ class MinHashBands:
         if len(has) == 0:
             return pa.table(
                 {
+                    "part": pa.array([], pa.int32()),
                     "band": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
@@ -187,10 +190,20 @@ class MinHashBands:
             band_ids.append(np.full(len(has), bi, np.int32))
             band_hashes.append(bh.astype(np.int64))
             doc_ids.append(ids[has])
+        band_col = np.concatenate(band_ids)
+        hash_col = np.concatenate(band_hashes)
+        # shuffle partition of a bucket: hash of (band, band_hash) — the
+        # exchange is keyed on partitions (few) rather than buckets
+        # (millions), so the pair stage runs once per PARTITION
+        part = (
+            splitmix64(hash_col.view(np.uint64) + band_col.astype(np.uint64))
+            % np.uint64(self.num_parts)
+        ).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(band_ids)),
-                "band_hash": pa.array(np.concatenate(band_hashes)),
+                "part": pa.array(part),
+                "band": pa.array(band_col),
+                "band_hash": pa.array(hash_col),
                 "doc_id": pa.array(np.concatenate(doc_ids), pa.int64()),
             }
         )
@@ -200,24 +213,51 @@ _BUCKET_CAP = 200
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket. Hot buckets (near-dup
-    spam) are capped at _BUCKET_CAP ids to bound the O(n^2) blowup —
-    NEVER silently: the dropped-pair count is logged (no-silent-caps
-    rule)."""
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    if len(ids) > _BUCKET_CAP:
-        dropped = len(ids) * (len(ids) - 1) // 2 - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
-        log.warning(
-            "LSH bucket band=%s hash=%s holds %d ids; capped at %d "
-            "(%d candidate pairs dropped)",
-            group["band"][0].as_py(), group["band_hash"][0].as_py(),
-            len(ids), _BUCKET_CAP, dropped,
-        )
-        ids = ids[:_BUCKET_CAP]
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    """Candidate pairs for EVERY LSH bucket hashed into one shuffle
+    partition, in one vectorized call (bucket runs found by lexsort;
+    the Python loop touches only buckets holding >= 2 distinct docs —
+    i.e. only actual duplicate candidates). Hot buckets (near-dup spam)
+    are capped at _BUCKET_CAP ids to bound the O(n^2) blowup — NEVER
+    silently: the dropped-pair count is logged (no-silent-caps rule)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = group["band_hash"].to_numpy(zero_copy_only=False)
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    if len(doc) < 2:
+        return empty
+    order = np.lexsort((doc, bh, band))
+    b, h, d = band[order], bh[order], doc[order]
+    same_bucket = (b[1:] == b[:-1]) & (h[1:] == h[:-1])
+    keep = np.concatenate(([True], ~(same_bucket & (d[1:] == d[:-1]))))
+    b, h, d = b[keep], h[keep], d[keep]
+    starts = np.flatnonzero(
+        np.concatenate(([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+    )
+    sizes = np.diff(np.concatenate((starts, [len(b)])))
+    multi = sizes >= 2
+    out_a, out_b = [], []
+    for s, k in zip(starts[multi], sizes[multi]):
+        ids = d[s : s + k]
+        if k > _BUCKET_CAP:
+            dropped = k * (k - 1) // 2 - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
+            log.warning(
+                "LSH bucket band=%d hash=%d holds %d ids; capped at %d "
+                "(%d candidate pairs dropped)",
+                b[s], h[s], k, _BUCKET_CAP, dropped,
+            )
+            ids = ids[:_BUCKET_CAP]
+            k = _BUCKET_CAP
+        ii, jj = np.triu_indices(k, k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -231,17 +271,25 @@ def minhash_lsh_pairs(
 ) -> pa.Table:
     """Near-duplicate pairs (a < b, jaccard >= threshold), exact-verified.
 
-    Pipeline: sketch (map_batches) -> groupby(band, band_hash) ->
-    intra-bucket pairs -> distinct pairs -> exact shingle-Jaccard verify.
+    Pipeline: sketch (map_batches) -> groupby(part = hash(band, bucket))
+    -> vectorized per-partition intra-bucket pairs -> distinct pairs ->
+    exact shingle-Jaccard verify. Grouping on the hashed PARTITION (a few
+    dozen keys) instead of the bucket (one key per distinct band hash —
+    millions at corpus scale) keeps the exchange identical but runs the
+    pair stage once per partition rather than once per bucket.
     Verification gathers only candidate docs' shingle sets (tiny vs the
     corpus); at extreme candidate volumes this last join would itself be
     a broadcast-hash map_batches stage over pair partitions.
     """
+    num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     bands = ds.map_batches(
-        MinHashBands(text_col, id_col, shingle=shingle, analyzer=analyzer),
+        MinHashBands(
+            text_col, id_col, shingle=shingle, analyzer=analyzer,
+            num_parts=num_parts,
+        ),
         batch_format="pyarrow",
     )
-    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
+    pairs_ds = bands.groupby("part", num_partitions=num_parts).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
     pairs = pairs_ds.to_pandas().drop_duplicates()  # candidate PAIR IDS: small
@@ -276,13 +324,13 @@ def _verify_pairs_jaccard(
     class EmitPairShingles:
         def __init__(self):
             self.map = ray.get(map_ref)
+            self.wanted = np.fromiter(self.map.keys(), np.int64, len(self.map))
+            self.wanted.sort()
             self.tk = BatchTokenizer(analyzer)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            mask = np.fromiter(
-                (int(i) in self.map for i in ids), bool, len(ids)
-            )
+            mask = np.isin(ids, self.wanted)
             sel = batch.filter(pa.array(mask))
             if sel.num_rows == 0:
                 return pa.table(
@@ -336,7 +384,7 @@ def _verify_pairs_jaccard(
     verify_group.__name__ = "verify_jaccard"
     verified = (
         ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("pid")
+        .groupby("pid", num_partitions=16)
         .map_groups(verify_group, batch_format="pyarrow")
     )
     df = verified.to_pandas()
@@ -428,59 +476,90 @@ def simhash_fingerprints(ds, text_col="text", id_col="doc_id", analyzer="simple"
     return ds.map_batches(SimHash(text_col, id_col, analyzer), batch_format="pyarrow")
 
 
-def _quarter_bands(batch: pa.Table) -> pa.Table:
+def _quarter_bands(num_parts: int = 32):
     """map_batches: 4 rows per fingerprint (quarter_idx, 16-bit quarter,
     doc_id, simhash) — the band-blocking key stream. Two fingerprints
-    within hamming<=3 share at least one quarter (pigeonhole)."""
-    sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(sh)
-    qi = np.repeat(np.arange(4, dtype=np.int32), n)
-    sh4 = np.tile(sh, 4)
-    q = (sh4 >> (np.uint64(16) * qi.astype(np.uint64))) & np.uint64(0xFFFF)
-    return pa.table(
-        {
-            "qi": pa.array(qi),
-            "q": pa.array(q.astype(np.int32)),
-            "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
-            "simhash": pa.array(sh4.astype(np.int64)),
-        }
-    )
+    within hamming<=3 share at least one quarter (pigeonhole). ``part``
+    hashes the bucket key so the exchange groups partitions, not
+    buckets (same trick as the minhash band path)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        qi = np.repeat(np.arange(4, dtype=np.int32), n)
+        sh4 = np.tile(sh, 4)
+        q = (sh4 >> (np.uint64(16) * qi.astype(np.uint64))) & np.uint64(0xFFFF)
+        part = (
+            splitmix64(q + (qi.astype(np.uint64) << np.uint64(17)))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "qi": pa.array(qi),
+                "q": pa.array(q.astype(np.int32)),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(sh4.astype(np.int64)),
+            }
+        )
+
+    fn.__name__ = "_quarter_bands"
+    return fn
 
 
 def _simhash_bucket_pairs(max_hamming: int):
     def fn(group: pa.Table) -> pa.Table:
+        """All buckets of one shuffle partition in one vectorized call:
+        bucket runs by lexsort on (qi, q, doc); Python loop only over
+        buckets holding >= 2 distinct docs."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        qi = group["qi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = group["q"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        keep = np.concatenate(([True], np.diff(ids) != 0))
-        ids, sh = ids[keep], sh[keep]
-        if len(ids) > _BUCKET_CAP:
-            dropped = (
-                len(ids) * (len(ids) - 1) // 2
-                - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
-            )
-            log.warning(
-                "simhash bucket qi=%s q=%s holds %d ids; capped at %d "
-                "(%d candidate pairs dropped)",
-                group["qi"][0].as_py(), group["q"][0].as_py(),
-                len(ids), _BUCKET_CAP, dropped,
-            )
-            ids, sh = ids[:_BUCKET_CAP], sh[:_BUCKET_CAP]
         if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        d = _popcount64(sh[ii] ^ sh[jj])
-        hit = d <= max_hamming
+            return empty
+        order = np.lexsort((ids, q, qi))
+        qi, q, ids, sh = qi[order], q[order], ids[order], sh[order]
+        same = (qi[1:] == qi[:-1]) & (q[1:] == q[:-1])
+        keep = np.concatenate(([True], ~(same & (ids[1:] == ids[:-1]))))
+        qi, q, ids, sh = qi[keep], q[keep], ids[keep], sh[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (qi[1:] != qi[:-1]) | (q[1:] != q[:-1])))
+        )
+        sizes = np.diff(np.concatenate((starts, [len(qi)])))
+        multi = sizes >= 2
+        out_a, out_b, out_d = [], [], []
+        for s, k in zip(starts[multi], sizes[multi]):
+            bid, bsh = ids[s : s + k], sh[s : s + k]
+            if k > _BUCKET_CAP:
+                dropped = (
+                    k * (k - 1) // 2 - _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
+                )
+                log.warning(
+                    "simhash bucket qi=%d q=%d holds %d ids; capped at %d "
+                    "(%d candidate pairs dropped)",
+                    qi[s], q[s], k, _BUCKET_CAP, dropped,
+                )
+                bid, bsh = bid[:_BUCKET_CAP], bsh[:_BUCKET_CAP]
+                k = _BUCKET_CAP
+            ii, jj = np.triu_indices(k, k=1)
+            d = _popcount64(bsh[ii] ^ bsh[jj])
+            hit = d <= max_hamming
+            out_a.append(bid[ii[hit]])
+            out_b.append(bid[jj[hit]])
+            out_d.append(d[hit])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "a": pa.array(ids[ii[hit]], pa.int64()),
-                "b": pa.array(ids[jj[hit]], pa.int64()),
-                "hamming": pa.array(d[hit], pa.int64()),
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_d), pa.int64()),
             }
         )
 
@@ -496,9 +575,10 @@ def simhash_near_pairs(ds, max_hamming=3, **kw) -> pa.Table:
     groupby(qi, quarter) -> vectorized intra-bucket popcount verify ->
     groupby(a, b) dedup (a pair can surface from up to 4 quarters).
     Nothing but the (small) verified pair set reaches the driver."""
+    num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     fp = simhash_fingerprints(ds, **kw)
-    bands = fp.map_batches(_quarter_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["qi", "q"]).map_groups(
+    bands = fp.map_batches(_quarter_bands(num_parts), batch_format="pyarrow")
+    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
         _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
     )
     uniq = pairs.groupby(["a", "b"]).min("hamming")

@@ -1233,6 +1233,33 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
 FROM d CROSS JOIN j
 ORDER BY doc_id, frame_idx
 """,
+        "ngram_jaccard": """
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM raw WHERE tok <> ''),
+tri AS (SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sets AS (SELECT DISTINCT doc_id, g FROM tri WHERE g IS NOT NULL),
+anchor AS (SELECT g FROM sets WHERE doc_id = 0),
+asize AS (SELECT count(*) AS na FROM anchor),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (SELECT s.doc_id, count(*) AS ni FROM sets s
+          JOIN anchor a ON s.g = a.g GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(round(coalesce(i.ni, 0)::DOUBLE
+                  / greatest(coalesce(z.n, 0) + x.na - coalesce(i.ni, 0), 1), 6)
+            AS DOUBLE) AS jaccard
+FROM documents d CROSS JOIN asize x
+LEFT JOIN sizes z ON z.doc_id = d.doc_id
+LEFT JOIN inter i ON i.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
         "term_vectors": """
 WITH raw AS (
   SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
