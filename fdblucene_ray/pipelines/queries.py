@@ -652,6 +652,21 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=4)
 
 
+def q_ann_ivf_full(sf_dir: str) -> pa.Table:
+    """IVF with EVERY partition probed (nprobe = n_centroids): the
+    approximate path degrades to exact — pinned against the brute-force
+    SQL oracle. Proves the partitioned layout loses no vectors and the
+    per-partition top-k merge is exact."""
+    from fdblucene_ray.ops.similarity import build_ivf_index, ivf_topk_indexed
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ivf_dir = _index_dir(sf_dir, "ivf")
+    build_ivf_index(ds, ivf_dir, n_centroids=16)
+    return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
+
+
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (exact mode at oracle scale so
     the DuckDB all-pairs oracle matches bit-for-set)."""
@@ -899,6 +914,7 @@ def queries() -> dict:
         "ann_cosine": q_ann_cosine,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_full": q_ann_ivf_full,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
@@ -1214,6 +1230,18 @@ r AS (SELECT query_id, vec_id, sim_raw,
 SELECT query_id::BIGINT AS query_id, vec_id,
        CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM r WHERE rn <= 3
+""",
+        "ann_ivf_full": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 10
 """,
         "dedup_embedding": """
 WITH s AS (
