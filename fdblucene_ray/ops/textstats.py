@@ -172,30 +172,55 @@ class Winnow:
         else:
             kg = np.empty(0, np.uint64)
             krow = np.empty(0, np.int64)
-        out_ids, out_fps = [], []
+        # whole-batch winnowing: ONE sliding-window-minimum pass over the
+        # flat kgram stream (windows crossing doc boundaries masked out),
+        # one reduceat for short docs, one lexsort dedup — no per-doc loop
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        bounds = np.concatenate(
-            ([0], np.cumsum(np.bincount(krow, minlength=n)))
+        w = self.w
+        counts = np.bincount(krow, minlength=n).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        if len(kg) >= w:
+            sw = np.lib.stride_tricks.sliding_window_view(kg, w)
+            in_doc = krow[: len(kg) - w + 1] == krow[w - 1 :]
+            mins = sw.min(axis=1)[in_doc]
+            mrow = krow[: len(kg) - w + 1][in_doc]
+        else:
+            mins = np.empty(0, np.uint64)
+            mrow = np.empty(0, np.int64)
+        # docs with 0 < count < w have no full window: keep their global
+        # min. reduceat over ALL non-empty docs (consecutive non-empty
+        # starts are adjacent segment boundaries in kg), then select —
+        # reducing at only the short docs' starts would span the docs
+        # in between.
+        nz = np.flatnonzero(counts > 0)
+        if len(nz) and len(kg):
+            allmins = np.minimum.reduceat(kg, starts[nz])
+            is_short = counts[nz] < w
+            mins = np.concatenate((mins, allmins[is_short]))
+            mrow = np.concatenate((mrow, nz[is_short]))
+        # per-doc unique + sort: lexsort on (fingerprint AS SIGNED int64
+        # — the output column type — not the unsigned working value, row)
+        if len(mins):
+            signed = mins.astype(np.int64)
+            order = np.lexsort((signed, mrow))
+            r, f = mrow[order], signed[order]
+            keep = np.concatenate(
+                ([True], (r[1:] != r[:-1]) | (f[1:] != f[:-1]))
+            )
+            r, f = r[keep], f[keep]
+        else:
+            r = np.empty(0, np.int64)
+            f = np.empty(0, np.int64)
+        per_doc = np.bincount(r, minlength=n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+        fps = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(f.astype(np.int64))
         )
-        for i in range(n):
-            g = kg[bounds[i] : bounds[i + 1]]
-            if len(g) == 0:
-                fps = np.empty(0, np.uint64)
-            elif len(g) <= self.w:
-                fps = np.array([g.min()], np.uint64)
-            else:
-                # sliding-window minima, vectorized via stride trick
-                sw = np.lib.stride_tricks.sliding_window_view(g, self.w)
-                fps = np.unique(sw.min(axis=1))
-            out_ids.append(int(ids[i]))
-            out_fps.append(np.sort(fps.astype(np.int64)).tolist())
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "fingerprints": pa.array(out_fps, pa.list_(pa.int64())),
-                "n_fingerprints": pa.array(
-                    [len(f) for f in out_fps], pa.int64()
-                ),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "fingerprints": fps,
+                "n_fingerprints": pa.array(per_doc),
             }
         )
 

@@ -237,6 +237,47 @@ class TestTextStats:
         # winnowing guarantees high overlap for a shared long substring
         assert len(f0 & f1) / len(f0) > 0.8
 
+    def test_fingerprints_match_per_doc_bruteforce(self, ray_session):
+        """Whole-batch vectorized winnow == the textbook per-doc
+        definition (sliding-window minima over kgram hashes, unique,
+        sorted), across boundary doc lengths 0..2w+k tokens."""
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer
+        from fdblucene_ray.ops.hashing import combine, hash_strings
+
+        k, w = 4, 5
+        rng = np.random.default_rng(11)
+        rows = [
+            " ".join(f"t{rng.integers(0, 6)}" for _ in range(L))
+            for L in list(range(0, 2 * w + k + 2)) + [50, 100]
+        ]
+        out = (
+            fingerprints(ray.data.from_arrow(_docs_table(rows)), k=k, w=w)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        tk = BatchTokenizer("simple")
+        for doc, text in enumerate(rows):
+            _, flat = tk.flat_tokens(pa.array([text]))
+            th = hash_strings(flat)
+            if len(th) >= k:
+                m = len(th) - k + 1
+                kg = th[:m].copy()
+                for j in range(1, k):
+                    kg = combine(kg, th[j : j + m])
+            else:
+                kg = np.empty(0, np.uint64)
+            if len(kg) == 0:
+                want = []
+            elif len(kg) < w:
+                want = [int(np.int64(kg.min().astype(np.int64)))]
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(kg, w)
+                want = sorted(
+                    int(v) for v in np.unique(sw.min(axis=1)).astype(np.int64)
+                )
+            got = list(out.loc[doc, "fingerprints"])
+            assert got == want, (doc, len(flat))
+
 
 class TestEmbeddingNearDup:
     def test_planted_near_dup_vectors(self, ray_session):
