@@ -370,10 +370,15 @@ def _run_with_push_shuffle(fn, num_partitions: int | None = None):
     prev_agg = ctx.max_hash_shuffle_aggregators
     if num_partitions is not None and num_partitions >= 32:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # a SMALL constant aggregator pool wins decisively: measured 10.1s
-        # vs 33.7s (150k docs, 32 CPUs) for 4 vs 16 aggregators — more
-        # aggregator actors just starve the tokenize/encode stages
-        ctx.max_hash_shuffle_aggregators = max(2, min(4, num_partitions))
+        # a SMALL aggregator pool wins decisively: measured 10.1s vs
+        # 33.7s (150k docs, 32 CPUs) for 4 vs 16 aggregators — more
+        # aggregator actors just starve the tokenize/encode stages.
+        # Scale with the CLUSTER, not a constant: ~1 aggregator per 8
+        # CPUs (4 on this 32-CPU host, ~one per node at 8-CPU nodes,
+        # growing linearly on a multi-node cluster so the exchange
+        # doesn't bottleneck on a fixed pool at 256 nodes)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ctx.max_hash_shuffle_aggregators = max(2, min(num_partitions, cpus // 8))
     else:
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     try:
