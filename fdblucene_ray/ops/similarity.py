@@ -135,6 +135,80 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np
     return c
 
 
+class _KMeansPartial:
+    """One Lloyd's iteration's map side: per batch, assign every vector
+    to its nearest centroid and emit K partial rows (centroid, count,
+    sum-vector). The reduce is a tiny driver fold over
+    O(K x n_batches) rows — the full-corpus k-means pass at 100 TB is
+    N streaming map_batches passes, never a driver materialization."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        c = (
+            ray.get(centroids_ref)
+            if not isinstance(centroids_ref, np.ndarray)
+            else centroids_ref
+        )
+        self.c = _normalize(c.astype(np.float64))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch[self.vec_col]))
+        k, d = self.c.shape
+        assign = np.argmax(m @ self.c.T, axis=1)
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "centroid": pa.array(np.arange(k, dtype=np.int32)),
+                "count": pa.array(counts),
+                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+
+def train_centroids_distributed(
+    ds: ray.data.Dataset,
+    n_centroids: int,
+    *,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    init_sample: int = 2048,
+) -> np.ndarray:
+    """Full-pass distributed Lloyd's k-means: each iteration is one
+    streaming ``map_batches`` pass emitting per-batch (count, sum)
+    partials per centroid, folded on the driver (K x D floats). Same
+    update rule as ``train_centroids`` (seeded sample init, empty
+    cluster keeps its previous centroid, renormalize each round), so on
+    corpus-sized-like-a-sample data the two converge to the same
+    centroids; unlike the sample trainer it sees EVERY vector."""
+    rows = ds.limit(init_sample).take_all()
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    x = _normalize(sample)
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        cref = ray.put(c)
+        partials = ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        ).take_all()
+        k, d = c.shape
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        for r in partials:
+            sums[int(r["centroid"])] += np.asarray(r["vec_sum"], np.float64)
+            counts[int(r["centroid"])] += int(r["count"])
+        nz = counts > 0
+        c = c.copy()
+        c[nz] = sums[nz] / counts[nz, None]
+        c = _normalize(c)
+    return c
+
+
 class AssignCentroid:
     def __init__(self, centroids_ref, vec_col: str):
         c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
@@ -244,6 +318,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_rows: int = 2048,
+    train: str = "sample",
 ) -> np.ndarray:
     """Materialize the centroid-partitioned IVF layout:
 
@@ -262,9 +337,16 @@ def build_ivf_index(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
 
-    rows = ds.limit(sample_rows).take_all()
-    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    cents = train_centroids(sample, n_centroids)
+    if train == "distributed":
+        # full-pass Lloyd's (every vector seen each iteration) — the
+        # corpus-scale trainer; "sample" trains on a driver-side sample
+        cents = train_centroids_distributed(
+            ds, n_centroids, vec_col=vec_col, init_sample=sample_rows
+        )
+    else:
+        rows = ds.limit(sample_rows).take_all()
+        sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        cents = train_centroids(sample, n_centroids)
     cref = ray.put(cents)
     assigned = ds.map_batches(
         AssignCentroid,

@@ -345,3 +345,62 @@ class TestDedupKeepList:
         pairs = minhash_lsh_pairs(ds, threshold=0.8)
         drop = set(near_dedup_drop_list(pairs).tolist())
         assert set(range(n_docs)) - drop == set(kept)
+
+
+class TestKMeansDistributed:
+    def test_matches_driver_kmeans_on_same_data(self, ray_session):
+        """Distributed full-pass Lloyd's == driver-side train_centroids
+        when the 'corpus' fits the init sample (same seeded init, same
+        update rule) — up to partial-sum association order (1e-9)."""
+        from fdblucene_ray.ops.similarity import (
+            train_centroids,
+            train_centroids_distributed,
+        )
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(300, 12)).astype(np.float64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        got = train_centroids_distributed(
+            ray.data.from_arrow(t), 8, iters=6, init_sample=300
+        )
+        want = train_centroids(vecs, 8, iters=6)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_ivf_layout_with_distributed_training(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.similarity import build_ivf_index, ivf_topk_indexed
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(200, 8)).astype(np.float64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+        d = str(tmp_path / "ivf_dist")
+        cents = build_ivf_index(
+            ray.data.from_arrow(t), d, n_centroids=8, train="distributed"
+        )
+        assert cents.shape == (8, 8)
+        # probing everything = exact: compare against brute force
+        q = vecs[:2]
+        out = ivf_topk_indexed(d, q, [0, 1], k=5, nprobe=8).to_pandas()
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = qn @ vn.T
+        for qi in (0, 1):
+            order = np.lexsort((np.arange(200), -np.round(sims[qi], 12)))[:5]
+            got = out[out.query_id == qi].sort_values(
+                ["sim", "vec_id"], ascending=[False, True]
+            )["vec_id"].tolist()
+            assert got == [int(i) for i in order], qi
