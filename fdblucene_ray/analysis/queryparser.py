@@ -14,6 +14,9 @@ Grammar (a practical subset):
   WildcardQuery, ``term~`` / ``term~1`` = FuzzyQuery (default 2 edits)
   — lowercased but NOT analyzed, matching Lucene's expanded-term
   handling; evaluated constant-score (CONSTANT_SCORE_REWRITE);
+- ``clause^2`` / ``"phrase"^1.5`` = query-time boost (Lucene boost
+  syntax): the clause's score contribution is scaled by the factor
+  (constant-score multi-term clauses contribute the boost itself);
 - other clause text is analyzed with the field's analyzer; a single
   unquoted word that analyzes to multiple terms keeps them in the same
   occur bucket (documented simplification of Lucene's graph queries);
@@ -27,20 +30,21 @@ from dataclasses import dataclass, field
 
 _CLAUSE_RE = re.compile(
     r'\s*(?P<occur>[+-]?)\s*(?:(?P<field>[A-Za-z_][\w]*):)?'
-    r'(?:"(?P<phrase>[^"]*)"|(?P<word>[^\s"]+))'
+    r'(?:"(?P<phrase>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?|(?P<word>[^\s"]+))'
 )
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 
 
 @dataclass
 class ParsedQuery:
-    # (field, term) buckets for term clauses
+    # (field, term, boost) buckets for term clauses
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
-    # (occur, field, phrase_text) for quoted clauses
+    # (occur, field, phrase_text, boost) for quoted clauses
     phrases: list = field(default_factory=list)
-    # (occur, field, kind, payload): kind "prefix"|"wildcard" with the
-    # pattern payload, or "fuzzy" with (term, max_edits)
+    # (occur, field, kind, payload, boost): kind "prefix"|"wildcard"
+    # with the pattern payload, or "fuzzy" with (term, max_edits)
     multiterm: list = field(default_factory=list)
 
     @property
@@ -57,24 +61,28 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
         if m.group("phrase") is not None:
             out.phrases.append(
                 ("must_not" if occur == "-" else "must" if occur == "+" else "should",
-                 f, m.group("phrase"))
+                 f, m.group("phrase"), float(m.group("pboost") or 1.0))
             )
         else:
             w = m.group("word")
             oname = (
                 "must_not" if occur == "-" else "must" if occur == "+" else "should"
             )
+            boost = 1.0
+            bm = _BOOST_RE.match(w)
+            if bm and bm.group(1):
+                w, boost = bm.group(1), float(bm.group(2))
             fz = re.fullmatch(r"([^*?~]+)~(\d)?", w)
             if "*" in w or "?" in w:
                 wl = w.lower()
                 if wl.endswith("*") and wl.count("*") == 1 and "?" not in wl:
-                    out.multiterm.append((oname, f, "prefix", wl[:-1]))
+                    out.multiterm.append((oname, f, "prefix", wl[:-1], boost))
                 else:
-                    out.multiterm.append((oname, f, "wildcard", wl))
+                    out.multiterm.append((oname, f, "wildcard", wl, boost))
             elif fz:
                 out.multiterm.append(
                     (oname, f, "fuzzy",
-                     (fz.group(1).lower(), int(fz.group(2) or 2)))
+                     (fz.group(1).lower(), int(fz.group(2) or 2)), boost)
                 )
             else:
                 bucket = (
@@ -82,5 +90,5 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
                     else out.must if occur == "+"
                     else out.should
                 )
-                bucket.append((f, w))
+                bucket.append((f, w, boost))
     return out

@@ -753,12 +753,16 @@ class Searcher:
             return []
         same_field = all(
             f == default_field
-            for f, _ in (*pq.must, *pq.should, *pq.must_not)
-        ) and all(f == default_field for _, f, _ in pq.phrases)
-        if not pq.phrases and not pq.multiterm and same_field:
-            must_t = [t for _, w in pq.must for t in self.parse(w, default_field)]
-            not_t = [t for _, w in pq.must_not for t in self.parse(w, default_field)]
-            should_t = [t for _, w in pq.should for t in self.parse(w, default_field)]
+            for f, _, _ in (*pq.must, *pq.should, *pq.must_not)
+        ) and all(f == default_field for _, f, _, _ in pq.phrases)
+        unboosted = all(
+            b == 1.0
+            for _, _, b in (*pq.must, *pq.should, *pq.must_not)
+        ) and all(b == 1.0 for *_, b in (*pq.phrases, *pq.multiterm))
+        if not pq.phrases and not pq.multiterm and same_field and unboosted:
+            must_t = [t for _, w, _ in pq.must for t in self.parse(w, default_field)]
+            not_t = [t for _, w, _ in pq.must_not for t in self.parse(w, default_field)]
+            should_t = [t for _, w, _ in pq.should for t in self.parse(w, default_field)]
             if not must_t and not not_t:
                 return self.search_terms(should_t, k, field=default_field)
             return self.search_boolean(
@@ -790,10 +794,11 @@ class Searcher:
         def phrase_map(f, text):
             return dict(self.search_phrase(text, 1 << 31, field=f))
 
-        def multiterm_map(f, kind, payload):
+        def multiterm_map(f, kind, payload, boost=1.0):
             """Expanded multi-term clause -> constant-score doc map
             (CONSTANT_SCORE_REWRITE: every matching doc contributes
-            1.0, like Lucene's default wildcard/prefix/fuzzy rewrite)."""
+            the clause boost — 1.0 unboosted — like Lucene's default
+            wildcard/prefix/fuzzy rewrite)."""
             if kind == "prefix":
                 terms = [t for t, _ in self.expand_prefix(f, payload)]
             elif kind == "wildcard":
@@ -801,32 +806,37 @@ class Searcher:
             else:
                 term, edits = payload
                 terms = [t for t, _, _ in self.expand_fuzzy(f, term, edits)]
-            return {int(d): 1.0 for d in self.multiterm_docs(f, terms)}
+            return {int(d): boost for d in self.multiterm_docs(f, terms)}
+
+        def _boosted(m, boost):
+            if m and boost != 1.0:
+                return {d: s * boost for d, s in m.items()}
+            return m
 
         must_maps, should_maps, not_sets = [], [], []
-        for f, w in pq.must:
+        for f, w, boost in pq.must:
             m = term_map(f, w)
             if m is not None:
-                must_maps.append(m)
-        for f, w in pq.should:
+                must_maps.append(_boosted(m, boost))
+        for f, w, boost in pq.should:
             m = term_map(f, w)
             if m:
-                should_maps.append(m)
-        for f, w in pq.must_not:
+                should_maps.append(_boosted(m, boost))
+        for f, w, _ in pq.must_not:
             m = term_map(f, w)
             if m:
                 not_sets.append(set(m))
-        for occur, f, text in pq.phrases:
+        for occur, f, text, boost in pq.phrases:
             m = phrase_map(f, text)
             if occur == "must":
-                must_maps.append(m)
+                must_maps.append(_boosted(m, boost))
             elif occur == "should":
                 if m:
-                    should_maps.append(m)
+                    should_maps.append(_boosted(m, boost))
             elif m:
                 not_sets.append(set(m))
-        for occur, f, kind, payload in pq.multiterm:
-            m = multiterm_map(f, kind, payload)
+        for occur, f, kind, payload, boost in pq.multiterm:
+            m = multiterm_map(f, kind, payload, boost)
             if occur == "must":
                 must_maps.append(m)
             elif occur == "should":

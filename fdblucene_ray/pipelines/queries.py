@@ -314,6 +314,13 @@ def q_ft_explain(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_boost(sf_dir: str) -> pa.Table:
+    """Query-time boosts (Lucene ``term^boost`` syntax): top-10 for
+    ``data^2 merge`` — contribution of 'data' doubled."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.query("data^2 merge", k=10))
+
+
 def q_ft_doc_norms(sf_dir: str) -> pa.Table:
     """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
@@ -892,6 +899,7 @@ def queries() -> dict:
         "ft_near_ordered": q_ft_near_ordered,
         "ft_multifield": q_ft_multifield,
         "ft_bm25_boolean": q_ft_boolean,
+        "ft_boost": q_ft_boost,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
@@ -956,6 +964,25 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        "ft_boost": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         (CASE tf.tok WHEN 'data' THEN 2.0 ELSE 1.0 END)
+           * ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
         "ft_bm25_and": _bm25_sql(["window", "batch"], operator="and"),
         "ft_term_stats": f"""
 WITH {TOKS_CTE}

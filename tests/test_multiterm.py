@@ -180,13 +180,13 @@ class TestQueryParserMultiterm:
         from fdblucene_ray.analysis.queryparser import parse_query
 
         pq = parse_query("pre* w?ld*card merge~ scan~1 +title:abc* -junk~2 plain")
-        assert ("should", "text", "prefix", "pre") in pq.multiterm
-        assert ("should", "text", "wildcard", "w?ld*card") in pq.multiterm
-        assert ("should", "text", "fuzzy", ("merge", 2)) in pq.multiterm
-        assert ("should", "text", "fuzzy", ("scan", 1)) in pq.multiterm
-        assert ("must", "title", "prefix", "abc") in pq.multiterm
-        assert ("must_not", "text", "fuzzy", ("junk", 2)) in pq.multiterm
-        assert pq.should == [("text", "plain")]
+        assert ("should", "text", "prefix", "pre", 1.0) in pq.multiterm
+        assert ("should", "text", "wildcard", "w?ld*card", 1.0) in pq.multiterm
+        assert ("should", "text", "fuzzy", ("merge", 2), 1.0) in pq.multiterm
+        assert ("should", "text", "fuzzy", ("scan", 1), 1.0) in pq.multiterm
+        assert ("must", "title", "prefix", "abc", 1.0) in pq.multiterm
+        assert ("must_not", "text", "fuzzy", ("junk", 2), 1.0) in pq.multiterm
+        assert pq.should == [("text", "plain", 1.0)]
 
     def test_query_end_to_end(self, corpus_ix):
         """Multi-term clauses combine with BooleanQuery semantics:

@@ -21,11 +21,11 @@ TEXTS = [
 class TestGrammar:
     def test_occurs_fields_phrases(self):
         pq_ = parse_query('+data -window merge tag:x +title:"a b" "c d"')
-        assert pq_.must == [("text", "data")]
-        assert pq_.must_not == [("text", "window")]
-        assert pq_.should == [("text", "merge"), ("tag", "x")]
-        assert ("must", "title", "a b") in pq_.phrases
-        assert ("should", "text", "c d") in pq_.phrases
+        assert pq_.must == [("text", "data", 1.0)]
+        assert pq_.must_not == [("text", "window", 1.0)]
+        assert pq_.should == [("text", "merge", 1.0), ("tag", "x", 1.0)]
+        assert ("must", "title", "a b", 1.0) in pq_.phrases
+        assert ("should", "text", "c d", 1.0) in pq_.phrases
 
     def test_empty(self):
         assert parse_query("").is_empty
@@ -101,3 +101,34 @@ class TestQueryDispatch:
         # 'the' survives in the 'simple' analyzer (no stopwords), so use
         # an absent term instead: SHOULD clause with no matches
         assert s.query("data zzzznothing") == s.search("data zzzznothing", 10)
+
+
+class TestBoosts:
+    def test_grammar(self):
+        pq_ = parse_query('data^2 "a b"^1.5 pre*^3 merge~1^2.5 plain')
+        assert ("text", "data", 2.0) in pq_.should
+        assert ("text", "plain", 1.0) in pq_.should
+        assert ("should", "text", "a b", 1.5) in pq_.phrases
+        assert ("should", "text", "prefix", "pre", 3.0) in pq_.multiterm
+        assert ("should", "text", "fuzzy", ("merge", 1), 2.5) in pq_.multiterm
+
+    def test_boosted_scores_scale(self, built):
+        """score(data^2 merge) = 2*contrib(data) + contrib(merge)."""
+        s = Searcher(built)
+        base_d = dict(s.query("data", k=10))
+        base_m = dict(s.query("merge", k=10))
+        got = dict(s.query("data^2 merge", k=10))
+        docs = set(base_d) | set(base_m)
+        assert set(got) == docs
+        for d in docs:
+            exp = 2.0 * base_d.get(d, 0.0) + base_m.get(d, 0.0)
+            assert got[d] == pytest.approx(exp, rel=1e-12), d
+
+    def test_boost_one_is_fast_path_identity(self, built):
+        s = Searcher(built)
+        assert s.query("data^1 merge") == s.query("data merge")
+
+    def test_boosted_multiterm_constant_score(self, built):
+        s = Searcher(built)
+        got = dict(s.query("bro*^3"))
+        assert got and all(v == 3.0 for v in got.values())
