@@ -1195,6 +1195,51 @@ class Searcher:
         am = _alive_mask(docs, self.tombstones)
         return docs if am is None else docs[am]
 
+    def facet_counts(
+        self,
+        query: str,
+        facet_field: str,
+        *,
+        field: str = "text",
+        mode: str = "or",
+        min_count: int = 1,
+        max_values: int = 1024,
+    ) -> list[tuple[str, int]]:
+        """Facet counting over a keyword field for the docs matching a
+        term query — the Lucene faceting analog, computed index-native:
+        the facet dictionary is enumerated with a bounded range scan and
+        each value's posting list intersects the (sorted) match set with
+        one O(|match| + |postings|) pass; no stored-field scan. Returns
+        [(value, count)] sorted by count desc, value asc, count >=
+        ``min_count``. At very high facet cardinality prefer a doc-values
+        sidecar; the dictionary scan is capped at ``max_values``."""
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        if mode == "and":
+            docs = None
+            for t in terms:
+                d = self.multiterm_docs(field, [t])
+                docs = d if docs is None else np.intersect1d(
+                    docs, d, assume_unique=True
+                )
+                if not len(docs):
+                    return []
+        else:
+            docs = self.multiterm_docs(field, terms)
+        if not len(docs):
+            return []
+        out = []
+        for v, _df in self.expand_term_range(
+            facet_field, None, None, max_terms=max_values
+        ):
+            fd = self.multiterm_docs(facet_field, [v])
+            c = int(np.intersect1d(docs, fd, assume_unique=True).size)
+            if c >= min_count:
+                out.append((v, c))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
     def _multiterm_hits(self, field, terms, k, rewrite):
         """Evaluate an expanded term set under a Lucene rewrite method:
         ``constant`` = CONSTANT_SCORE_REWRITE (1.0 per matching doc,

@@ -321,6 +321,19 @@ def q_ft_boost(sf_dir: str) -> pa.Table:
     return _hits_table(s.query("data^2 merge", k=10))
 
 
+def q_ft_facets(sf_dir: str) -> pa.Table:
+    """Index-native facet counts: docs matching 'data' counted per
+    keyword 'source' value (inverted-list intersections, no doc scan)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    fc = s.facet_counts("data", "source")
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in fc], pa.string()),
+            "n": pa.array([c for _, c in fc], pa.int64()),
+        }
+    )
+
+
 def q_ft_doc_norms(sf_dir: str) -> pa.Table:
     """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
@@ -900,6 +913,7 @@ def queries() -> dict:
         "ft_multifield": q_ft_multifield,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_boost": q_ft_boost,
+        "ft_facets": q_ft_facets,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
@@ -964,6 +978,13 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        "ft_facets": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+SELECT d.source AS value, count(*)::BIGINT AS n
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.source ORDER BY n DESC, value
+""",
         "ft_boost": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks

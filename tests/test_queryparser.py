@@ -132,3 +132,32 @@ class TestBoosts:
         s = Searcher(built)
         got = dict(s.query("bro*^3"))
         assert got and all(v == 3.0 for v in got.values())
+
+
+class TestFacets:
+    def test_counts_match_bruteforce(self, built):
+        import pyarrow.parquet as _pq
+
+        s = Searcher(built)
+        # tag is indexed with the 'simple' analyzer here, which for the
+        # single-letter values equals keyword semantics
+        fc = dict(s.facet_counts("data", "tag"))
+        texts, tags = TEXTS, ["a", "b", "a", "c", "b", "a"]
+        want = {}
+        for t, g in zip(texts, tags):
+            if "data" in t.split():
+                want[g] = want.get(g, 0) + 1
+        assert fc == want
+
+    def test_and_mode_and_min_count(self, built):
+        s = Searcher(built)
+        fc = dict(s.facet_counts("data merge", "tag", mode="and"))
+        texts, tags = TEXTS, ["a", "b", "a", "c", "b", "a"]
+        want = {}
+        for t, g in zip(texts, tags):
+            toks = t.split()
+            if "data" in toks and "merge" in toks:
+                want[g] = want.get(g, 0) + 1
+        assert fc == want
+        hi = s.facet_counts("data", "tag", min_count=2)
+        assert all(c >= 2 for _, c in hi)
