@@ -1195,6 +1195,57 @@ class Searcher:
         am = _alive_mask(docs, self.tombstones)
         return docs if am is None else docs[am]
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        *,
+        field: str = "text",
+        text: str | None = None,
+        source: str | list | None = None,
+        max_query_terms: int = 10,
+    ) -> list[tuple[int, float]]:
+        """MoreLikeThis analog: select the source doc's most
+        characteristic terms by tf x idf (idf = the engine's BM25 idf;
+        ties break by term asc), run a BM25 disjunction over them, and
+        drop the source doc itself. The doc text comes from ``text``,
+        the index docstore, or the input parquet ``source`` (row-group-
+        pruned hydrate)."""
+        from fdblucene_ray.analysis.analyzer import get_analyzer
+
+        if text is None:
+            if source is not None:
+                from fdblucene_ray.sources.corpus import hydrate_from_source
+
+                t = hydrate_from_source(source, [doc_id], columns=[field])
+                cols = [c for c in t.schema.names if c != "doc_id"]
+                text = t[cols[0]][0].as_py() if t.num_rows else ""
+            else:
+                from fdblucene_ray.index.build import hydrate
+
+                t = hydrate(self.index_dir, [doc_id])
+                cols = [c for c in t.schema.names if c != "doc_id"]
+                text = t[cols[0]][0].as_py() if t.num_rows else ""
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        toks = get_analyzer(az_name).tokens(text or "")
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t_ in toks:
+            tf[t_] = tf.get(t_, 0) + 1
+        dc, _, _ = self.field_stats(field)
+        scored = []
+        for term, f in tf.items():
+            df, _ = self.term_stats(field, term)
+            if df:
+                scored.append((-f * bm25_idf(dc, df), term))
+        scored.sort()
+        terms = [t_ for _, t_ in scored[:max_query_terms]]
+        if not terms:
+            return []
+        hits = self.search_terms(terms, k + 1, field=field)
+        return [(d, s) for d, s in hits if d != doc_id][:k]
+
     def facet_counts(
         self,
         query: str,

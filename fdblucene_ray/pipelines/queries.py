@@ -334,6 +334,16 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_mlt(sf_dir: str) -> pa.Table:
+    """MoreLikeThis: doc 0's top-5 tf*idf terms -> BM25 disjunction,
+    source doc excluded."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.more_like_this(
+        0, k=10, source=_docs_path(sf_dir), max_query_terms=5
+    )
+    return _hits_table(hits)
+
+
 def q_ft_doc_norms(sf_dir: str) -> pa.Table:
     """Per-doc analyzed length + lossy norm decode (M4 norms path)."""
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
@@ -914,6 +924,7 @@ def queries() -> dict:
         "ft_bm25_boolean": q_ft_boolean,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
+        "ft_mlt": q_ft_mlt,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
@@ -978,6 +989,30 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        "ft_mlt": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+dtf AS (SELECT tok, count(*)::DOUBLE AS f FROM toks WHERE doc_id = 0 GROUP BY tok),
+alldf AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY tok),
+sel AS (SELECT dtf.tok FROM dtf JOIN alldf ON alldf.tok = dtf.tok CROSS JOIN stats
+        ORDER BY dtf.f * ln(1 + (stats.dc - alldf.df + 0.5) / (alldf.df + 0.5)) DESC,
+                 dtf.tok
+        LIMIT 5),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN (SELECT tok FROM sel) GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored WHERE doc_id <> 0 ORDER BY score DESC, doc_id LIMIT 10
+""",
         "ft_facets": f"""
 WITH {TOKS_CTE},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')

@@ -161,3 +161,28 @@ class TestFacets:
         assert fc == want
         hi = s.facet_counts("data", "tag", min_count=2)
         assert all(c >= 2 for _, c in hi)
+
+
+class TestMoreLikeThis:
+    def test_mlt_excludes_source_and_matches_manual_query(self, built):
+        s = Searcher(built)
+        got = s.more_like_this(0, k=10, text=TEXTS[0], max_query_terms=3)
+        assert all(d != 0 for d, _ in got)
+        # manual twin: top-3 tf*idf terms of doc 0, BM25 OR, drop doc 0
+        import math
+
+        dc = s.field_stats("text")[0]
+        tf = {}
+        for t in TEXTS[0].split():
+            tf[t] = tf.get(t, 0) + 1
+        ranked = sorted(
+            (
+                (-f * math.log(1 + (dc - s.term_stats("text", t)[0] + 0.5)
+                               / (s.term_stats("text", t)[0] + 0.5)), t)
+                for t, f in tf.items()
+                if s.term_stats("text", t)[0]
+            )
+        )
+        terms = [t for _, t in ranked[:3]]
+        exp = [(d, sc) for d, sc in s.search_terms(terms, 11) if d != 0][:10]
+        assert got == exp
