@@ -342,6 +342,80 @@ def source_stats(ds: ray.data.Dataset) -> pa.Table:
     )
 
 
+class PairCountPartials:
+    """Map-side combiner for corpus-wide adjacent-pair counts (the
+    first step of a BPE merge-rule trainer): per batch, one row per
+    DISTINCT within-row token pair with its count — the exchange
+    carries combined partials, never one row per occurrence."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_idx, flat, counts, _ = _ws_tokens(batch[self.text_col])
+        if len(row_idx) < 2:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        valid = row_idx[:-1] == row_idx[1:]
+        h = hash_strings(flat)
+        pair_h = combine(h[:-1], h[1:])[valid]
+        order = np.argsort(pair_h, kind="stable")
+        ph = pair_h[order]
+        first = np.flatnonzero(np.concatenate(([True], ph[1:] != ph[:-1])))
+        cnt = np.diff(np.concatenate((first, [len(ph)])))
+        # one representative occurrence per distinct pair -> the strings
+        occ = np.flatnonzero(valid)[order[first]]
+        left = flat.take(pa.array(occ))
+        right = flat.take(pa.array(occ + 1))
+        return pa.table(
+            {
+                "left": left,
+                "right": right,
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    top_k: int = 50,
+    text_col="text",
+    id_col="doc_id",
+) -> pa.Table:
+    """Corpus-wide top-k adjacent token pairs by count (BPE merge-rule
+    candidates): per-batch combined partials -> groupby(left, right)
+    sum -> small top-k sort. Ties break by (left, right) asc."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        PairCountPartials(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = partial.groupby(["left", "right"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    # distributed top-k: sort + limit prune blocks before the driver
+    # sees anything (the full distinct-pair table never materializes)
+    df = (
+        agg.sort(["cnt", "left", "right"], descending=[True, False, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "left": pa.array(df["left"], pa.string()),
+            "right": pa.array(df["right"], pa.string()),
+            "cnt": pa.array(df["cnt"].to_numpy(np.int64)),
+        }
+    )
+
+
 class NormalizeText:
     """Whitespace-collapsing lowercase normalization — the cheap
     canonical form used before exact dedup in web pipelines. Mirrors

@@ -890,6 +890,14 @@ def q_source_stats(sf_dir: str) -> pa.Table:
     return source_stats(_docs_ds(sf_dir, ["doc_id", "text", "source", "lang"]))
 
 
+def q_bpe_pairs(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-50 adjacent token pairs (BPE merge candidates):
+    combined partials -> groupby sum -> distributed top-k."""
+    from fdblucene_ray.ops.webtext import bpe_pair_counts
+
+    return bpe_pair_counts(_docs_ds(sf_dir, ["doc_id", "text"]), top_k=50)
+
+
 def q_normalize_text(sf_dir: str) -> pa.Table:
     """Whitespace-collapsing lowercase normalization (exact string
     compare against the SQL twin — the byte-identical-text invariant)."""
@@ -956,6 +964,7 @@ def queries() -> dict:
         "repetition": q_repetition,
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -1449,6 +1458,20 @@ SELECT source,
          AS avg_chars,
        count(DISTINCT lang)::BIGINT AS n_langs
 FROM documents GROUP BY source ORDER BY source
+""",
+        "bpe_pairs": r"""
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS ord
+      FROM raw WHERE tok <> ''),
+pairs AS (
+  SELECT doc_id, tok AS l, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS r
+  FROM t)
+SELECT l AS "left", r AS "right", count(*)::BIGINT AS cnt
+FROM pairs WHERE r IS NOT NULL
+GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 50
 """,
         "normalize_text": r"""
 SELECT doc_id,

@@ -174,3 +174,28 @@ class TestNormalize:
         assert out[2]["norm_text"] == ""
         assert out[3]["norm_text"] == "x"
         assert out[1]["n_chars_norm"] == 5
+
+
+class TestBpePairs:
+    def test_counts_match_bruteforce(self, ray_session):
+        from fdblucene_ray.ops.webtext import bpe_pair_counts
+
+        rows = ["a b a b c", "b c b c", "a b", "x"]
+        out = bpe_pair_counts(_ds(rows), top_k=100).to_pylist()
+        want = {}
+        for text in rows:
+            toks = text.split()
+            for l, r in zip(toks, toks[1:]):
+                want[(l, r)] = want.get((l, r), 0) + 1
+        got = {(r["left"], r["right"]): r["cnt"] for r in out}
+        assert got == want
+        # ordering: count desc, then (left, right) asc
+        keys = [(-r["cnt"], r["left"], r["right"]) for r in out]
+        assert keys == sorted(keys)
+
+    def test_top_k_truncation(self, ray_session):
+        from fdblucene_ray.ops.webtext import bpe_pair_counts
+
+        rows = [" ".join(f"t{i} t{i}" for i in range(30))]
+        out = bpe_pair_counts(_ds(rows), top_k=5)
+        assert out.num_rows == 5
