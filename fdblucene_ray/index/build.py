@@ -35,6 +35,7 @@ import json
 import os
 import time
 import zlib
+from contextlib import contextmanager
 
 import numpy as np
 import pyarrow as pa
@@ -352,15 +353,22 @@ class EncodeGroup:
         )
 
 
-def _run_with_push_shuffle(fn, num_partitions: int | None = None):
-    """Execute a consuming Dataset call under the shuffle strategy that
-    fits the exchange (scoped; the global DataContext is restored):
+@contextmanager
+def _shuffle_strategy(num_partitions: int | None = None):
+    """Scoped shuffle-strategy choice for the build/merge exchange (the
+    global DataContext is restored on exit):
 
-    - large exchanges (>= 32 partitions): HASH_SHUFFLE with the
-      aggregator-actor pool capped at half the CPUs — no sorting at all,
-      and measured ~2x over push-based sort on the 150k-doc build;
+    - large exchanges (>= 32 partitions): HASH_SHUFFLE with a bounded
+      aggregator-actor pool — no sorting at all, and measured ~2x over
+      push-based sort on the 150k-doc build;
     - small exchanges: push-based sort shuffle (hash-shuffle actor
       spin-up would dominate tiny builds, e.g. the test corpora).
+
+    MUST wrap plan CONSTRUCTION (the ``groupby()`` call), not just the
+    consuming call: Ray Data captures ``ctx.shuffle_strategy`` when the
+    logical plan is built, so a strategy set only around ``take_all()``
+    silently has no effect (found the hard way — the round-2 builds ran
+    the sort shuffle until this became a context manager).
     """
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
@@ -382,7 +390,7 @@ def _run_with_push_shuffle(fn, num_partitions: int | None = None):
     else:
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     try:
-        return fn()
+        yield
     finally:
         ctx.shuffle_strategy = prev
         ctx.max_hash_shuffle_aggregators = prev_agg
@@ -520,11 +528,14 @@ def build_index(
         concurrency=tokenize_concurrency,
         zero_copy_batch=True,
     )
-    lineage_ds = postings.groupby("part", num_partitions=num_partitions).map_groups(
-        EncodeGroup(index_dir, sig, block_size, resume, codec=codec),
-        batch_format="pyarrow",
-    )
-    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
+    with _shuffle_strategy(num_partitions):
+        lineage_ds = postings.groupby(
+            "part", num_partitions=num_partitions
+        ).map_groups(
+            EncodeGroup(index_dir, sig, block_size, resume, codec=codec),
+            batch_format="pyarrow",
+        )
+        records = lineage_ds.take_all()
 
     if store_ds is not None:
         _write_docstore(index_dir, store_ds)

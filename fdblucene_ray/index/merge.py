@@ -45,7 +45,7 @@ from fdblucene_ray.index.build import (
     _GOLDEN,
     _key_hash,
     _packed_binary,
-    _run_with_push_shuffle,
+    _shuffle_strategy,
 )
 from fdblucene_ray.index.delete import gc_tombstones, load_tombstones
 from fdblucene_ray.index.manifest import (
@@ -325,24 +325,25 @@ def _run_merge_pipeline(
     """Shared decode -> shuffle -> encode pipeline; returns new segments."""
     tomb_ref = ray.put(tombstones) if tombstones else None
     ds = ray.data.from_items(items)
-    lineage_ds = (
-        ds.map_batches(
-            _decode_segments_task,
-            fn_kwargs=dict(
-                num_partitions=num_partitions,
-                block_size=block_size,
-                tombstones_ref=tomb_ref,
-            ),
-            batch_format="pyarrow",
-            batch_size=1,
+    with _shuffle_strategy(num_partitions):
+        lineage_ds = (
+            ds.map_batches(
+                _decode_segments_task,
+                fn_kwargs=dict(
+                    num_partitions=num_partitions,
+                    block_size=block_size,
+                    tombstones_ref=tomb_ref,
+                ),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .groupby("part", num_partitions=num_partitions)
+            .map_groups(
+                EncodeGroup(out_dir, sig, block_size, resume, runs=True, codec=codec),
+                batch_format="pyarrow",
+            )
         )
-        .groupby("part", num_partitions=num_partitions)
-        .map_groups(
-            EncodeGroup(out_dir, sig, block_size, resume, runs=True, codec=codec),
-            batch_format="pyarrow",
-        )
-    )
-    records = _run_with_push_shuffle(lambda: lineage_ds.take_all(), num_partitions)
+        records = lineage_ds.take_all()
     return sorted(
         (SegmentMeta.from_json(json.loads(r["segment_meta"])) for r in records),
         key=lambda m: m.name,
