@@ -59,6 +59,7 @@ from fdblucene_ray.index.segment import (
     write_segment,
     write_segment_runs,
 )
+from fdblucene_ray.index.wire import pack_docs, pack_vals
 from fdblucene_ray.sources.corpus import corpus_signature, read_corpus_with_doc_ids
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -118,6 +119,7 @@ class TokenizeToPostings:
         head_terms: frozenset[str] | None = None,
         salt_chunk: int = 1 << 16,
         auto_salt_ratio: float = 0.25,
+        wire: str = "raw",
     ):
         """``head_terms``: explicit terms to salt. ``auto_salt_ratio``:
         additionally salt any term whose within-batch doc frequency
@@ -135,6 +137,7 @@ class TokenizeToPostings:
         self.head_terms = head_terms or frozenset()
         self.salt_chunk = salt_chunk
         self.auto_salt_ratio = auto_salt_ratio or 0.0
+        self.wire = wire
 
     def _emit_field(self, field, cfg, batch, doc_ids, out):
         """Emit one RUN row per term present in this batch — a packed
@@ -247,8 +250,8 @@ class TokenizeToPostings:
                     "min_doc": pa.array(min_docs, pa.int64()),
                     "n": pa.array(n_per_run, pa.int64()),
                     "sum_tf": pa.array(sum_tf, pa.int64()),
-                    "docs": _packed_binary(d.view(np.uint8), starts * 8, ends * 8),
-                    "tfs": _packed_binary(t.view(np.uint8), starts * 4, ends * 4),
+                    "docs": pack_docs(d, starts, ends, self.wire),
+                    "tfs": pack_vals(t, starts, ends, self.wire),
                     "norms": _packed_binary(nr, starts, ends),
                     "pos": pos_cells,
                 }
@@ -270,18 +273,19 @@ class TokenizeToPostings:
             with np.errstate(over="ignore"):  # modular mixing, wrap intended
                 spart = int((h + np.uint64(chunk) * _GOLDEN) % np.uint64(self.P))
             empty = pa.array([b""], pa.binary())
-            sd = np.ascontiguousarray(doc_ids[has], "<i8")
-            sl = np.ascontiguousarray(doc_lens[has], "<i4")
+            sd = np.ascontiguousarray(doc_ids[has], np.int64)
+            sl = np.ascontiguousarray(doc_lens[has], np.int64)
+            one = (np.array([0], np.int64), np.array([n_docs], np.int64))
             out.append(
                 pa.table(
                     {
                         "part": pa.array([spart], pa.int32()),
                         "key": pa.array([skey], pa.string()),
-                        "min_doc": pa.array([int(sd.min())], pa.int64()),
+                        "min_doc": pa.array([int(sd[0])], pa.int64()),
                         "n": pa.array([n_docs], pa.int64()),
                         "sum_tf": pa.array([int(doc_lens.sum())], pa.int64()),
-                        "docs": pa.array([sd.tobytes()], pa.binary()),
-                        "tfs": pa.array([sl.tobytes()], pa.binary()),
+                        "docs": pack_docs(sd, *one, self.wire),
+                        "tfs": pack_vals(sl, *one, self.wire),
                         "norms": empty,
                         "pos": empty,
                     }
@@ -307,7 +311,7 @@ class EncodeGroup:
 
     def __init__(
         self, index_dir: str, signature: str, block_size: int, resume: bool,
-        runs: bool = True, codec: str = "varint-block",
+        runs: bool = True, codec: str = "varint-block", wire: str = "raw",
     ):
         self.__name__ = "EncodeGroup"  # map_groups wraps fn and reads __name__
         self.index_dir = index_dir
@@ -316,6 +320,7 @@ class EncodeGroup:
         self.resume = resume
         self.runs = runs
         self.codec = codec
+        self.wire = wire
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py())
@@ -327,11 +332,16 @@ class EncodeGroup:
                 os.path.join(self.index_dir, "segments", rec["meta"]["name"])
             ):
                 return self._row(part, SegmentMeta.from_json(rec["meta"]), 0.0, True)
-        writer = write_segment_runs if self.runs else write_segment
-        meta = writer(
-            self.index_dir, name, group.drop_columns(["part"]), self.block_size,
-            codec=self.codec,
-        )
+        if self.runs:
+            meta = write_segment_runs(
+                self.index_dir, name, group.drop_columns(["part"]),
+                self.block_size, codec=self.codec, wire=self.wire,
+            )
+        else:
+            meta = write_segment(
+                self.index_dir, name, group.drop_columns(["part"]),
+                self.block_size, codec=self.codec,
+            )
         wall = time.perf_counter() - t0
         write_lineage(
             self.index_dir,
@@ -457,6 +467,7 @@ def build_index(
     publish: bool = True,
     codec: str = "varint-block",
     term_vectors: bool = False,
+    wire: str = "raw",
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
     ``id_col``. Returns the published manifest.
@@ -522,6 +533,7 @@ def build_index(
             head_terms=head_terms,
             salt_chunk=salt_chunk,
             auto_salt_ratio=auto_salt_ratio,
+            wire=wire,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -532,7 +544,7 @@ def build_index(
         lineage_ds = postings.groupby(
             "part", num_partitions=num_partitions
         ).map_groups(
-            EncodeGroup(index_dir, sig, block_size, resume, codec=codec),
+            EncodeGroup(index_dir, sig, block_size, resume, codec=codec, wire=wire),
             batch_format="pyarrow",
         )
         records = lineage_ds.take_all()

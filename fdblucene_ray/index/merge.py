@@ -48,6 +48,7 @@ from fdblucene_ray.index.build import (
     _shuffle_strategy,
 )
 from fdblucene_ray.index.delete import gc_tombstones, load_tombstones
+from fdblucene_ray.index.wire import pack_docs, pack_vals
 from fdblucene_ray.index.manifest import (
     Manifest,
     SegmentMeta,
@@ -89,10 +90,12 @@ class DecodeSegmentPostings:
         block_size: int,
         tombstones_ref=None,
         slab_terms: int = _SLAB_TERMS,
+        wire: str = "raw",
     ):
         self.P = num_partitions
         self.block_size = block_size
         self.slab_terms = slab_terms
+        self.wire = wire
         if tombstones_ref is None:
             self.tomb = {}
         elif isinstance(tombstones_ref, dict):
@@ -163,11 +166,13 @@ class DecodeSegmentPostings:
                     kh = _key_hash([f + FIELD_SEP + DOC_SENTINEL])[0]
                     with np.errstate(over="ignore"):
                         part = int((kh + salt) % np.uint64(self.P))
-                    sd = np.ascontiguousarray(docs[lo:hi] + base, "<i8")
-                    sl = np.ascontiguousarray(lens[lo:hi], "<i4")
+                    sd = np.ascontiguousarray(docs[lo:hi] + base, np.int64)
+                    sl = np.ascontiguousarray(lens[lo:hi], np.int64)
+                    one = (np.array([0], np.int64), np.array([hi - lo], np.int64))
                     emit(
                         f, part, int(sd[0]), hi - lo, int(lens[lo:hi].sum()),
-                        sd.tobytes(), sl.tobytes(),
+                        pack_docs(sd, *one, self.wire)[0].as_py(),
+                        pack_vals(sl, *one, self.wire)[0].as_py(),
                     )
         if not rows["key"]:
             return None
@@ -253,8 +258,6 @@ class DecodeSegmentPostings:
             tp_starts = np.concatenate(([0], np.cumsum(tp_counts[:-1])))
             pos_u8 = np.ascontiguousarray(flat_pos, "<i4").view(np.uint8)
 
-        d_u8 = np.ascontiguousarray(docs + base, "<i8").view(np.uint8)
-        tf_u8 = np.ascontiguousarray(tfs, "<i4").view(np.uint8)
         nrm_u8 = np.ascontiguousarray(norms, np.uint8)
         sum_tf = (
             np.add.reduceat(tfs.astype(np.int64), term_starts)
@@ -289,11 +292,9 @@ class DecodeSegmentPostings:
                     "min_doc": pa.array(d64[term_starts[sel]], pa.int64()),
                     "n": pa.array(lens[sel], pa.int64()),
                     "sum_tf": pa.array(sum_tf[sel], pa.int64()),
-                    "docs": _packed_binary(
-                        d_u8[s0 * 8 : s1 * 8], rel * 8, rel_end * 8
-                    ),
-                    "tfs": _packed_binary(
-                        tf_u8[s0 * 4 : s1 * 4], rel * 4, rel_end * 4
+                    "docs": pack_docs(d64[s0:s1], rel, rel_end, self.wire),
+                    "tfs": pack_vals(
+                        tfs[s0:s1], rel, rel_end, self.wire
                     ),
                     "norms": _packed_binary(nrm_u8[s0:s1], rel, rel_end),
                     "pos": pos_cells,
@@ -302,13 +303,13 @@ class DecodeSegmentPostings:
 
 
 def _decode_segments_task(batch: pa.Table, *, num_partitions, block_size,
-                          tombstones_ref=None):
+                          tombstones_ref=None, wire="raw"):
     """Plain-task wrapper around DecodeSegmentPostings: segment decode
     holds no per-actor state worth amortizing (the tombstone dict is a
     plasma-local ray.get), and a TASK pool avoids paying an actor-pool
     spin-up for what is typically a handful of one-segment tasks."""
     yield from DecodeSegmentPostings(
-        num_partitions, block_size, tombstones_ref
+        num_partitions, block_size, tombstones_ref, wire=wire
     )(batch)
 
 
@@ -321,6 +322,7 @@ def _run_merge_pipeline(
     resume: bool,
     tombstones: dict[str, np.ndarray] | None,
     codec: str = "varint-block",
+    wire: str = "raw",
 ) -> list[SegmentMeta]:
     """Shared decode -> shuffle -> encode pipeline; returns new segments."""
     tomb_ref = ray.put(tombstones) if tombstones else None
@@ -333,13 +335,15 @@ def _run_merge_pipeline(
                     num_partitions=num_partitions,
                     block_size=block_size,
                     tombstones_ref=tomb_ref,
+                    wire=wire,
                 ),
                 batch_format="pyarrow",
                 batch_size=1,
             )
             .groupby("part", num_partitions=num_partitions)
             .map_groups(
-                EncodeGroup(out_dir, sig, block_size, resume, runs=True, codec=codec),
+                EncodeGroup(out_dir, sig, block_size, resume, runs=True,
+                            codec=codec, wire=wire),
                 batch_format="pyarrow",
             )
         )
@@ -357,6 +361,7 @@ def merge_indexes(
     num_partitions: int = 16,
     resume: bool = True,
     purge_tombstones: bool = True,
+    wire: str = "raw",
 ) -> Manifest:
     """Merge several indexes into one, remapping doc ids by per-source
     bases (callers guarantee disjoint resulting id ranges). Every source
@@ -404,7 +409,7 @@ def merge_indexes(
 
     segs = _run_merge_pipeline(
         items, out_dir, sig, num_partitions, block_size, resume, tombstones,
-        codec=codec,
+        codec=codec, wire=wire,
     )
     version = 0
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
@@ -426,10 +431,14 @@ def merge_indexes(
     return manifest
 
 
-def compact_index(index_dir: str, out_dir: str, num_partitions: int) -> Manifest:
+def compact_index(
+    index_dir: str, out_dir: str, num_partitions: int, *, wire: str = "raw"
+) -> Manifest:
     """Re-shard an index into ``num_partitions`` segments (full rewrite:
     fewer, larger, still term-sharded segments; tombstones purged)."""
-    return merge_indexes([(index_dir, 0)], out_dir, num_partitions=num_partitions)
+    return merge_indexes(
+        [(index_dir, 0)], out_dir, num_partitions=num_partitions, wire=wire
+    )
 
 
 def merge_segments_inplace(

@@ -42,6 +42,7 @@ from fdblucene_ray.codec.postings import (
     read_skips,
 )
 from fdblucene_ray.index.manifest import SegmentMeta
+from fdblucene_ray.index.wire import unpack_docs, unpack_vals
 
 # reserved term for per-doc stat rows; real tokens match [0-9a-z_]+ and
 # keyword values containing '\x00'/'\x1f' are rejected at build
@@ -192,6 +193,7 @@ def write_segment_runs(
     runs: pa.Table,
     block_size: int = BLOCK_SIZE,
     codec: str = "varint-block",
+    wire: str = "raw",
 ) -> SegmentMeta:
     """Encode one shuffle partition of RUN rows into a segment.
 
@@ -230,9 +232,17 @@ def write_segment_runs(
             zero_copy_only=False
         )
         if cell_bytes.sum() > 0:
-            dl_docs = _concat_binary(sent["docs"]).view("<i8")
-            dl_lens = _concat_binary(sent["tfs"]).view("<i4")
-            n_per = (cell_bytes // 8).astype(np.int64)
+            # wire cells (index/wire.py, format per the build's ``wire``
+            # knob); legacy aggregate-only sentinel rows: empty cells, n=0
+            n_col = sent["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_per = np.where(cell_bytes > 0, n_col, 0)
+            dl_docs = unpack_docs(
+                _concat_binary(sent["docs"]), n_per,
+                sent["min_doc"].to_numpy(zero_copy_only=False), wire,
+            )
+            dl_lens = unpack_vals(
+                _concat_binary(sent["tfs"]), int(n_per.sum()), wire
+            ).astype(np.int64)
             fields_rep = sfield.take(
                 pa.array(np.repeat(np.arange(sent.num_rows), n_per))
             )
@@ -252,12 +262,25 @@ def write_segment_runs(
     if isinstance(key_arr, pa.ChunkedArray):
         key_arr = key_arr.combine_chunks()
 
-    doc_ids = _concat_binary(posts["docs"]).view("<i8") if posts.num_rows else np.empty(0, np.int64)
-    tfs = _concat_binary(posts["tfs"]).view("<i4") if posts.num_rows else np.empty(0, np.int32)
+    n_per_run = posts["n"].to_numpy(zero_copy_only=False).astype(np.int64) if posts.num_rows else np.empty(0, np.int64)
+    doc_ids = (
+        unpack_docs(
+            _concat_binary(posts["docs"]), n_per_run,
+            posts["min_doc"].to_numpy(zero_copy_only=False), wire,
+        )
+        if posts.num_rows
+        else np.empty(0, np.int64)
+    )
+    tfs = (
+        unpack_vals(
+            _concat_binary(posts["tfs"]), int(n_per_run.sum()), wire
+        ).astype(np.int32)
+        if posts.num_rows
+        else np.empty(0, np.int32)
+    )
     norms = (
         _concat_binary(posts["norms"]).copy() if posts.num_rows else np.empty(0, np.uint8)
     )
-    n_per_run = posts["n"].to_numpy(zero_copy_only=False) if posts.num_rows else np.empty(0, np.int64)
     run_offsets = np.concatenate(([0], np.cumsum(n_per_run))).astype(np.int64)
 
     # optional per-run position payloads: a run either packs 4*sum(tf)

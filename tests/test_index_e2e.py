@@ -211,3 +211,46 @@ def test_keyword_reserved_bytes_rejected(tmp_path, ray_session):
             fields={"tag": {"column": "tag", "analyzer": "keyword"}},
             num_partitions=2,
         )
+
+
+class TestWireFormats:
+    def test_varint_wire_builds_identical_index(self, ray_session, tmp_path, sf_dir):
+        """wire='varint' (the cross-node exchange format) must produce an
+        index identical to wire='raw': same stats, same postings, same
+        top-k with equal scores."""
+        import os
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.search import Searcher
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        fields = {"text": {"column": "text", "analyzer": "simple", "positions": True}}
+        a = str(tmp_path / "raw")
+        b = str(tmp_path / "varint")
+        build_index(src, a, fields=fields, num_partitions=4, wire="raw")
+        build_index(src, b, fields=fields, num_partitions=4, wire="varint")
+        sa, sb = Searcher(a), Searcher(b)
+        assert sa.field_stats("text") == sb.field_stats("text")
+        for q in ["data", "merge", "window"]:
+            assert sa.term_stats("text", q) == sb.term_stats("text", q)
+            assert sa.search(q, 10) == sb.search(q, 10)
+        assert sa.search_phrase("data merge", 10) == sb.search_phrase("data merge", 10)
+        assert sa.search_boolean(must=["data"], should=["merge"], must_not=["window"], k=10) == \
+            sb.search_boolean(must=["data"], should=["merge"], must_not=["window"], k=10)
+
+    def test_varint_wire_merge_roundtrip(self, ray_session, tmp_path, sf_dir):
+        import os
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.merge import compact_index
+        from fdblucene_ray.index.search import Searcher
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        ix = str(tmp_path / "ix")
+        out = str(tmp_path / "ix_compacted")
+        build_index(src, ix, fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=4, wire="varint")
+        before = Searcher(ix).search("data", 10)
+        compact_index(ix, out, 2, wire="varint")
+        after = Searcher(out).search("data", 10)
+        assert before == after
