@@ -91,6 +91,46 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Parsed-query surface (QueryParser analog incl. boosts,
+    phrases, multi-term and field: overrides)."""
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    hits = s.query(args.query, args.k, default_field=args.field)
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
+def cmd_facets(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    for value, count in s.facet_counts(
+        args.query, args.facet_field, field=args.field, mode=args.mode,
+        min_count=args.min_count,
+    ):
+        print(json.dumps({"value": value, "count": count}))
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    hits = s.more_like_this(
+        args.doc_id, args.k, field=args.field, source=args.source,
+        max_query_terms=args.max_terms,
+    )
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.merge import merge_indexes
@@ -203,6 +243,31 @@ def main(argv=None) -> int:
     s.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     s.add_argument("--phrase", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("query", help="parsed query (boosts, phrases, field:)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--field", default="text")
+    q.add_argument("--k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    fc = sub.add_parser("facets", help="facet counts over a keyword field")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--facet-field", required=True)
+    fc.add_argument("--field", default="text")
+    fc.add_argument("--mode", default="or", choices=["or", "and"])
+    fc.add_argument("--min-count", type=int, default=1)
+    fc.set_defaults(fn=cmd_facets)
+
+    ml = sub.add_parser("mlt", help="MoreLikeThis: similar docs to --doc-id")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    ml.add_argument("--source", default=None, help="input parquet for doc text")
+    ml.add_argument("--field", default="text")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=10, dest="max_terms")
+    ml.set_defaults(fn=cmd_mlt)
 
     m = sub.add_parser("merge", help="merge indexes (addIndexes analog)")
     m.add_argument("--source", action="append", required=True,
