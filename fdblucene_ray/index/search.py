@@ -451,6 +451,41 @@ class Searcher:
         candidates.sort(key=lambda x: (-x[1], x[0]))
         return candidates[:k]
 
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, int],
+        k: int = 10,
+        *,
+        field: str = "text",
+        operator: str = "or",
+        mode: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """IndexSearcher.searchAfter analog: the next ``k`` hits STRICTLY
+        after the hit ``after = (doc_id, score)`` (the same tuple shape
+        every search returns — pass the last hit of the previous page)
+        in (score desc, doc asc) order. Implemented by growing the
+        internal top-K until k hits beyond the key are collected (deep
+        pages cost more, as in Lucene); score comparison is exact (both
+        pages are computed by the same deterministic scorer)."""
+        a_d, a_s = int(after[0]), float(after[1])
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        K = max(2 * k, 20)
+        while True:
+            top = self.search_terms(
+                terms, K, field=field, operator=operator, mode=mode
+            )
+            past = [
+                (d, s)
+                for d, s in top
+                if s < a_s or (s == a_s and d > a_d)
+            ]
+            if len(past) >= k or len(top) < K:
+                return past[:k]
+            K *= 2
+
     def search_boolean(
         self,
         must: list[str] | None = None,

@@ -334,6 +334,15 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_page2(sf_dir: str) -> pa.Table:
+    """searchAfter pagination: the second page of 10 for 'data merge'
+    (after = last hit of page 1). SQL twin uses OFFSET."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    page1 = s.search("data merge", 10)
+    hits = s.search_after("data merge", page1[-1], 10)
+    return _hits_table(hits)
+
+
 def q_ft_mlt(sf_dir: str) -> pa.Table:
     """MoreLikeThis: doc 0's top-5 tf*idf terms -> BM25 disjunction,
     source doc excluded."""
@@ -933,6 +942,7 @@ def queries() -> dict:
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
         "ft_mlt": q_ft_mlt,
+        "ft_page2": q_ft_page2,
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
@@ -998,6 +1008,9 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        "ft_page2": _bm25_sql(["data", "merge"]).replace(
+            "LIMIT 10", "LIMIT 10 OFFSET 10"
+        ),
         "ft_mlt": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 dtf AS (SELECT tok, count(*)::DOUBLE AS f FROM toks WHERE doc_id = 0 GROUP BY tok),

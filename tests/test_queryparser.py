@@ -186,3 +186,28 @@ class TestMoreLikeThis:
         terms = [t for _, t in ranked[:3]]
         exp = [(d, sc) for d, sc in s.search_terms(terms, 11) if d != 0][:10]
         assert got == exp
+
+
+class TestSearchAfter:
+    def test_pages_tile_the_full_ranking(self, built):
+        s = Searcher(built)
+        full = s.search("data merge", 100)
+        pages, after = [], None
+        while True:
+            page = (
+                s.search("data merge", 2)
+                if after is None
+                else s.search_after("data merge", after, 2)
+            )
+            if not page:
+                break
+            pages.extend(page)
+            after = page[-1]
+        assert pages == full
+
+    def test_after_mid_tie_breaks_on_doc(self, built):
+        s = Searcher(built)
+        full = s.search("data", 100)
+        for i in range(len(full) - 1):
+            nxt = s.search_after("data", full[i], 1)
+            assert nxt and nxt[0] == full[i + 1], i
