@@ -131,6 +131,14 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    print(json.dumps(Searcher(args.index).index_stats(), indent=2))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.merge import merge_indexes
@@ -268,6 +276,10 @@ def main(argv=None) -> int:
     ml.add_argument("--k", type=int, default=10)
     ml.add_argument("--max-terms", type=int, default=10, dest="max_terms")
     ml.set_defaults(fn=cmd_mlt)
+
+    st_ = sub.add_parser("stats", help="index diagnostics (CheckIndex-lite)")
+    st_.add_argument("--index", required=True)
+    st_.set_defaults(fn=cmd_stats)
 
     m = sub.add_parser("merge", help="merge indexes (addIndexes analog)")
     m.add_argument("--source", action="append", required=True,

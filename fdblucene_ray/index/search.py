@@ -451,6 +451,51 @@ class Searcher:
         candidates.sort(key=lambda x: (-x[1], x[0]))
         return candidates[:k]
 
+    def index_stats(self) -> dict:
+        """Index-level diagnostics (CheckIndex-lite): per-segment and
+        total term/posting counts, live vs tombstoned docs, on-disk
+        bytes. Reads only manifest metadata + file sizes — no postings
+        are decoded."""
+        import os as _os
+
+        segs = []
+        total_bytes = 0
+        for m in self.manifest.segments:
+            seg_dir = _os.path.join(self.index_dir, "segments", m.name)
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(seg_dir, f))
+                for f in _os.listdir(seg_dir)
+                if _os.path.isfile(_os.path.join(seg_dir, f))
+            ) if _os.path.isdir(seg_dir) else 0
+            total_bytes += nbytes
+            segs.append(
+                {
+                    "name": m.name,
+                    "n_terms": m.n_terms,
+                    "n_postings": m.n_postings,
+                    "doc_id_min": m.doc_id_min,
+                    "doc_id_max": m.doc_id_max,
+                    "bytes": nbytes,
+                }
+            )
+        fields = {}
+        for f in self.manifest.analyzers:
+            dc, sttf, avgdl = self.field_stats(f)
+            fields[f] = {"doc_count": dc, "sum_dl": sttf, "avgdl": avgdl}
+        n_tomb = int(len(self.tombstones))
+        return {
+            "version": self.manifest.version,
+            "codec": self.manifest.codec,
+            "block_size": self.manifest.block_size,
+            "n_segments": len(segs),
+            "n_terms": sum(s["n_terms"] for s in segs),
+            "n_postings": sum(s["n_postings"] for s in segs),
+            "n_tombstones": n_tomb,
+            "bytes": total_bytes,
+            "fields": fields,
+            "segments": segs,
+        }
+
     def search_after(
         self,
         query: str,
