@@ -1,0 +1,257 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, PII scrubbing, and deterministic (plain + stratified)
+sampling.
+
+These extend the reference's surface the same way `ops/webtext.py` does
+— the reference engine (cloudant-labs/fdblucene, a Lucene storage
+adapter) has no curation layer, but a web-scale corpus pipeline needs
+one next to the index build. All stages are vectorized ``map_batches``
+over zero-copy Arrow batches; each op has a `queries()` entry and a
+DuckDB oracle in `pipelines/queries.py`.
+
+Scale notes (100 TB):
+
+- `decontaminate` broadcasts the benchmark's n-gram hash set ONCE via
+  ``ray.put`` (eval suites are MBs — tiny next to the corpus) and
+  streams the corpus through a membership probe; nothing shuffles and
+  the corpus text never leaves its block. This is the standard
+  "13-gram overlap" decontamination shape (GPT-3 appendix C / Gopher
+  §A.2.2 style), with the n-gram set deduplicated before broadcast.
+- `scrub_pii` is pure per-batch RE2 (pyarrow `replace_substring_regex`)
+  — embarrassingly parallel, no state, no shuffle.
+- `sample_hash` filters on a multiplicative hash of the id column: no
+  RNG state, no coordination, resumable and deterministic across
+  retries/cluster sizes (the property `random_sample()` can't give).
+- `sample_stratified` takes the per-group n smallest hash values via a
+  per-batch partial top-n (map-side combine) followed by a groupby over
+  the ~|groups| surviving rows — the exchange carries at most
+  n_per_group × n_partitions rows, not the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from fdblucene_ray.analysis.analyzer import BatchTokenizer
+from fdblucene_ray.ops.hashing import combine, hash_strings
+
+_SEED = np.uint64(0x243F6A8885A308D3)  # pi fractional bits, fixed seed
+
+# Knuth multiplicative hash — chosen (over splitmix64) because the SQL
+# oracle must compute the identical value in DuckDB BIGINT arithmetic:
+# (id * 2654435761) % 2^32 stays within int64 for any int32-ish doc_id.
+_KNUTH = 2654435761
+_MOD32 = 1 << 32
+
+
+def knuth_hash32(ids: np.ndarray) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 — exactly `(doc_id * 2654435761) %
+    4294967296` in DuckDB. int64-safe for ids < 2^32."""
+    return (ids.astype(np.int64) * _KNUTH) % _MOD32
+
+
+# ------------------------------------------------------------------ ngrams
+
+
+def _ngram_hashes(row_idx: np.ndarray, tok_hashes: np.ndarray, n: int):
+    """(anchor_row, gram_hash) for every length-``n`` token window that
+    stays within one row. Vectorized: n shifted combines, then a mask
+    keeping windows whose first and last token share a row."""
+    total = len(tok_hashes)
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    m = total - n + 1
+    h = np.full(m, _SEED, np.uint64)
+    for j in range(n):
+        h = combine(h, tok_hashes[j : j + m])
+    ok = row_idx[: m] == row_idx[n - 1 :]
+    return row_idx[:m][ok], h[ok]
+
+
+class NgramContamination:
+    """Per-batch benchmark-overlap counter. The benchmark n-gram hash
+    set is broadcast once (``ray.put``) and shared zero-copy by every
+    actor; each batch does one sorted-membership probe (searchsorted).
+    """
+
+    def __init__(self, bench_ref, n: int, text_col="text", id_col="doc_id",
+                 analyzer: str = "simple"):
+        self.bench = np.asarray(ray.get(bench_ref))  # sorted uint64
+        self.n = n
+        self.text_col, self.id_col = text_col, id_col
+        self.tokenizer = BatchTokenizer(analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = len(batch)
+        row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
+        anchor, grams = _ngram_hashes(row_idx, hash_strings(flat), self.n)
+        n_grams = np.bincount(anchor, minlength=nrows).astype(np.int64)
+        if len(grams) and len(self.bench):
+            pos = np.searchsorted(self.bench, grams)
+            pos[pos == len(self.bench)] = 0
+            hit = self.bench[pos] == grams
+            n_hits = np.bincount(anchor[hit], minlength=nrows).astype(np.int64)
+        else:
+            n_hits = np.zeros(nrows, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_grams": pa.array(n_grams),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+            }
+        )
+
+
+def benchmark_ngram_set(texts, n: int, analyzer: str = "simple") -> np.ndarray:
+    """Sorted unique n-gram hash array of a (small) benchmark text
+    collection — build once on the driver, ``ray.put`` the result."""
+    tok = BatchTokenizer(analyzer)
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        list(texts), pa.string()
+    )
+    row_idx, flat = tok.flat_tokens(arr)
+    _, grams = _ngram_hashes(row_idx, hash_strings(flat), n)
+    return np.unique(grams)
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_texts,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> ray.data.Dataset:
+    """Flag corpus docs sharing any ``n``-gram with the benchmark set
+    (train/eval overlap decontamination). Returns one row per corpus doc:
+    (doc_id, n_grams, n_hits, contaminated)."""
+    bench_ref = ray.put(benchmark_ngram_set(benchmark_texts, n, analyzer))
+    return ds.map_batches(
+        NgramContamination,
+        fn_constructor_kwargs=dict(
+            bench_ref=bench_ref, n=n, text_col=text_col, id_col=id_col,
+            analyzer=analyzer,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+# ------------------------------------------------------------------ PII
+
+# RE2-compatible patterns (pyarrow and DuckDB both use RE2, so the SQL
+# oracle runs the *same* engine on the same pattern strings).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-\. ]{7,}\d", "<PHONE>"),
+)
+
+
+def _scrub_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    counts = {}
+    # replacement order is part of the contract (oracle chains identically):
+    # email first (contains dots/digits), then IP, then phone.
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = pc.count_substring_regex(text, pat)
+        text = pc.replace_substring_regex(text, pat, repl)
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "text": text,
+            **{
+                f"n_{name}": counts[name].cast(pa.int64())
+                for name, _, _ in PII_PATTERNS
+            },
+        }
+    )
+
+
+def scrub_pii(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Mask emails / IPv4s / phone-like numbers with typed placeholder
+    tokens; emits per-doc match counts alongside the scrubbed text."""
+    return ds.map_batches(
+        _scrub_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def sample_hash(
+    ds: ray.data.Dataset,
+    rate: float,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic ``rate``-fraction sample: keep rows whose Knuth
+    multiplicative hash of ``id_col`` falls below rate × 2^32. Unlike
+    ``ds.random_sample`` this is reproducible across runs, retries and
+    cluster sizes, and composable (a 10% sample of a 50% sample with
+    different multipliers stays unbiased)."""
+    threshold = int(rate * _MOD32)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(knuth_hash32(ids) < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_stratified(
+    ds: ray.data.Dataset,
+    group_col: str,
+    n_per_group: int,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group deterministic top-``n``: within each ``group_col``
+    value keep the n rows with the smallest (knuth_hash(id), id). Equals
+    SQL ``row_number() OVER (PARTITION BY g ORDER BY h, id) <= n``.
+
+    Shape: a per-batch partial top-n (map-side combine) cuts each block
+    to ≤ n×|groups| candidate rows BEFORE the groupby exchange, so the
+    shuffle moves candidates only, never the corpus."""
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = knuth_hash32(ids)
+        batch = batch.append_column("_h", pa.array(h))
+        out = []
+        # few groups (langs/sources); per-group argpartition, not a row loop
+        groups = pc.unique(batch[group_col])
+        for g in groups:
+            sub = batch.filter(pc.equal(batch[group_col], g))
+            if sub.num_rows > n_per_group:
+                sh = sub["_h"].to_numpy(zero_copy_only=False)
+                sid = sub[id_col].to_numpy(zero_copy_only=False)
+                order = np.lexsort((sid, sh))[:n_per_group]
+                sub = sub.take(pa.array(np.sort(order)))
+            out.append(sub)
+        return pa.concat_tables(out) if out else batch.slice(0, 0)
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("_h", "ascending"), (id_col, "ascending")])
+        return g.slice(0, n_per_group).drop_columns(["_h"])
+
+    candidates = ds.map_batches(
+        partial_topn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return candidates.groupby(group_col).map_groups(
+        final_topn, batch_format="pyarrow"
+    )

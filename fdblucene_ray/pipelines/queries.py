@@ -915,6 +915,66 @@ def q_normalize_text(sf_dir: str) -> pa.Table:
     return _collect(normalize_text(_docs_ds(sf_dir, ["doc_id", "text"])))
 
 
+def q_decontam(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: docs with doc_id % 100 == 7 play the
+    role of a leaked eval set; every other doc is checked for shared
+    trigrams (GPT-3 appendix-C n-gram-overlap shape; the driver query
+    uses n=3 so the DuckDB twin is a two-join trigram build)."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.curation import decontaminate
+
+    def _mod_filter(want: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 100) == 7
+            return batch.filter(pa.array(m if want else ~m))
+
+        return f
+
+    bench = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_mod_filter(True), batch_format="pyarrow")
+        .to_pandas()["text"]
+    )
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(False), batch_format="pyarrow"
+    )
+    out = _collect(decontaminate(ds, list(bench), n=3))
+    return out.sort_by("doc_id")
+
+
+def q_pii_scrub(sf_dir: str) -> pa.Table:
+    """PII masking (email/IPv4/phone) with per-doc match counts; both
+    sides run the same RE2 patterns (pyarrow and DuckDB share the RE2
+    engine), so the scrubbed text is compared byte-identically."""
+    from fdblucene_ray.ops.curation import scrub_pii
+
+    return _collect(
+        scrub_pii(_docs_ds(sf_dir, ["doc_id", "text"]))
+    ).sort_by("doc_id")
+
+
+def q_sample_hash(sf_dir: str) -> pa.Table:
+    """Deterministic 10% sample on knuth_hash32(doc_id) — reproducible
+    across runs/retries/cluster sizes (vs random_sample)."""
+    from fdblucene_ray.ops.curation import sample_hash
+
+    out = sample_hash(_docs_ds(sf_dir, ["doc_id", "lang", "source"]), 0.1)
+    return _collect(out).sort_by("doc_id")
+
+
+def q_sample_stratified(sf_dir: str) -> pa.Table:
+    """Per-language deterministic top-20 sample (partial top-n combine
+    before the groupby exchange)."""
+    from fdblucene_ray.ops.curation import sample_stratified
+
+    out = sample_stratified(
+        _docs_ds(sf_dir, ["doc_id", "lang"]), "lang", 20
+    )
+    return _collect(out).sort_by("doc_id")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -975,6 +1035,10 @@ def queries() -> dict:
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
         "bpe_pairs": q_bpe_pairs,
+        "decontam": q_decontam,
+        "pii_scrub": q_pii_scrub,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1492,5 +1556,61 @@ SELECT doc_id,
        length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT
          AS n_chars_norm
 FROM documents ORDER BY doc_id
+""",
+        "decontam": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+tg AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 100 = 7),
+corpus AS (SELECT doc_id, len(l) AS dl FROM lists WHERE doc_id % 100 <> 7),
+hits AS (
+  SELECT tg.doc_id, count(*)::BIGINT AS n_hits
+  FROM tg WHERE tg.doc_id % 100 <> 7 AND tg.g IN (SELECT g FROM bench)
+  GROUP BY tg.doc_id)
+SELECT c.doc_id,
+       greatest(c.dl - 2, 0)::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+ORDER BY c.doc_id
+""",
+        "pii_scrub": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '\+\d[\d\-\. ]{7,}\d'))::BIGINT AS n_phone,
+         regexp_replace(t2, '\+\d[\d\-\. ]{7,}\d', '<PHONE>', 'g') AS text
+  FROM s2)
+SELECT doc_id, text, n_email, n_ip, n_phone FROM s3 ORDER BY doc_id
+""",
+        "sample_hash": """
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+ORDER BY doc_id
+""",
+        "sample_stratified": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20 ORDER BY doc_id
 """,
     }

@@ -1,0 +1,163 @@
+"""Curation ops: decontamination, PII scrubbing, deterministic sampling.
+
+Planted-data oracles (pure-Python recomputation) — the SQL twins run in
+the driver gate via scripts/check_oracle.py / CORRECTNESS_r{N}.json.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.ops.curation import (
+    benchmark_ngram_set,
+    decontaminate,
+    knuth_hash32,
+    sample_hash,
+    sample_stratified,
+    scrub_pii,
+)
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def _by_id(tbl):
+    t = tbl.sort_by("doc_id")
+    return {r["doc_id"]: r for r in t.to_pylist()}
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self):
+        bench = ["the quick brown fox jumps over the lazy dog"]
+        corpus = [
+            "totally unrelated text with no shared windows here at all",
+            "watch the quick brown fox jumps in this leaked eval sentence",
+            "quick brown strangers never form the full window",
+        ]
+        out = _by_id(
+            decontaminate(_docs(corpus), bench, n=4)
+            .to_pandas()
+            .pipe(pa.Table.from_pandas, preserve_index=False)
+        )
+        assert out[0]["n_hits"] == 0 and out[0]["contaminated"] == 0
+        # doc 1 contains "the quick brown fox jumps" -> 2 distinct 4-gram windows
+        assert out[1]["n_hits"] == 2 and out[1]["contaminated"] == 1
+        assert out[2]["n_hits"] == 0
+
+    def test_window_never_crosses_docs(self):
+        # last 2 tokens of doc0 + first 2 of doc1 form a benchmark 4-gram;
+        # neither doc alone contains it
+        bench = ["alpha beta gamma delta"]
+        corpus = ["xx yy alpha beta", "gamma delta zz ww"]
+        out = _by_id(
+            pa.Table.from_pandas(
+                decontaminate(_docs(corpus), bench, n=4).to_pandas(),
+                preserve_index=False,
+            )
+        )
+        assert out[0]["n_hits"] == 0 and out[1]["n_hits"] == 0
+
+    def test_ngram_counts(self):
+        out = _by_id(
+            pa.Table.from_pandas(
+                decontaminate(_docs(["one two three four five", "a b"]), ["zz"], n=3)
+                .to_pandas(),
+                preserve_index=False,
+            )
+        )
+        assert out[0]["n_grams"] == 3  # 5 tokens -> 3 trigrams
+        assert out[1]["n_grams"] == 0  # shorter than the window
+
+    def test_benchmark_set_dedup(self):
+        s = benchmark_ngram_set(["a b c a b c a b c"], 3)
+        assert len(s) == len(np.unique(s))
+        assert len(s) == 3  # abc, bca, cab
+
+
+class TestScrubPii:
+    def test_planted_pii(self):
+        texts = [
+            "mail me at jane.doe+spam@example.co.uk or call +1 555 123 4567",
+            "server at 10.0.0.1 and 192.168.1.255 responded",
+            "nothing sensitive here",
+        ]
+        out = _by_id(
+            pa.Table.from_pandas(
+                scrub_pii(_docs(texts)).to_pandas(), preserve_index=False
+            )
+        )
+        assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+        assert "<EMAIL>" in out[0]["text"] and "<PHONE>" in out[0]["text"]
+        assert "jane.doe" not in out[0]["text"]
+        assert out[1]["n_ip"] == 2 and out[1]["text"].count("<IP>") == 2
+        assert out[2]["text"] == "nothing sensitive here"
+        assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+
+    def test_ip_not_double_counted_as_phone(self):
+        out = _by_id(
+            pa.Table.from_pandas(
+                scrub_pii(_docs(["ping 8.8.8.8 now"])).to_pandas(),
+                preserve_index=False,
+            )
+        )
+        assert out[0]["n_ip"] == 1 and out[0]["n_phone"] == 0
+
+
+class TestSampling:
+    def _ids_ds(self, n=2000):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(n)]),
+                }
+            )
+        )
+
+    def test_hash_sample_deterministic_and_exact(self):
+        ds = self._ids_ds()
+        a = sorted(sample_hash(ds, 0.2).to_pandas()["doc_id"])
+        b = sorted(sample_hash(self._ids_ds(), 0.2).to_pandas()["doc_id"])
+        assert a == b
+        expect = [
+            i for i in range(2000) if knuth_hash32(np.array([i]))[0] < 0.2 * 2**32
+        ]
+        assert a == expect
+        assert 0.1 < len(a) / 2000 < 0.3
+
+    def test_hash_sample_nested(self):
+        # a sample at a lower rate is a subset of one at a higher rate
+        hi = set(sample_hash(self._ids_ds(), 0.3).to_pandas()["doc_id"])
+        lo = set(sample_hash(self._ids_ds(), 0.1).to_pandas()["doc_id"])
+        assert lo <= hi
+
+    def test_stratified_matches_bruteforce(self):
+        ds = self._ids_ds(500)
+        got = (
+            sample_stratified(ds, "lang", 15)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(500),
+                "lang": [("en", "de", "fr")[i % 3] for i in range(500)],
+            }
+        )
+        df["h"] = knuth_hash32(df["doc_id"].to_numpy())
+        expect = (
+            df.sort_values(["h", "doc_id"])
+            .groupby("lang")
+            .head(15)
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "lang"]]
+        )
+        assert list(got["doc_id"]) == list(expect["doc_id"])
+        assert set(got.groupby("lang").size()) == {15}
