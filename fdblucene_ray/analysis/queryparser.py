@@ -10,6 +10,8 @@ Grammar (a practical subset):
 - ``+`` = MUST, ``-`` = MUST_NOT, bare = SHOULD (BooleanQuery occurs);
 - ``FIELD:`` overrides the default field for that clause;
 - quoted text parses as a PhraseQuery on the clause's field;
+  ``"a b"~2`` sets the phrase slop (SloppyPhraseQuery analog);
+- ``/pattern/`` = RegexpQuery (whole-term anchored);
 - multi-term clauses: ``pre*`` = PrefixQuery, ``w?ld*card`` =
   WildcardQuery, ``term~`` / ``term~1`` = FuzzyQuery (default 2 edits)
   — lowercased but NOT analyzed, matching Lucene's expanded-term
@@ -30,7 +32,8 @@ from dataclasses import dataclass, field
 
 _CLAUSE_RE = re.compile(
     r'\s*(?P<occur>[+-]?)\s*(?:(?P<field>[A-Za-z_][\w]*):)?'
-    r'(?:"(?P<phrase>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?|(?P<word>[^\s"]+))'
+    r'(?:"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?'
+    r'|(?P<word>[^\s"]+))'
 )
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 
@@ -41,7 +44,8 @@ class ParsedQuery:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
-    # (occur, field, phrase_text, boost) for quoted clauses
+    # (occur, field, phrase_text, slop, boost) for quoted clauses
+    # (``"a b"~2^1.5`` — Lucene slop-then-boost order; slop 0 = exact)
     phrases: list = field(default_factory=list)
     # (occur, field, kind, payload, boost): kind "prefix"|"wildcard"
     # with the pattern payload, or "fuzzy" with (term, max_edits)
@@ -61,7 +65,8 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
         if m.group("phrase") is not None:
             out.phrases.append(
                 ("must_not" if occur == "-" else "must" if occur == "+" else "should",
-                 f, m.group("phrase"), float(m.group("pboost") or 1.0))
+                 f, m.group("phrase"), int(m.group("slop") or 0),
+                 float(m.group("pboost") or 1.0))
             )
         else:
             w = m.group("word")
@@ -73,7 +78,11 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
             if bm and bm.group(1):
                 w, boost = bm.group(1), float(bm.group(2))
             fz = re.fullmatch(r"([^*?~]+)~(\d)?", w)
-            if "*" in w or "?" in w:
+            if len(w) >= 3 and w.startswith("/") and w.endswith("/"):
+                # /regex/ = RegexpQuery (Lucene slash syntax); matches
+                # whole terms, lowercased like the other expanded kinds
+                out.multiterm.append((oname, f, "regexp", w[1:-1].lower(), boost))
+            elif "*" in w or "?" in w:
                 wl = w.lower()
                 if wl.endswith("*") and wl.count("*") == 1 and "?" not in wl:
                     out.multiterm.append((oname, f, "prefix", wl[:-1], boost))

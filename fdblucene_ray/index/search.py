@@ -721,15 +721,27 @@ class Searcher:
         return [(int(cand[i]), float(total[i])) for i in sel]
 
     def search_phrase(
-        self, phrase: str, k: int = 10, *, field: str = "text"
+        self, phrase: str, k: int = 10, *, field: str = "text", slop: int = 0
     ) -> list[tuple[int, float]]:
-        """Exact phrase top-k (PhraseQuery analog; positions must have
+        """Phrase top-k (PhraseQuery analog; positions must have
         been indexed — DATA.md:54 "pp" family).
 
         Semantics: analyze the phrase (keeping order/duplicates); a doc
         matches when the terms occur at consecutive positions; scored as
         BM25 with tf = phrase frequency and idf = sum of the clause
         idfs (Lucene's PhraseQuery/Similarity treatment).
+
+        ``slop > 0`` = sloppy phrase: clause qi's positions are
+        shifted by its expected offset and an anchor (clause-0
+        position) matches when every other clause has a shifted
+        position within ±slop of it. For TWO-term phrases this equals
+        Lucene's SloppyPhraseQuery match set (|actual gap − expected
+        gap| ≤ slop); for 3+ terms it's a windowed approximation of
+        Lucene's move-count slop (documented deviation — Lucene sums
+        per-term displacement, this bounds each pairwise displacement).
+        tf = number of matching anchors, unweighted (Lucene weights
+        sloppy freq by 1/(1+distance); constant weight keeps the SQL
+        oracle exact).
         """
         terms, offs = self._phrase_terms(phrase, field)
         if not terms:
@@ -746,7 +758,7 @@ class Searcher:
             if df == 0:
                 return []
             idf_sum += bm25_idf(dc, df)
-        matches = self._phrase_matches(terms, field, offs)
+        matches = self._phrase_matches(terms, field, offs, slop)
         hits = [
             (doc, idf_sum * pf / (pf + float(ncache[norm])))
             for doc, pf, norm in matches
@@ -768,7 +780,11 @@ class Searcher:
         return terms, [p - qpos[0] for p in qpos]
 
     def _phrase_matches(
-        self, terms: list[str], field: str, offs: list[int] | None = None
+        self,
+        terms: list[str],
+        field: str,
+        offs: list[int] | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, int, int]]:
         """All (doc_id, phrase_freq, norm_byte) with phrase_freq > 0.
         ``offs[qi]`` is clause qi's relative position offset (default:
@@ -796,10 +812,18 @@ class Searcher:
             base = None
             for qi, u in enumerate(unions):
                 p = u.positions_current() - offs[qi]
-                base = (
-                    p if base is None
-                    else np.intersect1d(base, p, assume_unique=True)
-                )
+                if base is None:
+                    base = p
+                elif slop == 0:
+                    base = np.intersect1d(base, p, assume_unique=True)
+                else:
+                    # keep anchors with a shifted clause position within
+                    # ±slop (p is sorted: nearest via searchsorted)
+                    q = np.sort(p)
+                    ix = np.searchsorted(q, base)
+                    lo = np.abs(q[np.clip(ix - 1, 0, len(q) - 1)] - base)
+                    hi = np.abs(q[np.clip(ix, 0, len(q) - 1)] - base)
+                    base = base[np.minimum(lo, hi) <= slop]
                 if not len(base):
                     return
             out.append((int(doc), int(len(base)), unions[0].norm_current()))
@@ -834,7 +858,7 @@ class Searcher:
         same_field = all(
             f == default_field
             for f, _, _ in (*pq.must, *pq.should, *pq.must_not)
-        ) and all(f == default_field for _, f, _, _ in pq.phrases)
+        ) and all(f == default_field for _, f, *_ in pq.phrases)
         unboosted = all(
             b == 1.0
             for _, _, b in (*pq.must, *pq.should, *pq.must_not)
@@ -871,8 +895,8 @@ class Searcher:
             )
             return dict(hits)
 
-        def phrase_map(f, text):
-            return dict(self.search_phrase(text, 1 << 31, field=f))
+        def phrase_map(f, text, slop=0):
+            return dict(self.search_phrase(text, 1 << 31, field=f, slop=slop))
 
         def multiterm_map(f, kind, payload, boost=1.0):
             """Expanded multi-term clause -> constant-score doc map
@@ -883,6 +907,8 @@ class Searcher:
                 terms = [t for t, _ in self.expand_prefix(f, payload)]
             elif kind == "wildcard":
                 terms = [t for t, _ in self.expand_wildcard(f, payload)]
+            elif kind == "regexp":
+                terms = [t for t, _ in self.expand_regexp(f, payload)]
             else:
                 term, edits = payload
                 terms = [t for t, _, _ in self.expand_fuzzy(f, term, edits)]
@@ -906,8 +932,8 @@ class Searcher:
             m = term_map(f, w)
             if m:
                 not_sets.append(set(m))
-        for occur, f, text, boost in pq.phrases:
-            m = phrase_map(f, text)
+        for occur, f, text, slop, boost in pq.phrases:
+            m = phrase_map(f, text, slop)
             if occur == "must":
                 must_maps.append(_boosted(m, boost))
             elif occur == "should":
@@ -1035,7 +1061,9 @@ class Searcher:
         out = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
         return out[:k]
 
-    def phrase_freqs(self, phrase: str, *, field: str = "text") -> list[tuple[int, int]]:
+    def phrase_freqs(
+        self, phrase: str, *, field: str = "text", slop: int = 0
+    ) -> list[tuple[int, int]]:
         """(doc_id, phrase_freq) for every matching doc, doc_id asc."""
         terms, offs = self._phrase_terms(phrase, field)
         if not terms:
@@ -1052,7 +1080,9 @@ class Searcher:
                 out.extend(zip(d.tolist(), tf.tolist()))
             out.sort()
             return out
-        return sorted((d, pf) for d, pf, _ in self._phrase_matches(terms, field, offs))
+        return sorted(
+            (d, pf) for d, pf, _ in self._phrase_matches(terms, field, offs, slop)
+        )
 
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""
@@ -1125,6 +1155,37 @@ class Searcher:
             )
             + r"\Z"
         )
+        hi = self._prefix_bound(prefix)
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.term_range(field, prefix, hi):
+                if rx.match(t) is None:
+                    continue
+                agg[t] = agg.get(t, 0) + df
+                if len(agg) > max_terms:
+                    raise ValueError(
+                        f"pattern {pattern!r} expands to > {max_terms} terms"
+                    )
+        return sorted(agg.items())
+
+    def expand_regexp(
+        self, field: str, pattern: str, max_terms: int = 1024
+    ) -> list[tuple[str, int]]:
+        """RegexpQuery expansion: the pattern must match the ENTIRE
+        term (Lucene RegexpQuery anchoring). The pattern's literal
+        prefix (chars before the first regex metacharacter) bounds the
+        dictionary scan; a pattern starting with a metachar scans the
+        field's whole dictionary — the same caveat Lucene documents
+        for leading wildcards. Python ``re`` syntax (a practical
+        superset of Lucene's RegExp subset for common patterns)."""
+        import re as _re
+
+        rx = _re.compile(f"(?:{pattern})\\Z")
+        prefix = ""
+        for c in pattern:
+            if c in ".?*+()[]{}|\\^$":
+                break
+            prefix += c
         hi = self._prefix_bound(prefix)
         agg: dict[str, int] = {}
         for r in self.readers:
@@ -1392,6 +1453,12 @@ class Searcher:
                         max_terms: int = 1024,
                         rewrite: str = "constant") -> list[tuple[int, float]]:
         terms = [t for t, _ in self.expand_wildcard(field, pattern, max_terms)]
+        return self._multiterm_hits(field, terms, k, rewrite)
+
+    def search_regexp(self, pattern: str, k: int = 10, *, field: str = "text",
+                      max_terms: int = 1024,
+                      rewrite: str = "constant") -> list[tuple[int, float]]:
+        terms = [t for t, _ in self.expand_regexp(field, pattern, max_terms)]
         return self._multiterm_hits(field, terms, k, rewrite)
 
     def search_fuzzy(self, term: str, k: int = 10, *, field: str = "text",

@@ -112,10 +112,14 @@ class OracleIndex:
             out |= s
         return len(out)
 
-    def phrase_matches(self, phrase: str) -> list[tuple[int, int]]:
+    def phrase_matches(
+        self, phrase: str, slop: int = 0
+    ) -> list[tuple[int, int]]:
         """(doc_id, phrase_freq) for docs containing the exact phrase.
         Query offsets use the analyzed positions (gaps at removed
-        stopwords), matching Lucene's QueryParser/PhraseQuery."""
+        stopwords), matching Lucene's QueryParser/PhraseQuery.
+        ``slop``: windowed-anchor sloppy semantics (same contract as
+        Searcher.search_phrase)."""
         if self.analyzer == "keyword":
             terms, qpos = [phrase], [0]
         else:
@@ -131,14 +135,21 @@ class OracleIndex:
         for doc in sorted(cand):
             base = set(self.positions[terms[0]][doc])
             for qi in range(1, len(terms)):
-                base &= {p - offs[qi] for p in self.positions[terms[qi]][doc]}
+                shifted = {p - offs[qi] for p in self.positions[terms[qi]][doc]}
+                if slop == 0:
+                    base &= shifted
+                else:
+                    base = {
+                        a for a in base
+                        if any(abs(q - a) <= slop for q in shifted)
+                    }
                 if not base:
                     break
             if base:
                 out.append((doc, len(base)))
         return out
 
-    def search_phrase(self, phrase: str, k: int = 10):
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
         """BM25 phrase scoring: tf = phrase freq, idf = sum of clause idfs."""
         from fdblucene_ray.index.search import B, K1
 
@@ -155,7 +166,7 @@ class OracleIndex:
         avgdl = self.avgdl
         idf_sum = sum(bm25_idf(self.dc, self.df(t)) for t in terms)
         hits = []
-        for doc, pf in self.phrase_matches(phrase):
+        for doc, pf in self.phrase_matches(phrase, slop):
             kk = K1 * (1 - B + B * byte4_to_int(self.norm_byte[doc]) / avgdl)
             hits.append((doc, idf_sum * pf / (pf + kk)))
         hits.sort(key=lambda x: (-x[1], x[0]))

@@ -265,6 +265,19 @@ def q_ft_wildcard(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array([d for d, _ in hits], pa.int64())})
 
 
+def q_ft_regexp(sf_dir: str) -> pa.Table:
+    """RegexpQuery expansion (whole-term anchored, literal-prefix-bounded
+    dictionary scan): terms matching s.*a.* -> (term, df)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    pairs = s.expand_regexp("text", "s.*a.*")
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in pairs], pa.string()),
+            "df": pa.array([d for _, d in pairs], pa.int64()),
+        }
+    )
+
+
 def q_ft_fuzzy(sf_dir: str) -> pa.Table:
     """FuzzyQuery expansion: terms within edit distance 2 of 'part'
     -> (term, df, dist); Levenshtein via the vectorized numpy DP."""
@@ -415,6 +428,20 @@ def q_ft_phrase(sf_dir: str) -> pa.Table:
         {
             "doc_id": pa.array([d for d, _ in rows], pa.int64()),
             "phrase_freq": pa.array([f for _, f in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_phrase_slop(sf_dir: str) -> pa.Table:
+    """Sloppy phrase (slop=2): windowed-anchor semantics — for the
+    two-term case identical to Lucene SloppyPhraseQuery's match set
+    (|actual gap - expected gap| <= slop)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.phrase_freqs("batch stream", slop=2)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "sloppy_freq": pa.array([f for _, f in rows], pa.int64()),
         }
     )
 
@@ -991,9 +1018,11 @@ def queries() -> dict:
         "ft_prefix": q_ft_prefix,
         "ft_wildcard": q_ft_wildcard,
         "ft_fuzzy": q_ft_fuzzy,
+        "ft_regexp": q_ft_regexp,
         "ft_term_range": q_ft_term_range,
         "ft_explain": q_ft_explain,
         "ft_phrase": q_ft_phrase,
+        "ft_phrase_slop": q_ft_phrase_slop,
         "ft_highlight": q_ft_highlight,
         "ft_near_unordered": q_ft_near_unordered,
         "ft_near_ordered": q_ft_near_ordered,
@@ -1165,6 +1194,11 @@ SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
        levenshtein(tok, 'part')::BIGINT AS dist
 FROM toks GROUP BY tok HAVING levenshtein(tok, 'part') <= 2 ORDER BY term
 """,
+        "ft_regexp": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE regexp_full_match(tok, 's.*a.*') GROUP BY tok ORDER BY term
+""",
         "ft_term_range": f"""
 WITH {TOKS_CTE}
 SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
@@ -1200,6 +1234,21 @@ SELECT t1.doc_id, count(*)::BIGINT AS phrase_freq
 FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.tok = 'batch' AND t2.tok = 'stream'
 GROUP BY t1.doc_id
+""",
+        "ft_phrase_slop": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists)
+SELECT t1.doc_id, count(*)::BIGINT AS sloppy_freq
+FROM toks t1
+WHERE t1.tok = 'batch' AND EXISTS (
+  SELECT 1 FROM toks t2
+  WHERE t2.doc_id = t1.doc_id AND t2.tok = 'stream'
+    AND abs(t2.pos - t1.pos - 1) <= 2)
+GROUP BY t1.doc_id
+ORDER BY t1.doc_id
 """,
         "ft_highlight": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},

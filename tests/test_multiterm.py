@@ -289,3 +289,43 @@ class TestScoringRewrite:
         # constant rewrite is unaffected
         const = s.search_prefix("s", k=20)
         assert all(sc == 1.0 for _, sc in const)
+
+
+class TestRegexp:
+    def test_expansion_matches_bruteforce(self, corpus_ix):
+        ix, texts = corpus_ix
+        s = Searcher(ix)
+        for pat in [r"s.*", r"s.*a.*", r"[bc].*h", r".*e", r"gr(ou|a)p"]:
+            rx = re.compile(f"(?:{pat})\\Z")
+            exp_terms, exp_docs = _brute_terms(
+                texts, lambda w: rx.match(w) is not None
+            )
+            got = s.expand_regexp("text", pat)
+            assert got == exp_terms, pat
+            hits = s.search_regexp(pat, k=1 << 30)
+            assert sorted(d for d, _ in hits) == exp_docs, pat
+
+    def test_anchored_whole_term(self, corpus_ix):
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        # 'scan' exists; pattern 'ca' must NOT match it (whole-term anchor)
+        assert all(t != "scan" for t, _ in s.expand_regexp("text", "ca"))
+
+    def test_parser_slash_syntax(self, corpus_ix):
+        from fdblucene_ray.analysis.queryparser import parse_query
+
+        pq_ = parse_query("/s.*a.*/ other")
+        assert ("should", "text", "regexp", "s.*a.*", 1.0) in pq_.multiterm
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        got = s.query("/s.*a.*/", k=1 << 30)
+        exp = s.search_regexp("s.*a.*", k=1 << 30)
+        assert sorted(got) == sorted(exp)
+
+    def test_max_terms_guard(self, corpus_ix):
+        ix, _ = corpus_ix
+        s = Searcher(ix)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            s.expand_regexp("text", ".*", max_terms=2)

@@ -227,3 +227,64 @@ class TestMultiField:
         assert [d for d, _ in got] == [d for d, _ in exp_sorted]
         for (_, a), (_, b) in zip(got, exp_sorted):
             assert a == pytest.approx(b, rel=1e-12)
+
+
+class TestSloppyPhrase:
+    def test_slop_matches_oracle(self, built):
+        ix, oracle = built
+        s = Searcher(ix)
+        for phrase in ["quick brown", "quick fox", "brown dog", "fox dog",
+                       "quick brown fox"]:
+            for slop in (0, 1, 2, 3):
+                got = s.phrase_freqs(phrase, slop=slop)
+                exp = oracle.phrase_matches(phrase, slop=slop)
+                assert got == exp, (phrase, slop)
+
+    def test_slop_zero_is_exact(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        assert s.phrase_freqs("quick brown", slop=0) == s.phrase_freqs(
+            "quick brown"
+        )
+
+    def test_slop_widens_monotonically(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        prev: set[int] = set()
+        for slop in (0, 1, 2, 4, 8):
+            docs = {d for d, _ in s.phrase_freqs("quick fox", slop=slop)}
+            assert prev <= docs
+            prev = docs
+
+    def test_two_term_gap_semantics(self, built, tmp_path):
+        # "alpha x beta": gap 1 => slop>=1 matches, slop=0 doesn't
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha x beta", "beta alpha"], pa.string()),
+        })
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple",
+                                     "positions": True}},
+                    num_partitions=1)
+        s = Searcher(ix)
+        assert s.phrase_freqs("alpha beta", slop=0) == []
+        assert s.phrase_freqs("alpha beta", slop=1) == [(0, 1)]
+        # reversed order: expected gap 1, actual -1 -> |−1−1|=2
+        assert s.phrase_freqs("alpha beta", slop=2) == [(0, 1), (1, 1)]
+
+    def test_parser_slop_syntax(self, built):
+        from fdblucene_ray.analysis.queryparser import parse_query
+
+        pq_ = parse_query('"quick fox"~2 other')
+        assert ("should", "text", "quick fox", 2, 1.0) in pq_.phrases
+        pq_ = parse_query('+"a b"~3^1.5')
+        assert ("must", "text", "a b", 3, 1.5) in pq_.phrases
+        # end-to-end: query() with slop syntax equals search_phrase(slop)
+        ix, _ = built
+        s = Searcher(ix)
+        got = s.query('"quick fox"~2', k=30)
+        exp = s.search_phrase("quick fox", k=30, slop=2)
+        assert [d for d, _ in got] == [d for d, _ in exp]

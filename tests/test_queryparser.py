@@ -24,8 +24,8 @@ class TestGrammar:
         assert pq_.must == [("text", "data", 1.0)]
         assert pq_.must_not == [("text", "window", 1.0)]
         assert pq_.should == [("text", "merge", 1.0), ("tag", "x", 1.0)]
-        assert ("must", "title", "a b", 1.0) in pq_.phrases
-        assert ("should", "text", "c d", 1.0) in pq_.phrases
+        assert ("must", "title", "a b", 0, 1.0) in pq_.phrases
+        assert ("should", "text", "c d", 0, 1.0) in pq_.phrases
 
     def test_empty(self):
         assert parse_query("").is_empty
@@ -108,7 +108,7 @@ class TestBoosts:
         pq_ = parse_query('data^2 "a b"^1.5 pre*^3 merge~1^2.5 plain')
         assert ("text", "data", 2.0) in pq_.should
         assert ("text", "plain", 1.0) in pq_.should
-        assert ("should", "text", "a b", 1.5) in pq_.phrases
+        assert ("should", "text", "a b", 0, 1.5) in pq_.phrases
         assert ("should", "text", "prefix", "pre", 3.0) in pq_.multiterm
         assert ("should", "text", "fuzzy", ("merge", 1), 2.5) in pq_.multiterm
 
