@@ -1002,6 +1002,34 @@ def q_sample_stratified(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_curate(sf_dir: str) -> pa.Table:
+    """Composed curation pipeline (dedup -> lang -> quality ->
+    decontaminate -> sample): per-doc (keep, reason) verdict, fully
+    replayed relationally by the SQL oracle. One text pass + one
+    narrow flag shuffle (pipelines/curate.py)."""
+    from fdblucene_ray.pipelines.curate import curate_corpus
+
+    def _bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 100) == 7))
+
+    bench = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_bench_filter, batch_format="pyarrow")
+        .to_pandas()["text"]
+    )
+    out = curate_corpus(
+        _docs_ds(sf_dir, ["doc_id", "text"]),
+        list(bench),
+        lang="en",
+        min_tokens=10,
+        min_stop_ratio=0.05,
+        ngram=3,
+        sample_rate=0.9,
+    )
+    return _collect(out).sort_by("doc_id")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1068,6 +1096,7 @@ def queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "curate": q_curate,
     }
 
 
@@ -1661,5 +1690,60 @@ SELECT doc_id, lang FROM (
            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
   FROM documents)
 WHERE rn <= 20 ORDER BY doc_id
+""",
+        # Relational replay of pipelines/curate.py::curate_corpus with
+        # q_curate's parameters (lang=en, min_tokens=10,
+        # min_stop_ratio=0.05, ngram=3, sample_rate=0.9 ->
+        # threshold int(0.9*2^32)=3865470566; bench = doc_id%100=7).
+        # Precedence: duplicate > language > too_short > low_quality >
+        # contaminated > sampled_out > keep.
+        "curate": f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+tg AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 100 = 7),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM tg
+  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+tc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE tok IN ({_STOPLIST_SQL})) AS n_stop,
+         count(*) FILTER (WHERE tok IN ({lang_counts['en']})) AS n_en,
+         count(*) FILTER (WHERE tok IN ({lang_counts['de']})) AS n_de,
+         count(*) FILTER (WHERE tok IN ({lang_counts['fr']})) AS n_fr
+  FROM toks GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id,
+         (d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)) AS is_dup,
+         coalesce(tc.n_tokens, 0) AS n_tokens,
+         coalesce(tc.n_stop, 0) AS n_stop,
+         CASE WHEN coalesce(tc.n_en,0) >= coalesce(tc.n_de,0)
+                   AND coalesce(tc.n_en,0) >= coalesce(tc.n_fr,0) THEN 'en'
+              WHEN coalesce(tc.n_de,0) >= coalesce(tc.n_fr,0) THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         coalesce(h.n_hits, 0) AS n_hits,
+         (d.doc_id * 2654435761) % 4294967296 AS sample_h
+  FROM documents d
+  LEFT JOIN tc ON tc.doc_id = d.doc_id
+  LEFT JOIN hits h ON h.doc_id = d.doc_id),
+verdict AS (
+  SELECT doc_id,
+         CASE WHEN is_dup THEN 'duplicate'
+              WHEN pred_lang <> 'en' THEN 'language'
+              WHEN n_tokens < 10 THEN 'too_short'
+              WHEN n_stop::DOUBLE / greatest(n_tokens, 1) < 0.05 THEN 'low_quality'
+              WHEN n_hits > 0 THEN 'contaminated'
+              WHEN sample_h >= 3865470566 THEN 'sampled_out'
+              ELSE 'keep' END AS reason
+  FROM sig)
+SELECT doc_id, (reason = 'keep')::BIGINT AS keep, reason
+FROM verdict ORDER BY doc_id
 """,
     }

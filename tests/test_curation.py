@@ -161,3 +161,65 @@ class TestSampling:
         )
         assert list(got["doc_id"]) == list(expect["doc_id"])
         assert set(got.groupby("lang").size()) == {15}
+
+
+class TestCuratePipeline:
+    """Composed curation pipeline: planted docs exercising every verdict
+    reason, checked against hand-computed expectations."""
+
+    def _run(self, texts, ids=None, bench=None, **kw):
+        from fdblucene_ray.pipelines.curate import curate_corpus
+
+        out = curate_corpus(_docs(texts, ids), bench, **kw)
+        tbl = pa.Table.from_pandas(out.to_pandas())
+        return {r["doc_id"]: r for r in tbl.to_pylist()}
+
+    def test_each_reason_fires_in_precedence_order(self):
+        en = "the quick brown fox and the lazy dog were on a hill with some of it"
+        texts = [
+            en,                                   # 0 keep
+            en,                                   # 1 duplicate of 0
+            "der hund und die katze sind nicht hier aber das haus ist mit einem",  # 2 language
+            "the of and tiny",                    # 3 too_short (<10 toks)
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",  # 4 low_quality (0 stopwords)
+            "secret bench trigram payload appears here with the usual stop words of it",  # 5 contaminated
+        ]
+        got = self._run(
+            texts,
+            bench=["secret bench trigram payload appears"],
+            lang="en", min_tokens=10, min_stop_ratio=0.05, ngram=3,
+            sample_rate=1.0,
+        )
+        assert got[0]["reason"] == "keep" and got[0]["keep"] == 1
+        assert got[1]["reason"] == "duplicate"
+        assert got[2]["reason"] == "language"
+        assert got[3]["reason"] == "too_short"
+        assert got[4]["reason"] == "low_quality"
+        assert got[5]["reason"] == "contaminated"
+        assert all(r["keep"] == (r["reason"] == "keep") for r in got.values())
+
+    def test_duplicate_beats_every_other_reason(self):
+        # doc 7 is a duplicate AND wrong-language AND short: precedence
+        # says duplicate wins; the group winner (min doc_id) is judged
+        # on its own merits.
+        t = "der hund und"
+        got = self._run([t, t], ids=[7, 3], lang="en", sample_rate=1.0)
+        assert got[3]["reason"] in ("language", "too_short")  # winner judged
+        assert got[7]["reason"] == "duplicate"
+
+    def test_sampling_threshold_matches_knuth_hash(self):
+        en = "the quick brown fox and the lazy dog were on a hill with some of it"
+        n = 40
+        rate = 0.5
+        got = self._run([en + f" unique{i}" for i in range(n)],
+                        ids=list(range(n)), lang="en", sample_rate=rate)
+        thr = int(rate * (1 << 32))
+        h = knuth_hash32(np.arange(n))
+        for i in range(n):
+            want = "sampled_out" if h[i] >= thr else "keep"
+            assert got[i]["reason"] == want, (i, got[i], h[i], thr)
+
+    def test_no_benchmark_means_no_contamination(self):
+        en = "the quick brown fox and the lazy dog were on a hill with some of it"
+        got = self._run([en], bench=None, sample_rate=1.0)
+        assert got[0]["reason"] == "keep"
