@@ -1030,6 +1030,21 @@ def q_curate(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Concat-and-chunk sequence packing (128-token sequences, doc_id
+    order): (seq_id, doc_id, start_in_seq, start_in_doc, n_tokens) span
+    rows. Distributed prefix sum via bucketed two-phase offsets
+    (ops/packing.py)."""
+    from fdblucene_ray.ops.packing import pack_sequences
+
+    out = pack_sequences(
+        _docs_ds(sf_dir, ["doc_id", "text"]), seq_len=128, bucket_size=100
+    )
+    return _collect(out).sort_by(
+        [("seq_id", "ascending"), ("doc_id", "ascending")]
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1097,6 +1112,7 @@ def queries() -> dict:
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "curate": q_curate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1745,5 +1761,27 @@ verdict AS (
   FROM sig)
 SELECT doc_id, (reason = 'keep')::BIGINT AS keep, reason
 FROM verdict ORDER BY doc_id
+""",
+        # Relational replay of ops/packing.py::pack_sequences with
+        # seq_len=128: global exclusive prefix sum of per-doc token
+        # counts in doc_id order, then one span row per
+        # (sequence, doc) overlap.
+        "pack_sequences": f"""
+WITH {TOKS_CTE}, {DL_CTE},
+o AS (
+  SELECT doc_id, dl,
+         coalesce(sum(dl) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM dl WHERE dl > 0),
+spans AS (
+  SELECT doc_id, dl, off,
+         unnest(range((off // 128)::BIGINT, ((off + dl - 1) // 128 + 1)::BIGINT)) AS seq_id
+  FROM o)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(off, seq_id * 128) - seq_id * 128)::BIGINT AS start_in_seq,
+       (greatest(off, seq_id * 128) - off)::BIGINT AS start_in_doc,
+       (least(off + dl, seq_id * 128 + 128)
+        - greatest(off, seq_id * 128))::BIGINT AS n_tokens
+FROM spans ORDER BY seq_id, doc_id
 """,
     }
