@@ -1,0 +1,159 @@
+"""Unigram language-model quality scoring — the CCNet-style "perplexity
+filter" a web-corpus pipeline runs to rank documents by how typical
+their text is of the corpus (or of a trusted reference corpus):
+
+    1. train: corpus unigram counts (map-side partial counts →
+       one groupby over the vocabulary → deterministic top-V model)
+    2. score: every doc's mean negative-log-likelihood and OOV
+       fraction under the broadcast model
+
+Scale shape (100 TB):
+
+- The count pass emits per-batch (term, partial count) rows — one row
+  per UNIQUE term per batch (~100× smaller than the token stream), so
+  the only wide exchange is a groupby over vocabulary-sized data.
+- Model selection (top-V by count, ties broken by term) is a
+  vocabulary-sized sort + limit, never a corpus pass.
+- The model (V terms + counts + corpus total) is broadcast ONCE via
+  ``ray.put``; the score pass is embarrassingly parallel: tokenize,
+  one ``pc.index_in`` probe per batch, two bincounts. Text never
+  shuffles in either pass.
+- OOV smoothing: an out-of-model token scores as count 1 (probability
+  1/T) — deterministic and exactly replayable in SQL.
+
+Reference tie-in: the reference has no scoring layer beyond Lucene's
+BM25 (SURVEY.md §2.6); this extends the corpus-statistics machinery
+(A1-A3 numDocs/df/totals analogs, index/manifest.py field_totals) into
+the training-data quality dimension the round brief asks for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from fdblucene_ray.analysis.analyzer import BatchTokenizer
+
+
+class _PartialCounts:
+    """Per-batch map-side combine: (term, cnt) with one row per unique
+    term in the batch."""
+
+    def __init__(self, analyzer: str, text_col: str):
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, codes, vocab = self.tokenizer.encoded_tokens(batch[self.text_col])
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "term": pa.array(np.asarray(vocab, dtype=object)[keep].tolist(),
+                                 pa.string()),
+                "cnt": pa.array(cnt[keep]),
+            }
+        )
+
+
+def train_unigram_lm(
+    ds: ray.data.Dataset,
+    vocab_size: int = 1000,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+) -> dict:
+    """-> {"terms": sorted str array, "counts": aligned int64 array,
+    "total": int corpus token count}. Model = the ``vocab_size`` most
+    frequent terms (count desc, term asc tie-break); ``total`` counts
+    ALL corpus tokens, in- or out-of-model."""
+    partials = ds.map_batches(
+        _PartialCounts,
+        fn_constructor_kwargs=dict(analyzer=analyzer, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    vocab = partials.groupby("term").sum("cnt").materialize()
+    total = int(vocab.sum("sum(cnt)"))
+    top = vocab.sort(
+        ["sum(cnt)", "term"], descending=[True, False]
+    ).limit(vocab_size).take_all()
+    terms = np.array([r["term"] for r in top], dtype=object)
+    counts = np.array([r["sum(cnt)"] for r in top], dtype=np.int64)
+    order = np.argsort(terms)
+    return {"terms": terms[order], "counts": counts[order], "total": total}
+
+
+class _ScoreDocs:
+    """Broadcast-model scorer: mean NLL + OOV fraction per doc."""
+
+    def __init__(self, model_ref, analyzer: str, text_col: str, id_col: str):
+        m = ray.get(model_ref)
+        self.terms = pa.array(m["terms"].tolist(), pa.string())
+        self.total = float(m["total"])
+        # per-model-term NLL; OOV scores as count 1 (add-one floor)
+        self.nll = -np.log(m["counts"].astype(np.float64) / self.total)
+        self.oov_nll = -np.log(1.0 / self.total)
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
+        idx = pc.index_in(flat, value_set=self.terms)
+        oov = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        idx_f = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        in_model = (
+            self.nll[idx_f] if len(self.nll)
+            else np.full(len(idx_f), self.oov_nll)
+        )
+        tok_nll = np.where(oov, self.oov_nll, in_model)
+        n_tok = np.bincount(row_idx, minlength=n).astype(np.int64)
+        sum_nll = np.bincount(row_idx, weights=tok_nll, minlength=n)
+        n_oov = np.bincount(row_idx[oov], minlength=n).astype(np.int64)
+        denom = np.maximum(n_tok, 1)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n_tok),
+                "mean_nll": pa.array(
+                    np.round(sum_nll / denom, 6).astype(np.float64)
+                ),
+                "oov_frac": pa.array(
+                    np.round(n_oov / denom, 6).astype(np.float64)
+                ),
+            }
+        )
+
+
+def lm_score(
+    ds: ray.data.Dataset,
+    vocab_size: int = 1000,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: dict | None = None,
+) -> ray.data.Dataset:
+    """Score every doc under a corpus-trained (or supplied) unigram LM.
+    -> Dataset of (doc_id, n_tokens, mean_nll, oov_frac)."""
+    if model is None:
+        model = train_unigram_lm(
+            ds, vocab_size, analyzer=analyzer, text_col=text_col
+        )
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        _ScoreDocs,
+        fn_constructor_kwargs=dict(
+            model_ref=model_ref, analyzer=analyzer,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -1030,6 +1030,17 @@ def q_curate(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_lm_score(sf_dir: str) -> pa.Table:
+    """Unigram-LM quality scoring (CCNet-style perplexity filter):
+    train top-200 unigram model over the corpus, score every doc's
+    mean NLL + OOV fraction under the broadcast model
+    (ops/lmscore.py)."""
+    from fdblucene_ray.ops.lmscore import lm_score
+
+    out = lm_score(_docs_ds(sf_dir, ["doc_id", "text"]), vocab_size=200)
+    return _collect(out).sort_by("doc_id")
+
+
 def q_pack_sequences(sf_dir: str) -> pa.Table:
     """Concat-and-chunk sequence packing (128-token sequences, doc_id
     order): (seq_id, doc_id, start_in_seq, start_in_doc, n_tokens) span
@@ -1113,6 +1124,7 @@ def queries() -> dict:
         "sample_stratified": q_sample_stratified,
         "curate": q_curate,
         "pack_sequences": q_pack_sequences,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1783,5 +1795,29 @@ SELECT seq_id::BIGINT AS seq_id, doc_id,
        (least(off + dl, seq_id * 128 + 128)
         - greatest(off, seq_id * 128))::BIGINT AS n_tokens
 FROM spans ORDER BY seq_id, doc_id
+""",
+        # Relational replay of ops/lmscore.py::lm_score with
+        # vocab_size=200: top-200 unigram model (count desc, term asc
+        # tie-break), OOV tokens score as count 1 (prob 1/T).
+        "lm_score": f"""
+WITH {TOKS_CTE},
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+model AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 200),
+sc AS (
+  SELECT k.doc_id,
+         count(*) AS n_tokens,
+         sum(-ln(coalesce(m.c, 1) / tot.t)) AS sum_nll,
+         count(*) FILTER (WHERE m.tok IS NULL) AS n_oov
+  FROM toks k CROSS JOIN tot LEFT JOIN model m ON m.tok = k.tok
+  GROUP BY k.doc_id)
+SELECT d.doc_id,
+  coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+  CAST(round(coalesce(sc.sum_nll, 0) / greatest(coalesce(sc.n_tokens, 0), 1), 6)
+       AS DOUBLE) AS mean_nll,
+  CAST(round(coalesce(sc.n_oov, 0) / greatest(coalesce(sc.n_tokens, 0), 1)::DOUBLE, 6)
+       AS DOUBLE) AS oov_frac
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
     }

@@ -1,0 +1,82 @@
+"""Unigram-LM scoring: model selection determinism + hand-computed NLL
+oracle. The SQL twin (`lm_score`) runs in the driver gate."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.ops.lmscore import lm_score, train_unigram_lm
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+TEXTS = [
+    "apple apple apple banana banana cherry",
+    "apple banana zebra",          # zebra is OOV at vocab_size=3
+    "",                            # empty doc
+    "durian durian elder",         # mostly rare
+]
+
+
+class TestTrainUnigramLM:
+    def test_counts_and_total(self):
+        m = train_unigram_lm(_docs(TEXTS), vocab_size=100)
+        d = dict(zip(m["terms"].tolist(), m["counts"].tolist()))
+        assert d["apple"] == 4 and d["banana"] == 3 and d["cherry"] == 1
+        assert m["total"] == 12
+        assert list(m["terms"]) == sorted(m["terms"])  # sorted for lookup
+
+    def test_topv_tie_break_deterministic(self):
+        # counts: apple 4, banana 3, then five singletons; top-4 takes
+        # the lexicographically-smallest singletons (cherry, durian)
+        m = train_unigram_lm(_docs(TEXTS), vocab_size=4)
+        assert set(m["terms"]) == {"apple", "banana", "cherry", "durian"}
+        assert m["total"] == 12  # total counts ALL tokens, not just model
+
+
+class TestLmScore:
+    def test_matches_hand_computed_nll(self):
+        got = {
+            r["doc_id"]: r
+            for r in lm_score(_docs(TEXTS), vocab_size=100)
+            .to_pandas()
+            .to_dict("records")
+        }
+        T = 12.0
+        p = {"apple": 4 / T, "banana": 3 / T, "cherry": 1 / T,
+             "durian": 2 / T, "elder": 1 / T, "zebra": 1 / T}
+        doc0 = -np.mean([math.log(p[t]) for t in
+                         "apple apple apple banana banana cherry".split()])
+        assert got[0]["mean_nll"] == round(doc0, 6)
+        assert got[0]["oov_frac"] == 0.0 and got[0]["n_tokens"] == 6
+        assert got[2]["n_tokens"] == 0 and got[2]["mean_nll"] == 0.0
+
+    def test_oov_scores_as_count_one(self):
+        got = {
+            r["doc_id"]: r
+            for r in lm_score(_docs(TEXTS), vocab_size=2)  # apple, banana
+            .to_pandas()
+            .to_dict("records")
+        }
+        T = 12.0
+        want = -np.mean([math.log(4 / T), math.log(3 / T), math.log(1 / T)])
+        assert got[1]["mean_nll"] == round(want, 6)
+        assert got[1]["oov_frac"] == round(1 / 3, 6)
+
+    def test_external_model_reuse(self):
+        # score a held-out doc under a model trained on TEXTS
+        m = train_unigram_lm(_docs(TEXTS), vocab_size=100)
+        got = lm_score(
+            _docs(["apple unknownword"]), model=m
+        ).to_pandas().iloc[0]
+        T = 12.0
+        want = -np.mean([math.log(4 / T), math.log(1 / T)])
+        assert got["mean_nll"] == round(want, 6)
+        assert got["oov_frac"] == 0.5
