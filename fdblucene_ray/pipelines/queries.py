@@ -1030,6 +1030,16 @@ def q_curate(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_cooccurrence(sf_dir: str) -> pa.Table:
+    """Top-50 windowed co-occurrence pairs (window=5, unordered,
+    count desc) with PMI from unigram marginals (ops/cooc.py)."""
+    from fdblucene_ray.ops.cooc import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _docs_ds(sf_dir, ["doc_id", "text"]), window=5, top_k=50
+    )
+
+
 def q_lm_score(sf_dir: str) -> pa.Table:
     """Unigram-LM quality scoring (CCNet-style perplexity filter):
     train top-200 unigram model over the corpus, score every doc's
@@ -1125,6 +1135,7 @@ def queries() -> dict:
         "curate": q_curate,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -1819,5 +1830,34 @@ SELECT d.doc_id,
        AS DOUBLE) AS oov_frac
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id
+""",
+        # Relational replay of ops/cooc.py::cooccurrence_pmi
+        # (window=5, top_k=50): unordered pairs within +-5 positions,
+        # PMI from unigram marginals.
+        "cooccurrence": """
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM raw WHERE tok <> ''),
+pairs AS (
+  SELECT least(a.tok, b.tok) AS l, greatest(a.tok, b.tok) AS r
+  FROM t a JOIN t b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 5),
+pcnt AS (SELECT l, r, count(*) AS cnt FROM pairs GROUP BY l, r),
+uni AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+ntok AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+npair AS (SELECT sum(cnt)::DOUBLE AS np FROM pcnt),
+top AS (SELECT l, r, cnt FROM pcnt ORDER BY cnt DESC, l, r LIMIT 50)
+SELECT top.l AS "left", top.r AS "right", top.cnt::BIGINT AS cnt,
+  CAST(round(ln((top.cnt / npair.np)
+               / ((ua.c / ntok.n) * (ub.c / ntok.n))), 6) AS DOUBLE) AS pmi
+FROM top CROSS JOIN npair CROSS JOIN ntok
+JOIN uni ua ON ua.tok = top.l
+JOIN uni ub ON ub.tok = top.r
+ORDER BY top.cnt DESC, top.l, top.r
 """,
     }
