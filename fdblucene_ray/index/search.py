@@ -1061,6 +1061,153 @@ class Searcher:
         out = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def search_dismax(
+        self,
+        query: str,
+        fields: list[str],
+        k: int = 10,
+        *,
+        tie: float = 0.0,
+    ) -> list[tuple[int, float]]:
+        """DisjunctionMaxQuery analog: the query scores each field
+        independently (same per-field BM25 subtotals as search_fields)
+        and a doc's score is its BEST field's subtotal plus
+        ``tie`` x the sum of the other fields' subtotals — Lucene's
+        max + tie_breaker semantics, preferred over plain summing when
+        fields duplicate content (title/body)."""
+        per_doc: dict[int, dict[str, float]] = {}
+        for field in fields:
+            terms = self.parse(query, field)
+            dc, _, avgdl = self.field_stats(field)
+            if dc == 0:
+                continue
+            ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+            live = []
+            for t in terms:
+                df, _ = self.term_stats(field, t)
+                if df:
+                    live.append((t, bm25_idf(dc, df)))
+            if not live:
+                continue
+            hits = _exhaustive(
+                self.readers, live, field, ncache, "or", 1 << 31,
+                self.manifest.block_size, self.tombstones,
+            )
+            for d, s in hits:
+                per_doc.setdefault(d, {})[field] = s
+        scored = []
+        for d, fs in per_doc.items():
+            vals = list(fs.values())
+            best = max(vals)
+            scored.append((d, best + tie * (sum(vals) - best)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def facet_ranges(
+        self,
+        query: str,
+        ranges: list[tuple[str, float | None, float | None]],
+        *,
+        value_source,
+        value_col: str,
+        field: str = "text",
+    ) -> list[tuple[str, int]]:
+        """Numeric range facet counts (LongRangeFacetCounts analog):
+        count the docs matching a term query per [lo, hi) bucket of a
+        numeric column. The match set is broadcast (``ray.put``) and the
+        value column streams through ``map_batches`` from the input
+        parquet (the doc-values analog at 100 TB) — only (doc_id,
+        value_col) is read, nothing collects. ``lo=None``/``hi=None``
+        are open ends. Returns [(label, count)] in the given order."""
+        import ray
+        import ray.data
+
+        terms = self.parse(query, field)
+        if not terms:
+            return [(label, 0) for label, _, _ in ranges]
+        match = np.sort(self.multiterm_docs(field, terms))
+        match_ref = ray.put(match)
+        los = np.array(
+            [-np.inf if lo is None else lo for _, lo, _ in ranges],
+            np.float64,
+        )
+        his = np.array(
+            [np.inf if hi is None else hi for _, _, hi in ranges],
+            np.float64,
+        )
+        n_ranges = len(ranges)
+
+        def count_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(match_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            vals = b[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            v = vals[hit]
+            counts = [
+                int(((v >= los[i]) & (v < his[i])).sum())
+                for i in range(n_ranges)
+            ]
+            return pa.table(
+                {f"r{i}": pa.array([counts[i]], pa.int64())
+                 for i in range(n_ranges)}
+            )
+
+        ds = ray.data.read_parquet(
+            value_source, columns=["doc_id", value_col]
+        ).map_batches(count_batch, batch_format="pyarrow")
+        totals = ds.sum([f"r{i}" for i in range(n_ranges)])
+        if not isinstance(totals, dict):  # single-column sum -> scalar
+            totals = {"sum(r0)": totals}
+        return [
+            (ranges[i][0], int(totals[f"sum(r{i})"]))
+            for i in range(n_ranges)
+        ]
+
+    def search_collapse(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        collapse_col: str,
+        source,
+        field: str = "text",
+    ) -> list[tuple[str, int, float]]:
+        """Field collapsing (Lucene grouping/CollapsingTopDocsCollector
+        analog): one best hit per value of ``collapse_col``, groups
+        ranked by their best score (ties: group value asc). Group values
+        hydrate from the input parquet for the matched ids only
+        (row-group-pruned). At cluster scale the same shape runs
+        segment-local first (each segment yields its per-group best)
+        and this merge-by-max is applied to the partial winners."""
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        hits = self.search(query, 1 << 31, field=field)
+        if not hits:
+            return []
+        vals_tbl = hydrate_from_source(
+            source, [d for d, _ in hits], columns=[collapse_col]
+        )
+        vals = dict(
+            zip(
+                vals_tbl["doc_id"].to_pylist(),
+                vals_tbl[collapse_col].to_pylist(),
+            )
+        )
+        best: dict[str, tuple[int, float]] = {}
+        for d, s in hits:  # hits: score desc, doc_id asc
+            g = vals.get(d)
+            if g is not None and g not in best:
+                best[g] = (d, s)
+        out = sorted(
+            ((g, d, s) for g, (d, s) in best.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        return out[:k]
+
     def phrase_freqs(
         self, phrase: str, *, field: str = "text", slop: int = 0
     ) -> list[tuple[int, int]]:

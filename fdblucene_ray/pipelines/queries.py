@@ -1030,6 +1030,52 @@ def q_curate(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_ft_dismax(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery analog over (text, source): score = best
+    field subtotal + 0.3 x the rest (index/search.py search_dismax)."""
+    s = Searcher(_ensure_index(sf_dir, "mf"))
+    return _hits_table(
+        s.search_dismax("data src3", ["text", "source"], k=10, tie=0.3)
+    )
+
+
+def q_ft_facet_ranges(sf_dir: str) -> pa.Table:
+    """Numeric range facets (LongRangeFacetCounts analog): docs
+    matching 'data' counted per n_chars bucket; values stream from the
+    input parquet against the broadcast match set."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    fc = s.facet_ranges(
+        "data",
+        [("lt200", None, 200), ("200_400", 200, 400), ("ge400", 400, None)],
+        value_source=_docs_path(sf_dir),
+        value_col="n_chars",
+    )
+    return pa.table(
+        {
+            "bucket": pa.array([b for b, _ in fc], pa.string()),
+            "n": pa.array([c for _, c in fc], pa.int64()),
+        }
+    )
+
+
+def q_ft_collapse(sf_dir: str) -> pa.Table:
+    """Field collapsing (grouping analog): best 'data merge' hit per
+    source value, groups ranked by best score."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_collapse(
+        "data merge", k=10, collapse_col="source", source=_docs_path(sf_dir)
+    )
+    return pa.table(
+        {
+            "source": pa.array([g for g, _, _ in rows], pa.string()),
+            "doc_id": pa.array([d for _, d, _ in rows], pa.int64()),
+            "score": _round_col(
+                np.array([s_ for _, _, s_ in rows] or [], np.float64), 4
+            ),
+        }
+    )
+
+
 def q_cooccurrence(sf_dir: str) -> pa.Table:
     """Top-50 windowed co-occurrence pairs (window=5, unordered,
     count desc) with PMI from unigram marginals (ops/cooc.py)."""
@@ -1091,6 +1137,9 @@ def queries() -> dict:
         "ft_near_unordered": q_ft_near_unordered,
         "ft_near_ordered": q_ft_near_ordered,
         "ft_multifield": q_ft_multifield,
+        "ft_dismax": q_ft_dismax,
+        "ft_facet_ranges": q_ft_facet_ranges,
+        "ft_collapse": q_ft_collapse,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
@@ -1388,6 +1437,75 @@ scored AS (
   GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # DisMax over (text, source): per-field BM25 subtotals exactly
+        # as ft_multifield, combined as max + 0.3 * rest.
+        "ft_dismax": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'src3') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+text_sub AS (
+  SELECT tf.doc_id, sum(
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc)))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id),
+src_stats AS (SELECT count(*)::DOUBLE AS dc FROM documents),
+src_df AS (SELECT tok, count(*)::DOUBLE AS df FROM (
+  SELECT doc_id, lower(source) AS tok FROM documents) GROUP BY tok),
+src_sub AS (
+  SELECT d.doc_id,
+         ln(1 + (sc.dc - sd.df + 0.5) / (sd.df + 0.5)) * 1.0 / (1.0 + 1.2) AS s
+  FROM documents d
+  JOIN src_df sd ON sd.tok = lower(d.source)
+  CROSS JOIN src_stats sc
+  WHERE lower(d.source) IN ('data', 'src3')),
+combined AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         greatest(coalesce(t.s, 0), coalesce(u.s, 0))
+           + 0.3 * (coalesce(t.s, 0) + coalesce(u.s, 0)
+                    - greatest(coalesce(t.s, 0), coalesce(u.s, 0))) AS score
+  FROM text_sub t FULL OUTER JOIN src_sub u ON u.doc_id = t.doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM combined ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # Numeric range facets for the 'data' match set over n_chars
+        # ([lo, hi) buckets, open ends), bucket order fixed.
+        "ft_facet_ranges": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data'),
+v AS (SELECT d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id),
+buckets(idx, bucket, lo, hi) AS (VALUES
+  (0, 'lt200', NULL, 200), (1, '200_400', 200, 400),
+  (2, 'ge400', 400, NULL))
+SELECT b.bucket,
+       (SELECT count(*) FROM v
+        WHERE (b.lo IS NULL OR v.n_chars >= b.lo)
+          AND (b.hi IS NULL OR v.n_chars < b.hi))::BIGINT AS n
+FROM buckets b ORDER BY b.idx
+""",
+        # Field collapsing: best 'data merge' hit per source, groups
+        # ranked by best score (ties: source asc).
+        "ft_collapse": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT source, doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM ranked WHERE rn = 1 ORDER BY score DESC, source LIMIT 10
 """,
         "ft_doc_norms": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}
