@@ -1076,6 +1076,25 @@ def q_ft_collapse(sf_dir: str) -> pa.Table:
     )
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: every purchase event joined to the latest signup at
+    or before it for the same user (ops/joins.py)."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.joins import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "ts", "user_id", "value"]
+    left = ray.data.read_parquet(
+        path, columns=cols, filter=(pc.field("event_type") == "purchase")
+    )
+    right = ray.data.read_parquet(
+        path, columns=cols, filter=(pc.field("event_type") == "signup")
+    )
+    out = asof_join(left, right, key_col="user_id")
+    return _collect(out).sort_by("event_id")
+
+
 def q_cooccurrence(sf_dir: str) -> pa.Table:
     """Top-50 windowed co-occurrence pairs (window=5, unordered,
     count desc) with PMI from unigram marginals (ops/cooc.py)."""
@@ -1185,6 +1204,7 @@ def queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
         "cooccurrence": q_cooccurrence,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1977,5 +1997,32 @@ FROM top CROSS JOIN npair CROSS JOIN ntok
 JOIN uni ua ON ua.tok = top.l
 JOIN uni ub ON ub.tok = top.r
 ORDER BY top.cnt DESC, top.l, top.r
+""",
+        # Relational replay of ops/joins.py::asof_join (purchase
+        # joined to latest signup at-or-before, per user; equal-ts
+        # rights win by larger event_id; unmatched -> -1 sentinels).
+        "asof_join": """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, 0 AS side
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, NULL, 1
+  FROM events WHERE event_type = 'purchase'),
+x AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      OVER w AS r_eid,
+    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+      OVER w AS r_val,
+    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+      OVER w AS r_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id AS key, ts_us::BIGINT AS ts_us,
+       coalesce(r_eid, -1)::BIGINT AS right_event_id,
+       CAST(round(coalesce(r_val, 0), 6) AS DOUBLE) AS right_value,
+       coalesce(ts_us - r_ts, -1)::BIGINT AS lag_us
+FROM x WHERE side = 1 ORDER BY event_id
 """,
     }
