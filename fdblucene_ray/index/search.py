@@ -1608,6 +1608,27 @@ class Searcher:
         terms = [t for t, _ in self.expand_regexp(field, pattern, max_terms)]
         return self._multiterm_hits(field, terms, k, rewrite)
 
+    def suggest(
+        self,
+        term: str,
+        k: int = 5,
+        *,
+        field: str = "text",
+        max_edits: int = 2,
+        prefix_len: int = 1,
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean (DirectSpellChecker analog): dictionary terms
+        within ``max_edits`` of ``term`` (sharing its first
+        ``prefix_len`` chars), ranked by (distance asc, df desc, term
+        asc); the exact term (distance 0) is excluded. Returns
+        [(term, df, dist)]."""
+        cands = self.expand_fuzzy(
+            field, term, max_edits, prefix_len, max_terms=1 << 20
+        )
+        out = [(t, df, d) for t, df, d in cands if d > 0]
+        out.sort(key=lambda x: (x[2], -x[1], x[0]))
+        return out[:k]
+
     def search_fuzzy(self, term: str, k: int = 10, *, field: str = "text",
                      max_edits: int = 2, prefix_len: int = 0,
                      max_terms: int = 1024,

@@ -227,3 +227,89 @@ class Winnow:
 
 def fingerprints(ds, text_col="text", id_col="doc_id", k=4, w=5) -> ray.data.Dataset:
     return ds.map_batches(Winnow(text_col, id_col, k, w), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+class _GroupTermPartials:
+    """Per-batch (grp, term, cnt) map-side combine: one row per unique
+    (group value, term) pair per batch — the exchange carries combined
+    counts, never the token stream."""
+
+    def __init__(self, analyzer: str, group_col: str, text_col: str):
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.group_col, self.text_col = group_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
+            batch[self.text_col]
+        )
+        grp = batch[self.group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        gdict = grp.dictionary_encode()
+        gcodes = np.asarray(gdict.indices.to_numpy(zero_copy_only=False))
+        gvals = np.asarray(
+            [v.as_py() for v in gdict.dictionary], dtype=object
+        )
+        V = max(1, len(vocab))
+        key = gcodes[row_idx].astype(np.int64) * V + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        vocab_np = np.asarray(vocab, dtype=object)
+        return pa.table(
+            {
+                "grp": pa.array(gvals[(uniq // V)].tolist(), pa.string()),
+                "term": pa.array(vocab_np[(uniq % V)].tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def _topn_factory(n: int):
+    def topn(group: pa.Table) -> pa.Table:
+        cnt = group["sum(cnt)"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        # stable two-pass argsort: term asc, then cnt desc (ties keep
+        # term order) — object-dtype-safe, no Python sort loop
+        by_term = np.argsort(terms, kind="stable")
+        order = by_term[np.argsort(-cnt[by_term], kind="stable")][:n]
+        g = group["grp"][0].as_py()
+        return pa.table(
+            {
+                "grp": pa.array([g] * len(order), pa.string()),
+                "term": pa.array(terms[order].tolist(), pa.string()),
+                "cnt": pa.array(cnt[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return topn
+
+
+def top_terms_per_group(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    n: int = 3,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-group heavy hitters: the ``n`` most frequent terms of each
+    group (count desc, term asc), with rank. Shape: per-batch combined
+    (grp, term, cnt) partials -> one groupby sum over |groups|x|vocab|
+    keys -> per-group top-n inside map_groups. Columns:
+    (grp, term, cnt, rank)."""
+    partials = ds.map_batches(
+        _GroupTermPartials,
+        fn_constructor_kwargs=dict(
+            analyzer=analyzer, group_col=group_col, text_col=text_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    agg = partials.groupby(["grp", "term"]).sum("cnt")
+    return agg.groupby("grp").map_groups(
+        _topn_factory(n), batch_format="pyarrow"
+    )

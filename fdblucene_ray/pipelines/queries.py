@@ -1076,6 +1076,34 @@ def q_ft_collapse(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean (DirectSpellChecker analog): dictionary terms
+    within 2 edits of the misspelling 'strean', ranked (dist, df desc,
+    term)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.suggest("strean", k=5, max_edits=2, prefix_len=1)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _, _ in rows], pa.string()),
+            "df": pa.array([d for _, d, _ in rows], pa.int64()),
+            "dist": pa.array([x for _, _, x in rows], pa.int64()),
+        }
+    )
+
+
+def q_top_terms_per_source(sf_dir: str) -> pa.Table:
+    """Per-group heavy hitters: top-3 terms of each source
+    (ops/textstats.py top_terms_per_group)."""
+    from fdblucene_ray.ops.textstats import top_terms_per_group
+
+    out = top_terms_per_group(
+        _docs_ds(sf_dir, ["source", "text"]), group_col="source", n=3
+    )
+    return _collect(out).sort_by(
+        [("grp", "ascending"), ("rank", "ascending")]
+    )
+
+
 def q_asof_join(sf_dir: str) -> pa.Table:
     """As-of join: every purchase event joined to the latest signup at
     or before it for the same user (ops/joins.py)."""
@@ -1205,6 +1233,8 @@ def queries() -> dict:
         "lm_score": q_lm_score,
         "cooccurrence": q_cooccurrence,
         "asof_join": q_asof_join,
+        "ft_suggest": q_ft_suggest,
+        "top_terms_per_source": q_top_terms_per_source,
     }
 
 
@@ -2024,5 +2054,29 @@ SELECT event_id, user_id AS key, ts_us::BIGINT AS ts_us,
        CAST(round(coalesce(r_val, 0), 6) AS DOUBLE) AS right_value,
        coalesce(ts_us - r_ts, -1)::BIGINT AS lag_us
 FROM x WHERE side = 1 ORDER BY event_id
+""",
+        # Did-you-mean for 'strean' (prefix 's', <=2 edits, dist 0
+        # excluded): rank dist asc, df desc, term asc.
+        "ft_suggest": f"""
+WITH {TOKS_CTE},
+v AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+      WHERE tok LIKE 's%' GROUP BY tok),
+c AS (SELECT tok, df, levenshtein(tok, 'strean') AS dist FROM v)
+SELECT tok AS term, df::BIGINT AS df, dist::BIGINT AS dist
+FROM c WHERE dist BETWEEN 1 AND 2
+ORDER BY dist, df DESC, tok LIMIT 5
+""",
+        # Top-3 terms per source (count desc, term asc).
+        "top_terms_per_source": """
+WITH toks AS (SELECT source, tok FROM (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+  FROM documents) WHERE tok <> ''),
+cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+r AS (SELECT source, tok, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok) AS rank
+      FROM cnt)
+SELECT source AS grp, tok AS term, c::BIGINT AS cnt, rank::BIGINT AS rank
+FROM r WHERE rank <= 3 ORDER BY grp, rank
 """,
     }

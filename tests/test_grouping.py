@@ -124,3 +124,63 @@ class TestCollapse:
         assert len({g for g, _, _ in got}) == len(got)
         scores = [sc for _, _, sc in got]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestSuggest:
+    def test_ranked_by_distance_then_df(self, corpus, tmp_path):
+        # planted dictionary: 'merge' df high, 'marge' dist 1,
+        # 'merges' dist 1, 'mergers' dist 2
+        texts = (["merge merge alpha"] * 5 + ["marge beta"] * 3
+                 + ["merges gamma"] * 4 + ["mergers delta"] * 2)
+        src = str(tmp_path / "sg.parquet")
+        pq.write_table(
+            pa.table({"text": pa.array(texts)}), src
+        )
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix,
+            fields={"text": {"column": "text", "analyzer": "simple"}},
+            num_partitions=2,
+        )
+        s = Searcher(ix)
+        got = s.suggest("merge", k=5, max_edits=2, prefix_len=1)
+        # dist 0 ('merge') excluded; dist 1 first (merges df=4 beats
+        # marge df=3), then dist 2
+        assert got == [("merges", 4, 1), ("marge", 3, 1), ("mergers", 2, 2)]
+
+    def test_prefix_len_bounds_candidates(self, corpus):
+        ix, *_ = corpus
+        s = Searcher(ix)
+        for t, _, d in s.suggest("scam", k=10, prefix_len=2):
+            assert t.startswith("sc") and 1 <= d <= 2
+
+
+class TestTopTermsPerGroup:
+    def test_matches_bruteforce(self, corpus):
+        from collections import Counter
+
+        from fdblucene_ray.ops.textstats import top_terms_per_group
+
+        ix, src, texts, sources, _ = corpus
+        import ray.data
+
+        ds = ray.data.read_parquet(src, columns=["source", "text"])
+        got = (
+            top_terms_per_group(ds, group_col="source", n=3)
+            .to_pandas()
+            .sort_values(["grp", "rank"])
+            .reset_index(drop=True)
+        )
+        want = []
+        for g in sorted(set(sources)):
+            c = Counter()
+            for t, s_ in zip(texts, sources):
+                if s_ == g:
+                    c.update(t.split())
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            want += [(g, t, n, i + 1) for i, (t, n) in enumerate(top)]
+        assert list(
+            got[["grp", "term", "cnt", "rank"]].itertuples(
+                index=False, name=None
+            )
+        ) == want
