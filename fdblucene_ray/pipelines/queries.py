@@ -742,6 +742,21 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_near_dups(ds, threshold=0.4, exact=True)
 
 
+def q_dup_components(sf_dir: str) -> pa.Table:
+    """Duplicate clusters: connected components (min-label
+    propagation, ops/components.py) over the embedding near-dup pair
+    graph — the chained-duplicate closure step after pairwise dedup."""
+    from fdblucene_ray.ops.components import connected_components
+    from fdblucene_ray.ops.similarity import embedding_near_dups
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, threshold=0.4, exact=True)
+    out = connected_components(
+        ray.data.from_arrow(pairs.select(["a", "b"]))
+    )
+    return _collect(out).sort_by("node")
+
+
 def q_multimodal_meta(sf_dir: str) -> pa.Table:
     """Binary-payload decode plumbing (stubbed decoder, real actor pool)."""
     import pyarrow.compute as pc
@@ -1235,6 +1250,7 @@ def queries() -> dict:
         "asof_join": q_asof_join,
         "ft_suggest": q_ft_suggest,
         "top_terms_per_source": q_top_terms_per_source,
+        "dup_components": q_dup_components,
     }
 
 
@@ -2078,5 +2094,22 @@ r AS (SELECT source, tok, c,
       FROM cnt)
 SELECT source AS grp, tok AS term, c::BIGINT AS cnt, rank::BIGINT AS rank
 FROM r WHERE rank <= 3 ORDER BY grp, rank
+""",
+        # Transitive closure of the embedding near-dup pair graph:
+        # component label = min node id (recursive CTE replay of the
+        # min-label propagation in ops/components.py).
+        "dup_components": """
+WITH RECURSIVE s AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+e AS (SELECT a AS u, b AS v FROM s UNION SELECT b, a FROM s),
+n AS (SELECT DISTINCT u AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+SELECT node::BIGINT AS node, min(r)::BIGINT AS label
+FROM reach GROUP BY node ORDER BY node
 """,
     }
