@@ -742,6 +742,24 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_near_dups(ds, threshold=0.4, exact=True)
 
 
+def q_group_quantiles(sf_dir: str) -> pa.Table:
+    """Per-event-type p50/p95/p99 of value from distributed fixed-width
+    histograms (ops/quantiles.py) — binned-exact, bin_width=5."""
+    from fdblucene_ray.ops.quantiles import group_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    out = group_quantiles(
+        ds, key_col="event_type", value_col="value",
+        qs=[0.5, 0.95, 0.99], bin_width=5.0,
+    )
+    return _collect(out).sort_by(
+        [("key", "ascending"), ("q", "ascending")]
+    )
+
+
 def q_dup_components(sf_dir: str) -> pa.Table:
     """Duplicate clusters: connected components (min-label
     propagation, ops/components.py) over the embedding near-dup pair
@@ -1251,6 +1269,7 @@ def queries() -> dict:
         "ft_suggest": q_ft_suggest,
         "top_terms_per_source": q_top_terms_per_source,
         "dup_components": q_dup_components,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2111,5 +2130,24 @@ reach(node, r) AS (
   SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
 SELECT node::BIGINT AS node, min(r)::BIGINT AS label
 FROM reach GROUP BY node ORDER BY node
+""",
+        # Binned-exact per-group quantiles (bin_width=5, lower-bound
+        # convention, rank = max(1, ceil(q*n))).
+        "group_quantiles": """
+WITH b AS (SELECT event_type AS key, floor(value / 5.0)::BIGINT AS bin,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+c AS (SELECT key, bin, cnt,
+             sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY key) AS n
+      FROM b),
+q(q) AS (VALUES (0.5), (0.95), (0.99)),
+sel AS (
+  SELECT c.key, q.q, c.bin, c.n,
+         row_number() OVER (PARTITION BY c.key, q.q ORDER BY c.bin) AS rn
+  FROM c JOIN q ON c.cum >= greatest(1, ceil(q.q * c.n)))
+SELECT key, CAST(round(q, 6) AS DOUBLE) AS q,
+       CAST(round(bin * 5.0, 6) AS DOUBLE) AS value, n::BIGINT AS n
+FROM sel WHERE rn = 1 ORDER BY key, q
 """,
     }
