@@ -232,6 +232,10 @@ def run_default() -> None:
     timed("ann_cosine", lambda: q.q_ann_cosine(sf_dir))
     timed("text_quality", lambda: q.q_text_quality(sf_dir))
     timed("lang_id", lambda: q.q_lang_id(sf_dir))
+    timed("curate", lambda: q.q_curate(sf_dir))
+    timed("pack_sequences", lambda: q.q_pack_sequences(sf_dir))
+    timed("lm_score", lambda: q.q_lm_score(sf_dir))
+    timed("asof_join", lambda: q.q_asof_join(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)
