@@ -742,6 +742,64 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_near_dups(ds, threshold=0.4, exact=True)
 
 
+def q_curate_then_index(sf_dir: str) -> pa.Table:
+    """End-to-end composition: curate the corpus (same parameters as
+    `curate`), index ONLY the kept docs, and run a BM25 top-10 for
+    'data merge' over the curated index — collection stats are those of
+    the kept corpus. At 100 TB the keep-list is a doc_id-partitioned
+    parquet probed per batch; here the kept ids broadcast via ray.put.
+    """
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.pipelines.curate import curate_corpus
+
+    def _bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 100) == 7))
+
+    bench = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(_bench_filter, batch_format="pyarrow")
+        .to_pandas()["text"]
+    )
+    verdicts = curate_corpus(
+        _docs_ds(sf_dir, ["doc_id", "text"]),
+        list(bench),
+        lang="en", min_tokens=10, min_stop_ratio=0.05, ngram=3,
+        sample_rate=0.9,
+    )
+
+    def _kept_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["keep"], 1)).select(["doc_id"])
+
+    kept = np.sort(
+        _collect(
+            verdicts.map_batches(_kept_only, batch_format="pyarrow")
+        )["doc_id"].to_numpy()
+    )
+    kept_ref = ray.put(kept)
+
+    def _filter_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = ray.get(kept_ref)
+        pos = np.searchsorted(m, ids)
+        pos[pos == len(m)] = 0
+        return batch.filter(pa.array(m[pos] == ids))
+
+    ix = _index_dir(sf_dir, "curated")
+    if not os.path.isdir(os.path.join(ix, "segments")):
+        ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+            _filter_corpus, batch_format="pyarrow"
+        )
+        build_index(
+            ds, ix,
+            fields={"text": {"column": "text", "analyzer": "simple"}},
+            num_partitions=8, batch_size=2048,
+        )
+    s = Searcher(ix)
+    return _hits_table(s.search("data merge", 10))
+
+
 def q_group_quantiles(sf_dir: str) -> pa.Table:
     """Per-event-type p50/p95/p99 of value from distributed fixed-width
     histograms (ops/quantiles.py) — binned-exact, bin_width=5."""
@@ -1270,6 +1328,7 @@ def queries() -> dict:
         "top_terms_per_source": q_top_terms_per_source,
         "dup_components": q_dup_components,
         "group_quantiles": q_group_quantiles,
+        "curate_then_index": q_curate_then_index,
     }
 
 
@@ -2149,5 +2208,68 @@ sel AS (
 SELECT key, CAST(round(q, 6) AS DOUBLE) AS q,
        CAST(round(bin * 5.0, 6) AS DOUBLE) AS value, n::BIGINT AS n
 FROM sel WHERE rn = 1 ORDER BY key, q
+""",
+        # curate (same params as the `curate` oracle, CTEs prefixed
+        # c_) -> kept corpus -> BM25 top-10 'data merge' with stats of
+        # the KEPT corpus only.
+        "curate_then_index": f"""
+WITH c_lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+c_toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM c_lists),
+c_tg AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+  FROM c_toks t1
+  JOIN c_toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN c_toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+c_bench AS (SELECT DISTINCT g FROM c_tg WHERE doc_id % 100 = 7),
+c_hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM c_tg
+  WHERE g IN (SELECT g FROM c_bench) GROUP BY doc_id),
+c_tc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE tok IN ({_STOPLIST_SQL})) AS n_stop,
+         count(*) FILTER (WHERE tok IN ({lang_counts['en']})) AS n_en,
+         count(*) FILTER (WHERE tok IN ({lang_counts['de']})) AS n_de,
+         count(*) FILTER (WHERE tok IN ({lang_counts['fr']})) AS n_fr
+  FROM c_toks GROUP BY doc_id),
+c_sig AS (
+  SELECT d.doc_id,
+         (d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)) AS is_dup,
+         coalesce(tc.n_tokens, 0) AS n_tokens,
+         coalesce(tc.n_stop, 0) AS n_stop,
+         CASE WHEN coalesce(tc.n_en,0) >= coalesce(tc.n_de,0)
+                   AND coalesce(tc.n_en,0) >= coalesce(tc.n_fr,0) THEN 'en'
+              WHEN coalesce(tc.n_de,0) >= coalesce(tc.n_fr,0) THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         coalesce(h.n_hits, 0) AS n_hits,
+         (d.doc_id * 2654435761) % 4294967296 AS sample_h
+  FROM documents d
+  LEFT JOIN c_tc tc ON tc.doc_id = d.doc_id
+  LEFT JOIN c_hits h ON h.doc_id = d.doc_id),
+kept AS (
+  SELECT doc_id FROM c_sig
+  WHERE NOT is_dup AND pred_lang = 'en' AND n_tokens >= 10
+    AND n_stop::DOUBLE / greatest(n_tokens, 1) >= 0.05
+    AND n_hits = 0 AND sample_h < 3865470566),
+toks AS (SELECT doc_id, tok FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)) WHERE tok <> ''),
+{DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

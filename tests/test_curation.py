@@ -223,3 +223,44 @@ class TestCuratePipeline:
         en = "the quick brown fox and the lazy dog were on a hill with some of it"
         got = self._run([en], bench=None, sample_rate=1.0)
         assert got[0]["reason"] == "keep"
+
+
+class TestCurateThenIndex:
+    def test_search_excludes_non_kept_docs(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.search import Searcher
+        from fdblucene_ray.pipelines.curate import curate_corpus
+
+        en = ("the data merge ran on the cluster with some of the "
+              "usual settings and it was fine")
+        texts = [en, en, "data merge " * 6]  # 1 = duplicate, 2 = no stopwords
+        ds = _docs(texts)
+        verdicts = {
+            r["doc_id"]: r["reason"]
+            for r in curate_corpus(ds, None, lang="en", min_tokens=5,
+                                   min_stop_ratio=0.05, sample_rate=1.0)
+            .to_pandas().to_dict("records")
+        }
+        assert verdicts == {0: "keep", 1: "duplicate", 2: "low_quality"}
+
+        kept = [i for i, r in verdicts.items() if r == "keep"]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(kept, pa.int64()),
+                    "text": pa.array([texts[i] for i in kept]),
+                }
+            ),
+            src,
+        )
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix,
+            fields={"text": {"column": "text", "analyzer": "simple"}},
+            num_partitions=2,
+        )
+        hits = Searcher(ix).search("data merge", 10)
+        assert [d for d, _ in hits] == [0]  # dup + low-quality docs absent
