@@ -1208,6 +1208,181 @@ class Searcher:
         )
         return out[:k]
 
+    def search_synonyms(
+        self,
+        groups: list[list[str]],
+        k: int = 10,
+        *,
+        field: str = "text",
+    ) -> list[tuple[int, float]]:
+        """SynonymQuery analog (Lucene 8 ``SynonymQuery``): each group
+        of terms scores as ONE pseudo-term — per-doc tf = sum of the
+        member tfs, one shared idf per group. Lucene blends the group's
+        docFreq from the members' stats (max df) to avoid an extra
+        stats pass; here the exact union df falls out of the decoded
+        posting union, so the idf uses it (documented deviation —
+        strictly the "true" pseudo-term df). Groups combine as a
+        disjunction (sum of group scores); ties doc_id asc.
+
+        Vectorized full-decode (the exhaustive strategy). The WAND
+        scale path treats each group as one cursor whose block upper
+        bound is idf * max over member block maxes summed — same shape
+        as UnionCursor but with tf summed on doc collision."""
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        bs = self.manifest.block_size
+        per_group: list[tuple[np.ndarray, np.ndarray]] = []
+        for terms in groups:
+            parts_d, parts_t, parts_n = [], [], []
+            for t in dict.fromkeys(terms):
+                for r in self.readers:
+                    dec = r.decode_term_all(field, t, bs)
+                    if dec is None:
+                        continue
+                    d, tf, nb = dec
+                    parts_d.append(d)
+                    parts_t.append(tf)
+                    parts_n.append(nb)
+            if not parts_d:
+                continue
+            docs = np.concatenate(parts_d)
+            tfs = np.concatenate(parts_t).astype(np.float64)
+            norms = np.concatenate(parts_n)
+            am = _alive_mask(docs, self.tombstones)
+            if am is not None:
+                docs, tfs, norms = docs[am], tfs[am], norms[am]
+            if not len(docs):
+                continue
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tf_u = np.zeros(len(uniq))
+            np.add.at(tf_u, inv, tfs)
+            norm_u = np.zeros(len(uniq), np.int64)
+            norm_u[inv] = norms  # same doc -> same norm byte
+            idf = bm25_idf(dc, len(uniq))
+            per_group.append((uniq, idf * tf_u / (tf_u + ncache[norm_u])))
+        if not per_group:
+            return []
+        all_docs = np.concatenate([d for d, _ in per_group])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        total = np.zeros(len(uniq))
+        off = 0
+        for docs, scores in per_group:  # group-order accumulation
+            np.add.at(total, inv[off : off + len(docs)], scores)
+            off += len(docs)
+        sel = np.lexsort((uniq, -total))[:k]
+        return [(int(uniq[i]), float(total[i])) for i in sel]
+
+    def search_function_score(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        value_source,
+        value_col: str,
+        weight: float = 1.0,
+        operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """FunctionScoreQuery analog: final score = bm25 *
+        (1 + weight * ln(1 + max(value, 0))) with the value taken from
+        a numeric doc-values column. The whole match set is scored
+        (boosting reorders, so top-k can't early-terminate on bm25
+        alone) and values hydrate row-group-pruned for the matched ids
+        only. At head-term scale the value folds into the per-block
+        max-score metadata instead (Lucene's FeatureField impacts) so
+        WAND upper bounds stay valid — documented scale path."""
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        terms = self.parse(query, field)
+        hits = self.search_terms(
+            terms, 1 << 31, field=field, operator=operator, mode="exhaustive"
+        )
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], np.int64)
+        bm25 = np.array([s for _, s in hits], np.float64)
+        tbl = hydrate_from_source(value_source, ids.tolist(), columns=[value_col])
+        vmap_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        vmap_vals = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(vmap_ids)
+        vmap_ids, vmap_vals = vmap_ids[order], vmap_vals[order]
+        pos = np.searchsorted(vmap_ids, ids)
+        vals = vmap_vals[pos]
+        # np.log (not log1p) so the doubles match the SQL oracle's
+        # ln(1 + v) expression bit-for-bit
+        final = bm25 * (1.0 + weight * np.log(1.0 + np.maximum(vals, 0.0)))
+        sel = np.lexsort((ids, -final))[:k]
+        return [(int(ids[i]), float(final[i])) for i in sel]
+
+    def search_sort_by(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        value_source,
+        value_col: str,
+        descending: bool = True,
+        operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Sort-by-field search (``IndexSearcher.search(query, n,
+        Sort)`` with a numeric ``SortField`` — relevance is ignored):
+        docs matching the query ordered by a doc-values column, ties
+        doc_id asc. The match set is broadcast (``ray.put``) and the
+        value column STREAMS from the input parquet with a per-batch
+        local top-k; only ≤k rows per batch reach the driver merge —
+        the same shape as ``facet_ranges`` and safe at 100 TB."""
+        import ray
+        import ray.data
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        if operator == "and":
+            match: np.ndarray | None = None
+            for reader_docs in _matching_docs_per_term(self.readers, terms, field):
+                match = (
+                    reader_docs if match is None else np.intersect1d(match, reader_docs)
+                )
+            match = np.sort(match) if match is not None else np.empty(0, np.int64)
+            am = _alive_mask(match, self.tombstones)
+            if am is not None:
+                match = match[am]
+        else:
+            match = self.multiterm_docs(field, terms)
+        if not len(match):
+            return []
+        match_ref = ray.put(match)
+        desc = descending
+
+        def topk_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(match_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            ids, vals = ids[hit], vals[hit]
+            order = np.lexsort((ids, -vals if desc else vals))[:k]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[order], pa.int64()),
+                    "value": pa.array(vals[order], pa.float64()),
+                }
+            )
+
+        parts = ray.data.read_parquet(
+            value_source, columns=["doc_id", value_col]
+        ).map_batches(topk_batch, batch_format="pyarrow").take_all()
+        if not parts:
+            return []
+        ids = np.array([r["doc_id"] for r in parts], np.int64)
+        vals = np.array([r["value"] for r in parts], np.float64)
+        sel = np.lexsort((ids, -vals if desc else vals))[:k]
+        return [(int(ids[i]), float(vals[i])) for i in sel]
+
     def phrase_freqs(
         self, phrase: str, *, field: str = "text", slop: int = 0
     ) -> list[tuple[int, int]]:

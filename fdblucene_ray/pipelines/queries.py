@@ -1250,6 +1250,45 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_synonym(sf_dir: str) -> pa.Table:
+    """SynonymQuery analog: ('join' OR 'merge') scored as ONE
+    pseudo-term (tf summed per doc, idf from the exact union df) plus a
+    plain 'scan' clause (index/search.py search_synonyms)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search_synonyms([["join", "merge"], ["scan"]], k=10))
+
+
+def q_ft_function_score(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery analog: BM25('filter sort') boosted by
+    1 + 0.2*ln(1 + n_chars), the whole match set rescored and values
+    hydrated row-group-pruned (index/search.py search_function_score)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_function_score(
+            "filter sort", k=10,
+            value_source=_docs_path(sf_dir), value_col="n_chars", weight=0.2,
+        )
+    )
+
+
+def q_ft_sort_by_field(sf_dir: str) -> pa.Table:
+    """Sort-by-field search (SortField analog): docs matching
+    'vector AND stream' ordered by n_chars desc; the value column
+    streams against the broadcast match set with per-batch local top-k
+    (index/search.py search_sort_by)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_sort_by(
+        "vector stream", k=10, operator="and",
+        value_source=_docs_path(sf_dir), value_col="n_chars",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1278,6 +1317,9 @@ def queries() -> dict:
         "ft_dismax": q_ft_dismax,
         "ft_facet_ranges": q_ft_facet_ranges,
         "ft_collapse": q_ft_collapse,
+        "ft_synonym": q_ft_synonym,
+        "ft_function_score": q_ft_function_score,
+        "ft_sort_by_field": q_ft_sort_by_field,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
@@ -1650,6 +1692,56 @@ ranked AS (
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
 SELECT source, doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM ranked WHERE rn = 1 ORDER BY score DESC, source LIMIT 10
+""",
+        # SynonymQuery: ('join','merge') as one pseudo-term (tf summed,
+        # idf from the exact union df) + plain 'scan' clause.
+        "ft_synonym": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tfg AS (SELECT doc_id,
+        CASE WHEN tok IN ('join', 'merge') THEN 0 ELSE 1 END AS g,
+        count(*)::DOUBLE AS tf
+        FROM toks WHERE tok IN ('join', 'merge', 'scan') GROUP BY doc_id, g),
+dfg AS (SELECT g, count(*)::DOUBLE AS df FROM tfg GROUP BY g),
+contrib AS (
+  SELECT tfg.doc_id,
+         ln(1 + (stats.dc - dfg.df + 0.5) / (dfg.df + 0.5))
+           * tfg.tf / (tfg.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tfg JOIN dfg ON dfg.g = tfg.g JOIN dlq ON dlq.doc_id = tfg.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # FunctionScore: bm25('filter sort') * (1 + 0.2*ln(1+n_chars));
+        # ORDER BY the unrounded expression (the engine sorts unrounded).
+        "ft_function_score": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('filter', 'sort') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id,
+         s.score * (1 + 0.2 * ln(1 + greatest(d.n_chars, 0))) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
+FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
+""",
+        # Sort-by-field: 'vector' AND 'stream' matches ordered by the
+        # n_chars doc value desc, doc_id asc ties.
+        "ft_sort_by_field": f"""
+WITH {TOKS_CTE},
+m AS (SELECT doc_id FROM toks WHERE tok IN ('vector', 'stream')
+      GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+SELECT d.doc_id, d.n_chars::DOUBLE AS value
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY value DESC, d.doc_id LIMIT 10
 """,
         "ft_doc_norms": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}

@@ -1,0 +1,182 @@
+"""SynonymQuery, FunctionScoreQuery, and sort-by-field (SortField)
+analogs — brute-force oracles on a planted corpus. SQL twins
+(`ft_synonym`, `ft_function_score`, `ft_sort_by_field`) run in the
+driver gate."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.codec.smallfloat import DECODE_TABLE, int_to_byte4
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+
+WORDS = ["merge", "scan", "stream", "join", "batch", "hash", "row",
+         "window", "data", "spark"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("fq")
+    rng = np.random.default_rng(41)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(3, 15)))
+        for _ in range(300)
+    ]
+    n_chars = [len(t) for t in texts]
+    src = str(tmp / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(300), pa.int64()),
+                "text": pa.array(texts),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        src,
+    )
+    ix = str(tmp / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=4,
+    )
+    return ix, src, texts, n_chars
+
+
+def _bm25_pseudo_term(texts, members):
+    """Brute-force pseudo-term BM25 (tf summed, idf from the union df)
+    per doc, via the same lossy norm the engine must reproduce."""
+    toks = [t.split() for t in texts]
+    dls = [len(tk) for tk in toks]
+    dc = len(texts)
+    sttf = sum(dls)
+    avgdl = sttf / dc
+    tf = {
+        i: sum(tk.count(m) for m in members)
+        for i, tk in enumerate(toks)
+        if any(m in tk for m in members)
+    }
+    df = len(tf)
+    idf = math.log(1.0 + (dc - df + 0.5) / (df + 0.5))
+    out = {}
+    for d, f in tf.items():
+        dlq = float(DECODE_TABLE[int_to_byte4(dls[d])])
+        out[d] = idf * f / (f + 1.2 * (1 - 0.75 + (0.75 * dlq) / avgdl))
+    return out
+
+
+class TestSynonyms:
+    def test_pseudo_term_scoring(self, corpus):
+        ix, _, texts, _ = corpus
+        s = Searcher(ix)
+        want = _bm25_pseudo_term(texts, ["join", "merge"])
+        got = s.search_synonyms([["join", "merge"]], k=1 << 31)
+        assert len(got) == len(want)
+        for d, sc in got:
+            assert sc == pytest.approx(want[d], rel=1e-12)
+
+    def test_single_member_equals_term_query(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        assert s.search_synonyms([["scan"]], k=20) == pytest.approx(
+            s.search("scan", k=20, mode="exhaustive")
+        )
+
+    def test_duplicate_members_collapse(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        a = s.search_synonyms([["join", "merge"]], k=10)
+        b = s.search_synonyms([["join", "merge", "join"]], k=10)
+        assert a == b
+
+    def test_groups_combine_as_disjunction(self, corpus):
+        ix, _, texts, _ = corpus
+        s = Searcher(ix)
+        g1 = _bm25_pseudo_term(texts, ["join", "merge"])
+        g2 = _bm25_pseudo_term(texts, ["scan"])
+        want = {d: g1.get(d, 0.0) + g2.get(d, 0.0) for d in set(g1) | set(g2)}
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = s.search_synonyms([["join", "merge"], ["scan"]], k=10)
+        assert [d for d, _ in got] == [d for d, _ in top]
+        for (d, sc), (_, w) in zip(got, top):
+            assert sc == pytest.approx(w, rel=1e-12)
+
+    def test_absent_group_ignored(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        a = s.search_synonyms([["scan"], ["zzzzz"]], k=10)
+        assert a == s.search_synonyms([["scan"]], k=10)
+
+
+class TestFunctionScore:
+    def test_boost_reorders_and_scales(self, corpus):
+        ix, src, _, n_chars = corpus
+        s = Searcher(ix)
+        base = dict(s.search("merge scan", k=1 << 31, mode="exhaustive"))
+        want = {
+            d: sc * (1.0 + 0.5 * math.log(1.0 + n_chars[d]))
+            for d, sc in base.items()
+        }
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = s.search_function_score(
+            "merge scan", k=10, value_source=src, value_col="n_chars",
+            weight=0.5,
+        )
+        assert [d for d, _ in got] == [d for d, _ in top]
+        for (d, sc), (_, w) in zip(got, top):
+            assert sc == pytest.approx(w, rel=1e-12)
+
+    def test_zero_weight_is_bm25(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        got = s.search_function_score(
+            "merge scan", k=10, value_source=src, value_col="n_chars",
+            weight=0.0,
+        )
+        assert got == pytest.approx(s.search("merge scan", k=10, mode="exhaustive"))
+
+    def test_no_matches(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        assert s.search_function_score(
+            "zzzzz", value_source=src, value_col="n_chars"
+        ) == []
+
+
+class TestSortByField:
+    def test_and_match_sorted_desc(self, corpus):
+        ix, src, texts, n_chars = corpus
+        s = Searcher(ix)
+        match = [
+            i for i, t in enumerate(texts)
+            if "stream" in t.split() and "batch" in t.split()
+        ]
+        want = sorted(match, key=lambda d: (-n_chars[d], d))[:5]
+        got = s.search_sort_by(
+            "stream batch", k=5, operator="and",
+            value_source=src, value_col="n_chars",
+        )
+        assert [d for d, _ in got] == want
+        assert [v for _, v in got] == [float(n_chars[d]) for d in want]
+
+    def test_or_match_ascending(self, corpus):
+        ix, src, texts, n_chars = corpus
+        s = Searcher(ix)
+        match = [i for i, t in enumerate(texts) if "spark" in t.split()]
+        want = sorted(match, key=lambda d: (n_chars[d], d))[:5]
+        got = s.search_sort_by(
+            "spark", k=5, descending=False,
+            value_source=src, value_col="n_chars",
+        )
+        assert [d for d, _ in got] == want
+
+    def test_no_matches(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        assert s.search_sort_by(
+            "zzzzz", value_source=src, value_col="n_chars"
+        ) == []
