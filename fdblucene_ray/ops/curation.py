@@ -255,3 +255,72 @@ def sample_stratified(
     return candidates.groupby(group_col).map_groups(
         final_topn, batch_format="pyarrow"
     )
+
+
+def mix_rates(
+    ds: ray.data.Dataset,
+    group_col: str,
+    target_shares: dict[str, float],
+) -> pa.Table:
+    """Per-group resampling rates that reshape the corpus toward a
+    target domain mixture WITHOUT upsampling (static domain-reweighting
+    a la The Pile / DoReMi's fixed-weight baseline): given group counts
+    n_g and target shares t_g, the largest achievable mixed corpus is
+    K = min_g(n_g / t_g); each group keeps rate_g = t_g * K / n_g of
+    its rows (the binding group keeps everything). Groups absent from
+    ``target_shares`` get rate 0 (dropped).
+
+    One ``groupby(group).count()`` aggregate pass — the result is one
+    row per domain, tiny at any corpus size. Returns (group, n, rate)
+    sorted by group."""
+    counts = ds.groupby(group_col).count().to_pandas()
+    cnt = dict(zip(counts[group_col], counts["count()"]))
+    k = min(
+        cnt[g] / t for g, t in target_shares.items() if t > 0 and g in cnt
+    )
+    groups = sorted(cnt)
+    rates = [
+        (target_shares.get(g, 0.0) * k / cnt[g]) if g in target_shares else 0.0
+        for g in groups
+    ]
+    return pa.table(
+        {
+            "group": pa.array(groups, pa.string()),
+            "n": pa.array([int(cnt[g]) for g in groups], pa.int64()),
+            "rate": pa.array(rates, pa.float64()),
+        }
+    )
+
+
+def sample_to_mix(
+    ds: ray.data.Dataset,
+    group_col: str,
+    target_shares: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    rates: pa.Table | None = None,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling to a target domain mixture: keep
+    a row iff knuth_hash(id) < rate(group) * 2^32, with per-group rates
+    from ``mix_rates``. The rates table is one row per domain — carried
+    in the task closure (broadcast), never shuffled; the corpus streams
+    through one vectorized filter. Same reproducibility/composability
+    properties as ``sample_hash``."""
+    if rates is None:
+        rates = mix_rates(ds, group_col, target_shares)
+    thr = {
+        g: int(r * _MOD32)
+        for g, r in zip(rates["group"].to_pylist(), rates["rate"].to_pylist())
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # |domains| thresholds -> O(uniques) python, O(rows) numpy
+        code_thr = np.array(
+            [thr.get(v, 0) for v in enc.dictionary.to_pylist()], np.int64
+        )
+        return batch.filter(pa.array(knuth_hash32(ids) < code_thr[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1250,6 +1250,32 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     )
 
 
+_MIX_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+
+def q_mix_rates(sf_dir: str) -> pa.Table:
+    """Per-domain resampling rates toward a target mixture, no
+    upsampling (ops/curation.py mix_rates)."""
+    from fdblucene_ray.ops.curation import mix_rates
+
+    t = mix_rates(_docs_ds(sf_dir, ["doc_id", "source"]), "source", _MIX_TARGETS)
+    return t.set_column(
+        2, "rate", _round_col(t["rate"].to_numpy(zero_copy_only=False), 9)
+    )
+
+
+def q_sample_mix(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sampling to the target domain mixture
+    (ops/curation.py sample_to_mix): rates broadcast in the closure,
+    corpus streams through one vectorized hash filter."""
+    from fdblucene_ray.ops.curation import sample_to_mix
+
+    out = sample_to_mix(
+        _docs_ds(sf_dir, ["doc_id", "source"]), "source", _MIX_TARGETS
+    )
+    return _collect(out).sort_by("doc_id")
+
+
 def q_ft_synonym(sf_dir: str) -> pa.Table:
     """SynonymQuery analog: ('join' OR 'merge') scored as ONE
     pseudo-term (tf summed per doc, idf from the exact union df) plus a
@@ -1361,6 +1387,8 @@ def queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "mix_rates": q_mix_rates,
+        "sample_mix": q_sample_mix,
         "curate": q_curate,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
@@ -2069,6 +2097,31 @@ s3 AS (
          regexp_replace(t2, '\+\d[\d\-\. ]{7,}\d', '<PHONE>', 'g') AS text
   FROM s2)
 SELECT doc_id, text, n_email, n_ip, n_phone FROM s3 ORDER BY doc_id
+""",
+        # Domain-mixture rates: K = min_g(n_g/t_g); rate_g = t_g*K/n_g
+        # (expression shape mirrors the engine's (t*k)/n doubles).
+        "mix_rates": """
+WITH n AS (SELECT source AS grp, count(*)::DOUBLE AS n
+           FROM documents GROUP BY source),
+t(grp, t) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+kmax AS (SELECT min(n.n / t.t) AS k FROM n JOIN t ON t.grp = n.grp)
+SELECT n.grp AS "group", n.n::BIGINT AS n,
+       CAST(round(coalesce(t.t * kmax.k / n.n, 0.0), 9) AS DOUBLE) AS rate
+FROM n LEFT JOIN t ON t.grp = n.grp CROSS JOIN kmax
+ORDER BY n.grp
+""",
+        "sample_mix": """
+WITH n AS (SELECT source AS grp, count(*)::DOUBLE AS n
+           FROM documents GROUP BY source),
+t(grp, t) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)),
+kmax AS (SELECT min(n.n / t.t) AS k FROM n JOIN t ON t.grp = n.grp),
+rates AS (SELECT n.grp, t.t * kmax.k / n.n AS rate
+          FROM n JOIN t ON t.grp = n.grp CROSS JOIN kmax)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.grp = d.source
+WHERE (d.doc_id * 2654435761) % 4294967296
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+ORDER BY d.doc_id
 """,
         "sample_hash": """
 SELECT doc_id, lang, source FROM documents

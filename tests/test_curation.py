@@ -5,6 +5,7 @@ the driver gate via scripts/check_oracle.py / CORRECTNESS_r{N}.json.
 """
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -264,3 +265,69 @@ class TestCurateThenIndex:
         )
         hits = Searcher(ix).search("data merge", 10)
         assert [d for d, _ in hits] == [0]  # dup + low-quality docs absent
+
+
+class TestMixing:
+    def _corpus(self):
+        rng = np.random.default_rng(7)
+        groups = ["a"] * 120 + ["b"] * 60 + ["c"] * 20
+        rng.shuffle(groups)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(200), pa.int64()),
+                    "source": pa.array(groups),
+                }
+            )
+        ), groups
+
+    def test_rates_no_upsampling(self):
+        from fdblucene_ray.ops.curation import mix_rates
+
+        ds, _ = self._corpus()
+        t = mix_rates(ds, "source", {"a": 0.5, "b": 0.25, "c": 0.25})
+        rows = {r["group"]: r for r in t.to_pylist()}
+        # K = min(120/0.5, 60/0.25, 20/0.25) = 80
+        assert rows["a"]["rate"] == pytest.approx(0.5 * 80 / 120)
+        assert rows["b"]["rate"] == pytest.approx(0.25 * 80 / 60)
+        assert rows["c"]["rate"] == pytest.approx(1.0)  # binding group
+        assert max(r["rate"] for r in rows.values()) <= 1.0
+
+    def test_absent_group_dropped(self):
+        from fdblucene_ray.ops.curation import mix_rates, sample_to_mix
+
+        ds, groups = self._corpus()
+        t = mix_rates(ds, "source", {"a": 0.6, "b": 0.4})
+        rows = {r["group"]: r for r in t.to_pylist()}
+        assert rows["c"]["rate"] == 0.0
+        kept = sample_to_mix(ds, "source", {"a": 0.6, "b": 0.4}).take_all()
+        assert all(r["source"] != "c" for r in kept)
+
+    def test_sample_matches_hash_rule(self):
+        from fdblucene_ray.ops.curation import mix_rates, sample_to_mix
+
+        ds, groups = self._corpus()
+        targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+        rates = {
+            r["group"]: r["rate"]
+            for r in mix_rates(ds, "source", targets).to_pylist()
+        }
+        kept = {r["doc_id"] for r in sample_to_mix(ds, "source", targets).take_all()}
+        h = knuth_hash32(np.arange(200))
+        want = {
+            i
+            for i in range(200)
+            if h[i] < int(rates[groups[i]] * (1 << 32))
+        }
+        assert kept == want
+
+    def test_mixture_approaches_target(self):
+        from fdblucene_ray.ops.curation import sample_to_mix
+
+        ds, _ = self._corpus()
+        targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+        kept = sample_to_mix(ds, "source", targets).take_all()
+        n = len(kept)
+        for g, t in targets.items():
+            share = sum(1 for r in kept if r["source"] == g) / n
+            assert abs(share - t) < 0.12  # hash sampling noise at n~66
