@@ -1250,6 +1250,27 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bpe_train(sf_dir: str) -> pa.Table:
+    """Distributed BPE training: one corpus pass to the word histogram
+    (map-side combined partials -> groupby sum -> top-V), then the
+    greedy merge loop on the tiny histogram (ops/bpe.py). Iterative —
+    no SQL oracle; tests/test_bpe.py holds the naive-recount twin."""
+    from fdblucene_ray.ops.bpe import train_bpe, word_histogram
+
+    h = word_histogram(_docs_ds(sf_dir, ["doc_id", "text"]), top_v=50_000)
+    return train_bpe(h, 30)
+
+
+def q_bpe_apply(sf_dir: str) -> pa.Table:
+    """Tokenize the corpus with the learned merges: merges broadcast
+    once, actor-pool apply with a cross-batch distinct-word cache."""
+    from fdblucene_ray.ops.bpe import apply_bpe, train_bpe, word_histogram
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    merges = train_bpe(word_histogram(ds, top_v=50_000), 30)
+    return _collect(apply_bpe(ds, merges)).sort_by("doc_id")
+
+
 _MIX_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
 
 
@@ -1389,6 +1410,8 @@ def queries() -> dict:
         "sample_stratified": q_sample_stratified,
         "mix_rates": q_mix_rates,
         "sample_mix": q_sample_mix,
+        "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
         "curate": q_curate,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
