@@ -540,12 +540,17 @@ class Searcher:
         *,
         field: str = "text",
         mode: str = "auto",
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Lucene-BooleanQuery semantics (the reference's query subset,
         README.md:53-57 / SURVEY.md J2 incl. the NOT anti-join):
 
         - a doc must contain every MUST term;
         - with no MUST clauses, it must contain >= 1 SHOULD term;
+        - ``min_should_match`` raises the SHOULD bar (Lucene
+          ``setMinimumNumberShouldMatch``): a doc must match at least
+          that many SHOULD clauses (with no MUST clauses the effective
+          minimum is max(1, min_should_match));
         - MUST_NOT terms exclude docs (never score);
         - score = sum of BM25 contributions of matching MUST + SHOULD
           clauses, accumulated in clause order.
@@ -570,7 +575,8 @@ class Searcher:
             mode = "cursors" if total_df > AUTO_VECTORIZE_MAX else "vectorized"
         if mode == "vectorized":
             return self._boolean_vectorized(
-                must, should, must_not, k, field, ncache, bs
+                must, should, must_not, k, field, ncache, bs,
+                min_should_match,
             )
 
         def union_for(t, qidx, scored=True):
@@ -614,6 +620,7 @@ class Searcher:
             return False
 
         if must_u:
+            msm = min_should_match
 
             def on_match(doc: int):
                 if excluded(doc):
@@ -621,11 +628,15 @@ class Searcher:
                 score = 0.0
                 for u in must_u:  # clause-order accumulation
                     score += u.score_current()
+                n_should = 0
                 for u in should_u:
                     if not u.exhausted() and u.doc < doc:
                         u.advance(doc)
                     if not u.exhausted() and u.doc == doc:
                         score += u.score_current()
+                        n_should += 1
+                if n_should < msm:
+                    return
                 consider(doc, score)
 
             _leapfrog_intersect(must_u, on_match, self.tombstones)
@@ -634,6 +645,7 @@ class Searcher:
             # SHOULD streams (scored in clause order), NOT anti-join and
             # tombstones applied per candidate
             tomb = self.tombstones
+            msm = max(1, min_should_match)
             live = [u for u in should_u if not u.exhausted()]
             while live:
                 doc = min(u.doc for u in live)
@@ -643,10 +655,13 @@ class Searcher:
                     dead = ti < len(tomb) and int(tomb[ti]) == doc
                 if not dead and not excluded(doc):
                     score = 0.0
+                    n_should = 0
                     for u in should_u:  # clause order
                         if not u.exhausted() and u.doc == doc:
                             score += u.score_current()
-                    consider(doc, score)
+                            n_should += 1
+                    if n_should >= msm:
+                        consider(doc, score)
                 for u in live:
                     if u.doc == doc:
                         u.next()
@@ -656,7 +671,8 @@ class Searcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out
 
-    def _boolean_vectorized(self, must, should, must_not, k, field, ncache, bs):
+    def _boolean_vectorized(self, must, should, must_not, k, field, ncache, bs,
+                            min_should_match=0):
         """Short-list boolean twin: full decode (reader-cached) + numpy
         set ops; clause-order accumulation identical to the cursor path."""
         dc = self.field_stats(field)[0]
@@ -678,7 +694,7 @@ class Searcher:
             order = np.argsort(docs, kind="stable")
             return docs[order], tfs[order], norms[order]
 
-        scored = []  # (docs, scores) in clause order: must then should
+        scored = []  # (docs, scores, is_should) in clause order
         cand: np.ndarray | None = None
         for t in must:
             df, _ = self.term_stats(field, t)
@@ -687,7 +703,7 @@ class Searcher:
                 return []
             docs, tfs, norms = dec
             idf = bm25_idf(dc, df)
-            scored.append((docs, idf * tfs / (tfs + ncache[norms])))
+            scored.append((docs, idf * tfs / (tfs + ncache[norms]), False))
             cand = docs if cand is None else np.intersect1d(cand, docs)
         for t in should:
             df, _ = self.term_stats(field, t)
@@ -696,7 +712,7 @@ class Searcher:
                 continue
             docs, tfs, norms = dec
             idf = bm25_idf(dc, df)
-            scored.append((docs, idf * tfs / (tfs + ncache[norms])))
+            scored.append((docs, idf * tfs / (tfs + ncache[norms]), True))
             if not must:
                 cand = docs if cand is None else np.union1d(cand, docs)
         if cand is None or not len(cand):
@@ -711,12 +727,21 @@ class Searcher:
         if not len(cand):
             return []
         total = np.zeros(len(cand))
-        for docs, scores in scored:  # clause-order accumulation
+        n_should = np.zeros(len(cand), np.int64)
+        for docs, scores, is_should in scored:  # clause-order accumulation
             pos = np.searchsorted(docs, cand)
             pos_ok = pos < len(docs)
             hit = np.zeros(len(cand), bool)
             hit[pos_ok] = docs[pos[pos_ok]] == cand[pos_ok]
             total[hit] += scores[pos[hit]]
+            if is_should:
+                n_should[hit] += 1
+        msm = min_should_match if must else max(1, min_should_match)
+        if msm > 0:
+            keep = n_should >= msm
+            cand, total = cand[keep], total[keep]
+            if not len(cand):
+                return []
         sel = np.lexsort((cand, -total))[:k]
         return [(int(cand[i]), float(total[i])) for i in sel]
 

@@ -1297,6 +1297,18 @@ def q_sample_mix(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def q_ft_bool_msm(sf_dir: str) -> pa.Table:
+    """BooleanQuery with minimumNumberShouldMatch: +data plus >=2 of
+    (merge, window, scan); matching SHOULD clauses still score."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_boolean(
+            must=["data"], should=["merge", "window", "scan"], k=10,
+            min_should_match=2,
+        )
+    )
+
+
 def q_ft_synonym(sf_dir: str) -> pa.Table:
     """SynonymQuery analog: ('join' OR 'merge') scored as ONE
     pseudo-term (tf summed per doc, idf from the exact union df) plus a
@@ -1364,6 +1376,7 @@ def queries() -> dict:
         "ft_dismax": q_ft_dismax,
         "ft_facet_ranges": q_ft_facet_ranges,
         "ft_collapse": q_ft_collapse,
+        "ft_bool_msm": q_ft_bool_msm,
         "ft_synonym": q_ft_synonym,
         "ft_function_score": q_ft_function_score,
         "ft_sort_by_field": q_ft_sort_by_field,
@@ -1743,6 +1756,29 @@ ranked AS (
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
 SELECT source, doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM ranked WHERE rn = 1 ORDER BY score DESC, source LIMIT 10
+""",
+        # BooleanQuery minimumNumberShouldMatch: must 'data' + >=2 of
+        # the three SHOULD terms; all matching clauses score.
+        "ft_bool_msm": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge', 'window', 'scan') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+eligible AS (
+  SELECT doc_id FROM contrib GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE tok = 'data') = 1
+     AND count(*) FILTER (WHERE tok IN ('merge', 'window', 'scan')) >= 2),
+scored AS (
+  SELECT c.doc_id, sum(c.s) AS score FROM contrib c
+  JOIN eligible e ON e.doc_id = c.doc_id GROUP BY c.doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         # SynonymQuery: ('join','merge') as one pseudo-term (tf summed,
         # idf from the exact union df) + plain 'scan' clause.

@@ -180,3 +180,53 @@ class TestSortByField:
         assert s.search_sort_by(
             "zzzzz", value_source=src, value_col="n_chars"
         ) == []
+
+
+class TestMinShouldMatch:
+    def _per_term(self, s, terms):
+        return {t: dict(s.search(t, k=1 << 31, mode="exhaustive")) for t in terms}
+
+    def test_msm_filters_and_scores(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        must, should = ["data"], ["merge", "window", "scan"]
+        per = self._per_term(s, must + should)
+        want = {}
+        for d in per["data"]:
+            hits = [t for t in should if d in per[t]]
+            if len(hits) >= 2:
+                want[d] = per["data"][d] + sum(per[t][d] for t in hits)
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        for mode in ("vectorized", "cursors"):
+            got = s.search_boolean(
+                must=must, should=should, k=10, min_should_match=2, mode=mode
+            )
+            assert [d for d, _ in got] == [d for d, _ in top], mode
+            for (d, sc), (_, w) in zip(got, top):
+                assert sc == pytest.approx(w, rel=1e-12)
+
+    def test_msm_zero_unchanged(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        a = s.search_boolean(must=["data"], should=["merge"], k=10)
+        b = s.search_boolean(
+            must=["data"], should=["merge"], k=10, min_should_match=0
+        )
+        assert a == b
+
+    def test_pure_disjunction_msm(self, corpus):
+        ix, _, _, _ = corpus
+        s = Searcher(ix)
+        should = ["merge", "window", "scan"]
+        per = self._per_term(s, should)
+        want = {}
+        for d in set().union(*[set(v) for v in per.values()]):
+            hits = [t for t in should if d in per[t]]
+            if len(hits) >= 2:
+                want[d] = sum(per[t][d] for t in hits)
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        for mode in ("vectorized", "cursors"):
+            got = s.search_boolean(
+                should=should, k=10, min_should_match=2, mode=mode
+            )
+            assert [d for d, _ in got] == [d for d, _ in top], mode
