@@ -324,3 +324,93 @@ def sample_to_mix(
         return batch.filter(pa.array(knuth_hash32(ids) < code_thr[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _DocGramPairs:
+    """Per-batch DISTINCT (gram_hash, doc_id) pairs. Each doc is one
+    row, so within-batch dedup gives exact per-doc distinct grams."""
+
+    def __init__(self, n: int, text_col: str, id_col: str, analyzer: str):
+        self.n = n
+        self.text_col, self.id_col = text_col, id_col
+        self.tokenizer = BatchTokenizer(analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
+        anchor, grams = _ngram_hashes(row_idx, hash_strings(flat), self.n)
+        if not len(grams):
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        g = grams.view(np.int64)
+        order = np.lexsort((anchor, g))
+        gs, as_ = g[order], anchor[order]
+        keep = np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (as_[1:] != as_[:-1]))
+        )
+        return pa.table(
+            {"gram": pa.array(gs[keep]), "doc_id": pa.array(ids[as_[keep]])}
+        )
+
+
+def _mark_dup_grams(group: pa.Table) -> pa.Table:
+    dup = 1 if group.num_rows >= 2 else 0
+    return pa.table(
+        {
+            "doc_id": group["doc_id"],
+            "dup": pa.array(
+                np.full(group.num_rows, dup, np.int64)
+            ),
+        }
+    )
+
+
+def dup_ngram_stats(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> ray.data.Dataset:
+    """Cross-document duplicated n-gram statistics (the RefinedWeb /
+    MassiveText inter-document duplication signal): for every doc with
+    >=1 n-gram, the number of DISTINCT n-grams, how many of them occur
+    in >=2 distinct documents corpus-wide, and the duplicated fraction.
+
+    Shape at 100 TB: one pass emits map-side-deduped (gram, doc) pairs
+    (one row per distinct gram per doc — the inherent size of this
+    operation), ONE groupby(gram) marks grams seen in >=2 docs, then a
+    small groupby(doc_id) folds the flags into per-doc counts. Text
+    never shuffles; only 16-byte pair rows do."""
+    from ray.data.aggregate import Count, Sum
+
+    pairs = ds.map_batches(
+        _DocGramPairs(n, text_col, id_col, analyzer),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    flags = pairs.groupby("gram").map_groups(
+        _mark_dup_grams, batch_format="pyarrow"
+    )
+    agg = flags.groupby("doc_id").aggregate(
+        Sum("dup", alias_name="n_dup"), Count(alias_name="n_grams")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(ng),
+                "n_dup": pa.array(nd),
+                "dup_frac": pa.array(
+                    np.round(nd / ng, 6).astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1250,6 +1250,15 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dup_ngrams(sf_dir: str) -> pa.Table:
+    """Cross-document duplicated 3-gram stats (RefinedWeb-style
+    inter-doc duplication signal; ops/curation.py dup_ngram_stats)."""
+    from fdblucene_ray.ops.curation import dup_ngram_stats
+
+    out = dup_ngram_stats(_docs_ds(sf_dir, ["doc_id", "text"]), n=3)
+    return _collect(out).sort_by("doc_id")
+
+
 def q_bpe_train(sf_dir: str) -> pa.Table:
     """Distributed BPE training: one corpus pass to the word histogram
     (map-side combined partials -> groupby sum -> top-V), then the
@@ -1425,6 +1434,7 @@ def queries() -> dict:
         "sample_mix": q_sample_mix,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
+        "dup_ngrams": q_dup_ngrams,
         "curate": q_curate,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
@@ -2138,6 +2148,28 @@ SELECT c.doc_id,
        (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
 FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
 ORDER BY c.doc_id
+""",
+        # Cross-doc duplicated 3-grams: distinct (doc, gram) pairs, a
+        # gram is dup iff it appears in >=2 docs; per-doc counts.
+        "dup_ngrams": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+tg AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+gcnt AS (SELECT g, count(*)::BIGINT AS nd FROM tg GROUP BY g)
+SELECT tg.doc_id,
+       count(*)::BIGINT AS n_grams,
+       (count(*) FILTER (WHERE gcnt.nd >= 2))::BIGINT AS n_dup,
+       CAST(round((count(*) FILTER (WHERE gcnt.nd >= 2))::DOUBLE
+                  / count(*), 6) AS DOUBLE) AS dup_frac
+FROM tg JOIN gcnt ON gcnt.g = tg.g
+GROUP BY tg.doc_id ORDER BY tg.doc_id
 """,
         "pii_scrub": r"""
 WITH s1 AS (

@@ -331,3 +331,42 @@ class TestMixing:
         for g, t in targets.items():
             share = sum(1 for r in kept if r["source"] == g) / n
             assert abs(share - t) < 0.12  # hash sampling noise at n~66
+
+
+class TestDupNgrams:
+    def test_planted_cross_doc_duplicates(self):
+        from fdblucene_ray.ops.curation import dup_ngram_stats
+
+        texts = [
+            "alpha beta gamma delta epsilon",      # shares 3-grams with doc 1
+            "alpha beta gamma delta zeta",         # 'alpha beta gamma', 'beta gamma delta' dup
+            "one two three four five six",         # unique
+            "nine eight seven nine eight seven",   # self-repeat only (within one doc: NOT dup)
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dup_ngram_stats(_docs(texts), n=3).take_all()
+        }
+        # brute-force oracle
+        grams = [
+            {" ".join(t.split()[i : i + 3]) for i in range(len(t.split()) - 2)}
+            for t in texts
+        ]
+        for d, gs in enumerate(grams):
+            dup = sum(
+                1
+                for g in gs
+                if sum(1 for other in grams if g in other) >= 2
+            )
+            assert out[d]["n_grams"] == len(gs)
+            assert out[d]["n_dup"] == dup
+            assert out[d]["dup_frac"] == round(dup / len(gs), 6)
+        # within-doc repetition alone is NOT cross-doc duplication
+        assert out[3]["n_dup"] == 0
+
+    def test_short_docs_absent(self):
+        from fdblucene_ray.ops.curation import dup_ngram_stats
+
+        texts = ["just two", "alpha beta gamma", "alpha beta gamma"]
+        out = {r["doc_id"] for r in dup_ngram_stats(_docs(texts), n=3).take_all()}
+        assert out == {1, 2}
