@@ -541,11 +541,15 @@ class Searcher:
         field: str = "text",
         mode: str = "auto",
         min_should_match: int = 0,
+        filter_terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """Lucene-BooleanQuery semantics (the reference's query subset,
         README.md:53-57 / SURVEY.md J2 incl. the NOT anti-join):
 
         - a doc must contain every MUST term;
+        - ``filter_terms`` are FILTER clauses (Lucene
+          ``Occur.FILTER``): required like MUST but never score —
+          with no MUST/SHOULD clauses at all, matches score 0.0;
         - with no MUST clauses, it must contain >= 1 SHOULD term;
         - ``min_should_match`` raises the SHOULD bar (Lucene
           ``setMinimumNumberShouldMatch``): a doc must match at least
@@ -563,20 +567,22 @@ class Searcher:
         decodes a huge list.
         """
         must, should, must_not = must or [], should or [], must_not or []
+        filt = filter_terms or []
         dc, _, avgdl = self.field_stats(field)
-        if dc == 0 or not (must or should):
+        if dc == 0 or not (must or should or filt):
             return []
         ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         bs = self.manifest.block_size
         if mode == "auto":
             total_df = sum(
-                self.term_stats(field, t)[0] for t in (*must, *should, *must_not)
+                self.term_stats(field, t)[0]
+                for t in (*must, *should, *must_not, *filt)
             )
             mode = "cursors" if total_df > AUTO_VECTORIZE_MAX else "vectorized"
         if mode == "vectorized":
             return self._boolean_vectorized(
                 must, should, must_not, k, field, ncache, bs,
-                min_should_match,
+                min_should_match, filt,
             )
 
         def union_for(t, qidx, scored=True):
@@ -592,6 +598,13 @@ class Searcher:
             u = union_for(t, i)
             if u is None:
                 return []  # required clause absent -> empty
+            must_u.append(u)
+        # FILTER clauses join the required intersection with idf=0 so
+        # they constrain matches but contribute nothing to the score.
+        for i, t in enumerate(filt):
+            u = union_for(t, len(must) + len(should) + i, scored=False)
+            if u is None:
+                return []
             must_u.append(u)
         should_u = [
             u
@@ -672,7 +685,7 @@ class Searcher:
         return out
 
     def _boolean_vectorized(self, must, should, must_not, k, field, ncache, bs,
-                            min_should_match=0):
+                            min_should_match=0, filt=()):
         """Short-list boolean twin: full decode (reader-cached) + numpy
         set ops; clause-order accumulation identical to the cursor path."""
         dc = self.field_stats(field)[0]
@@ -705,6 +718,12 @@ class Searcher:
             idf = bm25_idf(dc, df)
             scored.append((docs, idf * tfs / (tfs + ncache[norms]), False))
             cand = docs if cand is None else np.intersect1d(cand, docs)
+        for t in filt:  # required but unscored (Occur.FILTER)
+            df, _ = self.term_stats(field, t)
+            dec = decode_clause(t)
+            if df == 0 or dec is None:
+                return []
+            cand = dec[0] if cand is None else np.intersect1d(cand, dec[0])
         for t in should:
             df, _ = self.term_stats(field, t)
             dec = decode_clause(t) if df else None
@@ -713,7 +732,7 @@ class Searcher:
             docs, tfs, norms = dec
             idf = bm25_idf(dc, df)
             scored.append((docs, idf * tfs / (tfs + ncache[norms]), True))
-            if not must:
+            if not must and not filt:
                 cand = docs if cand is None else np.union1d(cand, docs)
         if cand is None or not len(cand):
             return []
@@ -736,7 +755,7 @@ class Searcher:
             total[hit] += scores[pos[hit]]
             if is_should:
                 n_should[hit] += 1
-        msm = min_should_match if must else max(1, min_should_match)
+        msm = min_should_match if (must or filt) else max(1, min_should_match)
         if msm > 0:
             keep = n_should >= msm
             cand, total = cand[keep], total[keep]

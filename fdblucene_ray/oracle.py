@@ -205,12 +205,14 @@ class OracleIndex:
                 out.append((doc, best))
         return out
 
-    def search_boolean(self, must=None, should=None, must_not=None, k: int = 10):
+    def search_boolean(self, must=None, should=None, must_not=None, k: int = 10,
+                       filter_terms=None):
         """Lucene-BooleanQuery semantics, mirrored from Searcher."""
         from fdblucene_ray.index.search import B, K1
 
         must, should, must_not = must or [], should or [], must_not or []
-        if not (must or should):
+        filt = filter_terms or []
+        if not (must or should or filt):
             return []
         avgdl = self.avgdl
         kcache = [K1 * (1 - B + B * byte4_to_int(nb) / avgdl) for nb in range(256)]
@@ -221,13 +223,15 @@ class OracleIndex:
             return {d: idf * tf / (tf + kcache[self.norm_byte[d]]) for d, tf in plist}
 
         must_maps = [clause_scores(t) for t in must]
-        if any(not m for m in must_maps):
+        filt_sets = [{d for d, _ in self.postings.get(t, [])} for t in filt]
+        if any(not m for m in must_maps) or any(not s for s in filt_sets):
             return []
         should_maps = [clause_scores(t) for t in should]
-        if must:
-            cand = set(must_maps[0])
-            for m in must_maps[1:]:
-                cand &= set(m)
+        if must or filt:
+            req = [set(m) for m in must_maps] + filt_sets
+            cand = req[0]
+            for m in req[1:]:
+                cand &= m
         else:
             cand = set()
             for m in should_maps:

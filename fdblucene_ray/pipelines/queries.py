@@ -419,6 +419,16 @@ def q_ft_boolean(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_filter(sf_dir: str) -> pa.Table:
+    """BooleanQuery with an Occur.FILTER clause: +data #merge — the
+    filter is required for matching but contributes no score (Lucene
+    BooleanClause.Occur.FILTER semantics)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_boolean(must=["data"], filter_terms=["merge"], k=10)
+    )
+
+
 def q_ft_phrase(sf_dir: str) -> pa.Table:
     """Exact phrase matching via the positional index (DATA.md:54 "pp"
     positions; PhraseQuery analog)."""
@@ -1390,6 +1400,7 @@ def queries() -> dict:
         "ft_function_score": q_ft_function_score,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_bm25_boolean": q_ft_boolean,
+        "ft_bm25_filter": q_ft_filter,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
         "ft_mlt": q_ft_mlt,
@@ -1473,6 +1484,25 @@ scored AS (
   SELECT doc_id, sum(s) AS score FROM contrib
   WHERE doc_id IN (SELECT doc_id FROM contrib WHERE tok = 'data')
     AND doc_id NOT IN (SELECT doc_id FROM excluded)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_bm25_filter": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok = 'data' GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+filt AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge'),
+scored AS (
+  SELECT doc_id, sum(s) AS score FROM contrib
+  WHERE doc_id IN (SELECT doc_id FROM filt)
   GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10

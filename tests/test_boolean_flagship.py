@@ -44,6 +44,11 @@ class TestBoolean:
         dict(should=["w1"], must_not=["w1"]),  # everything excluded
         dict(must=["w0", "zzz"]),  # absent MUST -> empty
         dict(must_not=["w0"]),  # no positive clause -> empty
+        dict(must=["w0"], filter_terms=["w1"]),  # FILTER: required, unscored
+        dict(filter_terms=["w0", "w1"]),  # pure filter -> score 0.0, doc asc
+        dict(should=["w2", "w5"], filter_terms=["w0"]),  # SHOULD optional
+        dict(filter_terms=["w0"], must_not=["w1"]),
+        dict(filter_terms=["zzz"]),  # absent FILTER -> empty
     ]
 
     @pytest.mark.parametrize("case", CASES)

@@ -197,15 +197,18 @@ def test_boolean_strategies_identical(seed, tmp_path, ray_session):
     s = Searcher(ix)
     rng = np.random.default_rng(seed)
     for _ in range(15):
-        pool = [f"w{int(rng.integers(0, 22))}" for _ in range(4)]
-        must, should, must_not = [pool[0]], pool[1:3], pool[3:]
+        pool = [f"w{int(rng.integers(0, 22))}" for _ in range(5)]
+        must, should, must_not = [pool[0]], pool[1:3], pool[3:4]
+        filt = pool[4:] if rng.random() < 0.5 else []
         if rng.random() < 0.3:
             must = []
-        kwargs = dict(must=must, should=should, must_not=must_not, k=10)
+        kwargs = dict(must=must, should=should, must_not=must_not,
+                      filter_terms=filt, k=10)
         cur = s.search_boolean(**kwargs, mode="cursors")
         vec = s.search_boolean(**kwargs, mode="vectorized")
         orc = oracle.search_boolean(must=must, should=should,
-                                    must_not=must_not, k=10)
+                                    must_not=must_not, filter_terms=filt,
+                                    k=10)
         assert [d for d, _ in cur] == [d for d, _ in vec] == [d for d, _ in orc], kwargs
         for (_, a), (_, b), (_, c) in zip(cur, vec, orc):
             assert a == pytest.approx(c, rel=1e-12)
