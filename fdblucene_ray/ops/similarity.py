@@ -8,6 +8,10 @@
   trained on a sample, vectors assigned to their nearest centroid
   (one map_batches pass), queries probe only ``nprobe`` centroid
   partitions. Approximate; recall measured in tests.
+- ``lsh_topk`` / ``build_lsh_index``: sign-LSH scale path — random-
+  hyperplane buckets with multi-probe; data-independent (no training),
+  partitioned layout prunes I/O like IVF. Recall measured in tests;
+  ``nprobe = 2**n_bits`` probes everything and is exact (oracle mode).
 """
 
 from __future__ import annotations
@@ -269,12 +273,17 @@ def ivf_topk(
 
 
 class _IVFTopK(BatchCosineTopK):
-    def __init__(self, queries_ref, query_ids, probe, k, vec_col, id_col):
+    """Per-batch top-k where each query only scores rows whose partition
+    id (centroid or LSH bucket) is in that query's probe set."""
+
+    def __init__(self, queries_ref, query_ids, probe, k, vec_col, id_col,
+                 part_col: str = "centroid"):
         super().__init__(queries_ref, query_ids, k, vec_col, id_col)
-        self.probe = probe  # (nq, nprobe) centroid ids per query
+        self.probe = probe  # (nq, nprobe) partition ids per query
+        self.part_col = part_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ccol = batch["centroid"]
+        ccol = batch[self.part_col]
         if isinstance(ccol, pa.ChunkedArray):
             ccol = ccol.combine_chunks()
         if pa.types.is_dictionary(ccol.type):  # hive partition column
@@ -410,6 +419,224 @@ def ivf_topk_indexed(
         fn_constructor_kwargs=dict(
             queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
             probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _merge_topk(cand.to_pandas(), k)
+
+
+# -------------------------------------------------------------- sign-LSH
+#
+# Third ANN scale path: random-hyperplane (SimHash-style) bucketing per
+# Charikar (STOC'02) with multi-probe per Lv et al. (VLDB'07). A vector's
+# bucket is the sign pattern of its projections onto ``n_bits`` seeded
+# hyperplanes; near vectors (small angle) agree on each sign with
+# probability 1 - theta/pi, so they collide in the same or a low-flip
+# neighboring bucket. ``build_lsh_index`` materializes the corpus
+# PARTITIONED BY bucket (hive ``bucket=K/``); queries probe only the
+# ``nprobe`` buckets whose flips have the smallest projection margins —
+# real I/O pruning like the IVF layout, but with a data-independent hash
+# (no training pass; works before any centroids exist).
+
+
+def _lsh_planes(n_bits: int, dim: int, seed: int = 7) -> np.ndarray:
+    if not (0 < n_bits <= 30):
+        raise ValueError("n_bits must be in (0, 30] (bucket ids are int32)")
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def _lsh_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) matrix -> int32 bucket per row (packed sign bits)."""
+    bits = (m @ planes.T) > 0  # (n, b)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) @ weights).astype(np.int32)
+
+
+def multiprobe_buckets(
+    queries: np.ndarray, planes: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """(nq, nprobe) probe buckets per query, nearest-first.
+
+    Perturbation sets are subsets (size <= 3) of the query's lowest-
+    |margin| bits, ranked by total flipped margin (multi-probe LSH).
+    ``nprobe`` is clamped to the enumerated count — deterministically,
+    and to ALL 2^n_bits buckets when nprobe asks for everything (the
+    exactness / oracle mode)."""
+    from itertools import combinations
+
+    b = planes.shape[0]
+    qn = _normalize(np.asarray(queries, np.float64))
+    proj = qn @ planes.T  # (nq, b)
+    base = _lsh_buckets(qn, planes)
+    if nprobe >= (1 << b):  # probe everything -> exact
+        return np.tile(np.arange(1 << b, dtype=np.int32), (len(qn), 1))
+    t = min(b, 16)  # perturb only the t cheapest bits
+    subsets = [()] + [
+        s for r in (1, 2, 3) for s in combinations(range(t), r)
+    ]
+    out = np.empty((len(qn), min(nprobe, len(subsets))), np.int32)
+    for qi in range(len(qn)):
+        margins = np.abs(proj[qi])
+        order = np.argsort(margins, kind="stable")[:t]  # cheapest first
+        costs = np.array([margins[order[list(s)]].sum() for s in subsets])
+        rank = np.argsort(costs, kind="stable")[: out.shape[1]]
+        flips = [
+            np.bitwise_or.reduce([1 << int(order[i]) for i in subsets[r]])
+            if subsets[r] else 0
+            for r in rank
+        ]
+        out[qi] = np.bitwise_xor(int(base[qi]), np.array(flips, np.int64))
+    return out
+
+
+class AssignLSHBucket:
+    def __init__(self, planes_ref, vec_col: str):
+        p = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes = p
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch[self.vec_col]))
+        return batch.append_column(
+            "bucket", pa.array(_lsh_buckets(m, self.planes))
+        )
+
+
+def build_lsh_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_bits: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> np.ndarray:
+    """Materialize the sign-LSH layout:
+
+        {out_dir}/planes.npy              seeded hyperplanes (n_bits, d)
+        {out_dir}/data/bucket=K/*.parquet one partition per occupied bucket
+
+    No training pass: planes depend only on (n_bits, dim, seed), so the
+    build is a single streaming map_batches + partitioned write.
+    Idempotent: an existing layout is reused. Returns the planes."""
+    import shutil
+
+    planes_path = os.path.join(out_dir, "planes.npy")
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.exists(planes_path) and os.path.isdir(data_dir):
+        return np.load(planes_path)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    first = ds.limit(1).take_all()
+    dim = len(first[0][vec_col])
+    planes = _lsh_planes(n_bits, dim, seed)
+    pref = ray.put(planes)
+    assigned = ds.map_batches(
+        AssignLSHBucket,
+        fn_constructor_kwargs=dict(planes_ref=pref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    assigned.write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+    np.save(os.path.join(tmp, "planes.npy"), planes)
+    os.rename(tmp, out_dir)
+    return planes
+
+
+def lsh_probe_paths(
+    index_dir: str, queries: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, list[str]]:
+    """(per-query probe matrix, bucket dirs the probe set touches)."""
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    probe = multiprobe_buckets(queries, planes, nprobe)
+    probed = sorted(set(int(c) for c in probe.flatten()))
+    paths = [
+        p
+        for c in probed
+        if os.path.isdir(p := os.path.join(index_dir, "data", f"bucket={c}"))
+    ]
+    return probe, paths
+
+
+def lsh_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    nprobe: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k over a ``build_lsh_index`` layout: only probed
+    ``bucket=K/`` partition dirs are read; each query scores only rows
+    in its own probe set. ``nprobe >= 2**n_bits`` probes every bucket
+    and degrades to exact (the oracle mode)."""
+    import glob
+
+    probe, paths = lsh_probe_paths(index_dir, queries, nprobe)
+    files = [
+        f for p in paths for f in sorted(glob.glob(os.path.join(p, "*.parquet")))
+    ]
+    if not files:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    ds = ray.data.read_parquet(files)
+    qn = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put(qn)
+    cand = ds.map_batches(
+        _IVFTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+            probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+            part_col="bucket",
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return _merge_topk(cand.to_pandas(), k)
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    n_bits: int = 10,
+    nprobe: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> pa.Table:
+    """Streaming sign-LSH top-k without a materialized layout: one
+    map_batches pass assigns buckets, a second scores each query against
+    only its probed buckets. Use ``build_lsh_index`` + ``lsh_topk_indexed``
+    when the corpus is queried repeatedly (amortizes the scan)."""
+    first = ds.limit(1).take_all()
+    dim = len(first[0][vec_col])
+    planes = _lsh_planes(n_bits, dim, seed)
+    pref = ray.put(planes)
+    assigned = ds.map_batches(
+        AssignLSHBucket,
+        fn_constructor_kwargs=dict(planes_ref=pref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    probe = multiprobe_buckets(queries, planes, nprobe)
+    qn = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put(qn)
+    cand = assigned.map_batches(
+        _IVFTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+            probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+            part_col="bucket",
         ),
         batch_format="pyarrow",
         concurrency=(1, 8),

@@ -743,6 +743,36 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
 
 
+def q_ann_lsh(sf_dir: str) -> pa.Table:
+    """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
+    reads only probed ``bucket=K/`` partitions (data-independent hash —
+    no training pass). Approximate; recall pinned by pytest
+    (test_lsh_indexed_prunes_partitions)."""
+    from fdblucene_ray.ops.similarity import build_lsh_index, lsh_topk_indexed
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    lsh_dir = _index_dir(sf_dir, "lsh")
+    build_lsh_index(ds, lsh_dir, n_bits=8)
+    return lsh_topk_indexed(lsh_dir, q, ids, k=10, nprobe=32)
+
+
+def q_ann_lsh_full(sf_dir: str) -> pa.Table:
+    """Sign-LSH with EVERY bucket probed (nprobe = 2**n_bits): the
+    approximate path degrades to exact — pinned against the brute-force
+    SQL oracle. Proves the bucket-partitioned layout loses no vectors
+    and the per-bucket top-k merge is exact."""
+    from fdblucene_ray.ops.similarity import build_lsh_index, lsh_topk_indexed
+
+    ids = [3, 4, 5]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    lsh_dir = _index_dir(sf_dir, "lsh6")
+    build_lsh_index(ds, lsh_dir, n_bits=6)
+    return lsh_topk_indexed(lsh_dir, q, ids, k=10, nprobe=64)
+
+
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (exact mode at oracle scale so
     the DuckDB all-pairs oracle matches bit-for-set)."""
@@ -1428,6 +1458,8 @@ def queries() -> dict:
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
+        "ann_lsh": q_ann_lsh,
+        "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
@@ -2000,6 +2032,19 @@ FROM r WHERE rn <= 3
 """,
         "ann_ivf_full": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 10
+""",
+        "ann_lsh_full": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (3, 4, 5)),
 s AS (SELECT q.query_id, e.vec_id,
              list_cosine_similarity(e.embedding, q.qv) AS sim_raw
       FROM embeddings e CROSS JOIN q),

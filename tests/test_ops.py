@@ -203,6 +203,67 @@ class TestSimilarity:
         cents2 = build_ivf_index(ds, out, n_centroids=8)
         assert np.array_equal(cents, cents2)
 
+    def test_lsh_streaming_recall(self, vectors):
+        from fdblucene_ray.ops.similarity import lsh_topk
+
+        ds, vecs = vectors
+        ids = [0, 50, 100]
+        q = vecs[ids].astype(np.float64)
+        exact = brute_force_topk(ds, q, ids, k=10).to_pandas()
+        approx = lsh_topk(ds, q, ids, k=10, n_bits=8, nprobe=24).to_pandas()
+        for qid in ids:
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            assert len(e & a) / len(e) >= 0.9, qid
+
+    def test_lsh_indexed_prunes_partitions(self, vectors, tmp_path):
+        """The bucket-partitioned LSH layout reads ONLY probed bucket
+        partitions and meets the recall bar; full probe == exact."""
+        import os
+
+        from fdblucene_ray.ops.similarity import (
+            build_lsh_index,
+            lsh_probe_paths,
+            lsh_topk_indexed,
+        )
+
+        ds, vecs = vectors
+        out = str(tmp_path / "lsh")
+        planes = build_lsh_index(ds, out, n_bits=8)
+        assert planes.shape == (8, 16)
+        parts = sorted(os.listdir(os.path.join(out, "data")))
+        assert len(parts) >= 3 and all(p.startswith("bucket=") for p in parts)
+
+        ids = [0, 50, 100]
+        q = vecs[ids].astype(np.float64)
+        probe, paths = lsh_probe_paths(out, q, nprobe=8)
+        assert probe.shape == (3, 8)
+        # strictly fewer partition dirs opened than exist (occupied
+        # buckets only: probe ids without data have no dir)
+        assert 0 < len(paths) < len(parts)
+        opened = {int(os.path.basename(x).rsplit("=", 1)[1]) for x in paths}
+        assert opened <= {int(c) for c in probe.flatten()}
+
+        exact = brute_force_topk(ds, q, ids, k=10).to_pandas()
+        approx = lsh_topk_indexed(out, q, ids, k=10, nprobe=24).to_pandas()
+        for qid in ids:
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            assert len(e & a) / len(e) >= 0.9, qid
+
+        # nprobe = 2**n_bits probes every bucket -> identical to exact
+        full = lsh_topk_indexed(out, q, ids, k=10, nprobe=256).to_pandas()
+        for qid in ids:
+            e = exact[exact.query_id == qid].sort_values(
+                ["sim", "vec_id"], ascending=[False, True])
+            f = full[full.query_id == qid].sort_values(
+                ["sim", "vec_id"], ascending=[False, True])
+            assert list(e["vec_id"]) == list(f["vec_id"])
+
+        # idempotent reuse: second build returns the same planes
+        planes2 = build_lsh_index(ds, out, n_bits=8)
+        assert np.array_equal(planes, planes2)
+
 
 class TestTextStats:
     def test_lang_id_priority_and_counts(self, ray_session):
