@@ -468,6 +468,7 @@ def build_index(
     codec: str = "varint-block",
     term_vectors: bool = False,
     wire: str = "raw",
+    extra_meta: dict | None = None,
 ) -> Manifest:
     """Build an index from parquet paths or a Dataset that already has
     ``id_col``. Returns the published manifest.
@@ -588,6 +589,7 @@ def build_index(
                 f for f, cfg in fields.items() if cfg.get("positions")
             ),
             "built_at_unix": int(time.time()),
+            **(extra_meta or {}),
         },
     )
     if publish:

@@ -1427,6 +1427,80 @@ class Searcher:
         sel = np.lexsort((ids, -vals if desc else vals))[:k]
         return [(int(ids[i]), float(vals[i])) for i in sel]
 
+    def search_sorted_topk(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        operator: str = "or",
+    ) -> list[int]:
+        """Early-terminating top-k over an INDEX-SORTED index (built
+        with ``build_sorted_index``): ascending internal doc id IS the
+        index sort order, so the first k matching doc ids are the top-k
+        by the sort key — Lucene's TopFieldCollector early termination
+        on ``IndexWriterConfig.setIndexSort``. Returns internal ids in
+        rank order; hydrate them for ``orig_doc_id``/sort-key columns.
+        ``last_stats`` decode counters prove posting blocks after the
+        k-th match were never decoded."""
+        info = (self.manifest.extra or {}).get("index_sort")
+        if not info:
+            raise ValueError(
+                "search_sorted_topk needs an index built with "
+                "build_sorted_index (manifest lacks index_sort)"
+            )
+        terms = self.parse(query, field)
+        dc, _, avgdl = self.field_stats(field)
+        if not terms or dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        bs = self.manifest.block_size
+        unions: list[UnionCursor] = []
+        for qidx, t in enumerate(terms):
+            cs = _gather_cursors(self.readers, field, t, bs, 0.0, ncache, qidx)
+            if cs:
+                unions.append(UnionCursor(cs, qidx))
+            elif operator == "and":
+                self.last_stats = {"blocks_decoded": 0, "total_blocks": 0}
+                return []
+        if not unions:
+            self.last_stats = {"blocks_decoded": 0, "total_blocks": 0}
+            return []
+        tomb = self.tombstones
+        out: list[int] = []
+        if operator == "and":
+            class _Done(Exception):
+                pass
+
+            def on_match(doc: int):
+                out.append(doc)
+                if len(out) >= k:
+                    raise _Done
+
+            try:
+                _leapfrog_intersect(unions, on_match, tomb)
+            except _Done:
+                pass
+        else:
+            live = [u for u in unions if not u.exhausted()]
+            while live and len(out) < k:
+                doc = min(u.doc for u in live)
+                dead = False
+                if len(tomb):
+                    ti = int(np.searchsorted(tomb, doc))
+                    dead = ti < len(tomb) and int(tomb[ti]) == doc
+                if not dead:
+                    out.append(doc)
+                for u in live:
+                    if u.doc == doc:
+                        u.next()
+                live = [u for u in live if not u.exhausted()]
+        self.last_stats = {
+            "blocks_decoded": sum(u.blocks_decoded() for u in unions),
+            "total_blocks": sum(u.total_blocks() for u in unions),
+        }
+        return out
+
     def phrase_freqs(
         self, phrase: str, *, field: str = "text", slop: int = 0
     ) -> list[tuple[int, int]]:

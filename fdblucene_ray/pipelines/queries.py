@@ -456,6 +456,32 @@ def q_ft_phrase_slop(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_index_sort(sf_dir: str) -> pa.Table:
+    """Index-time sort + early-terminating sorted top-k (Lucene
+    IndexWriterConfig.setIndexSort / TopFieldCollector early
+    termination): docs matching 'data' ranked by n_chars desc come
+    straight off ascending doc ids — posting blocks past the 10th
+    match are never decoded."""
+    from fdblucene_ray.index.build import hydrate
+    from fdblucene_ray.index.sorted import build_sorted_index
+
+    ix = _index_dir(sf_dir, "ixsort")
+    build_sorted_index(
+        _docs_path(sf_dir), ix, sort_col="n_chars", descending=True,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=16, batch_size=2048,
+    )
+    s = Searcher(ix)
+    ids = s.search_sorted_topk("data", k=10)
+    stored = hydrate(ix, ids, columns=["doc_id", "orig_doc_id", "n_chars"])
+    return pa.table(
+        {
+            "doc_id": stored["orig_doc_id"].cast(pa.int64()),
+            "n_chars": stored["n_chars"].cast(pa.int64()),
+        }
+    )
+
+
 def q_ft_numeric_sort(sf_dir: str) -> pa.Table:
     """Numeric doc-values sort (README.md:53-57 NumericDocValuesField
     analog): top-10 docs by n_chars desc, doc_id asc tie-break."""
@@ -1438,6 +1464,7 @@ def queries() -> dict:
         "ft_doc_norms": q_ft_doc_norms,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
+        "ft_index_sort": q_ft_index_sort,
         "ft_delete_search": q_ft_delete_search,
         "ft_delete_purge_stats": q_ft_delete_purge_stats,
         "ft_delete_purge_search": q_ft_delete_purge_search,
@@ -1931,6 +1958,12 @@ FROM dl
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
+        "ft_index_sort": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+SELECT d.doc_id, d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY text"
