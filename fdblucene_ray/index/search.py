@@ -59,6 +59,11 @@ def bm25_norm_cache(avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
     return k1 * (1.0 - b + b * DECODE_TABLE.astype(np.float64) / avgdl)
 
 
+def classic_idf(n_docs: int, df: int) -> float:
+    """Lucene ClassicSimilarity idf: 1 + ln(N / (df + 1))."""
+    return 1.0 + math.log(n_docs / (df + 1.0))
+
+
 @dataclass
 class TermCursor:
     """Block-at-a-time cursor over one term's postings in one segment."""
@@ -390,12 +395,24 @@ class Searcher:
         field: str = "text",
         operator: str = "or",
         mode: str = "auto",
+        similarity: str = "bm25",
     ) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score), score desc then doc_id asc."""
-        terms = self.parse(query, field)
-        return self.search_terms(terms, k, field=field, operator=operator, mode=mode)
+        """Top-k (doc_id, score), score desc then doc_id asc.
 
-    def search_terms(self, terms, k=10, *, field="text", operator="or", mode="auto"):
+        ``similarity``: "bm25" (default; WAND-accelerated) or "classic"
+        (Lucene ClassicSimilarity TF-IDF: idf^2 * sqrt(tf) / sqrt(dl) —
+        the pluggable-Similarity surface, SURVEY U6). Classic runs on
+        the vectorized exhaustive twin (the block-max metadata stores
+        BM25 impacts, so WAND bounds don't apply); its doc length is
+        the same lossy byte4-quantized dl the BM25 norms use — an
+        intentional deviation from Lucene's byte315(1/sqrt(dl)) norm
+        quantization, with identical semantics modulo rounding."""
+        terms = self.parse(query, field)
+        return self.search_terms(terms, k, field=field, operator=operator,
+                                 mode=mode, similarity=similarity)
+
+    def search_terms(self, terms, k=10, *, field="text", operator="or", mode="auto",
+                     similarity="bm25"):
         """Segments are TERM shards (the build shuffle partitions by term
         hash, with head terms salted over several shards), so evaluation
         merges per-term streams ACROSS segments — unlike Lucene's
@@ -408,6 +425,7 @@ class Searcher:
         if dc == 0:
             return []
         ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        idf_fn = classic_idf if similarity == "classic" else bm25_idf
         # clause list: (qidx order preserved for float-identical accumulation)
         live = []
         total_df = 0
@@ -418,11 +436,23 @@ class Searcher:
                     return []  # conjunction with an absent term matches nothing
                 continue
             total_df += df
-            live.append((t, bm25_idf(dc, df)))
+            live.append((t, idf_fn(dc, df)))
         if not live:
             return []
         bs = self.manifest.block_size
         self.last_stats = {}
+        if similarity == "classic":
+            dl = DECODE_TABLE.astype(np.float64)
+
+            def classic_fn(idf, tfs, norms):
+                return (idf * idf) * np.sqrt(tfs) / np.sqrt(dl[norms])
+
+            candidates = _exhaustive(
+                self.readers, live, field, ncache, operator, k, bs,
+                self.tombstones, score_fn=classic_fn,
+            )
+            candidates.sort(key=lambda x: (-x[1], x[0]))
+            return candidates[:k]
         # "auto": the cursor machines (WAND / leapfrog) win only when
         # skipping avoids decoding HUGE lists; below the threshold the
         # fully-vectorized exhaustive path (numpy over cached decodes)
@@ -2059,7 +2089,7 @@ def _gather_cursors(readers, field, term, block_size, idf, ncache, qidx):
 
 
 def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
-                tomb=_NO_TOMB):
+                tomb=_NO_TOMB, score_fn=None):
     """Vectorized full-decode scoring across all segments.
 
     Per clause: decode every segment's stream, merge into one doc-sorted
@@ -2091,7 +2121,10 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
                 return []
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
-        scores = idf * tfs / (tfs + ncache[norms])
+        if score_fn is None:
+            scores = idf * tfs / (tfs + ncache[norms])
+        else:
+            scores = score_fn(idf, tfs, norms)
         per_term.append((docs, scores))
     if not per_term:
         return []

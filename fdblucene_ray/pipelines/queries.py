@@ -419,6 +419,15 @@ def q_ft_boolean(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_tfidf(sf_dir: str) -> pa.Table:
+    """Pluggable Similarity (SURVEY U6): ClassicSimilarity TF-IDF
+    (idf^2 * sqrt(tf) / sqrt(dl), dl byte4-quantized) instead of BM25,
+    over the same index — stats and norms are stored similarity-
+    agnostically (DATA.md:33-37), exactly why Lucene can swap scorers."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search("data merge", k=10, similarity="classic"))
+
+
 def q_ft_filter(sf_dir: str) -> pa.Table:
     """BooleanQuery with an Occur.FILTER clause: +data #merge — the
     filter is required for matching but contributes no score (Lucene
@@ -1457,6 +1466,7 @@ def queries() -> dict:
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
+        "ft_tfidf": q_ft_tfidf,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
         "ft_mlt": q_ft_mlt,
@@ -1563,6 +1573,21 @@ scored AS (
   SELECT doc_id, sum(s) AS score FROM contrib
   WHERE doc_id IN (SELECT doc_id FROM filt)
   GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_tfidf": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         pow(1 + ln(stats.dc / (dfx.df + 1)), 2)
+           * sqrt(tf.tf) / sqrt(dlq.dlq) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,

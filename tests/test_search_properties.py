@@ -174,6 +174,50 @@ def test_phrase_lazy_position_decode(tmp_path, ray_session):
     assert stats["pos_blocks_decoded"] <= 4
 
 
+def test_classic_similarity_matches_oracle(tmp_path, ray_session):
+    """ClassicSimilarity TF-IDF (pluggable-Similarity surface, U6):
+    engine scores == pure-Python recomputation from oracle postings,
+    using the same byte4-quantized doc length."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.codec.smallfloat import byte4_to_int
+    from fdblucene_ray.oracle import OracleIndex
+
+    texts = _random_corpus(23, 250, 18, 25)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+    for q in ["w0 w3", "w1", "w2 w5 w9"]:
+        got = s.search(q, 10, similarity="classic")
+        terms = oracle.analyzer.tokens(q)
+        exp_scores: dict[int, float] = {}
+        for term in terms:
+            plist = oracle.postings.get(term, [])
+            if not plist:
+                continue
+            idf = 1.0 + math.log(oracle.dc / (len(plist) + 1.0))
+            for d, tf in plist:
+                dl = byte4_to_int(oracle.norm_byte[d])
+                exp_scores[d] = exp_scores.get(d, 0.0) + (
+                    idf * idf * math.sqrt(tf) / math.sqrt(dl)
+                )
+        exp = sorted(exp_scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
 @pytest.mark.parametrize("seed", [21, 22])
 def test_boolean_strategies_identical(seed, tmp_path, ray_session):
     """Cursor-based boolean (ConjunctionDISI shape) == vectorized twin
