@@ -446,3 +446,154 @@ def normalize_text(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------- duplicated-span scrub
+#
+# The "remove duplicated substrings" curation step (Lee et al., ACL'22
+# "Deduplicating Training Data Makes Language Models Better"): any
+# ``n``-token window that occurs in >= ``min_df`` DISTINCT documents is
+# scrubbed from every document containing it. Built as three shuffles of
+# SMALL rows — text never moves until the final doc_id-partitioned join:
+#
+#   1. map_batches: (gram_hash, doc_id, pos) per window   [16-24 B rows]
+#   2. groupby(gram): keep occurrences of cross-doc grams
+#   3. groupby(doc_id): fold a doc's positions into ONE spans row
+#   4. ds.join(spans, left_outer, on=doc_id) + vectorized scrub
+#
+# At 100 TB the spans table is proportional to actual duplication, and
+# the join co-partitions corpus and spans by doc_id (hash exchange) —
+# no broadcast of an unbounded dup-gram set.
+
+
+class DupSpanOccurrences:
+    """Every ``n``-token window's (gram_hash, doc_id, pos) — pos is the
+    window's start ordinal among the row's non-empty whitespace tokens
+    (matching the scrubber's ``str.split()`` positions)."""
+
+    def __init__(self, n: int, text_col: str, id_col: str):
+        self.n = n
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        row_idx, flat, _, ordinal = _ws_tokens(batch[self.text_col])
+        th = hash_strings(flat)
+        total, n = len(th), self.n
+        empty = pa.table(
+            {"gram": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64())}
+        )
+        if total < n:
+            return empty
+        m = total - n + 1
+        h = np.full(m, _SEED, np.uint64)
+        for j in range(n):
+            h = combine(h, th[j : j + m])
+        ok = row_idx[:m] == row_idx[n - 1 :]
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "gram": pa.array(h[ok].view(np.int64)),
+                "doc_id": pa.array(ids[row_idx[:m][ok]].astype(np.int64)),
+                "pos": pa.array(ordinal[:m][ok]),
+            }
+        )
+
+
+def _dup_occurrences(min_df: int):
+    def fn(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(d)) < min_df:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}
+            )
+        return group.select(["doc_id", "pos"])
+
+    fn.__name__ = "_dup_occurrences"
+    return fn
+
+
+def _fold_spans(group: pa.Table) -> pa.Table:
+    # spans packed as little-endian int64 bytes: Acero hash joins accept
+    # binary payload columns but not list<int64>
+    pos = np.unique(group["pos"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(group["doc_id"][0].as_py())], pa.int64()),
+            "spans": pa.array([pos.astype("<i8").tobytes()], pa.binary()),
+        }
+    )
+
+
+class ScrubSpans:
+    """Remove tokens covered by any duplicated window. Docs with no
+    duplicated span keep their text BYTE-IDENTICAL; scrubbed docs are
+    re-joined with single spaces (whitespace-normalized by
+    construction). The per-row work is bounded by that row's span
+    count — corpus cost is proportional to actual duplication."""
+
+    def __init__(self, n: int, text_col: str, id_col: str):
+        self.n = n
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        out_text, out_removed = [], np.zeros(len(texts), np.int64)
+        for i, (txt, spans) in enumerate(zip(texts, spans_col)):
+            if not spans:
+                out_text.append(txt)
+                continue
+            toks = txt.split()
+            diff = np.zeros(len(toks) + 1, np.int64)
+            starts = np.frombuffer(spans, dtype="<i8").astype(np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + self.n, len(toks)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            out_text.append(" ".join(t for t, c in zip(toks, covered) if not c))
+            out_removed[i] = int(covered.sum())
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "text": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_removed),
+            }
+        )
+
+
+def scrub_duplicated_spans(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Scrub every ``n``-token window occurring in >= ``min_df``
+    distinct docs (Lee et al. ACL'22). Returns (doc_id, text,
+    n_removed); text is unchanged for untouched docs."""
+    occ = ds.map_batches(
+        DupSpanOccurrences(n, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dup_occ = occ.groupby("gram").map_groups(
+        _dup_occurrences(min_df), batch_format="pyarrow"
+    )
+    doc_spans = dup_occ.groupby("doc_id").map_groups(
+        _fold_spans, batch_format="pyarrow"
+    )
+    joined = ds.select_columns([id_col, text_col]).join(
+        doc_spans,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+    return joined.map_batches(
+        ScrubSpans(n, text_col, id_col), batch_format="pyarrow"
+    )

@@ -1056,6 +1056,24 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
 
 
+def q_scrub_spans(sf_dir: str) -> pa.Table:
+    """Duplicated-substring removal (Lee et al. ACL'22 analog): tokens
+    covered by any 8-token window occurring in >=2 distinct docs are
+    scrubbed; reports per-doc removed-token counts."""
+    from fdblucene_ray.ops.webtext import scrub_duplicated_spans
+
+    out = scrub_duplicated_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n=8, min_df=2
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_removed": pa.array(df["n_removed"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_chunk_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style exact span dedup: non-overlapping 16-token chunks,
     corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
@@ -1502,6 +1520,7 @@ def queries() -> dict:
         "multimodal_frames": q_multimodal_frames,
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
+        "scrub_spans": q_scrub_spans,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
@@ -2170,6 +2189,31 @@ t AS (SELECT doc_id, tok,
 SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
        min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
 FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
+""",
+        "scrub_spans": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)
+),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM t0 WHERE tok <> ''),
+g AS (SELECT doc_id, pos,
+             string_agg(tok, ' ') OVER w AS gram,
+             count(*) OVER w AS wlen
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+gg AS (SELECT doc_id, pos, gram FROM g WHERE wlen = 8),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT doc_id, pos FROM gg WHERE gram IN (SELECT gram FROM dup)),
+cov AS (SELECT DISTINCT t.doc_id, t.pos FROM t
+        JOIN occ ON occ.doc_id = t.doc_id
+        AND t.pos BETWEEN occ.pos AND occ.pos + 7)
+SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM cov GROUP BY doc_id) c
+  ON c.doc_id = d.doc_id
 """,
         "chunk_dedup": r"""
 WITH raw AS (

@@ -199,3 +199,81 @@ class TestBpePairs:
         rows = [" ".join(f"t{i} t{i}" for i in range(30))]
         out = bpe_pair_counts(_ds(rows), top_k=5)
         assert out.num_rows == 5
+
+
+class TestScrubSpans:
+    def test_planted_duplicate_removed(self, ray_session):
+        from fdblucene_ray.ops.webtext import scrub_duplicated_spans
+
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = []
+        for i in range(10):
+            filler = " ".join(f"u{i}x{j}" for j in range(12))
+            if i in (1, 3, 7):
+                texts.append(f"{filler} {dup} tail{i}")
+            else:
+                texts.append(f"{filler} solo{i}")
+        t = pa.table(
+            {"doc_id": pa.array(range(10), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = (
+            scrub_duplicated_spans(ray.data.from_arrow(t), n=8, min_df=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for i in range(10):
+            row = out[out.doc_id == i].iloc[0]
+            if i in (1, 3, 7):
+                # the whole 10-token planted run is covered (windows at
+                # offsets 0..2 of the run overlap to cover all 10)
+                assert row["n_removed"] == 10
+                assert "alpha" not in row["text"] and "kappa" not in row["text"]
+                assert f"tail{i}" in row["text"] and f"u{i}x0" in row["text"]
+            else:
+                # untouched docs keep BYTE-IDENTICAL text
+                assert row["n_removed"] == 0
+                assert row["text"] == texts[i]
+
+    def test_matches_bruteforce(self, ray_session):
+        """Random corpus with induced repeats: engine == pure-Python
+        duplicated-window scrub."""
+        from fdblucene_ray.ops.webtext import scrub_duplicated_spans
+
+        rng = np.random.default_rng(9)
+        n, min_df = 5, 2
+        texts = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 12, 30))
+            for _ in range(40)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = (
+            scrub_duplicated_spans(
+                ray.data.from_arrow(t), n=n, min_df=min_df)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # brute force
+        from collections import defaultdict
+
+        gram_docs = defaultdict(set)
+        toks_by_doc = [txt.split() for txt in texts]
+        for d, toks in enumerate(toks_by_doc):
+            for p in range(len(toks) - n + 1):
+                gram_docs[tuple(toks[p:p + n])].add(d)
+        dup_grams = {g for g, ds_ in gram_docs.items() if len(ds_) >= min_df}
+        for d, toks in enumerate(toks_by_doc):
+            covered = [False] * len(toks)
+            for p in range(len(toks) - n + 1):
+                if tuple(toks[p:p + n]) in dup_grams:
+                    for q in range(p, min(p + n, len(toks))):
+                        covered[q] = True
+            exp_removed = sum(covered)
+            exp_text = (
+                " ".join(tk for tk, c in zip(toks, covered) if not c)
+                if exp_removed else texts[d]
+            )
+            row = out[out.doc_id == d].iloc[0]
+            assert row["n_removed"] == exp_removed, d
+            assert row["text"] == exp_text, d
