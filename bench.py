@@ -229,7 +229,9 @@ def run_default() -> None:
     timed("compact_index_25k", compact)
     timed("dedup_exact", lambda: q.q_dedup_exact(sf_dir))
     timed("dedup_minhash", lambda: q.q_dedup_minhash(sf_dir))
+    timed("scrub_spans", lambda: q.q_scrub_spans(sf_dir))
     timed("ann_cosine", lambda: q.q_ann_cosine(sf_dir))
+    timed("ann_lsh", lambda: q.q_ann_lsh(sf_dir))
     timed("text_quality", lambda: q.q_text_quality(sf_dir))
     timed("lang_id", lambda: q.q_lang_id(sf_dir))
     timed("curate", lambda: q.q_curate(sf_dir))
