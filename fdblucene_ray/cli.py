@@ -208,6 +208,70 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_build_sorted(args) -> int:
+    """Index-time sort (setIndexSort analog): one distributed sort,
+    doc ids in sort-key order, early-terminating sorted top-k."""
+    _ensure_ray()
+    from fdblucene_ray.index.sorted import build_sorted_index
+
+    t0 = time.perf_counter()
+    m = build_sorted_index(
+        args.input,
+        args.out,
+        sort_col=args.sort_col,
+        descending=not args.ascending,
+        fields=_parse_fields(args.field),
+        num_partitions=args.num_partitions,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({
+        "index": args.out,
+        "index_sort": m.extra["index_sort"],
+        "segments": len(m.segments),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+    return 0
+
+
+def cmd_sorted_topk(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.build import hydrate
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    ids = s.search_sorted_topk(
+        args.query, args.k, field=args.field, operator=args.operator
+    )
+    info = s.manifest.extra["index_sort"]
+    cols = ["doc_id", f"orig_{args.id_col}", info["col"]]
+    stored = hydrate(args.index, ids, columns=cols)
+    for rank in range(stored.num_rows):
+        print(json.dumps({
+            "rank": rank + 1,
+            "doc_id": int(stored[f"orig_{args.id_col}"][rank].as_py()),
+            info["col"]: stored[info["col"]][rank].as_py(),
+        }))
+    return 0
+
+
+def cmd_scrub(args) -> int:
+    """Duplicated-span scrub (Lee et al. ACL'22): write a cleaned copy."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.webtext import scrub_duplicated_spans
+
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = scrub_duplicated_spans(
+        ds, n=args.n, min_df=args.min_df,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_push(args) -> int:
     from fdblucene_ray.index.store import LocalFSStore, push_index
 
@@ -307,6 +371,38 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--num-partitions", type=int, default=16)
     c.set_defaults(fn=cmd_compact)
+
+    bs = sub.add_parser("build-sorted",
+                        help="index-time sort (setIndexSort analog)")
+    bs.add_argument("--input", required=True, nargs="+")
+    bs.add_argument("--out", required=True)
+    bs.add_argument("--sort-col", required=True)
+    bs.add_argument("--ascending", action="store_true")
+    bs.add_argument("--field", action="append",
+                    help="NAME:COLUMN:ANALYZER[:positions] (repeatable)")
+    bs.add_argument("--num-partitions", type=int, default=None)
+    bs.add_argument("--batch-size", type=int, default=2048)
+    bs.add_argument("--no-resume", action="store_true")
+    bs.set_defaults(fn=cmd_build_sorted)
+
+    stk = sub.add_parser("sorted-topk",
+                         help="early-terminating top-k by the index sort")
+    stk.add_argument("index")
+    stk.add_argument("query")
+    stk.add_argument("-k", type=int, default=10)
+    stk.add_argument("--field", default="text")
+    stk.add_argument("--operator", default="or", choices=["or", "and"])
+    stk.add_argument("--id-col", default="doc_id")
+    stk.set_defaults(fn=cmd_sorted_topk)
+
+    sc = sub.add_parser("scrub", help="remove cross-doc duplicated spans")
+    sc.add_argument("--input", required=True, nargs="+")
+    sc.add_argument("--out", required=True)
+    sc.add_argument("-n", type=int, default=8)
+    sc.add_argument("--min-df", type=int, default=2)
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.set_defaults(fn=cmd_scrub)
 
     pu = sub.add_parser("push", help="upload index to a SegmentStore (U1)")
     pu.add_argument("index")
