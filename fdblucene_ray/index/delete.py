@@ -187,14 +187,23 @@ def update_documents(
 
 
 def gc_tombstones(index_dir: str, *, dry_run: bool = False) -> list[str]:
-    """Sweep tombstone files not referenced by the live manifest."""
+    """Sweep tombstone files not referenced by the live manifest or any
+    retained commit point (point-in-time readers pin their manifest's
+    tombstone snapshot)."""
+    from fdblucene_ray.index.manifest import list_commits
+
     m = load_manifest(index_dir)
-    live = m.extra.get("tombstone_file")
+    keep = {m.extra.get("tombstone_file")}
+    for v in list_commits(index_dir):
+        try:
+            keep.add(load_manifest(index_dir, v).extra.get("tombstone_file"))
+        except FileNotFoundError:  # pragma: no cover
+            pass
     d = os.path.join(index_dir, TOMBSTONES_DIR)
     removed = []
     if os.path.isdir(d):
         for f in sorted(os.listdir(d)):
-            if f != live:
+            if f not in keep:
                 removed.append(f)
                 if not dry_run:
                     try:

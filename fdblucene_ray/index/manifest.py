@@ -116,9 +116,70 @@ def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_NAME)
 
 
-def load_manifest(index_dir: str) -> Manifest:
-    with open(manifest_path(index_dir)) as f:
-        return Manifest.from_json(json.load(f))
+COMMITS_DIR = "commits"
+
+
+def commit_path(index_dir: str, version: int) -> str:
+    return os.path.join(index_dir, COMMITS_DIR, f"manifest_{version:09d}.json")
+
+
+def load_manifest(index_dir: str, version: int | None = None) -> Manifest:
+    """Live manifest, or — with ``version`` — a retained COMMIT POINT
+    (Lucene ``segments_N`` / ``DirectoryReader.open(IndexCommit)``
+    analog): every publish also persists ``commits/manifest_N.json``,
+    so readers can pin a point-in-time snapshot until it is pruned
+    (``prune_commits``) and swept (``gc_index``)."""
+    if version is None:
+        with open(manifest_path(index_dir)) as f:
+            return Manifest.from_json(json.load(f))
+    p = commit_path(index_dir, version)
+    try:
+        with open(p) as f:
+            return Manifest.from_json(json.load(f))
+    except FileNotFoundError:
+        live = load_manifest(index_dir)
+        if live.version == version:
+            return live
+        raise FileNotFoundError(
+            f"commit point {version} not found at {p} (pruned, or the "
+            f"index predates commit retention); live version is "
+            f"{live.version}, retained: {list_commits(index_dir)}"
+        ) from None
+
+
+def list_commits(index_dir: str) -> list[int]:
+    """Retained commit-point versions, ascending (the live version is
+    always included)."""
+    d = os.path.join(index_dir, COMMITS_DIR)
+    versions = set()
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if f.startswith("manifest_") and f.endswith(".json"):
+                versions.add(int(f[len("manifest_"):-len(".json")]))
+    try:
+        versions.add(load_manifest(index_dir).version)
+    except FileNotFoundError:
+        pass
+    return sorted(versions)
+
+
+def prune_commits(index_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` commit points (the live
+    version is never dropped). Returns pruned versions; run
+    ``gc_index`` afterwards to sweep segments only they referenced —
+    the IndexDeletionPolicy analog (default Lucene keeps only the last
+    commit; a snapshot policy keeps more)."""
+    live = load_manifest(index_dir).version
+    keep = set(list_commits(index_dir)[-max(1, keep_last):]) | {live}
+    pruned = []
+    for v in list_commits(index_dir):
+        if v not in keep:
+            try:
+                os.remove(commit_path(index_dir, v))
+                pruned.append(v)
+            except OSError:  # pragma: no cover
+                pass
+    return pruned
 
 
 def publish_manifest(
@@ -188,18 +249,34 @@ def _write_manifest(index_dir: str, manifest: Manifest) -> None:
         json.dump(manifest.to_json(), f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
+    # retain the commit point FIRST, then swap the live pointer — a
+    # crash in between leaves an extra commit file, never a live
+    # manifest without its commit copy
+    cpath = commit_path(index_dir, manifest.version)
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
+    ctmp = cpath + ".tmp"
+    with open(ctmp, "w") as f:
+        json.dump(manifest.to_json(), f, indent=1, sort_keys=True)
+    os.replace(ctmp, cpath)
     os.replace(tmp, manifest_path(index_dir))
 
 
 def gc_index(index_dir: str, *, dry_run: bool = False) -> list[str]:
-    """Remove segment directories not referenced by the live manifest —
-    the sweep phase of the reference's delete tolerance (D4: uncommitted
-    writes never become visible, FDBIndexOutput.java:182-189; here,
-    orphaned segment dirs from crashed/aborted runs are GC'd). Lineage
-    records of other signatures are kept (they enable resume)."""
+    """Remove segment directories not referenced by the live manifest
+    OR any retained commit point — the sweep phase of the reference's
+    delete tolerance (D4: uncommitted writes never become visible,
+    FDBIndexOutput.java:182-189; here, orphaned segment dirs from
+    crashed/aborted runs are GC'd, and point-in-time commits keep their
+    segments alive until ``prune_commits``). Lineage records of other
+    signatures are kept (they enable resume)."""
     import shutil
 
     live = {s.name for s in load_manifest(index_dir).segments}
+    for v in list_commits(index_dir):
+        try:
+            live |= {s.name for s in load_manifest(index_dir, v).segments}
+        except FileNotFoundError:  # pragma: no cover - pruned mid-scan
+            pass
     seg_root = os.path.join(index_dir, "segments")
     removed = []
     if os.path.isdir(seg_root):

@@ -54,6 +54,7 @@ from fdblucene_ray.index.manifest import (
     SegmentMeta,
     gc_index,
     load_manifest,
+    prune_commits,
     publish_manifest,
 )
 from fdblucene_ray.index.segment import DOC_SENTINEL, FIELD_SEP, SegmentReader
@@ -448,6 +449,7 @@ def merge_segments_inplace(
     num_partitions: int = 1,
     resume: bool = True,
     gc: bool = True,
+    keep_commits: int | None = 1,
 ) -> Manifest:
     """Rewrite segments ``names`` of one index into ``num_partitions``
     new segments and atomically publish (other segments untouched).
@@ -494,6 +496,12 @@ def merge_segments_inplace(
     )
     publish_manifest(index_dir, m2, expected_version=m.version)
     if gc:
+        # deletion policy: a merge's GC prunes commit points down to
+        # ``keep_commits`` first (Lucene KeepOnlyLastCommitDeletionPolicy
+        # default = 1); pass None to retain every commit (snapshot mode —
+        # merged-away segments then stay on disk until prune_commits)
+        if keep_commits is not None:
+            prune_commits(index_dir, keep_last=keep_commits)
         gc_index(index_dir)
         if full:
             gc_tombstones(index_dir)

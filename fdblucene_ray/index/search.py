@@ -332,14 +332,19 @@ class Searcher:
     """One index snapshot; reusable across queries (ST6 in SURVEY.md)."""
 
     def __init__(self, index_dir: str, manifest: Manifest | None = None,
-                 *, k1: float = K1, b: float = B):
+                 *, k1: float = K1, b: float = B,
+                 version: int | None = None):
         """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
-        defaults are the Lucene-8 defaults the north star mandates)."""
+        defaults are the Lucene-8 defaults the north star mandates).
+        ``version``: open a retained COMMIT POINT instead of the live
+        manifest (``DirectoryReader.open(IndexCommit)`` analog) — the
+        snapshot pins its own segment set AND tombstone file, so
+        results are exactly those of the index as of that publish."""
         from fdblucene_ray.codec.registry import get_codec
         from fdblucene_ray.index.delete import load_tombstones
 
         self.index_dir = index_dir
-        self.manifest = manifest or load_manifest(index_dir)
+        self.manifest = manifest or load_manifest(index_dir, version)
         # resolve the manifest's named codec for ALL read-side decode
         # dispatch (U3 codec SPI); unknown names fail loudly here
         self.codec = get_codec(self.manifest.codec)

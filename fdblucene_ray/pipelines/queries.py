@@ -42,10 +42,10 @@ def _docs_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 
 def _index_dir(sf_dir: str, flavor: str) -> str:
-    # v2: segments carry the doclens sidecar + row-grouped terms dict;
-    # keying the cache by format version keeps stale round-1 layouts
-    # from being reused where the new features (purge) need v2
-    key = hashlib.sha1(f"{sf_dir}:{flavor}:v2".encode()).hexdigest()[:12]
+    # v3: manifests retain commit points (commits/manifest_N.json);
+    # keying the cache by format version keeps stale layouts from being
+    # reused where new features (purge, point-in-time reads) need them
+    key = hashlib.sha1(f"{sf_dir}:{flavor}:v3".encode()).hexdigest()[:12]
     return os.path.join(CACHE_ROOT, f"ix-{flavor}-{key}")
 
 
@@ -610,6 +610,18 @@ def q_ft_delete_search(sf_dir: str) -> pa.Table:
     collection/term stats still include them (Lucene liveDocs
     semantics — df/docCount unchanged until merge purges)."""
     s = Searcher(_ensure_deleted_index(sf_dir))
+    return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
+
+
+def q_ft_commit_travel(sf_dir: str) -> pa.Table:
+    """Point-in-time read (DirectoryReader.open(IndexCommit) analog):
+    the SAME index ft_delete_search queries, opened at its FIRST commit
+    (pre-delete) — results equal the full-corpus oracle even though the
+    live manifest tombstones every source='src3' doc."""
+    ix = _ensure_deleted_index(sf_dir)
+    from fdblucene_ray.index.manifest import list_commits
+
+    s = Searcher(ix, version=list_commits(ix)[0])
     return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
 
 
@@ -1494,6 +1506,7 @@ def queries() -> dict:
         "ft_numeric_sort": q_ft_numeric_sort,
         "ft_index_sort": q_ft_index_sort,
         "ft_delete_search": q_ft_delete_search,
+        "ft_commit_travel": q_ft_commit_travel,
         "ft_delete_purge_stats": q_ft_delete_purge_stats,
         "ft_delete_purge_search": q_ft_delete_purge_search,
         "search_lucene": q_search_lucene,
@@ -1985,6 +1998,8 @@ FROM dl d JOIN normvals ON v <= d.dl GROUP BY d.doc_id, d.dl
         "ft_delete_search": _bm25_sql(
             ["data", "merge"], exclude_where=_DELETED_PRED
         ),
+        # the pre-delete commit point sees the FULL corpus
+        "ft_commit_travel": _bm25_sql(["data", "merge"]),
         "ft_delete_purge_stats": """
 WITH toks AS (SELECT doc_id, tok FROM (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok

@@ -1,0 +1,93 @@
+"""Commit points: retained manifests, point-in-time Searcher, GC that
+respects snapshots (Lucene segments_N / IndexCommit / deletion-policy
+analogs, FDBDirectory.java:351-365 commit primitive)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.delete import delete_docs, gc_tombstones
+from fdblucene_ray.index.manifest import (
+    drop_segments,
+    gc_index,
+    list_commits,
+    load_manifest,
+    prune_commits,
+)
+from fdblucene_ray.index.search import Searcher
+
+
+@pytest.fixture()
+def committed_ix(tmp_path, ray_session):
+    texts = [f"common w{i % 7} filler{i}" for i in range(60)]
+    t = pa.table(
+        {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=3, batch_size=32)
+    return ix
+
+
+class TestCommitPoints:
+    def test_point_in_time_reads(self, committed_ix):
+        ix = committed_ix
+        v0 = load_manifest(ix).version
+        base = {d for d, _ in Searcher(ix).search("common", k=100)}
+        assert len(base) == 60
+
+        delete_docs(ix, [0, 1, 2])
+        delete_docs(ix, [3, 4])
+        assert list_commits(ix) == [v0, v0 + 1, v0 + 2]
+
+        # live excludes all 5; each commit pins ITS tombstone snapshot
+        live = {d for d, _ in Searcher(ix).search("common", k=100)}
+        assert live == base - {0, 1, 2, 3, 4}
+        s0 = Searcher(ix, version=v0)
+        assert {d for d, _ in s0.search("common", k=100)} == base
+        s1 = Searcher(ix, version=v0 + 1)
+        assert {d for d, _ in s1.search("common", k=100)} == base - {0, 1, 2}
+
+    def test_gc_respects_commits_until_pruned(self, committed_ix):
+        ix = committed_ix
+        v0 = load_manifest(ix).version
+        m = load_manifest(ix)
+        victim = m.segments[0].name
+        drop_segments(ix, [victim])
+
+        # the dropped segment is still referenced by commit v0
+        assert gc_index(ix, dry_run=True) == []
+        assert os.path.isdir(os.path.join(ix, "segments", victim))
+        old_docs = {d for d, _ in Searcher(ix, version=v0).search("common", k=100)}
+        assert len(old_docs) == 60
+
+        pruned = prune_commits(ix, keep_last=1)
+        assert v0 in pruned
+        removed = gc_index(ix)
+        assert victim in removed
+        with pytest.raises(FileNotFoundError, match="commit point"):
+            Searcher(ix, version=v0)
+        # live searcher unaffected (no deletes in this fixture instance)
+        live = {d for d, _ in Searcher(ix).search("common", k=100)}
+        assert len(live) == 60
+
+    def test_tombstone_gc_respects_commits(self, committed_ix):
+        ix = committed_ix
+        delete_docs(ix, [10])
+        delete_docs(ix, [11])
+        # both tombstone files referenced by retained commits -> kept
+        assert gc_tombstones(ix, dry_run=True) == []
+        prune_commits(ix, keep_last=1)
+        swept = gc_tombstones(ix)
+        assert len(swept) == 1  # the v+1 snapshot; live file kept
+
+    def test_missing_commit_error_lists_retained(self, committed_ix):
+        with pytest.raises(FileNotFoundError, match="retained"):
+            Searcher(committed_ix, version=999)

@@ -209,6 +209,12 @@ class TestDeleteByTerm:
         build_index(src, ix, fields=FIELDS, num_partitions=2, batch_size=8)
         delete_docs(ix, [1])
         delete_docs(ix, [2])
+        # superseded tombstone file is pinned by its commit point until
+        # the deletion policy prunes it
+        assert gc_tombstones(ix, dry_run=True) == []
+        from fdblucene_ray.index.manifest import prune_commits
+
+        prune_commits(ix, keep_last=1)
         removed = gc_tombstones(ix)
         assert len(removed) == 1  # the superseded v1 file
         assert len(load_tombstones(ix)) == 2

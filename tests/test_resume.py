@@ -110,7 +110,11 @@ def test_gc_and_drop_segments(tmp_path, ray_session):
     sweeps the orphaned directory; uncommitted dirs are swept too."""
     import shutil
 
-    from fdblucene_ray.index.manifest import drop_segments, gc_index
+    from fdblucene_ray.index.manifest import (
+        drop_segments,
+        gc_index,
+        prune_commits,
+    )
 
     p = str(tmp_path / "c.parquet")
     pq.write_table(generate_webpages(0, 100), p)
@@ -128,6 +132,9 @@ def test_gc_and_drop_segments(tmp_path, ray_session):
     victim = m.segments[0].name
     m2 = drop_segments(ix, [victim])
     assert victim not in {s.name for s in m2.segments}
+    # the pre-drop commit point still pins the victim; prune, then sweep
+    assert victim not in gc_index(ix, dry_run=True)
+    prune_commits(ix, keep_last=1)
     assert victim in gc_index(ix)
     from fdblucene_ray.index.search import Searcher
 
