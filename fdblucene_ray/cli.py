@@ -272,6 +272,17 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_commits(args) -> int:
+    """List retained commit points; --prune applies the deletion policy."""
+    from fdblucene_ray.index.manifest import list_commits, prune_commits
+
+    pruned = []
+    if args.prune is not None:
+        pruned = prune_commits(args.index, keep_last=args.prune)
+    print(json.dumps({"retained": list_commits(args.index), "pruned": pruned}))
+    return 0
+
+
 def cmd_push(args) -> int:
     from fdblucene_ray.index.store import LocalFSStore, push_index
 
@@ -371,6 +382,12 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--num-partitions", type=int, default=16)
     c.set_defaults(fn=cmd_compact)
+
+    cm = sub.add_parser("commits", help="list/prune commit points")
+    cm.add_argument("index")
+    cm.add_argument("--prune", type=int, default=None,
+                    help="keep only the newest N commit points")
+    cm.set_defaults(fn=cmd_commits)
 
     bs = sub.add_parser("build-sorted",
                         help="index-time sort (setIndexSort analog)")
