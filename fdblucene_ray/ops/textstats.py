@@ -313,3 +313,99 @@ def top_terms_per_group(
     return agg.groupby("grp").map_groups(
         _topn_factory(n), batch_format="pyarrow"
     )
+
+
+class _SigTermPartials:
+    """Per-batch partials for significant-terms: DISTINCT-doc counts
+    per term, overall and within the foreground predicate, combined
+    map-side (one row per unique term per batch + one sentinel row
+    carrying the batch's doc counts). The exchange carries |vocab|-
+    bounded count rows, never tokens."""
+
+    _SENTINEL = "\x00docs"
+
+    def __init__(self, analyzer, text_col, fg_col, fg_value):
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col = text_col
+        self.fg_col, self.fg_value = fg_col, fg_value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
+            batch[self.text_col]
+        )
+        fg_rows = pc.equal(batch[self.fg_col], self.fg_value).to_numpy(
+            zero_copy_only=False
+        )
+        V = max(1, len(vocab))
+        pair = np.unique(row_idx.astype(np.int64) * V + codes)
+        prow, pcode = pair // V, pair % V
+        df_all = np.bincount(pcode, minlength=V).astype(np.int64)
+        df_fg = np.bincount(
+            pcode[fg_rows[prow]], minlength=V
+        ).astype(np.int64)
+        terms = list(vocab) + [self._SENTINEL]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_all": pa.array(
+                    np.concatenate([df_all, [batch.num_rows]])
+                ),
+                "df_fg": pa.array(
+                    np.concatenate([df_fg, [int(fg_rows.sum())]])
+                ),
+            }
+        )
+
+
+def significant_terms(
+    ds: ray.data.Dataset,
+    fg_col: str,
+    fg_value,
+    *,
+    n: int = 20,
+    analyzer: str = "simple",
+    text_col: str = "text",
+) -> pa.Table:
+    """Terms overrepresented in the foreground slice vs the whole
+    corpus (Elasticsearch significant_terms / Lucene interesting-terms
+    analog), scored with the JLH heuristic
+    ``(p_fg - p_bg) * p_fg / p_bg`` over document frequencies.
+
+    Shape: ONE streaming pass emits map-side-combined per-term df
+    partials (plus a sentinel row carrying doc counts), one
+    groupby(term) sum, then scoring + top-n on the |vocab|-sized
+    aggregate. Columns: (term, df_fg, df_all, score)."""
+    partials = ds.map_batches(
+        _SigTermPartials,
+        fn_constructor_kwargs=dict(
+            analyzer=analyzer, text_col=text_col,
+            fg_col=fg_col, fg_value=fg_value,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    agg = partials.groupby("term").sum(["df_all", "df_fg"])
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    df_all = t["sum(df_all)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    df_fg = t["sum(df_fg)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sent = terms == _SigTermPartials._SENTINEL
+    n_all = float(df_all[sent][0])
+    n_fg = float(df_fg[sent][0])
+    keep = (~sent) & (df_fg > 0)
+    terms, df_all, df_fg = terms[keep], df_all[keep], df_fg[keep]
+    pf, pb = df_fg / n_fg, df_all / n_all
+    score = (pf - pb) * pf / pb
+    by_term = np.argsort(terms, kind="stable")
+    order = by_term[np.argsort(-score[by_term], kind="stable")][:n]
+    return pa.table(
+        {
+            "term": pa.array(terms[order].tolist(), pa.string()),
+            "df_fg": pa.array(df_fg[order].astype(np.int64)),
+            "df_all": pa.array(df_all[order].astype(np.int64)),
+            "score": pa.array(np.round(score[order], 6).astype(np.float64)),
+        }
+    )

@@ -465,6 +465,15 @@ def q_ft_phrase_slop(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sig_terms(sf_dir: str) -> pa.Table:
+    """Significant terms of the source='src2' slice vs the whole corpus
+    (ES significant_terms analog, JLH score over doc frequencies)."""
+    from fdblucene_ray.ops.textstats import significant_terms
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "source"])
+    return significant_terms(ds, "source", "src2", n=20)
+
+
 def q_ft_index_sort(sf_dir: str) -> pa.Table:
     """Index-time sort + early-terminating sorted top-k (Lucene
     IndexWriterConfig.setIndexSort / TopFieldCollector early
@@ -1505,6 +1514,7 @@ def queries() -> dict:
         "ft_numeric_range": q_ft_numeric_range,
         "ft_numeric_sort": q_ft_numeric_sort,
         "ft_index_sort": q_ft_index_sort,
+        "sig_terms": q_sig_terms,
         "ft_delete_search": q_ft_delete_search,
         "ft_commit_travel": q_ft_commit_travel,
         "ft_delete_purge_stats": q_ft_delete_purge_stats,
@@ -2022,6 +2032,23 @@ WITH {TOKS_CTE},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
 SELECT d.doc_id, d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+        "sig_terms": f"""
+WITH {TOKS_CTE},
+dfa AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df_all
+        FROM toks GROUP BY tok),
+fg AS (SELECT doc_id FROM documents WHERE source = 'src2'),
+dff AS (SELECT tok, count(DISTINCT t.doc_id)::DOUBLE AS df_fg
+        FROM toks t JOIN fg ON fg.doc_id = t.doc_id GROUP BY tok),
+n AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_all,
+             (SELECT count(*) FROM fg)::DOUBLE AS n_fg),
+s AS (SELECT dfa.tok, dff.df_fg, dfa.df_all,
+             (dff.df_fg / n.n_fg - dfa.df_all / n.n_all)
+               * (dff.df_fg / n.n_fg) / (dfa.df_all / n.n_all) AS score
+      FROM dfa JOIN dff ON dff.tok = dfa.tok CROSS JOIN n)
+SELECT tok AS term, df_fg::BIGINT AS df_fg, df_all::BIGINT AS df_all,
+       CAST(round(score, 6) AS DOUBLE) AS score
+FROM s ORDER BY score DESC, term LIMIT 20
 """,
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "

@@ -465,3 +465,45 @@ class TestKMeansDistributed:
                 ["sim", "vec_id"], ascending=[False, True]
             )["vec_id"].tolist()
             assert got == [int(i) for i in order], qi
+
+
+class TestSignificantTerms:
+    def test_matches_bruteforce(self, ray_session):
+        from collections import defaultdict
+
+        from fdblucene_ray.ops.textstats import significant_terms
+
+        rng = np.random.default_rng(13)
+        texts, srcs = [], []
+        for i in range(60):
+            fg = i % 4 == 0
+            toks = [f"w{int(x)}" for x in rng.integers(0, 15, 12)]
+            if fg:
+                toks += ["marker", "marker"]  # overrepresented in fg
+            texts.append(" ".join(toks))
+            srcs.append("fg" if fg else "bg")
+        t = pa.table(
+            {"doc_id": pa.array(range(60), pa.int64()),
+             "text": pa.array(texts), "source": pa.array(srcs)}
+        )
+        out = significant_terms(
+            ray.data.from_arrow(t), "source", "fg", n=10
+        ).to_pandas()
+        # brute force (simple analyzer == lowercase whitespace-ish split
+        # on these alnum tokens)
+        df_all, df_fg = defaultdict(int), defaultdict(int)
+        n_all, n_fg = 60, sum(1 for s in srcs if s == "fg")
+        for txt, s in zip(texts, srcs):
+            for term in set(txt.split()):
+                df_all[term] += 1
+                if s == "fg":
+                    df_fg[term] += 1
+        scores = {}
+        for term, fgc in df_fg.items():
+            pf, pb = fgc / n_fg, df_all[term] / n_all
+            scores[term] = (pf - pb) * pf / pb
+        exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert list(out["term"]) == [t_ for t_, _ in exp]
+        assert out["term"].iloc[0] == "marker"
+        for got, (_, s) in zip(out["score"], exp):
+            assert got == pytest.approx(round(s, 6), abs=1e-9)
