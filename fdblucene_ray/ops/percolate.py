@@ -1,0 +1,152 @@
+"""Percolation — reverse search (Lucene ``monitor`` module /
+Elasticsearch percolator analog): a REGISTERED set of boolean queries
+is matched against a stream of documents, emitting (query_id, doc_id)
+pairs. The dual of the index: queries are the stored side, documents
+are the probe side.
+
+Ray shape: the compiled query set is broadcast once (``ray.put``) and
+shared zero-copy by every actor; each batch builds ONE docs x
+needed-terms presence matrix from the analyzed token codes and
+evaluates every query as vectorized boolean reductions over its
+columns — no per-document Python loop, no index build. At 100 TB this
+is a single streaming pass; with millions of registered queries the
+standard refinement (a term-index over the queries to prune candidates
+per doc, as Lucene's monitor does) drops in behind the same interface.
+
+Reference tie-in: the forward path is SimpleFDBDirectoryTest.java's
+TermQuery search (149-158); percolation evaluates the same
+BooleanQuery semantics (J2) with roles reversed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from fdblucene_ray.analysis.analyzer import BatchTokenizer
+
+
+def compile_queries(queries: list[dict], analyzer: str = "simple") -> list[dict]:
+    """Normalize registered queries: analyze each clause term with the
+    SAME chain the documents get (a stored query matches exactly like
+    its forward-search twin). Clause keys: must / should / must_not /
+    min_should (Lucene BooleanQuery occurs + minimumNumberShouldMatch).
+    """
+    from fdblucene_ray.analysis.analyzer import get_analyzer
+
+    chain = get_analyzer(analyzer)
+
+    def norm(terms):
+        out = []
+        for t in terms or []:
+            out.extend(chain.tokens(t))
+        return sorted(set(out))
+
+    compiled = []
+    for q in queries:
+        must, should = norm(q.get("must")), norm(q.get("should"))
+        if not (must or should):
+            raise ValueError(f"query needs >=1 positive clause: {q!r}")
+        compiled.append(
+            {
+                "must": must,
+                "should": should,
+                "must_not": norm(q.get("must_not")),
+                "min_should": int(q.get("min_should", 0)),
+            }
+        )
+    return compiled
+
+
+class Percolator:
+    """map_batches actor: presence-matrix evaluation of the broadcast
+    query set. Emits one (query_id, doc_id) row per match."""
+
+    def __init__(self, queries_ref, analyzer="simple",
+                 text_col="text", id_col="doc_id"):
+        qs = (
+            ray.get(queries_ref)
+            if not isinstance(queries_ref, list)
+            else queries_ref
+        )
+        self.queries = qs
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col, self.id_col = text_col, id_col
+        needed = sorted(
+            {t for q in qs for k in ("must", "should", "must_not")
+             for t in q[k]}
+        )
+        self.term_col = {t: i for i, t in enumerate(needed)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
+            batch[self.text_col]
+        )
+        ncol = len(self.term_col)
+        pres = np.zeros((n, ncol), bool)
+        if ncol and len(codes):
+            code_col = np.full(max(1, len(vocab)), -1, np.int64)
+            for vi, term in enumerate(vocab):
+                ci = self.term_col.get(term, -1)
+                code_col[vi] = ci
+            cols = code_col[codes]
+            hit = cols >= 0
+            pres[row_idx[hit], cols[hit]] = True
+        out_q, out_d = [], []
+        for qid, q in enumerate(self.queries):
+            m = np.ones(n, bool)
+            for t in q["must"]:
+                m &= pres[:, self.term_col[t]]
+            if q["should"]:
+                n_should = np.zeros(n, np.int64)
+                for t in q["should"]:
+                    n_should += pres[:, self.term_col[t]]
+                bar = q["min_should"] if q["must"] else max(1, q["min_should"])
+                if bar > 0:
+                    m &= n_should >= bar
+            for t in q["must_not"]:
+                m &= ~pres[:, self.term_col[t]]
+            sel = np.nonzero(m)[0]
+            out_q.append(np.full(len(sel), qid, np.int64))
+            out_d.append(ids[sel].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(out_q) if out_q else
+                    np.empty(0, np.int64)
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else
+                    np.empty(0, np.int64)
+                ),
+            }
+        )
+
+
+def percolate(
+    ds: ray.data.Dataset,
+    queries: list[dict],
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Match every registered query against every document; returns a
+    Dataset of (query_id, doc_id) pairs (query ids = positions in
+    ``queries``)."""
+    compiled = compile_queries(queries, analyzer)
+    qref = ray.put(compiled)
+    return ds.map_batches(
+        Percolator,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, analyzer=analyzer,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

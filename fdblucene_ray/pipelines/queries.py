@@ -465,6 +465,26 @@ def q_ft_phrase_slop(sf_dir: str) -> pa.Table:
     )
 
 
+def q_percolate(sf_dir: str) -> pa.Table:
+    """Percolation (reverse search, Lucene monitor analog): three
+    registered boolean queries matched against the document stream."""
+    from fdblucene_ray.ops.percolate import percolate
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = percolate(ds, [
+        {"must": ["data", "merge"]},
+        {"must": ["window"], "must_not": ["batch"]},
+        {"should": ["stream", "sort"]},
+    ])
+    df = out.to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_sig_terms(sf_dir: str) -> pa.Table:
     """Significant terms of the source='src2' slice vs the whole corpus
     (ES significant_terms analog, JLH score over doc frequencies)."""
@@ -1515,6 +1535,7 @@ def queries() -> dict:
         "ft_numeric_sort": q_ft_numeric_sort,
         "ft_index_sort": q_ft_index_sort,
         "sig_terms": q_sig_terms,
+        "percolate": q_percolate,
         "ft_delete_search": q_ft_delete_search,
         "ft_commit_travel": q_ft_commit_travel,
         "ft_delete_purge_stats": q_ft_delete_purge_stats,
@@ -2032,6 +2053,22 @@ WITH {TOKS_CTE},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
 SELECT d.doc_id, d.n_chars FROM documents d JOIN m ON m.doc_id = d.doc_id
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+        "percolate": f"""
+WITH {TOKS_CTE},
+p AS (SELECT DISTINCT doc_id, tok FROM toks),
+q0 AS (SELECT 0 AS query_id, d.doc_id FROM documents d
+       WHERE EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND tok = 'data')
+         AND EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND tok = 'merge')),
+q1 AS (SELECT 1 AS query_id, d.doc_id FROM documents d
+       WHERE EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND tok = 'window')
+         AND NOT EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND tok = 'batch')),
+q2 AS (SELECT 2 AS query_id, d.doc_id FROM documents d
+       WHERE EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id
+                    AND tok IN ('stream', 'sort')))
+SELECT query_id::BIGINT AS query_id, doc_id FROM (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2)
+ORDER BY query_id, doc_id
 """,
         "sig_terms": f"""
 WITH {TOKS_CTE},

@@ -1,0 +1,70 @@
+"""Percolator (reverse search): match sets must equal the FORWARD
+boolean search over an index of the same corpus — the two sides are
+duals of the same BooleanQuery semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.ops.percolate import compile_queries, percolate
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    rng = np.random.default_rng(17)
+    texts = [
+        " ".join(f"w{int(x)}" for x in rng.integers(0, 18, 25))
+        for _ in range(200)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)}
+    )
+    d = tmp_path_factory.mktemp("perc")
+    src = str(d / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(d / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    return t, ix
+
+
+QUERIES = [
+    {"must": ["w0", "w1"]},
+    {"must": ["w2"], "must_not": ["w3"]},
+    {"should": ["w4", "w5", "w6"]},
+    {"should": ["w4", "w5", "w6"], "min_should": 2},
+    {"must": ["w7"], "should": ["w8"]},  # SHOULD optional with MUST
+]
+
+
+class TestPercolate:
+    def test_matches_forward_search(self, corpus):
+        t, ix = corpus
+        ds = ray.data.from_arrow(t)
+        out = percolate(ds, QUERIES).to_pandas()
+        s = Searcher(ix)
+        for qid, q in enumerate(QUERIES):
+            got = set(out[out.query_id == qid]["doc_id"])
+            exp = {
+                d for d, _ in s.search_boolean(
+                    must=q.get("must"), should=q.get("should"),
+                    must_not=q.get("must_not"),
+                    min_should_match=q.get("min_should", 0),
+                    k=10**6,
+                )
+            }
+            assert got == exp, (qid, q)
+
+    def test_compile_analyzes_clauses(self):
+        c = compile_queries([{"must": ["Running DATA"]}], analyzer="lucene")
+        # lucene chain: lowercase + stopword + Porter stem
+        assert c[0]["must"] == ["data", "run"]
+
+    def test_positive_clause_required(self):
+        with pytest.raises(ValueError, match="positive clause"):
+            compile_queries([{"must_not": ["x"]}])
