@@ -2255,19 +2255,28 @@ class SearchQueries:
     """
 
     def __init__(self, index_dir: str, k: int = 10, field: str = "text",
-                 operator: str = "or", mode: str = "auto"):
-        self.searcher = Searcher(index_dir)
+                 operator: str = "or", mode: str = "auto",
+                 parsed: bool = False, version: int | None = None):
+        """``parsed=True`` routes each query through the full
+        QueryParser surface (boosts, phrases, +/-, field:, multi-term);
+        ``version`` pins a commit point for the whole batch run."""
+        self.searcher = Searcher(index_dir, version=version)
         self.k = k
         self.field = field
         self.operator = operator
         self.mode = mode
+        self.parsed = parsed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, q in zip(batch["qid"].to_pylist(), batch["query"].to_pylist()):
-            hits = self.searcher.search(
-                q, self.k, field=self.field, operator=self.operator, mode=self.mode
-            )
+            if self.parsed:
+                hits = self.searcher.query(q, self.k, default_field=self.field)
+            else:
+                hits = self.searcher.search(
+                    q, self.k, field=self.field, operator=self.operator,
+                    mode=self.mode,
+                )
             for rank, (d, s) in enumerate(hits, 1):
                 qids.append(qid)
                 ranks.append(rank)
