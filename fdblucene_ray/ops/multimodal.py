@@ -292,3 +292,131 @@ def sample_frames(ds, n_frames: int = 4, **kw) -> ray.data.Dataset:
         batch_size=16,  # row expansion: keep output blocks bounded
         concurrency=(1, 8),
     )
+
+
+# ----------------------------------------------------- media dedup
+#
+# Exact: content-digest groupby over the BINARY payload column — the
+# media twin of ops.dedup.exact_dedup (text never re-encoded; only
+# 16-byte digests + ids cross the exchange). Near: sign-hash buckets
+# over the decoded feature vector (the perceptual-hash shape: with a
+# real decoder the feature is the image/audio embedding; here it is
+# the documented deterministic fake), cosine-verified within buckets.
+
+
+class _MediaDigest:
+    """(digest, doc_id, n_bytes) per payload. blake2b-128 over
+    memoryview slices of the shared Arrow buffer (per-row C calls, no
+    .as_py() copies) — the same cost class as any real media hash."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        payloads = batch[self.payload_col]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        if pa.types.is_large_binary(payloads.type):
+            odtype, osize = np.int64, 8
+        else:
+            odtype, osize = np.int32, 4
+        n = len(payloads)
+        offsets = np.frombuffer(
+            payloads.buffers()[1], dtype=odtype, count=n + 1,
+            offset=payloads.offset * osize,
+        ).astype(np.int64)
+        values = memoryview(payloads.buffers()[2])
+        digs = [
+            hashlib.blake2b(
+                values[offsets[i]:offsets[i + 1]], digest_size=16
+            ).digest()
+            for i in range(n)
+        ]
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "digest": pa.array(digs, pa.binary(16)),
+                "doc_id": batch[self.id_col],
+                "n_bytes": pa.array(lens),
+            }
+        )
+
+
+def _media_group_first(group: pa.Table) -> pa.Table:
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    keep = int(ids.min())
+    return pa.table(
+        {
+            "doc_id": pa.array([keep], pa.int64()),
+            "dup_count": pa.array([len(ids)], pa.int64()),
+            "n_bytes": pa.array(
+                [int(group["n_bytes"][0].as_py())], pa.int64()
+            ),
+        }
+    )
+
+
+def media_dedup_exact(
+    ds: ray.data.Dataset,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact byte-identical media dedup: one digest pass, one groupby
+    over 16-byte digests (keeper = min doc_id). Returns one row per
+    distinct payload: (doc_id, dup_count, n_bytes)."""
+    digs = ds.map_batches(
+        _MediaDigest,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return digs.groupby("digest").map_groups(
+        _media_group_first, batch_format="pyarrow"
+    )
+
+
+def media_near_dups(
+    ds: ray.data.Dataset,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.98,
+) -> "pa.Table":
+    """Perceptual near-dup pairs: decode features (actor pool), bucket
+    by the sign pattern of the feature vector (2^FEATURE_DIM buckets —
+    near-identical media agree on every sign with high probability),
+    exact-cosine verify within buckets. Returns (a, b, sim) pairs,
+    a < b, sim >= threshold."""
+    from fdblucene_ray.ops.similarity import _BucketPairs
+
+    decoded = decode_media(ds, payload_col, id_col)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        feats = batch["feature"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        m = np.asarray(feats.flatten().to_numpy(zero_copy_only=False),
+                       np.float64).reshape(-1, FEATURE_DIM)
+        centered = m - m.mean(axis=1, keepdims=True)
+        weights = 1 << np.arange(FEATURE_DIM, dtype=np.int64)
+        bucket = ((centered > 0).astype(np.int64) @ weights).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch["doc_id"],
+                "embedding": feats,
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    bucketed = decoded.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        _BucketPairs(threshold, "embedding", "vec_id"),
+        batch_format="pyarrow",
+    )
+    df = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

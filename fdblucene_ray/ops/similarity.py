@@ -34,6 +34,10 @@ def _stack(col, dtype=np.float64) -> np.ndarray:
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        return flat.reshape(len(col), d)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)

@@ -965,6 +965,34 @@ def q_multimodal_meta(sf_dir: str) -> pa.Table:
     return _collect(out.select_columns(["doc_id", "n_bytes"]))
 
 
+def _media_ds(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc  # noqa: F401 (kept for parity with peers)
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column(
+            "payload", t["text"].combine_chunks().cast(pa.binary())
+        ).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_dedup(sf_dir: str) -> pa.Table:
+    """Exact media dedup over the binary payload column (digest
+    groupby, keeper = min doc_id) — the multimodal twin of
+    dedup_exact."""
+    from fdblucene_ray.ops.multimodal import media_dedup_exact
+
+    out = media_dedup_exact(_media_ds(sf_dir), payload_col="payload")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "dup_count": pa.array(df["dup_count"].to_numpy(np.int64)),
+            "n_bytes": pa.array(df["n_bytes"].to_numpy(np.int64)),
+        }
+    )
+
+
 def _events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=columns
@@ -1561,6 +1589,7 @@ def queries() -> dict:
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
+        "media_dedup": q_media_dedup,
         "multimodal_frames": q_multimodal_frames,
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
@@ -2220,6 +2249,11 @@ SELECT a, b, CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM s WHERE sim_raw >= 0.4 ORDER BY a, b
 """,
         "multimodal_meta": "SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents",
+        "media_dedup": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count, "
+            "octet_length(min(text)::BLOB)::BIGINT AS n_bytes "
+            "FROM documents GROUP BY text"
+        ),
         "multimodal_frames": """
 WITH d AS (SELECT doc_id, octet_length(text::BLOB)::BIGINT AS L FROM documents),
 j AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx)

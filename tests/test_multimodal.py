@@ -111,3 +111,53 @@ class TestResizeAndFrames:
             MediaResize(8, 8, resizer="pil")
         with pytest.raises(NotImplementedError):
             FrameSample(sampler="ffmpeg")
+
+
+class TestMediaDedup:
+    def test_exact_digest_groupby(self, ray_session):
+        import numpy as np
+
+        from fdblucene_ray.ops.multimodal import media_dedup_exact
+
+        rng = np.random.default_rng(3)
+        blobs = [rng.bytes(200 + i) for i in range(20)]
+        blobs += [blobs[2], blobs[2], blobs[7]]  # exact dups -> 22,21? keep order
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(blobs)), pa.int64()),
+                "payload": pa.array(blobs, pa.binary()),
+            }
+        )
+        out = (
+            media_dedup_exact(ray.data.from_arrow(t))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(out) == 20  # 3 dup rows collapse onto keepers
+        assert out[out.doc_id == 2]["dup_count"].iloc[0] == 3
+        assert out[out.doc_id == 7]["dup_count"].iloc[0] == 2
+        assert set(out["doc_id"]) == set(range(20))
+        assert (out[out.doc_id == 2]["n_bytes"] == 202).all()
+
+    def test_near_dups_via_feature_buckets(self, ray_session):
+        import numpy as np
+
+        from fdblucene_ray.ops.multimodal import media_near_dups
+
+        rng = np.random.default_rng(5)
+        blobs = [rng.bytes(400) for _ in range(15)]
+        # near dup: same payload with ONE byte changed — fake-decode
+        # features (chunk means) barely move, cosine stays ~1
+        near = bytearray(blobs[4])
+        near[10] ^= 0x01
+        blobs.append(bytes(near))  # id 15 ~ id 4
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(blobs)), pa.int64()),
+                "payload": pa.array(blobs, pa.binary()),
+            }
+        )
+        pairs = media_near_dups(
+            ray.data.from_arrow(t), threshold=0.999
+        ).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (4, 15) in got
