@@ -47,7 +47,11 @@ def compile_queries(queries: list[dict], analyzer: str = "simple") -> list[dict]
     compiled = []
     for q in queries:
         must, should = norm(q.get("must")), norm(q.get("should"))
-        if not (must or should):
+        phrases = [
+            toks for p in (q.get("phrases") or [])
+            if len(toks := chain.tokens(p)) > 0
+        ]
+        if not (must or should or phrases):
             raise ValueError(f"query needs >=1 positive clause: {q!r}")
         compiled.append(
             {
@@ -55,6 +59,10 @@ def compile_queries(queries: list[dict], analyzer: str = "simple") -> list[dict]
                 "should": should,
                 "must_not": norm(q.get("must_not")),
                 "min_should": int(q.get("min_should", 0)),
+                # phrase clauses are MUST: contiguous in the analyzed
+                # (post-filter) token stream — identical to Lucene
+                # PhraseQuery for analyzers without stopword removal
+                "phrases": phrases,
             }
         )
     return compiled
@@ -77,6 +85,7 @@ class Percolator:
         needed = sorted(
             {t for q in qs for k in ("must", "should", "must_not")
              for t in q[k]}
+            | {t for q in qs for p in q.get("phrases", []) for t in p}
         )
         self.term_col = {t: i for i, t in enumerate(needed)}
 
@@ -96,6 +105,25 @@ class Percolator:
             cols = code_col[codes]
             hit = cols >= 0
             pres[row_idx[hit], cols[hit]] = True
+        vocab_code = {t: c for c, t in enumerate(vocab)}
+
+        def phrase_rows(toks: list[str]) -> np.ndarray:
+            """Bool mask of rows containing the phrase contiguously —
+            shifted equality over the flat code stream (no row loop)."""
+            pc_ = [vocab_code.get(t) for t in toks]
+            m_ = len(pc_)
+            out = np.zeros(n, bool)
+            if any(c is None for c in pc_) or len(codes) < m_:
+                return out
+            w = len(codes) - m_ + 1
+            ok = np.ones(w, bool)
+            for j, c in enumerate(pc_):
+                ok &= codes[j : j + w] == c
+            ok &= row_idx[:w] == row_idx[m_ - 1 :]
+            out[np.unique(row_idx[:w][ok])] = True
+            return out
+
+        phrase_cache: dict[tuple, np.ndarray] = {}
         out_q, out_d = [], []
         for qid, q in enumerate(self.queries):
             m = np.ones(n, bool)
@@ -105,11 +133,17 @@ class Percolator:
                 n_should = np.zeros(n, np.int64)
                 for t in q["should"]:
                     n_should += pres[:, self.term_col[t]]
-                bar = q["min_should"] if q["must"] else max(1, q["min_should"])
+                required = q["must"] or q.get("phrases")
+                bar = q["min_should"] if required else max(1, q["min_should"])
                 if bar > 0:
                     m &= n_should >= bar
             for t in q["must_not"]:
                 m &= ~pres[:, self.term_col[t]]
+            for toks in q.get("phrases", []):
+                key = tuple(toks)
+                if key not in phrase_cache:
+                    phrase_cache[key] = phrase_rows(toks)
+                m &= phrase_cache[key]
             sel = np.nonzero(m)[0]
             out_q.append(np.full(len(sel), qid, np.int64))
             out_d.append(ids[sel].astype(np.int64))

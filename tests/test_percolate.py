@@ -28,7 +28,8 @@ def corpus(tmp_path_factory, ray_session):
     pq.write_table(t, src)
     ix = str(d / "ix")
     build_index(src, ix,
-                fields={"text": {"column": "text", "analyzer": "simple"}},
+                fields={"text": {"column": "text", "analyzer": "simple",
+                                 "positions": True}},
                 num_partitions=4, batch_size=64)
     return t, ix
 
@@ -59,6 +60,27 @@ class TestPercolate:
                 )
             }
             assert got == exp, (qid, q)
+
+    def test_phrase_clauses_match_forward_phrase_search(self, corpus):
+        t, ix = corpus
+        ds = ray.data.from_arrow(t)
+        s = Searcher(ix)
+        # pick a phrase that actually occurs: first two tokens of doc 0
+        w = t["text"][0].as_py().split()[:2]
+        phrase = " ".join(w)
+        out = percolate(ds, [
+            {"phrases": [phrase]},
+            {"phrases": [phrase], "must_not": ["w9"]},
+            {"phrases": [phrase], "should": ["w4"]},  # SHOULD optional
+        ]).to_pandas()
+        fwd = {d for d, _ in s.phrase_freqs(phrase)}
+        assert fwd  # non-trivial
+        assert set(out[out.query_id == 0]["doc_id"]) == fwd
+        w9 = {
+            d for d, _ in s.search_boolean(must=["w9"], k=10**6)
+        }
+        assert set(out[out.query_id == 1]["doc_id"]) == fwd - w9
+        assert set(out[out.query_id == 2]["doc_id"]) == fwd
 
     def test_compile_analyzes_clauses(self):
         c = compile_queries([{"must": ["Running DATA"]}], analyzer="lucene")
