@@ -152,3 +152,71 @@ def pack_sequences(
     return counts.groupby("bucket").map_groups(
         _span_factory(offsets_ref, seq_len), batch_format="pyarrow"
     )
+
+
+class _ChunkDocs:
+    """Per-batch sliding-window chunker: each doc's whitespace tokens
+    are cut into windows of ``max_tokens`` starting every ``stride``
+    tokens (overlap = max_tokens - stride). Window arithmetic is
+    vectorized; only the final chunk-text joins touch Python strings
+    (bounded by the emitted chunk count)."""
+
+    def __init__(self, max_tokens: int, stride: int, text_col: str,
+                 id_col: str):
+        if not (0 < stride <= max_tokens):
+            raise ValueError("need 0 < stride <= max_tokens")
+        self.max_tokens, self.stride = max_tokens, stride
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.webtext import _ws_tokens
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        row_idx, flat, counts, _ = _ws_tokens(batch[self.text_col])
+        toks = flat.to_pylist()
+        row_start = np.concatenate(([0], np.cumsum(counts[:-1])))
+        n_chunks = -(-counts // self.stride)  # ceil; 0 tokens -> 0 chunks
+        doc_of_chunk = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk_idx = np.concatenate(
+            [np.arange(c) for c in n_chunks]
+        ) if len(doc_of_chunk) else np.empty(0, np.int64)
+        start_tok = chunk_idx * self.stride
+        n_tok = np.minimum(
+            self.max_tokens, counts[doc_of_chunk] - start_tok
+        )
+        g0 = row_start[doc_of_chunk] + start_tok
+        texts = [
+            " ".join(toks[a:b])
+            for a, b in zip(g0.tolist(), (g0 + n_tok).tolist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of_chunk].astype(np.int64)),
+                "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+                "start_tok": pa.array(start_tok.astype(np.int64)),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    *,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document sliding-window chunking (the long-document layout
+    step for fixed-context training/embedding: windows of
+    ``max_tokens`` whitespace tokens every ``stride`` tokens, the tail
+    window short). Pure map — no shuffle; rows multiply by the
+    overlap factor and stream straight to the consumer/sink."""
+    import ray.data  # noqa: F401
+
+    return ds.map_batches(
+        _ChunkDocs(max_tokens, stride or max_tokens, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

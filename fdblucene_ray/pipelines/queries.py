@@ -976,6 +976,18 @@ def _media_ds(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Sliding-window doc chunking (fixed-context layout): 64-token
+    windows every 48 tokens, tail windows short."""
+    from fdblucene_ray.ops.packing import chunk_documents
+
+    out = chunk_documents(
+        _docs_ds(sf_dir, ["doc_id", "text"]), max_tokens=64, stride=48
+    )
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_media_dedup(sf_dir: str) -> pa.Table:
     """Exact media dedup over the binary payload column (digest
     groupby, keeper = min doc_id) — the multimodal twin of
@@ -1590,6 +1602,7 @@ def queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "media_dedup": q_media_dedup,
+        "chunk_docs": q_chunk_documents,
         "multimodal_frames": q_multimodal_frames,
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
@@ -2254,6 +2267,29 @@ FROM s WHERE sim_raw >= 0.4 ORDER BY a, b
             "octet_length(min(text)::BLOB)::BIGINT AS n_bytes "
             "FROM documents GROUP BY text"
         ),
+        "chunk_docs": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)
+),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM t0 WHERE tok <> ''),
+n AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id),
+starts AS (SELECT doc_id,
+                  unnest(generate_series(0, (n_tok - 1)::BIGINT, 48)) AS start_tok
+           FROM n),
+c AS (SELECT s.doc_id, s.start_tok,
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS text,
+             count(*) AS n_tokens
+      FROM starts s JOIN t ON t.doc_id = s.doc_id
+        AND t.pos >= s.start_tok AND t.pos < s.start_tok + 64
+      GROUP BY s.doc_id, s.start_tok)
+SELECT doc_id, (start_tok // 48)::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok, n_tokens::BIGINT AS n_tokens, text
+FROM c ORDER BY doc_id, chunk_idx
+""",
         "multimodal_frames": """
 WITH d AS (SELECT doc_id, octet_length(text::BLOB)::BIGINT AS L FROM documents),
 j AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx)

@@ -96,3 +96,41 @@ class TestPackSequences:
                  "n_tokens"]].itertuples(index=False, name=None)
         )
         assert rows == [(0, 3, 0, 0, 4), (1, 10, 0, 0, 3)]
+
+
+class TestChunkDocuments:
+    def test_matches_bruteforce(self, ray_session):
+        from fdblucene_ray.ops.packing import chunk_documents
+
+        rng = np.random.default_rng(11)
+        texts = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 9, int(n)))
+            for n in rng.integers(1, 40, 25)
+        ] + [""]  # empty doc -> zero chunks
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = (
+            chunk_documents(ray.data.from_arrow(t), max_tokens=10, stride=7)
+            .to_pandas().sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for d, txt in enumerate(texts):
+            toks = txt.split()
+            for ci, start in enumerate(range(0, len(toks), 7)):
+                w = toks[start:start + 10]
+                rows.append((d, ci, start, len(w), " ".join(w)))
+        assert len(out) == len(rows)
+        for got, exp in zip(out.itertuples(index=False), rows):
+            assert tuple(got) == exp
+
+    def test_stride_validation(self):
+        from fdblucene_ray.ops.packing import _ChunkDocs
+
+        import pytest as _pt
+        with _pt.raises(ValueError, match="stride"):
+            _ChunkDocs(8, 0, "text", "doc_id")
+        with _pt.raises(ValueError, match="stride"):
+            _ChunkDocs(8, 9, "text", "doc_id")
