@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the round-2 pure helpers: multi-probe
+LSH enumeration, sliding-window chunk arithmetic, and span-coverage
+scrub math (no Ray needed)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fdblucene_ray.ops.similarity import (
+    _lsh_buckets,
+    _lsh_planes,
+    _normalize,
+    multiprobe_buckets,
+)
+
+
+class TestMultiProbe:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n_bits=st.integers(2, 12),
+        dim=st.integers(2, 24),
+        nprobe=st.integers(1, 64),
+        seed=st.integers(0, 2**20),
+    )
+    def test_probe_invariants(self, n_bits, dim, nprobe, seed):
+        planes = _lsh_planes(n_bits, dim, seed=7)
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(3, dim))
+        probe = multiprobe_buckets(q, planes, nprobe)
+        # ids in range, all distinct per query; base bucket comes first
+        # in multi-probe mode (full-probe mode returns id order)
+        assert probe.min() >= 0 and probe.max() < (1 << n_bits)
+        base = _lsh_buckets(_normalize(q.astype(np.float64)), planes)
+        for i in range(3):
+            if nprobe < (1 << n_bits):
+                assert probe[i, 0] == base[i]
+            assert len(set(probe[i].tolist())) == probe.shape[1]
+        # full probe covers every bucket exactly once
+        full = multiprobe_buckets(q, planes, 1 << n_bits)
+        assert sorted(full[0].tolist()) == list(range(1 << n_bits))
+
+    @settings(max_examples=30, deadline=None)
+    @given(n_bits=st.integers(2, 10), seed=st.integers(0, 2**20))
+    def test_probe_costs_nondecreasing(self, n_bits, seed):
+        """Buckets are enumerated nearest-first: total flipped margin
+        never decreases along the probe sequence."""
+        planes = _lsh_planes(n_bits, 8, seed=7)
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(1, 8))
+        qn = _normalize(q.astype(np.float64))
+        proj = (qn @ planes.T)[0]
+        base = int(_lsh_buckets(qn, planes)[0])
+        nprobe = min(40, (1 << n_bits) - 1)  # stay in multi-probe mode
+        probe = multiprobe_buckets(q, planes, nprobe)[0]
+        costs = []
+        for b in probe.tolist():
+            flipped = b ^ base
+            costs.append(
+                sum(abs(proj[j]) for j in range(n_bits) if flipped >> j & 1)
+            )
+        assert all(a <= b + 1e-12 for a, b in zip(costs, costs[1:]))
+
+
+class TestChunkMath:
+    @settings(max_examples=80, deadline=None)
+    @given(
+        n_tok=st.integers(0, 200),
+        max_tokens=st.integers(1, 50),
+        data=st.data(),
+    )
+    def test_windows_cover_and_tile(self, n_tok, max_tokens, data):
+        stride = data.draw(st.integers(1, max_tokens))
+        starts = list(range(0, n_tok, stride))
+        # every token covered; window sizes within bounds; chunk count
+        # matches the ceil formula used vectorized in _ChunkDocs
+        covered = set()
+        for s in starts:
+            w = min(max_tokens, n_tok - s)
+            assert 1 <= w <= max_tokens
+            covered |= set(range(s, s + w))
+        assert covered == set(range(n_tok))
+        assert len(starts) == -(-n_tok // stride)
+
+
+class TestSpanCoverage:
+    @settings(max_examples=80, deadline=None)
+    @given(
+        n_tok=st.integers(1, 120),
+        n=st.integers(1, 12),
+        data=st.data(),
+    )
+    def test_diff_cumsum_equals_interval_union(self, n_tok, n, data):
+        """The scrubber's diff/cumsum coverage == naive interval union."""
+        k = data.draw(st.integers(0, 8))
+        starts = np.array(
+            sorted(
+                data.draw(
+                    st.lists(
+                        st.integers(0, max(0, n_tok - 1)),
+                        min_size=k, max_size=k,
+                    )
+                )
+            ),
+            np.int64,
+        )
+        diff = np.zeros(n_tok + 1, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, np.minimum(starts + n, n_tok), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        naive = np.zeros(n_tok, bool)
+        for s in starts:
+            naive[s : s + n] = True
+        assert (covered == naive).all()
