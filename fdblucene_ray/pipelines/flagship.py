@@ -79,6 +79,16 @@ def build_webpages_index(
         batch_size=batch_size,
         resume=resume,
         signature=sig,
-        docstore_cols=["url", "warc_ts", "lang"] if docstore else None,
     )
+    if docstore:
+        # the stored fields are SOURCE columns, so the doc store is a
+        # column-pruned re-read of the input parquet — html is never
+        # read and extraction never runs a second time (at 100 TB the
+        # HTML decode is the expensive stage; it must run exactly once)
+        from fdblucene_ray.index.build import _write_docstore
+
+        store_ds = read_corpus_with_doc_ids(
+            paths, columns=["url", "warc_ts", "lang"]
+        )
+        _write_docstore(index_dir, store_ds)
     return manifest
