@@ -1462,6 +1462,93 @@ class Searcher:
         sel = np.lexsort((ids, -vals if desc else vals))[:k]
         return [(int(ids[i]), float(vals[i])) for i in sel]
 
+    def search_combined_fields(
+        self,
+        query: str,
+        field_weights: dict[str, float],
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """BM25F — Lucene ``CombinedFieldQuery`` analog: term
+        frequencies and document lengths are combined ACROSS fields
+        with per-field weights BEFORE the BM25 saturation (unlike
+        ``search_fields``' per-field score sum):
+
+            tf_w(d)  = sum_f w_f * tf_f(d)
+            dl_w(d)  = sum_f w_f * dl~_f(d)   (dl~ = the lossy
+                       byte4-quantized length the field's norms store)
+            avgdl_w  = sum_f w_f * avgdl_f    (exact field stats)
+            idf      = bm25_idf(dc, |union_f docs_f(term)|)
+            score    = sum_t idf_t * tf_w/(tf_w + k1(1-b+b dl_w/avgdl_w))
+
+        Per-doc lengths of NON-matching fields come from the doclens
+        sidecar via bounded parquet reads (predicate pushdown over the
+        candidate id set) — the MultiNormsLeafSimScorer analog."""
+        fields = list(field_weights)
+        terms = self.parse(query, fields[0])
+        if not terms:
+            return []
+        dc = max(self.field_stats(f)[0] for f in fields)
+        if dc == 0:
+            return []
+        avgdl_w = sum(
+            w * self.field_stats(f)[2] for f, w in field_weights.items()
+        )
+        bs = self.manifest.block_size
+        # per term: union docs + weighted tf
+        per_term = []
+        for t in terms:
+            parts_d, parts_wtf = [], []
+            for f, w in field_weights.items():
+                for r in self.readers:
+                    dec = r.decode_term_all(f, t, bs)
+                    if dec is None:
+                        continue
+                    parts_d.append(dec[0])
+                    parts_wtf.append(w * dec[1].astype(np.float64))
+            if not parts_d:
+                continue
+            docs = np.concatenate(parts_d)
+            wtf = np.concatenate(parts_wtf)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tfw = np.zeros(len(uniq))
+            np.add.at(tfw, inv, wtf)
+            per_term.append((uniq, tfw))
+        if not per_term:
+            return []
+        cand = np.unique(np.concatenate([d for d, _ in per_term]))
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand = cand[am]
+        if not len(cand):
+            return []
+        # weighted quantized doc length per candidate (0 for a field
+        # the doc has no tokens in)
+        from fdblucene_ray.codec.smallfloat import encode_lengths
+
+        dl_w = np.zeros(len(cand))
+        for f, w in field_weights.items():
+            for r in self.readers:
+                t_ = r.doclens_for(f, cand)
+                if not t_.num_rows:
+                    continue
+                d = t_["doc_id"].to_numpy(zero_copy_only=False)
+                dl = t_["dl"].to_numpy(zero_copy_only=False)
+                dlq = DECODE_TABLE[encode_lengths(dl)].astype(np.float64)
+                pos = np.searchsorted(cand, d)
+                dl_w[pos] += w * dlq
+        K = self.k1 * (1.0 - self.b + self.b * dl_w / avgdl_w)
+        total = np.zeros(len(cand))
+        for uniq, tfw in per_term:  # term order accumulation
+            idf = bm25_idf(dc, len(uniq))
+            pos = np.searchsorted(uniq, cand)
+            pos_ok = pos < len(uniq)
+            hit = np.zeros(len(cand), bool)
+            hit[pos_ok] = uniq[pos[pos_ok]] == cand[pos_ok]
+            tf = tfw[pos[hit]]
+            total[hit] += idf * tf / (tf + K[hit])
+        sel = np.lexsort((cand, -total))[:k]
+        return [(int(cand[i]), float(total[i])) for i in sel]
+
     def search_sorted_topk(
         self,
         query: str,

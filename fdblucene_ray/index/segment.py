@@ -526,6 +526,26 @@ class SegmentReader:
             return None
         return pq.read_table(p)
 
+    def doclens_for(self, field: str, doc_ids: np.ndarray) -> pa.Table:
+        """(doc_id, dl) rows of this segment's doclens sidecar for the
+        given (sorted) candidate ids — parquet predicate pushdown prunes
+        row groups via min/max stats (sidecar is sorted by
+        (field, doc_id)). Empty table when the sidecar is absent."""
+        import pyarrow.dataset as pads
+
+        p = os.path.join(self.path, DOCLENS_FILE)
+        if not os.path.exists(p) or not len(doc_ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        t = pads.dataset(p, format="parquet").to_table(
+            columns=["doc_id", "dl"],
+            filter=(pc.field("field") == field)
+            & pc.field("doc_id").isin(pa.array(doc_ids, pa.int64())),
+        )
+        return t
+
     def _blob(self):
         if self._postings is None:
             self._postings = np.memmap(

@@ -419,6 +419,16 @@ def q_ft_boolean(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_bm25f(sf_dir: str) -> pa.Table:
+    """BM25F (CombinedFieldQuery analog): weighted term frequencies and
+    quantized doc lengths combined across (text, source^2) BEFORE the
+    BM25 saturation — not a per-field score sum."""
+    s = Searcher(_ensure_index(sf_dir, "mf"))
+    return _hits_table(
+        s.search_combined_fields("data src5", {"text": 1.0, "source": 2.0}, k=10)
+    )
+
+
 def q_ft_tfidf(sf_dir: str) -> pa.Table:
     """Pluggable Similarity (SURVEY U6): ClassicSimilarity TF-IDF
     (idf^2 * sqrt(tf) / sqrt(dl), dl byte4-quantized) instead of BM25,
@@ -1566,6 +1576,7 @@ def queries() -> dict:
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
         "ft_tfidf": q_ft_tfidf,
+        "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
         "ft_mlt": q_ft_mlt,
@@ -1678,6 +1689,38 @@ scored AS (
   SELECT doc_id, sum(s) AS score FROM contrib
   WHERE doc_id IN (SELECT doc_id FROM filt)
   GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_bm25f": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tok_s AS (SELECT doc_id, tok FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(source), '[^0-9a-z_]+')) AS tok
+  FROM documents) WHERE tok <> ''),
+tf_t AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+         WHERE tok IN ('data', 'src5') GROUP BY doc_id, tok),
+tf_s AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok_s
+         WHERE tok IN ('data', 'src5') GROUP BY doc_id, tok),
+tfw AS (SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+               coalesce(t.tok, s.tok) AS tok,
+               1.0 * coalesce(t.tf, 0) + 2.0 * coalesce(s.tf, 0) AS tfw
+        FROM tf_t t FULL OUTER JOIN tf_s s
+          ON s.doc_id = t.doc_id AND s.tok = t.tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tfw GROUP BY tok),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS dc,
+                 (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl_t),
+dlw AS (SELECT d.doc_id,
+               1.0 * coalesce(dlq.dlq, 0) + 2.0 * 1.0 AS dl_w
+        FROM documents d LEFT JOIN dlq ON dlq.doc_id = d.doc_id),
+contrib AS (
+  SELECT tfw.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tfw.tfw / (tfw.tfw + 1.2 * (1 - 0.75
+               + 0.75 * dlw.dl_w / (1.0 * stats.avgdl_t + 2.0 * 1.0))) AS s
+  FROM tfw JOIN dfx ON dfx.tok = tfw.tok
+  JOIN dlw ON dlw.doc_id = tfw.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,

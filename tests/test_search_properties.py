@@ -174,6 +174,65 @@ def test_phrase_lazy_position_decode(tmp_path, ray_session):
     assert stats["pos_blocks_decoded"] <= 4
 
 
+def test_bm25f_combined_fields_matches_bruteforce(tmp_path, ray_session):
+    """CombinedFieldQuery analog: weighted tf/dl combined BEFORE
+    saturation == pure-Python recomputation (incl. the byte4 length
+    quantization per field and exact combined avgdl)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.codec.smallfloat import byte4_to_int, encode_lengths
+
+    rng = np.random.default_rng(31)
+    texts = [" ".join(f"w{int(x)}" for x in rng.integers(0, 12, int(n)))
+             for n in rng.integers(3, 30, 150)]
+    tags = [f"t{int(rng.integers(0, 5))} w{int(rng.integers(0, 12))}"
+            for _ in range(150)]
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts), "tag": pa.array(tags)})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"},
+                        "tag": {"column": "tag", "analyzer": "simple"}},
+                num_partitions=4, batch_size=32)
+    s = Searcher(ix)
+    W = {"text": 1.0, "tag": 3.0}
+    got = s.search_combined_fields("w1 t2", W, k=10)
+
+    toks = {"text": [x.split() for x in texts], "tag": [x.split() for x in tags]}
+    dc = 150
+    avgdl_w = sum(
+        W[f] * sum(len(r) for r in toks[f]) / dc for f in W
+    )
+    dlq = {
+        f: [int(byte4_to_int(encode_lengths(np.array([len(r)]))[0]))
+            for r in toks[f]]
+        for f in W
+    }
+    scores: dict[int, float] = {}
+    for term in ["w1", "t2"]:
+        tfw = {}
+        for f, w in W.items():
+            for d, r in enumerate(toks[f]):
+                c = r.count(term)
+                if c:
+                    tfw[d] = tfw.get(d, 0.0) + w * c
+        if not tfw:
+            continue
+        idf = math.log(1.0 + (dc - len(tfw) + 0.5) / (len(tfw) + 0.5))
+        for d, tf in tfw.items():
+            dl_w = sum(W[f] * dlq[f][d] for f in W)
+            K = 1.2 * (1 - 0.75 + 0.75 * dl_w / avgdl_w)
+            scores[d] = scores.get(d, 0.0) + idf * tf / (tf + K)
+    exp = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
 def test_classic_similarity_matches_oracle(tmp_path, ray_session):
     """ClassicSimilarity TF-IDF (pluggable-Similarity surface, U6):
     engine scores == pure-Python recomputation from oracle postings,
