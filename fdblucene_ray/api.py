@@ -26,9 +26,10 @@ from fdblucene_ray.index.search import Searcher
 class Index:
     """An opened index snapshot (manifest-pinned, like DirectoryReader)."""
 
-    def __init__(self, index_dir: str, *, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, index_dir: str, *, k1: float = 1.2, b: float = 0.75,
+                 version: int | None = None):
         self.index_dir = index_dir
-        self.searcher = Searcher(index_dir, k1=k1, b=b)
+        self.searcher = Searcher(index_dir, k1=k1, b=b, version=version)
 
     # ---- lifecycle ----
     @classmethod
@@ -56,6 +57,15 @@ class Index:
     def refresh(self) -> "Index":
         """Re-open at the latest published manifest version."""
         return Index(self.index_dir)
+
+    def at_version(self, version: int) -> "Index":
+        """Open a retained commit point (point-in-time snapshot)."""
+        return Index(self.index_dir, version=version)
+
+    def commits(self) -> list[int]:
+        from fdblucene_ray.index.manifest import list_commits
+
+        return list_commits(self.index_dir)
 
     def gc(self) -> list[str]:
         return gc_index(self.index_dir)
@@ -85,6 +95,14 @@ class Index:
 
     def count(self, query: str, **kw) -> int:
         return self.searcher.count(query, **kw)
+
+    def combined_fields(self, query: str, field_weights: dict, k: int = 10):
+        """BM25F (CombinedFieldQuery analog)."""
+        return self.searcher.search_combined_fields(query, field_weights, k)
+
+    def query(self, q: str, k: int = 10, **kw):
+        """Full parsed-query surface (QueryParser analog)."""
+        return self.searcher.query(q, k, **kw)
 
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
