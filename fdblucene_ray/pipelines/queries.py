@@ -1015,6 +1015,17 @@ def q_media_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def q_approx_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog approx COUNT(DISTINCT user_id) over events — the
+    shuffle-free sketch path (map-only register partials, driver max-
+    fold). Deterministic (seeded hash); error bound pinned by pytest
+    (~1.04/sqrt(2^14)); no SQL oracle — approximation by design."""
+    from fdblucene_ray.ops.sketches import approx_distinct
+
+    est, _ = approx_distinct(_events_ds(sf_dir, ["user_id"]), "user_id")
+    return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
 def _events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=columns
@@ -1614,6 +1625,7 @@ def queries() -> dict:
         "multimodal_meta": q_multimodal_meta,
         "media_dedup": q_media_dedup,
         "chunk_docs": q_chunk_documents,
+        "approx_users": q_approx_users,
         "multimodal_frames": q_multimodal_frames,
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
