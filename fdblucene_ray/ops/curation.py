@@ -79,8 +79,22 @@ class NgramContamination:
     """
 
     def __init__(self, bench_ref, n: int, text_col="text", id_col="doc_id",
-                 analyzer: str = "simple"):
-        self.bench = np.asarray(ray.get(bench_ref))  # sorted uint64
+                 analyzer: str = "simple", bloom: bool = False):
+        obj = ray.get(bench_ref) if not isinstance(
+            bench_ref, (np.ndarray, bytes)
+        ) else bench_ref
+        if bloom:
+            # compressed broadcast: ~10 bits/key instead of 64 — the
+            # 100-TB knob for benchmark sets too big to ship exact.
+            # Probes may FALSELY flag up to fpr of clean grams; a true
+            # overlap is never missed (no false negatives).
+            from fdblucene_ray.ops.sketches import BloomFilter
+
+            self.bf = BloomFilter.from_bytes(obj)
+            self.bench = None
+        else:
+            self.bf = None
+            self.bench = np.asarray(obj)  # sorted uint64
         self.n = n
         self.text_col, self.id_col = text_col, id_col
         self.tokenizer = BatchTokenizer(analyzer)
@@ -90,7 +104,10 @@ class NgramContamination:
         row_idx, flat = self.tokenizer.flat_tokens(batch[self.text_col])
         anchor, grams = _ngram_hashes(row_idx, hash_strings(flat), self.n)
         n_grams = np.bincount(anchor, minlength=nrows).astype(np.int64)
-        if len(grams) and len(self.bench):
+        if len(grams) and self.bf is not None:
+            hit = self.bf.contains(grams)
+            n_hits = np.bincount(anchor[hit], minlength=nrows).astype(np.int64)
+        elif len(grams) and len(self.bench):
             pos = np.searchsorted(self.bench, grams)
             pos[pos == len(self.bench)] = 0
             hit = self.bench[pos] == grams
@@ -127,16 +144,33 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer: str = "simple",
+    bloom_fpr: float | None = None,
 ) -> ray.data.Dataset:
     """Flag corpus docs sharing any ``n``-gram with the benchmark set
     (train/eval overlap decontamination). Returns one row per corpus doc:
-    (doc_id, n_grams, n_hits, contaminated)."""
-    bench_ref = ray.put(benchmark_ngram_set(benchmark_texts, n, analyzer))
+    (doc_id, n_grams, n_hits, contaminated).
+
+    ``bloom_fpr``: broadcast the benchmark set as a Bloom filter
+    instead of the exact sorted array — ~10 bits/key at 1% FPR vs 64
+    exact, the knob for benchmark sets too large to ship verbatim.
+    Bloom mode can over-flag clean docs but never misses a true
+    overlap. The fpr is PER PROBED GRAM and amplifies per document
+    (~1-(1-fpr)^grams_per_doc), so size it as
+    target_doc_fpr / typical_grams_per_doc."""
+    bench = benchmark_ngram_set(benchmark_texts, n, analyzer)
+    if bloom_fpr is not None:
+        from fdblucene_ray.ops.sketches import BloomFilter
+
+        bf = BloomFilter(max(1, len(bench)), fpr=bloom_fpr)
+        bf.add(bench)
+        bench_ref = ray.put(bf.to_bytes())
+    else:
+        bench_ref = ray.put(bench)
     return ds.map_batches(
         NgramContamination,
         fn_constructor_kwargs=dict(
             bench_ref=bench_ref, n=n, text_col=text_col, id_col=id_col,
-            analyzer=analyzer,
+            analyzer=analyzer, bloom=bloom_fpr is not None,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

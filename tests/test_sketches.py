@@ -47,3 +47,45 @@ class TestHLL:
         ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError, match="p must"):
             approx_distinct(ds, "k", p=3)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fpr(self):
+        from fdblucene_ray.ops.sketches import BloomFilter
+
+        rng = np.random.default_rng(2)
+        keys = rng.integers(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+        bf = BloomFilter(len(keys), fpr=0.01)
+        bf.add(keys)
+        assert bf.contains(keys).all()
+        probe = rng.integers(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+        fresh = probe[~np.isin(probe, keys)]
+        assert bf.contains(fresh).mean() < 0.02  # ~2x nominal bound
+        # serialize roundtrip preserves membership
+        bf2 = BloomFilter.from_bytes(bf.to_bytes())
+        assert bf2.contains(keys).all()
+
+    def test_bloom_decontaminate_matches_exact(self, ray_session):
+        """Bloom mode finds every contaminated doc the exact mode
+        finds (no false negatives); over-flagging stays near the FPR."""
+        from fdblucene_ray.ops.curation import decontaminate
+
+        rng = np.random.default_rng(6)
+        bench = [" ".join(f"b{int(x)}" for x in rng.integers(0, 30, 20))
+                 for _ in range(5)]
+        texts = [" ".join(f"c{i}_{j}" for j in range(25)) for i in range(40)]
+        texts[3] = texts[3].split(" ", 5)[-1] + " " + bench[0]  # planted
+        texts[9] = bench[2]
+        t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t)
+        exact = decontaminate(ds, bench, n=8).to_pandas().set_index("doc_id")
+        # per-GRAM fpr amplifies per doc (~18 probed grams/doc here),
+        # so pick fpr = doc-level target / grams-per-doc
+        bloom = decontaminate(ds, bench, n=8, bloom_fpr=1e-4).to_pandas(
+        ).set_index("doc_id")
+        exact_flagged = set(exact[exact.contaminated == 1].index)
+        bloom_flagged = set(bloom[bloom.contaminated == 1].index)
+        assert {3, 9} <= exact_flagged
+        assert exact_flagged <= bloom_flagged  # no false negatives
+        assert len(bloom_flagged - exact_flagged) <= 1  # ~0.2% doc-level
