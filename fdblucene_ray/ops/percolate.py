@@ -88,6 +88,9 @@ class Percolator:
             | {t for q in qs for p in q.get("phrases", []) for t in p}
         )
         self.term_col = {t: i for i, t in enumerate(needed)}
+        # per-actor pruning counters (tests/diagnostics)
+        self.evaluated = 0
+        self.skipped = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -106,6 +109,12 @@ class Percolator:
             hit = cols >= 0
             pres[row_idx[hit], cols[hit]] = True
         vocab_code = {t: c for c, t in enumerate(vocab)}
+        # monitor-style pruning: a query can only match if at least one
+        # of its POSITIVE terms occurs somewhere in the batch — with
+        # millions of registered queries most are skipped in O(1) here
+        # (the full Lucene-monitor refinement indexes the queries; this
+        # batch-vocabulary gate is its first, cheapest layer)
+        present = pres.any(axis=0)
 
         def phrase_rows(toks: list[str]) -> np.ndarray:
             """Bool mask of rows containing the phrase contiguously —
@@ -126,6 +135,15 @@ class Percolator:
         phrase_cache: dict[tuple, np.ndarray] = {}
         out_q, out_d = [], []
         for qid, q in enumerate(self.queries):
+            positive = (
+                q["must"]
+                + q["should"]
+                + [t for p in q.get("phrases", []) for t in p]
+            )
+            if not any(present[self.term_col[t]] for t in positive):
+                self.skipped += 1
+                continue
+            self.evaluated += 1
             m = np.ones(n, bool)
             for t in q["must"]:
                 m &= pres[:, self.term_col[t]]

@@ -82,6 +82,23 @@ class TestPercolate:
         assert set(out[out.query_id == 1]["doc_id"]) == fwd - w9
         assert set(out[out.query_id == 2]["doc_id"]) == fwd
 
+    def test_batch_vocab_gate_skips_absent_queries(self, corpus):
+        """Queries whose positive terms never occur in a batch are
+        skipped in O(1) (monitor-style pruning), with identical
+        results."""
+        from fdblucene_ray.ops.percolate import Percolator, compile_queries
+
+        t, _ = corpus
+        qs = compile_queries(
+            [{"must": ["w0"]}, {"must": ["zzzabsent"]},
+             {"should": ["nosuchterm", "alsomissing"]}],
+            analyzer="simple",
+        )
+        p = Percolator(qs)
+        out = p(t)
+        assert p.evaluated == 1 and p.skipped == 2
+        assert set(out["query_id"].to_pylist()) == {0}
+
     def test_compile_analyzes_clauses(self):
         c = compile_queries([{"must": ["Running DATA"]}], analyzer="lucene")
         # lucene chain: lowercase + stopword + Porter stem
