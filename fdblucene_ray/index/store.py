@@ -239,24 +239,48 @@ def _segment_files(index_dir: str, names: Iterable[str]) -> list[str]:
 
 
 def push_index(index_dir: str, store: SegmentStore, *,
-               expected_version: int | None = None) -> int:
+               expected_version: int | None = None,
+               include_commits: bool = False) -> int:
     """Upload the live manifest's segments + tombstones, then CAS-swap
     the store manifest. Incremental: a segment directory whose files
     already exist in the store is skipped (segments are immutable and
-    deterministically named). Returns the number of files uploaded."""
-    from fdblucene_ray.index.manifest import load_manifest
+    deterministically named). ``include_commits`` replicates retained
+    commit points too (their manifests + every segment/tombstone they
+    pin), so point-in-time readers work against a pulled cache.
+    Returns the number of files uploaded."""
+    from fdblucene_ray.index.manifest import list_commits, load_manifest
 
     m = load_manifest(index_dir)
     uploaded = 0
-    for rel in _segment_files(index_dir, (s.name for s in m.segments)):
+    seg_names = {s.name for s in m.segments}
+    tomb_files = {m.extra.get("tombstone_file")} - {None}
+    commit_rels: list[str] = []
+    if include_commits:
+        for v in list_commits(index_dir):
+            try:
+                cm = load_manifest(index_dir, v)
+            except FileNotFoundError:  # pragma: no cover
+                continue
+            seg_names |= {s.name for s in cm.segments}
+            tf_ = cm.extra.get("tombstone_file")
+            if tf_:
+                tomb_files.add(tf_)
+            rel = os.path.join("commits", f"manifest_{v:09d}.json")
+            if os.path.exists(os.path.join(index_dir, rel)):
+                commit_rels.append(rel)
+    for rel in _segment_files(index_dir, sorted(seg_names)):
         if store.exists(rel):
             continue
         with open(os.path.join(index_dir, rel), "rb") as fh:
             store.put(rel, fh.read())
         uploaded += 1
-    tf = m.extra.get("tombstone_file")
-    if tf:
+    for tf in sorted(tomb_files):
         rel = os.path.join(TOMBSTONES, tf)
+        if not store.exists(rel):
+            with open(os.path.join(index_dir, rel), "rb") as fh:
+                store.put(rel, fh.read())
+            uploaded += 1
+    for rel in commit_rels:
         if not store.exists(rel):
             with open(os.path.join(index_dir, rel), "rb") as fh:
                 store.put(rel, fh.read())
@@ -269,11 +293,16 @@ def push_index(index_dir: str, store: SegmentStore, *,
 
 
 def pull_index(store: SegmentStore, cache_dir: str, *,
-               verify: bool = False) -> Manifest:
+               verify: bool = False,
+               include_commits: bool = False) -> Manifest:
     """Materialize the store's current manifest into a local cache dir
     (search/merge then run on local memory-maps). Incremental by
     segment name; ``verify=True`` CRC-checks every pulled segment.
-    Returns the pinned manifest written to the cache."""
+    ``include_commits`` also pulls replicated commit points (their
+    manifests + pinned segments/tombstones) so ``Searcher(version=)``
+    works on the cache. Returns the pinned manifest written to the
+    cache."""
+    from fdblucene_ray.index.manifest import Manifest as _M
     from fdblucene_ray.index.manifest import publish_manifest
     from fdblucene_ray.index.segment import SegmentReader
 
@@ -281,7 +310,26 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
     if m is None:
         raise FileNotFoundError("store has no manifest")
     os.makedirs(cache_dir, exist_ok=True)
-    for seg in m.segments:
+    extra_segs: list = []
+    extra_tombs: set[str] = set()
+    if include_commits:
+        for rel in store.list_files("commits"):
+            dst = os.path.join(cache_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            blob = store.get(rel)
+            if not os.path.exists(dst):
+                with open(dst, "wb") as fh:
+                    fh.write(blob)
+            cm = _M.from_json(json.loads(blob))
+            extra_segs.extend(cm.segments)
+            tf_ = cm.extra.get("tombstone_file")
+            if tf_:
+                extra_tombs.add(tf_)
+    seen = set()
+    for seg in list(m.segments) + extra_segs:
+        if seg.name in seen:
+            continue
+        seen.add(seg.name)
         dst = os.path.join(cache_dir, SEGMENTS, seg.name)
         if os.path.isdir(dst):
             continue
@@ -297,8 +345,8 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
         if verify:
             SegmentReader(cache_dir, seg, codec=m.codec).verify()
     tf = m.extra.get("tombstone_file")
-    if tf:
-        rel = os.path.join(TOMBSTONES, tf)
+    for tf_ in sorted(({tf} - {None}) | extra_tombs):
+        rel = os.path.join(TOMBSTONES, tf_)
         dst = os.path.join(cache_dir, rel)
         if not os.path.exists(dst):
             os.makedirs(os.path.dirname(dst), exist_ok=True)

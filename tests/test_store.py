@@ -108,3 +108,29 @@ class TestPushPull:
         store = LocalFSStore(str(tmp_path / "st"))
         with pytest.raises(FileNotFoundError):
             pull_index(store, str(tmp_path / "cache"))
+
+
+class TestCommitReplication:
+    def test_push_pull_with_commits(self, built_ix, tmp_path, ray_session):
+        """include_commits replicates commit points: the pulled cache
+        answers point-in-time reads identically to the source."""
+        from fdblucene_ray.index.manifest import list_commits
+
+        store = LocalFSStore(str(tmp_path / "cstore"))
+        push_index(built_ix, store, include_commits=True)
+        cache = str(tmp_path / "ccache")
+        pull_index(store, cache, include_commits=True, verify=True)
+        assert list_commits(cache) == list_commits(built_ix)
+        v0 = list_commits(built_ix)[0]
+        src_old = Searcher(built_ix, version=v0)
+        dst_old = Searcher(cache, version=v0)
+        q = src_old.search("the", 50)
+        assert q == dst_old.search("the", 50)
+        # live view matches too (tombstones applied)
+        assert Searcher(built_ix).search("the", 50) == \
+            Searcher(cache).search("the", 50)
+
+    def test_default_push_skips_commits(self, built_ix, tmp_path):
+        store = LocalFSStore(str(tmp_path / "nstore"))
+        push_index(built_ix, store)
+        assert store.list_files("commits") == []
