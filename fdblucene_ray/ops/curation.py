@@ -37,7 +37,7 @@ import ray
 import ray.data
 
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
-from fdblucene_ray.ops.hashing import combine, hash_strings
+from fdblucene_ray.ops.hashing import combine, hash_strings, round_half_away
 
 _SEED = np.uint64(0x243F6A8885A308D3)  # pi fractional bits, fixed seed
 
@@ -442,7 +442,7 @@ def dup_ngram_stats(
                 "n_grams": pa.array(ng),
                 "n_dup": pa.array(nd),
                 "dup_frac": pa.array(
-                    np.round(nd / ng, 6).astype(np.float64)
+                    round_half_away(nd / ng, 6).astype(np.float64)
                 ),
             }
         )

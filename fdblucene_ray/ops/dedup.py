@@ -24,7 +24,13 @@ import ray
 import ray.data
 
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
-from fdblucene_ray.ops.hashing import combine, content_digest, hash_strings, splitmix64
+from fdblucene_ray.ops.hashing import (
+    combine,
+    content_digest,
+    hash_strings,
+    round_half_away,
+    splitmix64,
+)
 
 log = logging.getLogger("fdblucene_ray.dedup")
 
@@ -720,7 +726,7 @@ def ngram_jaccard_vs_anchor(
             return pa.table(
                 {
                     "doc_id": batch[id_col],
-                    "jaccard": pa.array(np.round(jac, 6)),
+                    "jaccard": pa.array(round_half_away(jac, 6)),
                 }
             )
 

@@ -73,3 +73,14 @@ def content_digest(texts) -> tuple[np.ndarray, np.ndarray]:
         texts = texts.combine_chunks()
     lens = pc.binary_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
     return hash_strings(texts), lens
+
+
+def round_half_away(arr: np.ndarray, nd: int) -> np.ndarray:
+    """Decimal rounding with ties AWAY from zero — DuckDB/SQL ``round``
+    semantics. numpy/pandas round half-to-even, which disagrees with
+    the oracle exactly when a value's decimal expansion terminates on
+    the tie (dyadic rationals: 1/128 = 0.0078125 rounds to 0.007813 in
+    SQL but 0.007812 under half-even)."""
+    a = np.asarray(arr, np.float64)
+    scale = 10.0 ** nd
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from fdblucene_ray.ops.hashing import round_half_away as _rha
+
 
 def _stack(col, dtype=np.float64) -> np.ndarray:
     """list<float> column -> (n, d) matrix.
@@ -91,7 +93,8 @@ def _merge_topk(df, k: int) -> pa.Table:
     matches an exact-order oracle."""
     df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["sim"] = df["sim"].round(5)
+    from fdblucene_ray.ops.hashing import round_half_away
+    df["sim"] = round_half_away(df["sim"].to_numpy(np.float64), 5)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -670,7 +673,7 @@ class _BucketPairs:
             {
                 "a": pa.array(a2.astype(np.int64)),
                 "b": pa.array(b2.astype(np.int64)),
-                "sim": pa.array(np.round(sims[ii[hit], jj[hit]], 5)),
+                "sim": pa.array(_rha(sims[ii[hit], jj[hit]], 5)),
             }
         )
 

@@ -15,7 +15,7 @@ import ray.data
 
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
 from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
-from fdblucene_ray.ops.hashing import combine, hash_strings
+from fdblucene_ray.ops.hashing import combine, hash_strings, round_half_away
 
 # deterministic marker-word lists; the SQL oracle embeds the same lists
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -99,11 +99,11 @@ class QualityScore:
             {
                 "doc_id": batch[self.id_col],
                 "n_tokens": pa.array(n_tokens),
-                "stop_ratio": pa.array(np.round(n_stop / safe_tokens, 6)),
+                "stop_ratio": pa.array(round_half_away(n_stop / safe_tokens, 6)),
                 "punct_ratio": pa.array(
-                    np.round(n_punct / np.maximum(n_chars, 1), 6)
+                    round_half_away(n_punct / np.maximum(n_chars, 1), 6)
                 ),
-                "mean_token_len": pa.array(np.round(sum_tok_len / safe_tokens, 6)),
+                "mean_token_len": pa.array(round_half_away(sum_tok_len / safe_tokens, 6)),
             }
         )
 
@@ -406,6 +406,6 @@ def significant_terms(
             "term": pa.array(terms[order].tolist(), pa.string()),
             "df_fg": pa.array(df_fg[order].astype(np.int64)),
             "df_all": pa.array(df_all[order].astype(np.int64)),
-            "score": pa.array(np.round(score[order], 6).astype(np.float64)),
+            "score": pa.array(round_half_away(score[order], 6).astype(np.float64)),
         }
     )

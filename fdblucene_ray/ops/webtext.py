@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from fdblucene_ray.ops.hashing import combine, hash_strings
+from fdblucene_ray.ops.hashing import combine, hash_strings, round_half_away
 
 _SEED = np.uint64(0x6A09E667F3BCC908)  # sqrt(2) fractional bits, fixed seed
 
@@ -165,7 +165,7 @@ def chunk_dedup(
                 "n_tokens": pa.array(nt),
                 "n_dup_tokens": pa.array(dt),
                 "dup_token_frac": pa.array(
-                    np.round(dt / np.maximum(nt, 1), 6)
+                    round_half_away(dt / np.maximum(nt, 1), 6)
                 ),
             }
         )
@@ -243,13 +243,13 @@ class RepetitionSignals:
                 "doc_id": batch[self.id_col],
                 "n_tokens": pa.array(counts),
                 "frac_unique": pa.array(
-                    np.round(n_unique / np.maximum(counts, 1), 6)
+                    round_half_away(n_unique / np.maximum(counts, 1), 6)
                 ),
                 "top_bigram_frac": pa.array(
-                    np.round(top_b / np.maximum(n_b, 1), 6)
+                    round_half_away(top_b / np.maximum(n_b, 1), 6)
                 ),
                 "top_trigram_frac": pa.array(
-                    np.round(top_t / np.maximum(n_t, 1), 6)
+                    round_half_away(top_t / np.maximum(n_t, 1), 6)
                 ),
             }
         )

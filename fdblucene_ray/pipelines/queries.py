@@ -69,7 +69,10 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
 
 
 def _round_col(arr: np.ndarray, nd: int) -> pa.Array:
-    return pa.array(np.round(arr, nd).astype(np.float64))
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    # half-away ties match DuckDB round(); np.round is half-even
+    return pa.array(round_half_away(arr, nd).astype(np.float64))
 
 
 # shared SQL fragments ---------------------------------------------------
@@ -1036,7 +1039,8 @@ def _window_table(ds) -> pa.Table:
     df = ds.to_pandas().sort_values(["event_type", "window_start"]).reset_index(
         drop=True
     )
-    sum_r = np.round(df["sum_value"].to_numpy(np.float64), 4)
+    from fdblucene_ray.ops.hashing import round_half_away
+    sum_r = round_half_away(df["sum_value"].to_numpy(np.float64), 4)
     n = df["n_events"].to_numpy(np.int64)
     # mean derived from the ROUNDED sum on both sides: distributed and
     # SQL summation orders differ by ~1e-12, which flips round() exactly
@@ -2267,14 +2271,14 @@ GROUP BY 1, 2 ORDER BY event_type, window_start
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT 0::BIGINT AS query_id, e.vec_id,
-       CAST(round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 5) AS DOUBLE) AS sim
+       CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
-ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
 """,
         "ann_batch": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 s AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw
       FROM embeddings e CROSS JOIN q),
 r AS (SELECT query_id, vec_id, sim_raw,
              row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
@@ -2286,7 +2290,7 @@ FROM r WHERE rn <= 3
         "ann_ivf_full": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 s AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw
       FROM embeddings e CROSS JOIN q),
 r AS (SELECT query_id, vec_id, sim_raw,
              row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
@@ -2299,7 +2303,7 @@ FROM r WHERE rn <= 10
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id IN (3, 4, 5)),
 s AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(e.embedding, q.qv) AS sim_raw
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw
       FROM embeddings e CROSS JOIN q),
 r AS (SELECT query_id, vec_id, sim_raw,
              row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
@@ -2311,7 +2315,7 @@ FROM r WHERE rn <= 10
         "dedup_embedding": """
 WITH s AS (
   SELECT a.vec_id AS a, b.vec_id AS b,
-         list_cosine_similarity(a.embedding, b.embedding) AS sim_raw
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim_raw
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT a, b, CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM s WHERE sim_raw >= 0.4 ORDER BY a, b
@@ -2797,7 +2801,7 @@ FROM r WHERE rank <= 3 ORDER BY grp, rank
 WITH RECURSIVE s AS (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
 e AS (SELECT a AS u, b AS v FROM s UNION SELECT b, a FROM s),
 n AS (SELECT DISTINCT u AS node FROM e),
 reach(node, r) AS (
