@@ -28,29 +28,59 @@ import ray.data
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
 
 
-def compile_queries(queries: list[dict], analyzer: str = "simple") -> list[dict]:
+def compile_queries(
+    queries: list[dict],
+    analyzer: str = "simple",
+    *,
+    default_field: str = "text",
+    field_analyzers: dict[str, str] | None = None,
+) -> list[dict]:
     """Normalize registered queries: analyze each clause term with the
     SAME chain the documents get (a stored query matches exactly like
     its forward-search twin). Clause keys: must / should / must_not /
     min_should (Lucene BooleanQuery occurs + minimumNumberShouldMatch).
+
+    Multi-field: a clause string may carry a ``field:`` prefix
+    (``"url:example"``, ``'phrases': ["title:a b"]``); bare clauses use
+    ``default_field``. ``field_analyzers`` overrides the analyzer per
+    field (e.g. keyword fields); clauses normalize to (field, term)
+    pairs.
     """
     from fdblucene_ray.analysis.analyzer import get_analyzer
 
-    chain = get_analyzer(analyzer)
+    chains = {default_field: get_analyzer(analyzer)}
+    for f, a in (field_analyzers or {}).items():
+        chains[f] = get_analyzer(a) if a != "keyword" else "keyword"
+
+    def split_field(s: str) -> tuple[str, str]:
+        if ":" in s:
+            f, rest = s.split(":", 1)
+            if f in chains:
+                return f, rest
+        return default_field, s
+
+    def toks(field: str, text: str) -> list[str]:
+        chain = chains[field]
+        if chain == "keyword":
+            return [text]
+        return chain.tokens(text)
 
     def norm(terms):
         out = []
         for t in terms or []:
-            out.extend(chain.tokens(t))
+            f, body = split_field(t)
+            out.extend((f, tok) for tok in toks(f, body))
         return sorted(set(out))
 
     compiled = []
     for q in queries:
         must, should = norm(q.get("must")), norm(q.get("should"))
-        phrases = [
-            toks for p in (q.get("phrases") or [])
-            if len(toks := chain.tokens(p)) > 0
-        ]
+        phrases = []
+        for p in q.get("phrases") or []:
+            f, body = split_field(p)
+            tl = toks(f, body)
+            if tl:
+                phrases.append((f, tl))
         if not (must or should or phrases):
             raise ValueError(f"query needs >=1 positive clause: {q!r}")
         compiled.append(
@@ -73,42 +103,71 @@ class Percolator:
     query set. Emits one (query_id, doc_id) row per match."""
 
     def __init__(self, queries_ref, analyzer="simple",
-                 text_col="text", id_col="doc_id"):
+                 text_col="text", id_col="doc_id",
+                 field_cols: dict[str, tuple[str, str]] | None = None):
+        """``field_cols``: field name -> (batch column, analyzer) for
+        multi-field queries; defaults to one field named "text" bound
+        to ``text_col`` with ``analyzer`` (the single-field case)."""
         qs = (
             ray.get(queries_ref)
             if not isinstance(queries_ref, list)
             else queries_ref
         )
         self.queries = qs
-        self.tokenizer = BatchTokenizer(analyzer)
-        self.text_col, self.id_col = text_col, id_col
+        self.id_col = id_col
+        self.field_cols = field_cols or {"text": (text_col, analyzer)}
+        self.tokenizers = {
+            f: (None if a == "keyword" else BatchTokenizer(a))
+            for f, (_, a) in self.field_cols.items()
+        }
         needed = sorted(
-            {t for q in qs for k in ("must", "should", "must_not")
-             for t in q[k]}
-            | {t for q in qs for p in q.get("phrases", []) for t in p}
+            {ft for q in qs for k in ("must", "should", "must_not")
+             for ft in q[k]}
+            | {(f, t) for q in qs for f, p in q.get("phrases", [])
+               for t in p}
         )
-        self.term_col = {t: i for i, t in enumerate(needed)}
+        for f, _ in needed:
+            if f not in self.field_cols:
+                raise ValueError(f"query field {f!r} not in field_cols")
+        self.term_col = {ft: i for i, ft in enumerate(needed)}
         # per-actor pruning counters (tests/diagnostics)
         self.evaluated = 0
         self.skipped = 0
 
+    def _tokenize(self, batch: pa.Table, field: str):
+        col, _ = self.field_cols[field]
+        tok = self.tokenizers[field]
+        if tok is None:  # keyword field: one verbatim token per row
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            vals = c.to_pylist()
+            vocab, codes = [], np.empty(len(vals), np.int64)
+            seen: dict[str, int] = {}
+            for i, v in enumerate(vals):
+                codes[i] = seen.setdefault(v, len(seen))
+            vocab = list(seen)
+            return np.arange(len(vals), dtype=np.int64), codes, vocab
+        return tok.encoded_tokens(batch[col])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
-        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
-            batch[self.text_col]
-        )
         ncol = len(self.term_col)
         pres = np.zeros((n, ncol), bool)
-        if ncol and len(codes):
-            code_col = np.full(max(1, len(vocab)), -1, np.int64)
-            for vi, term in enumerate(vocab):
-                ci = self.term_col.get(term, -1)
-                code_col[vi] = ci
-            cols = code_col[codes]
-            hit = cols >= 0
-            pres[row_idx[hit], cols[hit]] = True
-        vocab_code = {t: c for c, t in enumerate(vocab)}
+        streams = {}  # field -> (row_idx, codes, vocab_code)
+        for f in self.field_cols:
+            if not any(ft[0] == f for ft in self.term_col):
+                continue
+            row_idx, codes, vocab = self._tokenize(batch, f)
+            streams[f] = (row_idx, codes, {t: c for c, t in enumerate(vocab)})
+            if len(codes):
+                code_col = np.full(max(1, len(vocab)), -1, np.int64)
+                for vi, term in enumerate(vocab):
+                    code_col[vi] = self.term_col.get((f, term), -1)
+                cols = code_col[codes]
+                hit = cols >= 0
+                pres[row_idx[hit], cols[hit]] = True
         # monitor-style pruning: a query can only match if at least one
         # of its POSITIVE terms occurs somewhere in the batch — with
         # millions of registered queries most are skipped in O(1) here
@@ -116,12 +175,15 @@ class Percolator:
         # batch-vocabulary gate is its first, cheapest layer)
         present = pres.any(axis=0)
 
-        def phrase_rows(toks: list[str]) -> np.ndarray:
+        def phrase_rows(field: str, toks: list[str]) -> np.ndarray:
             """Bool mask of rows containing the phrase contiguously —
-            shifted equality over the flat code stream (no row loop)."""
+            shifted equality over the field's flat code stream."""
+            out = np.zeros(n, bool)
+            if field not in streams:
+                return out
+            row_idx, codes, vocab_code = streams[field]
             pc_ = [vocab_code.get(t) for t in toks]
             m_ = len(pc_)
-            out = np.zeros(n, bool)
             if any(c is None for c in pc_) or len(codes) < m_:
                 return out
             w = len(codes) - m_ + 1
@@ -138,7 +200,7 @@ class Percolator:
             positive = (
                 q["must"]
                 + q["should"]
-                + [t for p in q.get("phrases", []) for t in p]
+                + [(f, t) for f, p in q.get("phrases", []) for t in p]
             )
             if not any(present[self.term_col[t]] for t in positive):
                 self.skipped += 1
@@ -157,10 +219,10 @@ class Percolator:
                     m &= n_should >= bar
             for t in q["must_not"]:
                 m &= ~pres[:, self.term_col[t]]
-            for toks in q.get("phrases", []):
-                key = tuple(toks)
+            for f, toks in q.get("phrases", []):
+                key = (f, tuple(toks))
                 if key not in phrase_cache:
-                    phrase_cache[key] = phrase_rows(toks)
+                    phrase_cache[key] = phrase_rows(f, toks)
                 m &= phrase_cache[key]
             sel = np.nonzero(m)[0]
             out_q.append(np.full(len(sel), qid, np.int64))
@@ -186,17 +248,23 @@ def percolate(
     analyzer: str = "simple",
     text_col: str = "text",
     id_col: str = "doc_id",
+    field_cols: dict[str, tuple[str, str]] | None = None,
 ) -> ray.data.Dataset:
     """Match every registered query against every document; returns a
     Dataset of (query_id, doc_id) pairs (query ids = positions in
-    ``queries``)."""
-    compiled = compile_queries(queries, analyzer)
+    ``queries``). ``field_cols`` enables multi-field clauses
+    (``"url:..."``): field name -> (batch column, analyzer)."""
+    default_field = next(iter(field_cols)) if field_cols else "text"
+    compiled = compile_queries(
+        queries, analyzer, default_field=default_field,
+        field_analyzers={f: a for f, (_, a) in (field_cols or {}).items()},
+    )
     qref = ray.put(compiled)
     return ds.map_batches(
         Percolator,
         fn_constructor_kwargs=dict(
             queries_ref=qref, analyzer=analyzer,
-            text_col=text_col, id_col=id_col,
+            text_col=text_col, id_col=id_col, field_cols=field_cols,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

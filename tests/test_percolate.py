@@ -101,8 +101,34 @@ class TestPercolate:
 
     def test_compile_analyzes_clauses(self):
         c = compile_queries([{"must": ["Running DATA"]}], analyzer="lucene")
-        # lucene chain: lowercase + stopword + Porter stem
-        assert c[0]["must"] == ["data", "run"]
+        # lucene chain: lowercase + stopword + Porter stem; clauses
+        # normalize to (field, term) pairs
+        assert c[0]["must"] == [("text", "data"), ("text", "run")]
+
+    def test_multifield_clauses(self, corpus, ray_session):
+        """field: prefixes route clauses to their own column/analyzer
+        (keyword fields match verbatim)."""
+        t, _ = corpus
+        t2 = t.append_column(
+            "src", pa.array([f"s{i % 3}" for i in range(t.num_rows)])
+        )
+        ds = ray.data.from_arrow(t2)
+        out = percolate(
+            ds,
+            [
+                {"must": ["w0", "src:s1"]},
+                {"must": ["src:s2"], "must_not": ["w0"]},
+            ],
+            field_cols={"text": ("text", "simple"),
+                        "src": ("src", "keyword")},
+        ).to_pandas()
+        texts = t["text"].to_pylist()
+        w0 = {i for i, x in enumerate(texts) if "w0" in x.split()}
+        s = [f"s{i % 3}" for i in range(len(texts))]
+        exp0 = {i for i in w0 if s[i] == "s1"}
+        exp1 = {i for i in range(len(texts)) if s[i] == "s2"} - w0
+        assert set(out[out.query_id == 0]["doc_id"]) == exp0
+        assert set(out[out.query_id == 1]["doc_id"]) == exp1
 
     def test_positive_clause_required(self):
         with pytest.raises(ValueError, match="positive clause"):
