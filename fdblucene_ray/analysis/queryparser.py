@@ -101,3 +101,85 @@ def parse_query(q: str, default_field: str = "text") -> ParsedQuery:
                 )
                 bucket.append((f, w, boost))
     return out
+
+
+# -------------------------------------------------- nested boolean grammar
+#
+# Lucene QueryParser's EXPLICIT-operator syntax with parentheses:
+#
+#     expr   := and_expr (OR and_expr)*
+#     and_expr := unary (AND unary)*
+#     unary  := NOT unary | atom
+#     atom   := '(' expr ')' | [FIELD:] word
+#
+# (AND/OR/NOT are case-sensitive keywords, as in Lucene.) Produces a
+# tree of ("or", [children]) / ("and", [children]) / ("not", child) /
+# ("term", field, word) nodes; the word is analyzed at evaluation time
+# with the field's chain. Scoring follows Lucene's translation: every
+# positively-occurring term scores, NOT only excludes.
+
+_TOK_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+class QuerySyntaxError(ValueError):
+    pass
+
+
+def parse_boolean_expr(q: str, default_field: str = "text"):
+    toks = _TOK_RE.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise QuerySyntaxError(f"unexpected end of query: {q!r}")
+        t = toks[pos]
+        if expected is not None and t != expected:
+            raise QuerySyntaxError(f"expected {expected!r}, got {t!r} in {q!r}")
+        pos += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t == "(":
+            take("(")
+            node = expr()
+            take(")")
+            return node
+        if t in (None, ")", "AND", "OR", "NOT"):
+            raise QuerySyntaxError(f"expected a term at {t!r} in {q!r}")
+        word = take()
+        field = default_field
+        if ":" in word:
+            f, rest = word.split(":", 1)
+            if re.fullmatch(r"[A-Za-z_]\w*", f) and rest:
+                field, word = f, rest
+        return ("term", field, word)
+
+    def unary():
+        if peek() == "NOT":
+            take("NOT")
+            return ("not", unary())
+        return atom()
+
+    def and_expr():
+        kids = [unary()]
+        while peek() == "AND":
+            take("AND")
+            kids.append(unary())
+        return kids[0] if len(kids) == 1 else ("and", kids)
+
+    def expr():
+        kids = [and_expr()]
+        while peek() == "OR":
+            take("OR")
+            kids.append(and_expr())
+        return kids[0] if len(kids) == 1 else ("or", kids)
+
+    node = expr()
+    if pos != len(toks):
+        raise QuerySyntaxError(f"trailing input {toks[pos:]} in {q!r}")
+    return node

@@ -1462,6 +1462,131 @@ class Searcher:
         sel = np.lexsort((ids, -vals if desc else vals))[:k]
         return [(int(ids[i]), float(vals[i])) for i in sel]
 
+    def search_expr(
+        self, query: str, k: int = 10, *, default_field: str = "text"
+    ) -> list[tuple[int, float]]:
+        """Nested boolean expressions with parentheses — the Lucene
+        QueryParser explicit-operator syntax:
+
+            (data OR merge) AND stream AND NOT window
+
+        Occur translation follows Lucene: at each AND/OR node, NOT
+        children become that node's MUST_NOT set (a node with only
+        negative children matches nothing — Lucene's purely-negative
+        rule); every positively-occurring term contributes its BM25
+        score, NOT only excludes. Evaluation is bottom-up vectorized
+        set algebra over (sorted docs, scores) arrays; tombstones are
+        masked at the root."""
+        from fdblucene_ray.analysis.queryparser import parse_boolean_expr
+
+        tree = parse_boolean_expr(query, default_field)
+        bs = self.manifest.block_size
+        stats_cache: dict[str, tuple] = {}
+
+        def field_ctx(field: str):
+            if field not in stats_cache:
+                dc, _, avgdl = self.field_stats(field)
+                stats_cache[field] = (
+                    dc, bm25_norm_cache(avgdl, self.k1, self.b)
+                )
+            return stats_cache[field]
+
+        _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+        def eval_term(field: str, word: str):
+            analyzer = self.manifest.analyzers.get(field)
+            terms = (
+                [word] if analyzer == "keyword" else self.parse(word, field)
+            )
+            dc, ncache = field_ctx(field)
+            if dc == 0 or not terms:
+                return _EMPTY
+            # a multi-token word under one atom evaluates as OR of its
+            # analyzed terms (graph-query simplification, as elsewhere)
+            parts = []
+            for t in terms:
+                df, _ = self.term_stats(field, t)
+                if df == 0:
+                    continue
+                idf = bm25_idf(dc, df)
+                pd_, pt_, pn_ = [], [], []
+                for r in self.readers:
+                    dec = r.decode_term_all(field, t, bs)
+                    if dec is None:
+                        continue
+                    pd_.append(dec[0])
+                    pt_.append(dec[1])
+                    pn_.append(dec[2])
+                if not pd_:
+                    continue
+                docs = np.concatenate(pd_)
+                tfs = np.concatenate(pt_).astype(np.float64)
+                norms = np.concatenate(pn_)
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+                parts.append((docs, idf * tfs / (tfs + ncache[norms])))
+            return _combine(parts, union=True) if parts else _EMPTY
+
+        def _combine(results, union: bool):
+            """Union/intersection of (docs, scores) children; scores of
+            every child SUM on the surviving docs (clause order)."""
+            results = [r for r in results]
+            if not results:
+                return _EMPTY
+            if union:
+                cand = results[0][0]
+                for d, _ in results[1:]:
+                    cand = np.union1d(cand, d)
+            else:
+                cand = results[0][0]
+                for d, _ in results[1:]:
+                    cand = np.intersect1d(cand, d)
+            if not len(cand):
+                return _EMPTY
+            total = np.zeros(len(cand))
+            for docs, scores in results:
+                pos = np.searchsorted(docs, cand)
+                ok = pos < len(docs)
+                hit = np.zeros(len(cand), bool)
+                hit[ok] = docs[pos[ok]] == cand[ok]
+                total[hit] += scores[pos[hit]]
+            return cand, total
+
+        def eval_node(node):
+            kind = node[0]
+            if kind == "term":
+                return eval_term(node[1], node[2])
+            if kind == "not":
+                # bare NOT at this level: purely negative -> nothing
+                return _EMPTY
+            children = node[1]
+            pos_nodes, neg_nodes = [], []
+            for c in children:
+                # fold double negation
+                while c[0] == "not" and c[1][0] == "not":
+                    c = c[1][1]
+                (neg_nodes if c[0] == "not" else pos_nodes).append(c)
+            if not pos_nodes:
+                return _EMPTY
+            cand, total = _combine(
+                [eval_node(c) for c in pos_nodes], union=(kind == "or")
+            )
+            for c in neg_nodes:
+                nd, _ = eval_node(c[1])
+                if len(nd) and len(cand):
+                    keep = ~np.isin(cand, nd, assume_unique=True)
+                    cand, total = cand[keep], total[keep]
+            return cand, total
+
+        cand, total = eval_node(tree)
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand, total = cand[am], total[am]
+        if not len(cand):
+            return []
+        sel = np.lexsort((cand, -total))[:k]
+        return [(int(cand[i]), float(total[i])) for i in sel]
+
     def search_combined_fields(
         self,
         query: str,

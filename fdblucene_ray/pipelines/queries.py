@@ -432,6 +432,16 @@ def q_ft_bm25f(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_bool_expr(sf_dir: str) -> pa.Table:
+    """Nested boolean expression with parentheses (QueryParser
+    explicit-operator syntax): (data OR merge) AND stream AND NOT
+    window — every positive term scores, NOT only excludes."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_expr("(data OR merge) AND stream AND NOT window", k=10)
+    )
+
+
 def q_ft_tfidf(sf_dir: str) -> pa.Table:
     """Pluggable Similarity (SURVEY U6): ClassicSimilarity TF-IDF
     (idf^2 * sqrt(tf) / sqrt(dl), dl byte4-quantized) instead of BM25,
@@ -1590,6 +1600,7 @@ def queries() -> dict:
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
+        "ft_bool_expr": q_ft_bool_expr,
         "ft_tfidf": q_ft_tfidf,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -1705,6 +1716,30 @@ scored AS (
   SELECT doc_id, sum(s) AS score FROM contrib
   WHERE doc_id IN (SELECT doc_id FROM filt)
   GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_bool_expr": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge', 'stream') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+cand AS (
+  SELECT doc_id FROM documents d
+  WHERE (EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tok = 'data')
+      OR EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tok = 'merge'))
+    AND EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tok = 'stream')
+    AND NOT EXISTS(SELECT 1 FROM toks WHERE toks.doc_id = d.doc_id AND tok = 'window')),
+scored AS (
+  SELECT c.doc_id, sum(contrib.s) AS score
+  FROM cand c JOIN contrib ON contrib.doc_id = c.doc_id
+  GROUP BY c.doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,

@@ -1,0 +1,106 @@
+"""Nested boolean expressions: parser + vectorized set-algebra
+evaluator vs a pure-Python recursive oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from fdblucene_ray.analysis.queryparser import (
+    QuerySyntaxError,
+    parse_boolean_expr,
+)
+from fdblucene_ray.index.build import build_index
+from fdblucene_ray.index.search import Searcher
+from fdblucene_ray.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def exprdex(tmp_path_factory, ray_session):
+    rng = np.random.default_rng(29)
+    texts = [
+        " ".join(f"w{int(x)}" for x in rng.integers(0, 14, 22))
+        for _ in range(250)
+    ]
+    t = pa.table({"doc_id": pa.array(range(250), pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path_factory.mktemp("expr")
+    src = str(d / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(d / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    return ix, oracle
+
+
+def _oracle_eval(oracle: OracleIndex, node):
+    """Recursive (docs->score) oracle mirroring the documented
+    semantics (NOT children = parent's MUST_NOT; positives sum)."""
+    from fdblucene_ray.index.search import B, K1, bm25_idf
+
+    from fdblucene_ray.codec.smallfloat import byte4_to_int
+
+    if node[0] == "term":
+        plist = oracle.postings.get(node[2], [])
+        idf = bm25_idf(oracle.dc, len(plist))
+        out = {}
+        for d, tf in plist:
+            dl = byte4_to_int(oracle.norm_byte[d])
+            K = K1 * (1 - B + B * dl / oracle.avgdl)
+            out[d] = idf * tf / (tf + K)
+        return out
+    if node[0] == "not":
+        return {}
+    pos, neg = [], []
+    for c in node[1]:
+        while c[0] == "not" and c[1][0] == "not":
+            c = c[1][1]
+        (neg if c[0] == "not" else pos).append(c)
+    if not pos:
+        return {}
+    maps = [_oracle_eval(oracle, c) for c in pos]
+    if node[0] == "and":
+        cand = set(maps[0])
+        for m in maps[1:]:
+            cand &= set(m)
+    else:
+        cand = set()
+        for m in maps:
+            cand |= set(m)
+    for c in neg:
+        cand -= set(_oracle_eval(oracle, c[1]))
+    return {d: sum(m.get(d, 0.0) for m in maps) for d in cand}
+
+
+EXPRS = [
+    "(w0 OR w1) AND w2",
+    "(w0 OR w1) AND w2 AND NOT w3",
+    "w0 OR (w1 AND w2)",
+    "w0 AND (w1 OR NOT (w2 AND w3))",  # inner purely-negative OR child
+    "(w0 AND w1) OR (w2 AND w3)",
+    "NOT w0",  # purely negative -> empty
+    "w0 AND NOT (w1 OR w2)",
+]
+
+
+class TestBooleanExpr:
+    @pytest.mark.parametrize("q", EXPRS)
+    def test_matches_oracle(self, exprdex, q):
+        ix, oracle = exprdex
+        s = Searcher(ix)
+        got = s.search_expr(q, k=20)
+        scored = _oracle_eval(oracle, parse_boolean_expr(q))
+        exp = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:20]
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-12)
+
+    def test_syntax_errors(self):
+        for bad in ["(a AND b", "a AND", "AND a", "a b)", "()"]:
+            with pytest.raises(QuerySyntaxError):
+                parse_boolean_expr(bad)
