@@ -104,6 +104,10 @@ class Index:
         """Full parsed-query surface (QueryParser analog)."""
         return self.searcher.query(q, k, **kw)
 
+    def expr(self, q: str, k: int = 10, **kw):
+        """Nested boolean expression: (a OR b) AND NOT c."""
+        return self.searcher.search_expr(q, k, **kw)
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 

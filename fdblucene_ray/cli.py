@@ -104,6 +104,18 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_expr(args) -> int:
+    """Nested boolean expression: (a OR b) AND NOT c."""
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    hits = s.search_expr(args.query, args.k, default_field=args.field)
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.search import Searcher
@@ -333,6 +345,13 @@ def main(argv=None) -> int:
     q.add_argument("--field", default="text")
     q.add_argument("--k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("expr", help="nested boolean: (a OR b) AND NOT c")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--field", default="text")
+    ex.add_argument("--k", type=int, default=10)
+    ex.set_defaults(fn=cmd_expr)
 
     fc = sub.add_parser("facets", help="facet counts over a keyword field")
     fc.add_argument("--index", required=True)
