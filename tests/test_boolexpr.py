@@ -100,6 +100,34 @@ class TestBooleanExpr:
         for (_, a), (_, b) in zip(got, exp):
             assert a == pytest.approx(b, rel=1e-12)
 
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_expressions_match_oracle(self, exprdex, seed):
+        """Random expression trees (depth <= 3, AND/OR/NOT over w0-w13):
+        engine == recursive oracle on ids AND scores."""
+        ix, oracle = exprdex
+        s = Searcher(ix)
+        rng = np.random.default_rng(seed)
+
+        def gen(depth):
+            if depth == 0 or rng.random() < 0.4:
+                return f"w{int(rng.integers(0, 14))}"
+            op = rng.choice(["AND", "OR"])
+            kids = [gen(depth - 1) for _ in range(int(rng.integers(2, 4)))]
+            parts = []
+            for i, kq in enumerate(kids):
+                neg = "NOT " if (i > 0 and rng.random() < 0.3) else ""
+                parts.append(f"{neg}({kq})")
+            return f" {op} ".join(parts)
+
+        for _ in range(12):
+            q = gen(3)
+            got = s.search_expr(q, k=15)
+            scored = _oracle_eval(oracle, parse_boolean_expr(q))
+            exp = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:15]
+            assert [d for d, _ in got] == [d for d, _ in exp], q
+            for (_, a), (_, b) in zip(got, exp):
+                assert a == pytest.approx(b, rel=1e-12), q
+
     def test_syntax_errors(self):
         for bad in ["(a AND b", "a AND", "AND a", "a b)", "()"]:
             with pytest.raises(QuerySyntaxError):
