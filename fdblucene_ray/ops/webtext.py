@@ -597,3 +597,68 @@ def scrub_duplicated_spans(
     return joined.map_batches(
         ScrubSpans(n, text_col, id_col), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------ URL canonicalize
+#
+# Canonical-URL dedup — the first hygiene pass of a crawl pipeline:
+# the same page is fetched under many URL spellings (tracking params,
+# fragments, case, trailing slashes). The canonical KEY is derived with
+# RE2 regexes that DuckDB evaluates identically (regexp_replace), so
+# the op is SQL-oracle-checkable end to end.
+
+_URL_RULES: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                                # fragment
+    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", ""),  # tracking params
+    (r"\?&", "?"),                                # tidy '?&'
+    (r"[?&]+$", ""),                              # dangling '?' / '&'
+    (r"/\?", "?"),                                # slash before query
+    (r"/$", ""),                                  # trailing slash
+)
+
+
+def canonical_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized canonical key: strip fragment -> strip tracking
+    params -> tidy separators -> strip trailing slash -> lowercase.
+    (Lowercasing the whole URL is the documented simplification: the
+    key identifies duplicates; the original URL column keeps case.)"""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    out = urls
+    for pat, rep in _URL_RULES:
+        out = pc.replace_substring_regex(out, pat, rep)
+    return pc.utf8_lower(out)
+
+
+def _url_group_first(group: pa.Table) -> pa.Table:
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    keep = int(ids.min())
+    return pa.table(
+        {
+            "doc_id": pa.array([keep], pa.int64()),
+            "canonical_url": pa.array([group["canonical_url"][0].as_py()]),
+            "dup_count": pa.array([len(ids)], pa.int64()),
+        }
+    )
+
+
+def url_dedup(
+    ds: ray.data.Dataset, url_col: str = "url", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One row per canonical URL: (doc_id = smallest id fetched under
+    that key, canonical_url, dup_count). Shape: one vectorized map pass
+    emitting (canonical key, id) — text/HTML never moves — then one
+    groupby over the key."""
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical_url": canonical_urls(batch[url_col]),
+                "doc_id": batch[id_col],
+            }
+        )
+
+    pairs = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby("canonical_url").map_groups(
+        _url_group_first, batch_format="pyarrow"
+    )

@@ -1172,6 +1172,35 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
 
 
+def q_url_dedup(sf_dir: str) -> pa.Table:
+    """Canonical-URL dedup: both sides synthesize the SAME url per doc
+    (documents carry no url column), then canonicalize (strip fragment
+    + tracking params, tidy separators, lowercase) and keep the
+    smallest doc_id per canonical key."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.webtext import url_dedup
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        urls = [
+            f"HTTPS://Example-{s}.COM/Path/{int(i) % 40}/"
+            f"?utm_source=s{int(i)}&ref=keep#frag"
+            for i, s in zip(d, src)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "source"]).map_batches(
+        with_url, batch_format="pyarrow"
+    )
+    out = url_dedup(ds)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_scrub_spans(sf_dir: str) -> pa.Table:
     """Duplicated-substring removal (Lee et al. ACL'22 analog): tokens
     covered by any 8-token window occurring in >=2 distinct docs are
@@ -1645,6 +1674,7 @@ def queries() -> dict:
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
         "scrub_spans": q_scrub_spans,
+        "url_dedup": q_url_dedup,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
@@ -2432,6 +2462,32 @@ t AS (SELECT doc_id, tok,
 SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
        min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
 FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
+""",
+        "url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://Example-' || source || '.COM/Path/' || (doc_id % 40)
+           || '/?utm_source=s' || doc_id || '&ref=keep#frag' AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         lower(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                     '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                   '\?&', '?', 'g'),
+                 '[?&]+$', ''),
+               '/\?', '?', 'g'),
+             '/$', '')
+         ) AS canonical_url
+  FROM u)
+SELECT min(doc_id)::BIGINT AS doc_id, canonical_url,
+       count(*)::BIGINT AS dup_count
+FROM c GROUP BY canonical_url
 """,
         "scrub_spans": r"""
 WITH t0 AS (

@@ -277,3 +277,36 @@ class TestScrubSpans:
             row = out[out.doc_id == d].iloc[0]
             assert row["n_removed"] == exp_removed, d
             assert row["text"] == exp_text, d
+
+
+class TestUrlDedup:
+    def test_canonicalization_rules(self):
+        from fdblucene_ray.ops.webtext import canonical_urls
+
+        u = pa.array([
+            "HTTPS://A.COM/X/?utm_source=1&ref=k#f",
+            "https://a.com/x?ref=k",
+            "http://b.com/y/?gclid=z",
+            "http://b.com/y",
+            "http://c.com/z?fbclid=1&utm_medium=m",
+            "http://c.com/z",
+        ])
+        out = canonical_urls(u).to_pylist()
+        assert out[0] == out[1] == "https://a.com/x?ref=k"
+        assert out[2] == out[3] == "http://b.com/y"
+        assert out[4] == out[5] == "http://c.com/z"
+
+    def test_dedup_keeps_min_id(self, ray_session):
+        from fdblucene_ray.ops.webtext import url_dedup
+
+        urls = [
+            "https://a.com/1", "https://A.com/1/",       # dup of 0
+            "https://a.com/2?utm_source=x",              # == /2
+            "https://a.com/2", "https://a.com/3",
+        ]
+        t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "url": pa.array(urls)})
+        out = url_dedup(ray.data.from_arrow(t)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == [0, 2, 4]
+        assert list(out["dup_count"]) == [2, 2, 1]
