@@ -1494,6 +1494,31 @@ class Searcher:
         _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
 
         def eval_term(field: str, word: str):
+            # multi-term atoms (prefix/wildcard/fuzzy) expand against
+            # the dictionary and contribute CONSTANT score 1.0 — the
+            # Lucene CONSTANT_SCORE_REWRITE for a MultiTermQuery inside
+            # a BooleanQuery
+            import re as _re
+
+            wl = word.lower()
+            fz = _re.fullmatch(r"([^*?~]+)~(\d)?", word)
+            mt_terms = None
+            if wl.endswith("*") and wl.count("*") == 1 and "?" not in wl:
+                mt_terms = [t for t, _ in self.expand_prefix(field, wl[:-1])]
+            elif "*" in wl or "?" in wl:
+                mt_terms = [t for t, _ in self.expand_wildcard(field, wl)]
+            elif fz:
+                mt_terms = [
+                    t for t, _ in self.expand_fuzzy(
+                        field, fz.group(1).lower(), int(fz.group(2) or 2)
+                    )
+                ]
+            if mt_terms is not None:
+                docs = self.multiterm_docs(field, mt_terms)
+                return (
+                    docs.astype(np.int64),
+                    np.ones(len(docs), np.float64),
+                ) if len(docs) else _EMPTY
             analyzer = self.manifest.analyzers.get(field)
             terms = (
                 [word] if analyzer == "keyword" else self.parse(word, field)

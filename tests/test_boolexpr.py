@@ -128,6 +128,27 @@ class TestBooleanExpr:
             for (_, a), (_, b) in zip(got, exp):
                 assert a == pytest.approx(b, rel=1e-12), q
 
+    def test_multiterm_atoms_constant_score(self, exprdex):
+        """Prefix/wildcard atoms inside expressions expand against the
+        dictionary and score 1.0 (CONSTANT_SCORE_REWRITE inside a
+        BooleanQuery), composing with scored term clauses."""
+        ix, oracle = exprdex
+        s = Searcher(ix)
+        # w1* matches w1, w10..w13
+        got = s.search_expr("w1* AND NOT w0", k=250)
+        pref = {t for t in oracle.postings if t.startswith("w1")}
+        exp_docs = set()
+        for t in pref:
+            exp_docs |= {d for d, _ in oracle.postings[t]}
+        exp_docs -= {d for d, _ in oracle.postings.get("w0", [])}
+        assert {d for d, _ in got} == exp_docs
+        assert all(sc == 1.0 for _, sc in got)
+        # combined with a scored term: constant 1.0 + bm25(w2)
+        got2 = dict(s.search_expr("w1* AND w2", k=250))
+        base = dict(s.search_expr("w2", k=250))
+        for d, sc in got2.items():
+            assert sc == pytest.approx(1.0 + base[d], rel=1e-12)
+
     def test_syntax_errors(self):
         for bad in ["(a AND b", "a AND", "AND a", "a b)", "()"]:
             with pytest.raises(QuerySyntaxError):
