@@ -498,6 +498,7 @@ def q_percolate(sf_dir: str) -> pa.Table:
         {"must": ["data", "merge"]},
         {"must": ["window"], "must_not": ["batch"]},
         {"should": ["stream", "sort"]},
+        {"phrases": ["batch stream"]},  # contiguous-bigram clause
     ])
     df = out.to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     return pa.table(
@@ -2231,9 +2232,21 @@ q1 AS (SELECT 1 AS query_id, d.doc_id FROM documents d
          AND NOT EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND tok = 'batch')),
 q2 AS (SELECT 2 AS query_id, d.doc_id FROM documents d
        WHERE EXISTS(SELECT 1 FROM p WHERE p.doc_id = d.doc_id
-                    AND tok IN ('stream', 'sort')))
+                    AND tok IN ('stream', 'sort'))),
+ot0 AS (SELECT doc_id, unnest(arr) AS tok,
+               unnest(generate_series(1, len(arr))) AS ord0
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+              FROM documents)),
+ot AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+       FROM ot0 WHERE tok <> ''),
+q3 AS (SELECT DISTINCT 3 AS query_id, a.doc_id FROM ot a JOIN ot b
+       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'batch' AND b.tok = 'stream')
 SELECT query_id::BIGINT AS query_id, doc_id FROM (
-  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2)
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+  UNION ALL SELECT * FROM q3)
 ORDER BY query_id, doc_id
 """,
         "sig_terms": f"""
