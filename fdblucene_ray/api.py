@@ -59,8 +59,10 @@ class Index:
         return Index(self.index_dir)
 
     def at_version(self, version: int) -> "Index":
-        """Open a retained commit point (point-in-time snapshot)."""
-        return Index(self.index_dir, version=version)
+        """Open a retained commit point (point-in-time snapshot),
+        keeping this reader's similarity knobs."""
+        return Index(self.index_dir, k1=self.searcher.k1,
+                     b=self.searcher.b, version=version)
 
     def commits(self) -> list[int]:
         from fdblucene_ray.index.manifest import list_commits

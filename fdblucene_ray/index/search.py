@@ -1508,8 +1508,9 @@ class Searcher:
             elif "*" in wl or "?" in wl:
                 mt_terms = [t for t, _ in self.expand_wildcard(field, wl)]
             elif fz:
+                # expand_fuzzy rows are (term, df, distance)
                 mt_terms = [
-                    t for t, _ in self.expand_fuzzy(
+                    row[0] for row in self.expand_fuzzy(
                         field, fz.group(1).lower(), int(fz.group(2) or 2)
                     )
                 ]

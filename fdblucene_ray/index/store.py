@@ -314,6 +314,10 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
     extra_tombs: set[str] = set()
     if include_commits:
         for rel in store.list_files("commits"):
+            base = os.path.basename(rel)
+            # ignore stray/partial files (e.g. a crashed upload's .tmp)
+            if not (base.startswith("manifest_") and base.endswith(".json")):
+                continue
             dst = os.path.join(cache_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             blob = store.get(rel)

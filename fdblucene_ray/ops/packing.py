@@ -191,11 +191,11 @@ class _ChunkDocs:
         ]
         return pa.table(
             {
-                "doc_id": pa.array(ids[doc_of_chunk].astype(np.int64)),
+                self.id_col: pa.array(ids[doc_of_chunk].astype(np.int64)),
                 "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
                 "start_tok": pa.array(start_tok.astype(np.int64)),
                 "n_tokens": pa.array(n_tok.astype(np.int64)),
-                "text": pa.array(texts, pa.string()),
+                self.text_col: pa.array(texts, pa.string()),
             }
         )
 

@@ -48,7 +48,11 @@ def compile_queries(
     """
     from fdblucene_ray.analysis.analyzer import get_analyzer
 
-    chains = {default_field: get_analyzer(analyzer)}
+    chains = {
+        default_field: (
+            get_analyzer(analyzer) if analyzer != "keyword" else "keyword"
+        )
+    }
     for f, a in (field_analyzers or {}).items():
         chains[f] = get_analyzer(a) if a != "keyword" else "keyword"
 

@@ -575,10 +575,16 @@ def scrub_duplicated_spans(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Scrub every ``n``-token window occurring in >= ``min_df``
-    distinct docs (Lee et al. ACL'22). Returns (doc_id, text,
+    distinct docs (Lee et al. ACL'22). Returns (id_col, text_col,
     n_removed); text is unchanged for untouched docs."""
-    occ = ds.map_batches(
-        DupSpanOccurrences(n, text_col, id_col),
+    # normalize to the internal (doc_id, text) names so the spans
+    # pipeline, join key and scrubber line up for ANY caller columns;
+    # renamed back at the end
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    occ = left.map_batches(
+        DupSpanOccurrences(n, "text", "doc_id"),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -588,15 +594,18 @@ def scrub_duplicated_spans(
     doc_spans = dup_occ.groupby("doc_id").map_groups(
         _fold_spans, batch_format="pyarrow"
     )
-    joined = ds.select_columns([id_col, text_col]).join(
+    joined = left.join(
         doc_spans,
         join_type="left_outer",
         num_partitions=num_partitions,
-        on=(id_col,),
+        on=("doc_id",),
     )
-    return joined.map_batches(
-        ScrubSpans(n, text_col, id_col), batch_format="pyarrow"
+    out = joined.map_batches(
+        ScrubSpans(n, "text", "doc_id"), batch_format="pyarrow"
     )
+    if id_col != "doc_id" or text_col != "text":
+        out = out.rename_columns({"doc_id": id_col, "text": text_col})
+    return out
 
 
 # ------------------------------------------------------ URL canonicalize
@@ -608,26 +617,31 @@ def scrub_duplicated_spans(
 # the op is SQL-oracle-checkable end to end.
 
 _URL_RULES: tuple[tuple[str, str], ...] = (
-    (r"#.*$", ""),                                # fragment
-    (r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", ""),  # tracking params
-    (r"\?&", "?"),                                # tidy '?&'
-    (r"[?&]+$", ""),                              # dangling '?' / '&'
-    (r"/\?", "?"),                                # slash before query
-    (r"/$", ""),                                  # trailing slash
+    (r"#.*$", ""),                                 # fragment
+    # tracking params, ANCHORED to a separator so 'xgclid=' is not a
+    # tracking param; the separator is re-emitted and tidied below
+    (r"([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", r"\1"),
+    (r"&&+", "&"),                                 # collapse '&&'
+    (r"\?&", "?"),                                 # tidy '?&'
+    (r"[?&]+$", ""),                               # dangling '?' / '&'
+    (r"/\?", "?"),                                 # slash before query
+    (r"/$", ""),                                   # trailing slash
 )
 
 
 def canonical_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized canonical key: strip fragment -> strip tracking
-    params -> tidy separators -> strip trailing slash -> lowercase.
-    (Lowercasing the whole URL is the documented simplification: the
-    key identifies duplicates; the original URL column keeps case.)"""
+    """Vectorized canonical key: lowercase -> strip fragment -> strip
+    tracking params -> tidy separators -> strip trailing slash.
+    Lowercasing runs FIRST so case-variant tracking params
+    ('UTM_SOURCE=') are stripped too. (Lowercasing the whole URL is
+    the documented simplification: the key identifies duplicates; the
+    original URL column keeps case.)"""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    out = urls
+    out = pc.utf8_lower(urls)
     for pat, rep in _URL_RULES:
         out = pc.replace_substring_regex(out, pat, rep)
-    return pc.utf8_lower(out)
+    return out
 
 
 def _url_group_first(group: pa.Table) -> pa.Table:

@@ -2484,19 +2484,19 @@ WITH u AS (
   FROM documents),
 c AS (
   SELECT doc_id,
-         lower(
+         regexp_replace(
            regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(url, '#.*$', ''),
-                     '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-                   '\?&', '?', 'g'),
-                 '[?&]+$', ''),
-               '/\?', '?', 'g'),
-             '/$', '')
-         ) AS canonical_url
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+                   '&&+', '&', 'g'),
+                 '\?&', '?', 'g'),
+               '[?&]+$', ''),
+             '/\?', '?', 'g'),
+           '/$', '') AS canonical_url
   FROM u)
 SELECT min(doc_id)::BIGINT AS doc_id, canonical_url,
        count(*)::BIGINT AS dup_count

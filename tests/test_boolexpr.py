@@ -153,3 +153,76 @@ class TestBooleanExpr:
         for bad in ["(a AND b", "a AND", "AND a", "a b)", "()"]:
             with pytest.raises(QuerySyntaxError):
                 parse_boolean_expr(bad)
+
+
+class TestReviewRegressions:
+    def test_fuzzy_atom_in_expression(self, exprdex):
+        """expand_fuzzy rows are 3-tuples; expr atoms must unpack them."""
+        ix, oracle = exprdex
+        s = Searcher(ix)
+        got = s.search_expr("w1~1 AND NOT w0", k=250)  # w1~1 ~ w0..w9 etc
+        assert got  # must not raise, must match something
+        assert all(sc >= 1.0 for _, sc in got)
+
+    def test_keyword_default_field_percolate(self, ray_session):
+        from fdblucene_ray.ops.percolate import percolate
+
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "tag": pa.array(["A b", "c", "A b", "d"])})
+        out = percolate(
+            ray.data.from_arrow(t),
+            [{"must": ["A b"]}],
+            analyzer="keyword",
+            text_col="tag",
+        ).to_pandas()
+        assert set(out["doc_id"]) == {0, 2}
+
+    def test_scrub_custom_columns(self, ray_session):
+        from fdblucene_ray.ops.webtext import scrub_duplicated_spans
+
+        dup = "a b c d e f g h i j"
+        texts = [f"u{i}0 u{i}1 u{i}2 u{i}3 u{i}4 u{i}5 u{i}6 u{i}7 "
+                 + (dup if i in (1, 2) else f"solo{i}")
+                 for i in range(6)]
+        t = pa.table({"page_id": pa.array(range(6), pa.int64()),
+                      "body": pa.array(texts)})
+        out = (
+            scrub_duplicated_spans(
+                ray.data.from_arrow(t), n=8, min_df=2,
+                id_col="page_id", text_col="body")
+            .to_pandas().sort_values("page_id").reset_index(drop=True)
+        )
+        assert list(out.columns) == ["page_id", "body", "n_removed"]
+        assert out.loc[1, "n_removed"] == 10
+        assert out.loc[0, "n_removed"] == 0 and out.loc[0, "body"] == texts[0]
+
+    def test_chunk_custom_columns(self, ray_session):
+        from fdblucene_ray.ops.packing import chunk_documents
+
+        t = pa.table({"pid": pa.array([7], pa.int64()),
+                      "body": pa.array(["x " * 9])})
+        out = chunk_documents(
+            ray.data.from_arrow(t), max_tokens=4, stride=4,
+            id_col="pid", text_col="body",
+        ).to_pandas()
+        assert list(out.columns) == ["pid", "chunk_idx", "start_tok",
+                                     "n_tokens", "body"]
+        assert list(out["pid"]) == [7, 7, 7]
+
+    def test_at_version_keeps_similarity(self, exprdex, tmp_path, ray_session):
+        import pyarrow.parquet as pq_
+
+        from fdblucene_ray.api import Index
+
+        t = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                      "text": pa.array([f"common w{i}" for i in range(10)])})
+        src = str(tmp_path / "c.parquet")
+        pq_.write_table(t, src)
+        ix = Index.build(src, str(tmp_path / "ix"),
+                         fields={"text": {"column": "text",
+                                          "analyzer": "simple"}},
+                         num_partitions=2)
+        custom = Index(ix.index_dir, k1=2.0, b=0.3)
+        snap = custom.at_version(custom.commits()[0])
+        assert snap.searcher.k1 == 2.0 and snap.searcher.b == 0.3
+        assert snap.search("common", 5) == custom.search("common", 5)
