@@ -209,6 +209,15 @@ class Percolator:
             if not any(present[self.term_col[t]] for t in positive):
                 self.skipped += 1
                 continue
+            # stronger gate for conjunctions: EVERY required term (MUST
+            # clauses and phrase tokens) must occur somewhere in the
+            # batch, else no doc can match
+            required_terms = q["must"] + [
+                (f, t) for f, p in q.get("phrases", []) for t in p
+            ]
+            if any(not present[self.term_col[t]] for t in required_terms):
+                self.skipped += 1
+                continue
             self.evaluated += 1
             m = np.ones(n, bool)
             for t in q["must"]:

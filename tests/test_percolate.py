@@ -133,3 +133,20 @@ class TestPercolate:
     def test_positive_clause_required(self):
         with pytest.raises(ValueError, match="positive clause"):
             compile_queries([{"must_not": ["x"]}])
+
+
+def test_must_gate_skips_partial_conjunctions(corpus, ray_session):
+    """A conjunction whose MUST terms aren't ALL present in the batch
+    is skipped without evaluation."""
+    from fdblucene_ray.ops.percolate import Percolator, compile_queries
+
+    t, _ = corpus
+    qs = compile_queries(
+        [{"must": ["w0", "zzzmissing"]},       # one absent MUST -> skip
+         {"must": ["w0"], "should": ["zzz2"]}],  # evaluable
+        analyzer="simple",
+    )
+    p = Percolator(qs)
+    out = p(t)
+    assert p.skipped == 1 and p.evaluated == 1
+    assert set(out["query_id"].to_pylist()) <= {1}
