@@ -134,6 +134,18 @@ class Percolator:
             if f not in self.field_cols:
                 raise ValueError(f"query field {f!r} not in field_cols")
         self.term_col = {ft: i for i, ft in enumerate(needed)}
+        # monitor-layer query index: positive term -> query ids. Per
+        # batch, only queries with >=1 positive term PRESENT are even
+        # visited — with millions of registered queries the loop is
+        # proportional to the batch's vocabulary overlap, not Q.
+        self._trigger: dict[int, list[int]] = {}
+        for qid, q in enumerate(qs):
+            pos = (
+                q["must"] + q["should"]
+                + [(f, t) for f, p in q.get("phrases", []) for t in p]
+            )
+            for ft in set(pos):
+                self._trigger.setdefault(self.term_col[ft], []).append(qid)
         # per-actor pruning counters (tests/diagnostics)
         self.evaluated = 0
         self.skipped = 0
@@ -200,18 +212,19 @@ class Percolator:
 
         phrase_cache: dict[tuple, np.ndarray] = {}
         out_q, out_d = [], []
-        for qid, q in enumerate(self.queries):
-            positive = (
-                q["must"]
-                + q["should"]
-                + [(f, t) for f, p in q.get("phrases", []) for t in p]
-            )
-            if not any(present[self.term_col[t]] for t in positive):
-                self.skipped += 1
-                continue
-            # stronger gate for conjunctions: EVERY required term (MUST
-            # clauses and phrase tokens) must occur somewhere in the
-            # batch, else no doc can match
+        cand_qids = sorted(
+            {
+                qid
+                for c in np.nonzero(present)[0].tolist()
+                for qid in self._trigger.get(c, ())
+            }
+        )
+        self.skipped += len(self.queries) - len(cand_qids)
+        for qid in cand_qids:
+            q = self.queries[qid]
+            # gate for conjunctions: EVERY required term (MUST clauses
+            # and phrase tokens) must occur somewhere in the batch,
+            # else no doc can match
             required_terms = q["must"] + [
                 (f, t) for f, p in q.get("phrases", []) for t in p
             ]
