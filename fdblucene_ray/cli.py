@@ -116,6 +116,29 @@ def cmd_expr(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Reverse search: match registered queries (JSON list of clause
+    dicts) against a parquet document stream."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.percolate import percolate
+
+    with open(args.queries) as fh:
+        queries = json.load(fh)
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = percolate(ds, queries, analyzer=args.analyzer,
+                    text_col=args.text_col, id_col=args.id_col)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        for row in out.take_all():
+            print(json.dumps({"query_id": int(row["query_id"]),
+                              "doc_id": int(row["doc_id"])}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.search import Searcher
@@ -352,6 +375,16 @@ def main(argv=None) -> int:
     ex.add_argument("--field", default="text")
     ex.add_argument("--k", type=int, default=10)
     ex.set_defaults(fn=cmd_expr)
+
+    pc_ = sub.add_parser("percolate", help="reverse search over a doc stream")
+    pc_.add_argument("--input", required=True, nargs="+")
+    pc_.add_argument("--queries", required=True,
+                     help="JSON file: list of clause dicts")
+    pc_.add_argument("--out", default=None, help="parquet output dir")
+    pc_.add_argument("--analyzer", default="simple")
+    pc_.add_argument("--text-col", default="text")
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.set_defaults(fn=cmd_percolate)
 
     fc = sub.add_parser("facets", help="facet counts over a keyword field")
     fc.add_argument("--index", required=True)
