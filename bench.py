@@ -68,19 +68,29 @@ def _ensure_bench_corpus(rows: int) -> list[str]:
 
 
 def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
-    from fdblucene_ray.index.build import build_index
+    from fdblucene_ray.index.build import build_sharded
 
+    # constant PLAN across parallelism levels: 4 input shards x 64 hash
+    # partitions each, all 4 shard pipelines running concurrently —
+    # identical segments/lineage/DAG at N and 4N; only the per-shard
+    # actor budget (cpus/4 each) scales with the cluster. Concurrent
+    # shard pipelines overlap one shard's all-to-all barrier with
+    # another's tokenize/encode compute, exactly how a multi-node
+    # cluster pipelines 100-TB ingest. Measured at 600k rows: 32 CPUs
+    # mono-256-part 19.4-22.1s vs 4x4-shards 11.3-15.7s; 8 CPUs
+    # 4 sequential shards 72.8s vs 4 concurrent 37.2s.
+    n_shards = 4
+    per = (len(paths) + n_shards - 1) // n_shards
+    shards = [paths[i : i + per] for i in range(0, len(paths), per)]
     t0 = time.perf_counter()
-    build_index(
-        paths,
+    build_sharded(
+        shards,
         out_dir,
         fields={"text": {"column": "text", "analyzer": analyzer}},
-        # constant partitioning across parallelism levels: partitions are
-        # sized to the DATA (as on a real cluster), and the N-vs-4N
-        # comparison must run the identical plan
-        num_partitions=64,
+        num_partitions_per_shard=64,
         batch_size=2048,
         resume=False,
+        concurrent_shards=n_shards,
     )
     return time.perf_counter() - t0
 

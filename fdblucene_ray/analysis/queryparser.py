@@ -183,3 +183,180 @@ def parse_boolean_expr(q: str, default_field: str = "text"):
     if pos != len(toks):
         raise QuerySyntaxError(f"trailing input {toks[pos:]} in {q!r}")
     return node
+
+
+# ------------------------------------------------------ unified grammar
+#
+# The FULL Lucene classic-QueryParser surface in ONE grammar — both
+# syntaxes the reference's Lucene layer accepts in a single string
+# (SimpleFDBDirectoryTest.java:152-155 drives QueryParser.parse, which
+# mixes them freely):
+#
+#     +data (merge OR sort) -window "batch stream"~2^1.5 title:comp*
+#
+#     query  := clause*
+#     clause := [AND|OR|&&|'||'] [+|-|NOT|!] atom [^boost]
+#     atom   := '(' query ')' | [FIELD:] ( "phrase"[~slop] | word )
+#
+# Occur resolution follows Lucene's ``QueryParserBase.addClause``
+# (public javadoc'd behavior, default operator OR):
+#   - ``+`` or a preceding AND        -> MUST
+#   - ``-`` / NOT / ``!``             -> MUST_NOT
+#   - otherwise                       -> SHOULD
+#   - a preceding AND also PROMOTES the previous clause SHOULD -> MUST
+#     (``a AND b`` requires both); OR leaves neighbours untouched.
+#
+# Words classify exactly like the flat grammar: ``pre*`` prefix,
+# ``w?ld*`` wildcard, ``term~``/``term~1`` fuzzy, ``/re/`` regexp —
+# all constant-score (CONSTANT_SCORE_REWRITE); everything else is an
+# analyzed term. AST nodes:
+#   ("bool", [(occur, node), ...], boost)
+#   ("term", field, word, boost)
+#   ("phrase", field, text, slop, boost)
+#   ("multiterm", field, kind, payload, boost)
+
+_UNI_TOK_RE = re.compile(
+    r'"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'   # phrase [~slop][^boost]
+    r"|\(|\)"
+    r'|\^\d+(?:\.\d+)?'                        # detached group boost
+    r'|[^\s()]+'
+)
+
+_WORD_FIELD_RE = re.compile(r"^([A-Za-z_]\w*):(.+)$", re.S)
+
+
+def _classify_word(field: str, word: str, boost: float):
+    """One unquoted word -> term / multiterm AST node (same rules as
+    the flat grammar's clause classification)."""
+    fz = re.fullmatch(r"([^*?~]+)~(\d)?", word)
+    if len(word) >= 3 and word.startswith("/") and word.endswith("/"):
+        return ("multiterm", field, "regexp", word[1:-1].lower(), boost)
+    if "*" in word or "?" in word:
+        wl = word.lower()
+        if wl.endswith("*") and wl.count("*") == 1 and "?" not in wl:
+            return ("multiterm", field, "prefix", wl[:-1], boost)
+        return ("multiterm", field, "wildcard", wl, boost)
+    if fz:
+        return (
+            "multiterm", field, "fuzzy",
+            (fz.group(1).lower(), int(fz.group(2) or 2)), boost,
+        )
+    return ("term", field, word, boost)
+
+
+def parse_unified(q: str, default_field: str = "text"):
+    """Parse the full mixed syntax into a ("bool", clauses, boost) tree."""
+    toks = _UNI_TOK_RE.findall(q or "")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def advance():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_group():
+        """clause* until ')' or end -> ("bool", [(occur, node)], boost)."""
+        clauses: list = []
+        conj = None
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            if t in ("AND", "&&", "OR", "||"):
+                if not clauses:
+                    raise QuerySyntaxError(
+                        f"query must not start with {t} in {q!r}"
+                    )
+                conj = "and" if t in ("AND", "&&") else "or"
+                advance()
+                continue
+            mods = ""
+            if t in ("NOT", "!"):
+                mods = "-"
+                advance()
+                t = peek()
+                if t is None or t == ")":
+                    raise QuerySyntaxError(f"dangling NOT in {q!r}")
+            node, mods2 = parse_atom()
+            mods = mods or mods2
+            # Lucene addClause: AND promotes the PREVIOUS clause
+            if conj == "and" and clauses and clauses[-1][0] == "should":
+                clauses[-1] = ("must", clauses[-1][1])
+            if mods == "-":
+                occur = "must_not"
+            elif mods == "+" or conj == "and":
+                occur = "must"
+            else:
+                occur = "should"
+            clauses.append((occur, node))
+            conj = None
+        return ("bool", clauses, 1.0)
+
+    def parse_atom():
+        """Returns (node, mods) — mods from a +/-/! prefix glued to the
+        token."""
+        t = advance()
+        mods = ""
+        # prefix modifiers glued to the token: +word, -word, !word
+        while t and t[0] in "+-!" and len(t) > 1 and not _looks_negative_number(t):
+            mods = "-" if t[0] in "-!" else "+"
+            t = t[1:]
+        if t == "(":
+            node = parse_group()
+            if peek() == ")":
+                advance()
+            else:
+                raise QuerySyntaxError(f"unbalanced '(' in {q!r}")
+            nxt = peek()
+            if nxt and nxt.startswith("^"):
+                advance()
+                node = (node[0], node[1], float(nxt[1:]))
+            return node, mods
+        if t in (")", None):
+            raise QuerySyntaxError(f"unexpected {t!r} in {q!r}")
+        field = default_field
+        boost = 1.0
+        if t.startswith('"'):
+            return _parse_phrase_tok(t, field), mods
+        fm = _WORD_FIELD_RE.match(t)
+        if fm:
+            field, t = fm.group(1), fm.group(2)
+            if t.startswith('"'):
+                # field:"phrase..." — token was split on whitespace, so
+                # re-join until the closing quote variant appears
+                rest = t
+                while not re.match(_UNI_TOK_RE, rest) or not rest.startswith('"') or (
+                    rest.count('"') < 2
+                ):
+                    nxt = peek()
+                    if nxt is None:
+                        raise QuerySyntaxError(f"unterminated phrase in {q!r}")
+                    rest = rest + " " + advance()
+                return _parse_phrase_tok(rest, field), mods
+        bm = _BOOST_RE.match(t)
+        if bm and bm.group(1):
+            t, boost = bm.group(1), float(bm.group(2))
+        return _classify_word(field, t, boost), mods
+
+    def _parse_phrase_tok(tok: str, field: str):
+        m = re.fullmatch(
+            r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?', tok
+        )
+        if not m:
+            raise QuerySyntaxError(f"bad phrase token {tok!r} in {q!r}")
+        return (
+            "phrase", field, m.group(1), int(m.group(2) or 0),
+            float(m.group(3) or 1.0),
+        )
+
+    def _looks_negative_number(t: str) -> bool:
+        return bool(re.fullmatch(r"-\d+(\.\d+)?", t))
+
+    node = parse_group()
+    if pos != len(toks):
+        raise QuerySyntaxError(f"trailing input {toks[pos:]} in {q!r}")
+    return node

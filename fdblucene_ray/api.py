@@ -98,13 +98,23 @@ class Index:
     def count(self, query: str, **kw) -> int:
         return self.searcher.count(query, **kw)
 
-    def combined_fields(self, query: str, field_weights: dict, k: int = 10):
-        """BM25F (CombinedFieldQuery analog)."""
-        return self.searcher.search_combined_fields(query, field_weights, k)
+    def combined_fields(self, query: str, field_weights: dict, k: int = 10,
+                        mode: str = "exhaustive"):
+        """BM25F (CombinedFieldQuery analog); ``mode="wand"`` drives it
+        with summed per-field block maxima (hash-identical hits)."""
+        return self.searcher.search_combined_fields(
+            query, field_weights, k, mode=mode
+        )
 
     def query(self, q: str, k: int = 10, **kw):
         """Full parsed-query surface (QueryParser analog)."""
         return self.searcher.query(q, k, **kw)
+
+    def parse_search(self, q: str, k: int = 10, **kw):
+        """ONE unified Lucene-classic query string — mixes +/- occurs,
+        field:, "phrase"~slop, ^boosts, wildcards/fuzzy/regexp AND
+        explicit AND/OR/NOT with parentheses."""
+        return self.searcher.search_query(q, k, **kw)
 
     def expr(self, q: str, k: int = 10, **kw):
         """Nested boolean expression: (a OR b) AND NOT c."""

@@ -364,46 +364,55 @@ class EncodeGroup:
 
 
 @contextmanager
-def _shuffle_strategy(num_partitions: int | None = None):
-    """Scoped shuffle-strategy choice for the build/merge exchange (the
-    global DataContext is restored on exit):
+def _shuffle_strategy(num_partitions: int | None = None, dataset=None):
+    """Scoped shuffle-strategy choice for the build/merge exchange (all
+    touched contexts are restored on exit).
 
-    - large exchanges (>= 32 partitions): HASH_SHUFFLE with a bounded
-      aggregator-actor pool — no sorting at all, and measured ~2x over
-      push-based sort on the 150k-doc build;
-    - small exchanges: push-based sort shuffle (hash-shuffle actor
-      spin-up would dominate tiny builds, e.g. the test corpora).
+    CRITICAL Ray Data capture semantics (two traps, both hit in earlier
+    rounds): (1) the strategy is read at plan-CONSTRUCTION (`groupby()`),
+    not at the consuming call; (2) every Dataset carries a COPY of the
+    DataContext taken when the SOURCE dataset was created
+    (`DataContext.get_current().copy()` in read_api), and
+    `GroupedData.map_groups` consults ``dataset.context`` — so mutating
+    the global context after `read_parquet` has already run silently
+    does nothing (round 2 shipped exactly this bug; the fix is the
+    ``dataset=`` parameter, which patches the captured copy directly).
+    Pass the dataset whose ``groupby`` is about to be called.
 
-    MUST wrap plan CONSTRUCTION (the ``groupby()`` call), not just the
-    consuming call: Ray Data captures ``ctx.shuffle_strategy`` when the
-    logical plan is built, so a strategy set only around ``take_all()``
-    silently has no effect (found the hard way — the round-2 builds ran
-    the sort shuffle until this became a context manager).
-    """
+    Strategy choice (measured this round, 600k-doc build, 32 CPUs, with
+    the capture bug FIXED so the setting actually applies): push-based
+    sort shuffle 19.4-22.1s at 256 partitions vs hash shuffle 21.9s
+    (best, 8 aggregators/64 parts) degrading to 88.7s at 256 parts —
+    the aggregator actor pool serializes the exchange on a single node.
+    Push-based sort is therefore the default. On a real multi-node
+    cluster hash shuffle avoids the global sort barrier and the
+    aggregator pool spreads across nodes; it stays selectable via
+    FDBL_SHUFFLE=hash (aggregators ~ 1 per 8 CPUs)."""
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
-    ctx = DataContext.get_current()
-    prev = ctx.shuffle_strategy
-    prev_agg = ctx.max_hash_shuffle_aggregators
-    if num_partitions is not None and num_partitions >= 32:
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # a SMALL aggregator pool wins decisively: measured 10.1s vs
-        # 33.7s (150k docs, 32 CPUs) for 4 vs 16 aggregators — more
-        # aggregator actors just starve the tokenize/encode stages.
-        # Scale with the CLUSTER, not a constant: ~1 aggregator per 8
-        # CPUs (4 on this 32-CPU host, ~one per node at 8-CPU nodes,
-        # growing linearly on a multi-node cluster so the exchange
-        # doesn't bottleneck on a fixed pool at 256 nodes)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        ctx.max_hash_shuffle_aggregators = max(2, min(num_partitions, cpus // 8))
-    else:
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctxs = [DataContext.get_current()]
+    if dataset is not None and dataset.context not in ctxs:
+        ctxs.append(dataset.context)
+    prev = [(c.shuffle_strategy, c.max_hash_shuffle_aggregators) for c in ctxs]
+    use_hash = os.environ.get("FDBL_SHUFFLE", "sort") == "hash" and (
+        num_partitions is None or num_partitions >= 32
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    for c in ctxs:
+        if use_hash:
+            c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            c.max_hash_shuffle_aggregators = max(
+                2, min(num_partitions or 64, cpus // 8)
+            )
+        else:
+            c.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     try:
         yield
     finally:
-        ctx.shuffle_strategy = prev
-        ctx.max_hash_shuffle_aggregators = prev_agg
+        for c, (s, a) in zip(ctxs, prev):
+            c.shuffle_strategy = s
+            c.max_hash_shuffle_aggregators = a
 
 
 def default_fields(text_col: str = "text", analyzer: str = "lucene") -> dict[str, dict]:
@@ -541,7 +550,7 @@ def build_index(
         concurrency=tokenize_concurrency,
         zero_copy_batch=True,
     )
-    with _shuffle_strategy(num_partitions):
+    with _shuffle_strategy(num_partitions, dataset=postings):
         lineage_ds = postings.groupby(
             "part", num_partitions=num_partitions
         ).map_groups(
@@ -604,6 +613,7 @@ def build_sharded(
     fields: dict[str, dict] | None = None,
     num_partitions_per_shard: int | None = None,
     resume: bool = True,
+    concurrent_shards: int = 1,
     **kw,
 ) -> Manifest:
     """Input-shard-level checkpointed build: each shard (a group of
@@ -612,7 +622,15 @@ def build_sharded(
     entirely on re-run — its input is never re-read. One manifest is
     published atomically at the end (the near-real-time refresh analog
     of SURVEY.md §2.9: new input files => one more shard => new
-    manifest version)."""
+    manifest version).
+
+    ``concurrent_shards > 1`` runs that many shard pipelines from
+    driver threads at once (each Ray Dataset executes independently
+    and they share the cluster): one shard's all-to-all exchange
+    barrier overlaps another shard's tokenize/encode compute, which is
+    exactly how a multi-driver cluster would pipeline 100-TB ingest.
+    Shards are fully independent (distinct lineage dirs, signatures,
+    doc-id bases, segment names), so this is safe with resume."""
     from fdblucene_ray.sources.corpus import plan_fragments
 
     fields = fields or default_fields()
@@ -631,8 +649,9 @@ def build_sharded(
         frags = plan_fragments(shard, base)
         base = frags[-1]["base"] + frags[-1]["num_rows"] if frags else base
 
-    all_segs: list[SegmentMeta] = []
     sig_parts = []
+    pending: list[tuple[int, list | str, int, str, str]] = []
+    shard_segs: dict[int, list[SegmentMeta]] = {}
     for i, (shard, sbase) in enumerate(zip(shards, bases)):
         ssig = corpus_signature(
             shard,
@@ -646,8 +665,25 @@ def build_sharded(
         if resume and os.path.exists(done_path):
             with open(done_path) as f:
                 metas = json.load(f)["segments"]
-            all_segs.extend(SegmentMeta.from_json(m) for m in metas)
+            shard_segs[i] = [SegmentMeta.from_json(m) for m in metas]
             continue
+        pending.append((i, shard, sbase, ssig, done_path))
+
+    # concurrent shards must SPLIT the node's actor budget: build_index's
+    # default tokenize pool reserves ~cpus/4 actors PER dataset, and N
+    # concurrent pools each insisting on that minimum deadlock the
+    # cluster (observed: 4 concurrent shards x 8 min actors = all 32
+    # CPUs parked in tokenizers, zero left for read/encode)
+    shard_kw = dict(kw)
+    if concurrent_shards > 1 and "tokenize_concurrency" not in shard_kw:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        share = max(1, cpus // concurrent_shards)
+        shard_kw["tokenize_concurrency"] = (
+            max(1, share // 4), max(2, (share * 2) // 3)
+        )
+
+    def _run_shard(job) -> tuple[int, list[SegmentMeta]]:
+        i, shard, sbase, ssig, done_path = job
         sub = build_index(
             shard,
             index_dir,
@@ -657,14 +693,29 @@ def build_sharded(
             signature=ssig,
             resume=resume,
             publish=False,
-            **kw,
+            **shard_kw,
         )
         os.makedirs(os.path.dirname(done_path), exist_ok=True)
         tmp = done_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"segments": [m.to_json() for m in sub.segments]}, f)
         os.replace(tmp, done_path)
-        all_segs.extend(sub.segments)
+        return i, list(sub.segments)
+
+    if concurrent_shards > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrent_shards) as ex:
+            for i, segs in ex.map(_run_shard, pending):
+                shard_segs[i] = segs
+    else:
+        for job in pending:
+            i, segs = _run_shard(job)
+            shard_segs[i] = segs
+
+    all_segs: list[SegmentMeta] = []
+    for i in sorted(shard_segs):
+        all_segs.extend(shard_segs[i])
 
     version = 0
     if os.path.exists(os.path.join(index_dir, "manifest.json")):

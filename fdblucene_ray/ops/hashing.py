@@ -84,3 +84,14 @@ def round_half_away(arr: np.ndarray, nd: int) -> np.ndarray:
     a = np.asarray(arr, np.float64)
     scale = 10.0 ** nd
     return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
+def part_of(keys: np.ndarray, num_parts: int) -> np.ndarray:
+    """Shuffle partition of an int64/uint64 key column: ``splitmix64(key)
+    % num_parts`` as int32. The hashed-partition idiom — group by the
+    PARTITION (a few dozen keys) rather than the raw key (unbounded
+    cardinality at corpus scale), then find key runs with a lexsort
+    inside the single per-partition call."""
+    return (splitmix64(keys.view(np.uint64)) % np.uint64(num_parts)).astype(
+        np.int32
+    )

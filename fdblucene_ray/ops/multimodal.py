@@ -344,28 +344,18 @@ class _MediaDigest:
         )
 
 
-def _media_group_first(group: pa.Table) -> pa.Table:
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    keep = int(ids.min())
-    return pa.table(
-        {
-            "doc_id": pa.array([keep], pa.int64()),
-            "dup_count": pa.array([len(ids)], pa.int64()),
-            "n_bytes": pa.array(
-                [int(group["n_bytes"][0].as_py())], pa.int64()
-            ),
-        }
-    )
-
-
 def media_dedup_exact(
     ds: ray.data.Dataset,
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """Exact byte-identical media dedup: one digest pass, one groupby
-    over 16-byte digests (keeper = min doc_id). Returns one row per
-    distinct payload: (doc_id, dup_count, n_bytes)."""
+    """Exact byte-identical media dedup: one digest pass, one hash
+    AGGREGATE over 16-byte digests (keeper = min doc_id; n_bytes is
+    identical within a digest group so Min is exact). Returns one row
+    per distinct payload: (doc_id, dup_count, n_bytes). Pure
+    map-side-combining aggregation — no per-digest Python call."""
+    from ray.data.aggregate import Count, Min
+
     digs = ds.map_batches(
         _MediaDigest,
         fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col),
@@ -373,9 +363,22 @@ def media_dedup_exact(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    return digs.groupby("digest").map_groups(
-        _media_group_first, batch_format="pyarrow"
+    agg = digs.groupby("digest").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="dup_count"),
+        Min("n_bytes", alias_name="n_bytes"),
     )
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "dup_count": t["dup_count"].cast(pa.int64()),
+                "n_bytes": t["n_bytes"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(drop_key, batch_format="pyarrow")
 
 
 def media_near_dups(

@@ -9,9 +9,12 @@ shared zero-copy by every actor; each batch builds ONE docs x
 needed-terms presence matrix from the analyzed token codes and
 evaluates every query as vectorized boolean reductions over its
 columns — no per-document Python loop, no index build. At 100 TB this
-is a single streaming pass; with millions of registered queries the
-standard refinement (a term-index over the queries to prune candidates
-per doc, as Lucene's monitor does) drops in behind the same interface.
+is a single streaming pass. The Lucene-monitor refinement is built in:
+queries are indexed by their single rarest required term (or all
+SHOULD terms when no requirement exists), so each query is only
+evaluated against the DOCS containing its trigger — per-doc candidate
+sets stay ≪ Q even when the batch's vocabulary overlaps many queries
+(``doc_evals`` / ``doc_evals_possible`` counters prove it).
 
 Reference tie-in: the forward path is SimpleFDBDirectoryTest.java's
 TermQuery search (149-158); percolation evaluates the same
@@ -134,21 +137,40 @@ class Percolator:
             if f not in self.field_cols:
                 raise ValueError(f"query field {f!r} not in field_cols")
         self.term_col = {ft: i for i, ft in enumerate(needed)}
-        # monitor-layer query index: positive term -> query ids. Per
-        # batch, only queries with >=1 positive term PRESENT are even
-        # visited — with millions of registered queries the loop is
-        # proportional to the batch's vocabulary overlap, not Q.
+        # monitor-layer query index (Lucene monitor's term-indexed
+        # queries, re-derived): each query registers under its SINGLE
+        # rarest required term when it has MUST/phrase clauses (every
+        # match must contain it, so one trigger suffices — and a rare
+        # trigger keeps the candidate set tiny), or under ALL its
+        # SHOULD terms otherwise (a match needs >=1 of them). Rarity
+        # heuristic without corpus stats: longest token, ties broken
+        # lexicographically-last (Lucene's monitor defaults to the same
+        # token-length weighting absent index stats).
+        # self._qtrig[qid] = the trigger columns restricting WHICH DOCS
+        # the query is evaluated against (per-doc pruning, not just
+        # per-batch).
         self._trigger: dict[int, list[int]] = {}
+        self._qtrig: list[list[int]] = []
         for qid, q in enumerate(qs):
-            pos = (
-                q["must"] + q["should"]
+            req = (
+                q["must"]
                 + [(f, t) for f, p in q.get("phrases", []) for t in p]
             )
-            for ft in set(pos):
-                self._trigger.setdefault(self.term_col[ft], []).append(qid)
-        # per-actor pruning counters (tests/diagnostics)
+            if req:
+                trig = [max(set(req), key=lambda ft: (len(ft[1]), ft[1]))]
+            else:
+                trig = sorted(set(q["should"]))
+            cols = [self.term_col[ft] for ft in trig]
+            self._qtrig.append(cols)
+            for c in cols:
+                self._trigger.setdefault(c, []).append(qid)
+        # per-actor pruning counters (tests/diagnostics): queries
+        # skipped/evaluated per batch, and (query, doc) pairs actually
+        # evaluated vs the exhaustive Q x n_docs
         self.evaluated = 0
         self.skipped = 0
+        self.doc_evals = 0
+        self.doc_evals_possible = 0
 
     def _tokenize(self, batch: pa.Table, field: str):
         col, _ = self.field_cols[field]
@@ -157,13 +179,12 @@ class Percolator:
             c = batch[col]
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
-            vals = c.to_pylist()
-            vocab, codes = [], np.empty(len(vals), np.int64)
-            seen: dict[str, int] = {}
-            for i, v in enumerate(vals):
-                codes[i] = seen.setdefault(v, len(seen))
-            vocab = list(seen)
-            return np.arange(len(vals), dtype=np.int64), codes, vocab
+            dct = c.dictionary_encode()
+            codes = dct.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vocab = dct.dictionary.to_pylist()
+            return np.arange(len(codes), dtype=np.int64), codes, vocab
         return tok.encoded_tokens(batch[col])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -220,6 +241,7 @@ class Percolator:
             }
         )
         self.skipped += len(self.queries) - len(cand_qids)
+        self.doc_evals_possible += n * len(self.queries)
         for qid in cand_qids:
             q = self.queries[qid]
             # gate for conjunctions: EVERY required term (MUST clauses
@@ -232,25 +254,36 @@ class Percolator:
                 self.skipped += 1
                 continue
             self.evaluated += 1
-            m = np.ones(n, bool)
+            # per-DOC candidates (the monitor refinement): evaluate the
+            # query ONLY against rows containing its trigger term(s) —
+            # any other row cannot match by construction
+            tc = self._qtrig[qid]
+            rows = np.nonzero(
+                pres[:, tc[0]] if len(tc) == 1 else pres[:, tc].any(axis=1)
+            )[0]
+            self.doc_evals += len(rows)
+            if not len(rows):
+                continue
+            sub = pres[rows]
+            m = np.ones(len(rows), bool)
             for t in q["must"]:
-                m &= pres[:, self.term_col[t]]
+                m &= sub[:, self.term_col[t]]
             if q["should"]:
-                n_should = np.zeros(n, np.int64)
+                n_should = np.zeros(len(rows), np.int64)
                 for t in q["should"]:
-                    n_should += pres[:, self.term_col[t]]
+                    n_should += sub[:, self.term_col[t]]
                 required = q["must"] or q.get("phrases")
                 bar = q["min_should"] if required else max(1, q["min_should"])
                 if bar > 0:
                     m &= n_should >= bar
             for t in q["must_not"]:
-                m &= ~pres[:, self.term_col[t]]
+                m &= ~sub[:, self.term_col[t]]
             for f, toks in q.get("phrases", []):
                 key = (f, tuple(toks))
                 if key not in phrase_cache:
                     phrase_cache[key] = phrase_rows(f, toks)
-                m &= phrase_cache[key]
-            sel = np.nonzero(m)[0]
+                m &= phrase_cache[key][rows]
+            sel = rows[np.nonzero(m)[0]]
             out_q.append(np.full(len(sel), qid, np.int64))
             out_d.append(ids[sel].astype(np.int64))
         return pa.table(

@@ -373,10 +373,16 @@ def significant_terms(
     analog), scored with the JLH heuristic
     ``(p_fg - p_bg) * p_fg / p_bg`` over document frequencies.
 
-    Shape: ONE streaming pass emits map-side-combined per-term df
-    partials (plus a sentinel row carrying doc counts), one
-    groupby(term) sum, then scoring + top-n on the |vocab|-sized
-    aggregate. Columns: (term, df_fg, df_all, score)."""
+    Shape (fully distributed — the |vocab|-sized aggregate NEVER lands
+    on the driver): ONE streaming pass emits map-side-combined per-term
+    df partials (plus a sentinel row carrying doc counts), one
+    groupby(term) sum materialized to the object store, the two scalar
+    doc totals extracted from the sentinel row, then row-local JLH
+    scoring in map_batches and a distributed ``sort().limit(n)``. Only
+    the final n rows reach the driver.
+    Columns: (term, df_fg, df_all, score)."""
+    import pyarrow.compute as pc
+
     partials = ds.map_batches(
         _SigTermPartials,
         fn_constructor_kwargs=dict(
@@ -387,25 +393,67 @@ def significant_terms(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    agg = partials.groupby("term").sum(["df_all", "df_fg"])
-    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    terms = np.asarray(t["term"].to_pylist(), dtype=object)
-    df_all = t["sum(df_all)"].to_numpy(zero_copy_only=False).astype(np.float64)
-    df_fg = t["sum(df_fg)"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sent = terms == _SigTermPartials._SENTINEL
-    n_all = float(df_all[sent][0])
-    n_fg = float(df_fg[sent][0])
-    keep = (~sent) & (df_fg > 0)
-    terms, df_all, df_fg = terms[keep], df_all[keep], df_fg[keep]
-    pf, pb = df_fg / n_fg, df_all / n_all
-    score = (pf - pb) * pf / pb
-    by_term = np.argsort(terms, kind="stable")
-    order = by_term[np.argsort(-score[by_term], kind="stable")][:n]
+    # materialize the aggregate in the OBJECT STORE (distributed blocks,
+    # ~20 bytes/term) so the sentinel extraction and the scoring pass
+    # don't re-run the shuffle
+    agg = partials.groupby("term").sum(["df_all", "df_fg"]).materialize()
+    sentinel = _SigTermPartials._SENTINEL
+
+    def only_sentinel(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term"], sentinel))
+
+    sent_rows = agg.map_batches(
+        only_sentinel, batch_format="pyarrow"
+    ).take_all()
+    n_all = float(sent_rows[0]["sum(df_all)"])
+    n_fg = float(sent_rows[0]["sum(df_fg)"])
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        df_all = t["sum(df_all)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        df_fg = t["sum(df_fg)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = (df_fg > 0) & ~pc.equal(terms, sentinel).to_numpy(
+            zero_copy_only=False
+        )
+        sel = t.filter(pa.array(keep))
+        df_all, df_fg = df_all[keep], df_fg[keep]
+        pf, pb = df_fg / n_fg, df_all / n_all
+        score = (pf - pb) * pf / pb
+        return pa.table(
+            {
+                "term": sel["term"],
+                "df_fg": pa.array(df_fg.astype(np.int64)),
+                "df_all": pa.array(df_all.astype(np.int64)),
+                "score": pa.array(score),
+            }
+        )
+
+    top = (
+        agg.map_batches(score_rows, batch_format="pyarrow")
+        .sort(["score", "term"], descending=[True, False])
+        .limit(n)
+    )
+    t = pa.Table.from_pylist(top.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "df_fg": pa.array([], pa.int64()),
+             "df_all": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
     return pa.table(
         {
-            "term": pa.array(terms[order].tolist(), pa.string()),
-            "df_fg": pa.array(df_fg[order].astype(np.int64)),
-            "df_all": pa.array(df_all[order].astype(np.int64)),
-            "score": pa.array(round_half_away(score[order], 6).astype(np.float64)),
+            "term": t["term"].cast(pa.string()),
+            "df_fg": t["df_fg"].cast(pa.int64()),
+            "df_all": t["df_all"].cast(pa.int64()),
+            "score": pa.array(
+                round_half_away(
+                    t["score"].to_numpy(zero_copy_only=False), 6
+                ).astype(np.float64)
+            ),
         }
     )

@@ -24,7 +24,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from fdblucene_ray.ops.hashing import combine, hash_strings, round_half_away
+from fdblucene_ray.ops.hashing import (
+    combine,
+    hash_strings,
+    part_of,
+    round_half_away,
+)
 
 _SEED = np.uint64(0x6A09E667F3BCC908)  # sqrt(2) fractional bits, fixed seed
 
@@ -111,19 +116,27 @@ class ChunkHashes:
 
 
 def _mark_dups(group: pa.Table) -> pa.Table:
-    """Stage 2: within one chunk-hash group, the lexicographically first
-    (doc_id, chunk_idx) occurrence is the keeper; the rest are dups."""
-    g = group.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
-    n = g.num_rows
-    is_dup = np.ones(n, dtype=np.int64)
-    is_dup[0] = 0
-    n_toks = g["n_toks"].to_numpy(zero_copy_only=False)
+    """Stage 2: ALL chunk-hash groups hashed into one shuffle partition,
+    marked in one vectorized call. Within a hash, the lexicographically
+    first (doc_id, chunk_idx) occurrence is the keeper; the rest are
+    dups. One lexsort finds the hash runs — no per-key Python."""
+    h = group["chunk_hash"].to_numpy(zero_copy_only=False)
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    ci = group["chunk_idx"].to_numpy(zero_copy_only=False)
+    n_toks = group["n_toks"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ci, d, h))
+    hs = h[order]
+    is_dup = np.ones(len(hs), np.int64)
+    if len(hs):
+        is_dup[0] = 0
+        is_dup[1:] = (hs[1:] == hs[:-1]).astype(np.int64)
+    nt = n_toks[order]
     return pa.table(
         {
-            "doc_id": g["doc_id"],
-            "n_toks": g["n_toks"],
+            "doc_id": pa.array(d[order]),
+            "n_toks": pa.array(nt),
             "dup": pa.array(is_dup),
-            "dup_toks": pa.array(np.where(is_dup > 0, n_toks, 0).astype(np.int64)),
+            "dup_toks": pa.array(np.where(is_dup > 0, nt, 0).astype(np.int64)),
         }
     )
 
@@ -136,16 +149,28 @@ def chunk_dedup(
     Returns per-doc rollup: n_chunks, n_dup_chunks, n_tokens,
     n_dup_tokens, dup_token_frac (6 dp). A chunk occurrence is a dup
     iff an identical chunk exists at a smaller (doc_id, chunk_idx).
-    """
+
+    Shape: the shuffle is keyed on ``part = hash(chunk_hash) % P`` (a
+    few dozen keys) rather than the raw chunk hash (unbounded at corpus
+    scale); equal hashes land in the same partition, and the marking
+    pass is one lexsort per PARTITION."""
     from ray.data.aggregate import Count, Sum
 
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
     chunks = ds.map_batches(
         ChunkHashes(w, text_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    marked = chunks.groupby("chunk_hash").map_groups(
-        _mark_dups, batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        key = t["chunk_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(key, num_parts)))
+
+    marked = (
+        chunks.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_mark_dups, batch_format="pyarrow")
     )
     agg = marked.groupby("doc_id").aggregate(
         Count(alias_name="n_chunks"),
@@ -504,28 +529,78 @@ class DupSpanOccurrences:
 
 
 def _dup_occurrences(min_df: int):
+    """Keep occurrences of grams seen in >= min_df DISTINCT docs. Runs
+    once per hashed shuffle PARTITION: one lexsort finds the gram runs,
+    distinct-doc counts come from a bincount over run ids — no per-gram
+    Python call."""
+
     def fn(group: pa.Table) -> pa.Table:
+        g = group["gram"].to_numpy(zero_copy_only=False)
         d = group["doc_id"].to_numpy(zero_copy_only=False)
-        if len(np.unique(d)) < min_df:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "pos": pa.array([], pa.int64())}
-            )
-        return group.select(["doc_id", "pos"])
+        p = group["pos"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        )
+        if not len(g):
+            return empty
+        order = np.lexsort((d, g))
+        gs, ds_, ps = g[order], d[order], p[order]
+        new_gram = np.empty(len(gs), bool)
+        new_gram[0] = True
+        new_gram[1:] = gs[1:] != gs[:-1]
+        gid = np.cumsum(new_gram) - 1
+        new_doc = new_gram.copy()
+        new_doc[1:] |= ds_[1:] != ds_[:-1]
+        ndocs = np.bincount(gid[new_doc])
+        keep = ndocs[gid] >= min_df
+        if not keep.any():
+            return empty
+        return pa.table(
+            {"doc_id": pa.array(ds_[keep]), "pos": pa.array(ps[keep])}
+        )
 
     fn.__name__ = "_dup_occurrences"
     return fn
 
 
 def _fold_spans(group: pa.Table) -> pa.Table:
-    # spans packed as little-endian int64 bytes: Acero hash joins accept
-    # binary payload columns but not list<int64>
-    pos = np.unique(group["pos"].to_numpy(zero_copy_only=False))
+    """All docs hashed into one shuffle partition folded in one call:
+    lexsort by (doc_id, pos), dedup, then build the packed-bytes spans
+    column zero-copy from offsets (spans are little-endian int64 bytes:
+    Acero hash joins accept binary payloads but not list<int64>)."""
+    d = group["doc_id"].to_numpy(zero_copy_only=False)
+    p = group["pos"].to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "spans": pa.array([], pa.binary())}
+    )
+    if not len(d):
+        return empty
+    order = np.lexsort((p, d))
+    ds_, ps = d[order], p[order]
+    new = np.empty(len(ds_), bool)
+    new[0] = True
+    new[1:] = (ds_[1:] != ds_[:-1]) | (ps[1:] != ps[:-1])
+    ds_, ps = ds_[new], ps[new]
+    starts = np.flatnonzero(
+        np.concatenate(([True], ds_[1:] != ds_[:-1]))
+    ).astype(np.int64)
+    bounds = np.concatenate((starts, [len(ds_)]))
+    values = np.ascontiguousarray(ps, "<i8").tobytes()
+    if bounds[-1] * 8 <= np.iinfo(np.int32).max:
+        spans = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer((bounds * 8).astype(np.int32).tobytes()),
+             pa.py_buffer(values)],
+        )
+    else:  # >256M positions in one partition: slice per doc (rare)
+        spans = pa.array(
+            [values[bounds[i] * 8 : bounds[i + 1] * 8]
+             for i in range(len(starts))],
+            pa.binary(),
+        )
     return pa.table(
-        {
-            "doc_id": pa.array([int(group["doc_id"][0].as_py())], pa.int64()),
-            "spans": pa.array([pos.astype("<i8").tobytes()], pa.binary()),
-        }
+        {"doc_id": pa.array(ds_[starts]), "spans": spans}
     )
 
 
@@ -588,11 +663,32 @@ def scrub_duplicated_spans(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    dup_occ = occ.groupby("gram").map_groups(
-        _dup_occurrences(min_df), batch_format="pyarrow"
+    # both exchanges are keyed on hash(key) % P — a few dozen shuffle
+    # keys regardless of gram/doc cardinality; the per-partition calls
+    # find key runs with one lexsort each (no per-key Python)
+    num_parts = max(
+        num_partitions, int(ray.cluster_resources().get("CPU", 8))
     )
-    doc_spans = dup_occ.groupby("doc_id").map_groups(
-        _fold_spans, batch_format="pyarrow"
+
+    def part_by(col: str):
+        def add(t: pa.Table) -> pa.Table:
+            key = t[col].to_numpy(zero_copy_only=False)
+            return t.append_column("part", pa.array(part_of(key, num_parts)))
+
+        add.__name__ = f"part_by_{col}"
+        return add
+
+    dup_occ = (
+        occ.map_batches(part_by("gram"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_dup_occurrences(min_df), batch_format="pyarrow")
+    )
+    doc_spans = (
+        dup_occ.map_batches(part_by("doc_id"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_fold_spans, batch_format="pyarrow")
     )
     joined = left.join(
         doc_spans,
@@ -644,25 +740,15 @@ def canonical_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     return out
 
 
-def _url_group_first(group: pa.Table) -> pa.Table:
-    ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    keep = int(ids.min())
-    return pa.table(
-        {
-            "doc_id": pa.array([keep], pa.int64()),
-            "canonical_url": pa.array([group["canonical_url"][0].as_py()]),
-            "dup_count": pa.array([len(ids)], pa.int64()),
-        }
-    )
-
-
 def url_dedup(
     ds: ray.data.Dataset, url_col: str = "url", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """One row per canonical URL: (doc_id = smallest id fetched under
     that key, canonical_url, dup_count). Shape: one vectorized map pass
     emitting (canonical key, id) — text/HTML never moves — then one
-    groupby over the key."""
+    hash AGGREGATE over the key (Min + Count with map-side combine; no
+    per-key Python call)."""
+    from ray.data.aggregate import Count, Min
 
     def keys(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -673,6 +759,18 @@ def url_dedup(
         )
 
     pairs = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
-    return pairs.groupby("canonical_url").map_groups(
-        _url_group_first, batch_format="pyarrow"
+    agg = pairs.groupby("canonical_url").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="dup_count"),
     )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "canonical_url": t["canonical_url"],
+                "dup_count": t["dup_count"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(order_cols, batch_format="pyarrow")

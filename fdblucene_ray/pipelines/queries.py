@@ -428,7 +428,9 @@ def q_ft_bm25f(sf_dir: str) -> pa.Table:
     BM25 saturation — not a per-field score sum."""
     s = Searcher(_ensure_index(sf_dir, "mf"))
     return _hits_table(
-        s.search_combined_fields("data src5", {"text": 1.0, "source": 2.0}, k=10)
+        s.search_combined_fields(
+            "data src5", {"text": 1.0, "source": 2.0}, k=10, mode="wand"
+        )
     )
 
 
@@ -439,6 +441,20 @@ def q_ft_bool_expr(sf_dir: str) -> pa.Table:
     s = Searcher(_ensure_index(sf_dir, "simple"))
     return _hits_table(
         s.search_expr("(data OR merge) AND stream AND NOT window", k=10)
+    )
+
+
+def q_ft_parser_mixed(sf_dir: str) -> pa.Table:
+    """ONE unified QueryParser string mixing BOTH syntaxes (flat
+    +/-/phrase/boost AND parenthesized OR) exactly like Lucene's
+    classic parser: ``+data (merge OR stream) -window "batch
+    stream"^2`` — data required, window excluded, the OR-group and the
+    boosted phrase add score where present."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_query(
+            '+data (merge OR stream) -window "batch stream"^2', k=10
+        )
     )
 
 
@@ -1631,6 +1647,7 @@ def queries() -> dict:
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
         "ft_bool_expr": q_ft_bool_expr,
+        "ft_parser_mixed": q_ft_parser_mixed,
         "ft_tfidf": q_ft_tfidf,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -1774,6 +1791,49 @@ scored AS (
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
+        "ft_parser_mixed": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge', 'stream') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+term_contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+plists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM plists),
+ptf AS (SELECT t1.doc_id, count(*)::DOUBLE AS pf
+        FROM ptoks t1 JOIN ptoks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        WHERE t1.tok = 'batch' AND t2.tok = 'stream' GROUP BY t1.doc_id),
+pdf AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+        WHERE tok IN ('batch', 'stream') GROUP BY tok),
+pidf AS (SELECT sum(ln(1 + (stats.dc - pdf.df + 0.5) / (pdf.df + 0.5))) AS idf
+         FROM pdf CROSS JOIN stats),
+phrase_contrib AS (
+  SELECT ptf.doc_id,
+         2.0 * pidf.idf * ptf.pf
+           / (ptf.pf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM ptf JOIN dlq ON dlq.doc_id = ptf.doc_id
+  CROSS JOIN pidf CROSS JOIN stats),
+cand AS (
+  SELECT doc_id FROM documents d
+  WHERE EXISTS(SELECT 1 FROM tf WHERE tf.doc_id = d.doc_id AND tok = 'data')
+    AND NOT EXISTS(SELECT 1 FROM toks WHERE toks.doc_id = d.doc_id AND tok = 'window')),
+allc AS (
+  SELECT doc_id, s FROM term_contrib
+  UNION ALL SELECT doc_id, s FROM phrase_contrib),
+scored AS (
+  SELECT c.doc_id, sum(allc.s) AS score
+  FROM cand c JOIN allc ON allc.doc_id = c.doc_id
+  GROUP BY c.doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
         "ft_bm25f": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tok_s AS (SELECT doc_id, tok FROM (
@@ -1788,9 +1848,17 @@ tfw AS (SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
                1.0 * coalesce(t.tf, 0) + 2.0 * coalesce(s.tf, 0) AS tfw
         FROM tf_t t FULL OUTER JOIN tf_s s
           ON s.doc_id = t.doc_id AND s.tok = t.tok),
-dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tfw GROUP BY tok),
 stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS dc,
                  (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl_t),
+-- stats-only pseudo docFreq (Lucene CombinedFieldQuery): per-field
+-- dfs summed, capped at maxDoc — matches the engine, which must know
+-- idf from stats alone to drive block-max WAND
+df_t2 AS (SELECT tok, count(*)::DOUBLE AS df FROM tf_t GROUP BY tok),
+df_s2 AS (SELECT tok, count(*)::DOUBLE AS df FROM tf_s GROUP BY tok),
+dfx AS (SELECT coalesce(t.tok, s.tok) AS tok,
+               least(stats.dc, coalesce(t.df, 0) + coalesce(s.df, 0)) AS df
+        FROM df_t2 t FULL OUTER JOIN df_s2 s ON s.tok = t.tok
+        CROSS JOIN stats),
 dlw AS (SELECT d.doc_id,
                1.0 * coalesce(dlq.dlq, 0) + 2.0 * 1.0 AS dl_w
         FROM documents d LEFT JOIN dlq ON dlq.doc_id = d.doc_id),

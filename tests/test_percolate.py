@@ -150,3 +150,54 @@ def test_must_gate_skips_partial_conjunctions(corpus, ray_session):
     out = p(t)
     assert p.skipped == 1 and p.evaluated == 1
     assert set(out["query_id"].to_pylist()) <= {1}
+
+
+def test_per_doc_candidate_index(corpus):
+    """Monitor-scale pruning: with 1k registered queries whose triggers
+    are mostly RARE terms, the per-doc candidate index evaluates far
+    fewer (query, doc) pairs than the exhaustive Q x n — and results
+    stay identical to a brute-force per-doc check."""
+    from fdblucene_ray.ops.percolate import Percolator, compile_queries
+
+    t, _ = corpus
+    # 1000 conjunctions: a common corpus term + a mostly-absent rare
+    # term (only r0..r17 exist in no doc; w0..w17 are the vocabulary) —
+    # the rare token is longer so the trigger heuristic picks it
+    raw = [
+        {"must": [f"w{i % 18}", f"rare_token_{i}"]} for i in range(900)
+    ] + [
+        {"must": [f"w{i % 18}"]} for i in range(100)
+    ]
+    qs = compile_queries(raw, analyzer="simple")
+    p = Percolator(qs)
+    out = p(t)
+    n, Q = t.num_rows, len(raw)
+    # the 900 rare-trigger queries never reach a single doc
+    assert p.doc_evals_possible == n * Q
+    assert p.doc_evals <= n * 100  # only the 100 common-term queries
+    assert p.doc_evals < 0.2 * p.doc_evals_possible
+    # match set identical to brute force
+    texts = t["text"].to_pylist()
+    got = set(zip(out["query_id"].to_pylist(), out["doc_id"].to_pylist()))
+    exp = set()
+    for qid, q in enumerate(raw):
+        need = set(q["must"])
+        for d, txt in enumerate(texts):
+            if need <= set(txt.split()):
+                exp.add((qid, d))
+    assert got == exp
+
+
+def test_per_doc_trigger_restricts_rows(corpus):
+    """A query triggered by a rare term is evaluated ONLY on docs
+    containing that term (doc_evals counts the restriction)."""
+    from fdblucene_ray.ops.percolate import Percolator, compile_queries
+
+    t, _ = corpus
+    texts = t["text"].to_pylist()
+    # w17 is the rarest-ish vocabulary term; longest token wins triggers
+    qs = compile_queries([{"must": ["w1", "w17"]}], analyzer="simple")
+    p = Percolator(qs)
+    p(t)
+    n_w17 = sum(1 for txt in texts if "w17" in txt.split())
+    assert p.doc_evals == n_w17 < t.num_rows

@@ -211,3 +211,75 @@ class TestSearchAfter:
         for i in range(len(full) - 1):
             nxt = s.search_after("data", full[i], 1)
             assert nxt and nxt[0] == full[i + 1], i
+
+
+class TestUnifiedParser:
+    """ONE grammar for the full Lucene classic surface: the flat syntax
+    and the explicit-operator syntax parse and evaluate TOGETHER."""
+
+    def test_flat_queries_match_query_dispatch(self, built):
+        """Unified evaluation == the flat parsed path on pure flat
+        syntax (same BooleanQuery semantics, same scores)."""
+        s = Searcher(built)
+        for q in [
+            "data merge",
+            "+data merge -window",
+            '+data "data merge"',
+            "data^2 merge",
+            "tag:a data",
+            "bro*",
+            "dta~1",
+        ]:
+            assert s.search_query(q, k=10) == s.query(q, k=10), q
+
+    def test_expr_queries_match_search_expr(self, built):
+        """Unified evaluation == search_expr on explicit-operator
+        syntax."""
+        s = Searcher(built)
+        for q in [
+            "(data OR merge) AND stream",
+            "data AND NOT window",
+            "(data OR brown) AND (fox OR stream)",
+        ]:
+            assert s.search_query(q, k=10) == s.search_expr(q, k=10), q
+
+    def test_mixed_syntax(self, built):
+        """The point of the unified parser: BOTH syntaxes in one
+        string. +data (merge OR sort) -window "data merge"^2 ==
+        hand-built expectation."""
+        s = Searcher(built)
+        hits = s.search_query(
+            '+data (merge OR stream) -window "data merge"^2', k=10
+        )
+        # candidates: contain data, not window -> docs 1, 3, 4
+        # (doc 0 excluded by -window)
+        assert {d for d, _ in hits} == {1, 3, 4}
+        # scores: doc 3 has merge+stream extras, doc 4 has neither
+        by = {d: sc for d, sc in hits}
+        assert by[3] > by[4]
+
+    def test_group_boost_scales_group_scores(self, built):
+        s = Searcher(built)
+        base = s.search_query("(merge OR stream)", k=10)
+        boosted = s.search_query("(merge OR stream)^2", k=10)
+        assert [d for d, _ in base] == [d for d, _ in boosted]
+        for (_, a), (_, b) in zip(base, boosted):
+            assert b == pytest.approx(2 * a, rel=1e-12)
+
+    def test_and_promotes_left_neighbour(self, built):
+        """Lucene addClause: 'a AND b c' -> +a +b c."""
+        from fdblucene_ray.analysis.queryparser import parse_unified
+
+        node = parse_unified("data AND merge stream")
+        occurs = [occ for occ, _ in node[1]]
+        assert occurs == ["must", "must", "should"]
+
+    def test_syntax_errors(self):
+        from fdblucene_ray.analysis.queryparser import (
+            QuerySyntaxError,
+            parse_unified,
+        )
+
+        for bad in ["(data", "data)", "NOT", "AND data" ]:
+            with pytest.raises((QuerySyntaxError, IndexError)):
+                parse_unified(bad)

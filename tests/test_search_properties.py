@@ -222,7 +222,13 @@ def test_bm25f_combined_fields_matches_bruteforce(tmp_path, ray_session):
                     tfw[d] = tfw.get(d, 0.0) + w * c
         if not tfw:
             continue
-        idf = math.log(1.0 + (dc - len(tfw) + 0.5) / (len(tfw) + 0.5))
+        # stats-only pseudo docFreq (Lucene CombinedFieldQuery): sum of
+        # per-field dfs capped at maxDoc — known before any decode,
+        # which is what lets the WAND mode skip blocks
+        df = min(dc, sum(
+            sum(1 for r in toks[f] if term in r) for f in W
+        ))
+        idf = math.log(1.0 + (dc - df + 0.5) / (df + 0.5))
         for d, tf in tfw.items():
             dl_w = sum(W[f] * dlq[f][d] for f in W)
             K = 1.2 * (1 - 0.75 + 0.75 * dl_w / avgdl_w)
@@ -231,6 +237,9 @@ def test_bm25f_combined_fields_matches_bruteforce(tmp_path, ray_session):
     assert [d for d, _ in got] == [d for d, _ in exp]
     for (_, a), (_, b) in zip(got, exp):
         assert a == pytest.approx(b, rel=1e-9)
+    # WAND mode: hash-identical hits to the exhaustive mode
+    got_w = s.search_combined_fields("w1 t2", W, k=10, mode="wand")
+    assert got_w == got
 
 
 def test_classic_similarity_matches_oracle(tmp_path, ray_session):
@@ -316,3 +325,43 @@ def test_boolean_strategies_identical(seed, tmp_path, ray_session):
         for (_, a), (_, b), (_, c) in zip(cur, vec, orc):
             assert a == pytest.approx(c, rel=1e-12)
             assert b == pytest.approx(c, rel=1e-12)
+
+
+def test_bm25f_wand_skips_blocks(tmp_path, ray_session):
+    """BM25F block-max WAND: on a head term spanning many blocks, the
+    rare clause drives the threshold above the head-only block bounds
+    and most head blocks are NEVER decoded — while the top-k is
+    hash-identical to the exhaustive combined-field evaluation."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.build import build_index
+    from fdblucene_ray.index.search import Searcher
+
+    n = 600
+    texts = [f"head w{i % 50} w{(i * 7) % 50}" for i in range(n)]
+    tags = ["rareterm" if i in (10, 20, 30, 40, 50) else f"t{i % 9}"
+            for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "tag": pa.array(tags),
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"},
+                "tag": {"column": "tag", "analyzer": "simple"}},
+        num_partitions=2, batch_size=128, block_size=8,
+    )
+    s = Searcher(ix)
+    W = {"text": 1.0, "tag": 2.0}
+    exh = s.search_combined_fields("head rareterm", W, k=3)
+    wand = s.search_combined_fields("head rareterm", W, k=3, mode="wand")
+    assert wand == exh
+    stats = s.last_stats
+    assert stats["total_blocks"] >= 75  # 'head' df=600, block_size=8
+    assert stats["blocks_decoded"] < stats["total_blocks"] // 2

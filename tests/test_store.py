@@ -131,6 +131,80 @@ class TestCommitReplication:
             Searcher(cache).search("the", 50)
 
     def test_default_push_skips_commits(self, built_ix, tmp_path):
+        """include_commits=False replicates NO historical commit
+        points — only the CAS protocol's own commit object for the
+        version being published."""
+        from fdblucene_ray.index.store import _commit_rel
+
         store = LocalFSStore(str(tmp_path / "nstore"))
         push_index(built_ix, store)
-        assert store.list_files("commits") == []
+        v = store.get_manifest().version
+        assert store.list_files("commits") == [_commit_rel(v)]
+
+
+class TestConditionalPutCommit:
+    """Object-store CAS commit: the conditional put of the IMMUTABLE
+    version-named commit object is the whole fence (the FDB
+    transactional-rename analog, FDBDirectory.java:351-365, off-POSIX).
+    Two writers racing the same expected version: exactly one wins."""
+
+    def test_two_writer_race_pyarrowfs(self, built_ix, tmp_path):
+        import threading
+        from dataclasses import replace
+
+        import pyarrow.fs as pafs
+
+        store = PyArrowFSStore(pafs.LocalFileSystem(), str(tmp_path / "race"))
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        base_v = m.version
+        results: list = [None, None]
+        barrier = threading.Barrier(2)
+
+        def writer(i):
+            nxt = replace(m, version=base_v + 1,
+                          extra={**m.extra, "writer": i})
+            try:
+                barrier.wait()
+                store.put_manifest(nxt, expected_version=base_v)
+                results[i] = "won"
+            except ManifestConflictError:
+                results[i] = "lost"
+
+        ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sorted(results) == ["lost", "won"]
+        # the committed manifest is exactly the winner's
+        cur = store.get_manifest()
+        assert cur.version == base_v + 1
+        assert cur.extra["writer"] == results.index("won")
+
+    def test_put_if_absent_is_exclusive(self, tmp_path):
+        import pyarrow.fs as pafs
+
+        store = PyArrowFSStore(pafs.LocalFileSystem(), str(tmp_path / "pia"))
+        assert store.put_if_absent("x/y.bin", b"a") is True
+        assert store.put_if_absent("x/y.bin", b"b") is False
+        assert store.get("x/y.bin") == b"a"
+
+    def test_commit_objects_are_authoritative(self, built_ix, tmp_path):
+        """get_manifest resolves via the immutable commit objects even
+        when the mutable pointer lags (e.g. a writer crashed between
+        the commit-object put and the pointer refresh)."""
+        from dataclasses import replace
+
+        store = LocalFSStore(str(tmp_path / "auth"))
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        nxt = replace(m, version=m.version + 1)
+        # simulate the crash: commit object lands, pointer never moves
+        import json as _json
+
+        from fdblucene_ray.index.store import _commit_rel, _manifest_bytes
+
+        assert store.put_if_absent(_commit_rel(nxt.version),
+                                   _manifest_bytes(nxt))
+        assert store.get_manifest().version == nxt.version
