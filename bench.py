@@ -79,7 +79,24 @@ def _build(paths, out_dir, num_cpus: int, analyzer: str = "lucene") -> float:
     # cluster pipelines 100-TB ingest. Measured at 600k rows: 32 CPUs
     # mono-256-part 19.4-22.1s vs 4x4-shards 11.3-15.7s; 8 CPUs
     # 4 sequential shards 72.8s vs 4 concurrent 37.2s.
+    if isinstance(paths, str):
+        paths = [paths]
     n_shards = 4
+    if len(paths) < n_shards:
+        # single-file inputs (e.g. the sf docs table) can't shard by
+        # file — plain one-exchange build
+        from fdblucene_ray.index.build import build_index
+
+        t0 = time.perf_counter()
+        build_index(
+            paths,
+            out_dir,
+            fields={"text": {"column": "text", "analyzer": analyzer}},
+            num_partitions=64,
+            batch_size=2048,
+            resume=False,
+        )
+        return time.perf_counter() - t0
     per = (len(paths) + n_shards - 1) // n_shards
     shards = [paths[i : i + per] for i in range(0, len(paths), per)]
     t0 = time.perf_counter()

@@ -116,6 +116,19 @@ def cmd_expr(args) -> int:
     return 0
 
 
+def cmd_parse(args) -> int:
+    """ONE unified grammar: +/-, field:, "phrase"~slop, ^boost,
+    wildcards/fuzzy/regexp AND explicit AND/OR/NOT with parentheses."""
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    hits = s.search_query(args.query, args.k, default_field=args.field)
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
 def cmd_percolate(args) -> int:
     """Reverse search: match registered queries (JSON list of clause
     dicts) against a parquet document stream."""
@@ -375,6 +388,16 @@ def main(argv=None) -> int:
     ex.add_argument("--field", default="text")
     ex.add_argument("--k", type=int, default=10)
     ex.set_defaults(fn=cmd_expr)
+
+    pu = sub.add_parser(
+        "parse",
+        help='unified grammar: +a (b OR c) -d "e f"~2^1.5 field:g*',
+    )
+    pu.add_argument("--index", required=True)
+    pu.add_argument("--query", required=True)
+    pu.add_argument("--field", default="text")
+    pu.add_argument("--k", type=int, default=10)
+    pu.set_defaults(fn=cmd_parse)
 
     pc_ = sub.add_parser("percolate", help="reverse search over a doc stream")
     pc_.add_argument("--input", required=True, nargs="+")

@@ -673,10 +673,15 @@ def build_sharded(
     # default tokenize pool reserves ~cpus/4 actors PER dataset, and N
     # concurrent pools each insisting on that minimum deadlock the
     # cluster (observed: 4 concurrent shards x 8 min actors = all 32
-    # CPUs parked in tokenizers, zero left for read/encode)
+    # CPUs parked in tokenizers, zero left for read/encode). The same
+    # reservation math also caps how many pipelines can run at once:
+    # each pool pins >= 1 actor, so more than cpus/2 concurrent shards
+    # parks every CPU in tokenizers and livelocks the reads (observed
+    # at 4 shards on 4 CPUs) — clamp, don't trust the caller
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    concurrent_shards = min(concurrent_shards, max(1, cpus // 2))
     shard_kw = dict(kw)
     if concurrent_shards > 1 and "tokenize_concurrency" not in shard_kw:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
         share = max(1, cpus // concurrent_shards)
         shard_kw["tokenize_concurrency"] = (
             max(1, share // 4), max(2, (share * 2) // 3)

@@ -2826,9 +2826,12 @@ class SearchQueries:
 
     def __init__(self, index_dir: str, k: int = 10, field: str = "text",
                  operator: str = "or", mode: str = "auto",
-                 parsed: bool = False, version: int | None = None):
+                 parsed: bool = False, unified: bool = False,
+                 version: int | None = None):
         """``parsed=True`` routes each query through the full
         QueryParser surface (boosts, phrases, +/-, field:, multi-term);
+        ``unified=True`` uses the ONE-grammar parser (flat syntax AND
+        explicit AND/OR/NOT with parentheses, ``search_query``);
         ``version`` pins a commit point for the whole batch run."""
         self.searcher = Searcher(index_dir, version=version)
         self.k = k
@@ -2836,11 +2839,16 @@ class SearchQueries:
         self.operator = operator
         self.mode = mode
         self.parsed = parsed
+        self.unified = unified
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, q in zip(batch["qid"].to_pylist(), batch["query"].to_pylist()):
-            if self.parsed:
+            if self.unified:
+                hits = self.searcher.search_query(
+                    q, self.k, default_field=self.field
+                )
+            elif self.parsed:
                 hits = self.searcher.query(q, self.k, default_field=self.field)
             else:
                 hits = self.searcher.search(

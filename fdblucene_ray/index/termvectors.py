@@ -163,3 +163,57 @@ def highlight_from_vectors(tv_dir: str, doc_id: int, terms) -> list[Span]:
     the stored-offsets path (reference parity: offsets read from the
     index, DATA.md:54)."""
     return spans_from_vector(read_term_vector(tv_dir, doc_id, terms))
+
+
+_PAYLOAD_AGGS = {"avg": np.mean, "max": np.max, "min": np.min, "sum": np.sum}
+
+
+def payload_score(
+    tv_dir: str,
+    term: str,
+    *,
+    agg: str = "avg",
+    decoder: Callable[[bytes], float] | None = None,
+    doc_ids=None,
+    k: int | None = None,
+) -> pa.Table:
+    """PayloadScoreQuery analog (query-time use of the DATA.md:54
+    payload slot): every doc containing ``term`` scored by aggregating
+    the decoded per-position payload values at that term's positions.
+
+    ``decoder`` turns one payload cell into a float (default:
+    little-endian float32, the PayloadHelper.encodeFloat twin).
+    ``doc_ids`` optionally restricts to a candidate set (e.g. hits from
+    a BM25 pass) via parquet predicate pushdown — the sidecar is
+    doc-major, so hit-time reads stay bounded like doclens lookups.
+    Returns (doc_id, score) sorted by score desc, doc_id asc, top-k
+    when ``k`` is given."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if agg not in _PAYLOAD_AGGS:
+        raise ValueError(f"agg must be one of {sorted(_PAYLOAD_AGGS)}")
+    fn = _PAYLOAD_AGGS[agg]
+    if decoder is None:
+        decoder = lambda b: float(np.frombuffer(b, "<f4")[0])  # noqa: E731
+    dataset = pads.dataset(tv_dir, format="parquet")
+    if "payloads" not in dataset.schema.names:
+        raise ValueError(f"term-vector sidecar {tv_dir} stores no payloads")
+    expr = pc.field("term") == term
+    if doc_ids is not None:
+        expr = expr & pc.field("doc_id").isin([int(d) for d in doc_ids])
+    t = dataset.to_table(filter=expr, columns=["doc_id", "payloads"])
+    docs = t["doc_id"].to_numpy(zero_copy_only=False)
+    pays = t["payloads"].to_pylist()
+    scores = np.asarray(
+        [fn([decoder(cell) for cell in row]) for row in pays], np.float64
+    )
+    order = np.lexsort((docs, -scores))
+    if k is not None:
+        order = order[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order].astype(np.int64)),
+            "score": pa.array(scores[order]),
+        }
+    )

@@ -1156,6 +1156,32 @@ def q_multimodal_frames(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_payload_score(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery analog: per-position payloads written at index
+    time (payload = float32(len(term) + position), the deterministic
+    PayloadHelper-float twin) and aggregated per doc at query time —
+    avg over 'data' positions, top-10 by score desc, doc asc."""
+    import struct
+
+    from fdblucene_ray.index.termvectors import build_term_vectors, payload_score
+
+    key = hashlib.sha1(f"{sf_dir}:tv-payload:v1".encode()).hexdigest()[:12]
+    tv_dir = os.path.join(CACHE_ROOT, f"tv-{key}")
+    build_term_vectors(
+        _docs_path(sf_dir), tv_dir, analyzer="simple",
+        payload_fn=lambda term, pos: struct.pack("<f", float(len(term) + pos)),
+    )
+    t = payload_score(tv_dir, "data", agg="avg", k=10)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "score": _round_col(
+                t["score"].to_numpy(zero_copy_only=False), 4
+            ),
+        }
+    )
+
+
 def q_term_vectors(sf_dir: str) -> pa.Table:
     """Stored term vectors (offsets/payloads sidecar, DATA.md:54 analog):
     per (doc, term) tf and position span read back from the at-rest
@@ -1648,6 +1674,7 @@ def queries() -> dict:
         "ft_bm25_filter": q_ft_filter,
         "ft_bool_expr": q_ft_bool_expr,
         "ft_parser_mixed": q_ft_parser_mixed,
+        "ft_payload_score": q_ft_payload_score,
         "ft_tfidf": q_ft_tfidf,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -1790,6 +1817,17 @@ scored AS (
   GROUP BY c.doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_payload_score": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+s AS (SELECT doc_id, avg(4.0 + pos) AS score
+      FROM ptoks WHERE tok = 'data' GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_parser_mixed": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},

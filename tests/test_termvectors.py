@@ -111,3 +111,92 @@ class TestTermVectors:
         )["text"][0].as_py()
         stored = [(s.term, s.start, s.end) for s in spans_from_vector(tv)]
         assert stored == token_spans("simple", text)
+
+
+class TestPayloadScore:
+    def test_payload_score_matches_bruteforce(self, ray_session, tmp_path):
+        """PayloadScoreQuery analog: avg/max/sum of decoded per-position
+        payloads equals a per-doc brute-force recomputation."""
+        import struct
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.termvectors import (
+            build_term_vectors,
+            payload_score,
+        )
+
+        texts = [
+            "data merge data window",
+            "merge stream",
+            "data",
+            "window data data data",
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        tv = str(tmp_path / "tv")
+        build_term_vectors(
+            src, tv, analyzer="simple",
+            payload_fn=lambda term, pos: struct.pack(
+                "<f", float(len(term) + pos)
+            ),
+        )
+        for agg, fn in [("avg", np.mean), ("max", np.max), ("sum", np.sum)]:
+            got = payload_score(tv, "data", agg=agg)
+            exp = {}
+            for d, txt in enumerate(texts):
+                vals = [4.0 + p for p, w in enumerate(txt.split())
+                        if w == "data"]
+                if vals:
+                    exp[d] = float(fn(vals))
+            rows = sorted(exp.items(), key=lambda x: (-x[1], x[0]))
+            assert got["doc_id"].to_pylist() == [d for d, _ in rows], agg
+            assert got["score"].to_pylist() == [s for _, s in rows], agg
+
+    def test_payload_score_candidate_restriction(self, ray_session, tmp_path):
+        import struct
+
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.termvectors import (
+            build_term_vectors,
+            payload_score,
+        )
+
+        t = pa.table(
+            {"doc_id": pa.array(range(3), pa.int64()),
+             "text": pa.array(["data x", "data y", "data z"])}
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        tv = str(tmp_path / "tv")
+        build_term_vectors(
+            src, tv, analyzer="simple",
+            payload_fn=lambda term, pos: struct.pack("<f", 1.0),
+        )
+        got = payload_score(tv, "data", doc_ids=[0, 2])
+        assert got["doc_id"].to_pylist() == [0, 2]
+
+    def test_payload_score_requires_payloads(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.termvectors import (
+            build_term_vectors,
+            payload_score,
+        )
+
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "text": pa.array(["data"])}
+        )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(t, src)
+        tv = str(tmp_path / "tv")
+        build_term_vectors(src, tv, analyzer="simple")
+        with pytest.raises(ValueError, match="no payloads"):
+            payload_score(tv, "data")
