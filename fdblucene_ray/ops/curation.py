@@ -285,14 +285,51 @@ def sample_stratified(
         return pa.concat_tables(out) if out else batch.slice(0, 0)
 
     def final_topn(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("_h", "ascending"), (id_col, "ascending")])
-        return g.slice(0, n_per_group).drop_columns(["_h"])
+        """Final top-n for EVERY group hashed into one shuffle
+        partition, in one vectorized call: lexsort by (group, _h, id),
+        per-run rank from run arithmetic, keep rank < n (one Python
+        call per PARTITION — group cardinality is unbounded)."""
+        gcol = group[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = gcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if not len(codes):
+            return group.drop_columns(["_h", "_part"])
+        h = group["_h"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, codes))
+        gc = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], gc[1:] != gc[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(gc)])))
+        rank = np.arange(len(gc)) - np.repeat(starts, runlen)
+        sel = order[rank < n_per_group]
+        return group.take(pa.array(np.sort(sel))).drop_columns(
+            ["_h", "_part"]
+        )
+
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        hp = hash_strings(g.cast(pa.string()))
+        return t.append_column(
+            "_part", pa.array((hp % np.uint64(num_parts)).astype(np.int32))
+        )
 
     candidates = ds.map_batches(
         partial_topn, batch_format="pyarrow", zero_copy_batch=True
     )
-    return candidates.groupby(group_col).map_groups(
-        final_topn, batch_format="pyarrow"
+    return (
+        candidates.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("_part", num_partitions=num_parts)
+        .map_groups(final_topn, batch_format="pyarrow")
     )
 
 

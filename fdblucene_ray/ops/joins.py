@@ -59,30 +59,39 @@ def _tag(side: int, ts_col: str, id_col: str, value_col: str, key_col: str):
 
 
 def _match_group(group: pa.Table) -> pa.Table:
+    """EVERY key hashed into one shuffle partition matched in ONE
+    vectorized call: lexsort by (key, ts, side, event_id), one global
+    running-maximum forward fill, and a key-equality guard that
+    invalidates a fill crossing a key boundary (sorted by key first, a
+    left whose latest fill belongs to the previous key is simply
+    unmatched). No per-key Python call — key cardinality grows with
+    the corpus."""
     ts = group["ts_us"].to_numpy(zero_copy_only=False)
     eid = group["event_id"].to_numpy(zero_copy_only=False)
     val = group["value"].to_numpy(zero_copy_only=False)
     side = group["side"].to_numpy(zero_copy_only=False)
-    key = int(group["key"][0].as_py())
+    keys = group["key"].to_numpy(zero_copy_only=False)
     # rights sort before lefts at equal ts (inclusive match); among
     # equal-ts rights the largest event_id ends up last => wins the
     # running maximum
-    order = np.lexsort((eid, side, ts))
-    ts, eid, val, side = ts[order], eid[order], val[order], side[order]
+    order = np.lexsort((eid, side, ts, keys))
+    ts, eid, val, side, keys = (
+        ts[order], eid[order], val[order], side[order], keys[order]
+    )
     is_right = side == 0
     last_right = np.maximum.accumulate(
         np.where(is_right, np.arange(len(ts)), -1)
     )
     lmask = side == 1
     lr = last_right[lmask]
-    matched = lr >= 0
+    matched = (lr >= 0) & (keys[np.maximum(lr, 0)] == keys[lmask])
     r_eid = np.where(matched, eid[np.maximum(lr, 0)], -1)
     r_val = np.where(matched, val[np.maximum(lr, 0)], 0.0)
     lag = np.where(matched, ts[lmask] - ts[np.maximum(lr, 0)], -1)
     return pa.table(
         {
             "event_id": pa.array(eid[lmask]),
-            "key": pa.array(np.full(int(lmask.sum()), key, np.int64)),
+            "key": pa.array(keys[lmask]),
             "ts_us": pa.array(ts[lmask]),
             "right_event_id": pa.array(r_eid.astype(np.int64)),
             "right_value": pa.array(np.round(r_val, 6).astype(np.float64)),
@@ -104,6 +113,9 @@ def asof_join(
     right.ts <= left.ts, ties to larger event_id). Columns:
     (event_id, key, ts_us, right_event_id, right_value, lag_us);
     unmatched -> right_event_id = lag_us = -1, right_value = 0."""
+    from fdblucene_ray.ops.hashing import part_of
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
     tagged = right.map_batches(
         _tag(0, ts_col, id_col, value_col, key_col), batch_format="pyarrow"
     ).union(
@@ -112,6 +124,17 @@ def asof_join(
             batch_format="pyarrow",
         )
     )
-    return tagged.groupby("key").map_groups(
-        _match_group, batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(k, num_parts)))
+
+    # shuffle keyed on hash(key) % P — a few dozen exchange keys no
+    # matter how many join keys the corpus has; equal keys co-locate
+    # and the per-partition kernel finds key runs with one lexsort
+    return (
+        tagged.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_match_group, batch_format="pyarrow")
     )

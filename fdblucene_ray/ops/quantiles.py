@@ -59,29 +59,64 @@ def _partials(key_col: str, value_col: str, bin_width: float):
 
 def _quantile_factory(qs: list[float], bin_width: float):
     def per_key(group: pa.Table) -> pa.Table:
+        """Quantiles of EVERY key hashed into one shuffle partition,
+        in one vectorized call (key cardinality grows with the corpus):
+        lexsort by (key, bin) finds the histogram runs, within-run
+        cumulative counts come from one global cumsum minus run bases,
+        and the per-(key, q) quantile bin is a reduceat first-match —
+        the only Python loop is over the constant-size ``qs``."""
         bins = group["bin"].to_numpy(zero_copy_only=False)
-        cnt = group["sum(cnt)"].to_numpy(zero_copy_only=False)
-        order = np.argsort(bins)
-        bins, cnt = bins[order], cnt[order]
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
-        key = group["key"][0].as_py()
-        out_q, out_v = [], []
-        for q in qs:
-            rank = max(1, int(np.ceil(q * n)))
-            i = int(np.searchsorted(cum, rank))
-            out_q.append(q)
-            out_v.append(bins[i] * bin_width)
-        return pa.table(
-            {
-                "key": pa.array([key] * len(qs), pa.string()),
-                "q": pa.array(np.round(out_q, 6).astype(np.float64)),
-                "value": pa.array(
-                    np.round(out_v, 6).astype(np.float64)
-                ),
-                "n": pa.array(np.full(len(qs), n, np.int64)),
-            }
+        cnt = group["sum(cnt)"].to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        kcol = group["key"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        dct = kcol.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"key": pa.array([], pa.string()),
+             "q": pa.array([], pa.float64()),
+             "value": pa.array([], pa.float64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if not len(codes):
+            return empty
+        order = np.lexsort((bins, codes))
+        c, b, ct = codes[order], bins[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(c)])))
+        cum = np.cumsum(ct)
+        base = np.concatenate(([0], cum[starts[1:] - 1]))
+        cumw = cum - np.repeat(base, runlen)
+        n_k = np.add.reduceat(ct, starts)
+        run_of = np.repeat(np.arange(len(starts)), runlen)
+        pos = np.arange(len(c))
+        key_codes = c[starts]
+        out = []
+        for q in qs:
+            rank = np.maximum(1, np.ceil(q * n_k)).astype(np.int64)
+            hit = np.where(cumw >= rank[run_of], pos, len(c))
+            first = np.minimum.reduceat(hit, starts)
+            out.append(
+                pa.table(
+                    {
+                        "key": dct.dictionary.take(
+                            pa.array(key_codes)
+                        ).cast(pa.string()),
+                        "q": pa.array(
+                            np.full(len(starts), round(q, 6), np.float64)
+                        ),
+                        "value": pa.array(
+                            np.round(b[first] * bin_width, 6).astype(
+                                np.float64
+                            )
+                        ),
+                        "n": pa.array(n_k),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
     return per_key
 
@@ -95,11 +130,32 @@ def group_quantiles(
     bin_width: float = 1.0,
 ) -> ray.data.Dataset:
     """Per-key binned quantiles -> Dataset of (key, q, value, n) where
-    value = lower bound of the quantile bin."""
+    value = lower bound of the quantile bin. The exchange is keyed on
+    ``hash(key) % P`` — a few dozen shuffle keys no matter how many
+    group keys the corpus has."""
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    import ray
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
     partials = ds.map_batches(
         _partials(key_col, value_col, bin_width), batch_format="pyarrow"
     )
     hist = partials.groupby(["key", "bin"]).sum("cnt")
-    return hist.groupby("key").map_groups(
-        _quantile_factory(list(qs), bin_width), batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["key"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = hash_strings(k)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    return (
+        hist.map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_quantile_factory(list(qs), bin_width),
+                    batch_format="pyarrow")
     )

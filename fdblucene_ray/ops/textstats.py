@@ -268,19 +268,43 @@ class _GroupTermPartials:
 
 def _topn_factory(n: int):
     def topn(group: pa.Table) -> pa.Table:
+        """Top-n of EVERY group hashed into one shuffle partition, in
+        one vectorized call (group cardinality grows with the corpus —
+        per-domain, per-language... — so grouping on the raw key would
+        make one Python call per group): stable three-pass argsort
+        (term asc, cnt desc, grp asc), per-run rank from run
+        arithmetic, keep rank < n."""
         cnt = group["sum(cnt)"].to_numpy(zero_copy_only=False)
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
-        # stable two-pass argsort: term asc, then cnt desc (ties keep
-        # term order) — object-dtype-safe, no Python sort loop
+        gcol = group["grp"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        dct = gcol.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"grp": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
         by_term = np.argsort(terms, kind="stable")
-        order = by_term[np.argsort(-cnt[by_term], kind="stable")][:n]
-        g = group["grp"][0].as_py()
+        by_cnt = by_term[np.argsort(-cnt[by_term], kind="stable")]
+        order = by_cnt[np.argsort(codes[by_cnt], kind="stable")]
+        gc = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], gc[1:] != gc[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(gc)])))
+        rank = np.arange(len(gc)) - np.repeat(starts, runlen)
+        keep = rank < n
+        sel = order[keep]
         return pa.table(
             {
-                "grp": pa.array([g] * len(order), pa.string()),
-                "term": pa.array(terms[order].tolist(), pa.string()),
-                "cnt": pa.array(cnt[order]),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "grp": dct.dictionary.take(pa.array(gc[keep])).cast(
+                    pa.string()
+                ),
+                "term": pa.array(terms[sel].tolist(), pa.string()),
+                "cnt": pa.array(cnt[sel]),
+                "rank": pa.array((rank[keep] + 1).astype(np.int64)),
             }
         )
 
@@ -310,8 +334,23 @@ def top_terms_per_group(
         concurrency=(1, 8),
     )
     agg = partials.groupby(["grp", "term"]).sum("cnt")
-    return agg.groupby("grp").map_groups(
-        _topn_factory(n), batch_format="pyarrow"
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t["grp"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        h = hash_strings(g)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    return (
+        agg.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_topn_factory(n), batch_format="pyarrow")
     )
 
 

@@ -72,15 +72,32 @@ def sessionize(
     gap_s: int = 1800,
 ) -> ray.data.Dataset:
     """Gap-based sessionization: events of one user belong to the same
-    session while consecutive gaps are <= ``gap_s``. The groupby
-    co-locates each user's events; the per-group kernel sorts by time
-    and splits on gaps (vectorized diff) — the canonical
-    ``groupby(key).map_groups`` stateful-within-key Ray shape. Skewed
-    users bound the group size; a power-user beyond worker memory would
-    be pre-split by (user, coarse time bucket) first.
+    session while consecutive gaps are <= ``gap_s``.
+
+    Shape at corpus scale: the shuffle is keyed on ``hash(user) % P``
+    (a few dozen partitions — user cardinality grows with the corpus,
+    so grouping on the raw user id would make one Python call per
+    user); every user hashed into a partition is split in ONE
+    vectorized call — lexsort by (user, ts), session breaks where the
+    user changes or the gap exceeds ``gap_s``, per-user 0-based session
+    ordinals from run arithmetic. Skewed users bound the partition
+    size; a power-user beyond worker memory would be pre-split by
+    (user, coarse time bucket) first.
 
     Output: (user_id, session_id [0-based per user in time order],
     session_start, session_end, n_events)."""
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t[user_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        h = hash_strings(u.cast(pa.string()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        )
 
     def split_sessions(group: pa.Table) -> pa.Table:
         ts = group[ts_col]
@@ -91,19 +108,40 @@ def sessionize(
             epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // div
         else:
             epoch = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(epoch, kind="stable")
-        e = epoch[order]
-        new_sess = np.concatenate(([True], np.diff(e) > gap_s))
-        sess_id = np.cumsum(new_sess) - 1
+        ucol = group[user_col]
+        if isinstance(ucol, pa.ChunkedArray):
+            ucol = ucol.combine_chunks()
+        dct = ucol.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((epoch, codes))
+        c, e = codes[order], epoch[order]
+        if not len(c):
+            return pa.table(
+                {
+                    "user_id": pa.array([], ucol.type),
+                    "session_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.int64()),
+                    "session_end": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.empty(len(c), bool)
+        new_user[0] = True
+        new_user[1:] = c[1:] != c[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= np.diff(e) > gap_s
         starts = np.flatnonzero(new_sess)
         ends = np.concatenate((starts[1:], [len(e)]))
-        ucol = group[user_col]
-        utype = ucol.type if not isinstance(ucol, pa.ChunkedArray) else ucol.chunk(0).type
-        uid = ucol[0].as_py()
+        # per-user 0-based session ordinal: session index minus the
+        # index of its user's first session (runs in session space)
+        su = c[starts]
+        ufirst = np.flatnonzero(np.concatenate(([True], su[1:] != su[:-1])))
+        runlen = np.diff(np.concatenate((ufirst, [len(su)])))
+        sess_id = np.arange(len(su)) - np.repeat(ufirst, runlen)
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(starts), utype),
-                "session_id": pa.array(np.arange(len(starts)), pa.int64()),
+                "user_id": dct.dictionary.take(pa.array(su)),
+                "session_id": pa.array(sess_id, pa.int64()),
                 "session_start": pa.array(e[starts], pa.int64()),
                 "session_end": pa.array(e[ends - 1], pa.int64()),
                 "n_events": pa.array(ends - starts, pa.int64()),
@@ -111,7 +149,11 @@ def sessionize(
         )
 
     split_sessions.__name__ = "split_sessions"
-    return ds.groupby(user_col).map_groups(split_sessions, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(split_sessions, batch_format="pyarrow")
+    )
 
 
 def sliding_window_agg(

@@ -117,14 +117,23 @@ class CurateFlags:
 
 def _verdict_factory(lang, min_tokens, min_stop_ratio, sample_threshold):
     def verdict(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("doc_id", "ascending")])
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        """EVERY content group hashed into one shuffle partition judged
+        in one vectorized call (ckey cardinality ~ distinct documents —
+        grouping on it directly would make one Python call per doc):
+        one lexsort by (ckey, doc_id) finds the content runs; the first
+        row of each run is its keeper, all other filters are
+        row-local."""
+        ck = group["ckey"].to_numpy(zero_copy_only=False)
+        ids0 = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids0, ck))
+        ids = ids0[order]
+        ck = ck[order]
         n = len(ids)
-        n_tok = g["n_tokens"].to_numpy(zero_copy_only=False)
-        n_stop = g["n_stop"].to_numpy(zero_copy_only=False)
-        pred = np.asarray(g["pred_lang"].to_pylist(), dtype=object)
-        n_hits = g["n_hits"].to_numpy(zero_copy_only=False)
-        sample_h = g["sample_h"].to_numpy(zero_copy_only=False)
+        n_tok = group["n_tokens"].to_numpy(zero_copy_only=False)[order]
+        n_stop = group["n_stop"].to_numpy(zero_copy_only=False)[order]
+        pred = np.asarray(group["pred_lang"].to_pylist(), dtype=object)[order]
+        n_hits = group["n_hits"].to_numpy(zero_copy_only=False)[order]
+        sample_h = group["sample_h"].to_numpy(zero_copy_only=False)[order]
 
         reason = np.full(n, "keep", dtype=object)
         # reverse precedence: earlier filters overwrite later ones
@@ -135,9 +144,11 @@ def _verdict_factory(lang, min_tokens, min_stop_ratio, sample_threshold):
         reason[low_q] = "low_quality"
         reason[n_tok < min_tokens] = "too_short"
         reason[pred != lang] = "language"
-        is_dup = np.ones(n, bool)
-        is_dup[np.argmin(ids)] = False  # min doc_id wins its content group
-        reason[is_dup] = "duplicate"
+        if n:
+            is_dup = np.ones(n, bool)
+            # sorted by (ckey, doc_id): run starts are the min-doc keepers
+            is_dup[np.concatenate(([True], ck[1:] != ck[:-1]))] = False
+            reason[is_dup] = "duplicate"
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -178,11 +189,24 @@ def curate_corpus(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    return flags.groupby("ckey").map_groups(
-        _verdict_factory(
-            lang, min_tokens, min_stop_ratio, int(sample_rate * _MOD32)
-        ),
-        batch_format="pyarrow",
+    from fdblucene_ray.ops.hashing import part_of
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["ckey"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(k, num_parts)))
+
+    return (
+        flags.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(
+            _verdict_factory(
+                lang, min_tokens, min_stop_ratio, int(sample_rate * _MOD32)
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
