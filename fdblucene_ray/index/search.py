@@ -364,6 +364,45 @@ class Searcher:
     def num_deleted(self) -> int:
         return int(len(self.tombstones))
 
+    @classmethod
+    def multi(cls, index_dirs: list[str], **kw) -> "Searcher":
+        """Federated searcher over SEVERAL index snapshots — the Lucene
+        ``MultiReader`` analog: one searcher whose readers span every
+        index and whose collection statistics (docCount, sumDocFreq,
+        df) are the SUMS across indexes, so scores are identical to a
+        single merged index (the addIndexes twin, without the merge).
+
+        Requirement (documented contract): the indexes' doc-id spaces
+        must be disjoint — build them with ``doc_base`` offsets (as
+        ``build_sharded`` does). Analyzers, block_size and codec must
+        agree across indexes; mismatches fail loudly here."""
+        from fdblucene_ray.index.delete import load_tombstones
+
+        if not index_dirs:
+            raise ValueError("multi() needs >= 1 index dir")
+        manifests = [load_manifest(d) for d in index_dirs]
+        first = manifests[0]
+        for d, m in zip(index_dirs[1:], manifests[1:]):
+            if m.analyzers != first.analyzers:
+                raise ValueError(f"analyzer mismatch in {d}")
+            if m.block_size != first.block_size:
+                raise ValueError(f"block_size mismatch in {d}")
+            if m.codec != first.codec:
+                raise ValueError(f"codec mismatch in {d}")
+        s = cls(index_dirs[0], manifest=first, **kw)
+        for d, m in zip(index_dirs[1:], manifests[1:]):
+            s.readers.extend(
+                SegmentReader(d, seg, codec=m.codec) for seg in m.segments
+            )
+            for f, st in m.field_totals().items():
+                cur = s.totals.setdefault(f, {k: 0 for k in st})
+                for k, v in st.items():
+                    cur[k] = cur.get(k, 0) + v
+            s.tombstones = np.unique(
+                np.concatenate((s.tombstones, load_tombstones(d, m)))
+            )
+        return s
+
     # ---- stats ----
     def field_stats(self, field: str) -> tuple[int, int, float]:
         st = self.totals.get(field, {"dc": 0, "sum_dl": 0})

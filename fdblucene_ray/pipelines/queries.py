@@ -822,6 +822,51 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ft_multi_index(sf_dir: str) -> pa.Table:
+    """Federated search over TWO half-corpus indexes (MultiReader
+    analog): collection stats sum across indexes, so BM25 top-10 for
+    'data merge' is identical to one index over the whole corpus — the
+    oracle is the ordinary single-corpus SQL twin."""
+    import pyarrow.parquet as pq_
+
+    key = hashlib.sha1(f"{sf_dir}:multi2:v1".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"multi-{key}")
+    t = pq_.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    dirs = []
+    for i, (lo, hi) in enumerate(((0, half), (half, t.num_rows))):
+        part = os.path.join(root, f"part{i}.parquet")
+        ix = os.path.join(root, f"ix{i}")
+        if not os.path.exists(part):
+            os.makedirs(root, exist_ok=True)
+            pq_.write_table(t.slice(lo, hi - lo), part)
+        build_index(
+            part, ix, fields=fields, num_partitions=8, doc_base=lo
+        )
+        dirs.append(ix)
+    s = Searcher.multi(dirs)
+    return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: BM25 top-20 for 'data merge' fused with
+    embedding-cosine top-20 for query vector 0 via Reciprocal Rank
+    Fusion (1/(60+rank)); top-10 by fused score. The lexical leg runs
+    the inverted index, the dense leg the broadcast-matmul ANN — only
+    the two depth-bounded rank lists meet at the fuse."""
+    from fdblucene_ray.ops.hybrid import hybrid_search
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    q = _query_vectors(sf_dir, [0])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return hybrid_search(
+        s, ["data", "merge"], ds, q, 0, k=10, depth=20, c=60
+    )
+
+
 def q_ann_batch(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.similarity import brute_force_topk
 
@@ -1675,6 +1720,7 @@ def queries() -> dict:
         "ft_bool_expr": q_ft_bool_expr,
         "ft_parser_mixed": q_ft_parser_mixed,
         "ft_payload_score": q_ft_payload_score,
+        "ft_multi_index": q_ft_multi_index,
         "ft_tfidf": q_ft_tfidf,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -1705,6 +1751,7 @@ def queries() -> dict:
         "window_sliding": q_window_sliding,
         "sessionize": q_sessionize,
         "ann_cosine": q_ann_cosine,
+        "hybrid_rrf": q_hybrid_rrf,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
@@ -1928,6 +1975,9 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
+        # federated MultiReader search == single-index semantics, so
+        # the oracle IS the ordinary whole-corpus BM25 twin
+        "ft_multi_index": _bm25_sql(["data", "merge"]),
         "ft_page2": _bm25_sql(["data", "merge"]).replace(
             "LIMIT 10", "LIMIT 10 OFFSET 10"
         ),
@@ -2451,6 +2501,40 @@ SELECT event_type, window_start,
        CAST(round(round(sum(value), 4) / count(*), 4) AS DOUBLE) AS mean_value
 FROM x WHERE window_start > eu - 3600
 GROUP BY 1, 2 ORDER BY event_type, window_start
+""",
+        "hybrid_rrf": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+b0 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+bm25r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM b0),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], qv.v::DOUBLE[]) AS sim
+         FROM embeddings e CROSS JOIN qv),
+a0 AS (SELECT doc_id, sim FROM sims ORDER BY sim DESC, doc_id LIMIT 20),
+annr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+         FROM a0),
+fused AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + a.r), 0) AS rrf,
+         coalesce(b.r, 0) AS bm25_rank,
+         coalesce(a.r, 0) AS ann_rank
+  FROM bm25r b FULL OUTER JOIN annr a ON a.doc_id = b.doc_id)
+SELECT doc_id::BIGINT AS doc_id, CAST(round(rrf, 6) AS DOUBLE) AS rrf,
+       bm25_rank::BIGINT AS bm25_rank, ann_rank::BIGINT AS ann_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
