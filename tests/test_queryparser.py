@@ -283,3 +283,61 @@ class TestUnifiedParser:
         for bad in ["(data", "data)", "NOT", "AND data" ]:
             with pytest.raises((QuerySyntaxError, IndexError)):
                 parse_unified(bad)
+
+
+class TestUnifiedParserRandomized:
+    """Property-style equivalence: random FLAT queries evaluate
+    identically through the unified grammar and the flat parsed path;
+    random EXPRESSION queries identically to search_expr (the
+    randomized pattern of test_search_properties, applied to the
+    parser layer)."""
+
+    def test_random_flat_queries(self, built):
+        import numpy as np
+
+        s = Searcher(built)
+        rng = np.random.default_rng(41)
+        words = ["data", "merge", "window", "stream", "brown", "fox",
+                 "sort", "value", "zzz"]
+        for _ in range(60):
+            n = int(rng.integers(1, 5))
+            parts = []
+            for _ in range(n):
+                w = words[int(rng.integers(0, len(words)))]
+                r = rng.random()
+                if r < 0.2:
+                    parts.append("+" + w)
+                elif r < 0.35:
+                    parts.append("-" + w)
+                elif r < 0.45:
+                    parts.append(f"{w}^2")
+                elif r < 0.55:
+                    w2 = words[int(rng.integers(0, len(words)))]
+                    parts.append(f'"{w} {w2}"')
+                else:
+                    parts.append(w)
+            q = " ".join(parts)
+            assert s.search_query(q, k=10) == s.query(q, k=10), q
+
+    def test_random_expr_queries(self, built):
+        import numpy as np
+
+        s = Searcher(built)
+        rng = np.random.default_rng(43)
+        words = ["data", "merge", "window", "stream", "brown", "fox"]
+
+        def atom():
+            return words[int(rng.integers(0, len(words)))]
+
+        for _ in range(40):
+            # random 2-3 clause expressions with optional parens/NOT
+            a, b, c = atom(), atom(), atom()
+            shape = int(rng.integers(0, 5))
+            q = [
+                f"{a} AND {b}",
+                f"{a} OR {b}",
+                f"({a} OR {b}) AND {c}",
+                f"{a} AND NOT {b}",
+                f"({a} AND {b}) OR ({c} AND NOT {a})",
+            ][shape]
+            assert s.search_query(q, k=10) == s.search_expr(q, k=10), q
