@@ -365,7 +365,12 @@ class Searcher:
         return int(len(self.tombstones))
 
     @classmethod
-    def multi(cls, index_dirs: list[str], **kw) -> "Searcher":
+    def multi(
+        cls,
+        index_dirs: list[str],
+        versions: list[int | None] | None = None,
+        **kw,
+    ) -> "Searcher":
         """Federated searcher over SEVERAL index snapshots — the Lucene
         ``MultiReader`` analog: one searcher whose readers span every
         index and whose collection statistics (docCount, sumDocFreq,
@@ -375,12 +380,21 @@ class Searcher:
         Requirement (documented contract): the indexes' doc-id spaces
         must be disjoint — build them with ``doc_base`` offsets (as
         ``build_sharded`` does). Analyzers, block_size and codec must
-        agree across indexes; mismatches fail loudly here."""
+        agree across indexes; mismatches fail loudly here.
+
+        ``versions``: optional per-index commit points (one entry per
+        dir, None = live manifest) — point-in-time federated reads."""
         from fdblucene_ray.index.delete import load_tombstones
 
         if not index_dirs:
             raise ValueError("multi() needs >= 1 index dir")
-        manifests = [load_manifest(d) for d in index_dirs]
+        if versions is None:
+            versions = [None] * len(index_dirs)
+        if len(versions) != len(index_dirs):
+            raise ValueError("one version entry per index dir")
+        manifests = [
+            load_manifest(d, v) for d, v in zip(index_dirs, versions)
+        ]
         first = manifests[0]
         for d, m in zip(index_dirs[1:], manifests[1:]):
             if m.analyzers != first.analyzers:

@@ -81,3 +81,53 @@ def hybrid_search(
     ann = ann_tbl["vec_id"].to_pylist()
     fused = rrf_fuse([bm25, ann], k=k, c=c)
     return fused.rename_columns(["doc_id", "rrf", "bm25_rank", "ann_rank"])
+
+
+def score_fuse(
+    legs: list[list[tuple[int, float]]],
+    weights: list[float] | None = None,
+    *,
+    k: int = 10,
+    norm: str = "minmax",
+) -> pa.Table:
+    """Weighted SCORE fusion (the CombSUM family, Fox & Shaw TREC-2):
+    each leg's scores are normalized to [0, 1] — ``minmax`` (x-min)/
+    (max-min) or ``max`` x/max — then summed with per-leg weights;
+    docs absent from a leg contribute 0 for it. Rank-only RRF is
+    robust to score-scale mismatch; score fusion preserves WITHIN-leg
+    margins — both are standard, this is the margin-preserving one.
+
+    Returns top-``k`` by (fused desc, doc_id asc):
+    (doc_id, fused, score_0, score_1, ...)."""
+    if weights is None:
+        weights = [1.0] * len(legs)
+    if len(weights) != len(legs):
+        raise ValueError("one weight per leg")
+    if norm not in ("minmax", "max"):
+        raise ValueError("norm must be 'minmax' or 'max'")
+    all_ids = sorted({d for leg in legs for d, _ in leg})
+    ids = np.asarray(all_ids, np.int64)
+    fused = np.zeros(len(ids), np.float64)
+    score_cols = []
+    for leg, w in zip(legs, weights):
+        col = np.zeros(len(ids), np.float64)
+        if leg:
+            ld = np.asarray([d for d, _ in leg], np.int64)
+            ls = np.asarray([s for _, s in leg], np.float64)
+            lo, hi = float(ls.min()), float(ls.max())
+            if norm == "minmax":
+                span = hi - lo
+                ns = (ls - lo) / span if span > 0 else np.ones_like(ls)
+            else:
+                ns = ls / hi if hi > 0 else np.zeros_like(ls)
+            col[np.searchsorted(ids, ld)] = ns
+        score_cols.append(col)
+        fused += w * col
+    order = np.lexsort((ids, -fused))[:k]
+    cols = {
+        "doc_id": pa.array(ids[order]),
+        "fused": pa.array(np.round(fused[order], 6)),
+    }
+    for i, col in enumerate(score_cols):
+        cols[f"score_{i}"] = pa.array(np.round(col[order], 6))
+    return pa.table(cols)

@@ -867,6 +867,34 @@ def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hybrid_weighted(sf_dir: str) -> pa.Table:
+    """Weighted score fusion (CombSUM): BM25 top-20 (scores rounded to
+    4 dp — the defined fusion input on both sides) and cosine top-20
+    (5 dp), min-max normalized per leg, summed 1.0*text + 0.5*dense,
+    top-10 by fused score."""
+    from fdblucene_ray.ops.hybrid import score_fuse
+    from fdblucene_ray.ops.hashing import round_half_away
+    from fdblucene_ray.ops.similarity import brute_force_topk
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    bm25 = [
+        (d, float(round_half_away(np.float64(sc), 4)))
+        for d, sc in s.search_terms(["data", "merge"], 20, mode="wand")
+    ]
+    q = _query_vectors(sf_dir, [0])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    ann_tbl = brute_force_topk(ds, q, [0], k=20)
+    ann = list(
+        zip(ann_tbl["vec_id"].to_pylist(), ann_tbl["sim"].to_pylist())
+    )
+    t = score_fuse([bm25, ann], [1.0, 0.5], k=10)
+    return t.rename_columns(
+        ["doc_id", "fused", "bm25_norm", "ann_norm"]
+    )
+
+
 def q_ann_batch(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.similarity import brute_force_topk
 
@@ -1752,6 +1780,7 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "ann_cosine": q_ann_cosine,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_weighted": q_hybrid_weighted,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
@@ -2535,6 +2564,51 @@ fused AS (
 SELECT doc_id::BIGINT AS doc_id, CAST(round(rrf, 6) AS DOUBLE) AS rrf,
        bm25_rank::BIGINT AS bm25_rank, ann_rank::BIGINT AS ann_rank
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+        "hybrid_weighted": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+b0 AS (SELECT doc_id, round(score, 4) AS score
+       FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+bnorm AS (SELECT doc_id,
+                 CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                      ELSE (score - min(score) OVER ())
+                           / (max(score) OVER () - min(score) OVER ())
+                 END AS ns
+          FROM b0),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], qv.v::DOUBLE[]) AS sim_raw
+         FROM embeddings e CROSS JOIN qv),
+-- cut the top-20 on the RAW similarity (the engine's cut), round to
+-- 5 dp only as the fusion input (absorbs DuckDB's float32 kernel)
+a0 AS (SELECT doc_id, round(CAST(sim_raw AS DOUBLE), 5) AS sim
+       FROM sims ORDER BY sim_raw DESC, doc_id LIMIT 20),
+anorm AS (SELECT doc_id,
+                 CASE WHEN max(sim) OVER () = min(sim) OVER () THEN 1.0
+                      ELSE (sim - min(sim) OVER ())
+                           / (max(sim) OVER () - min(sim) OVER ())
+                 END AS ns
+          FROM a0),
+fused AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         1.0 * coalesce(b.ns, 0) + 0.5 * coalesce(a.ns, 0) AS fused,
+         coalesce(b.ns, 0) AS bn, coalesce(a.ns, 0) AS an
+  FROM bnorm b FULL OUTER JOIN anorm a ON a.doc_id = b.doc_id)
+SELECT doc_id::BIGINT AS doc_id,
+       CAST(round(fused, 6) AS DOUBLE) AS fused,
+       CAST(round(bn, 6) AS DOUBLE) AS bm25_norm,
+       CAST(round(an, 6) AS DOUBLE) AS ann_norm
+FROM fused ORDER BY fused DESC, doc_id LIMIT 10
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -86,3 +86,41 @@ def test_hybrid_search_end_to_end(tmp_path, ray_session):
     top = out["doc_id"].to_pylist()
     # doc 0/3/6/9 carry BOTH signals (multiple of 3 => 'data'; <10 => near)
     assert set(top[:4]) == {0, 3, 6, 9}
+
+
+class TestScoreFuse:
+    def test_matches_bruteforce(self):
+        from fdblucene_ray.ops.hybrid import score_fuse
+
+        rng = np.random.default_rng(9)
+        for _ in range(20):
+            legs = []
+            for _ in range(2):
+                ids = rng.permutation(25)[: rng.integers(2, 12)]
+                legs.append([(int(d), float(rng.random() * 7)) for d in ids])
+            w = [1.0, 0.5]
+            got = score_fuse(legs, w, k=8)
+            exp = {}
+            for leg, wt in zip(legs, w):
+                ss = [s for _, s in leg]
+                lo, hi = min(ss), max(ss)
+                for d, s in leg:
+                    ns = 1.0 if hi == lo else (s - lo) / (hi - lo)
+                    exp[d] = exp.get(d, 0.0) + wt * ns
+            rows = sorted(exp.items(), key=lambda x: (-x[1], x[0]))[:8]
+            assert got["doc_id"].to_pylist() == [d for d, _ in rows]
+            for g, (_, s) in zip(got["fused"].to_pylist(), rows):
+                assert g == pytest.approx(round(s, 6), abs=1e-9)
+
+    def test_norm_modes_and_errors(self):
+        from fdblucene_ray.ops.hybrid import score_fuse
+
+        legs = [[(1, 2.0), (2, 4.0)], [(2, 1.0)]]
+        mx = score_fuse(legs, norm="max", k=5)
+        by = dict(zip(mx["doc_id"].to_pylist(), mx["fused"].to_pylist()))
+        assert by[2] == pytest.approx(2.0)   # 4/4 + 1/1
+        assert by[1] == pytest.approx(0.5)   # 2/4
+        with pytest.raises(ValueError, match="one weight per leg"):
+            score_fuse(legs, [1.0])
+        with pytest.raises(ValueError, match="norm"):
+            score_fuse(legs, norm="zscore")

@@ -62,6 +62,27 @@ class TestMultiSearcher:
         assert multi.phrase_freqs("data merge") == \
             single.phrase_freqs("data merge")
 
+    def test_versions_pin_commit_points(self, corpus3):
+        """multi(versions=[...]) = point-in-time federated reads: pin
+        part 0 at its pre-delete commit while the others read live."""
+        from fdblucene_ray.index.delete import delete_docs
+        from fdblucene_ray.index.manifest import load_manifest
+
+        _, parts = corpus3
+        before = Searcher.multi(parts).search("data", 300)
+        v0 = load_manifest(parts[0]).version
+        victims = [d for d, _ in before if d < 100][:3]
+        delete_docs(parts[0], victims)
+
+        live = Searcher.multi(parts)
+        assert {d for d, _ in live.search("data", 300)} == \
+            {d for d, _ in before} - set(victims)
+        pinned = Searcher.multi(parts, versions=[v0, None, None])
+        assert pinned.search("data", 300) == before  # float-identical
+
+        with pytest.raises(ValueError, match="one version entry"):
+            Searcher.multi(parts, versions=[v0])
+
     def test_mismatched_config_fails_loudly(self, corpus3, tmp_path):
         _, parts = corpus3
         t = pa.table(
