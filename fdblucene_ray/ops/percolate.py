@@ -105,20 +105,53 @@ def compile_queries(
     return compiled
 
 
+def query_term_dfs(
+    index_dir: str, compiled: list[dict]
+) -> dict[tuple[str, str], int]:
+    """Document frequency of every REQUIRED term the compiled queries
+    mention, looked up in an existing index over the same corpus —
+    point lookups in the lazy term dictionary, one per distinct term,
+    never a vocabulary scan. Feed the result to ``percolate(df=...)``
+    so trigger selection uses true corpus rarity."""
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(index_dir)
+    needed = sorted(
+        {ft for q in compiled for ft in q["must"]}
+        | {(f, t) for q in compiled for f, p in q.get("phrases", [])
+           for t in p}
+    )
+    return {(f, t): s.term_stats(f, t)[0] for f, t in needed}
+
+
 class Percolator:
     """map_batches actor: presence-matrix evaluation of the broadcast
     query set. Emits one (query_id, doc_id) row per match."""
 
     def __init__(self, queries_ref, analyzer="simple",
                  text_col="text", id_col="doc_id",
-                 field_cols: dict[str, tuple[str, str]] | None = None):
+                 field_cols: dict[str, tuple[str, str]] | None = None,
+                 df_ref=None):
         """``field_cols``: field name -> (batch column, analyzer) for
         multi-field queries; defaults to one field named "text" bound
-        to ``text_col`` with ``analyzer`` (the single-field case)."""
+        to ``text_col`` with ``analyzer`` (the single-field case).
+
+        ``df_ref``: optional {(field, term): document_frequency} map
+        (dict or ``ray.put`` ref) from a real index over the same
+        corpus — trigger selection then picks each query's TRUE rarest
+        required term (Lucene monitor's ``TermFilteredPresearcher``
+        with index-backed term weighting) instead of the token-length
+        heuristic. Terms absent from the map get df=0 (never seen in
+        the corpus → the best possible trigger)."""
         qs = (
             ray.get(queries_ref)
             if not isinstance(queries_ref, list)
             else queries_ref
+        )
+        df_map = (
+            ray.get(df_ref)
+            if df_ref is not None and not isinstance(df_ref, dict)
+            else df_ref
         )
         self.queries = qs
         self.id_col = id_col
@@ -142,10 +175,11 @@ class Percolator:
         # rarest required term when it has MUST/phrase clauses (every
         # match must contain it, so one trigger suffices — and a rare
         # trigger keeps the candidate set tiny), or under ALL its
-        # SHOULD terms otherwise (a match needs >=1 of them). Rarity
-        # heuristic without corpus stats: longest token, ties broken
-        # lexicographically-last (Lucene's monitor defaults to the same
-        # token-length weighting absent index stats).
+        # SHOULD terms otherwise (a match needs >=1 of them). Rarity:
+        # with ``df_ref``, the term with the LOWEST corpus document
+        # frequency; without stats, the longest token, ties broken
+        # lexicographically-last (Lucene's monitor defaults to the
+        # same token-length weighting absent index stats).
         # self._qtrig[qid] = the trigger columns restricting WHICH DOCS
         # the query is evaluated against (per-doc pruning, not just
         # per-batch).
@@ -157,7 +191,19 @@ class Percolator:
                 + [(f, t) for f, p in q.get("phrases", []) for t in p]
             )
             if req:
-                trig = [max(set(req), key=lambda ft: (len(ft[1]), ft[1]))]
+                if df_map is not None:
+                    # true-rarest: min df; ties fall back to the
+                    # length heuristic for determinism
+                    trig = [min(
+                        set(req),
+                        key=lambda ft: (
+                            df_map.get(ft, 0), -len(ft[1]), ft[1]
+                        ),
+                    )]
+                else:
+                    trig = [max(
+                        set(req), key=lambda ft: (len(ft[1]), ft[1])
+                    )]
             else:
                 trig = sorted(set(q["should"]))
             cols = [self.term_col[ft] for ft in trig]
@@ -308,22 +354,32 @@ def percolate(
     text_col: str = "text",
     id_col: str = "doc_id",
     field_cols: dict[str, tuple[str, str]] | None = None,
+    df: dict[tuple[str, str], int] | str | None = None,
 ) -> ray.data.Dataset:
     """Match every registered query against every document; returns a
     Dataset of (query_id, doc_id) pairs (query ids = positions in
     ``queries``). ``field_cols`` enables multi-field clauses
-    (``"url:..."``): field name -> (batch column, analyzer)."""
+    (``"url:..."``): field name -> (batch column, analyzer).
+
+    ``df``: corpus document frequencies for trigger selection — a
+    {(field, term): df} map, or an INDEX DIR over the same corpus (the
+    required terms' dfs are point-looked-up there); None keeps the
+    stats-free token-length heuristic."""
     default_field = next(iter(field_cols)) if field_cols else "text"
     compiled = compile_queries(
         queries, analyzer, default_field=default_field,
         field_analyzers={f: a for f, (_, a) in (field_cols or {}).items()},
     )
     qref = ray.put(compiled)
+    if isinstance(df, str):
+        df = query_term_dfs(df, compiled)
+    dref = ray.put(df) if df is not None else None
     return ds.map_batches(
         Percolator,
         fn_constructor_kwargs=dict(
             queries_ref=qref, analyzer=analyzer,
             text_col=text_col, id_col=id_col, field_cols=field_cols,
+            df_ref=dref,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

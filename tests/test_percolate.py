@@ -188,6 +188,50 @@ def test_per_doc_candidate_index(corpus):
     assert got == exp
 
 
+def test_df_based_trigger_selection(tmp_path, ray_session):
+    """With corpus df stats the trigger is the TRUE rarest required
+    term — here a SHORT rare token the length heuristic would never
+    pick over a long common one — shrinking doc_evals; match sets are
+    identical either way."""
+    from fdblucene_ray.ops.percolate import (
+        Percolator, compile_queries, query_term_dfs,
+    )
+
+    texts = [
+        "verylongcommontoken filler" + (" zq" if i < 3 else "")
+        for i in range(100)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(100), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=2)
+
+    raw = [{"must": ["verylongcommontoken", "zq"]}]
+    qs = compile_queries(raw, analyzer="simple")
+    p0 = Percolator(qs)  # length heuristic -> long common trigger
+    out0 = p0(t)
+    assert p0.doc_evals == 100
+
+    dfs = query_term_dfs(ix, qs)
+    assert dfs[("text", "zq")] == 3
+    assert dfs[("text", "verylongcommontoken")] == 100
+    p1 = Percolator(qs, df_ref=dfs)  # true-rarest trigger
+    out1 = p1(t)
+    assert p1.doc_evals == 3
+    assert out1.equals(out0)
+    assert set(out1["doc_id"].to_pylist()) == {0, 1, 2}
+
+    # e2e: percolate(df=<index dir>) resolves the map itself
+    got = percolate(ray.data.from_arrow(t), raw, df=ix).to_pandas()
+    assert set(got["doc_id"]) == {0, 1, 2}
+
+
 def test_per_doc_trigger_restricts_rows(corpus):
     """A query triggered by a rare term is evaluated ONLY on docs
     containing that term (doc_evals counts the restriction)."""
