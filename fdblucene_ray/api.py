@@ -120,6 +120,11 @@ class Index:
         """Nested boolean expression: (a OR b) AND NOT c."""
         return self.searcher.search_expr(q, k, **kw)
 
+    def rescore(self, query: str, rescore_phrase: str, k: int = 10, **kw):
+        """Two-phase retrieval (QueryRescorer analog): BM25 window,
+        phrase-rescored; see Searcher.rescore."""
+        return self.searcher.rescore(query, rescore_phrase, k, **kw)
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 

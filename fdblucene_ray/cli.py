@@ -179,6 +179,21 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_rescore(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    hits = s.rescore(
+        args.query, args.phrase, args.k, window=args.window,
+        field=args.field, query_weight=args.query_weight,
+        rescore_weight=args.rescore_weight, slop=args.slop,
+    )
+    for rank, (doc, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.search import Searcher
@@ -426,6 +441,19 @@ def main(argv=None) -> int:
     ml.add_argument("--k", type=int, default=10)
     ml.add_argument("--max-terms", type=int, default=10, dest="max_terms")
     ml.set_defaults(fn=cmd_mlt)
+
+    rs = sub.add_parser("rescore",
+                        help="two-phase: BM25 window, phrase-rescored")
+    rs.add_argument("index")
+    rs.add_argument("query")
+    rs.add_argument("phrase")
+    rs.add_argument("-k", type=int, default=10)
+    rs.add_argument("--window", type=int, default=50)
+    rs.add_argument("--field", default="text")
+    rs.add_argument("--query-weight", type=float, default=1.0)
+    rs.add_argument("--rescore-weight", type=float, default=1.0)
+    rs.add_argument("--slop", type=int, default=0)
+    rs.set_defaults(fn=cmd_rescore)
 
     st_ = sub.add_parser("stats", help="index diagnostics (CheckIndex-lite)")
     st_.add_argument("--index", required=True)

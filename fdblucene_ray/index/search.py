@@ -2331,6 +2331,52 @@ class Searcher:
         hits = self.search_terms(terms, k + 1, field=field)
         return [(d, s) for d, s in hits if d != doc_id][:k]
 
+    def rescore(
+        self,
+        query: str,
+        rescore_phrase: str,
+        k: int = 10,
+        *,
+        window: int = 50,
+        field: str = "text",
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        slop: int = 0,
+        operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Two-phase retrieval (Lucene ``QueryRescorer`` / ES rescore
+        analog): a cheap BM25 first pass takes the top-``window`` docs
+        (WAND-accelerated), then ONLY that window is re-scored with an
+        expensive (sloppy-)phrase query; final score = query_weight *
+        bm25 + rescore_weight * phrase_bm25, docs without the phrase
+        keeping just the weighted first-pass term (Lucene's
+        QueryRescorer combine). Only the window can reorder — docs
+        outside it are never touched, which is the whole point at
+        10^9-doc scale: the proximity query's position decode cost is
+        bounded by ``window``, not by the corpus.
+
+        Reference tie-in: second-phase scoring over the Layer-C search
+        surface (SimpleFDBDirectoryTest.java:149-158)."""
+        first = self.search_terms(
+            self.parse(query, field), window, field=field,
+            operator=operator,
+        )
+        if not first:
+            return []
+        # phrase scores, intersected with the window (the match set is
+        # computed once; the per-candidate-block lazy position decode
+        # of search_near applies when window ≪ phrase df)
+        ph = dict(
+            self.search_phrase(rescore_phrase, 1 << 31, field=field,
+                               slop=slop)
+        )
+        hits = [
+            (d, query_weight * s + rescore_weight * ph.get(d, 0.0))
+            for d, s in first
+        ]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
     def facet_counts(
         self,
         query: str,

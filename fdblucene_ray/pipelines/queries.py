@@ -504,6 +504,17 @@ def q_ft_phrase_slop(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_rescore(sf_dir: str) -> pa.Table:
+    """Two-phase retrieval (QueryRescorer analog): BM25 OR top-30
+    window for "data merge", window-only rescore by the phrase
+    "batch stream" at weight 2.0, final top-10."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.rescore("data merge", "batch stream", 10, window=30,
+                  rescore_weight=2.0)
+    )
+
+
 def q_percolate(sf_dir: str) -> pa.Table:
     """Percolation (reverse search, Lucene monitor analog): three
     registered boolean queries matched against the document stream."""
@@ -1732,6 +1743,7 @@ def queries() -> dict:
         "ft_explain": q_ft_explain,
         "ft_phrase": q_ft_phrase,
         "ft_phrase_slop": q_ft_phrase_slop,
+        "ft_rescore": q_ft_rescore,
         "ft_highlight": q_ft_highlight,
         "ft_near_unordered": q_ft_near_unordered,
         "ft_near_ordered": q_ft_near_ordered,
@@ -2140,6 +2152,42 @@ SELECT t1.doc_id, count(*)::BIGINT AS phrase_freq
 FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.tok = 'batch' AND t2.tok = 'stream'
 GROUP BY t1.doc_id
+""",
+        "ft_rescore": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+fw AS (SELECT doc_id, sum(s) AS bm25 FROM contrib GROUP BY doc_id
+       ORDER BY bm25 DESC, doc_id LIMIT 30),
+lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+pfreq AS (SELECT t1.doc_id, count(*)::DOUBLE AS pf
+          FROM ptoks t1 JOIN ptoks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+          WHERE t1.tok = 'batch' AND t2.tok = 'stream' GROUP BY t1.doc_id),
+pdf AS (SELECT
+  (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'batch')::DOUBLE AS df_b,
+  (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'stream')::DOUBLE AS df_s),
+pidf AS (SELECT ln(1 + (stats.dc - pdf.df_b + 0.5) / (pdf.df_b + 0.5))
+              + ln(1 + (stats.dc - pdf.df_s + 0.5) / (pdf.df_s + 0.5)) AS idf
+         FROM pdf CROSS JOIN stats),
+ps AS (SELECT pfreq.doc_id,
+              pidf.idf * pf / (pf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS psc
+       FROM pfreq JOIN dlq ON dlq.doc_id = pfreq.doc_id
+       CROSS JOIN pidf CROSS JOIN stats),
+fin AS (SELECT fw.doc_id, 1.0 * fw.bm25 + 2.0 * coalesce(ps.psc, 0) AS score
+        FROM fw LEFT JOIN ps ON ps.doc_id = fw.doc_id)
+SELECT doc_id::BIGINT AS doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM fin ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_phrase_slop": """
 WITH lists AS (

@@ -288,3 +288,44 @@ class TestSloppyPhrase:
         got = s.query('"quick fox"~2', k=30)
         exp = s.search_phrase("quick fox", k=30, slop=2)
         assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+class TestRescore:
+    def test_rescore_combines_and_respects_window(self, built):
+        """QueryRescorer analog: final = qw*bm25 + rw*phrase for docs
+        INSIDE the first-pass window; docs outside it never appear
+        even when they contain the phrase; weights verified against
+        the two single-query surfaces."""
+        ix, _ = built
+        s = Searcher(ix)
+        qw, rw = 1.0, 2.0
+        window = 5
+        first = s.search_terms(s.parse("quick", "text"), window)
+        ph = dict(s.search_phrase("quick brown", 1 << 31))
+
+        got = s.rescore("quick", "quick brown", 10, window=window,
+                        query_weight=qw, rescore_weight=rw)
+        exp = sorted(
+            ((d, qw * sc + rw * ph.get(d, 0.0)) for d, sc in first),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == exp[:10]
+        # window restriction: phrase-bearing docs outside the window
+        # are absent from the result
+        in_window = {d for d, _ in first}
+        assert all(d in in_window for d, _ in got)
+        outside = set(ph) - in_window
+        if outside:
+            assert not ({d for d, _ in got} & outside)
+
+    def test_rescore_no_phrase_is_first_pass(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        got = s.rescore("quick", "zzz absent", 5, window=8)
+        exp = s.search_terms(s.parse("quick", "text"), 8)[:5]
+        assert got == exp
+
+    def test_rescore_empty_first_pass(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        assert s.rescore("notaterm", "quick brown", 5) == []
