@@ -179,3 +179,66 @@ def test_manifest_identical_across_batch_and_parallelism_shapes(tmp_path, ray_se
         return h.hexdigest()
 
     assert digest(str(tmp_path / "a")) == digest(str(tmp_path / "b"))
+
+
+def test_concurrent_shards_match_sequential(shard_files, tmp_path, ray_session):
+    """concurrent_shards only changes SCHEDULING: segment names,
+    manifest and search results are identical to the sequential build
+    (determinism is what makes crash-resume safe under concurrency)."""
+    fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    ix_seq = str(tmp_path / "seq")
+    ix_con = str(tmp_path / "con")
+    m_seq = build_sharded([[p] for p in shard_files], ix_seq, fields=fields,
+                          num_partitions_per_shard=3)
+    m_con = build_sharded([[p] for p in shard_files], ix_con, fields=fields,
+                          num_partitions_per_shard=3, concurrent_shards=3)
+    assert [s.name for s in m_con.segments] == \
+        [s.name for s in m_seq.segments]
+    ss, sc = Searcher(ix_seq), Searcher(ix_con)
+    assert sc.field_stats("text") == ss.field_stats("text")
+    for q in ["hello everybody", "term1 term7"]:
+        assert sc.search(q, 10) == ss.search(q, 10), q
+
+
+def test_concurrent_resume_skips_finished_shard(shard_files, tmp_path,
+                                                ray_session):
+    """Crash mid-ingest: shard 0 finished (done-record on disk), the
+    driver died before shards 1-2. The concurrent re-run must SKIP
+    shard 0's input entirely (done-record untouched) and complete the
+    rest."""
+    ix = str(tmp_path / "crash")
+    fields = {"text": {"column": "text", "analyzer": "lucene"}}
+    # phase 1 = the pre-crash run: only shard 0 completed. Passing the
+    # full 3-shard layout keeps shard 0's doc_base/signature identical
+    # to the final run's; monkeypatched build_index raises after it.
+    import fdblucene_ray.index.build as b
+
+    real_build = b.build_index
+    calls = []
+
+    def crash_after_first(source, index_dir, **kw):
+        calls.append(source)
+        if len(calls) > 1:
+            raise RuntimeError("simulated driver crash")
+        return real_build(source, index_dir, **kw)
+
+    b.build_index = crash_after_first
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            build_sharded([[p] for p in shard_files], ix, fields=fields,
+                          num_partitions_per_shard=3)
+    finally:
+        b.build_index = real_build
+    done0 = None
+    for root, _, files in os.walk(os.path.join(ix, "lineage")):
+        for f in files:
+            if f == "_shard_done.json":
+                done0 = os.path.join(root, f)
+    assert done0 is not None  # exactly the finished shard's record
+    mtime0 = os.stat(done0).st_mtime_ns
+
+    m = build_sharded([[p] for p in shard_files], ix, fields=fields,
+                      num_partitions_per_shard=3, concurrent_shards=3)
+    assert os.stat(done0).st_mtime_ns == mtime0  # shard 0 never re-ran
+    assert Searcher(ix).num_docs("text") == 600
+    assert len({s.name for s in m.segments}) == len(m.segments)
