@@ -27,9 +27,11 @@ class Index:
     """An opened index snapshot (manifest-pinned, like DirectoryReader)."""
 
     def __init__(self, index_dir: str, *, k1: float = 1.2, b: float = 0.75,
+                 mu: float = 2000.0, lam: float = 0.1,
                  version: int | None = None):
         self.index_dir = index_dir
-        self.searcher = Searcher(index_dir, k1=k1, b=b, version=version)
+        self.searcher = Searcher(index_dir, k1=k1, b=b, mu=mu, lam=lam,
+                                 version=version)
 
     # ---- lifecycle ----
     @classmethod
@@ -62,7 +64,8 @@ class Index:
         """Open a retained commit point (point-in-time snapshot),
         keeping this reader's similarity knobs."""
         return Index(self.index_dir, k1=self.searcher.k1,
-                     b=self.searcher.b, version=version)
+                     b=self.searcher.b, mu=self.searcher.mu,
+                     lam=self.searcher.lam, version=version)
 
     def commits(self) -> list[int]:
         from fdblucene_ray.index.manifest import list_commits
@@ -124,6 +127,11 @@ class Index:
         """Two-phase retrieval (QueryRescorer analog): BM25 window,
         phrase-rescored; see Searcher.rescore."""
         return self.searcher.rescore(query, rescore_phrase, k, **kw)
+
+    def block_join(self, query: str, k: int = 10, **kw):
+        """Nested-document parent join (ToParentBlockJoinQuery analog);
+        see Searcher.search_block_join."""
+        return self.searcher.search_block_join(query, k, **kw)
 
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)

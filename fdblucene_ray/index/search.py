@@ -199,6 +199,7 @@ class TermCursor:
 _EXHAUSTED = 1 << 62
 
 _NO_TOMB = np.empty(0, np.int64)
+_EMPTY_HITS = (np.empty(0, np.int64), np.empty(0, np.float64))
 
 
 class UnionCursor:
@@ -333,6 +334,7 @@ class Searcher:
 
     def __init__(self, index_dir: str, manifest: Manifest | None = None,
                  *, k1: float = K1, b: float = B,
+                 mu: float = 2000.0, lam: float = 0.1,
                  version: int | None = None):
         """``k1``/``b``: BM25 similarity knobs (U6 Similarity-SPI analog;
         defaults are the Lucene-8 defaults the north star mandates).
@@ -355,6 +357,10 @@ class Searcher:
         self.totals = self.manifest.field_totals()
         self.k1 = k1
         self.b = b
+        # language-model similarity knobs (U6 Similarity SPI): Dirichlet
+        # smoothing mass and Jelinek-Mercer interpolation weight
+        self.mu = mu
+        self.lam = lam
         # liveDocs: tombstoned docs never match; collection/term stats
         # still INCLUDE them until a full rewrite purges (Lucene
         # semantics — deletes don't change docCount/df until merge)
@@ -479,35 +485,63 @@ class Searcher:
         like one doc-sorted stream per clause."""
         if not terms:
             return []
-        dc, _, avgdl = self.field_stats(field)
+        dc, sttf, avgdl = self.field_stats(field)
         if dc == 0:
             return []
         ncache = bm25_norm_cache(avgdl, self.k1, self.b)
         idf_fn = classic_idf if similarity == "classic" else bm25_idf
+        lm = similarity in ("lmd", "lmjm")
         # clause list: (qidx order preserved for float-identical accumulation)
         live = []
         total_df = 0
         for t in terms:
-            df, _ = self.term_stats(field, t)
+            df, ttf = self.term_stats(field, t)
             if df == 0:
                 if operator == "and":
                     return []  # conjunction with an absent term matches nothing
                 continue
             total_df += df
-            live.append((t, idf_fn(dc, df)))
+            # LM similarities weight clauses by the collection language
+            # model p(t|C) = ttf / sumTotalTermFreq, not by idf
+            live.append((t, ttf / float(sttf) if lm else idf_fn(dc, df)))
         if not live:
             return []
         bs = self.manifest.block_size
         self.last_stats = {}
-        if similarity == "classic":
+        if similarity in ("classic", "lmd", "lmjm"):
+            # non-BM25 similarities run on the vectorized exhaustive twin
+            # (block-max metadata stores BM25 impacts, so WAND bounds
+            # don't transfer); dl is the lossy byte4-quantized length
             dl = DECODE_TABLE.astype(np.float64)
+            if similarity == "classic":
 
-            def classic_fn(idf, tfs, norms):
-                return (idf * idf) * np.sqrt(tfs) / np.sqrt(dl[norms])
+                def score_fn(idf, tfs, norms):
+                    return (idf * idf) * np.sqrt(tfs) / np.sqrt(dl[norms])
+
+            elif similarity == "lmd":
+                # LM with Dirichlet smoothing (Zhai & Lafferty 2001;
+                # Lucene LMDirichletSimilarity): per matched term
+                #   max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
+                # clamped at zero exactly like Lucene 8
+                mu = self.mu
+
+                def score_fn(p, tfs, norms):
+                    d = dl[norms]
+                    s = np.log(1.0 + tfs / (mu * p)) + np.log(mu / (d + mu))
+                    return np.maximum(s, 0.0)
+
+            else:
+                # LM Jelinek-Mercer (Lucene LMJelinekMercerSimilarity):
+                #   ln(1 + ((1-lambda)/lambda) * (tf/dl) / p)
+                c = (1.0 - self.lam) / self.lam
+
+                def score_fn(p, tfs, norms):
+                    d = dl[norms]
+                    return np.log(1.0 + c * (tfs / d) / p)
 
             candidates = _exhaustive(
                 self.readers, live, field, ncache, operator, k, bs,
-                self.tombstones, score_fn=classic_fn,
+                self.tombstones, score_fn=score_fn,
             )
             candidates.sort(key=lambda x: (-x[1], x[0]))
             return candidates[:k]
@@ -2377,6 +2411,85 @@ class Searcher:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    def search_block_join(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        operator: str = "or",
+        parent_stride: int | None = None,
+        parent_of: np.ndarray | None = None,
+        score_mode: str = "max",
+    ) -> list[tuple[int, float, int]]:
+        """Nested-document join (Lucene ``ToParentBlockJoinQuery``
+        analog): score EVERY child doc matching ``query`` with BM25,
+        join child hits up to their parent, aggregate with
+        ``score_mode`` ("max" | "total" | "avg" | "none" — Lucene's
+        ScoreMode; "none" scores each parent 1.0), and return the
+        top-k parents as ``(parent_id, score, n_children)``.
+
+        Parent mapping: Lucene requires children of one parent to be
+        indexed as a contiguous block; the analog here is
+        ``parent_stride`` (children of parent p are doc ids
+        [p*stride, (p+1)*stride)) or an explicit ``parent_of`` array
+        indexed by doc id (a doc-values sidecar at real scale).
+
+        Everything stays vectorized: the exhaustive scorer returns
+        (docs, scores) arrays and the parent aggregation is one
+        np.unique + ufunc.at pass — no per-child Python objects even
+        when the child match set is corpus-sized.
+
+        Reference tie-in: Layer-C query surface behind
+        ``IndexSearcher.search`` (SimpleFDBDirectoryTest.java:152-155).
+        """
+        if (parent_stride is None) == (parent_of is None):
+            raise ValueError("exactly one of parent_stride / parent_of")
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        live = []
+        for t in terms:
+            df, _ = self.term_stats(field, t)
+            if df == 0:
+                if operator == "and":
+                    return []
+                continue
+            live.append((t, bm25_idf(dc, df)))
+        if not live:
+            return []
+        docs, scores = _exhaustive_arrays(
+            self.readers, live, field, ncache, operator,
+            self.manifest.block_size, self.tombstones,
+        )
+        if not len(docs):
+            return []
+        if parent_of is not None:
+            parents = np.asarray(parent_of)[docs]
+        else:
+            parents = docs // parent_stride
+        uniq, inv = np.unique(parents, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, 1)
+        if score_mode == "max":
+            agg = np.full(len(uniq), -np.inf)
+            np.maximum.at(agg, inv, scores)
+        elif score_mode in ("total", "avg"):
+            agg = np.zeros(len(uniq))
+            np.add.at(agg, inv, scores)  # child-doc-asc accumulation
+            if score_mode == "avg":
+                agg = agg / cnt
+        elif score_mode == "none":
+            agg = np.ones(len(uniq))
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        sel = np.lexsort((uniq, -agg))[:k]
+        return [(int(uniq[i]), float(agg[i]), int(cnt[i])) for i in sel]
+
     def facet_counts(
         self,
         query: str,
@@ -2770,6 +2883,20 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
     array (streams are doc-disjoint), score with one numpy expression.
     Tombstoned docs are masked out of every clause stream (liveDocs).
     """
+    docs_all, score_all = _exhaustive_arrays(
+        readers, live_terms, field, ncache, operator, block_size, tomb,
+        score_fn=score_fn,
+    )
+    sel = np.lexsort((docs_all, -score_all))[:k]
+    return [(int(docs_all[i]), float(score_all[i])) for i in sel]
+
+
+def _exhaustive_arrays(readers, live_terms, field, ncache, operator,
+                       block_size, tomb=_NO_TOMB, score_fn=None):
+    """Core of ``_exhaustive``: ALL matching (docs, scores) as numpy
+    arrays (doc-id ascending), no top-k cut and no Python tuple
+    materialization — shared by block-join aggregation, which needs
+    every matching child, not a top-k."""
     per_term = []
     for t, idf in live_terms:  # query order == accumulation order
         parts_d, parts_t, parts_n = [], [], []
@@ -2783,7 +2910,7 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
             parts_n.append(nb)
         if not parts_d:
             if operator == "and":
-                return []
+                return _EMPTY_HITS
             continue
         docs = np.concatenate(parts_d)
         tfs = np.concatenate(parts_t).astype(np.float64)
@@ -2792,7 +2919,7 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
         if am is not None:
             docs, tfs, norms = docs[am], tfs[am], norms[am]
             if operator == "and" and not len(docs):
-                return []
+                return _EMPTY_HITS
         order = np.argsort(docs, kind="stable")
         docs, tfs, norms = docs[order], tfs[order], norms[order]
         if score_fn is None:
@@ -2801,28 +2928,25 @@ def _exhaustive(readers, live_terms, field, ncache, operator, k, block_size,
             scores = score_fn(idf, tfs, norms)
         per_term.append((docs, scores))
     if not per_term:
-        return []
+        return _EMPTY_HITS
     if operator == "and":
         cand = per_term[0][0]
         for docs, _ in per_term[1:]:
             cand = np.intersect1d(cand, docs)
         if not len(cand):
-            return []
+            return _EMPTY_HITS
         total = np.zeros(len(cand))
         for docs, scores in per_term:  # clause-order accumulation
             total += scores[np.searchsorted(docs, cand)]
-        docs_all, score_all = cand, total
-    else:
-        all_docs = np.concatenate([d for d, _ in per_term])
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        total = np.zeros(len(uniq))
-        off = 0
-        for docs, scores in per_term:  # clause-order accumulation
-            np.add.at(total, inv[off : off + len(docs)], scores)
-            off += len(docs)
-        docs_all, score_all = uniq, total
-    sel = np.lexsort((docs_all, -score_all))[:k]
-    return [(int(docs_all[i]), float(score_all[i])) for i in sel]
+        return cand, total
+    all_docs = np.concatenate([d for d, _ in per_term])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    total = np.zeros(len(uniq))
+    off = 0
+    for docs, scores in per_term:  # clause-order accumulation
+        np.add.at(total, inv[off : off + len(docs)], scores)
+        off += len(docs)
+    return uniq, total
 
 
 def _wand(readers, live_terms, field, ncache, k, block_size, tomb=_NO_TOMB):

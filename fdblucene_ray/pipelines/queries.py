@@ -467,6 +467,42 @@ def q_ft_tfidf(sf_dir: str) -> pa.Table:
     return _hits_table(s.search("data merge", k=10, similarity="classic"))
 
 
+def q_ft_lm_dirichlet(sf_dir: str) -> pa.Table:
+    """Pluggable Similarity (SURVEY U6): LM with Dirichlet smoothing
+    (Zhai & Lafferty; Lucene LMDirichletSimilarity, mu=2000) — per
+    matched term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))) with
+    p = ttf/sumTotalTermFreq, dl byte4-quantized."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search("data merge", k=10, similarity="lmd"))
+
+
+def q_ft_lm_jm(sf_dir: str) -> pa.Table:
+    """Pluggable Similarity (SURVEY U6): LM Jelinek-Mercer (Lucene
+    LMJelinekMercerSimilarity, lambda=0.1) — per matched term
+    ln(1 + ((1-lambda)/lambda) * (tf/dl) / p)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search("data merge", k=10, similarity="lmjm"))
+
+
+def q_ft_block_join(sf_dir: str) -> pa.Table:
+    """Nested-document join (ToParentBlockJoinQuery analog): children
+    of parent p are the contiguous doc block [8p, 8p+8); child BM25
+    hits for "data merge" roll up to parents with ScoreMode.Max."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search_block_join(
+        "data merge", 10, parent_stride=8, score_mode="max"
+    )
+    return pa.table(
+        {
+            "parent_id": pa.array([p for p, _, _ in hits], pa.int64()),
+            "score": _round_col(
+                np.array([s_ for _, s_, _ in hits] or [], np.float64), 4
+            ),
+            "n_children": pa.array([c for _, _, c in hits], pa.int64()),
+        }
+    )
+
+
 def q_ft_filter(sf_dir: str) -> pa.Table:
     """BooleanQuery with an Occur.FILTER clause: +data #merge — the
     filter is required for matching but contributes no score (Lucene
@@ -1762,6 +1798,9 @@ def queries() -> dict:
         "ft_payload_score": q_ft_payload_score,
         "ft_multi_index": q_ft_multi_index,
         "ft_tfidf": q_ft_tfidf,
+        "ft_lm_dirichlet": q_ft_lm_dirichlet,
+        "ft_lm_jm": q_ft_lm_jm,
+        "ft_block_join": q_ft_block_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
@@ -2014,6 +2053,67 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_lm_dirichlet": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+ttf AS (SELECT tok, count(*)::DOUBLE AS ttf FROM toks
+        WHERE tok IN ('data', 'merge') GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         greatest(
+           ln(1 + tf.tf / (2000.0 * (ttf.ttf / stats.sttf)))
+             + ln(2000.0 / (dlq.dlq + 2000.0)),
+           0.0) AS s
+  FROM tf
+  JOIN ttf ON ttf.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_lm_jm": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+ttf AS (SELECT tok, count(*)::DOUBLE AS ttf FROM toks
+        WHERE tok IN ('data', 'merge') GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + ((1.0 - 0.1) / 0.1) * (tf.tf / dlq.dlq)
+                  / (ttf.ttf / stats.sttf)) AS s
+  FROM tf
+  JOIN ttf ON ttf.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_block_join": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+par AS (SELECT doc_id // 8 AS parent_id, max(score) AS score,
+               count(*)::BIGINT AS n_children
+        FROM scored GROUP BY doc_id // 8)
+SELECT parent_id, CAST(round(score, 4) AS DOUBLE) AS score, n_children
+FROM par ORDER BY score DESC, parent_id LIMIT 10
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
         # federated MultiReader search == single-index semantics, so

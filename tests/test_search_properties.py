@@ -365,3 +365,140 @@ def test_bm25f_wand_skips_blocks(tmp_path, ray_session):
     stats = s.last_stats
     assert stats["total_blocks"] >= 75  # 'head' df=600, block_size=8
     assert stats["blocks_decoded"] < stats["total_blocks"] // 2
+
+
+@pytest.mark.parametrize("sim", ["lmd", "lmjm"])
+def test_lm_similarities_match_oracle(sim, tmp_path, ray_session):
+    """Language-model similarities (pluggable-Similarity surface, U6):
+    engine scores == pure-Python recomputation from oracle postings —
+    LM Dirichlet (mu=2000, per-term zero clamp, Lucene 8 semantics) and
+    LM Jelinek-Mercer (lambda=0.1), both on the byte4-quantized dl and
+    the collection model p(t|C) = ttf / sumTotalTermFreq."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.codec.smallfloat import byte4_to_int
+
+    texts = _random_corpus(31, 250, 18, 25)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+    mu, lam = 2000.0, 0.1
+    for q in ["w0 w3", "w1", "w2 w5 w9"]:
+        got = s.search(q, 10, similarity=sim)
+        terms = list(dict.fromkeys(oracle.analyzer.tokens(q)))
+        exp_scores: dict[int, float] = {}
+        for term in terms:
+            plist = oracle.postings.get(term, [])
+            if not plist:
+                continue
+            ttf = sum(tf for _, tf in plist)
+            p = ttf / float(oracle.sum_dl)
+            for d, tf in plist:
+                dl = float(byte4_to_int(oracle.norm_byte[d]))
+                if sim == "lmd":
+                    sc = math.log(1.0 + tf / (mu * p)) + math.log(
+                        mu / (dl + mu))
+                    sc = max(sc, 0.0)
+                else:
+                    sc = math.log(
+                        1.0 + ((1.0 - lam) / lam) * (tf / dl) / p)
+                exp_scores[d] = exp_scores.get(d, 0.0) + sc
+        exp = sorted(exp_scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert [d for d, _ in got] == [d for d, _ in exp], (sim, q)
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
+@pytest.mark.parametrize("score_mode", ["max", "total", "avg", "none"])
+def test_block_join_matches_bruteforce(score_mode, tmp_path, ray_session):
+    """ToParentBlockJoinQuery analog: parent aggregation over ALL child
+    BM25 hits equals a brute-force rollup of exhaustive search results
+    for every ScoreMode, for both OR and AND child queries."""
+    import pyarrow.parquet as pq
+
+    texts = _random_corpus(37, 320, 20, 30)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    s = Searcher(ix)
+    stride = 8
+    for q, op in [("w0 w3", "or"), ("w1 w2", "and"), ("w5", "or")]:
+        got = s.search_block_join(
+            q, 10, parent_stride=stride, score_mode=score_mode,
+            operator=op,
+        )
+        # brute force: every child hit from the engine's own full
+        # search (k = corpus size), rolled up in plain Python
+        child = s.search(q, 10_000, mode="exhaustive", operator=op)
+        groups: dict[int, list[float]] = {}
+        for d, sc in child:
+            groups.setdefault(d // stride, []).append(sc)
+        exp = []
+        for p, scs in groups.items():
+            if score_mode == "max":
+                v = max(scs)
+            elif score_mode == "total":
+                v = sum(scs)
+            elif score_mode == "avg":
+                v = sum(scs) / len(scs)
+            else:
+                v = 1.0
+            exp.append((p, v, len(scs)))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        exp = exp[:10]
+        assert [p for p, _, _ in got] == [p for p, _, _ in exp], (q, op)
+        assert [c for _, _, c in got] == [c for _, _, c in exp]
+        for (_, a, _), (_, b, _) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_block_join_parent_of_array(tmp_path, ray_session):
+    """Explicit parent_of doc-values mapping (non-contiguous blocks)."""
+    import pyarrow.parquet as pq
+
+    texts = [f"w{i % 5}" for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=2, batch_size=16)
+    s = Searcher(ix)
+    parent_of = np.arange(40) % 7  # interleaved parents
+    got = s.search_block_join(
+        "w0", 7, parent_of=parent_of, score_mode="total")
+    child = dict(s.search("w0", 100, mode="exhaustive"))
+    exp: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for d, sc in child.items():
+        p = int(parent_of[d])
+        exp[p] = exp.get(p, 0.0) + sc
+        cnt[p] = cnt.get(p, 0) + 1
+    rows = sorted(
+        ((p, v, cnt[p]) for p, v in exp.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:7]
+    assert got == [(p, pytest.approx(v), c) for p, v, c in rows]
+    with pytest.raises(ValueError):
+        s.search_block_join("w0", 5)  # neither mapping given
+    with pytest.raises(ValueError):
+        s.search_block_join("w0", 5, parent_stride=4,
+                            parent_of=parent_of)  # both given
