@@ -252,6 +252,48 @@ def sample_hash(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# second mixing round for the seeded shuffle; chosen so the worst-case
+# intermediate ((2^32-1) * 1597334677) stays within int64 — the same
+# expression is exact in DuckDB BIGINT arithmetic
+_SHUF = 1597334677
+
+
+def shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded deterministic shuffle key: two multiplicative rounds of
+    knuth_hash32 with the seed folded in between —
+    ``(((id*2654435761) % 2^32 + seed) % 2^32) * 1597334677 % 2^32``.
+    All intermediates fit int64, so the identical expression runs in
+    DuckDB BIGINT (the SQL oracle) and numpy."""
+    h = knuth_hash32(ids)
+    return ((h + int(seed)) % _MOD32) * _SHUF % _MOD32
+
+
+def seeded_shuffle(
+    ds: ray.data.Dataset,
+    seed: int = 0,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic global training-data shuffle: order the corpus by
+    ``shuffle_key(id, seed)`` (ties by id). Unlike ``random_shuffle()``
+    this is reproducible across runs, retries and cluster sizes —
+    epoch N is ``seeded_shuffle(ds, seed=N)`` and every worker, resume
+    and re-run sees the same permutation, which is what makes a
+    100-TB training job's data order auditable. The scale path is Ray
+    Data's distributed sort (range exchange): rows move once, no
+    driver-side materialization."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shuffle_key", pa.array(shuffle_key(ids, seed))
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return keyed.sort(["shuffle_key", id_col])
+
+
 def sample_stratified(
     ds: ray.data.Dataset,
     group_col: str,

@@ -101,6 +101,93 @@ def exact_dedup(
     )
 
 
+class _SeenContentFilter:
+    """Actor-pool filter: drop rows whose content digest is in the
+    broadcast key set (exact sorted array or Bloom filter)."""
+
+    def __init__(self, keys_ref, text_col: str, bloom: bool):
+        obj = ray.get(keys_ref) if not isinstance(
+            keys_ref, (np.ndarray, bytes)
+        ) else keys_ref
+        if bloom:
+            from fdblucene_ray.ops.sketches import BloomFilter
+
+            self.bf = BloomFilter.from_bytes(obj)
+            self.keys = None
+        else:
+            self.bf = None
+            self.keys = np.asarray(obj)  # sorted int64
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, ln = content_digest(batch[self.text_col])
+        key = (h ^ splitmix64(ln.astype(np.uint64))).astype(np.int64)
+        if self.bf is not None:
+            seen = self.bf.contains(key.view(np.uint64))
+        elif len(self.keys):
+            pos = np.searchsorted(self.keys, key)
+            pos[pos == len(self.keys)] = 0
+            seen = self.keys[pos] == key
+        else:
+            seen = np.zeros(len(key), bool)
+        return batch.filter(pa.array(~seen))
+
+
+def incremental_dedup(
+    new_ds: ray.data.Dataset,
+    old_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bloom_fpr: float | None = None,
+) -> ray.data.Dataset:
+    """Cross-shard dedup: drop new docs whose exact content already
+    exists in a prior corpus, then exact-dedup the survivors — one row
+    per kept doc: (doc_id = min new id, dup_count within new). The
+    daily-increment shape at 100 TB: the history NEVER re-shuffles.
+
+    Scale shape: the old corpus is reduced to one digest-key partial
+    per distinct content inside ``map_batches`` (text never leaves the
+    hashing stage), the distinct keys are broadcast once via
+    ``ray.put`` (8 bytes per distinct doc; ``bloom_fpr`` compresses to
+    ~10 bits/key when history is 10^9+ docs — a Bloom false positive
+    drops a genuinely-new doc, never keeps a dup), and the new shard
+    streams through a vectorized searchsorted filter."""
+    old_partials = old_ds.map_batches(
+        PartialDedup(text_col, id_col), batch_format="pyarrow"
+    )
+    # distinct digest keys only — never content — leave the cluster
+    parts = []
+    for b in old_partials.select_columns(
+        ["content_hash", "content_len"]
+    ).iter_batches(batch_format="pyarrow"):
+        h = b["content_hash"].to_numpy().astype(np.uint64)
+        ln = b["content_len"].to_numpy().astype(np.uint64)
+        parts.append((h ^ splitmix64(ln)).astype(np.int64))
+    keys = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    if bloom_fpr is not None:
+        from fdblucene_ray.ops.sketches import BloomFilter
+
+        bf = BloomFilter(max(1, len(keys)), fpr=bloom_fpr)
+        bf.add(keys.view(np.uint64))
+        keys_ref = ray.put(bf.to_bytes())
+    else:
+        keys_ref = ray.put(keys)
+    fresh = new_ds.map_batches(
+        _SeenContentFilter,
+        fn_constructor_kwargs=dict(
+            keys_ref=keys_ref, text_col=text_col,
+            bloom=bloom_fpr is not None,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return exact_dedup(fresh, text_col, id_col)
+
+
 # ---------------------------------------------------------------- minhash
 
 N_PERM = 64

@@ -784,6 +784,45 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Cross-shard incremental dedup: the second half of the corpus
+    (the "daily increment") deduped against the first half (the
+    history) — history reduced to broadcast digest keys, increment
+    streamed through a vectorized membership filter, survivors
+    exact-deduped. One row per kept new doc: (doc_id, dup_count)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.ops.dedup import incremental_dedup
+
+    split = (pq.read_metadata(_docs_path(sf_dir)).num_rows - 1) // 2
+    old = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pc.field("doc_id") <= split,
+    )
+    new = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"],
+        filter=pc.field("doc_id") > split,
+    )
+    return _collect(incremental_dedup(new, old))
+
+
+def q_train_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic seeded global shuffle (epoch ordering for training
+    data): first 50 docs of the seed-42 permutation, with rank."""
+    from fdblucene_ray.ops.curation import seeded_shuffle
+
+    ds = seeded_shuffle(_docs_ds(sf_dir, ["doc_id"]), seed=42).limit(50)
+    df = ds.to_pandas()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(df), dtype=np.int64)),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "shuffle_key": pa.array(df["shuffle_key"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.dedup import minhash_lsh_pairs
 
@@ -1818,6 +1857,8 @@ def queries() -> dict:
         "ft_delete_purge_search": q_ft_delete_purge_search,
         "search_lucene": q_search_lucene,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "train_shuffle": q_train_shuffle,
         "dedup_minhash": q_dedup_minhash,
         "dedup_near_corpus": q_dedup_near_corpus,
         "dedup_simhash": q_dedup_simhash,
@@ -2603,6 +2644,26 @@ FROM s ORDER BY score DESC, term LIMIT 20
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY text"
         ),
+        "dedup_incremental": """
+WITH split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+old AS (SELECT DISTINCT text FROM documents, split WHERE doc_id <= s),
+new AS (SELECT doc_id, text FROM documents, split WHERE doc_id > s),
+fresh AS (SELECT doc_id, text FROM new
+          WHERE text NOT IN (SELECT text FROM old))
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+FROM fresh GROUP BY text
+""",
+        "train_shuffle": """
+WITH keyed AS (
+  SELECT doc_id,
+         ((((doc_id * 2654435761) % 4294967296) + 42) % 4294967296)
+           * 1597334677 % 4294967296 AS shuffle_key
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS rank,
+       doc_id, shuffle_key::BIGINT AS shuffle_key
+FROM keyed ORDER BY shuffle_key, doc_id LIMIT 50
+""",
         "lang_id": f"""
 WITH {TOKS_CTE},
 c AS (

@@ -370,3 +370,76 @@ class TestDupNgrams:
         texts = ["just two", "alpha beta gamma", "alpha beta gamma"]
         out = {r["doc_id"] for r in dup_ngram_stats(_docs(texts), n=3).take_all()}
         assert out == {1, 2}
+
+
+class TestSeededShuffle:
+    def test_permutation_and_determinism(self):
+        from fdblucene_ray.ops.curation import seeded_shuffle, shuffle_key
+
+        n = 200
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), pa.int64())})
+        )
+        a = seeded_shuffle(ds, seed=7).to_pandas()
+        # a permutation of the input, in shuffle_key order
+        assert sorted(a["doc_id"]) == list(range(n))
+        keys = a["shuffle_key"].to_numpy()
+        assert np.all(np.diff(keys) >= 0)
+        np.testing.assert_array_equal(
+            keys, shuffle_key(a["doc_id"].to_numpy(), 7)
+        )
+        # reproducible: a second run is byte-identical
+        b = seeded_shuffle(ds, seed=7).to_pandas()
+        assert a.equals(b)
+
+    def test_seed_changes_order(self):
+        from fdblucene_ray.ops.curation import seeded_shuffle
+
+        n = 200
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), pa.int64())})
+        )
+        a = seeded_shuffle(ds, seed=1).to_pandas()["doc_id"].tolist()
+        b = seeded_shuffle(ds, seed=2).to_pandas()["doc_id"].tolist()
+        assert a != b  # different epoch, different permutation
+        assert sorted(a) == sorted(b) == list(range(n))
+
+
+class TestIncrementalDedup:
+    def _split_corpus(self):
+        # history 0-9; increment 10-19 with: 3 docs duplicating history
+        # (10, 14, 17), one in-increment dup pair (12 == 15, 12 kept),
+        # the rest fresh
+        hist = [f"history doc number {i} unique words" for i in range(10)]
+        inc = [f"fresh increment doc {i} body" for i in range(10)]
+        inc[0] = hist[3]
+        inc[4] = hist[7]
+        inc[7] = hist[0]
+        inc[5] = inc[2]
+        return hist, inc
+
+    @pytest.mark.parametrize("bloom_fpr", [None, 1e-6])
+    def test_planted_cross_shard_dups(self, bloom_fpr):
+        from fdblucene_ray.ops.dedup import incremental_dedup
+
+        hist, inc = self._split_corpus()
+        old = _docs(hist)
+        new = _docs(inc, ids=list(range(10, 20)))
+        out = incremental_dedup(new, old, bloom_fpr=bloom_fpr).to_pandas()
+        got = dict(zip(out["doc_id"], out["dup_count"]))
+        # docs 10, 14, 17 duplicate history -> dropped entirely;
+        # 12 == 15 within the increment -> 12 kept with dup_count 2
+        assert set(got) == {11, 12, 13, 16, 18, 19}
+        assert got[12] == 2
+        assert all(got[d] == 1 for d in (11, 13, 16, 18, 19))
+
+    def test_empty_history_keeps_all(self):
+        from fdblucene_ray.ops.dedup import incremental_dedup
+
+        _, inc = self._split_corpus()
+        old = _docs([])
+        new = _docs(inc, ids=list(range(10, 20)))
+        out = incremental_dedup(new, old).to_pandas()
+        # only the in-increment dup collapses
+        assert len(out) == 9
+        assert int(out["dup_count"].sum()) == 10
