@@ -265,6 +265,8 @@ def run_default() -> None:
     timed("pack_sequences", lambda: q.q_pack_sequences(sf_dir))
     timed("lm_score", lambda: q.q_lm_score(sf_dir))
     timed("asof_join", lambda: q.q_asof_join(sf_dir))
+    timed("dedup_incremental", lambda: q.q_dedup_incremental(sf_dir))
+    timed("train_shuffle", lambda: q.q_train_shuffle(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

@@ -133,6 +133,11 @@ class Index:
         see Searcher.search_block_join."""
         return self.searcher.search_block_join(query, k, **kw)
 
+    def join(self, from_query: str, join_field: str, k: int = 10, **kw):
+        """Query-time field join (JoinUtil.createJoinQuery analog);
+        see Searcher.join_query."""
+        return self.searcher.join_query(from_query, join_field, k, **kw)
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 

@@ -2490,6 +2490,57 @@ class Searcher:
         sel = np.lexsort((uniq, -agg))[:k]
         return [(int(uniq[i]), float(agg[i]), int(cnt[i])) for i in sel]
 
+    def join_query(
+        self,
+        from_query: str,
+        join_field: str,
+        k: int = 10,
+        *,
+        from_field: str = "text",
+        source: str | list | None = None,
+        max_values: int = 1 << 16,
+    ) -> list[tuple[int, float]]:
+        """Query-time join (Lucene ``JoinUtil.createJoinQuery`` analog,
+        ScoreMode.None): (1) match the from-side docs with
+        ``from_query`` (disjunction over the analyzed terms), (2)
+        gather their DISTINCT ``join_field`` values — a pruned
+        single-column hydrate from the docstore or the original
+        ``source`` parquet (row groups that can't contain the ids are
+        skipped via min/max stats), (3) return the to-side docs whose
+        keyword ``join_field`` equals any gathered value, constant
+        score 1.0, doc-id ascending.
+
+        The join-value set is the bounded intermediate (Lucene
+        collects the same set in its first pass); ``max_values`` fails
+        loudly rather than silently truncating when the join key is
+        too high-cardinality for a term-expanded second pass."""
+        terms = self.parse(from_query, from_field)
+        if not terms:
+            return []
+        docs = self.multiterm_docs(from_field, terms)
+        if not len(docs):
+            return []
+        if source is not None:
+            from fdblucene_ray.sources.corpus import hydrate_from_source
+
+            t = hydrate_from_source(
+                source, docs.tolist(), columns=[join_field]
+            )
+        else:
+            from fdblucene_ray.index.build import hydrate
+
+            t = hydrate(self.index_dir, docs.tolist(), columns=[join_field])
+        vals = pa.compute.unique(t[join_field]).to_pylist()
+        vals = sorted(v for v in vals if v is not None)
+        if len(vals) > max_values:
+            raise ValueError(
+                f"join value set {len(vals)} exceeds max_values="
+                f"{max_values}; use a co-partitioned dataset join for "
+                "high-cardinality keys"
+            )
+        to_docs = self.multiterm_docs(join_field, vals)
+        return [(int(d), 1.0) for d in to_docs[:k]]
+
     def facet_counts(
         self,
         query: str,

@@ -503,6 +503,17 @@ def q_ft_block_join(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_join(sf_dir: str) -> pa.Table:
+    """Query-time join (JoinUtil.createJoinQuery analog, ScoreMode.
+    None): docs matching "dup" -> their distinct `source` values ->
+    every doc from those sources, constant score, doc-id asc, k=25."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.join_query("dup", "source", 25, source=_docs_path(sf_dir))
+    return pa.table(
+        {"doc_id": pa.array([d for d, _ in hits], pa.int64())}
+    )
+
+
 def q_ft_filter(sf_dir: str) -> pa.Table:
     """BooleanQuery with an Occur.FILTER clause: +data #merge — the
     filter is required for matching but contributes no score (Lucene
@@ -1840,6 +1851,7 @@ def queries() -> dict:
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_lm_jm": q_ft_lm_jm,
         "ft_block_join": q_ft_block_join,
+        "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
         "ft_facets": q_ft_facets,
@@ -2155,6 +2167,13 @@ par AS (SELECT doc_id // 8 AS parent_id, max(score) AS score,
         FROM scored GROUP BY doc_id // 8)
 SELECT parent_id, CAST(round(score, 4) AS DOUBLE) AS score, n_children
 FROM par ORDER BY score DESC, parent_id LIMIT 10
+""",
+        "ft_join": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'dup'),
+v AS (SELECT DISTINCT d.source FROM documents d JOIN m USING (doc_id))
+SELECT doc_id FROM documents WHERE source IN (SELECT source FROM v)
+ORDER BY doc_id LIMIT 25
 """,
         "ft_bm25_or": _bm25_sql(["data", "merge"]),
         # federated MultiReader search == single-index semantics, so

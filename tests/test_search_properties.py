@@ -502,3 +502,40 @@ def test_block_join_parent_of_array(tmp_path, ray_session):
     with pytest.raises(ValueError):
         s.search_block_join("w0", 5, parent_stride=4,
                             parent_of=parent_of)  # both given
+
+
+def test_join_query_matches_bruteforce(tmp_path, ray_session):
+    """JoinUtil.createJoinQuery analog (ScoreMode.None): to-side docs =
+    those whose keyword join field equals any value held by a from-side
+    match; brute-force recomputation over the raw table."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(53)
+    n = 300
+    texts = _random_corpus(53, n, 15, 20)
+    srcs = [f"s{int(rng.integers(0, 12))}" for _ in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "src": pa.array(srcs, pa.string())})
+    src_path = str(tmp_path / "c.parquet")
+    pq.write_table(t, src_path)
+    ix = str(tmp_path / "ix")
+    build_index(src_path, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"},
+                        "src": {"column": "src", "analyzer": "keyword"}},
+                num_partitions=4, batch_size=64)
+    s = Searcher(ix)
+    for q in ["w0", "w7 w9"]:
+        got = s.join_query(q, "src", 50, source=src_path)
+        terms = set(q.split())
+        from_docs = [
+            i for i, txt in enumerate(texts)
+            if terms & set(txt.split())
+        ]
+        vals = {srcs[i] for i in from_docs}
+        exp = [i for i in range(n) if srcs[i] in vals][:50]
+        assert [d for d, _ in got] == exp, q
+        assert all(sc == 1.0 for _, sc in got)
+    # cardinality guard fails loudly instead of silently truncating
+    with pytest.raises(ValueError):
+        s.join_query("w0", "src", 10, source=src_path, max_values=1)
