@@ -294,6 +294,102 @@ def seeded_shuffle(
     return keyed.sort(["shuffle_key", id_col])
 
 
+def sample_token_budget(
+    ds: ray.data.Dataset,
+    budget: int,
+    seed: int = 0,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Deterministic token-budget sample — the mixing step of a training
+    run ("give me ~B tokens of this corpus, reproducibly"): take docs in
+    seeded-shuffle order until the running whitespace-token total
+    reaches ``budget`` (inclusive running sum, i.e. SQL
+    ``sum(n_tokens) OVER (ORDER BY key, id) <= budget``). Returns
+    (doc_id, n_tokens, cum_tokens) for every selected doc.
+
+    Scale shape: pass 1 keeps only (doc_id, key, n_tokens) — text never
+    shuffles; per-bucket totals (the key's top bits, so buckets ARE
+    key-ranges) groupby to ``n_buckets`` rows; the driver prefix-sums
+    that tiny table and broadcasts the offsets; buckets whose offset
+    already exceeds the budget are dropped BEFORE the per-bucket fold,
+    so the fold only ever touches the permutation prefix that can still
+    fit — at 100 TB with a 1% budget, 99% of the corpus is never
+    re-shuffled. Bucket count is a constant (not corpus-growing), so
+    the per-bucket ``map_groups`` stays bounded."""
+    import pyarrow.compute as pc
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ws = pc.split_pattern_regex(text, r"\s+")
+        offs = ws.offsets.to_numpy(zero_copy_only=False)
+        per_row = np.diff(offs)
+        flat = ws.flatten()
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(batch)), per_row)
+        n_empty = np.bincount(row_idx[empty], minlength=len(batch))
+        n_tok = (per_row - n_empty).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = shuffle_key(ids, seed)
+        bucket = (key * n_buckets) >> 32  # monotonic in key
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_tokens": pa.array(n_tok),
+                "key": pa.array(key),
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    # materialize the REDUCED (24 bytes/doc) representation once — it
+    # feeds both the totals pass and the fold; the corpus itself is
+    # read exactly once and never re-tokenized
+    keyed = ds.map_batches(pass1, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    totals = keyed.groupby("bucket").sum("n_tokens").take_all()
+    totals.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in totals:
+        if run <= budget:  # bucket can still contribute
+            offsets[int(r["bucket"])] = run
+        run += int(r["sum(n_tokens)"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        b = int(group["bucket"][0].as_py())
+        off = offsets.get(b)
+        if off is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "cum_tokens": pa.array([], pa.int64())})
+        k = group["key"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        nt = nt[order]
+        cum = off + np.cumsum(nt)
+        keep = cum <= budget
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order][keep].astype(np.int64)),
+                "n_tokens": pa.array(nt[keep].astype(np.int64)),
+                "cum_tokens": pa.array(cum[keep].astype(np.int64)),
+            }
+        )
+
+    live = sorted(offsets)
+    pruned = keyed.filter(
+        expr=f"bucket >= {live[0]} and bucket <= {live[-1]}"
+    ) if live else keyed.limit(0)
+    return pruned.groupby("bucket").map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+
 def sample_stratified(
     ds: ray.data.Dataset,
     group_col: str,

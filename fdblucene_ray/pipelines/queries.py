@@ -818,6 +818,17 @@ def q_dedup_incremental(sf_dir: str) -> pa.Table:
     return _collect(incremental_dedup(new, old))
 
 
+def q_sample_token_budget(sf_dir: str) -> pa.Table:
+    """Deterministic token-budget sample: docs in seed-7 shuffle order
+    while the running whitespace-token total stays <= 20000."""
+    from fdblucene_ray.ops.curation import sample_token_budget
+
+    out = sample_token_budget(
+        _docs_ds(sf_dir, ["doc_id", "text"]), budget=20_000, seed=7
+    )
+    return _collect(out)
+
+
 def q_train_shuffle(sf_dir: str) -> pa.Table:
     """Deterministic seeded global shuffle (epoch ordering for training
     data): first 50 docs of the seed-42 permutation, with rank."""
@@ -1871,6 +1882,7 @@ def queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "train_shuffle": q_train_shuffle,
+        "sample_token_budget": q_sample_token_budget,
         "dedup_minhash": q_dedup_minhash,
         "dedup_near_corpus": q_dedup_near_corpus,
         "dedup_simhash": q_dedup_simhash,
@@ -2671,6 +2683,24 @@ fresh AS (SELECT doc_id, text FROM new
           WHERE text NOT IN (SELECT text FROM old))
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
 FROM fresh GROUP BY text
+""",
+        "sample_token_budget": r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ((((doc_id * 2654435761) % 4294967296) + 7) % 4294967296)
+           * 1597334677 % 4294967296 AS k
+  FROM tok),
+run AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY k, doc_id) AS cum
+  FROM keyed)
+SELECT doc_id, n_tokens, cum::BIGINT AS cum_tokens
+FROM run WHERE cum <= 20000
 """,
         "train_shuffle": """
 WITH keyed AS (

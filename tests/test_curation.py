@@ -443,3 +443,49 @@ class TestIncrementalDedup:
         # only the in-increment dup collapses
         assert len(out) == 9
         assert int(out["dup_count"].sum()) == 10
+
+
+class TestSampleTokenBudget:
+    def test_matches_running_sum_rule(self):
+        from fdblucene_ray.ops.curation import (
+            sample_token_budget, shuffle_key,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 300
+        texts = [
+            " ".join(f"t{j}" for j in range(int(rng.integers(1, 40))))
+            for _ in range(n)
+        ]
+        budget = 1500
+        out = sample_token_budget(
+            _docs(texts), budget, seed=5
+        ).to_pandas().sort_values("doc_id")
+        # brute force: running inclusive sum over (key, id) order
+        keys = shuffle_key(np.arange(n), 5)
+        order = np.lexsort((np.arange(n), keys))
+        lens = np.array([len(t.split()) for t in texts])
+        cum = np.cumsum(lens[order])
+        keep = order[cum <= budget]
+        exp = {int(d): (int(lens[d]), int(c))
+               for d, c in zip(keep, cum[cum <= budget])}
+        got = {int(r.doc_id): (int(r.n_tokens), int(r.cum_tokens))
+               for r in out.itertuples()}
+        assert got == exp
+        assert 0 < len(got) < n  # budget actually bites
+        assert max(c for _, c in got.values()) <= budget
+
+    def test_budget_larger_than_corpus_keeps_all(self):
+        from fdblucene_ray.ops.curation import sample_token_budget
+
+        texts = [f"a b c doc{i}" for i in range(20)]
+        out = sample_token_budget(_docs(texts), 10_000, seed=1).to_pandas()
+        assert len(out) == 20
+        assert int(out["n_tokens"].sum()) == 80
+
+    def test_zero_budget_empty(self):
+        from fdblucene_ray.ops.curation import sample_token_budget
+
+        texts = [f"a b c doc{i}" for i in range(20)]
+        out = sample_token_budget(_docs(texts), 0, seed=1).to_pandas()
+        assert len(out) == 0
