@@ -501,14 +501,23 @@ class Searcher:
                     return []  # conjunction with an absent term matches nothing
                 continue
             total_df += df
-            # LM similarities weight clauses by the collection language
-            # model p(t|C) = ttf / sumTotalTermFreq, not by idf
-            live.append((t, ttf / float(sttf) if lm else idf_fn(dc, df)))
+            # per-clause weight by similarity: LM models use the
+            # collection language model p(t|C) = ttf/sumTotalTermFreq;
+            # DFR InL2 uses log2((N+1)/(df+0.5)); boolean uses 1.0
+            if lm:
+                w = ttf / float(sttf)
+            elif similarity == "dfr":
+                w = math.log((dc + 1.0) / (df + 0.5)) / math.log(2.0)
+            elif similarity == "boolean":
+                w = 1.0
+            else:
+                w = idf_fn(dc, df)
+            live.append((t, w))
         if not live:
             return []
         bs = self.manifest.block_size
         self.last_stats = {}
-        if similarity in ("classic", "lmd", "lmjm"):
+        if similarity in ("classic", "lmd", "lmjm", "dfr", "boolean"):
             # non-BM25 similarities run on the vectorized exhaustive twin
             # (block-max metadata stores BM25 impacts, so WAND bounds
             # don't transfer); dl is the lossy byte4-quantized length
@@ -530,7 +539,7 @@ class Searcher:
                     s = np.log(1.0 + tfs / (mu * p)) + np.log(mu / (d + mu))
                     return np.maximum(s, 0.0)
 
-            else:
+            elif similarity == "lmjm":
                 # LM Jelinek-Mercer (Lucene LMJelinekMercerSimilarity):
                 #   ln(1 + ((1-lambda)/lambda) * (tf/dl) / p)
                 c = (1.0 - self.lam) / self.lam
@@ -538,6 +547,25 @@ class Searcher:
                 def score_fn(p, tfs, norms):
                     d = dl[norms]
                     return np.log(1.0 + c * (tfs / d) / p)
+
+            elif similarity == "dfr":
+                # DFR InL2 (Amati & van Rijsbergen 2002; Lucene
+                # DFRSimilarity(BasicModelIn, AfterEffectL,
+                # NormalizationH2, c=1)): tfn = tf*log2(1 + avgdl/dl);
+                # score = w * tfn / (tfn + 1) with w = log2((N+1)/(df+.5))
+                ln2 = math.log(2.0)
+
+                def score_fn(w, tfs, norms):
+                    d = dl[norms]
+                    tfn = tfs * (np.log(1.0 + avgdl / d) / ln2)
+                    return w * tfn / (tfn + 1.0)
+
+            else:
+                # BooleanSimilarity: 1.0 per matched clause (score ==
+                # number of matching query terms)
+
+                def score_fn(w, tfs, norms):
+                    return np.full(len(tfs), w)
 
             candidates = _exhaustive(
                 self.readers, live, field, ncache, operator, k, bs,

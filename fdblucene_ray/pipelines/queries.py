@@ -484,6 +484,24 @@ def q_ft_lm_jm(sf_dir: str) -> pa.Table:
     return _hits_table(s.search("data merge", k=10, similarity="lmjm"))
 
 
+def q_ft_dfr(sf_dir: str) -> pa.Table:
+    """Pluggable Similarity (SURVEY U6): DFR InL2 (Amati & van
+    Rijsbergen; Lucene DFRSimilarity(In, L, H2, c=1)) — per matched
+    term w * tfn/(tfn+1), tfn = tf*log2(1 + avgdl/dl),
+    w = log2((N+1)/(df+0.5))."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search("data merge", k=10, similarity="dfr"))
+
+
+def q_ft_boolean_sim(sf_dir: str) -> pa.Table:
+    """Pluggable Similarity (SURVEY U6): BooleanSimilarity — score =
+    number of matching query terms (1.0 per matched clause)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search("data merge stream", k=10, similarity="boolean")
+    )
+
+
 def q_ft_block_join(sf_dir: str) -> pa.Table:
     """Nested-document join (ToParentBlockJoinQuery analog): children
     of parent p are the contiguous doc block [8p, 8p+8); child BM25
@@ -1861,6 +1879,8 @@ def queries() -> dict:
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_lm_jm": q_ft_lm_jm,
+        "ft_dfr": q_ft_dfr,
+        "ft_boolean_sim": q_ft_boolean_sim,
         "ft_block_join": q_ft_block_join,
         "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
@@ -2156,6 +2176,39 @@ contrib AS (
   CROSS JOIN stats
 ),
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_dfr": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+-- DFR InL2: tfn = tf * log2(1 + avgdl/dl); s = w * tfn/(tfn+1);
+-- w = log2((N+1)/(df+0.5)); dl is the byte4-quantized length (dlq),
+-- avgdl the exact sttf/dc, mirroring the engine's expression shapes
+contrib AS (
+  SELECT tf.doc_id,
+         (ln((stats.dc + 1.0) / (dfx.df + 0.5)) / ln(2.0))
+           * (tf.tf * (ln(1.0 + (stats.sttf / stats.dc) / dlq.dlq)
+                         / ln(2.0)))
+           / ((tf.tf * (ln(1.0 + (stats.sttf / stats.dc) / dlq.dlq)
+                          / ln(2.0))) + 1.0) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_boolean_sim": f"""
+WITH {TOKS_CTE},
+-- BooleanSimilarity: score = number of distinct matching query terms
+scored AS (SELECT doc_id, count(DISTINCT tok)::DOUBLE AS score
+           FROM toks WHERE tok IN ('data', 'merge', 'stream')
+           GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,

@@ -420,6 +420,56 @@ def test_lm_similarities_match_oracle(sim, tmp_path, ray_session):
             assert a == pytest.approx(b, rel=1e-9)
 
 
+@pytest.mark.parametrize("sim", ["dfr", "boolean"])
+def test_dfr_boolean_similarities_match_oracle(sim, tmp_path, ray_session):
+    """DFR InL2 (Amati & van Rijsbergen; Lucene DFRSimilarity(In, L, H2))
+    and BooleanSimilarity: engine scores == pure-Python recomputation
+    from oracle postings — DFR on the byte4-quantized dl with exact
+    avgdl; Boolean scores == count of matched query clauses."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.codec.smallfloat import byte4_to_int
+
+    texts = _random_corpus(43, 250, 18, 25)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    oracle = OracleIndex("simple")
+    for i, txt in enumerate(texts):
+        oracle.add(i, txt)
+    s = Searcher(ix)
+    ln2 = math.log(2.0)
+    for q in ["w0 w3", "w1", "w2 w5 w9"]:
+        got = s.search(q, 10, similarity=sim)
+        terms = list(dict.fromkeys(oracle.analyzer.tokens(q)))
+        exp_scores: dict[int, float] = {}
+        for term in terms:
+            plist = oracle.postings.get(term, [])
+            if not plist:
+                continue
+            df = len(plist)
+            w = math.log((oracle.dc + 1.0) / (df + 0.5)) / ln2
+            for d, tf in plist:
+                if sim == "boolean":
+                    sc = 1.0
+                else:
+                    dl = float(byte4_to_int(oracle.norm_byte[d]))
+                    tfn = tf * (math.log(1.0 + oracle.avgdl / dl) / ln2)
+                    sc = w * tfn / (tfn + 1.0)
+                exp_scores[d] = exp_scores.get(d, 0.0) + sc
+        exp = sorted(exp_scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert [d for d, _ in got] == [d for d, _ in exp], (sim, q)
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-9)
+
+
 @pytest.mark.parametrize("score_mode", ["max", "total", "avg", "none"])
 def test_block_join_matches_bruteforce(score_mode, tmp_path, ray_session):
     """ToParentBlockJoinQuery analog: parent aggregation over ALL child
