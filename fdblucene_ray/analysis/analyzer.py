@@ -34,6 +34,15 @@ from fdblucene_ray.analysis.porter import porter_stem
 from fdblucene_ray.analysis.stopwords import ENGLISH_STOPWORDS
 
 TOKEN_SPLIT_PATTERN = "[^0-9a-z_]+"
+# case-inclusive split used by the batch fast path: split the RAW text,
+# then lowercase only the (small) token dictionary — one full-data
+# utf8_lower pass saved per batch (~20% of tokenize CPU). Equivalent to
+# lower-then-split for ASCII, and closer to Lucene, whose
+# StandardTokenizer runs BEFORE LowerCaseFilter. (Known deviation: a
+# non-ASCII uppercase letter whose lowercase IS ascii — e.g. U+212A
+# KELVIN SIGN -> 'k' — splits here but joined a token under
+# lower-then-split. No such character appears in ASCII corpora.)
+TOKEN_SPLIT_PATTERN_CASED = "[^0-9a-zA-Z_]+"
 _TOKEN_RE = re.compile(r"[0-9a-z_]+")
 
 
@@ -131,8 +140,12 @@ class BatchTokenizer:
         if isinstance(text_col, pa.ChunkedArray):
             text_col = text_col.combine_chunks()
         n = len(text_col)
-        lowered = pc.utf8_lower(text_col) if self.analyzer.lowercase else text_col
-        toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_PATTERN)
+        if self.analyzer.lowercase:
+            # split raw, lower the DICTIONARY below (see
+            # TOKEN_SPLIT_PATTERN_CASED) — saves a full-data lower pass
+            toks = pc.split_pattern_regex(text_col, TOKEN_SPLIT_PATTERN_CASED)
+        else:
+            toks = pc.split_pattern_regex(text_col, TOKEN_SPLIT_PATTERN)
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -143,6 +156,10 @@ class BatchTokenizer:
             raise ValueError("null text values not supported in tokenize")
         denc = flat.dictionary_encode()
         surface = denc.dictionary
+        if self.analyzer.lowercase:
+            # lower per unique surface form; case variants that merge
+            # ('Data'/'data') are re-deduped by the fmap loop below
+            surface = pc.utf8_lower(surface)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
         # per-unique keep decision (empty-string + stopword)

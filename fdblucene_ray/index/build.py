@@ -469,6 +469,9 @@ def build_index(
     salt_chunk: int = 1 << 16,
     auto_salt_ratio: float = 0.25,
     tokenize_concurrency=None,
+    tokenize_num_cpus: float | None = None,
+    read_rows_per_task: int | None = None,
+    exchange: str = "spill",
     resume: bool = True,
     signature: str | None = None,
     docstore_cols: list[str] | None = None,
@@ -511,7 +514,10 @@ def build_index(
         sig = signature or corpus_signature(
             source, json.dumps([sorted(fields.items()), num_partitions, block_size], default=str)
         )
-        ds = read_corpus_with_doc_ids(source, columns=cols, base=doc_base)
+        ds = read_corpus_with_doc_ids(
+            source, columns=cols, base=doc_base,
+            rows_per_task=read_rows_per_task,
+        )
         store_ds = (
             read_corpus_with_doc_ids(source, columns=docstore_cols, base=doc_base)
             if docstore_cols
@@ -528,36 +534,82 @@ def build_index(
         if prev.extra.get("signature") == sig:
             return prev
 
+    # the spill route only applies to path sources (it reads fragments
+    # itself); a Dataset source always goes through the Dataset path
+    use_spill = exchange == "spill" and isinstance(source, (str, list, tuple))
     if tokenize_concurrency is None:
-        # leave ~1/3 of the node for read tasks, shuffle aggregators and
-        # encode tasks; a pool reserving every CPU serializes the pipeline
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        tokenize_concurrency = (max(1, cpus // 4), max(2, (cpus * 2) // 3))
+        if use_spill:
+            # spill tokenizers read their own input and every encode
+            # task runs after they are killed, so 1 actor per CPU is
+            # safe (no upstream task can starve) and keeps tokenizer
+            # density CONSTANT across cluster sizes — the property the
+            # N->4N scaling bar depends on
+            tokenize_concurrency = cpus
+        else:
+            # Dataset path: leave ~1/3 of the node for read tasks,
+            # shuffle aggregators and encode tasks; a pool reserving
+            # every CPU serializes the pipeline
+            tokenize_concurrency = (max(1, cpus // 4), max(2, (cpus * 2) // 3))
 
-    postings = ds.map_batches(
-        TokenizeToPostings,
-        fn_constructor_kwargs=dict(
-            fields=fields,
-            num_partitions=num_partitions,
-            id_col=id_col,
-            head_terms=head_terms,
-            salt_chunk=salt_chunk,
-            auto_salt_ratio=auto_salt_ratio,
-            wire=wire,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=tokenize_concurrency,
-        zero_copy_batch=True,
+    tokenizer_kwargs = dict(
+        fields=fields,
+        num_partitions=num_partitions,
+        id_col=id_col,
+        head_terms=head_terms,
+        salt_chunk=salt_chunk,
+        auto_salt_ratio=auto_salt_ratio,
+        wire=wire,
     )
-    with _shuffle_strategy(num_partitions, dataset=postings):
-        lineage_ds = postings.groupby(
-            "part", num_partitions=num_partitions
-        ).map_groups(
-            EncodeGroup(index_dir, sig, block_size, resume, codec=codec, wire=wire),
-            batch_format="pyarrow",
+    if use_spill:
+        # direct spill exchange (index/exchange.py): tokenizer actors
+        # write per-partition IPC spill files, P independent encode
+        # tasks consume them — replaces the Dataset sort shuffle whose
+        # ~constant coordination latency capped N->4N scaling (see the
+        # module docstring for measurements); identical segments by
+        # construction (same TokenizeToPostings / EncodeGroup objects)
+        from fdblucene_ray.index.exchange import run_spill_exchange
+
+        n_tok = (
+            tokenize_concurrency[1]
+            if isinstance(tokenize_concurrency, tuple)
+            else tokenize_concurrency
         )
-        records = lineage_ds.take_all()
+        records = run_spill_exchange(
+            source,
+            index_dir=index_dir,
+            signature=sig,
+            columns=cols,
+            tokenizer_kwargs=tokenizer_kwargs,
+            doc_base=doc_base,
+            num_tokenizers=max(1, int(n_tok)),
+            batch_size=batch_size,
+            block_size=block_size,
+            resume=resume,
+            codec=codec,
+            wire=wire,
+        )
+    else:
+        postings = ds.map_batches(
+            TokenizeToPostings,
+            fn_constructor_kwargs=tokenizer_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=tokenize_concurrency,
+            zero_copy_batch=True,
+            # fractional reservation lets tokenizer density (actors per
+            # cluster CPU) stay CONSTANT across cluster sizes while
+            # leaving scheduler headroom for read/shuffle/encode tasks
+            **({"num_cpus": tokenize_num_cpus} if tokenize_num_cpus else {}),
+        )
+        with _shuffle_strategy(num_partitions, dataset=postings):
+            lineage_ds = postings.groupby(
+                "part", num_partitions=num_partitions
+            ).map_groups(
+                EncodeGroup(index_dir, sig, block_size, resume, codec=codec, wire=wire),
+                batch_format="pyarrow",
+            )
+            records = lineage_ds.take_all()
 
     if store_ds is not None:
         _write_docstore(index_dir, store_ds)
@@ -683,9 +735,15 @@ def build_sharded(
     shard_kw = dict(kw)
     if concurrent_shards > 1 and "tokenize_concurrency" not in shard_kw:
         share = max(1, cpus // concurrent_shards)
-        shard_kw["tokenize_concurrency"] = (
-            max(1, share // 4), max(2, (share * 2) // 3)
-        )
+        if shard_kw.get("exchange", "spill") == "spill":
+            # constant 1-actor-per-CPU density at every cluster size
+            # (see build_index) — the shares of concurrent shards sum
+            # to the cluster exactly
+            shard_kw["tokenize_concurrency"] = share
+        else:
+            shard_kw["tokenize_concurrency"] = (
+                max(1, share // 4), max(2, (share * 2) // 3)
+            )
 
     def _run_shard(job) -> tuple[int, list[SegmentMeta]]:
         i, shard, sbase, ssig, done_path = job

@@ -63,6 +63,29 @@ def _load_fragment(frag: dict, columns: list[str] | None) -> pa.Table:
     return t.add_column(0, "doc_id", doc_ids)
 
 
+def _load_fragments(frags: list[dict], columns: list[str] | None) -> pa.Table:
+    """Load a coalesced run of row groups as ONE block (doc_ids stay
+    per-fragment, so coalescing never changes ids). Same-file runs use a
+    single ParquetFile handle and one reader call."""
+    out = []
+    i = 0
+    while i < len(frags):
+        path = frags[i]["path"]
+        j = i
+        while j < len(frags) and frags[j]["path"] == path:
+            j += 1
+        run = frags[i:j]
+        f = pq.ParquetFile(path)
+        t = f.read_row_groups([fr["row_group"] for fr in run], columns=columns)
+        doc_ids = np.concatenate([
+            np.arange(fr["base"], fr["base"] + fr["num_rows"], dtype=np.int64)
+            for fr in run
+        ])
+        out.append(t.add_column(0, "doc_id", pa.array(doc_ids)))
+        i = j
+    return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+
 class DocIdParquetDatasource(ray.data.datasource.Datasource):
     """Parquet source emitting one ReadTask per row group with real size
     metadata, each block carrying the deterministic ``doc_id`` column.
@@ -74,9 +97,21 @@ class DocIdParquetDatasource(ray.data.datasource.Datasource):
     honest per-task row/byte estimates.
     """
 
-    def __init__(self, paths, columns: list[str] | None = None, base: int = 0):
+    def __init__(
+        self,
+        paths,
+        columns: list[str] | None = None,
+        base: int = 0,
+        rows_per_task: int | None = None,
+    ):
         self._frags = plan_fragments(paths, base)
         self._columns = columns
+        # coalescing row groups into ~rows_per_task blocks cuts the
+        # driver-side task/block event count (the single-driver dispatch
+        # loop is the non-scaling component of a build — fewer, bigger
+        # blocks is also the right shape at 100 TB where blocks should
+        # be 10^2 MB, not one small row group each)
+        self._rows_per_task = rows_per_task
         sizes = []
         for path in {f["path"] for f in self._frags}:
             md = pq.read_metadata(path)
@@ -91,21 +126,34 @@ class DocIdParquetDatasource(ray.data.datasource.Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
 
+        # group consecutive fragments into tasks of ~rows_per_task rows
+        groups: list[list[dict]] = []
+        if not self._rows_per_task:
+            groups = [[f] for f in self._frags]
+        else:
+            cur: list[dict] = []
+            n = 0
+            for f in self._frags:
+                cur.append(f)
+                n += f["num_rows"]
+                if n >= self._rows_per_task:
+                    groups.append(cur)
+                    cur, n = [], 0
+            if cur:
+                groups.append(cur)
+
         out = []
         per_frag_bytes = max(1, self._total_bytes // max(1, len(self._frags)))
         cols = self._columns
-        for frag in self._frags:
+        for grp in groups:
             meta = BlockMetadata(
-                num_rows=frag["num_rows"],
-                size_bytes=per_frag_bytes,
+                num_rows=sum(f["num_rows"] for f in grp),
+                size_bytes=per_frag_bytes * len(grp),
                 exec_stats=None,
-                input_files=[frag["path"]],
+                input_files=sorted({f["path"] for f in grp}),
             )
             out.append(
-                ReadTask(
-                    lambda frag=frag: [_load_fragment(frag, cols)],
-                    meta,
-                )
+                ReadTask(lambda grp=grp: [_load_fragments(grp, cols)], meta)
             )
         return out
 
@@ -116,10 +164,11 @@ def read_corpus_with_doc_ids(
     *,
     base: int = 0,
     override_num_blocks: int | None = None,
+    rows_per_task: int | None = None,
 ) -> ray.data.Dataset:
     """read_parquet + deterministic ``doc_id`` column (column-pruned)."""
     return ray.data.read_datasource(
-        DocIdParquetDatasource(paths, columns, base),
+        DocIdParquetDatasource(paths, columns, base, rows_per_task),
         override_num_blocks=override_num_blocks,
     )
 
