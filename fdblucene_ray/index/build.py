@@ -472,6 +472,8 @@ def build_index(
     tokenize_num_cpus: float | None = None,
     read_rows_per_task: int | None = None,
     exchange: str = "spill",
+    preprocess=None,
+    read_columns: list[str] | None = None,
     resume: bool = True,
     signature: str | None = None,
     docstore_cols: list[str] | None = None,
@@ -510,7 +512,11 @@ def build_index(
         num_partitions = max(4, 2 * cpus)
 
     if isinstance(source, (str, list, tuple)):
-        cols = sorted({cfg["column"] for cfg in fields.values()})
+        # ``read_columns`` widens the pruned read when a ``preprocess``
+        # stage derives the field columns from source columns (e.g. the
+        # flagship's html -> text extraction needs html read even though
+        # the indexed field is text)
+        cols = read_columns or sorted({cfg["column"] for cfg in fields.values()})
         sig = signature or corpus_signature(
             source, json.dumps([sorted(fields.items()), num_partitions, block_size], default=str)
         )
@@ -588,8 +594,13 @@ def build_index(
             resume=resume,
             codec=codec,
             wire=wire,
+            preprocess=preprocess,
         )
     else:
+        if preprocess is not None:
+            ds = ds.map_batches(
+                preprocess, batch_format="pyarrow", batch_size=batch_size
+            )
         postings = ds.map_batches(
             TokenizeToPostings,
             fn_constructor_kwargs=tokenizer_kwargs,

@@ -89,10 +89,16 @@ class _SpillTokenizerImpl:
         tokenizer_kwargs: dict,
         batch_size: int = 2048,
         flush_total_bytes: int = 64 << 20,
+        preprocess=None,
     ):
         from fdblucene_ray.index.build import TokenizeToPostings
 
         self.columns = columns
+        # optional per-batch table->table stage between read and
+        # tokenize (e.g. the flagship's HTML-extract + invariant check);
+        # applied per batch_size slice so large source payloads (html)
+        # never accumulate beyond one slice per actor
+        self.preprocess = preprocess
         self.tok = TokenizeToPostings(**tokenizer_kwargs)
         self.P = self.tok.P
         self.batch_size = batch_size
@@ -154,6 +160,8 @@ class _SpillTokenizerImpl:
             table = _load_fragments(frags, self.columns)
             for off in range(0, table.num_rows, self.batch_size):
                 sub = table.slice(off, self.batch_size)
+                if self.preprocess is not None:
+                    sub = self.preprocess(sub)
                 out = self.tok(sub)
                 self._spill(out)
                 done += sub.num_rows
@@ -209,24 +217,33 @@ _POOL: dict[str, list] = {}
 _POOL_LOCK = threading.Lock()
 
 
-def _pool_key(columns, tokenizer_kwargs, batch_size) -> str:
+def _pool_key(columns, tokenizer_kwargs, batch_size, preprocess=None) -> str:
+    import hashlib
     import json
 
+    if preprocess is None:
+        pp = "none"
+    else:
+        from ray import cloudpickle
+
+        pp = hashlib.sha1(cloudpickle.dumps(preprocess)).hexdigest()
     return json.dumps(
-        [sorted(columns), sorted(tokenizer_kwargs.items(), key=str), batch_size],
+        [sorted(columns), sorted(tokenizer_kwargs.items(), key=str), batch_size, pp],
         default=str,
     )
 
 
-def _checkout_tokenizers(columns, tokenizer_kwargs, batch_size, n) -> tuple[str, list]:
-    key = _pool_key(columns, tokenizer_kwargs, batch_size)
+def _checkout_tokenizers(
+    columns, tokenizer_kwargs, batch_size, n, preprocess=None
+) -> tuple[str, list]:
+    key = _pool_key(columns, tokenizer_kwargs, batch_size, preprocess)
     with _POOL_LOCK:
         avail = _POOL.setdefault(key, [])
         out = [avail.pop() for _ in range(min(n, len(avail)))]
     while len(out) < n:
         out.append(
             SpillTokenizer.options(num_cpus=0).remote(
-                columns, tokenizer_kwargs, batch_size
+                columns, tokenizer_kwargs, batch_size, preprocess=preprocess
             )
         )
     return key, out
@@ -296,6 +313,7 @@ def run_spill_exchange(
     codec: str = "varint-block",
     wire: str = "raw",
     encode_concurrency: int | None = None,
+    preprocess=None,
 ) -> list[dict]:
     """Full tokenize->spill->encode exchange; returns lineage records
     (one dict per partition) matching the Dataset path's take_all rows.
@@ -332,7 +350,7 @@ def run_spill_exchange(
     actors: list = []
     try:
         pool_key, actors = _checkout_tokenizers(
-            columns, tokenizer_kwargs, batch_size, num_tokenizers
+            columns, tokenizer_kwargs, batch_size, num_tokenizers, preprocess
         )
         # begin_run doubles as a liveness probe: a pooled actor that
         # died since its last build is replaced with a fresh one
@@ -342,7 +360,7 @@ def run_spill_exchange(
                 ray.get(a.begin_run.remote(i, spill_dir))
             except ray.exceptions.RayActorError:
                 a = SpillTokenizer.options(num_cpus=0).remote(
-                    columns, tokenizer_kwargs, batch_size
+                    columns, tokenizer_kwargs, batch_size, preprocess=preprocess
                 )
                 ray.get(a.begin_run.remote(i, spill_dir))
             ready.append(a)

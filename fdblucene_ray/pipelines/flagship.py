@@ -58,23 +58,20 @@ def build_webpages_index(
     resume: bool = True,
 ) -> Manifest:
     """Full input_hint pipeline -> published index manifest."""
-    ds = read_corpus_with_doc_ids(
-        paths, columns=["url", "warc_ts", "html", "text", "lang"]
-    )
-    extracted = ds.map_batches(
-        ExtractAndCheck(strict_invariant),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
     fields = {
         "text": {"column": "text", "analyzer": "lucene", "positions": positions},
         "url": {"column": "url", "analyzer": "keyword"},
     }
     sig = corpus_signature(paths, f"webflagship:{positions}:{num_partitions}")
+    # paths + preprocess -> the spill exchange runs the whole chain
+    # (pruned read -> html extract + invariant -> tokenize -> spill ->
+    # encode) inside the tokenizer actors, no Dataset sort shuffle
     manifest = build_index(
-        extracted.drop_columns(["warc_ts", "lang"]) if not docstore else extracted,
+        paths,
         index_dir,
         fields=fields,
+        preprocess=ExtractAndCheck(strict_invariant),
+        read_columns=["url", "html", "text"],
         num_partitions=num_partitions,
         batch_size=batch_size,
         resume=resume,
