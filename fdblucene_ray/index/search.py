@@ -365,6 +365,12 @@ class Searcher:
         # still INCLUDE them until a full rewrite purges (Lucene
         # semantics — deletes don't change docCount/df until merge)
         self.tombstones = load_tombstones(index_dir, self.manifest)
+        # scatter-gather hook (index/distributed.py): when a shard of a
+        # doc-partitioned fleet scores locally, GLOBAL collection stats
+        # are injected here so every shard computes the same idf/avgdl
+        # a single merged index would — {"totals": {field: {dc,sum_dl}},
+        # "terms": {(field, term): (df, ttf)}}
+        self.stats_override: dict | None = None
 
     @property
     def num_deleted(self) -> int:
@@ -425,18 +431,42 @@ class Searcher:
 
     # ---- stats ----
     def field_stats(self, field: str) -> tuple[int, int, float]:
+        if self.stats_override is not None:
+            tot = self.stats_override.get("totals") or {}
+            if field in tot:
+                st = tot[field]
+                dc = st["dc"]
+                avgdl = (st["sum_dl"] / dc) if dc else 1.0
+                return dc, st["sum_dl"], avgdl
         st = self.totals.get(field, {"dc": 0, "sum_dl": 0})
         dc = st["dc"]
         avgdl = (st["sum_dl"] / dc) if dc else 1.0
         return dc, st["sum_dl"], avgdl
 
     def term_stats(self, field: str, term: str) -> tuple[int, int]:
+        if self.stats_override is not None:
+            hit = (self.stats_override.get("terms") or {}).get((field, term))
+            if hit is not None:
+                return hit
         df = ttf = 0
         for r in self.readers:
             d, t = r.term_stats(field, term)
             df += d
             ttf += t
         return df, ttf
+
+    def local_term_stats(self, field: str, terms) -> dict[str, tuple[int, int]]:
+        """Shard-local (df, ttf) per term, ignoring any stats override —
+        the phase-1 payload of the scatter-gather DFS protocol."""
+        out = {}
+        for t in terms:
+            df = ttf = 0
+            for r in self.readers:
+                d, tt = r.term_stats(field, t)
+                df += d
+                ttf += tt
+            out[t] = (df, ttf)
+        return out
 
     def num_docs(self, field: str = "text") -> int:
         return self.field_stats(field)[0]

@@ -975,6 +975,42 @@ def q_ft_multi_index(sf_dir: str) -> pa.Table:
     return _hits_table(s.search_terms(["data", "merge"], 10, mode="wand"))
 
 
+def q_ft_scatter_gather(sf_dir: str) -> pa.Table:
+    """Distributed scatter-gather search: THREE doc-sharded indexes,
+    one searcher ACTOR per shard, DFS query-then-fetch (global df/avgdl
+    summed in phase 1, shard-local top-k with injected global stats in
+    phase 2, driver merge). BM25 top-10 for 'data window' is identical
+    to one whole-corpus index, so the oracle is the ordinary BM25 SQL
+    twin — the multi-node layout leaves scores bit-unchanged."""
+    import pyarrow.parquet as pq_
+
+    from fdblucene_ray.index.distributed import DistributedSearcher
+
+    key = hashlib.sha1(f"{sf_dir}:scatter3:v1".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"scatter-{key}")
+    t = pq_.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    dirs = []
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        part = os.path.join(root, f"part{i}.parquet")
+        ix = os.path.join(root, f"ix{i}")
+        if not os.path.exists(part):
+            os.makedirs(root, exist_ok=True)
+            pq_.write_table(t.slice(lo, hi - lo), part)
+        build_index(part, ix, fields=fields, num_partitions=8, doc_base=lo)
+        dirs.append(ix)
+    # fractional actor CPUs: a small fleet must never deadlock the
+    # driver's session by reserving whole cores (the conftest session
+    # runs at 4 CPUs; production sizes this to cores-per-shard-node)
+    fleet = DistributedSearcher(dirs, num_cpus_per_shard=0.5)
+    try:
+        return _hits_table(fleet.search_terms(["data", "window"], 10))
+    finally:
+        fleet.shutdown()
+
+
 def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: BM25 top-20 for 'data merge' fused with
     embedding-cosine top-20 for query vector 0 via Reciprocal Rank
@@ -1876,6 +1912,7 @@ def queries() -> dict:
         "ft_parser_mixed": q_ft_parser_mixed,
         "ft_payload_score": q_ft_payload_score,
         "ft_multi_index": q_ft_multi_index,
+        "ft_scatter_gather": q_ft_scatter_gather,
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_lm_jm": q_ft_lm_jm,
@@ -2244,6 +2281,9 @@ ORDER BY doc_id LIMIT 25
         # federated MultiReader search == single-index semantics, so
         # the oracle IS the ordinary whole-corpus BM25 twin
         "ft_multi_index": _bm25_sql(["data", "merge"]),
+        # scatter-gather actor fleet == single-index semantics (DFS
+        # global stats), same whole-corpus BM25 twin
+        "ft_scatter_gather": _bm25_sql(["data", "window"]),
         "ft_page2": _bm25_sql(["data", "merge"]).replace(
             "LIMIT 10", "LIMIT 10 OFFSET 10"
         ),
