@@ -292,6 +292,29 @@ def run_scaling(rows: int, lo: int = 8, hi: int = 32) -> None:
     print(json.dumps(result))
 
 
+def _ensure_docs_split(docs_path: str, n_files: int = 4) -> list[str]:
+    """Split the sf documents table into n parquet files (cached by
+    source size+mtime) so the headline build can also exercise the
+    concurrent-shard pipeline — the layout a 100-TB corpus actually
+    has. Runs OUTSIDE timing."""
+    import pyarrow.parquet as pq
+
+    st = os.stat(docs_path)
+    root = f"/tmp/fdbl_bench_docsplit/{st.st_size}-{int(st.st_mtime)}-{n_files}"
+    paths = [os.path.join(root, f"part{i}.parquet") for i in range(n_files)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    os.makedirs(root, exist_ok=True)
+    t = pq.read_table(docs_path)
+    per = (t.num_rows + n_files - 1) // n_files
+    for i, p in enumerate(paths):
+        pq.write_table(
+            t.slice(i * per, per), p + ".tmp", row_group_size=2048
+        )
+        os.replace(p + ".tmp", p)
+    return paths
+
+
 def run_default() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -317,6 +340,14 @@ def run_default() -> None:
     # headline: full Lucene-chain inverted-index build (fresh, no cache)
     ix_dir = _fresh_dir("ix-lucene")
     timed("build_index_lucene", lambda: _build(docs_path, ix_dir, num_cpus))
+
+    # same corpus as 4 files -> 4 concurrent shard pipelines (the
+    # multi-node ingest shape); split is cached outside timing
+    split_paths = _ensure_docs_split(docs_path)
+    timed(
+        "build_index_sharded",
+        lambda: _build(split_paths, _fresh_dir("ix-sharded"), num_cpus),
+    )
 
     # batch query evaluation through the searcher actor pool
     def search_batch():

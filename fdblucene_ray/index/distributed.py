@@ -48,6 +48,16 @@ import ray
 from fdblucene_ray.index.manifest import load_manifest
 
 
+def _merge_topk(per_shard: list, k: int) -> list[tuple[int, float]]:
+    """k-way merge of per-shard (doc, score) lists, (score desc, doc
+    asc) — each list is already locally sorted by the same key."""
+    merged = heapq.merge(
+        *(sorted(h, key=lambda x: (-x[1], x[0])) for h in per_shard),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return [hit for _, hit in zip(range(k), merged)]
+
+
 @ray.remote
 class IndexShard:
     """One doc-shard of a distributed search fleet: a pinned
@@ -86,6 +96,21 @@ class IndexShard:
                 terms, k, field=field, operator=operator, mode=mode,
                 similarity=similarity,
             )
+        finally:
+            self.searcher.stats_override = None
+
+    def run(self, method: str, args, kwargs, totals: dict,
+            term_stats: dict) -> list[tuple[int, float]]:
+        """Generic phase-2 endpoint: call any Searcher query method with
+        GLOBAL stats injected — every scorer funnels its idf/avgdl reads
+        through term_stats/field_stats, so one hook distributes the whole
+        term-known query surface (phrase, boolean, msm, filter)."""
+        self.searcher.stats_override = {
+            "totals": totals,
+            "terms": dict(term_stats),
+        }
+        try:
+            return getattr(self.searcher, method)(*args, **kwargs)
         finally:
             self.searcher.stats_override = None
 
@@ -203,11 +228,60 @@ class DistributedSearcher:
             )
             for a in self.shards
         ]
-        merged = heapq.merge(
-            *(sorted(h, key=lambda x: (-x[1], x[0])) for h in ray.get(futs)),
-            key=lambda x: (-x[1], x[0]),
+        return _merge_topk(ray.get(futs), k)
+
+    def search_phrase(self, phrase: str, k: int = 10, *, field: str = "text",
+                      slop: int = 0) -> list[tuple[int, float]]:
+        """Distributed PhraseQuery: phrase terms are driver-known, so the
+        DFS protocol applies unchanged — global per-term df drives the
+        summed idf, position matching stays shard-local."""
+        terms, _ = self._phrase_terms(phrase, field)
+        if not terms:
+            return []
+        return self._scatter(
+            terms, field, k,
+            "search_phrase", (phrase, k), {"field": field, "slop": slop},
         )
-        return [hit for _, hit in zip(range(k), merged)]
+
+    def search_boolean(self, must=None, should=None, must_not=None,
+                       k: int = 10, *, field: str = "text", mode: str = "auto",
+                       min_should_match: int = 0,
+                       filter_terms=None) -> list[tuple[int, float]]:
+        """Distributed BooleanQuery over plain-term clauses (MUST /
+        SHOULD / MUST_NOT / FILTER / minimumShouldMatch)."""
+        stat_terms = [
+            *(must or []), *(should or []), *(must_not or []),
+            *(filter_terms or []),
+        ]
+        if not stat_terms:
+            return []
+        return self._scatter(
+            stat_terms, field, k,
+            "search_boolean", (must, should, must_not, k),
+            {"field": field, "mode": mode,
+             "min_should_match": min_should_match,
+             "filter_terms": filter_terms},
+        )
+
+    def _scatter(self, stat_terms, field, k, method, args, kwargs):
+        gstats = self.term_stats(field, list(dict.fromkeys(stat_terms)))
+        tstats = {(field, t): st for t, st in gstats.items()}
+        futs = [
+            a.run.remote(method, args, kwargs, self.totals, tstats)
+            for a in self.shards
+        ]
+        return _merge_topk(ray.get(futs), k)
+
+    def _phrase_terms(self, phrase: str, field: str):
+        from fdblucene_ray.analysis.analyzer import get_analyzer
+
+        az_name = self.manifest.analyzers.get(field, "lucene")
+        if az_name == "keyword":
+            return [phrase], [0]
+        terms, qpos = get_analyzer(az_name).tokens_with_positions(phrase)
+        if not terms:
+            return [], []
+        return terms, [p - qpos[0] for p in qpos]
 
     def hydrate(self, hits, columns=None):
         """Top-k (doc_id, score) -> stored fields, fetched from the one

@@ -29,7 +29,8 @@ def fleet3(tmp_path_factory, ray_session):
         {"doc_id": pa.array(range(300), pa.int64()),
          "text": pa.array(texts)}
     )
-    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    fields = {"text": {"column": "text", "analyzer": "simple",
+                       "positions": True}}
     full_src = str(tmp / "full.parquet")
     pq.write_table(t, full_src)
     full_ix = str(tmp / "full-ix")
@@ -89,6 +90,30 @@ class TestDistributedSearcher:
         for sim in ("classic", "lmd", "dfr"):
             assert fleet.search("data merge", 15, similarity=sim) == \
                 single.search("data merge", 15, similarity=sim), sim
+
+    def test_phrase_identical(self, fleet3):
+        """Distributed PhraseQuery: global summed idf + shard-local
+        position matching == the single index, including a phrase whose
+        terms all exist globally but co-occur on only one shard."""
+        full_ix, _, fleet = fleet3
+        single = Searcher(full_ix)
+        for ph, slop in (("data merge", 0), ("data zebra", 0),
+                         ("merge stream", 2)):
+            assert fleet.search_phrase(ph, 25, slop=slop) == \
+                single.search_phrase(ph, 25, slop=slop), ph
+
+    def test_boolean_identical(self, fleet3):
+        full_ix, _, fleet = fleet3
+        single = Searcher(full_ix)
+        cases = [
+            dict(must=["data"], must_not=["window"]),
+            dict(must=["data", "merge"]),
+            dict(should=["data", "zebra", "sort"], min_should_match=2),
+            dict(should=["merge"], filter_terms=["data"]),
+        ]
+        for kw in cases:
+            assert fleet.search_boolean(k=50, **kw) == \
+                single.search_boolean(k=50, **kw), kw
 
     def test_hydrate_routes_to_owning_shard(self, fleet3):
         full_ix, _, fleet = fleet3
