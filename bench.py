@@ -408,6 +408,7 @@ def run_default() -> None:
     timed("asof_join", lambda: q.q_asof_join(sf_dir))
     timed("dedup_incremental", lambda: q.q_dedup_incremental(sf_dir))
     timed("train_shuffle", lambda: q.q_train_shuffle(sf_dir))
+    timed("percolate", lambda: q.q_percolate(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

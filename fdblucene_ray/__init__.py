@@ -23,5 +23,6 @@ Data's streaming executor, object store, and actor pools.
 __version__ = "0.1.0"
 
 from fdblucene_ray.index.build import build_index  # noqa: F401
+from fdblucene_ray.index.distributed import DistributedSearcher  # noqa: F401
 from fdblucene_ray.index.search import Searcher  # noqa: F401
 from fdblucene_ray.oracle import OracleIndex  # noqa: F401

@@ -91,6 +91,31 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_msearch(args) -> int:
+    """Scatter-gather search over a fleet of doc-sharded indexes (one
+    searcher actor per shard, DFS global stats) — the multi-node query
+    path: `ray job submit -- python -m fdblucene_ray.cli msearch
+    --index /shared/ix0 --index /shared/ix1 ... --query "..."`."""
+    _ensure_ray()
+    from fdblucene_ray.index.distributed import DistributedSearcher
+
+    fleet = DistributedSearcher(args.index, num_cpus_per_shard=args.cpus)
+    try:
+        if args.phrase:
+            hits = fleet.search_phrase(args.query, args.k, field=args.field)
+        else:
+            hits = fleet.search(
+                args.query, args.k, field=args.field, operator=args.operator,
+            )
+        for rank, (doc, score) in enumerate(hits, 1):
+            print(json.dumps(
+                {"rank": rank, "doc_id": doc, "score": round(score, 6)}
+            ))
+    finally:
+        fleet.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Parsed-query surface (QueryParser analog incl. boosts,
     phrases, multi-term and field: overrides)."""
@@ -389,6 +414,20 @@ def main(argv=None) -> int:
     s.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
     s.add_argument("--phrase", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    ms = sub.add_parser(
+        "msearch", help="scatter-gather search over doc-sharded indexes"
+    )
+    ms.add_argument("--index", action="append", required=True,
+                    help="shard index dir (repeat per shard)")
+    ms.add_argument("--query", required=True)
+    ms.add_argument("-k", type=int, default=10)
+    ms.add_argument("--field", default="text")
+    ms.add_argument("--operator", default="or", choices=["or", "and"])
+    ms.add_argument("--phrase", action="store_true")
+    ms.add_argument("--cpus", type=float, default=1.0,
+                    help="CPUs reserved per shard actor")
+    ms.set_defaults(fn=cmd_msearch)
 
     q = sub.add_parser("query", help="parsed query (boosts, phrases, field:)")
     q.add_argument("--index", required=True)
