@@ -1391,6 +1391,81 @@ class Searcher:
             for i in range(n_ranges)
         ]
 
+    def facet_taxonomy(
+        self,
+        query: str,
+        levels: list[str],
+        *,
+        value_source,
+        field: str = "text",
+    ) -> list[tuple[str, int]]:
+        """Hierarchical facet counts (Lucene taxonomy FacetsCollector
+        analog): docs matching ``query`` counted per path PREFIX of the
+        ``levels`` dimension columns — e.g. levels=["source", "lang"]
+        yields counts for every "src" and every "src/lang" path, the
+        drill-down tree a taxonomy reader exposes. The match set is
+        broadcast (ray.put); only (doc_id, *levels) streams from the
+        input parquet; per-batch partials carry one row per DISTINCT
+        path (facet-cardinality-bounded, never O(docs)); the driver
+        folds partials. Returns [(path, n)] sorted by n desc, path asc.
+        """
+        import ray
+        import ray.data
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        match = np.sort(self.multiterm_docs(field, terms))
+        match_ref = ray.put(match)
+        n_levels = len(levels)
+
+        def count_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(match_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            sel = b.filter(pa.array(hit))
+            paths: list[str] = []
+            counts: list[int] = []
+            if sel.num_rows:
+                cols = [
+                    sel[lv].to_pandas().astype(str).to_numpy()
+                    for lv in levels
+                ]
+                for depth in range(1, n_levels + 1):
+                    if depth == 1:
+                        joined = cols[0]
+                    else:
+                        joined = cols[0]
+                        for d in range(1, depth):
+                            joined = np.char.add(
+                                np.char.add(joined.astype(str), "/"),
+                                cols[d].astype(str),
+                            )
+                    vals, cnts = np.unique(joined, return_counts=True)
+                    paths.extend(str(v) for v in vals)
+                    counts.extend(int(c) for c in cnts)
+            return pa.table(
+                {
+                    "path": pa.array(paths, pa.string()),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        partials = (
+            ray.data.read_parquet(
+                value_source, columns=["doc_id", *levels]
+            )
+            .map_batches(count_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if not len(partials):
+            return []
+        agg = partials.groupby("path", as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "path"], ascending=[False, True])
+        return [(str(p), int(n)) for p, n in zip(agg["path"], agg["n"])]
+
     def search_collapse(
         self,
         query: str,

@@ -1,0 +1,144 @@
+"""Embedding clustering as a first-class training-data op.
+
+Two surfaces:
+
+- ``assign_fixed_centroids`` — L2 argmin assignment against a given
+  (small, broadcast) centroid matrix. SQL-expressible: the DuckDB twin
+  computes ``list_distance(embedding::DOUBLE[], centroid)`` per
+  (vector, centroid) pair and takes the per-vector argmin with the same
+  (dist, cid) tie order. Emitting only integer columns (vec_id,
+  cluster) keeps the oracle compare exact — no float round-off channel.
+
+- ``kmeans_cluster_sizes`` — full distributed Lloyd's k-means (reuses
+  ``similarity.train_centroids_distributed``: per-batch (count, sum)
+  partials, K x D driver fold) followed by a streaming assignment pass
+  and a facet-cardinality-bounded size aggregate. Non-SQL-expressible
+  (iterative); pytest holds the self-consistency oracle (final
+  assignment == numpy argmin against the final centroids; sizes sum to
+  N).
+
+Scale shape: centroids are K x D floats broadcast once via ``ray.put``;
+the corpus streams through ``map_batches`` exactly once per Lloyd's
+iteration plus once for assignment; nothing materializes driver-side
+except K-sized partials. Reference tie-in: clustering backs the IVF
+partitioned ANN layout (ops/similarity.py) — this module exposes it as
+a user-facing op (SURVEY.md §2.8 training-data families).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _stack64(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class _AssignL2:
+    """Per-batch L2 argmin against the broadcast centroid matrix.
+
+    dist^2 = ||x||^2 - 2 x.C^T + ||c||^2 (one matmul per batch);
+    np.argmin returns the FIRST minimum — the (dist, cid) tie order the
+    oracle uses."""
+
+    def __init__(self, centroids_ref, vec_col: str, id_col: str):
+        c = (
+            ray.get(centroids_ref)
+            if not isinstance(centroids_ref, np.ndarray)
+            else centroids_ref
+        )
+        self.c = np.asarray(c, np.float64)
+        self.c_norm2 = (self.c * self.c).sum(axis=1)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _stack64(batch[self.vec_col])
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ self.c.T)
+            + self.c_norm2[None, :]
+        )
+        assign = np.argmin(d2, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "cluster": pa.array(assign),
+            }
+        )
+
+
+def assign_fixed_centroids(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Stream (id, cluster) for every vector: nearest centroid by L2."""
+    cref = ray.put(np.asarray(centroids, np.float64))
+    return ds.map_batches(
+        _AssignL2,
+        fn_constructor_kwargs=dict(
+            centroids_ref=cref, vec_col=vec_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def kmeans_cluster_sizes(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[pa.Table, np.ndarray]:
+    """Distributed k-means then streamed assignment; returns
+    ((cluster, n) sizes table, final centroid matrix). Uses the
+    cosine-normalized trainer shared with the IVF index so cluster
+    geometry matches the ANN layout."""
+    from fdblucene_ray.ops.similarity import (
+        AssignCentroid,
+        train_centroids_distributed,
+    )
+
+    cents = train_centroids_distributed(ds, k, iters=iters, vec_col=vec_col)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        AssignCentroid,
+        fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).select_columns([id_col, "centroid"])
+
+    def _partial_sizes(b: pa.Table) -> pa.Table:
+        cent = b["centroid"].to_numpy(zero_copy_only=False)
+        counts = np.bincount(cent, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                "n": pa.array(counts),
+            }
+        )
+
+    partials = assigned.map_batches(
+        _partial_sizes, batch_format="pyarrow"
+    ).to_pandas()
+    sizes = (
+        partials.groupby("cluster", as_index=False)["n"].sum().sort_values("cluster")
+    )
+    table = pa.table(
+        {
+            "cluster": pa.array(sizes["cluster"].to_numpy(np.int32)),
+            "n": pa.array(sizes["n"].to_numpy(np.int64)),
+        }
+    )
+    return table, cents

@@ -1873,6 +1873,82 @@ def q_ft_sort_by_field(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_facet_taxonomy(sf_dir: str) -> pa.Table:
+    """Hierarchical (taxonomy) facets: docs matching 'data' counted per
+    source and per source/lang drill-down path (Lucene taxonomy
+    FacetsCollector; SURVEY §2 A-family). Match set broadcast, paths
+    stream from the input parquet, partials are path-cardinality-
+    bounded."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    fc = s.facet_taxonomy(
+        "data", ["source", "lang"], value_source=_docs_path(sf_dir)
+    )
+    return pa.table(
+        {
+            "path": pa.array([p for p, _ in fc], pa.string()),
+            "n": pa.array([c for _, c in fc], pa.int64()),
+        }
+    )
+
+
+def q_geo_knn(sf_dir: str) -> pa.Table:
+    """10 nearest events to (12.34, 56.78) by haversine over the
+    deterministic synthetic lat/lon grid (LatLonPoint.nearest analog;
+    per-batch local top-k, global sort over num_batches*k candidates)."""
+    from fdblucene_ray.ops.geo import geo_knn
+
+    return geo_knn(
+        _events_ds(sf_dir, ["event_id", "user_id"]), 12.34, 56.78, 10
+    )
+
+
+def q_geo_bbox(sf_dir: str) -> pa.Table:
+    """Events in the box lat [0, 30) x lon [-90, 0), counted per
+    event_type (LatLonPoint.newBoxQuery + facet; partial counts only
+    cross the exchange)."""
+    from fdblucene_ray.ops.geo import geo_bbox_counts
+
+    return geo_bbox_counts(
+        _events_ds(sf_dir, ["event_id", "user_id", "event_type"]),
+        0.0, 30.0, -90.0, 0.0,
+    )
+
+
+def q_cluster_assign(sf_dir: str) -> pa.Table:
+    """Nearest-centroid assignment of every embedding against the four
+    fixed centroids vec_id<4 (L2, ties by centroid id). Integer-only
+    output keeps the oracle compare exact; centroids broadcast once."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.ops.clustering import assign_fixed_centroids
+
+    cents = _query_vectors(sf_dir, [0, 1, 2, 3])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    out = assign_fixed_centroids(ds, cents).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "cluster": pa.array(out["cluster"].to_numpy(np.int32)),
+        }
+    )
+
+
+def q_cluster_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd's k-means (k=8) over embeddings; returns
+    (cluster, n) sizes. Iterative => no SQL twin; pytest holds the
+    self-consistency oracle."""
+    from fdblucene_ray.ops.clustering import kmeans_cluster_sizes
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    sizes, _ = kmeans_cluster_sizes(ds, 8, iters=5)
+    return sizes
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1992,6 +2068,11 @@ def queries() -> dict:
         "dup_components": q_dup_components,
         "group_quantiles": q_group_quantiles,
         "curate_then_index": q_curate_then_index,
+        "ft_facet_taxonomy": q_ft_facet_taxonomy,
+        "geo_knn": q_geo_knn,
+        "geo_bbox": q_geo_bbox,
+        "cluster_assign": q_cluster_assign,
+        "cluster_kmeans": q_cluster_kmeans,
     }
 
 
@@ -3611,5 +3692,55 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_facet_taxonomy": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data'),
+md AS (SELECT d.source, d.lang FROM documents d JOIN m ON m.doc_id = d.doc_id)
+SELECT path, n FROM (
+  SELECT source AS path, count(*)::BIGINT AS n FROM md GROUP BY source
+  UNION ALL
+  SELECT source || '/' || lang AS path, count(*)::BIGINT AS n
+  FROM md GROUP BY source, lang
+) ORDER BY n DESC, path
+""",
+        "geo_knn": """
+WITH pts AS (
+  SELECT event_id, user_id,
+         (user_id * 7919 % 12000) / 100.0 - 60.0 AS lat,
+         (user_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM events),
+d AS (
+  SELECT event_id, user_id,
+         2.0 * 6371.0 * asin(sqrt(
+             pow(sin((radians(12.34) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(12.34))
+             * pow(sin((radians(56.78) - radians(lon)) / 2), 2)
+         )) AS dist
+  FROM pts)
+SELECT event_id, user_id, CAST(round(dist, 4) AS DOUBLE) AS dist_km
+FROM d ORDER BY dist, event_id LIMIT 10
+""",
+        "geo_bbox": """
+WITH pts AS (
+  SELECT event_type,
+         (user_id * 7919 % 12000) / 100.0 - 60.0 AS lat,
+         (user_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n
+FROM pts
+WHERE lat >= 0 AND lat < 30 AND lon >= -90 AND lon < 0
+GROUP BY event_type ORDER BY n DESC, event_type
+""",
+        "cluster_assign": """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id < 4),
+d AS (SELECT e.vec_id, c.cid,
+             list_distance(e.embedding::DOUBLE[], c.ce) AS dist
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id, cid::INTEGER AS cluster FROM r WHERE rn = 1 ORDER BY vec_id
 """,
     }
