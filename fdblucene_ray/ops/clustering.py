@@ -106,17 +106,15 @@ def kmeans_cluster_sizes(
     cosine-normalized trainer shared with the IVF index so cluster
     geometry matches the ANN layout."""
     from fdblucene_ray.ops.similarity import (
-        AssignCentroid,
+        assign_centroid_batch,
         train_centroids_distributed,
     )
 
     cents = train_centroids_distributed(ds, k, iters=iters, vec_col=vec_col)
-    cref = ray.put(cents)
     assigned = ds.map_batches(
-        AssignCentroid,
-        fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+        assign_centroid_batch,
+        fn_kwargs=dict(centroids=cents, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).select_columns([id_col, "centroid"])
 
     def _partial_sizes(b: pa.Table) -> pa.Table:

@@ -56,35 +56,64 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BatchCosineTopK:
-    """map_batches: emit per-batch top-k (query_id, vec_id, sim) rows."""
-
-    def __init__(self, queries_ref, query_ids, k: int, vec_col: str, id_col: str):
-        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.qn = _normalize(q.astype(np.float64)).T  # (d, nq)
-        self.query_ids = np.asarray(query_ids, np.int64)
-        self.k = k
-        self.vec_col, self.id_col = vec_col, id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_stack(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sims = m @ self.qn  # (n, nq)
-        k = min(self.k, len(ids))
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            s = sims[:, qi]
-            sel = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
-            out_q.append(np.full(len(sel), self.query_ids[qi], np.int64))
-            out_v.append(ids[sel].astype(np.int64))
-            out_s.append(s[sel].astype(np.float64))
+def _score_batch_topk(
+    batch: pa.Table,
+    *,
+    qn_T: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    probe: np.ndarray | None = None,
+    part_col: str | None = None,
+) -> pa.Table:
+    """Stateless per-batch top-k scorer (task pool, no actor spin-up):
+    the query matrix is a few KB and ships in the serialized fn_kwargs
+    once per task. With ``probe``/``part_col`` set, each query scores
+    only rows whose partition id is in its probe set (IVF/LSH mode).
+    Repeated low-latency searches pay no actor-pool startup — the
+    per-batch math is identical to BatchCosineTopK/_IVFTopK."""
+    m = _normalize(_stack(batch[vec_col]))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    cents = None
+    if probe is not None:
+        ccol = batch[part_col]
+        if isinstance(ccol, pa.ChunkedArray):
+            ccol = ccol.combine_chunks()
+        if pa.types.is_dictionary(ccol.type):  # hive partition column
+            ccol = ccol.cast(ccol.type.value_type)
+        if not pa.types.is_integer(ccol.type):
+            ccol = ccol.cast(pa.int32())
+        cents = ccol.to_numpy(zero_copy_only=False)
+    out_q, out_v, out_s = [], [], []
+    for qi in range(qn_T.shape[1]):
+        if cents is not None:
+            mask = np.isin(cents, probe[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qn_T[:, qi]
+            sel_ids = ids[mask]
+        else:
+            s = m @ qn_T[:, qi]
+            sel_ids = ids
+        kk = min(k, len(s))
+        sel = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+        out_q.append(np.full(len(sel), query_ids[qi], np.int64))
+        out_v.append(sel_ids[sel].astype(np.int64))
+        out_s.append(s[sel].astype(np.float64))
+    if not out_q:
         return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.concatenate(out_s)),
-            }
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
         )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        }
+    )
 
 
 def _merge_topk(df, k: int) -> pa.Table:
@@ -108,14 +137,14 @@ def brute_force_topk(
 ) -> pa.Table:
     """Exact cosine top-k; sims rounded to 5 dp in the output (DuckDB's
     list_cosine_similarity computes in float32; 5 dp absorbs the gap)."""
-    qref = ray.put(np.asarray(queries, np.float64))
+    qn = _normalize(np.asarray(queries, np.float64)).T
     cand = ds.map_batches(
-        BatchCosineTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, query_ids=query_ids, k=k, vec_col=vec_col, id_col=id_col
+        _score_batch_topk,
+        fn_kwargs=dict(
+            qn_T=qn, query_ids=np.asarray(query_ids, np.int64), k=k,
+            vec_col=vec_col, id_col=id_col,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _merge_topk(cand.to_pandas(), k)
 
@@ -146,36 +175,31 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np
     return c
 
 
-class _KMeansPartial:
-    """One Lloyd's iteration's map side: per batch, assign every vector
-    to its nearest centroid and emit K partial rows (centroid, count,
-    sum-vector). The reduce is a tiny driver fold over
-    O(K x n_batches) rows — the full-corpus k-means pass at 100 TB is
-    N streaming map_batches passes, never a driver materialization."""
-
-    def __init__(self, centroids_ref, vec_col: str):
-        c = (
-            ray.get(centroids_ref)
-            if not isinstance(centroids_ref, np.ndarray)
-            else centroids_ref
-        )
-        self.c = _normalize(c.astype(np.float64))
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_stack(batch[self.vec_col]))
-        k, d = self.c.shape
-        assign = np.argmax(m @ self.c.T, axis=1)
-        sums = np.zeros((k, d), np.float64)
-        np.add.at(sums, assign, m)
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
-        return pa.table(
-            {
-                "centroid": pa.array(np.arange(k, dtype=np.int32)),
-                "count": pa.array(counts),
-                "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
-            }
-        )
+def _kmeans_partial_batch(
+    batch: pa.Table, *, centroids: np.ndarray, vec_col: str
+) -> pa.Table:
+    """One Lloyd's iteration's map side (stateless task): per batch,
+    assign every vector to its nearest centroid and emit K partial rows
+    (centroid, count, sum-vector). The reduce is a tiny driver fold over
+    O(K x n_batches) rows — the full-corpus k-means pass at 100 TB is N
+    streaming map_batches passes, never a driver materialization. The
+    K x D centroid matrix ships in the serialized fn_kwargs (small, one
+    object-store copy); a huge codebook would broadcast via ray.put +
+    an actor pool instead."""
+    c = _normalize(np.asarray(centroids, np.float64))
+    m = _normalize(_stack(batch[vec_col]))
+    k, d = c.shape
+    assign = np.argmax(m @ c.T, axis=1)
+    sums = np.zeros((k, d), np.float64)
+    np.add.at(sums, assign, m)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    return pa.table(
+        {
+            "centroid": pa.array(np.arange(k, dtype=np.int32)),
+            "count": pa.array(counts),
+            "vec_sum": pa.array(list(sums), pa.list_(pa.float64())),
+        }
+    )
 
 
 def train_centroids_distributed(
@@ -200,12 +224,10 @@ def train_centroids_distributed(
     idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
     c = x[idx].copy()
     for _ in range(iters):
-        cref = ray.put(c)
         partials = ds.map_batches(
-            _KMeansPartial,
-            fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+            _kmeans_partial_batch,
+            fn_kwargs=dict(centroids=c, vec_col=vec_col),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         ).take_all()
         k, d = c.shape
         sums = np.zeros((k, d), np.float64)
@@ -220,16 +242,15 @@ def train_centroids_distributed(
     return c
 
 
-class AssignCentroid:
-    def __init__(self, centroids_ref, vec_col: str):
-        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
-        self.c = _normalize(c.astype(np.float64)).T
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_stack(batch[self.vec_col]))
-        assign = np.argmax(m @ self.c, axis=1).astype(np.int32)
-        return batch.append_column("centroid", pa.array(assign))
+def assign_centroid_batch(
+    batch: pa.Table, *, centroids: np.ndarray, vec_col: str
+) -> pa.Table:
+    """Nearest-centroid (cosine) tag per row — stateless task; the
+    small centroid matrix ships in fn_kwargs once."""
+    c_T = _normalize(np.asarray(centroids, np.float64)).T
+    m = _normalize(_stack(batch[vec_col]))
+    assign = np.argmax(m @ c_T, axis=1).astype(np.int32)
+    return batch.append_column("centroid", pa.array(assign))
 
 
 def ivf_topk(
@@ -251,10 +272,9 @@ def ivf_topk(
     rows = ds.limit(sample_rows).take_all()
     sample = np.array([r[vec_col] for r in rows], dtype=np.float32)
     cents = train_centroids(sample, n_centroids)
-    cref = ray.put(cents)
     assigned = ds.map_batches(
-        AssignCentroid, fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 8),
+        assign_centroid_batch, fn_kwargs=dict(centroids=cents, vec_col=vec_col),
+        batch_format="pyarrow",
     )
     qn = _normalize(np.asarray(queries, np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -266,64 +286,16 @@ def ivf_topk(
         lambda t: t.filter(pc.is_in(t["centroid"], value_set=pa.array(probed))),
         batch_format="pyarrow",
     )
-    qref = ray.put(qn)
     cand = sub.map_batches(
-        _IVFTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+        _score_batch_topk,
+        fn_kwargs=dict(
+            qn_T=qn.T.copy(), query_ids=np.asarray(query_ids, np.int64),
             probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+            part_col="centroid",
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _merge_topk(cand.to_pandas(), k)
-
-
-class _IVFTopK(BatchCosineTopK):
-    """Per-batch top-k where each query only scores rows whose partition
-    id (centroid or LSH bucket) is in that query's probe set."""
-
-    def __init__(self, queries_ref, query_ids, probe, k, vec_col, id_col,
-                 part_col: str = "centroid"):
-        super().__init__(queries_ref, query_ids, k, vec_col, id_col)
-        self.probe = probe  # (nq, nprobe) partition ids per query
-        self.part_col = part_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ccol = batch[self.part_col]
-        if isinstance(ccol, pa.ChunkedArray):
-            ccol = ccol.combine_chunks()
-        if pa.types.is_dictionary(ccol.type):  # hive partition column
-            ccol = ccol.cast(ccol.type.value_type)
-        if not pa.types.is_integer(ccol.type):
-            ccol = ccol.cast(pa.int32())
-        cents = ccol.to_numpy(zero_copy_only=False)
-        m = _normalize(_stack(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(self.qn.shape[1]):
-            mask = np.isin(cents, self.probe[qi])
-            if not mask.any():
-                continue
-            s = m[mask] @ self.qn[:, qi]
-            sel_ids = ids[mask]
-            k = min(self.k, len(s))
-            sel = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
-            out_q.append(np.full(len(sel), self.query_ids[qi], np.int64))
-            out_v.append(sel_ids[sel].astype(np.int64))
-            out_s.append(s[sel].astype(np.float64))
-        if not out_q:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.concatenate(out_s)),
-            }
-        )
 
 
 def build_ivf_index(
@@ -363,12 +335,10 @@ def build_ivf_index(
         rows = ds.limit(sample_rows).take_all()
         sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
         cents = train_centroids(sample, n_centroids)
-    cref = ray.put(cents)
     assigned = ds.map_batches(
-        AssignCentroid,
-        fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+        assign_centroid_batch,
+        fn_kwargs=dict(centroids=cents, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     assigned.write_parquet(os.path.join(tmp, "data"), partition_cols=["centroid"])
     np.save(os.path.join(tmp, "centroids.npy"), cents)
@@ -419,16 +389,15 @@ def ivf_topk_indexed(
     # the reader infers the hive `centroid=K` partition column from the
     # file paths, so the probed files arrive already tagged
     ds = ray.data.read_parquet(files)
-    qn = _normalize(np.asarray(queries, np.float64))
-    qref = ray.put(qn)
+    qn = _normalize(np.asarray(queries, np.float64)).T
     cand = ds.map_batches(
-        _IVFTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+        _score_batch_topk,
+        fn_kwargs=dict(
+            qn_T=qn, query_ids=np.asarray(query_ids, np.int64),
             probe=probe, k=k, vec_col=vec_col, id_col=id_col,
+            part_col="centroid",
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _merge_topk(cand.to_pandas(), k)
 
@@ -497,17 +466,13 @@ def multiprobe_buckets(
     return out
 
 
-class AssignLSHBucket:
-    def __init__(self, planes_ref, vec_col: str):
-        p = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
-        self.planes = p
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_stack(batch[self.vec_col]))
-        return batch.append_column(
-            "bucket", pa.array(_lsh_buckets(m, self.planes))
-        )
+def assign_lsh_bucket_batch(
+    batch: pa.Table, *, planes: np.ndarray, vec_col: str
+) -> pa.Table:
+    """Sign-LSH bucket tag per row — stateless task; the (n_bits, d)
+    plane matrix ships in fn_kwargs once."""
+    m = _normalize(_stack(batch[vec_col]))
+    return batch.append_column("bucket", pa.array(_lsh_buckets(m, planes)))
 
 
 def build_lsh_index(
@@ -540,12 +505,10 @@ def build_lsh_index(
     first = ds.limit(1).take_all()
     dim = len(first[0][vec_col])
     planes = _lsh_planes(n_bits, dim, seed)
-    pref = ray.put(planes)
     assigned = ds.map_batches(
-        AssignLSHBucket,
-        fn_constructor_kwargs=dict(planes_ref=pref, vec_col=vec_col),
+        assign_lsh_bucket_batch,
+        fn_kwargs=dict(planes=planes, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     assigned.write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
     np.save(os.path.join(tmp, "planes.npy"), planes)
@@ -594,17 +557,15 @@ def lsh_topk_indexed(
              "sim": pa.array([], pa.float64())}
         )
     ds = ray.data.read_parquet(files)
-    qn = _normalize(np.asarray(queries, np.float64))
-    qref = ray.put(qn)
+    qn = _normalize(np.asarray(queries, np.float64)).T
     cand = ds.map_batches(
-        _IVFTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+        _score_batch_topk,
+        fn_kwargs=dict(
+            qn_T=qn, query_ids=np.asarray(query_ids, np.int64),
             probe=probe, k=k, vec_col=vec_col, id_col=id_col,
             part_col="bucket",
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _merge_topk(cand.to_pandas(), k)
 
@@ -628,25 +589,21 @@ def lsh_topk(
     first = ds.limit(1).take_all()
     dim = len(first[0][vec_col])
     planes = _lsh_planes(n_bits, dim, seed)
-    pref = ray.put(planes)
     assigned = ds.map_batches(
-        AssignLSHBucket,
-        fn_constructor_kwargs=dict(planes_ref=pref, vec_col=vec_col),
+        assign_lsh_bucket_batch,
+        fn_kwargs=dict(planes=planes, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     probe = multiprobe_buckets(queries, planes, nprobe)
     qn = _normalize(np.asarray(queries, np.float64))
-    qref = ray.put(qn)
     cand = assigned.map_batches(
-        _IVFTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, query_ids=np.asarray(query_ids, np.int64),
+        _score_batch_topk,
+        fn_kwargs=dict(
+            qn_T=qn.T.copy(), query_ids=np.asarray(query_ids, np.int64),
             probe=probe, k=k, vec_col=vec_col, id_col=id_col,
             part_col="bucket",
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return _merge_topk(cand.to_pandas(), k)
 
@@ -704,11 +661,10 @@ def embedding_near_dups(
         cents = train_centroids(
             np.array([r[vec_col] for r in rows], np.float64), n_centroids
         )
-        cref = ray.put(cents)
         assigned = ds.map_batches(
-            AssignCentroid,
-            fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
-            batch_format="pyarrow", concurrency=(1, 8),
+            assign_centroid_batch,
+            fn_kwargs=dict(centroids=cents, vec_col=vec_col),
+            batch_format="pyarrow",
         )
         pairs = assigned.groupby("centroid").map_groups(
             _BucketPairs(threshold, vec_col, id_col), batch_format="pyarrow"
