@@ -101,36 +101,31 @@ def exact_dedup(
     )
 
 
-class _SeenContentFilter:
-    """Actor-pool filter: drop rows whose content digest is in the
-    broadcast key set (exact sorted array or Bloom filter)."""
+def _seen_content_filter(
+    batch: pa.Table, *, keys_ref, text_col: str, bloom: bool
+) -> pa.Table:
+    """Stateless task filter: drop rows whose content digest is in the
+    broadcast key set (exact sorted array or Bloom filter bytes). The
+    keys live in the object store once (ray.put by the caller); each
+    task's ray.get is a zero-copy plasma read, so tasks get broadcast
+    semantics without actor-pool spin-up."""
+    obj = ray.get(keys_ref) if not isinstance(
+        keys_ref, (np.ndarray, bytes)
+    ) else keys_ref
+    h, ln = content_digest(batch[text_col])
+    key = (h ^ splitmix64(ln.astype(np.uint64))).astype(np.int64)
+    if bloom:
+        from fdblucene_ray.ops.sketches import BloomFilter
 
-    def __init__(self, keys_ref, text_col: str, bloom: bool):
-        obj = ray.get(keys_ref) if not isinstance(
-            keys_ref, (np.ndarray, bytes)
-        ) else keys_ref
-        if bloom:
-            from fdblucene_ray.ops.sketches import BloomFilter
-
-            self.bf = BloomFilter.from_bytes(obj)
-            self.keys = None
-        else:
-            self.bf = None
-            self.keys = np.asarray(obj)  # sorted int64
-        self.text_col = text_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        h, ln = content_digest(batch[self.text_col])
-        key = (h ^ splitmix64(ln.astype(np.uint64))).astype(np.int64)
-        if self.bf is not None:
-            seen = self.bf.contains(key.view(np.uint64))
-        elif len(self.keys):
-            pos = np.searchsorted(self.keys, key)
-            pos[pos == len(self.keys)] = 0
-            seen = self.keys[pos] == key
-        else:
-            seen = np.zeros(len(key), bool)
-        return batch.filter(pa.array(~seen))
+        seen = BloomFilter.from_bytes(obj).contains(key.view(np.uint64))
+    elif len(obj):
+        keys = np.asarray(obj)  # sorted int64
+        pos = np.searchsorted(keys, key)
+        pos[pos == len(keys)] = 0
+        seen = keys[pos] == key
+    else:
+        seen = np.zeros(len(key), bool)
+    return batch.filter(pa.array(~seen))
 
 
 def incremental_dedup(
@@ -176,14 +171,13 @@ def incremental_dedup(
     else:
         keys_ref = ray.put(keys)
     fresh = new_ds.map_batches(
-        _SeenContentFilter,
-        fn_constructor_kwargs=dict(
+        _seen_content_filter,
+        fn_kwargs=dict(
             keys_ref=keys_ref, text_col=text_col,
             bloom=bloom_fpr is not None,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return exact_dedup(fresh, text_col, id_col)
 
@@ -403,114 +397,164 @@ def minhash_lsh_pairs(
     )
 
 
+def _tokenizer_cached(analyzer: str) -> BatchTokenizer:
+    """Per-worker-process tokenizer cache: lets stateless map_batches
+    TASKS reuse the compiled analyzer/stem memo across batches without
+    paying actor-pool spin-up per call (tasks >> actors for the short
+    verify pass; the cache makes task construction as cheap)."""
+    tk = _TOKENIZER_CACHE.get(analyzer)
+    if tk is None:
+        tk = _TOKENIZER_CACHE[analyzer] = BatchTokenizer(analyzer)
+    return tk
+
+
+_TOKENIZER_CACHE: dict[str, BatchTokenizer] = {}
+
+# above this many candidate pairs the exact-Jaccard verify runs as a
+# distributed hashed-partition groupby; below it the (pid, shingles)
+# candidate rows — bounded by 2 x pairs — collect to the driver and
+# verify vectorized, skipping a whole shuffle round-trip
+_DRIVER_VERIFY_MAX_PAIRS = 50_000
+
+
+def _emit_pair_shingles(
+    batch: pa.Table,
+    *,
+    doc_pairs: dict,
+    wanted: np.ndarray,
+    text_col: str,
+    id_col: str,
+    shingle: int,
+    analyzer: str,
+) -> pa.Table:
+    """Stateless task: emit (pid, part, packed shingle set) for every
+    candidate doc in the batch (docs outside the pair set are dropped
+    before any tokenization)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    mask = np.isin(ids, wanted)
+    sel = batch.filter(pa.array(mask))
+    if sel.num_rows == 0:
+        return pa.table(
+            {"pid": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int32()),
+             "doc_id": pa.array([], pa.int64()),
+             "shingles": pa.array([], pa.binary())}
+        )
+    tk = _tokenizer_cached(analyzer)
+    h, srow, offsets, counts = _shingle_hashes(
+        tk, sel[text_col], sel.num_rows, shingle
+    )
+    sids = sel[id_col].to_numpy(zero_copy_only=False)
+    pids, dids, cells = [], [], []
+    for i in range(sel.num_rows):
+        s = np.unique(h[offsets[i] : offsets[i + 1]])
+        cell = np.ascontiguousarray(s, "<u8").tobytes()
+        for pid in doc_pairs[int(sids[i])]:
+            pids.append(pid)
+            dids.append(int(sids[i]))
+            cells.append(cell)
+    pid_arr = np.asarray(pids, np.int64)
+    return pa.table(
+        {
+            "pid": pa.array(pid_arr),
+            "part": pa.array(part_of(pid_arr, _VERIFY_PARTS)),
+            "doc_id": pa.array(dids, pa.int64()),
+            "shingles": pa.array(cells, pa.binary()),
+        }
+    )
+
+
+def _verify_pid_runs(
+    pid: np.ndarray, sh, pairs_arr: np.ndarray, threshold: float
+) -> pa.Table:
+    """Verify every complete 2-row pid run: lexsort by pid, exact
+    shingle-set Jaccard per pair (the per-pair set intersection is the
+    inherent cost; no per-group Ray/Arrow overhead)."""
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if len(pid) < 2:
+        return empty
+    order = np.argsort(pid, kind="stable")
+    pid = pid[order]
+    starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(pid)])))
+    out_a, out_b, out_j = [], [], []
+    for s, k in zip(starts, sizes):
+        if k != 2:
+            continue
+        sa = np.frombuffer(sh[int(order[s])].as_py(), "<u8")
+        sb = np.frombuffer(sh[int(order[s + 1])].as_py(), "<u8")
+        if not len(sa) or not len(sb):
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j < threshold:
+            continue
+        p = int(pid[s])
+        out_a.append(int(pairs_arr[p][0]))
+        out_b.append(int(pairs_arr[p][1]))
+        out_j.append(round(j, 6))
+    if not out_a:
+        return empty
+    return pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+         "jaccard": pa.array(out_j, pa.float64())}
+    )
+
+
 def _verify_pairs_jaccard(
     ds, pair_list, text_col, id_col, shingle, analyzer, threshold
 ) -> pa.Table:
-    """Exact-Jaccard verification of candidate pairs as a DISTRIBUTED
-    broadcast join: the (small) doc->pair mapping is broadcast via
-    ray.put, the corpus streams once emitting (pair_id, side, packed
-    shingle set) only for candidate docs, and a groupby(pair_id)
-    co-locates the two sides to compute exact Jaccard. The driver sees
-    only candidate pair ids in and verified pairs out — no shingle
-    dict is ever materialized driver-side."""
+    """Exact-Jaccard verification of candidate pairs as a broadcast
+    join: the (small) doc->pair mapping ships with stateless emit tasks,
+    the corpus streams once emitting (pair_id, packed shingle set) only
+    for candidate docs. Small candidate sets (<= _DRIVER_VERIFY_MAX_PAIRS)
+    verify driver-side on the collected 2xpairs rows — skipping a
+    shuffle whose data would be smaller than its overhead; larger sets
+    co-locate pair sides with a hashed-partition groupby so no shingle
+    payload ever lands on the driver."""
     doc_pairs: dict[int, list[int]] = {}
     for pid, (a, b) in enumerate(pair_list):
         doc_pairs.setdefault(a, []).append(pid)
         doc_pairs.setdefault(b, []).append(pid)
-    map_ref = ray.put(doc_pairs)
-    pairs_ref = ray.put(np.asarray(pair_list, np.int64))
+    wanted = np.fromiter(doc_pairs.keys(), np.int64, len(doc_pairs))
+    wanted.sort()
+    pairs_arr = np.asarray(pair_list, np.int64)
 
-    class EmitPairShingles:
-        def __init__(self):
-            self.map = ray.get(map_ref)
-            self.wanted = np.fromiter(self.map.keys(), np.int64, len(self.map))
-            self.wanted.sort()
-            self.tk = BatchTokenizer(analyzer)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            mask = np.isin(ids, self.wanted)
-            sel = batch.filter(pa.array(mask))
-            if sel.num_rows == 0:
-                return pa.table(
-                    {"pid": pa.array([], pa.int64()),
-                     "part": pa.array([], pa.int32()),
-                     "doc_id": pa.array([], pa.int64()),
-                     "shingles": pa.array([], pa.binary())}
-                )
-            h, srow, offsets, counts = _shingle_hashes(
-                self.tk, sel[text_col], sel.num_rows, shingle
-            )
-            sids = sel[id_col].to_numpy(zero_copy_only=False)
-            pids, dids, cells = [], [], []
-            for i in range(sel.num_rows):
-                s = np.unique(h[offsets[i] : offsets[i + 1]])
-                cell = np.ascontiguousarray(s, "<u8").tobytes()
-                for pid in self.map[int(sids[i])]:
-                    pids.append(pid)
-                    dids.append(int(sids[i]))
-                    cells.append(cell)
-            pid_arr = np.asarray(pids, np.int64)
-            return pa.table(
-                {
-                    "pid": pa.array(pid_arr),
-                    "part": pa.array(part_of(pid_arr, _VERIFY_PARTS)),
-                    "doc_id": pa.array(dids, pa.int64()),
-                    "shingles": pa.array(cells, pa.binary()),
-                }
-            )
-
-    def verify_group(group: pa.Table) -> pa.Table:
-        """EVERY candidate pair hashed into this shuffle partition is
-        verified in one call: lexsort by pid finds the 2-row pair runs;
-        the Python loop touches only complete pairs (the inherent
-        per-pair set intersection — its cost is the shingle sets, not
-        Ray/Arrow per-group overhead)."""
-        pairs_arr = ray.get(pairs_ref)
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-        if group.num_rows < 2:
-            return empty
-        pid = group["pid"].to_numpy(zero_copy_only=False)
-        order = np.argsort(pid, kind="stable")
-        pid = pid[order]
-        sh = group["shingles"].combine_chunks() if isinstance(
-            group["shingles"], pa.ChunkedArray
-        ) else group["shingles"]
-        starts = np.flatnonzero(np.concatenate(([True], pid[1:] != pid[:-1])))
-        sizes = np.diff(np.concatenate((starts, [len(pid)])))
-        out_a, out_b, out_j = [], [], []
-        for s, k in zip(starts, sizes):
-            if k != 2:
-                continue
-            sa = np.frombuffer(sh[int(order[s])].as_py(), "<u8")
-            sb = np.frombuffer(sh[int(order[s + 1])].as_py(), "<u8")
-            if not len(sa) or not len(sb):
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j < threshold:
-                continue
-            p = int(pid[s])
-            out_a.append(int(pairs_arr[p][0]))
-            out_b.append(int(pairs_arr[p][1]))
-            out_j.append(round(j, 6))
-        if not out_a:
-            return empty
-        return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
-        )
-
-    verify_group.__name__ = "verify_jaccard"
-    verified = (
-        ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby("part", num_partitions=_VERIFY_PARTS)
-        .map_groups(verify_group, batch_format="pyarrow")
+    emitted = ds.map_batches(
+        _emit_pair_shingles,
+        fn_kwargs=dict(
+            doc_pairs=doc_pairs, wanted=wanted, text_col=text_col,
+            id_col=id_col, shingle=shingle, analyzer=analyzer,
+        ),
+        batch_format="pyarrow",
     )
-    df = verified.to_pandas()
+    if len(pair_list) <= _DRIVER_VERIFY_MAX_PAIRS:
+        rows = pa.Table.from_pandas(emitted.to_pandas(), preserve_index=False)
+        pid = rows["pid"].to_numpy(zero_copy_only=False)
+        sh = rows["shingles"].combine_chunks() if isinstance(
+            rows["shingles"], pa.ChunkedArray
+        ) else rows["shingles"]
+        out = _verify_pid_runs(pid, sh, pairs_arr, threshold)
+        df = out.to_pandas()
+    else:
+        pairs_ref = ray.put(pairs_arr)
+
+        def verify_group(group: pa.Table) -> pa.Table:
+            pid = group["pid"].to_numpy(zero_copy_only=False)
+            sh = group["shingles"].combine_chunks() if isinstance(
+                group["shingles"], pa.ChunkedArray
+            ) else group["shingles"]
+            return _verify_pid_runs(pid, sh, ray.get(pairs_ref), threshold)
+
+        verify_group.__name__ = "verify_jaccard"
+        df = (
+            emitted.groupby("part", num_partitions=_VERIFY_PARTS)
+            .map_groups(verify_group, batch_format="pyarrow")
+            .to_pandas()
+        )
     if not len(df):
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -524,37 +568,6 @@ def _verify_pairs_jaccard(
             "jaccard": pa.array(df["jaccard"].to_numpy(np.float64)),
         }
     )
-
-
-class _ShingleSetCollector:
-    def __init__(self, wanted: set[int], text_col, id_col, shingle, analyzer):
-        self.wanted = wanted
-        self.text_col, self.id_col = text_col, id_col
-        self.shingle = shingle
-        self.tokenizer = BatchTokenizer(analyzer)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(self.wanted))
-        sel = batch.filter(pa.array(mask))
-        if sel.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "shingles": pa.array([], pa.list_(pa.int64()))})
-        h, srow, offsets, counts = _shingle_hashes(
-            self.tokenizer, sel[self.text_col], sel.num_rows, self.shingle
-        )
-        sids = sel[self.id_col].to_numpy(zero_copy_only=False)
-        out_ids, out_sets = [], []
-        for i in range(sel.num_rows):
-            out_ids.append(int(sids[i]))
-            out_sets.append(
-                np.unique(h[offsets[i] : offsets[i + 1]]).astype(np.int64).tolist()
-            )
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()),
-             "shingles": pa.array(out_sets, pa.list_(pa.int64()))}
-        )
-
 
 def collect_shingle_sets(ds, wanted, text_col, id_col, *, shingle=3, analyzer="simple"):
     t = ds.map_batches(
