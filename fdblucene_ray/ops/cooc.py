@@ -92,6 +92,18 @@ class _PairPartials:
         )
 
 
+
+def _pair_partials_batch(batch, *, analyzer, window, text_col):
+    """Task wrapper: per-worker cached _PairPartials."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("pair_partials", analyzer, window, text_col),
+        lambda: _PairPartials(analyzer, window, text_col),
+    )
+    return st(batch)
+
+
 def _totals(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -123,13 +135,12 @@ def cooccurrence_pmi(
     import pyarrow.compute as pc
 
     partials = ds.map_batches(
-        _PairPartials,
-        fn_constructor_kwargs=dict(
+        _pair_partials_batch,
+        fn_kwargs=dict(
             analyzer=analyzer, window=window, text_col=text_col
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     agg = partials.groupby(["l", "r"]).sum("cnt").materialize()
 

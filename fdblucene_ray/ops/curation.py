@@ -129,6 +129,25 @@ class NgramContamination:
         )
 
 
+
+def _ngram_contamination_batch(
+    batch, *, bench_ref, n, text_col, id_col, analyzer, bloom
+):
+    """Task wrapper: per-worker cached NgramContamination keyed by the
+    broadcast benchmark set's ObjectRef (zero-copy plasma fetch once
+    per worker, no actor-pool spin-up per query)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("ngram_contam", bench_ref.hex(), n, text_col, id_col, analyzer,
+         bloom),
+        lambda: NgramContamination(
+            bench_ref, n, text_col=text_col, id_col=id_col,
+            analyzer=analyzer, bloom=bloom,
+        ),
+    )
+    return st(batch)
+
 def benchmark_ngram_set(texts, n: int, analyzer: str = "simple") -> np.ndarray:
     """Sorted unique n-gram hash array of a (small) benchmark text
     collection — build once on the driver, ``ray.put`` the result."""
@@ -172,14 +191,13 @@ def decontaminate(
     else:
         bench_ref = ray.put(bench)
     return ds.map_batches(
-        NgramContamination,
-        fn_constructor_kwargs=dict(
+        _ngram_contamination_batch,
+        fn_kwargs=dict(
             bench_ref=bench_ref, n=n, text_col=text_col, id_col=id_col,
             analyzer=analyzer, bloom=bloom_fpr is not None,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
 

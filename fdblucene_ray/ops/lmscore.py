@@ -71,11 +71,10 @@ def train_unigram_lm(
     frequent terms (count desc, term asc tie-break); ``total`` counts
     ALL corpus tokens, in- or out-of-model."""
     partials = ds.map_batches(
-        _PartialCounts,
-        fn_constructor_kwargs=dict(analyzer=analyzer, text_col=text_col),
+        _partial_counts_batch,
+        fn_kwargs=dict(analyzer=analyzer, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     vocab = partials.groupby("term").sum("cnt").materialize()
     total = int(vocab.sum("sum(cnt)"))
@@ -131,6 +130,30 @@ class _ScoreDocs:
         )
 
 
+def _partial_counts_batch(batch, *, analyzer, text_col):
+    """Task wrapper: per-worker cached _PartialCounts (tokenizer memo
+    survives across batches/queries without an actor pool)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("lm_partials", analyzer, text_col),
+        lambda: _PartialCounts(analyzer, text_col),
+    )
+    return st(batch)
+
+
+def _score_docs_batch(batch, *, model_ref, analyzer, text_col, id_col):
+    """Task wrapper: per-worker cached _ScoreDocs keyed by the broadcast
+    model's ObjectRef (zero-copy plasma fetch once per worker)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("lm_score", model_ref.hex(), analyzer, text_col, id_col),
+        lambda: _ScoreDocs(model_ref, analyzer, text_col, id_col),
+    )
+    return st(batch)
+
+
 def lm_score(
     ds: ray.data.Dataset,
     vocab_size: int = 1000,
@@ -148,12 +171,11 @@ def lm_score(
         )
     model_ref = ray.put(model)
     return ds.map_batches(
-        _ScoreDocs,
-        fn_constructor_kwargs=dict(
+        _score_docs_batch,
+        fn_kwargs=dict(
             model_ref=model_ref, analyzer=analyzer,
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )

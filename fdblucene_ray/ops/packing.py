@@ -65,6 +65,18 @@ class _TokenCounts:
         )
 
 
+
+def _token_counts_batch(batch, *, analyzer, bucket_size, text_col, id_col):
+    """Task wrapper: per-worker cached _TokenCounts."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("token_counts", analyzer, bucket_size, text_col, id_col),
+        lambda: _TokenCounts(analyzer, bucket_size, text_col, id_col),
+    )
+    return st(batch)
+
+
 def _span_factory(offsets_ref, seq_len: int):
     def emit_spans(group: pa.Table) -> pa.Table:
         bucket_offsets = ray.get(offsets_ref)
@@ -126,14 +138,13 @@ def pack_sequences(
     sequences in doc_id order. Returns a Dataset of
     (seq_id, doc_id, start_in_seq, start_in_doc, n_tokens)."""
     counts = ds.map_batches(
-        _TokenCounts,
-        fn_constructor_kwargs=dict(
+        _token_counts_batch,
+        fn_kwargs=dict(
             analyzer=analyzer, bucket_size=bucket_size,
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     # counts feeds two consumers (bucket totals + span emission);
     # materialize the 24-byte/doc rows once so the 100-TB text read and

@@ -346,6 +346,27 @@ class Percolator:
         )
 
 
+
+def _percolate_batch(batch, *, queries_ref, analyzer, text_col, id_col,
+                     field_cols, df_ref):
+    """Task wrapper: per-worker cached Percolator keyed by the broadcast
+    query set's ObjectRef — the trigger-term index builds once per
+    worker, tasks start on the warm pool (no actor spin-up)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    fc_key = tuple(sorted(field_cols.items())) if field_cols else None
+    st = cached_state(
+        ("percolator", queries_ref.hex(),
+         df_ref.hex() if df_ref is not None else None,
+         analyzer, text_col, id_col, fc_key),
+        lambda: Percolator(
+            queries_ref, analyzer=analyzer, text_col=text_col,
+            id_col=id_col, field_cols=field_cols, df_ref=df_ref,
+        ),
+    )
+    return st(batch)
+
+
 def percolate(
     ds: ray.data.Dataset,
     queries: list[dict],
@@ -375,13 +396,12 @@ def percolate(
         df = query_term_dfs(df, compiled)
     dref = ray.put(df) if df is not None else None
     return ds.map_batches(
-        Percolator,
-        fn_constructor_kwargs=dict(
+        _percolate_batch,
+        fn_kwargs=dict(
             queries_ref=qref, analyzer=analyzer,
             text_col=text_col, id_col=id_col, field_cols=field_cols,
             df_ref=dref,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )

@@ -266,6 +266,19 @@ class _GroupTermPartials:
         )
 
 
+
+def _group_term_partials_batch(batch, *, analyzer, group_col, text_col):
+    """Task wrapper: per-worker cached _GroupTermPartials (tokenizer
+    built once per worker, no actor-pool spin-up per query)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("group_term_partials", analyzer, group_col, text_col),
+        lambda: _GroupTermPartials(analyzer, group_col, text_col),
+    )
+    return st(batch)
+
+
 def _topn_factory(n: int):
     def topn(group: pa.Table) -> pa.Table:
         """Top-n of EVERY group hashed into one shuffle partition, in
@@ -325,13 +338,12 @@ def top_terms_per_group(
     keys -> per-group top-n inside map_groups. Columns:
     (grp, term, cnt, rank)."""
     partials = ds.map_batches(
-        _GroupTermPartials,
-        fn_constructor_kwargs=dict(
+        _group_term_partials_batch,
+        fn_kwargs=dict(
             analyzer=analyzer, group_col=group_col, text_col=text_col
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     agg = partials.groupby(["grp", "term"]).sum("cnt")
     from fdblucene_ray.ops.hashing import hash_strings
@@ -398,6 +410,21 @@ class _SigTermPartials:
         )
 
 
+
+def _sig_term_partials_batch(batch, *, analyzer, text_col, fg_col, fg_value):
+    """Task wrapper: per-worker cached _SigTermPartials."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("sig_term_partials", analyzer, text_col, fg_col, fg_value),
+        lambda: _SigTermPartials(
+            analyzer=analyzer, text_col=text_col,
+            fg_col=fg_col, fg_value=fg_value,
+        ),
+    )
+    return st(batch)
+
+
 def significant_terms(
     ds: ray.data.Dataset,
     fg_col: str,
@@ -423,14 +450,13 @@ def significant_terms(
     import pyarrow.compute as pc
 
     partials = ds.map_batches(
-        _SigTermPartials,
-        fn_constructor_kwargs=dict(
+        _sig_term_partials_batch,
+        fn_kwargs=dict(
             analyzer=analyzer, text_col=text_col,
             fg_col=fg_col, fg_value=fg_value,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     # materialize the aggregate in the OBJECT STORE (distributed blocks,
     # ~20 bytes/term) so the sentinel extraction and the scoring pass

@@ -115,6 +115,23 @@ class CurateFlags:
         )
 
 
+
+def _curate_flags_batch(batch, *, bench_ref, ngram, text_col, id_col):
+    """Task wrapper: per-worker cached CurateFlags keyed by the
+    broadcast benchmark set's ObjectRef — tasks start on the warm
+    worker pool instead of paying actor spin-up per query."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    key = ("curate_flags", bench_ref.hex() if bench_ref is not None else None,
+           ngram, text_col, id_col)
+    st = cached_state(
+        key,
+        lambda: CurateFlags(
+            bench_ref, ngram=ngram, text_col=text_col, id_col=id_col
+        ),
+    )
+    return st(batch)
+
 def _verdict_factory(lang, min_tokens, min_stop_ratio, sample_threshold):
     def verdict(group: pa.Table) -> pa.Table:
         """EVERY content group hashed into one shuffle partition judged
@@ -181,13 +198,12 @@ def curate_corpus(
         else None
     )
     flags = ds.map_batches(
-        CurateFlags,
-        fn_constructor_kwargs=dict(
+        _curate_flags_batch,
+        fn_kwargs=dict(
             bench_ref=bench_ref, ngram=ngram, text_col=text_col, id_col=id_col
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     from fdblucene_ray.ops.hashing import part_of
 
