@@ -409,6 +409,8 @@ def run_default() -> None:
     timed("dedup_incremental", lambda: q.q_dedup_incremental(sf_dir))
     timed("train_shuffle", lambda: q.q_train_shuffle(sf_dir))
     timed("percolate", lambda: q.q_percolate(sf_dir))
+    timed("geo_knn", lambda: q.q_geo_knn(sf_dir))
+    timed("cluster_kmeans", lambda: q.q_cluster_kmeans(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

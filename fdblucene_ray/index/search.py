@@ -2195,6 +2195,38 @@ class Searcher:
             (d, pf) for d, pf, _ in self._phrase_matches(terms, field, offs, slop)
         )
 
+    def search_span_first(
+        self, term: str, end: int, *, field: str = "text"
+    ) -> list[tuple[int, int]]:
+        """SpanFirstQuery analog: docs where ``term`` (analyzed) occurs
+        within the first ``end`` positions — i.e. some occurrence's
+        span ends at position <= end, which for a single-term span
+        means first_position + 1 <= end. Returns (doc_id, first_pos)
+        sorted by doc_id. Vectorized: one full position-stream decode
+        per segment, per-doc first positions via exclusive-cumsum
+        indexing (no Python per-doc loop).
+
+        Reference tie-in: span queries over the positions channel
+        (SURVEY §2 K-family; DATA.md position storage)."""
+        terms = self.parse(term, field)
+        if not terms:
+            return []
+        t = terms[0]
+        out: list[tuple[int, int]] = []
+        bs = self.manifest.block_size
+        for blob, skips, n in _gather_handles(self.readers, field, t):
+            d, tf, _ = self.codec.decode_all(blob, skips, n, bs)
+            pos, ptf = self.codec.decode_all_positions(blob, skips, n, bs)
+            starts = np.concatenate(([0], np.cumsum(ptf[:-1])))
+            first = pos[starts]  # positions ascend within a posting
+            am = _alive_mask(d, self.tombstones)
+            if am is not None:
+                d, first = d[am], first[am]
+            hit = first + 1 <= end
+            out.extend(zip(d[hit].tolist(), first[hit].tolist()))
+        out.sort()
+        return out
+
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""
         terms = self.parse(query, field)

@@ -522,3 +522,135 @@ def significant_terms(
             ),
         }
     )
+
+
+# -------------------------------------------------------- doc keywords
+
+
+def _tf_rows_batch(batch, *, analyzer, text_col, id_col, num_parts):
+    """Per-batch (doc_id, term, tf, part=hash(term)%P) rows plus a df
+    partial of 1 per (doc, term) — the map side of both the df
+    aggregate and the term-co-located scoring shuffle."""
+    from fdblucene_ray.ops.broadcast import cached_state
+    from fdblucene_ray.ops.hashing import part_of
+
+    tk = cached_state(
+        ("kw_tokenizer", analyzer), lambda: BatchTokenizer(analyzer)
+    )
+    rows, terms, tfs, _ = tk.term_frequencies(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = part_of(hash_strings(terms).view(np.int64), num_parts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[rows]),
+            "term": terms,
+            "tf": pa.array(tfs.astype(np.int64)),
+            "part": pa.array(part),
+        }
+    )
+
+
+def _score_keywords_group(group: pa.Table, *, n_docs: float) -> pa.Table:
+    """One shuffle partition: every (doc, term, tf) row scored
+    tf-idf = tf * ln(n_docs / df) with df computed from the co-located
+    term runs (each term's rows all hash here). Vectorized: one lexsort
+    finds term runs; df = docs per run (tf rows are unique per (doc,
+    term)). Scores are rounded to 6 dp HERE so the top-n rank order is
+    identical to the SQL oracle's round(…, 6) ranking."""
+    if group.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "term": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    order = np.argsort(terms, kind="stable")
+    t_sorted = terms[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], t_sorted[1:] != t_sorted[:-1]))
+    )
+    run_len = np.diff(np.concatenate((starts, [len(t_sorted)])))
+    df = np.repeat(run_len, run_len).astype(np.float64)  # rows are unique (doc, term)
+    tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    score = round_half_away(tf * np.log(n_docs / df), 6)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array([str(t) for t in t_sorted], pa.string()),
+            "score": pa.array(score.astype(np.float64)),
+        }
+    )
+
+
+def _topn_keywords_group(group: pa.Table, *, top_n: int) -> pa.Table:
+    """One doc-hashed partition: per-doc top-n by (score desc, term
+    asc) via a single lexsort + run-rank arithmetic."""
+    if group.num_rows == 0:
+        return group.select(["doc_id", "term", "score"])
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    score = group["score"].to_numpy(zero_copy_only=False)
+    terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    order = np.lexsort((terms, -score, ids))
+    ids, score, terms = ids[order], score[order], terms[order]
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    run_len = np.diff(np.concatenate((starts, [len(ids)])))
+    rank = np.arange(len(ids)) - np.repeat(starts, run_len)
+    keep = rank < top_n
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "term": pa.array([str(t) for t in terms[keep]], pa.string()),
+            "score": pa.array(score[keep], pa.float64()),
+        }
+    )
+
+
+def doc_keywords(
+    ds: ray.data.Dataset,
+    top_n: int = 3,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc tf-idf keyword extraction (MoreLikeThis interesting-terms
+    for EVERY doc): top ``top_n`` terms per doc by tf * ln(n_docs/df),
+    ties score desc then term asc. Two hashed-partition exchanges of
+    (doc, term, tf) rows — one term-keyed (df computed from co-located
+    runs, no |vocab| broadcast or driver pass), one doc-keyed (per-doc
+    top-n by run arithmetic). Columns: (doc_id, term, score@6dp)."""
+    import ray
+
+    from fdblucene_ray.ops.hashing import part_of
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    n_docs = float(ds.count())
+    tf_rows = ds.map_batches(
+        _tf_rows_batch,
+        fn_kwargs=dict(
+            analyzer=analyzer, text_col=text_col, id_col=id_col,
+            num_parts=num_parts,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scored = tf_rows.groupby("part", num_partitions=num_parts).map_groups(
+        _score_keywords_group, fn_kwargs=dict(n_docs=n_docs),
+        batch_format="pyarrow",
+    )
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(k, num_parts)))
+
+    return (
+        scored.map_batches(add_doc_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(
+            _topn_keywords_group, fn_kwargs=dict(top_n=top_n),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "term", "score"])
+    )

