@@ -166,3 +166,141 @@ class BloomFilter:
         bf.m, bf.k = int(m), int(k)
         bf.bits = np.frombuffer(blob[16:], np.uint8).copy()
         return bf
+
+
+# ------------------------------------------------------------ Count-Min
+#
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates with one-sided error (estimate >= true count;
+# overestimate <= eps * total with probability 1 - delta at
+# width = ceil(e / eps), depth = ceil(ln(1 / delta))). Same shape as
+# the HLL pass: each batch folds its items into a (depth, width) int64
+# grid, batches emit ONE grid row, the driver folds B grids with
+# elementwise SUM (counts are additive, unlike HLL's max). Point
+# queries take the minimum across rows.
+
+
+class CountMinSketch:
+    """Vectorized CMS over uint64 keys. Rows use independent
+    splitmix64-derived hash seeds; ``add``/``estimate`` are one numpy
+    pass per row."""
+
+    def __init__(self, width: int = 2048, depth: int = 5):
+        self.width, self.depth = int(width), int(depth)
+        self.grid = np.zeros((self.depth, self.width), np.int64)
+        self._seeds = splitmix64(
+            np.arange(1, self.depth + 1, dtype=np.uint64) * np.uint64(0x9E37)
+        )
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        k = np.ascontiguousarray(keys, np.uint64)
+        return np.stack(
+            [
+                (splitmix64(k ^ s) % np.uint64(self.width)).astype(np.int64)
+                for s in self._seeds
+            ]
+        )  # (depth, n)
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        cols = self._cols(keys)
+        w = (
+            np.ones(cols.shape[1], np.int64)
+            if counts is None
+            else np.asarray(counts, np.int64)
+        )
+        for r in range(self.depth):
+            np.add.at(self.grid[r], cols[r], w)
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        est = self.grid[0][cols[0]]
+        for r in range(1, self.depth):
+            est = np.minimum(est, self.grid[r][cols[r]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.grid.shape == other.grid.shape
+        self.grid += other.grid
+        return self
+
+
+def _cms_partial(batch: pa.Table, *, col: str, width: int, depth: int,
+                 analyzer: str | None) -> pa.Table:
+    """One (grid-blob, candidate-terms) row per batch: the batch's CMS
+    grid plus its locally-frequent terms (the per-batch top candidates
+    whose global counts the merged sketch later estimates)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    if analyzer is not None:
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer
+
+        tk = cached_state(
+            ("cms_tokenizer", analyzer), lambda: BatchTokenizer(analyzer)
+        )
+        _, terms = tk.flat_tokens(batch[col])
+    else:
+        terms = batch[col]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(terms)
+    vals = vc.field("values").cast(pa.string())
+    cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = hash_strings(vals)
+    cms = CountMinSketch(width, depth)
+    cms.add(keys, cnts)
+    # candidates: this batch's 64 most frequent terms
+    top = np.argsort(-cnts, kind="stable")[:64]
+    return pa.table(
+        {
+            "grid": pa.array([cms.grid.tobytes()], pa.binary()),
+            "cand": pa.array(
+                [[str(vals[int(i)]) for i in top]],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str = "text",
+    k: int = 10,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+    analyzer: str | None = "simple",
+) -> tuple[pa.Table, CountMinSketch]:
+    """Approximate top-k frequent terms: one map-only pass emits a
+    per-batch CMS grid + that batch's local top terms; the driver SUMS
+    the grids (mergeable) and ranks the candidate union by sketch
+    estimate (count desc, term asc). No shuffle touches the token
+    stream — B * depth * width * 8 bytes move, independent of corpus
+    size. A term in the global top-k is in some batch's local top
+    (count >= total/k in at least one batch for skewed tops), the
+    standard candidates+sketch heavy-hitters recipe. Returns
+    ((term, est) table, merged sketch)."""
+    parts = ds.map_batches(
+        _cms_partial,
+        fn_kwargs=dict(col=col, width=width, depth=depth, analyzer=analyzer),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    cms = CountMinSketch(width, depth)
+    cand: set[str] = set()
+    for r in parts:
+        cms.grid += np.frombuffer(r["grid"], np.int64).reshape(depth, width)
+        cand.update(r["cand"])
+    terms = sorted(cand)
+    est = cms.estimate(hash_strings(pa.array(terms, pa.string())))
+    order = np.lexsort((np.array(terms, dtype=object), -est))[:k]
+    return (
+        pa.table(
+            {
+                "term": pa.array([terms[int(i)] for i in order], pa.string()),
+                "est": pa.array(est[order], pa.int64()),
+            }
+        ),
+        cms,
+    )

@@ -1966,6 +1966,20 @@ def q_doc_keywords(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cms_top_terms(sf_dir: str) -> pa.Table:
+    """Count-Min-sketch approximate heavy hitters: top-10 terms by
+    sketch estimate, one map-only pass (grids + local candidates merge
+    driver-side; no token-stream shuffle). Approximate => rows-only;
+    pytest pins estimate >= truth and top-set recall vs the exact
+    ft_top_terms."""
+    from fdblucene_ray.ops.sketches import cms_heavy_hitters
+
+    table, _ = cms_heavy_hitters(
+        _docs_ds(sf_dir, ["doc_id", "text"]), col="text", k=10
+    )
+    return table
+
+
 def q_ft_span_first(sf_dir: str) -> pa.Table:
     """SpanFirstQuery analog: docs whose first 'data' occurrence lies
     within the first 3 positions (span end <= 3), with that position."""
@@ -2101,6 +2115,7 @@ def queries() -> dict:
         "ft_facet_taxonomy": q_ft_facet_taxonomy,
         "ft_span_first": q_ft_span_first,
         "doc_keywords": q_doc_keywords,
+        "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,
         "geo_bbox": q_geo_bbox,
         "cluster_assign": q_cluster_assign,

@@ -89,3 +89,71 @@ class TestBloom:
         assert {3, 9} <= exact_flagged
         assert exact_flagged <= bloom_flagged  # no false negatives
         assert len(bloom_flagged - exact_flagged) <= 1  # ~0.2% doc-level
+
+
+class TestCountMin:
+    def test_estimate_overestimates_never_under(self):
+        import numpy as np
+
+        from fdblucene_ray.ops.hashing import hash_strings
+        from fdblucene_ray.ops.sketches import CountMinSketch
+
+        import pyarrow as pa
+
+        rng = np.random.default_rng(3)
+        # zipf-ish counts over 2000 distinct terms
+        terms = pa.array([f"t{i}" for i in range(2000)], pa.string())
+        counts = (10000 / np.arange(1, 2001)).astype(np.int64) + 1
+        keys = hash_strings(terms)
+        cms = CountMinSketch(width=1024, depth=5)
+        cms.add(keys, counts)
+        est = cms.estimate(keys)
+        assert (est >= counts).all()
+        # eps = e/width; overestimate bounded by eps * total w.h.p.
+        slack = est - counts
+        assert (slack <= np.e / 1024 * counts.sum() * 3).all()
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+
+        from fdblucene_ray.ops.hashing import hash_strings
+        from fdblucene_ray.ops.sketches import CountMinSketch
+
+        import pyarrow as pa
+
+        a = pa.array(["x", "y", "z"], pa.string())
+        k = hash_strings(a)
+        c1, c2, cboth = (CountMinSketch(256, 4) for _ in range(3))
+        c1.add(k, np.array([1, 2, 3]))
+        c2.add(k, np.array([10, 20, 30]))
+        cboth.add(k, np.array([11, 22, 33]))
+        c1.merge(c2)
+        assert (c1.grid == cboth.grid).all()
+
+    def test_heavy_hitters_recall_vs_exact(self, sf_dir):
+        import os
+        from collections import Counter
+        import re
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from fdblucene_ray.ops.sketches import cms_heavy_hitters
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        table, cms = cms_heavy_hitters(ds, col="text", k=10)
+        # exact counts
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        exact = Counter()
+        for s in t["text"].to_pylist():
+            exact.update(x for x in re.split(r"[^0-9a-z_]+", s.lower()) if x)
+        got = dict(zip(table["term"].to_pylist(), table["est"].to_pylist()))
+        for term, est in got.items():
+            assert est >= exact[term]  # one-sided error
+        true_top5 = {w for w, _ in exact.most_common(5)}
+        assert true_top5 <= set(got)  # recall of the skewed head
