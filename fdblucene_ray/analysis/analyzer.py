@@ -120,7 +120,8 @@ class BatchTokenizer:
             pa.array(sorted(self.analyzer.stopwords)) if self.analyzer.stopwords else None
         )
 
-    def encoded_tokens(self, text_col, with_positions: bool = False):
+    def encoded_tokens(self, text_col, with_positions: bool = False,
+                       with_row_lengths: bool = False):
         """Tokenize a string column -> (row_idx, codes, vocab)
         (plus, when ``with_positions``, a per-token int64 position array
         with Lucene position-increment semantics: the position is the
@@ -208,14 +209,99 @@ class BatchTokenizer:
                 vocab.append(t)
             remap[i] = j
         keep_mask = keep_u[codes]
+        out = [row_idx[keep_mask], remap[codes[keep_mask]], vocab]
         if with_positions:
-            return (
-                row_idx[keep_mask],
-                remap[codes[keep_mask]],
-                vocab,
-                positions[keep_mask],
+            out.append(positions[keep_mask])
+        if with_row_lengths:
+            # per-row count of NON-EMPTY tokens (stopwords included) —
+            # the position-stream length a multi-valued field needs to
+            # place the next value after a positionIncrementGap
+            nonempty = nonempty_u[codes]
+            out.append(
+                np.bincount(row_idx[nonempty], minlength=n).astype(np.int64)
             )
-        return row_idx[keep_mask], remap[codes[keep_mask]], vocab
+        return tuple(out)
+
+    def encoded_tokens_multi(self, list_col, *, gap: int = 100,
+                             with_positions: bool = False):
+        """Multi-valued (list<string>) field tokenization with Lucene
+        positionIncrementGap semantics: positions continue across a
+        row's values with ``gap`` added at each value boundary, so
+        phrase/near queries never match ACROSS values (the Lucene
+        TextField default, gap=100 in IndexWriter terms). Returns the
+        same tuple shape as ``encoded_tokens`` with row indices mapped
+        to the PARENT row."""
+        if isinstance(list_col, pa.ChunkedArray):
+            list_col = list_col.combine_chunks()
+        n = len(list_col)
+        offsets = list_col.offsets.to_numpy(zero_copy_only=False)
+        lo = int(offsets[0])
+        value_counts = np.diff(offsets)
+        values = list_col.flatten()
+        val_parent = np.repeat(np.arange(n, dtype=np.int64), value_counts)
+        if not with_positions:
+            vrow, codes, vocab = self.encoded_tokens(values)
+            return val_parent[vrow], codes, vocab
+        vrow, codes, vocab, vpos, vlens = self.encoded_tokens(
+            values, with_positions=True, with_row_lengths=True
+        )
+        # exclusive cumsum of (value position-stream length + gap),
+        # restarting at each parent row -> per-value position base
+        csum = np.cumsum(vlens + gap)
+        excl = np.concatenate(([0], csum[:-1]))
+        starts = offsets[:-1] - lo  # first value index per parent
+        n_values = len(values)
+        if n_values:
+            base = excl - np.repeat(excl[starts], value_counts)
+        else:
+            base = excl
+        pos = vpos + base[vrow]
+        return val_parent[vrow], codes, vocab, pos
+
+    def term_frequencies_encoded_multi(self, list_col, *, gap: int = 100,
+                                       with_positions: bool = False):
+        """Multi-valued twin of ``term_frequencies_encoded``: doc_lens
+        count emitted tokens across ALL of a row's values (Lucene norms
+        over the whole field)."""
+        if isinstance(list_col, pa.ChunkedArray):
+            list_col = list_col.combine_chunks()
+        n = len(list_col)
+        out = self.encoded_tokens_multi(
+            list_col, gap=gap, with_positions=with_positions
+        )
+        if not with_positions:
+            row_idx, codes, vocab = out
+            return self._aggregate_encoded(row_idx, codes, vocab, n)
+        row_idx, codes, vocab, tok_pos = out
+        return self._aggregate_encoded(row_idx, codes, vocab, n, tok_pos)
+
+    def _aggregate_encoded(self, row_idx, codes, vocab, n, tok_pos=None):
+        """(row, code) token stream -> per-(row, term) postings tuple
+        (shared by the single- and multi-valued paths)."""
+        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
+        n_vocab = max(1, len(vocab))
+        key = row_idx * n_vocab + codes
+        if tok_pos is None:
+            uniq, tfs = np.unique(key, return_counts=True)
+            return (
+                uniq // n_vocab,
+                uniq % n_vocab,
+                vocab,
+                tfs.astype(np.int32),
+                doc_lens,
+            )
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        positions = tok_pos[order].astype(np.int32)
+        if len(k):
+            bounds = np.flatnonzero(np.diff(k)) + 1
+            gstarts = np.concatenate(([0], bounds))
+            gends = np.concatenate((bounds, [len(k)]))
+        else:
+            gstarts = gends = np.empty(0, np.int64)
+        uniq = k[gstarts] if len(k) else gstarts
+        tfs = (gends - gstarts).astype(np.int32)
+        return uniq // n_vocab, uniq % n_vocab, vocab, tfs, doc_lens, positions
 
     def flat_tokens(self, text_col, as_dictionary: bool = False):
         """Tokenize -> (row_idx, terms). ``as_dictionary=True`` returns a
@@ -229,43 +315,18 @@ class BatchTokenizer:
 
     def term_frequencies_encoded(self, text_col, with_positions: bool = False):
         """-> (post_rows, post_codes, vocab, post_tfs, doc_lens[, positions])
-        — the zero-string-materialization variant the build uses."""
+        — the zero-string-materialization variant the build uses.
+        Positions carry Lucene increment semantics (gaps at removed
+        stopwords); doc_lens stay the POST-filter token counts (Lucene
+        norms count emitted tokens)."""
         n = len(text_col)
         if not with_positions:
             row_idx, codes, vocab = self.encoded_tokens(text_col)
-            doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
-            n_vocab = max(1, len(vocab))
-            key = row_idx * n_vocab + codes
-            uniq, tfs = np.unique(key, return_counts=True)
-            return (
-                uniq // n_vocab,
-                uniq % n_vocab,
-                vocab,
-                tfs.astype(np.int32),
-                doc_lens,
-            )
-        # positions carry Lucene increment semantics (gaps at removed
-        # stopwords) straight from encoded_tokens; doc_lens stay the
-        # POST-filter token counts (Lucene norms count emitted tokens)
+            return self._aggregate_encoded(row_idx, codes, vocab, n)
         row_idx, codes, vocab, tok_pos = self.encoded_tokens(
             text_col, with_positions=True
         )
-        doc_lens = np.bincount(row_idx, minlength=n).astype(np.int32)
-        n_vocab = max(1, len(vocab))
-        key = row_idx * n_vocab + codes
-        # stable sort keeps occurrence order within each (row, term) group
-        order = np.argsort(key, kind="stable")
-        k = key[order]
-        positions = tok_pos[order].astype(np.int32)
-        if len(k):
-            bounds = np.flatnonzero(np.diff(k)) + 1
-            gstarts = np.concatenate(([0], bounds))
-            gends = np.concatenate((bounds, [len(k)]))
-        else:
-            gstarts = gends = np.empty(0, np.int64)
-        uniq = k[gstarts] if len(k) else gstarts
-        tfs = (gends - gstarts).astype(np.int32)
-        return uniq // n_vocab, uniq % n_vocab, vocab, tfs, doc_lens, positions
+        return self._aggregate_encoded(row_idx, codes, vocab, n, tok_pos)
 
     def term_frequencies(self, text_col, with_positions: bool = False):
         """-> per-(row, term) tf plus per-row doc length.

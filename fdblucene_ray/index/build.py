@@ -176,7 +176,18 @@ class TokenizeToPostings:
                 positions = np.zeros(n, np.int32)
         else:
             tk = self.tokenizers[field]
-            enc = tk.term_frequencies_encoded(col, with_positions=want_pos)
+            if cfg.get("multi"):
+                # multi-valued field (list<string> column): positions
+                # continue across values with a positionIncrementGap so
+                # phrase/near queries never match across values
+                enc = tk.term_frequencies_encoded_multi(
+                    col, gap=int(cfg.get("gap", 100)),
+                    with_positions=want_pos,
+                )
+            else:
+                enc = tk.term_frequencies_encoded(
+                    col, with_positions=want_pos
+                )
             post_rows, codes, vocab, tfs, doc_lens = enc[:5]
             if want_pos:
                 positions = enc[5]

@@ -60,12 +60,35 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
         # across fields (MultiFieldQueryParser analog)
         fields = {"text": {"column": "text", "analyzer": "simple"},
                   "source": {"column": "source", "analyzer": "simple"}}
+    elif flavor == "mv":
+        # multi-valued flavor: text split into sentence values indexed
+        # under ONE field with a positionIncrementGap, so phrase/near
+        # queries never match across values (Lucene TextField semantics)
+        fields = {"text": {"column": "sentences", "analyzer": "simple",
+                           "positions": True, "multi": True}}
+        build_index(
+            _docs_path(sf_dir), ix, fields=fields, num_partitions=16,
+            batch_size=2048, preprocess=_add_sentences,
+            read_columns=["text"],
+        )
+        return ix
     else:
         fields = {"text": {"column": "text", "analyzer": "lucene"}}
     build_index(
         _docs_path(sf_dir), ix, fields=fields, num_partitions=16, batch_size=2048
     )
     return ix
+
+
+def _add_sentences(batch: pa.Table) -> pa.Table:
+    """Derive the multi-valued column: text split on '.' (the SQL twin
+    is regexp_split_to_array(text, chr(46)))."""
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return batch.append_column("sentences", pc.split_pattern(col, "."))
 
 
 def _round_col(arr: np.ndarray, nd: int) -> pa.Array:
@@ -1966,6 +1989,21 @@ def q_doc_keywords(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
+    """Phrase over a MULTI-VALUED field (text split into sentence
+    values, positionIncrementGap=100): 'data merge' must be adjacent
+    WITHIN one value — matches never cross value boundaries. Returns
+    (doc_id, phrase_freq)."""
+    s = Searcher(_ensure_index(sf_dir, "mv"))
+    rows = s.phrase_freqs("data merge")
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "freq": pa.array([f for _, f in rows], pa.int64()),
+        }
+    )
+
+
 def q_cms_top_terms(sf_dir: str) -> pa.Table:
     """Count-Min-sketch approximate heavy hitters: top-10 terms by
     sketch estimate, one map-only pass (grids + local candidates merge
@@ -2114,6 +2152,7 @@ def queries() -> dict:
         "curate_then_index": q_curate_then_index,
         "ft_facet_taxonomy": q_ft_facet_taxonomy,
         "ft_span_first": q_ft_span_first,
+        "ft_multivalue_phrase": q_ft_multivalue_phrase,
         "doc_keywords": q_doc_keywords,
         "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,
@@ -3758,6 +3797,29 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, score FROM ranked WHERE rn <= 3
 ORDER BY doc_id, term
+""",
+        "ft_multivalue_phrase": r"""
+WITH v0 AS (
+  SELECT doc_id, unnest(arr) AS val,
+         unnest(generate_series(1, len(arr))) AS vidx
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\.') AS arr
+        FROM documents)),
+t0 AS (
+  SELECT doc_id, vidx, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id, vidx,
+               regexp_split_to_array(lower(val), '[^0-9a-z_]+') AS arr
+        FROM v0)),
+t AS (SELECT doc_id, vidx, tok,
+             row_number() OVER (PARTITION BY doc_id, vidx ORDER BY ord0) - 1
+               AS pos
+      FROM t0 WHERE tok <> ''),
+m AS (SELECT a.doc_id, count(*)::BIGINT AS freq
+      FROM t a JOIN t b
+        ON b.doc_id = a.doc_id AND b.vidx = a.vidx AND b.pos = a.pos + 1
+      WHERE a.tok = 'data' AND b.tok = 'merge'
+      GROUP BY a.doc_id)
+SELECT doc_id, freq FROM m ORDER BY doc_id
 """,
         "ft_span_first": r"""
 WITH t0 AS (

@@ -97,3 +97,69 @@ def test_span_first_matches_bruteforce(tmp_path, sf_dir):
             if p + 1 <= 3:
                 expect.append((did, p))
     assert got == sorted(expect)
+
+
+class TestMultiValuedField:
+    def _build(self, tmp_path, docs):
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+
+        src = str(tmp_path / "docs.parquet")
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "vals": pa.array(docs, pa.list_(pa.string())),
+            }
+        )
+        pq.write_table(t, src)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix,
+            fields={"text": {"column": "vals", "analyzer": "simple",
+                             "positions": True, "multi": True}},
+        )
+        return ix
+
+    def test_phrase_never_crosses_values(self, tmp_path):
+        from fdblucene_ray.index.search import Searcher
+
+        ix = self._build(
+            tmp_path,
+            [
+                ["alpha beta", "gamma"],       # within-value phrase
+                ["alpha", "beta gamma"],       # alpha|beta split -> no match
+                ["x alpha beta y", "z"],       # within-value again
+            ],
+        )
+        s = Searcher(ix)
+        got = s.phrase_freqs("alpha beta")
+        assert got == [(0, 1), (2, 1)]
+
+    def test_near_respects_gap_and_stats_sum_values(self, tmp_path):
+        from fdblucene_ray.index.search import Searcher
+
+        ix = self._build(
+            tmp_path,
+            [["alpha", "beta"], ["alpha beta", "alpha"]],
+        )
+        s = Searcher(ix)
+        # doc 0: alpha at 0, beta at 101 (gap=100) -> window 10 misses
+        near = s.search_near("alpha beta", 10)
+        assert [d for d, _ in near] == [1]
+        # tf sums across values: doc 1 has alpha twice
+        freqs = dict(s.phrase_freqs("alpha"))
+        assert freqs == {0: 1, 1: 2}
+
+    def test_positions_continue_with_gap(self, tmp_path):
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer
+
+        tk = BatchTokenizer("simple")
+        col = pa.array([["a b", "c d e", "f"]], pa.list_(pa.string()))
+        rows, codes, vocab, pos = tk.encoded_tokens_multi(
+            col, gap=100, with_positions=True
+        )
+        terms = [vocab[c] for c in codes]
+        got = dict(zip(terms, pos.tolist()))
+        assert got == {"a": 0, "b": 1, "c": 102, "d": 103, "e": 104,
+                       "f": 205}
