@@ -1507,6 +1507,83 @@ class Searcher:
         )
         return out[:k]
 
+    def search_grouped(
+        self,
+        query: str,
+        *,
+        group_col: str,
+        source,
+        n_groups: int = 10,
+        docs_per_group: int = 2,
+        field: str = "text",
+    ) -> list[tuple[str, int, int, float]]:
+        """TopGroups (Lucene grouping module GroupingSearch analog):
+        the ``n_groups`` best groups by their best hit's score, each
+        carrying its top ``docs_per_group`` hits. Generalizes
+        search_collapse (docs_per_group=1). Returns
+        (group, rank_in_group, doc_id, score) ordered by group rank
+        then rank_in_group. Group values hydrate from the input parquet
+        for matched ids only; at cluster scale the per-segment partial
+        top lists merge by the same (best-score, group) order."""
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        hits = self.search(query, 1 << 31, field=field)
+        if not hits:
+            return []
+        vals_tbl = hydrate_from_source(
+            source, [d for d, _ in hits], columns=[group_col]
+        )
+        vals = dict(
+            zip(
+                vals_tbl["doc_id"].to_pylist(),
+                vals_tbl[group_col].to_pylist(),
+            )
+        )
+        groups: dict[str, list[tuple[int, float]]] = {}
+        for d, s in hits:  # score desc, doc_id asc
+            g = vals.get(d)
+            if g is None:
+                continue
+            lst = groups.setdefault(g, [])
+            if len(lst) < docs_per_group:
+                lst.append((d, s))
+        ranked = sorted(
+            groups.items(), key=lambda kv: (-kv[1][0][1], kv[0])
+        )[:n_groups]
+        out: list[tuple[str, int, int, float]] = []
+        for g, lst in ranked:
+            for r, (d, s) in enumerate(lst):
+                out.append((g, r, d, s))
+        return out
+
+    def facet_drill_sideways(
+        self,
+        query: str,
+        *,
+        dim_field: str,
+        drill_value: str,
+        field: str = "text",
+    ) -> tuple[list[tuple[int, float]], list[tuple[str, int]]]:
+        """DrillSideways analog: hits for ``query`` drilled down to
+        ``dim_field = drill_value`` (an indexed keyword field, a FILTER
+        clause — restricts but never scores), PLUS sideways facet
+        counts over the dimension computed from the query's match set
+        WITHOUT the drill-down constraint — exactly Lucene's
+        DrillSideways result pair. All set work runs on the inverted
+        lists (keyword postings intersection); no doc scan."""
+        hits = self.search(query, 1 << 31, field=field)
+        aset = np.sort(self.multiterm_docs(dim_field, [drill_value]))
+        if hits and len(aset):
+            harr = np.fromiter((d for d, _ in hits), np.int64, len(hits))
+            pos = np.searchsorted(aset, harr)
+            pos[pos == len(aset)] = 0
+            keep = aset[pos] == harr
+            drill_hits = [h for h, m in zip(hits, keep) if m]
+        else:
+            drill_hits = []
+        sideways = self.facet_counts(query, dim_field, field=field)
+        return drill_hits, sideways
+
     def search_synonyms(
         self,
         groups: list[list[str]],

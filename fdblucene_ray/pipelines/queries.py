@@ -2004,6 +2004,49 @@ def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_top_groups(sf_dir: str) -> pa.Table:
+    """TopGroups (GroupingSearch analog): top-5 source groups for
+    'data merge' ranked by best BM25 hit, 2 docs per group."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_grouped(
+        "data merge", group_col="source", source=_docs_path(sf_dir),
+        n_groups=5, docs_per_group=2,
+    )
+    return pa.table(
+        {
+            "grp": pa.array([g for g, _, _, _ in rows], pa.string()),
+            "rank": pa.array([r for _, r, _, _ in rows], pa.int64()),
+            "doc_id": pa.array([d for _, _, d, _ in rows], pa.int64()),
+            "score": _round_col(
+                np.array([sc for _, _, _, sc in rows], np.float64), 4
+            ),
+        }
+    )
+
+
+def q_ft_drill_sideways(sf_dir: str) -> pa.Table:
+    """DrillSideways: 'data' drilled to source='cc' — top-10 drill-down
+    hits plus the sideways facet counts over source (one row per facet
+    value, hit rows carry kind='hit')."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits, sideways = s.facet_drill_sideways(
+        "data", dim_field="source", drill_value="cc"
+    )
+    hits = hits[:10]
+    kinds = ["hit"] * len(hits) + ["facet"] * len(sideways)
+    keys = [str(d) for d, _ in hits] + [v for v, _ in sideways]
+    vals = [round(float(sc), 4) for _, sc in hits] + [
+        float(c) for _, c in sideways
+    ]
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "val": _round_col(np.array(vals, np.float64), 4),
+        }
+    )
+
+
 def q_cms_top_terms(sf_dir: str) -> pa.Table:
     """Count-Min-sketch approximate heavy hitters: top-10 terms by
     sketch estimate, one map-only pass (grids + local candidates merge
@@ -2153,6 +2196,8 @@ def queries() -> dict:
         "ft_facet_taxonomy": q_ft_facet_taxonomy,
         "ft_span_first": q_ft_span_first,
         "ft_multivalue_phrase": q_ft_multivalue_phrase,
+        "ft_top_groups": q_ft_top_groups,
+        "ft_drill_sideways": q_ft_drill_sideways,
         "doc_keywords": q_doc_keywords,
         "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,
@@ -3778,6 +3823,62 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_top_groups": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+withg AS (SELECT s.doc_id, s.score, d.source AS grp
+          FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+gbest AS (SELECT grp, max(score) AS best FROM withg GROUP BY grp),
+gtop AS (SELECT grp, row_number() OVER (ORDER BY best DESC, grp) AS grank
+         FROM gbest),
+perdoc AS (SELECT w.grp, w.doc_id, w.score,
+                  row_number() OVER (PARTITION BY w.grp
+                                     ORDER BY w.score DESC, w.doc_id) - 1
+                    AS rank
+           FROM withg w)
+SELECT p.grp, p.rank::BIGINT AS rank, p.doc_id,
+       CAST(round(p.score, 4) AS DOUBLE) AS score
+FROM perdoc p JOIN gtop g ON g.grp = p.grp
+WHERE g.grank <= 5 AND p.rank < 2
+ORDER BY g.grank, p.rank
+""",
+        "ft_drill_sideways": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+hits AS (SELECT s.doc_id, s.score FROM scored s
+         JOIN documents d ON d.doc_id = s.doc_id
+         WHERE d.source = 'cc'
+         ORDER BY s.score DESC, s.doc_id LIMIT 10),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data'),
+fac AS (SELECT d.source AS key, count(*)::DOUBLE AS val
+        FROM documents d JOIN m ON m.doc_id = d.doc_id GROUP BY d.source)
+SELECT 'hit' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       CAST(round(score, 4) AS DOUBLE) AS val FROM hits
+UNION ALL
+SELECT 'facet' AS kind, key, val FROM fac
 """,
         "doc_keywords": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),
