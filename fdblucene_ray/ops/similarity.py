@@ -672,3 +672,212 @@ def embedding_near_dups(
         out = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
     df = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------------------------- PQ
+#
+# Product quantization (Jégou et al., TPAMI 2011): vectors split into m
+# subspaces, each quantized to a k-entry codebook -> m bytes per vector
+# (k <= 256). Queries score with ADC (asymmetric distance computation):
+# one (m, k) lookup table per query, per-vector distance = sum of m
+# table lookups — no float vector ever loads at query time. The 100-TB
+# answer to embedding storage: 64-dim float32 = 256 B -> m = 8 B, and
+# the scoring pass streams the tiny codes column only.
+
+
+def _kmeans_plain(x: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Seeded plain-L2 Lloyd's on a driver-side sample (no cosine
+    normalization — PQ quantizes raw subvectors)."""
+    rng = np.random.default_rng(11)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    c = x[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 12
+) -> np.ndarray:
+    """(m, k, d/m) codebooks from a sample; d must divide by m."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return np.stack(
+        [
+            _kmeans_plain(
+                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                k, iters,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_encode(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, m) uint8 codes (vectorized per subspace)."""
+    m, k, sub = codebooks.shape
+    codes = np.empty((len(x), m), np.uint8)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        d2 = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ codebooks[j].T)
+            + (codebooks[j] * codebooks[j]).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_encode_batch(batch: pa.Table, *, codebooks, vec_col, id_col):
+    x = _stack(batch[vec_col])
+    codes = _pq_encode(x, codebooks)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "code": pa.array(list(codes), pa.list_(pa.uint8())),
+        }
+    )
+
+
+def _pq_adc_batch(batch: pa.Table, *, luts, query_ids, k, id_col):
+    """ADC scoring of a codes batch against every query's (m, k) lookup
+    table: distance = sum over subspaces of lut[j, code[j]] — one fancy
+    index + sum per query, no float vectors touched."""
+    codes_col = batch["code"]
+    if isinstance(codes_col, pa.ChunkedArray):
+        codes_col = codes_col.combine_chunks()
+    flat = codes_col.flatten().to_numpy(zero_copy_only=False)
+    n = len(codes_col)
+    m = luts.shape[1]
+    codes = flat.reshape(n, m)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    cols = np.arange(m)
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(luts)):
+        dist = luts[qi][cols, codes].sum(axis=1)
+        kk = min(k, n)
+        sel = (
+            np.argpartition(dist, kk - 1)[:kk] if n > kk else np.arange(n)
+        )
+        out_q.append(np.full(len(sel), query_ids[qi], np.int64))
+        out_v.append(ids[sel].astype(np.int64))
+        out_s.append(dist[sel].astype(np.float64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dist": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    pq_k: int = 10,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    refine: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> pa.Table:
+    """Approximate L2 top-k via PQ + ADC: train codebooks on a sample,
+    one streaming encode pass (emits m-byte codes), one streaming ADC
+    scoring pass over the codes (per-batch local top-k, tiny driver
+    merge). Returns (query_id, vec_id, dist@5dp) dist asc, vec_id tie.
+    Recall is pinned by pytest against brute force; at corpus scale the
+    codes table is what persists (write_parquet of the encode pass) and
+    re-queries skip the encode."""
+    rows = ds.limit(sample_rows).take_all()
+    sample = np.array([r[vec_col] for r in rows], np.float64)
+    codebooks = train_pq_codebooks(sample, m=m, k=k_codes)
+    codes = ds.map_batches(
+        _pq_encode_batch,
+        fn_kwargs=dict(codebooks=codebooks, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    q = np.asarray(queries, np.float64)
+    sub = codebooks.shape[2]
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (codebooks[j] - qv[j * sub : (j + 1) * sub]) ** 2
+                    ).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for qv in q
+        ]
+    )  # (nq, m, k)
+    qids = np.asarray(query_ids, np.int64)
+    cand = codes.map_batches(
+        _pq_adc_batch,
+        fn_kwargs=dict(luts=luts, query_ids=qids,
+                       k=pq_k * max(1, refine), id_col=id_col),
+        batch_format="pyarrow",
+    )
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "dist", "vec_id"])
+    if refine <= 1:
+        df = (
+            df.groupby("query_id", as_index=False)
+            .head(pq_k)
+            .reset_index(drop=True)
+        )
+        df["dist"] = _rha(df["dist"].to_numpy(np.float64), 5)
+        return pa.Table.from_pandas(df, preserve_index=False)
+    # ADC+R (Jegou et al. §V): exact re-rank of the top refine*k ADC
+    # candidates — a second streaming pass computing true L2 only for
+    # candidate ids (candidate set broadcast, corpus never collects)
+    short = df.groupby("query_id", as_index=False).head(pq_k * refine)
+    cand_map: dict[int, list[int]] = {}
+    for qid, vid in zip(short["query_id"], short["vec_id"]):
+        cand_map.setdefault(int(vid), []).append(int(np.where(qids == qid)[0][0]))
+    wanted = np.fromiter(cand_map.keys(), np.int64, len(cand_map))
+    wanted.sort()
+
+    def exact_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, wanted)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.float64())}
+            )
+        sel = batch.filter(pa.array(mask))
+        x = _stack(sel[vec_col])
+        sids = sel[id_col].to_numpy(zero_copy_only=False)
+        oq, ov, od = [], [], []
+        for i, vid in enumerate(sids):
+            for qi in cand_map[int(vid)]:
+                oq.append(qids[qi])
+                ov.append(int(vid))
+                od.append(float(((x[i] - q[qi]) ** 2).sum()))
+        return pa.table(
+            {"query_id": pa.array(oq, pa.int64()),
+             "vec_id": pa.array(ov, pa.int64()),
+             "dist": pa.array(od, pa.float64())}
+        )
+
+    exact = ds.map_batches(exact_batch, batch_format="pyarrow").to_pandas()
+    exact = exact.sort_values(["query_id", "dist", "vec_id"])
+    exact = (
+        exact.groupby("query_id", as_index=False)
+        .head(pq_k)
+        .reset_index(drop=True)
+    )
+    exact["dist"] = _rha(exact["dist"].to_numpy(np.float64), 5)
+    return pa.Table.from_pandas(exact, preserve_index=False)

@@ -1959,6 +1959,21 @@ def q_cluster_assign(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_pq(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN (Jegou et al.): sample-trained (m=8,
+    k=16) codebooks, streaming encode to 8-byte codes, ADC lookup-table
+    scoring — no float vector read at query time. Approximate =>
+    rows-only; pytest pins recall vs brute force."""
+    from fdblucene_ray.ops.similarity import pq_topk
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return pq_topk(ds, q, ids, pq_k=10)
+
+
 def q_cluster_kmeans(sf_dir: str) -> pa.Table:
     """Distributed Lloyd's k-means (k=8) over embeddings; returns
     (cluster, n) sizes. Iterative => no SQL twin; pytest holds the
@@ -2204,6 +2219,7 @@ def queries() -> dict:
         "geo_bbox": q_geo_bbox,
         "cluster_assign": q_cluster_assign,
         "cluster_kmeans": q_cluster_kmeans,
+        "ann_pq": q_ann_pq,
     }
 
 

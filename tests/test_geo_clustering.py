@@ -119,3 +119,59 @@ def test_kmeans_self_consistent(sf_dir):
     got = np.zeros(4, np.int64)
     got[df["cluster"].to_numpy()] = df["n"].to_numpy()
     assert (got == expect).all()
+
+
+class TestPQ:
+    def test_pq_recall_on_clustered_data(self):
+        import ray.data as rd
+
+        from fdblucene_ray.ops.similarity import pq_topk
+
+        rng = np.random.default_rng(5)
+        # 20 well-separated cluster centers, 50 points each, dim 32
+        centers = rng.normal(0, 10, (20, 32))
+        pts = np.concatenate(
+            [c + rng.normal(0, 0.3, (50, 32)) for c in centers]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(pts)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, p)) for p in pts],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        q = pts[[0, 500]]
+        got = pq_topk(
+            rd.from_arrow(t), q, [0, 1], pq_k=10, m=8, k_codes=16
+        ).to_pandas()
+        # exact L2 top-10 per query
+        for qid, qv in zip([0, 1], q):
+            d = ((pts - qv) ** 2).sum(axis=1)
+            exact = set(np.argsort(d, kind="stable")[:10].tolist())
+            mine = set(
+                got.loc[got["query_id"] == qid, "vec_id"].astype(int)
+            )
+            # clustered data: ADC keeps the query's own cluster together
+            assert len(exact & mine) >= 6
+            # self-retrieval: the query vector itself is in the corpus
+            assert (qid * 500) in mine
+
+    def test_pq_codes_roundtrip_shapes(self):
+        from fdblucene_ray.ops.similarity import (
+            _pq_encode,
+            train_pq_codebooks,
+        )
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(0, 1, (300, 64))
+        cb = train_pq_codebooks(x, m=8, k=16)
+        assert cb.shape == (8, 16, 8)
+        codes = _pq_encode(x, cb)
+        assert codes.shape == (300, 8) and codes.dtype == np.uint8
+        assert codes.max() < 16
+        # encoding the codebook centroids themselves is exact
+        flat = np.concatenate([cb[j] for j in range(8)], axis=1)
+        exact_codes = _pq_encode(flat, cb)
+        assert (exact_codes == np.arange(16)[:, None]).all()
