@@ -81,16 +81,22 @@ def assign_fixed_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> ray.data.Dataset:
-    """Stream (id, cluster) for every vector: nearest centroid by L2."""
-    cref = ray.put(np.asarray(centroids, np.float64))
-    return ds.map_batches(
-        _AssignL2,
-        fn_constructor_kwargs=dict(
-            centroids_ref=cref, vec_col=vec_col, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    """Stream (id, cluster) for every vector: nearest centroid by L2.
+    The small centroid matrix ships in fn_kwargs to stateless tasks
+    (per-worker cached build); huge codebooks would broadcast via
+    ray.put + an actor pool."""
+    c = np.asarray(centroids, np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        st = cached_state(
+            ("assign_l2", c.tobytes()[:64], c.shape, vec_col, id_col),
+            lambda: _AssignL2(c, vec_col, id_col),
+        )
+        return st(batch)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def kmeans_cluster_sizes(
