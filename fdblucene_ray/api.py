@@ -138,6 +138,33 @@ class Index:
         see Searcher.join_query."""
         return self.searcher.join_query(from_query, join_field, k, **kw)
 
+    def span_first(self, term: str, end: int, **kw):
+        """SpanFirstQuery analog: term within the first ``end``
+        positions; see Searcher.search_span_first."""
+        return self.searcher.search_span_first(term, end, **kw)
+
+    def grouped(self, query: str, *, group_col: str, source, **kw):
+        """TopGroups (GroupingSearch analog); see
+        Searcher.search_grouped."""
+        return self.searcher.search_grouped(
+            query, group_col=group_col, source=source, **kw
+        )
+
+    def drill_sideways(self, query: str, *, dim_field: str,
+                       drill_value: str, **kw):
+        """DrillSideways: (drill-down hits, sideways facet counts);
+        see Searcher.facet_drill_sideways."""
+        return self.searcher.facet_drill_sideways(
+            query, dim_field=dim_field, drill_value=drill_value, **kw
+        )
+
+    def facet_taxonomy(self, query: str, levels, *, value_source, **kw):
+        """Hierarchical drill-down facet path counts; see
+        Searcher.facet_taxonomy."""
+        return self.searcher.facet_taxonomy(
+            query, levels, value_source=value_source, **kw
+        )
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 
