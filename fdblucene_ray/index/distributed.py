@@ -272,6 +272,70 @@ class DistributedSearcher:
         ]
         return _merge_topk(ray.get(futs), k)
 
+    def search_grouped(
+        self,
+        query: str,
+        *,
+        group_col: str,
+        source,
+        n_groups: int = 10,
+        docs_per_group: int = 2,
+        field: str = "text",
+    ) -> list[tuple[str, int, int, float]]:
+        """Distributed TopGroups — Lucene's two-pass grouping protocol
+        (TermFirstPassGroupingCollector / TermSecondPassGrouping-
+        Collector) over the shard fleet:
+
+        pass 1: every shard returns its local top-``n_groups`` groups
+        by best hit (sufficient: a global top group's best hit lives on
+        some shard, where it also tops that shard's list); the driver
+        merges to the global group set ranked by (best score desc,
+        group asc).
+        pass 2: every shard returns its top ``docs_per_group`` docs for
+        EXACTLY that group set; the driver merges per group. Global
+        stats are injected both passes, so scores are float-identical
+        to a single merged index (asserted in test_distributed)."""
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        gstats = self.term_stats(field, terms)
+        tstats = {(field, t): st for t, st in gstats.items()}
+        kwargs = dict(
+            group_col=group_col, source=source, field=field,
+            n_groups=n_groups, docs_per_group=docs_per_group,
+        )
+        pass1 = ray.get([
+            a.run.remote("search_grouped", (query,), kwargs,
+                         self.totals, tstats)
+            for a in self.shards
+        ])
+        best: dict[str, float] = {}
+        for rows in pass1:
+            for g, r, _d, s in rows:
+                if r == 0 and (g not in best or s > best[g]):
+                    best[g] = s
+        top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:n_groups]
+        if not top:
+            return []
+        group_set = [g for g, _ in top]
+        kwargs2 = dict(kwargs, restrict_groups=group_set)
+        pass2 = ray.get([
+            a.run.remote("search_grouped", (query,), kwargs2,
+                         self.totals, tstats)
+            for a in self.shards
+        ])
+        per_group: dict[str, list[tuple[int, float]]] = {g: [] for g in group_set}
+        for rows in pass2:
+            for g, _r, d, s in rows:
+                if g in per_group:
+                    per_group[g].append((d, s))
+        out: list[tuple[str, int, int, float]] = []
+        for g, _bs in top:
+            docs = sorted(per_group[g], key=lambda x: (-x[1], x[0]))
+            for r, (d, s) in enumerate(docs[:docs_per_group]):
+                out.append((g, r, d, s))
+        return out
+
     def _phrase_terms(self, phrase: str, field: str):
         from fdblucene_ray.analysis.analyzer import get_analyzer
 

@@ -1516,6 +1516,7 @@ class Searcher:
         n_groups: int = 10,
         docs_per_group: int = 2,
         field: str = "text",
+        restrict_groups=None,
     ) -> list[tuple[str, int, int, float]]:
         """TopGroups (Lucene grouping module GroupingSearch analog):
         the ``n_groups`` best groups by their best hit's score, each
@@ -1523,8 +1524,11 @@ class Searcher:
         search_collapse (docs_per_group=1). Returns
         (group, rank_in_group, doc_id, score) ordered by group rank
         then rank_in_group. Group values hydrate from the input parquet
-        for matched ids only; at cluster scale the per-segment partial
-        top lists merge by the same (best-score, group) order."""
+        for matched ids only. ``restrict_groups`` (the distributed
+        two-pass protocol's pass-2 endpoint) collects ONLY those groups
+        and returns all of them: DistributedSearcher merges shard-local
+        pass-1 top lists into the global group set, then asks every
+        shard for exactly that set's docs."""
         from fdblucene_ray.sources.corpus import hydrate_from_source
 
         hits = self.search(query, 1 << 31, field=field)
@@ -1539,17 +1543,20 @@ class Searcher:
                 vals_tbl[group_col].to_pylist(),
             )
         )
+        allow = set(restrict_groups) if restrict_groups is not None else None
         groups: dict[str, list[tuple[int, float]]] = {}
         for d, s in hits:  # score desc, doc_id asc
             g = vals.get(d)
-            if g is None:
+            if g is None or (allow is not None and g not in allow):
                 continue
             lst = groups.setdefault(g, [])
             if len(lst) < docs_per_group:
                 lst.append((d, s))
         ranked = sorted(
             groups.items(), key=lambda kv: (-kv[1][0][1], kv[0])
-        )[:n_groups]
+        )
+        if restrict_groups is None:
+            ranked = ranked[:n_groups]
         out: list[tuple[str, int, int, float]] = []
         for g, lst in ranked:
             for r, (d, s) in enumerate(lst):

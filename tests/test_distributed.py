@@ -27,7 +27,8 @@ def fleet3(tmp_path_factory, ray_session):
     texts[260] = "zebra stream"
     t = pa.table(
         {"doc_id": pa.array(range(300), pa.int64()),
-         "text": pa.array(texts)}
+         "text": pa.array(texts),
+         "grp": pa.array([f"g{i % 7}" for i in range(300)])}
     )
     fields = {"text": {"column": "text", "analyzer": "simple",
                        "positions": True}}
@@ -160,3 +161,49 @@ class TestDistributedSearcher:
         )
         with pytest.raises(ValueError, match="analyzer mismatch"):
             DistributedSearcher([parts[0], other], num_cpus_per_shard=0.25)
+
+
+class TestDistributedGrouping:
+    def test_grouped_identical_to_single(self, fleet3, tmp_path_factory):
+        full_ix, _, fleet = fleet3
+        single = Searcher(full_ix)
+        # the full source parquet carries the grp column for hydration
+        import glob
+        import os
+
+        src = glob.glob(
+            os.path.join(os.path.dirname(full_ix), "full.parquet")
+        )[0]
+        for q in ["data", "data merge"]:
+            a = single.search_grouped(
+                q, group_col="grp", source=src, n_groups=4,
+                docs_per_group=3,
+            )
+            b = fleet.search_grouped(
+                q, group_col="grp", source=src, n_groups=4,
+                docs_per_group=3,
+            )
+            assert a == b, q
+
+    def test_grouped_pass2_beats_pass1_local_docs(self, fleet3):
+        """A group's 2nd-best doc can live on a different shard than its
+        best: the two-pass merge must pick it (pass-1-only merges get
+        this wrong). Verified implicitly by equality above; here assert
+        every returned group has docs from the GLOBAL order."""
+        full_ix, _, fleet = fleet3
+        import glob
+        import os
+
+        src = glob.glob(
+            os.path.join(os.path.dirname(full_ix), "full.parquet")
+        )[0]
+        rows = fleet.search_grouped(
+            "data", group_col="grp", source=src, n_groups=7,
+            docs_per_group=2,
+        )
+        single = Searcher(full_ix)
+        expect = single.search_grouped(
+            "data", group_col="grp", source=src, n_groups=7,
+            docs_per_group=2,
+        )
+        assert rows == expect
