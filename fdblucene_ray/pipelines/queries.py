@@ -2019,6 +2019,21 @@ def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_autocomplete(sf_dir: str) -> pa.Table:
+    """Weighted prefix suggester (AnalyzingSuggester analog, df as the
+    weight): top-10 index terms starting with 's' by (df desc, term
+    asc) — a bounded terms-dictionary range scan, no postings decode."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    terms = s.expand_prefix("text", "s")
+    top = sorted(terms, key=lambda td: (-td[1], td[0]))[:10]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in top], pa.string()),
+            "df": pa.array([d for _, d in top], pa.int64()),
+        }
+    )
+
+
 def q_ft_top_groups(sf_dir: str) -> pa.Table:
     """TopGroups (GroupingSearch analog): top-5 source groups for
     'data merge' ranked by best BM25 hit, 2 docs per group."""
@@ -2213,6 +2228,7 @@ def queries() -> dict:
         "ft_multivalue_phrase": q_ft_multivalue_phrase,
         "ft_top_groups": q_ft_top_groups,
         "ft_drill_sideways": q_ft_drill_sideways,
+        "ft_autocomplete": q_ft_autocomplete,
         "doc_keywords": q_doc_keywords,
         "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,
@@ -3839,6 +3855,12 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_autocomplete": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),
+df AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM toks WHERE tok LIKE 's%' GROUP BY tok)
+SELECT term, df FROM df ORDER BY df DESC, term LIMIT 10
 """,
         "ft_top_groups": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
