@@ -2885,6 +2885,59 @@ class Searcher:
         out.sort(key=lambda x: (x[2], -x[1], x[0]))
         return out[:k]
 
+    def suggest_phrase(
+        self,
+        phrase: str,
+        k: int = 5,
+        *,
+        field: str = "text",
+        max_edits: int = 2,
+        prefix_len: int = 1,
+        per_term: int = 3,
+    ) -> list[tuple[str, int, int]]:
+        """Phrase did-you-mean with collation (Lucene PhraseSuggester /
+        suggest.collate analog): per-token candidates from the fuzzy
+        dictionary (``suggest`` ranking: dist asc, df desc, term asc;
+        the token itself joins as a distance-0 candidate when it exists
+        in the dictionary), candidate combinations COLLATED against the
+        index — a suggestion survives only if the corrected phrase
+        actually occurs adjacently in some doc. Returns
+        [(suggestion, n_docs, total_edits)] ranked (n_docs desc, edits
+        asc, suggestion asc). Combination count is bounded by
+        ``per_term ** n_tokens`` (tokens and per_term are query-sized,
+        never corpus-sized)."""
+        from itertools import product
+
+        toks, _ = self._phrase_terms(phrase, field)
+        if not toks:
+            return []
+        cand_lists: list[list[tuple[str, int]]] = []
+        for t in toks:
+            cands: list[tuple[str, int]] = []
+            df, _ttf = self.term_stats(field, t)
+            if df > 0:
+                cands.append((t, 0))
+            cands.extend(
+                (c, d) for c, _df, d in self.suggest(
+                    t, per_term, field=field, max_edits=max_edits,
+                    prefix_len=prefix_len,
+                )
+            )
+            if not cands:
+                return []
+            cand_lists.append(cands)
+        out: list[tuple[str, int, int]] = []
+        for combo in product(*cand_lists):
+            edits = sum(d for _, d in combo)
+            if edits == 0:
+                continue  # the query itself is not a suggestion
+            suggestion = " ".join(c for c, _ in combo)
+            n = len(self.phrase_freqs(suggestion, field=field))
+            if n > 0:
+                out.append((suggestion, n, edits))
+        out.sort(key=lambda x: (-x[1], x[2], x[0]))
+        return out[:k]
+
     def search_fuzzy(self, term: str, k: int = 10, *, field: str = "text",
                      max_edits: int = 2, prefix_len: int = 0,
                      max_terms: int = 1024,

@@ -2019,6 +2019,21 @@ def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_suggest_phrase(sf_dir: str) -> pa.Table:
+    """Phrase did-you-mean with collation: 'strean merg' -> corrected
+    phrases that actually occur adjacently, ranked by collation doc
+    count (index/search.py suggest_phrase)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.suggest_phrase("strean merg", 5)
+    return pa.table(
+        {
+            "suggestion": pa.array([t for t, _, _ in rows], pa.string()),
+            "n_docs": pa.array([n for _, n, _ in rows], pa.int64()),
+            "edits": pa.array([e for _, _, e in rows], pa.int64()),
+        }
+    )
+
+
 def q_ft_autocomplete(sf_dir: str) -> pa.Table:
     """Weighted prefix suggester (AnalyzingSuggester analog, df as the
     weight): top-10 index terms starting with 's' by (df desc, term
@@ -2229,6 +2244,7 @@ def queries() -> dict:
         "ft_top_groups": q_ft_top_groups,
         "ft_drill_sideways": q_ft_drill_sideways,
         "ft_autocomplete": q_ft_autocomplete,
+        "ft_suggest_phrase": q_ft_suggest_phrase,
         "doc_keywords": q_doc_keywords,
         "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,
@@ -3855,6 +3871,42 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_suggest_phrase": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM t0 WHERE tok <> ''),
+v AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+c1 AS (SELECT tok, levenshtein(tok, 'strean') AS dist,
+              row_number() OVER (ORDER BY levenshtein(tok, 'strean'),
+                                 df DESC, tok) AS rn
+       FROM v WHERE tok LIKE 's%'
+         AND levenshtein(tok, 'strean') BETWEEN 1 AND 2),
+c2 AS (SELECT tok, levenshtein(tok, 'merg') AS dist,
+              row_number() OVER (ORDER BY levenshtein(tok, 'merg'),
+                                 df DESC, tok) AS rn
+       FROM v WHERE tok LIKE 'm%'
+         AND levenshtein(tok, 'merg') BETWEEN 1 AND 2),
+combos AS (SELECT a.tok AS w1, b.tok AS w2,
+                  (a.dist + b.dist)::BIGINT AS edits
+           FROM c1 a CROSS JOIN c2 b
+           WHERE a.rn <= 3 AND b.rn <= 3),
+pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+          FROM t a JOIN t b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+counts AS (SELECT co.w1, co.w2, co.edits,
+                  count(DISTINCT p.doc_id)::BIGINT AS n_docs
+           FROM combos co JOIN pairs p
+             ON p.w1 = co.w1 AND p.w2 = co.w2
+           GROUP BY co.w1, co.w2, co.edits)
+SELECT w1 || ' ' || w2 AS suggestion, n_docs, edits
+FROM counts ORDER BY n_docs DESC, edits, suggestion LIMIT 5
 """,
         "ft_autocomplete": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok FROM documents) WHERE tok <> ''),
