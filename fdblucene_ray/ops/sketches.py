@@ -304,3 +304,65 @@ def cms_heavy_hitters(
         ),
         cms,
     )
+
+
+def _hll_group_partial(
+    batch: pa.Table, *, col: str, group_col: str, p: int
+) -> pa.Table:
+    """One register-blob row per (group, batch): groups sort within the
+    batch and each run folds vectorized — facet-cardinality groups mean
+    a handful of 2^p blobs per batch, never per-row state."""
+    g = batch[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    keys = np.asarray(g.to_pylist(), dtype=object)
+    col_a = batch[col]
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if pa.types.is_string(col_a.type) or pa.types.is_large_string(col_a.type):
+        h = hash_strings(col_a).astype(np.uint64)
+    else:
+        vals = col_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(vals.view(np.uint64))
+    order = np.argsort(keys, kind="stable")
+    ks, hs = keys[order], h[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    ends = np.concatenate((starts[1:], [len(ks)]))
+    out_g, out_r = [], []
+    for s, e in zip(starts, ends):
+        out_g.append(str(ks[s]))
+        out_r.append(_rank_registers(hs[s:e], p).tobytes())
+    return pa.table(
+        {"grp": pa.array(out_g, pa.string()),
+         "regs": pa.array(out_r, pa.binary())}
+    )
+
+
+def approx_distinct_by_group(
+    ds: ray.data.Dataset, col: str, group_col: str, *, p: int = 12
+) -> pa.Table:
+    """Approximate COUNT(DISTINCT col) per group: per-(batch, group)
+    register partials, driver folds per group with elementwise max —
+    the mergeable-sketch shape grouped by a facet-cardinality key (the
+    driver holds |groups| x 2^p bytes, never values). Returns
+    (grp, approx_n) sorted grp asc."""
+    parts = ds.map_batches(
+        _hll_group_partial,
+        fn_kwargs=dict(col=col, group_col=group_col, p=p),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    folded: dict[str, np.ndarray] = {}
+    for r in parts:
+        regs = np.frombuffer(r["regs"], np.uint8)
+        cur = folded.get(r["grp"])
+        folded[r["grp"]] = regs if cur is None else np.maximum(cur, regs)
+    grps = sorted(folded)
+    return pa.table(
+        {
+            "grp": pa.array(grps, pa.string()),
+            "approx_n": pa.array(
+                [int(round(_estimate(folded[g]))) for g in grps], pa.int64()
+            ),
+        }
+    )

@@ -2019,6 +2019,19 @@ def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+def q_approx_users_per_type(sf_dir: str) -> pa.Table:
+    """Grouped HLL: approximate distinct users PER event_type — one
+    map-only pass emits per-(batch, group) register blobs, the driver
+    max-folds |groups| sketches (ops/sketches.py). Approximate =>
+    rows-only; pytest pins the per-group error bound."""
+    from fdblucene_ray.ops.sketches import approx_distinct_by_group
+
+    return approx_distinct_by_group(
+        _events_ds(sf_dir, ["user_id", "event_type"]),
+        "user_id", "event_type",
+    )
+
+
 def q_ft_suggest_phrase(sf_dir: str) -> pa.Table:
     """Phrase did-you-mean with collation: 'strean merg' -> corrected
     phrases that actually occur adjacently, ranked by collation doc
@@ -2245,6 +2258,7 @@ def queries() -> dict:
         "ft_drill_sideways": q_ft_drill_sideways,
         "ft_autocomplete": q_ft_autocomplete,
         "ft_suggest_phrase": q_ft_suggest_phrase,
+        "approx_users_per_type": q_approx_users_per_type,
         "doc_keywords": q_doc_keywords,
         "cms_top_terms": q_cms_top_terms,
         "geo_knn": q_geo_knn,

@@ -157,3 +157,52 @@ class TestCountMin:
             assert est >= exact[term]  # one-sided error
         true_top5 = {w for w, _ in exact.most_common(5)}
         assert true_top5 <= set(got)  # recall of the skewed head
+
+
+class TestGroupedHLL:
+    def test_per_group_estimates_within_bound(self, sf_dir):
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from fdblucene_ray.ops.sketches import approx_distinct_by_group
+
+        path = os.path.join(sf_dir, "events.parquet")
+        ds = ray.data.read_parquet(path, columns=["user_id", "event_type"])
+        got = approx_distinct_by_group(ds, "user_id", "event_type", p=12)
+        df = got.to_pandas().set_index("grp")["approx_n"]
+        exact = (
+            pq.read_table(path, columns=["user_id", "event_type"])
+            .to_pandas()
+            .groupby("event_type")["user_id"]
+            .nunique()
+        )
+        assert set(df.index) == set(exact.index)
+        for g, n in exact.items():
+            # 1.04/sqrt(2^12) ~ 1.6% std error; allow 6%
+            assert abs(df[g] - n) <= max(2, 0.06 * n), (g, df[g], n)
+
+    def test_group_fold_equals_global_on_single_group(self, sf_dir):
+        import os
+
+        import ray.data
+
+        from fdblucene_ray.ops.sketches import (
+            approx_distinct,
+            approx_distinct_by_group,
+        )
+
+        path = os.path.join(sf_dir, "events.parquet")
+        ds = ray.data.read_parquet(path, columns=["user_id"]).map_batches(
+            lambda t: t.append_column(
+                "g", __import__("pyarrow").array(["all"] * len(t))
+            ),
+            batch_format="pyarrow",
+        )
+        grouped = approx_distinct_by_group(ds, "user_id", "g", p=12)
+        est, _ = approx_distinct(
+            ray.data.read_parquet(path, columns=["user_id"]), "user_id",
+            p=12,
+        )
+        assert grouped.to_pandas()["approx_n"][0] == est
