@@ -177,6 +177,29 @@ def cmd_percolate(args) -> int:
     return 0
 
 
+def cmd_suggest_phrase(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    for sug, n, edits in s.suggest_phrase(
+        args.phrase, args.k, field=args.field
+    ):
+        print(json.dumps({"suggestion": sug, "n_docs": n, "edits": edits}))
+    return 0
+
+
+def cmd_autocomplete(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    terms = s.expand_prefix(args.field, args.prefix)
+    for t, df in sorted(terms, key=lambda td: (-td[1], td[0]))[: args.k]:
+        print(json.dumps({"term": t, "df": df}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.search import Searcher
@@ -471,6 +494,22 @@ def main(argv=None) -> int:
     fc.add_argument("--mode", default="or", choices=["or", "and"])
     fc.add_argument("--min-count", type=int, default=1)
     fc.set_defaults(fn=cmd_facets)
+
+    sp = sub.add_parser("suggest-phrase",
+                        help="did-you-mean with index collation")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--phrase", required=True)
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--field", default="text")
+    sp.set_defaults(fn=cmd_suggest_phrase)
+
+    ac = sub.add_parser("autocomplete",
+                        help="weighted prefix suggester (df-ranked)")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--prefix", required=True)
+    ac.add_argument("-k", type=int, default=10)
+    ac.add_argument("--field", default="text")
+    ac.set_defaults(fn=cmd_autocomplete)
 
     ml = sub.add_parser("mlt", help="MoreLikeThis: similar docs to --doc-id")
     ml.add_argument("--index", required=True)
