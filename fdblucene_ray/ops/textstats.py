@@ -563,21 +563,28 @@ def _score_keywords_group(group: pa.Table, *, n_docs: float) -> pa.Table:
              "term": pa.array([], pa.string()),
              "score": pa.array([], pa.float64())}
         )
-    terms = np.asarray(group["term"].to_pylist(), dtype=object)
-    order = np.argsort(terms, kind="stable")
-    t_sorted = terms[order]
+    tcol = group["term"]
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    denc = tcol.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # runs only need EQUAL terms adjacent (df is per run); dictionary
+    # codes give that without materializing per-row Python strings
+    order = np.argsort(codes, kind="stable")
+    c_sorted = codes[order]
     starts = np.flatnonzero(
-        np.concatenate(([True], t_sorted[1:] != t_sorted[:-1]))
+        np.concatenate(([True], c_sorted[1:] != c_sorted[:-1]))
     )
-    run_len = np.diff(np.concatenate((starts, [len(t_sorted)])))
+    run_len = np.diff(np.concatenate((starts, [len(c_sorted)])))
     df = np.repeat(run_len, run_len).astype(np.float64)  # rows are unique (doc, term)
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
     score = round_half_away(tf * np.log(n_docs / df), 6)
     ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+    terms_out = denc.dictionary.take(pa.array(c_sorted, pa.int64()))
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "term": pa.array([str(t) for t in t_sorted], pa.string()),
+            "term": terms_out.cast(pa.string()),
             "score": pa.array(score.astype(np.float64)),
         }
     )
@@ -590,17 +597,33 @@ def _topn_keywords_group(group: pa.Table, *, top_n: int) -> pa.Table:
         return group.select(["doc_id", "term", "score"])
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
     score = group["score"].to_numpy(zero_copy_only=False)
-    terms = np.asarray(group["term"].to_pylist(), dtype=object)
-    order = np.lexsort((terms, -score, ids))
-    ids, score, terms = ids[order], score[order], terms[order]
+    tcol = group["term"]
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    denc = tcol.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # the term tie-break must be LEXICOGRAPHIC (oracle ORDER BY term):
+    # rank dictionary values once (unique terms, small), then sort rows
+    # by the rank — per-row strings never materialize
+    dict_order = np.asarray(
+        pc.array_sort_indices(denc.dictionary).to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
+    rank_of_code = np.empty(len(dict_order), np.int64)
+    rank_of_code[dict_order] = np.arange(len(dict_order))
+    order = np.lexsort((rank_of_code[codes], -score, ids))
+    ids, score, codes = ids[order], score[order], codes[order]
     starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
     run_len = np.diff(np.concatenate((starts, [len(ids)])))
     rank = np.arange(len(ids)) - np.repeat(starts, run_len)
     keep = rank < top_n
+    terms_out = denc.dictionary.take(pa.array(codes[keep], pa.int64()))
     return pa.table(
         {
             "doc_id": pa.array(ids[keep], pa.int64()),
-            "term": pa.array([str(t) for t in terms[keep]], pa.string()),
+            "term": terms_out.cast(pa.string()),
             "score": pa.array(score[keep], pa.float64()),
         }
     )
