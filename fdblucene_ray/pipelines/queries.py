@@ -2004,6 +2004,26 @@ def q_doc_keywords(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the derived doc_id link graph (out_deg=8, 3 fixed
+    iterations, d=0.85): edges regenerated in-map each iteration, one
+    hashed-partition contributions exchange per iteration, rank state
+    never leaves the object store (ops/graph.py pagerank). Top-100 by
+    scaled score. Columns: (doc_id, score@6dp)."""
+    from fdblucene_ray.ops.graph import pagerank_top
+
+    return pagerank_top(_docs_ds(sf_dir, ["doc_id"]), top_n=100, n_iters=3)
+
+
+def q_link_degree(sf_dir: str) -> pa.Table:
+    """In-degree heavy hitters on the derived link graph: map-side edge
+    expansion + one hashed-partition run-count exchange (ops/graph.py
+    degree_stats). Columns: (doc_id, in_deg)."""
+    from fdblucene_ray.ops.graph import degree_stats
+
+    return degree_stats(_docs_ds(sf_dir, ["doc_id"]), top_n=20)
+
+
 def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     """Phrase over a MULTI-VALUED field (text split into sentence
     values, positionIncrementGap=100): 'data merge' must be adjacent
@@ -2266,6 +2286,8 @@ def queries() -> dict:
         "cluster_assign": q_cluster_assign,
         "cluster_kmeans": q_cluster_kmeans,
         "ann_pq": q_ann_pq,
+        "pagerank": q_pagerank,
+        "link_degree": q_link_degree,
     }
 
 
@@ -4002,6 +4024,40 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, score FROM ranked WHERE rn <= 3
 ORDER BY doc_id, term
+""",
+        "pagerank": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src, 1 + (d.doc_id % 13) AS deg,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+p0 AS (SELECT doc_id, 1.0 / (SELECT c FROM n) AS pr FROM documents),
+p1 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p2 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p3 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id))
+SELECT doc_id, CAST(round((pr * (SELECT c FROM n))::DOUBLE, 6) AS DOUBLE) AS score
+FROM p3 ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "link_degree": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13))
+SELECT dst AS doc_id, count(*)::BIGINT AS in_deg
+FROM e GROUP BY dst ORDER BY in_deg DESC, doc_id LIMIT 20
 """,
         "ft_multivalue_phrase": r"""
 WITH v0 AS (

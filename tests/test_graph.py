@@ -1,0 +1,82 @@
+"""Link-graph ops (ops/graph.py): PageRank + degree stats vs a dense
+numpy power-iteration oracle on the same derived edge set."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.ops.graph import (
+    MAX_DEG,
+    degree_stats,
+    pagerank,
+    pagerank_top,
+    synth_out_edges,
+)
+
+
+def _dense_pagerank(n: int, n_iters: int, damping: float):
+    src_rep, dst, deg_rep = synth_out_edges(np.arange(n, dtype=np.int64), n)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        nxt = np.zeros(n)
+        np.add.at(nxt, dst, pr[src_rep] / deg_rep)
+        pr = (1.0 - damping) / n + damping * nxt
+    return pr, dst
+
+
+def _ids_ds(n: int) -> ray.data.Dataset:
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def test_edges_shape():
+    src = np.arange(40, dtype=np.int64)
+    src_rep, dst, deg_rep = synth_out_edges(src, 40)
+    deg = 1 + src % MAX_DEG
+    assert len(dst) == deg.sum()
+    assert np.array_equal(np.bincount(src_rep, minlength=40), deg)
+    assert np.array_equal(deg_rep, np.repeat(deg, deg))
+    assert dst.min() >= 0 and dst.max() < 40
+
+
+def test_pagerank_matches_dense_power_iteration():
+    n = 400
+    expect, _ = _dense_pagerank(n, n_iters=3, damping=0.85)
+    # the irregular graph must produce non-degenerate ranks
+    assert expect.std() > 1e-5
+    got = pagerank(_ids_ds(n), n_iters=3).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == n
+    assert np.array_equal(got["doc_id"].to_numpy(), np.arange(n))
+    np.testing.assert_allclose(got["pr"].to_numpy(), expect, rtol=1e-12)
+
+
+def test_pagerank_mass_conserved():
+    n = 300
+    got = pagerank(_ids_ds(n), n_iters=2).to_pandas()
+    # every vertex has out-degree >= 1, so total rank mass stays 1
+    assert abs(got["pr"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_top_ordering_and_scale():
+    n = 250
+    expect, _ = _dense_pagerank(n, n_iters=3, damping=0.85)
+    scaled = np.round(expect * n, 6)
+    order = np.lexsort((np.arange(n), -scaled))
+    t = pagerank_top(_ids_ds(n), top_n=10, n_iters=3)
+    assert t.column_names == ["doc_id", "score"]
+    assert t["doc_id"].to_pylist() == list(order[:10])
+    np.testing.assert_allclose(
+        t["score"].to_numpy(), scaled[order[:10]], atol=1e-9
+    )
+
+
+def test_degree_stats_matches_bincount():
+    n = 350
+    _, dst = _dense_pagerank(n, n_iters=1, damping=0.85)
+    deg = np.bincount(dst, minlength=n)
+    order = np.lexsort((np.arange(n), -deg))
+    t = degree_stats(_ids_ds(n), top_n=15)
+    assert t.column_names == ["doc_id", "in_deg"]
+    assert t["doc_id"].to_pylist() == list(order[:15])
+    assert t["in_deg"].to_pylist() == [int(deg[i]) for i in order[:15]]
