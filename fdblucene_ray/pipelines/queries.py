@@ -2024,6 +2024,22 @@ def q_link_degree(sf_dir: str) -> pa.Table:
     return degree_stats(_docs_ds(sf_dir, ["doc_id"]), top_n=20)
 
 
+def q_dsir_select(sf_dir: str) -> pa.Table:
+    """DSIR importance resampling (Xie et al. 2023): md5-bucketed
+    unigram target/raw histograms (fixed 1024 buckets, one pass),
+    broadcast log-ratio, per-doc log-weights + seeded Gumbel-top-k
+    selection toward source='src7' (ops/dsir.py). Columns:
+    (doc_id, logw@4dp)."""
+    from fdblucene_ray.ops.dsir import dsir_select
+
+    return dsir_select(
+        _docs_ds(sf_dir, ["doc_id", "text", "source"]),
+        100,
+        target_col="source",
+        target_val="src7",
+    )
+
+
 def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     """Phrase over a MULTI-VALUED field (text split into sentence
     values, positionIncrementGap=100): 'data merge' must be adjacent
@@ -2288,6 +2304,7 @@ def queries() -> dict:
         "ann_pq": q_ann_pq,
         "pagerank": q_pagerank,
         "link_degree": q_link_degree,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -4058,6 +4075,35 @@ e AS (SELECT d.doc_id AS src,
       WHERE j.j <= 1 + (d.doc_id % 13))
 SELECT dst AS doc_id, count(*)::BIGINT AS in_deg
 FROM e GROUP BY dst ORDER BY in_deg DESC, doc_id LIMIT 20
+""",
+        "dsir_select": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+    FROM documents) WHERE tok <> ''),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS bkt
+      FROM toks),
+tgt AS (SELECT bkt, count(*)::DOUBLE AS c FROM b
+        JOIN documents USING (doc_id) WHERE source = 'src7' GROUP BY bkt),
+raw AS (SELECT bkt, count(*)::DOUBLE AS c FROM b GROUP BY bkt),
+tots AS (SELECT coalesce((SELECT sum(c) FROM tgt), 0) AS tc,
+                (SELECT sum(c) FROM raw) AS rc),
+lr AS (SELECT r.bkt,
+              ln(((coalesce(t.c, 0) + 0.5) / ((SELECT tc FROM tots) + 0.5 * 1024))
+                 / ((r.c + 0.5) / ((SELECT rc FROM tots) + 0.5 * 1024))) AS lr
+       FROM raw r LEFT JOIN tgt t USING (bkt)),
+lw AS (SELECT d.doc_id, coalesce(s.x, 0) AS lw
+       FROM documents d LEFT JOIN (
+         SELECT b.doc_id, sum(lr.lr) AS x FROM b JOIN lr USING (bkt)
+         GROUP BY b.doc_id) s
+       USING (doc_id)),
+keyd AS (SELECT doc_id, lw,
+                lw + (-ln(-ln((CAST(('0x' || substr(md5('s42-' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+                      / 4294967296.0))) AS k
+         FROM lw)
+SELECT doc_id, CAST(round(lw, 4) AS DOUBLE) AS logw
+FROM keyd ORDER BY k DESC, doc_id LIMIT 100
 """,
         "ft_multivalue_phrase": r"""
 WITH v0 AS (
