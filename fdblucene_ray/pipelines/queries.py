@@ -2040,6 +2040,24 @@ def q_dsir_select(sf_dir: str) -> pa.Table:
     )
 
 
+def q_quality_classifier(sf_dir: str) -> pa.Table:
+    """Learned quality filter (fastText/DCLM-style): hashed-feature
+    logistic regression trained in-pipeline to recognize source='src7'
+    (full-batch GD, gradient partials exchanged as (bucket, g) rows),
+    then corpus-wide scoring with local top-k (ops/classifier.py).
+    Rows-only for the driver (iterative optimization has no SQL twin);
+    pytest verifies against a dense numpy GD. Columns:
+    (doc_id, score@6dp), top-100."""
+    from fdblucene_ray.ops.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "source"])
+    w = train_quality_classifier(ds, target_col="source", target_val="src7")
+    return score_quality(ds, w, top_n=100)
+
+
 def q_ft_multivalue_phrase(sf_dir: str) -> pa.Table:
     """Phrase over a MULTI-VALUED field (text split into sentence
     values, positionIncrementGap=100): 'data merge' must be adjacent
@@ -2305,6 +2323,7 @@ def queries() -> dict:
         "pagerank": q_pagerank,
         "link_degree": q_link_degree,
         "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
     }
 
 
