@@ -411,6 +411,9 @@ def run_default() -> None:
     timed("percolate", lambda: q.q_percolate(sf_dir))
     timed("geo_knn", lambda: q.q_geo_knn(sf_dir))
     timed("cluster_kmeans", lambda: q.q_cluster_kmeans(sf_dir))
+    timed("pagerank", lambda: q.q_pagerank(sf_dir))
+    timed("dsir_select", lambda: q.q_dsir_select(sf_dir))
+    timed("quality_classifier", lambda: q.q_quality_classifier(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

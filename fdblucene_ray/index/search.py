@@ -2311,6 +2311,75 @@ class Searcher:
         out.sort()
         return out
 
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        *,
+        field: str = "text",
+        pre: int = 0,
+        post: int = 0,
+    ) -> list[tuple[int, int]]:
+        """SpanNotQuery analog: occurrences of the ``include`` phrase
+        whose span [start-pre, end+post] contains NO position of the
+        (analyzed, single-term) ``exclude`` span. Returns
+        (doc_id, span_freq) for docs with >=1 surviving occurrence,
+        sorted by doc_id.
+
+        Same leapfrog + lazy-position path as phrase matching; the
+        exclusion clause is a separate cursor advanced only to docs the
+        include conjunction already matched, so its position blocks
+        decode only where candidates exist.
+
+        Reference tie-in: span queries over the positions channel
+        (SURVEY §2 K-family; DATA.md position storage)."""
+        terms, offs = self._phrase_terms(include, field)
+        if not terms:
+            return []
+        ex_terms, _ = self._phrase_terms(exclude, field)
+        bs = self.manifest.block_size
+        dummy_cache = np.zeros(256)
+        unions: list[UnionCursor] = []
+        for qi, t in enumerate(terms):
+            cs = _gather_cursors(self.readers, field, t, bs, 0.0, dummy_cache, qi)
+            if not cs:
+                return []
+            unions.append(UnionCursor(cs, qi))
+        ex_union = None
+        if ex_terms:
+            excs = _gather_cursors(
+                self.readers, field, ex_terms[0], bs, 0.0, dummy_cache,
+                len(terms),
+            )
+            if excs:
+                ex_union = UnionCursor(excs, len(terms))
+        width = max(offs) if offs else 0
+        out: list[tuple[int, int]] = []
+
+        def on_match(doc: int):
+            base = None
+            for qi, u in enumerate(unions):
+                p = u.positions_current() - offs[qi]
+                base = (
+                    p if base is None
+                    else np.intersect1d(base, p, assume_unique=True)
+                )
+                if not len(base):
+                    return
+            if ex_union is not None and not ex_union.exhausted():
+                if ex_union.doc < doc:
+                    ex_union.advance(doc)
+                if not ex_union.exhausted() and ex_union.doc == doc:
+                    ep = ex_union.positions_current()
+                    lo = np.searchsorted(ep, base - pre, side="left")
+                    hi = np.searchsorted(ep, base + width + post, side="right")
+                    base = base[lo == hi]
+            if len(base):
+                out.append((int(doc), int(len(base))))
+
+        _leapfrog_intersect(unions, on_match, self.tombstones)
+        return out
+
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""
         terms = self.parse(query, field)

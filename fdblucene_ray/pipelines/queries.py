@@ -2040,6 +2040,20 @@ def q_dsir_select(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_span_not(sf_dir: str) -> pa.Table:
+    """SpanNotQuery analog: 'batch stream' phrase occurrences with no
+    'data' position within ±5 of the span; per-doc surviving-occurrence
+    counts (index/search.py search_span_not)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_span_not("batch stream", "data", pre=5, post=5)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "span_freq": pa.array([f for _, f in rows], pa.int64()),
+        }
+    )
+
+
 def q_quality_classifier(sf_dir: str) -> pa.Table:
     """Learned quality filter (fastText/DCLM-style): hashed-feature
     logistic regression trained in-pipeline to recognize source='src7'
@@ -2324,6 +2338,7 @@ def queries() -> dict:
         "link_degree": q_link_degree,
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
+        "ft_span_not": q_ft_span_not,
     }
 
 
@@ -4094,6 +4109,20 @@ e AS (SELECT d.doc_id AS src,
       WHERE j.j <= 1 + (d.doc_id % 13))
 SELECT dst AS doc_id, count(*)::BIGINT AS in_deg
 FROM e GROUP BY dst ORDER BY in_deg DESC, doc_id LIMIT 20
+""",
+        "ft_span_not": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+m AS (SELECT t1.doc_id, t1.pos AS s
+      FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      WHERE t1.tok = 'batch' AND t2.tok = 'stream'),
+kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
+  SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
+    AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
+SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
 """,
         "dsir_select": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,

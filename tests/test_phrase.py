@@ -329,3 +329,53 @@ class TestRescore:
         ix, _ = built
         s = Searcher(ix)
         assert s.rescore("notaterm", "quick brown", 5) == []
+
+
+class TestSpanNot:
+    def test_span_not_matches_bruteforce(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        for exclude, pre, post in [
+            ("fox", 0, 0), ("fox", 2, 1), ("dog", 3, 3), ("quick", 1, 1),
+            ("absentterm", 2, 2),
+        ]:
+            got = s.search_span_not("quick brown", exclude, pre=pre, post=post)
+            expect = []
+            for i, txt in enumerate(TEXTS):
+                toks = [t for t in txt.lower().split() if t]
+                starts = [
+                    p for p in range(len(toks) - 1)
+                    if toks[p] == "quick" and toks[p + 1] == "brown"
+                ]
+                keep = [
+                    st for st in starts
+                    if not any(
+                        toks[q] == exclude
+                        for q in range(max(0, st - pre),
+                                       min(len(toks), st + 1 + post + 1))
+                    )
+                ]
+                if keep:
+                    expect.append((i, len(keep)))
+            assert got == expect, (exclude, pre, post)
+
+    def test_span_not_absent_include(self, built):
+        ix, _ = built
+        assert Searcher(ix).search_span_not("nosuch words", "fox") == []
+
+    def test_span_not_single_term_include(self, built):
+        ix, _ = built
+        got = Searcher(ix).search_span_not("fox", "dog", pre=1, post=1)
+        expect = []
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            keep = [
+                p for p, t in enumerate(toks)
+                if t == "fox" and not any(
+                    toks[q] == "dog"
+                    for q in range(max(0, p - 1), min(len(toks), p + 2))
+                )
+            ]
+            if keep:
+                expect.append((i, len(keep)))
+        assert got == expect
