@@ -2380,6 +2380,31 @@ class Searcher:
         _leapfrog_intersect(unions, on_match, self.tombstones)
         return out
 
+    def search_span_or(
+        self, phrases: list[str], *, field: str = "text"
+    ) -> list[tuple[int, int]]:
+        """SpanOrQuery analog: union of span sources — per doc, the
+        total number of occurrences across the given (analyzed) phrase
+        spans. Each source runs the same leapfrog + lazy-position path
+        as PhraseQuery; doc-level union is a dict merge over the
+        (sparse) per-source match lists. Returns (doc_id, span_freq)
+        sorted by doc_id."""
+        freqs: dict[int, int] = {}
+        for ph in phrases:
+            terms, offs = self._phrase_terms(ph, field)
+            if not terms:
+                continue
+            if len(terms) == 1:
+                rows = self.phrase_freqs(terms[0], field=field)
+            else:
+                rows = [
+                    (d, pf) for d, pf, _ in
+                    self._phrase_matches(terms, field, offs, 0)
+                ]
+            for d, pf in rows:
+                freqs[d] = freqs.get(d, 0) + int(pf)
+        return sorted(freqs.items())
+
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""
         terms = self.parse(query, field)

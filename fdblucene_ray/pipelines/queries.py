@@ -2054,6 +2054,64 @@ def q_ft_span_not(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_span_or(sf_dir: str) -> pa.Table:
+    """SpanOrQuery analog: per-doc total occurrences across the union
+    of two phrase spans (index/search.py search_span_or)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_span_or(["batch stream", "data merge"])
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "span_freq": pa.array([f for _, f in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_rank_boost(sf_dir: str) -> pa.Table:
+    """Authority-boosted retrieval: BM25 top-50 candidates rescored by
+    the corpus link-graph PageRank — final = bm25 * (1 + ln(1 + pr*N)),
+    top-10. The scale shape is a rescore (QueryRescorer pattern): the
+    O(V) rank vector stays distributed; only the 50 candidate ids are
+    broadcast into a filter pass over the rank dataset."""
+    import numpy as np
+
+    from fdblucene_ray.ops.graph import pagerank
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search_terms(["data", "merge"], 50, mode="wand")
+    if not hits:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    cand = np.array([d for d, _ in hits], np.int64)
+    bm25 = np.array([sc for _, sc in hits], np.float64)
+    ds = _docs_ds(sf_dir, ["doc_id"])
+    n_docs = ds.count()
+    pr_ds = pagerank(ds, n_iters=3, n_docs=n_docs)
+    cand_sorted = np.sort(cand)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, cand_sorted)))
+
+    pr_rows = pr_ds.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    pr_map = dict(zip(pr_rows["doc_id"], pr_rows["pr"]))
+    final = bm25 * (1.0 + np.log1p(
+        np.array([pr_map.get(int(d), 0.0) for d in cand]) * n_docs
+    ))
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    final = round_half_away(final, 4)
+    order = np.lexsort((cand, -final))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(cand[order]),
+            "score": pa.array(final[order]),
+        }
+    )
+
+
 def q_quality_classifier(sf_dir: str) -> pa.Table:
     """Learned quality filter (fastText/DCLM-style): hashed-feature
     logistic regression trained in-pipeline to recognize source='src7'
@@ -2339,6 +2397,8 @@ def queries() -> dict:
         "dsir_select": q_dsir_select,
         "quality_classifier": q_quality_classifier,
         "ft_span_not": q_ft_span_not,
+        "ft_span_or": q_ft_span_or,
+        "ft_rank_boost": q_ft_rank_boost,
     }
 
 
@@ -4123,6 +4183,62 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "ft_rank_boost": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+cand AS (SELECT doc_id, sum(s) AS bm25 FROM contrib GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 50),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src, 1 + (d.doc_id % 13) AS deg,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+p0 AS (SELECT doc_id, 1.0 / (SELECT c FROM n) AS pr FROM documents),
+p1 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p2 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p3 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id))
+SELECT cand.doc_id,
+       CAST(round(cand.bm25 * (1 + ln(1 + p3.pr * (SELECT c FROM n))), 4)
+            AS DOUBLE) AS score
+FROM cand JOIN p3 ON p3.doc_id = cand.doc_id
+ORDER BY score DESC, cand.doc_id LIMIT 10
+""",
+        "ft_span_or": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+m AS (
+  SELECT t1.doc_id
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.tok = 'batch' AND t2.tok = 'stream'
+  UNION ALL
+  SELECT t1.doc_id
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.tok = 'data' AND t2.tok = 'merge')
+SELECT doc_id, count(*)::BIGINT AS span_freq FROM m GROUP BY doc_id
 """,
         "dsir_select": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,

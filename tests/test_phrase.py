@@ -379,3 +379,37 @@ class TestSpanNot:
             if keep:
                 expect.append((i, len(keep)))
         assert got == expect
+
+
+class TestSpanOr:
+    def test_span_or_matches_bruteforce(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        got = s.search_span_or(["quick brown", "lazy dog"])
+        expect = {}
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            c = 0
+            for a, b in [("quick", "brown"), ("lazy", "dog")]:
+                c += sum(
+                    1 for p in range(len(toks) - 1)
+                    if toks[p] == a and toks[p + 1] == b
+                )
+            if c:
+                expect[i] = c
+        assert got == sorted(expect.items())
+
+    def test_span_or_single_term_source(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        got = s.search_span_or(["fox", "quick brown"])
+        expect = {}
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            c = toks.count("fox") + sum(
+                1 for p in range(len(toks) - 1)
+                if toks[p] == "quick" and toks[p + 1] == "brown"
+            )
+            if c:
+                expect[i] = c
+        assert got == sorted(expect.items())
