@@ -250,6 +250,79 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_span(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    if args.exclude is not None:
+        rows = s.search_span_not(
+            args.phrase, args.exclude, field=args.field,
+            pre=args.pre, post=args.post,
+        )
+    else:
+        rows = s.search_span_or(
+            [args.phrase] + (args.or_phrase or []), field=args.field
+        )
+    for d, f in rows[: args.k]:
+        print(f"{d}\t{f}")
+    return 0
+
+
+def cmd_pagerank(args) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.graph import pagerank_top
+
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col])
+    t = pagerank_top(ds, top_n=args.k, n_iters=args.iters)
+    for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+        print(f"{d}\t{sc}")
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.dsir import dsir_select
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col, args.target_col]
+    )
+    t = dsir_select(
+        ds, args.k, target_col=args.target_col, target_val=args.target_val,
+        text_col=args.text_col, id_col=args.id_col, seed=args.seed,
+    )
+    for d, w in zip(t["doc_id"].to_pylist(), t["logw"].to_pylist()):
+        print(f"{d}\t{w}")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col, args.target_col]
+    )
+    w = train_quality_classifier(
+        ds, target_col=args.target_col, target_val=args.target_val,
+        text_col=args.text_col, n_iters=args.iters,
+    )
+    t = score_quality(ds, w, top_n=args.k, text_col=args.text_col,
+                      id_col=args.id_col)
+    for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+        print(f"{d}\t{sc}")
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.merge import merge_indexes
@@ -612,6 +685,45 @@ def main(argv=None) -> int:
     pl.add_argument("index")
     pl.add_argument("--verify", action="store_true")
     pl.set_defaults(fn=cmd_pull)
+
+    sn = sub.add_parser("span", help="span queries: NOT (--exclude) / OR")
+    sn.add_argument("index")
+    sn.add_argument("phrase")
+    sn.add_argument("--exclude", default=None)
+    sn.add_argument("--pre", type=int, default=0)
+    sn.add_argument("--post", type=int, default=0)
+    sn.add_argument("--or-phrase", action="append")
+    sn.add_argument("--field", default="text")
+    sn.add_argument("-k", type=int, default=20)
+    sn.set_defaults(fn=cmd_span)
+
+    pr = sub.add_parser("pagerank", help="link-graph PageRank top-k")
+    pr.add_argument("--input", required=True, nargs="+")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--iters", type=int, default=3)
+    pr.add_argument("-k", type=int, default=20)
+    pr.set_defaults(fn=cmd_pagerank)
+
+    dsr = sub.add_parser("dsir", help="DSIR importance resample top-k")
+    dsr.add_argument("--input", required=True, nargs="+")
+    dsr.add_argument("--target-col", required=True)
+    dsr.add_argument("--target-val", required=True)
+    dsr.add_argument("--text-col", default="text")
+    dsr.add_argument("--id-col", default="doc_id")
+    dsr.add_argument("--seed", type=int, default=42)
+    dsr.add_argument("-k", type=int, default=100)
+    dsr.set_defaults(fn=cmd_dsir)
+
+    cl = sub.add_parser("classify",
+                        help="train+apply hashed logistic quality filter")
+    cl.add_argument("--input", required=True, nargs="+")
+    cl.add_argument("--target-col", required=True)
+    cl.add_argument("--target-val", required=True)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--iters", type=int, default=8)
+    cl.add_argument("-k", type=int, default=100)
+    cl.set_defaults(fn=cmd_classify)
 
     g = sub.add_parser("gc", help="sweep unreferenced segments + tombstones")
     g.add_argument("--index", required=True)
