@@ -2112,6 +2112,16 @@ def q_ft_rank_boost(sf_dir: str) -> pa.Table:
     )
 
 
+def q_readability(sf_dir: str) -> pa.Table:
+    """Per-doc Flesch reading ease (vowel-group syllable approximation),
+    one map-only Arrow-kernel pass (ops/textstats.py readability)."""
+    from fdblucene_ray.ops.textstats import readability
+
+    out = readability(_docs_ds(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_quality_classifier(sf_dir: str) -> pa.Table:
     """Learned quality filter (fastText/DCLM-style): hashed-feature
     logistic regression trained in-pipeline to recognize source='src7'
@@ -2399,6 +2409,7 @@ def queries() -> dict:
         "ft_span_not": q_ft_span_not,
         "ft_span_or": q_ft_span_or,
         "ft_rank_boost": q_ft_rank_boost,
+        "readability": q_readability,
     }
 
 
@@ -4183,6 +4194,20 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "readability": """
+WITH raw AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[0-9a-z_]+'))::BIGINT AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS syllables
+  FROM documents)
+SELECT doc_id, words, sentences, syllables,
+       CAST(round(206.835
+                  - 1.015 * (greatest(words, 1)::DOUBLE / sentences)
+                  - 84.6 * (syllables::DOUBLE / greatest(words, 1)), 4)
+            AS DOUBLE) AS flesch
+FROM raw ORDER BY doc_id
 """,
         "ft_rank_boost": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},

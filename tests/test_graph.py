@@ -80,3 +80,30 @@ def test_degree_stats_matches_bincount():
     assert t.column_names == ["doc_id", "in_deg"]
     assert t["doc_id"].to_pylist() == list(order[:15])
     assert t["in_deg"].to_pylist() == [int(deg[i]) for i in order[:15]]
+
+
+def test_readability_formula_and_edges():
+    from fdblucene_ray.ops.textstats import readability
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["The cat sat. The dog ran!", "", "word"]
+            ),
+        }
+    )
+    out = (
+        readability(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["words"]) == [6, 0, 1]
+    assert list(out["sentences"]) == [2, 1, 1]
+    # 'the cat sat the dog ran' vowel groups: e,a,a,e,o,a = 6
+    assert out["syllables"][0] == 6
+    f0 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(out["flesch"][0] - round(f0, 4)) < 1e-9
+    # empty doc: words clamped to 1 in the formula, no division error
+    assert np.isfinite(out["flesch"][1])
