@@ -188,6 +188,108 @@ def pagerank_top(
     return t.select(["doc_id", "score"])
 
 
+def anchor_terms(
+    ds: ray.data.Dataset,
+    *,
+    n_tokens: int = 3,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """Anchor-text aggregation: each link (src→dst) of the derived
+    graph carries src's first ``n_tokens`` analyzed tokens as "anchor
+    text"; per target doc, the most frequent anchor term (count desc,
+    term asc) — the classic web-search ranking feature (anchor terms
+    describe the TARGET page).
+
+    Scale shape: anchors are emitted map-side from each rank batch
+    (edges regenerated in-map, ≤ deg × n_tokens rows per doc), one
+    hashed-partition exchange keyed on hash(dst) % P, per-partition
+    top-1 by lexsort run arithmetic. Columns: (doc_id, term, cnt),
+    doc_id asc.
+    """
+    from fdblucene_ray.analysis.analyzer import BatchTokenizer
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    num_parts = num_parts or _default_parts()
+    n_docs = ds.count()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tk = cached_state(
+            ("anchor_tok", analyzer), lambda: BatchTokenizer(analyzer)
+        )
+        row_idx, codes, vocab = tk.encoded_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "part": pa.array([], pa.int32())}
+            )
+        # index of each token within its row -> keep the first n_tokens
+        row_starts = np.flatnonzero(
+            np.concatenate(([True], row_idx[1:] != row_idx[:-1]))
+        )
+        within = np.arange(len(row_idx)) - np.repeat(
+            row_starts, np.diff(np.concatenate((row_starts, [len(row_idx)])))
+        )
+        keep = within < n_tokens
+        rows_k, codes_k = row_idx[keep], codes[keep]
+        src = ids[rows_k]
+        deg = 1 + src % MAX_DEG
+        src_rep, dst, _ = synth_out_edges(src, n_docs)
+        # repeat each kept token's code for its row's out-degree
+        code_rep = np.repeat(codes_k, deg)
+        vocab_arr = vocab if isinstance(vocab, pa.Array) else pa.array(
+            list(vocab), pa.string()
+        )
+        terms = pa.DictionaryArray.from_arrays(
+            pa.array(code_rep.astype(np.int32)), vocab_arr
+        ).cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(dst),
+                "term": terms,
+                "part": pa.array(part_of(dst, num_parts)),
+            }
+        )
+
+    def top1_runs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, ids))
+        ids, terms = ids[order], terms[order]
+        new = np.concatenate(
+            ([True], (ids[1:] != ids[:-1]) | (terms[1:] != terms[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(ids)])))
+        gid, gterm = ids[starts], terms[starts]
+        # per doc: max count, tie term asc (already term-asc within doc)
+        ord2 = np.lexsort((gterm, -cnt, gid))
+        gid2, gterm2, cnt2 = gid[ord2], gterm[ord2], cnt[ord2]
+        first = np.flatnonzero(
+            np.concatenate(([True], gid2[1:] != gid2[:-1]))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(gid2[first].astype(np.int64)),
+                "term": pa.array(gterm2[first].astype(str)),
+                "cnt": pa.array(cnt2[first].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(top1_runs, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "term", "cnt"])
+
+
 def degree_stats(
     ds: ray.data.Dataset,
     top_n: int = 20,

@@ -2123,6 +2123,16 @@ def q_ft_synonym_multiword(sf_dir: str) -> pa.Table:
     )
 
 
+def q_anchor_terms(sf_dir: str) -> pa.Table:
+    """Anchor-text aggregation over the derived link graph: per target
+    doc, the most frequent first-3-token anchor term of its in-links
+    (map-side edge+anchor emit, one hashed-partition top-1 exchange;
+    ops/graph.py anchor_terms)."""
+    from fdblucene_ray.ops.graph import anchor_terms
+
+    return anchor_terms(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_readability(sf_dir: str) -> pa.Table:
     """Per-doc Flesch reading ease (vowel-group syllable approximation),
     one map-only Arrow-kernel pass (ops/textstats.py readability)."""
@@ -2422,6 +2432,7 @@ def queries() -> dict:
         "ft_rank_boost": q_ft_rank_boost,
         "readability": q_readability,
         "ft_synonym_multiword": q_ft_synonym_multiword,
+        "anchor_terms": q_anchor_terms,
     }
 
 
@@ -4242,6 +4253,27 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "anchor_terms": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+first3 AS (SELECT doc_id, unnest(l[1:3]) AS term FROM lists WHERE len(l) > 0),
+anchors AS (SELECT e.dst AS doc_id, f.term
+            FROM e JOIN first3 f ON f.doc_id = e.src),
+cnts AS (SELECT doc_id, term, count(*)::BIGINT AS cnt
+         FROM anchors GROUP BY doc_id, term),
+ranked AS (SELECT doc_id, term, cnt,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, term) AS rn
+           FROM cnts)
+SELECT doc_id, term, cnt FROM ranked WHERE rn = 1 ORDER BY doc_id
 """,
         "readability": """
 WITH raw AS (

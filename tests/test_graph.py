@@ -107,3 +107,31 @@ def test_readability_formula_and_edges():
     assert abs(out["flesch"][0] - round(f0, 4)) < 1e-9
     # empty doc: words clamped to 1 in the formula, no division error
     assert np.isfinite(out["flesch"][1])
+
+
+def test_anchor_terms_matches_bruteforce():
+    from collections import Counter
+
+    from fdblucene_ray.ops.graph import anchor_terms
+
+    rng = ["alpha beta gamma delta", "beta beta", "", "zeta alpha",
+           "gamma gamma epsilon", "delta"]
+    n = 60
+    texts = [rng[i % len(rng)] for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)})
+    got = anchor_terms(ray.data.from_arrow(t).repartition(3))
+    src_rep, dst, _ = synth_out_edges(np.arange(n, dtype=np.int64), n)
+    per = {}
+    for s, d in zip(src_rep, dst):
+        for tok in texts[s].lower().split()[:3]:
+            per.setdefault(d, Counter())[tok] += 1
+    expect = []
+    for d in sorted(per):
+        if not per[d]:
+            continue
+        term, cnt = sorted(per[d].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((d, term, cnt))
+    rows = list(zip(got["doc_id"].to_pylist(), got["term"].to_pylist(),
+                    got["cnt"].to_pylist()))
+    assert rows == expect
