@@ -188,6 +188,135 @@ def pagerank_top(
     return t.select(["doc_id", "score"])
 
 
+def _expand_contribs_tele(
+    batch: pa.Table, *, n_docs: int, id_col: str, num_parts: int, damping: float
+) -> pa.Table:
+    """Personalized variant of ``_expand_contribs``: the zero self-row
+    instead carries the doc's constant teleport mass in a ``tele``
+    column, so seed membership survives the exchange without a join."""
+    src = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = batch["pr"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tele = batch["tele"].to_numpy(zero_copy_only=False).astype(np.float64)
+    deg = 1 + src % MAX_DEG
+    _, dst, _ = synth_out_edges(src, n_docs)
+    contrib = np.repeat(pr / deg, deg)
+    dst = np.concatenate((dst, src))
+    contrib = np.concatenate((contrib, np.zeros(len(src))))
+    tele_col = np.concatenate((np.zeros(len(contrib) - len(src)), tele))
+    return pa.table(
+        {
+            "doc_id": pa.array(dst),
+            "contrib": pa.array(contrib),
+            "tele": pa.array(tele_col),
+            "part": pa.array(part_of(dst, num_parts)),
+        }
+    )
+
+
+def _sum_ranks_tele(group: pa.Table, *, damping: float) -> pa.Table:
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    contrib = group["contrib"].to_numpy(zero_copy_only=False)
+    tele = group["tele"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids, contrib, tele = ids[order], contrib[order], tele[order]
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    sums = np.add.reduceat(contrib, starts)
+    tele_u = np.add.reduceat(tele, starts)  # exactly one self-row per doc
+    pr = tele_u + damping * sums
+    return pa.table(
+        {"doc_id": pa.array(ids[starts]), "pr": pa.array(pr),
+         "tele": pa.array(tele_u)}
+    )
+
+
+def trustrank_top(
+    ds: ray.data.Dataset,
+    top_n: int = 100,
+    *,
+    seed_col: str,
+    seed_val,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank personalized to
+    a trusted seed set — teleportation mass (1-d) flows only to docs
+    with ``seed_col == seed_val``; rank starts from the seed
+    distribution. Same one-exchange-per-iteration shape as
+    ``pagerank``; the per-doc teleport constant rides the exchange in a
+    ``tele`` column (no O(V) broadcast, no join). Scores scaled by
+    n_docs, 6dp, ties doc_id asc. Columns: (doc_id, score)."""
+    import pyarrow.compute as pc
+
+    num_parts = num_parts or _default_parts()
+    n_docs = ds.count()
+    # count seeds with one cheap aggregate pass
+    n_seed = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {"c": pa.array([
+                    int(pc.sum(pc.cast(pc.equal(b[seed_col], seed_val),
+                                       pa.int64())).as_py() or 0)
+                ])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("c")
+    )
+    if not n_seed:
+        raise ValueError(f"no seed docs with {seed_col} == {seed_val!r}")
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_seed = (
+            pc.equal(batch[seed_col], seed_val)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "pr": pa.array(is_seed / n_seed),
+                "tele": pa.array((1.0 - damping) * is_seed / n_seed),
+            }
+        )
+
+    pr = ds.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
+    for _ in range(n_iters):
+        pr = (
+            pr.map_batches(
+                _expand_contribs_tele,
+                fn_kwargs=dict(
+                    n_docs=n_docs, id_col="doc_id", num_parts=num_parts,
+                    damping=damping,
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("part", num_partitions=num_parts)
+            .map_groups(
+                _sum_ranks_tele,
+                fn_kwargs=dict(damping=damping),
+                batch_format="pyarrow",
+            )
+        )
+
+    def scale(batch: pa.Table) -> pa.Table:
+        s = round_half_away(
+            batch["pr"].to_numpy(zero_copy_only=False) * n_docs, 6
+        )
+        return pa.table({"doc_id": batch["doc_id"], "score": pa.array(s)})
+
+    out = (
+        pr.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(top_n)
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["doc_id", "score"])
+
+
 def anchor_terms(
     ds: ray.data.Dataset,
     *,

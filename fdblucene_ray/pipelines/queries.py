@@ -2133,6 +2133,19 @@ def q_anchor_terms(sf_dir: str) -> pa.Table:
     return anchor_terms(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def q_trustrank(sf_dir: str) -> pa.Table:
+    """TrustRank (Gyöngyi et al. 2004): PageRank personalized to the
+    source='src7' seed set; teleport mass rides the contributions
+    exchange in a tele column — no O(V) broadcast (ops/graph.py
+    trustrank_top). Columns: (doc_id, score@6dp), top-100."""
+    from fdblucene_ray.ops.graph import trustrank_top
+
+    return trustrank_top(
+        _docs_ds(sf_dir, ["doc_id", "source"]),
+        100, seed_col="source", seed_val="src7", n_iters=3,
+    )
+
+
 def q_readability(sf_dir: str) -> pa.Table:
     """Per-doc Flesch reading ease (vowel-group syllable approximation),
     one map-only Arrow-kernel pass (ops/textstats.py readability)."""
@@ -2433,6 +2446,7 @@ def queries() -> dict:
         "readability": q_readability,
         "ft_synonym_multiword": q_ft_synonym_multiword,
         "anchor_terms": q_anchor_terms,
+        "trustrank": q_trustrank,
     }
 
 
@@ -4253,6 +4267,36 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "trustrank": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src, 1 + (d.doc_id % 13) AS deg,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+seeds AS (SELECT count(*)::DOUBLE AS sc FROM documents WHERE source = 'src7'),
+v AS (SELECT doc_id,
+             (CASE WHEN source = 'src7' THEN 1.0 ELSE 0.0 END)
+               / (SELECT sc FROM seeds) AS v
+      FROM documents),
+p0 AS (SELECT doc_id, v AS pr FROM v),
+p1 AS (SELECT d.doc_id, 0.15 * v.v + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d JOIN v ON v.doc_id = d.doc_id LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst) s
+       ON s.doc_id = d.doc_id),
+p2 AS (SELECT d.doc_id, 0.15 * v.v + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d JOIN v ON v.doc_id = d.doc_id LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst) s
+       ON s.doc_id = d.doc_id),
+p3 AS (SELECT d.doc_id, 0.15 * v.v + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d JOIN v ON v.doc_id = d.doc_id LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst) s
+       ON s.doc_id = d.doc_id)
+SELECT doc_id, CAST(round((pr * (SELECT c FROM n))::DOUBLE, 6) AS DOUBLE) AS score
+FROM p3 ORDER BY score DESC, doc_id LIMIT 100
 """,
         "anchor_terms": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),

@@ -135,3 +135,36 @@ def test_anchor_terms_matches_bruteforce():
     rows = list(zip(got["doc_id"].to_pylist(), got["term"].to_pylist(),
                     got["cnt"].to_pylist()))
     assert rows == expect
+
+
+def test_trustrank_matches_dense_personalized_power_iteration():
+    from fdblucene_ray.ops.graph import trustrank_top
+
+    n = 200
+    src_rep, dst, deg_rep = synth_out_edges(np.arange(n, dtype=np.int64), n)
+    seed = (np.arange(n) % 7 == 0).astype(np.float64)
+    v = seed / seed.sum()
+    pr = v.copy()
+    for _ in range(3):
+        nxt = np.zeros(n)
+        np.add.at(nxt, dst, pr[src_rep] / deg_rep)
+        pr = 0.15 * v + 0.85 * nxt
+    scaled = np.round(pr * n, 6)
+    order = np.lexsort((np.arange(n), -scaled))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array(
+                ["seed" if s else "other" for s in seed.astype(bool)]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = trustrank_top(ds, 20, seed_col="source", seed_val="seed", n_iters=3)
+    assert got["doc_id"].to_pylist() == list(order[:20])
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), scaled[order[:20]], atol=1e-9
+    )
+    # non-seed docs with no seed in-links get rank only via paths from
+    # seeds; total mass stays 1
+    assert abs(pr.sum() - 1.0) < 1e-9
