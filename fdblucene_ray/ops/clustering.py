@@ -146,3 +146,93 @@ def kmeans_cluster_sizes(
         }
     )
     return table, cents
+
+
+def _cov_partials_batch(batch: pa.Table, *, vec_col: str) -> pa.Table:
+    """One row per batch: flattened (D,) sum and (D*D,) outer-product
+    sum plus the row count — the sufficient statistics for PCA. Only
+    O(D^2) floats leave the worker per batch."""
+    x = _stack64(batch[vec_col])
+    return pa.table(
+        {
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+        }
+    )
+
+
+def embedding_pca(
+    ds: ray.data.Dataset,
+    n_components: int = 8,
+    *,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA via covariance sufficient statistics: one
+    map-only pass emits per-batch (n, Σx, ΣxxT) partials (O(D²) each),
+    the driver folds them and eigendecomposes the D×D covariance —
+    the corpus itself never leaves the workers, so this is the same
+    shape at 10^12 rows.
+
+    Returns (components[k,D], explained_variance_ratio[k], mean[D]).
+    Component signs are fixed (largest-|coef| coordinate positive) so
+    results are deterministic across runs and block orders.
+    """
+    parts = ds.map_batches(
+        _cov_partials_batch,
+        fn_kwargs=dict(vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    if n == 0:
+        raise ValueError("empty dataset")
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in parts], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # sign convention: the largest-|coefficient| entry of each
+    # component is positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = evals[order] / evals.sum()
+    return comps, evr, mean
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Project every vector onto the (broadcast) PCA basis — one
+    vectorized map pass; output (id, proj list<double>)."""
+    comp_ref = ray.put(np.ascontiguousarray(components))
+    mean_ref = ray.put(np.asarray(mean, np.float64))
+
+    def project(batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        c = cached_state(("pca_c", comp_ref.hex()), lambda: ray.get(comp_ref))
+        m = cached_state(("pca_m", mean_ref.hex()), lambda: ray.get(mean_ref))
+        x = _stack64(batch[vec_col])
+        p = (x - m) @ c.T
+        offs = np.arange(0, (len(x) + 1) * c.shape[0], c.shape[0], np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "proj": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(p.ravel())
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

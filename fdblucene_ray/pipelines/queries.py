@@ -2133,6 +2133,24 @@ def q_anchor_terms(sf_dir: str) -> pa.Table:
     return anchor_terms(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def q_embedding_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA over embeddings (covariance sufficient
+    statistics; O(D²) per batch leaves the workers). Rows-only for the
+    driver (eigendecomposition has no SQL twin); pytest matches exact
+    numpy PCA. Columns: (component, evr@6dp)."""
+    from fdblucene_ray.ops.clustering import embedding_pca
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+    _, evr, _ = embedding_pca(ds, n_components=8)
+    return pa.table(
+        {
+            "component": pa.array(np.arange(len(evr), dtype=np.int64)),
+            "evr": pa.array(round_half_away(evr, 6)),
+        }
+    )
+
+
 def q_trustrank(sf_dir: str) -> pa.Table:
     """TrustRank (Gyöngyi et al. 2004): PageRank personalized to the
     source='src7' seed set; teleport mass rides the contributions
@@ -2447,6 +2465,7 @@ def queries() -> dict:
         "ft_synonym_multiword": q_ft_synonym_multiword,
         "anchor_terms": q_anchor_terms,
         "trustrank": q_trustrank,
+        "embedding_pca": q_embedding_pca,
     }
 
 

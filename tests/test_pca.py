@@ -1,0 +1,59 @@
+"""Distributed PCA (ops/clustering.py embedding_pca) vs exact numpy."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fdblucene_ray.ops.clustering import embedding_pca, pca_project
+
+
+def _vectors(n=300, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic: a few dominant directions
+    basis = rng.normal(size=(d, d))
+    scales = np.concatenate((np.array([10.0, 5.0, 2.0]), np.ones(d - 3) * 0.1))
+    x = rng.normal(size=(n, d)) * scales @ basis
+    return x
+
+
+def _table(x):
+    n, d = x.shape
+    offs = np.arange(0, (n + 1) * d, d, np.int32)
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(x.ravel().astype(np.float32)))
+    return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": emb})
+
+
+def test_pca_matches_numpy():
+    x = _vectors()
+    ds = ray.data.from_arrow(_table(x)).repartition(5)
+    comps, evr, mean = embedding_pca(ds, n_components=4)
+    xf = x.astype(np.float32).astype(np.float64)  # storage quantization
+    m = xf.mean(axis=0)
+    cov = (xf - m).T @ (xf - m) / len(xf)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    expect_evr = evals[order] / evals.sum()
+    np.testing.assert_allclose(mean, m, atol=1e-9)
+    np.testing.assert_allclose(evr, expect_evr, atol=1e-9)
+    for i, oi in enumerate(order):
+        v = evecs[:, oi]
+        j = int(np.argmax(np.abs(comps[i])))
+        if v[j] < 0:
+            v = -v
+        np.testing.assert_allclose(comps[i], v, atol=1e-7)
+
+
+def test_pca_project_reconstructs_variance():
+    x = _vectors()
+    ds = ray.data.from_arrow(_table(x)).repartition(5)
+    comps, evr, mean = embedding_pca(ds, n_components=3)
+    proj = pca_project(ds, comps, mean).to_pandas().sort_values("vec_id")
+    p = np.stack(proj["proj"].to_numpy())
+    assert p.shape == (len(x), 3)
+    xf = x.astype(np.float32).astype(np.float64)
+    total_var = ((xf - xf.mean(axis=0)) ** 2).sum(axis=1).mean()
+    proj_var = (p ** 2).sum(axis=1).mean()
+    # top-3 captured variance ratio must match evr sum
+    np.testing.assert_allclose(proj_var / total_var, evr.sum(), atol=1e-9)
