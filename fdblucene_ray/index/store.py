@@ -121,15 +121,7 @@ class LocalFSStore:
     def put_if_absent(self, rel: str, data: bytes) -> bool:
         p = self._p(rel)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        try:
-            os.write(fd, data)
-        finally:
-            os.close(fd)
-        return True
+        return _atomic_create(p, data)
 
     def delete(self, rel: str) -> None:
         try:
@@ -209,15 +201,7 @@ class PyArrowFSStore:
         p = self._p(rel)
         if isinstance(self.fs, self._pafs.LocalFileSystem):
             os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-            try:
-                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False
-            try:
-                os.write(fd, data)
-            finally:
-                os.close(fd)
-            return True
+            return _atomic_create(p, data)
         if self.exists(rel):
             return False
         self.put(rel, data)
@@ -240,6 +224,28 @@ class PyArrowFSStore:
         self, manifest: Manifest, *, expected_version: int | None = None
     ) -> None:
         _cas_put_manifest(self, manifest, expected_version)
+
+
+def _atomic_create(path: str, data: bytes) -> bool:
+    """Insert-if-absent with ATOMIC content visibility: the bytes are
+    fully written to a private temp file first, then published with
+    ``os.link`` (fails iff the target exists; a reader that can see the
+    name sees the complete contents). A bare O_CREAT|O_EXCL create
+    followed by write() has a torn window — a concurrent
+    ``get_manifest`` could read an empty commit object mid-publish
+    (observed as a two-writer race flake)."""
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def _manifest_bytes(m: Manifest) -> bytes:
@@ -267,8 +273,15 @@ def _resolve_manifest(store) -> Manifest | None:
                 vers.append(int(base[len("manifest_"):-len(".json")]))
             except ValueError:
                 continue
-    if vers:
-        best = Manifest.from_json(json.loads(store.get(_commit_rel(max(vers)))))
+    for v in sorted(vers, reverse=True):
+        try:
+            best = Manifest.from_json(json.loads(store.get(_commit_rel(v))))
+            break
+        except (ValueError, KeyError, FileNotFoundError):
+            # torn/in-flight commit object on a backend without atomic
+            # object visibility: the writer has not durably published v
+            # yet, so the previous commit is the correct resolution
+            continue
     if store.exists(MANIFEST_NAME):
         try:
             ptr = Manifest.from_json(json.loads(store.get(MANIFEST_NAME)))

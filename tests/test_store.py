@@ -208,3 +208,36 @@ class TestConditionalPutCommit:
         assert store.put_if_absent(_commit_rel(nxt.version),
                                    _manifest_bytes(nxt))
         assert store.get_manifest().version == nxt.version
+
+
+class TestTornCommitObjects:
+    def test_resolver_skips_torn_top_commit(self, built_ix, tmp_path):
+        """A commit object that EXISTS but is unreadable (a writer
+        mid-publish on a backend without atomic object visibility) must
+        not crash get_manifest — the previous commit is authoritative
+        until the new object is durably complete."""
+        import os
+
+        store = LocalFSStore(str(tmp_path / "torn"))
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        torn = os.path.join(
+            str(tmp_path / "torn"), "commits",
+            f"manifest_{m.version + 1:09d}.json",
+        )
+        open(torn, "wb").close()  # zero-byte in-flight commit object
+        cur = store.get_manifest()
+        assert cur is not None and cur.version == m.version
+
+    def test_atomic_create_no_partial_visibility(self, tmp_path):
+        """put_if_absent publishes full contents atomically (hard-link
+        of a fully written temp file) and leaves no temp debris."""
+        import os
+
+        store = LocalFSStore(str(tmp_path / "atomic"))
+        assert store.put_if_absent("c/obj.json", b"x" * 4096) is True
+        assert store.get("c/obj.json") == b"x" * 4096
+        assert store.put_if_absent("c/obj.json", b"other") is False
+        assert store.get("c/obj.json") == b"x" * 4096
+        files = os.listdir(os.path.join(str(tmp_path / "atomic"), "c"))
+        assert files == ["obj.json"]
