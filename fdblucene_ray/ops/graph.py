@@ -317,6 +317,196 @@ def trustrank_top(
     return t.select(["doc_id", "score"])
 
 
+def _l2_of(ds: ray.data.Dataset, col: str) -> float:
+    """Global L2 norm of a column: per-batch sum-of-squares partials."""
+    ss = ds.map_batches(
+        lambda b, c=col: pa.table(
+            {"ss": pa.array([
+                float((b[c].to_numpy(zero_copy_only=False) ** 2).sum())
+            ])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sum("ss")
+    return float(np.sqrt(ss)) if ss else 1.0
+
+
+def hits_top(
+    ds: ray.data.Dataset,
+    top_n: int = 20,
+    *,
+    n_iters: int = 2,
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over the derived
+    graph, ``n_iters`` fixed iterations with L2 normalization.
+
+    The authority update reuses the forward contributions exchange
+    (a[dst] = Σ h[src]); the hub update needs the REVERSE direction
+    (h[src] = Σ a[dst]), expressed as a co-partitioned union join:
+    regenerated edge rows and the authority table both shuffle on
+    hash(dst) % P, each partition matches dst runs with searchsorted,
+    and the (src, a) rows exchange once more to sum per src — no O(V)
+    broadcast, no reverse-edge materialization. Norms are two-scalar
+    map-side aggregates.
+
+    Returns top-``top_n`` per kind: columns (kind 'auth'|'hub', doc_id,
+    score@6dp), kind asc, score desc, doc_id asc."""
+    num_parts = num_parts or _default_parts()
+    n_docs = ds.count()
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "v": pa.array(np.full(len(ids), 1.0 / n_docs))}
+        )
+
+    hub = ds.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
+    auth = None
+    for _ in range(n_iters):
+        # authority: forward exchange of hub mass
+        def fwd(batch: pa.Table) -> pa.Table:
+            src = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hv = batch["v"].to_numpy(zero_copy_only=False)
+            deg = 1 + src % MAX_DEG
+            _, dst, _ = synth_out_edges(src, n_docs)
+            return pa.table(
+                {
+                    "doc_id": pa.array(dst),
+                    "c": pa.array(np.repeat(hv, deg)),
+                    "part": pa.array(part_of(dst, num_parts)),
+                }
+            )
+
+        def sum_runs(group: pa.Table) -> pa.Table:
+            ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = group["c"].to_numpy(zero_copy_only=False)
+            o = np.argsort(ids, kind="stable")
+            ids, c = ids[o], c[o]
+            st = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+            return pa.table(
+                {"doc_id": pa.array(ids[st]),
+                 "v": pa.array(np.add.reduceat(c, st))}
+            )
+
+        auth_raw = (
+            hub.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part", num_partitions=num_parts)
+            .map_groups(sum_runs, batch_format="pyarrow")
+        ).materialize()
+        nz = _l2_of(auth_raw, "v")
+
+        def norm(batch: pa.Table, *, z=nz) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch["doc_id"],
+                 "v": pa.array(
+                     batch["v"].to_numpy(zero_copy_only=False) / z)}
+            )
+
+        auth = auth_raw.map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        # hub: reverse join — edge rows and authority rows co-partition
+        # on hash(dst), per-partition searchsorted match, re-key by src
+        def edges_by_dst(batch: pa.Table) -> pa.Table:
+            src = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            src_rep, dst, _ = synth_out_edges(src, n_docs)
+            return pa.table(
+                {
+                    "doc_id": pa.array(dst),
+                    "src": pa.array(src_rep),
+                    "v": pa.array(np.zeros(len(dst))),
+                    "side": pa.array(np.zeros(len(dst), np.int8)),
+                    "part": pa.array(part_of(dst, num_parts)),
+                }
+            )
+
+        def auth_side(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "src": pa.array(np.full(len(ids), -1, np.int64)),
+                    "v": batch["v"],
+                    "side": pa.array(np.ones(len(ids), np.int8)),
+                    "part": pa.array(part_of(ids, num_parts)),
+                }
+            )
+
+        def match_dst(group: pa.Table) -> pa.Table:
+            side = group["side"].to_numpy(zero_copy_only=False)
+            ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            srcs = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vs = group["v"].to_numpy(zero_copy_only=False)
+            em = side == 0
+            e_dst, e_src = ids[em], srcs[em]
+            a_ids, a_v = ids[~em], vs[~em]
+            o = np.argsort(a_ids, kind="stable")
+            a_ids, a_v = a_ids[o], a_v[o]
+            ix = np.searchsorted(a_ids, e_dst)
+            ok = (ix < len(a_ids))
+            ix = np.clip(ix, 0, max(0, len(a_ids) - 1))
+            ok &= (a_ids[ix] == e_dst) if len(a_ids) else False
+            return pa.table(
+                {
+                    "doc_id": pa.array(e_src[ok]),
+                    "c": pa.array(a_v[ix[ok]] if len(a_ids) else
+                                  np.empty(0, np.float64)),
+                    "part": pa.array(part_of(e_src[ok], num_parts)),
+                }
+            )
+
+        edges_ds = ds.map_batches(
+            edges_by_dst, batch_format="pyarrow", zero_copy_batch=True
+        )
+        a_ds = auth.map_batches(
+            auth_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+        hub_raw = (
+            edges_ds.union(a_ds)
+            .groupby("part", num_partitions=num_parts)
+            .map_groups(match_dst, batch_format="pyarrow")
+            .groupby("part", num_partitions=num_parts)
+            .map_groups(sum_runs, batch_format="pyarrow")
+        ).materialize()
+        hz = _l2_of(hub_raw, "v")
+        hub = hub_raw.map_batches(
+            lambda b, z=hz: pa.table(
+                {"doc_id": b["doc_id"],
+                 "v": pa.array(b["v"].to_numpy(zero_copy_only=False) / z)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    def top(d: ray.data.Dataset, kind: str) -> pa.Table:
+        def scale(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch["doc_id"],
+                 "score": pa.array(round_half_away(
+                     batch["v"].to_numpy(zero_copy_only=False), 6))}
+            )
+
+        o = (
+            d.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(top_n)
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "kind": pa.array([kind] * len(o)),
+                "doc_id": pa.array(o["doc_id"].to_numpy(np.int64)),
+                "score": pa.array(o["score"].to_numpy(np.float64)),
+            }
+        )
+
+    return pa.concat_tables([top(auth, "auth"), top(hub, "hub")])
+
+
 def anchor_terms(
     ds: ray.data.Dataset,
     *,

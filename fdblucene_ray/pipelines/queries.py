@@ -2151,6 +2151,17 @@ def q_embedding_pca(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999), 2 L2-normalized
+    iterations: forward contributions exchange for authorities, a
+    co-partitioned union join (edges + authority table on hash(dst))
+    for the reverse hub update (ops/graph.py hits_top). Columns:
+    (kind, doc_id, score@6dp), top-20 per kind."""
+    from fdblucene_ray.ops.graph import hits_top
+
+    return hits_top(_docs_ds(sf_dir, ["doc_id"]), top_n=20, n_iters=2)
+
+
 def q_trustrank(sf_dir: str) -> pa.Table:
     """TrustRank (Gyöngyi et al. 2004): PageRank personalized to the
     source='src7' seed set; teleport mass rides the contributions
@@ -2466,6 +2477,7 @@ def queries() -> dict:
         "anchor_terms": q_anchor_terms,
         "trustrank": q_trustrank,
         "embedding_pca": q_embedding_pca,
+        "hits": q_hits,
     }
 
 
@@ -4286,6 +4298,33 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "hits": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+h0 AS (SELECT doc_id, 1.0 / (SELECT c FROM n) AS v FROM documents),
+a1r AS (SELECT e.dst AS doc_id, sum(h0.v) AS v
+        FROM e JOIN h0 ON h0.doc_id = e.src GROUP BY e.dst),
+a1 AS (SELECT doc_id, v / (SELECT sqrt(sum(v * v)) FROM a1r) AS v FROM a1r),
+h1r AS (SELECT e.src AS doc_id, sum(a1.v) AS v
+        FROM e JOIN a1 ON a1.doc_id = e.dst GROUP BY e.src),
+h1 AS (SELECT doc_id, v / (SELECT sqrt(sum(v * v)) FROM h1r) AS v FROM h1r),
+a2r AS (SELECT e.dst AS doc_id, sum(h1.v) AS v
+        FROM e JOIN h1 ON h1.doc_id = e.src GROUP BY e.dst),
+a2 AS (SELECT doc_id, v / (SELECT sqrt(sum(v * v)) FROM a2r) AS v FROM a2r),
+h2r AS (SELECT e.src AS doc_id, sum(a2.v) AS v
+        FROM e JOIN a2 ON a2.doc_id = e.dst GROUP BY e.src),
+h2 AS (SELECT doc_id, v / (SELECT sqrt(sum(v * v)) FROM h2r) AS v FROM h2r),
+ta AS (SELECT 'auth' AS kind, doc_id,
+              CAST(round(v, 6) AS DOUBLE) AS score
+       FROM a2 ORDER BY score DESC, doc_id LIMIT 20),
+th AS (SELECT 'hub' AS kind, doc_id,
+              CAST(round(v, 6) AS DOUBLE) AS score
+       FROM h2 ORDER BY score DESC, doc_id LIMIT 20)
+SELECT * FROM ta UNION ALL SELECT * FROM th
 """,
         "trustrank": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),

@@ -168,3 +168,33 @@ def test_trustrank_matches_dense_personalized_power_iteration():
     # non-seed docs with no seed in-links get rank only via paths from
     # seeds; total mass stays 1
     assert abs(pr.sum() - 1.0) < 1e-9
+
+
+def test_hits_matches_dense():
+    from fdblucene_ray.ops.graph import hits_top
+
+    n = 180
+    src_rep, dst, _ = synth_out_edges(np.arange(n, dtype=np.int64), n)
+    h = np.full(n, 1.0 / n)
+    a = None
+    for _ in range(2):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src_rep])
+        a /= np.sqrt((a ** 2).sum())
+        h = np.zeros(n)
+        np.add.at(h, src_rep, a[dst])
+        h /= np.sqrt((h ** 2).sum())
+    got = hits_top(_ids_ds(n), top_n=10, n_iters=2)
+    for kind, vec in (("auth", a), ("hub", h)):
+        sub = got.filter(pa.compute.equal(got["kind"], kind))
+        scaled = np.round(vec, 6)
+        order = np.lexsort((np.arange(n), -scaled))[:10]
+        # drop zero-score docs the engine may omit (no in/out links)
+        assert sub["doc_id"].to_pylist() == [
+            int(i) for i in order if scaled[i] > 0
+        ][: sub.num_rows]
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(),
+            scaled[order[: sub.num_rows]],
+            atol=1e-9,
+        )
