@@ -2151,6 +2151,28 @@ def q_embedding_pca(sf_dir: str) -> pa.Table:
     )
 
 
+def q_image_decode(sf_dir: str) -> pa.Table:
+    """REAL image decode (PPM/P6, pure numpy — no codec lib needed):
+    deterministic synthetic images per doc, actor-pool decode → size +
+    mean intensity + 64-bit aHash (ops/image.py). Rows-only (binary
+    decode has no SQL twin); pytest matches a byte-level reference
+    decoder. Columns: (doc_id, w, h, mean_px@4dp, ahash)."""
+    from fdblucene_ray.ops.image import decode_images, synth_images_ds
+
+    ds = synth_images_ds(_docs_ds(sf_dir, ["doc_id"]))
+    out = decode_images(ds, batch_size=128).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "w": pa.array(out["w"].to_numpy(np.int32)),
+            "h": pa.array(out["h"].to_numpy(np.int32)),
+            "mean_px": pa.array(out["mean_px"].to_numpy(np.float64)),
+            "ahash": pa.array(out["ahash"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_hits(sf_dir: str) -> pa.Table:
     """HITS hubs & authorities (Kleinberg 1999), 2 L2-normalized
     iterations: forward contributions exchange for authorities, a
@@ -2478,6 +2500,7 @@ def queries() -> dict:
         "trustrank": q_trustrank,
         "embedding_pca": q_embedding_pca,
         "hits": q_hits,
+        "image_decode": q_image_decode,
     }
 
 
