@@ -861,3 +861,30 @@ def ngram_jaccard_vs_anchor(
             )
 
     return ds.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def simhash_near_pairs_from_fingerprints(fp, max_hamming=3) -> pa.Table:
+    """The band-block + verify tail of ``simhash_near_pairs`` for a
+    caller-supplied (doc_id, simhash) fingerprint dataset (e.g. image
+    aHashes — ops/image.py image_near_dups)."""
+    num_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    bands = fp.map_batches(_quarter_bands(num_parts), batch_format="pyarrow")
+    pairs = bands.groupby("part", num_partitions=num_parts).map_groups(
+        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
+    )
+    uniq = pairs.groupby(["a", "b"]).min("hamming")
+    df = uniq.to_pandas()  # verified pairs: small
+    if not len(df):
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    ham_col = [c for c in df.columns if c.startswith("min")][0]
+    df = df.rename(columns={ham_col: "hamming"}).sort_values(["a", "b"])
+    return pa.table(
+        {
+            "a": pa.array(df["a"].to_numpy(np.int64)),
+            "b": pa.array(df["b"].to_numpy(np.int64)),
+            "hamming": pa.array(df["hamming"].to_numpy(np.int64)),
+        }
+    )

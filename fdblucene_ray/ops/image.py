@@ -183,3 +183,35 @@ def synth_images_ds(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Da
         )
 
     return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def image_near_dups(
+    ds: ray.data.Dataset,
+    max_hamming: int = 6,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Perceptual near-duplicate images: decode -> 64-bit aHash ->
+    the SAME 4-way band blocking + popcount verify as text simhash
+    (ops/dedup.py machinery, fingerprint column renamed) — only the
+    verified pair set reaches the driver. Returns (a, b, hamming)."""
+    from fdblucene_ray.ops.dedup import simhash_near_pairs_from_fingerprints
+
+    def fp(batch: pa.Table) -> pa.Table:
+        payloads = batch[payload_col]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        hashes = np.array(
+            [average_hash(decode_ppm(p.as_py())) for p in payloads],
+            np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "simhash": pa.array(hashes.view(np.int64)),
+            }
+        )
+
+    fps = ds.map_batches(fp, batch_format="pyarrow")
+    return simhash_near_pairs_from_fingerprints(fps, max_hamming)

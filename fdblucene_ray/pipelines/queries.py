@@ -2173,6 +2173,17 @@ def q_image_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def q_image_near_dup(sf_dir: str) -> pa.Table:
+    """Perceptually-identical image pairs: REAL PPM decode → 64-bit
+    aHash → the simhash band-blocking + popcount verify machinery
+    (ops/image.py image_near_dups). Rows-only; pytest brute-force
+    hamming oracle. Columns: (a, b, hamming=0)."""
+    from fdblucene_ray.ops.image import image_near_dups, synth_images_ds
+
+    ds = synth_images_ds(_docs_ds(sf_dir, ["doc_id"]))
+    return image_near_dups(ds, max_hamming=0)
+
+
 def q_hits(sf_dir: str) -> pa.Table:
     """HITS hubs & authorities (Kleinberg 1999), 2 L2-normalized
     iterations: forward contributions exchange for authorities, a
@@ -2501,6 +2512,7 @@ def queries() -> dict:
         "embedding_pca": q_embedding_pca,
         "hits": q_hits,
         "image_decode": q_image_decode,
+        "image_near_dup": q_image_near_dup,
     }
 
 

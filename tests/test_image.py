@@ -86,3 +86,24 @@ def test_actor_pool_pipeline_end_to_end():
     assert row["ahash"] == ref["ahash"][0].as_py()
     assert row["w"] == ref["w"][0].as_py()
     assert abs(row["mean_px"] - ref["mean_px"][0].as_py()) < 1e-9
+
+
+def test_image_near_dups_matches_bruteforce():
+    from fdblucene_ray.ops.image import image_near_dups
+
+    n = 120
+    hashes = [average_hash(decode_ppm(synth_ppm(i))) for i in range(n)]
+    expect = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 2:
+                expect.append((i, j, d))
+    ids = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ds = synth_images_ds(ray.data.from_arrow(ids).repartition(3))
+    got = image_near_dups(ds, max_hamming=2)
+    rows = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                      got["hamming"].to_pylist()))
+    # banding guarantees FULL recall for hamming <= 3 (pigeonhole on
+    # 4x16-bit quarters), so this is exact equality, not recall >= x
+    assert rows == sorted(expect)
