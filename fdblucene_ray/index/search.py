@@ -256,6 +256,39 @@ class UnionCursor:
         return sum(len(c.skips) for c in self.cursors)
 
 
+class MultiUnionCursor(UnionCursor):
+    """UnionCursor whose member cursors are DIFFERENT terms of one
+    clause slot (MultiPhraseQuery): several members can sit on the SAME
+    doc, so ``next`` advances every member at the current doc (else the
+    leapfrog lead re-matches it) and ``positions_current`` returns the
+    sorted union of the members' position lists."""
+
+    def next(self):
+        d = self.doc
+        for c in self.cursors:
+            if not c.exhausted() and c.doc == d:
+                c.next()
+        self._refresh()
+
+    def positions_current(self) -> np.ndarray:
+        d = self.doc
+        ps = [
+            c.positions_current()
+            for c in self.cursors
+            if not c.exhausted() and c.doc == d
+        ]
+        if len(ps) == 1:
+            return ps[0]
+        return np.unique(np.concatenate(ps))
+
+    def norm_current(self) -> int:
+        d = self.doc
+        for c in self.cursors:
+            if not c.exhausted() and c.doc == d:
+                return int(c.norms[c.pos])
+        raise AssertionError("norm_current off-doc")  # pragma: no cover
+
+
 def _leapfrog_intersect(unions: list[UnionCursor], on_match, tomb=_NO_TOMB):
     """Skip-pointer leapfrog join over clause streams (sorted rarest
     first by the caller): advance laggards with the skip table, call
@@ -1656,6 +1689,77 @@ class Searcher:
             off += len(docs)
         sel = np.lexsort((uniq, -total))[:k]
         return [(int(uniq[i]), float(total[i])) for i in sel]
+
+    def search_multi_phrase(
+        self,
+        slots: list[list[str]],
+        k: int = 10,
+        *,
+        field: str = "text",
+    ) -> list[tuple[int, float]]:
+        """MultiPhraseQuery analog: a phrase where each position slot
+        accepts ANY of several (analyzed) terms — ``[["quick"],
+        ["brown", "red"], ["fox"]]`` matches "quick brown fox" and
+        "quick red fox". Scored like PhraseQuery with idf = the sum of
+        ALL member-term idfs (Lucene MultiPhraseQuery/Similarity
+        treatment), tf = matching anchor count.
+
+        Slot alternatives merge through ``MultiUnionCursor`` (position
+        union per doc); doc iteration is the same leapfrog + lazy
+        position path as PhraseQuery."""
+        az = get_analyzer(self.manifest.analyzers.get(field, "lucene"))
+        norm_slots: list[list[str]] = []
+        for alts in slots:
+            terms = list(
+                dict.fromkeys(t for a in alts for t in az.tokens(a))
+            )
+            if not terms:
+                return []
+            norm_slots.append(terms)
+        dc, _, avgdl = self.field_stats(field)
+        if dc == 0:
+            return []
+        ncache = bm25_norm_cache(avgdl, self.k1, self.b)
+        bs = self.manifest.block_size
+        idf_sum = 0.0
+        unions: list[UnionCursor] = []
+        for qi, terms in enumerate(norm_slots):
+            cs = []
+            any_df = False
+            for t in terms:
+                df, _ = self.term_stats(field, t)
+                if df:
+                    any_df = True
+                    idf_sum += bm25_idf(dc, df)
+                cs.extend(
+                    _gather_cursors(self.readers, field, t, bs, 0.0,
+                                    np.zeros(256), qi)
+                )
+            if not cs or not any_df:
+                return []
+            unions.append(MultiUnionCursor(cs, qi))
+
+        out: list[tuple[int, int, int]] = []
+
+        def on_match(doc: int):
+            base = None
+            for qi, u in enumerate(unions):
+                p = u.positions_current() - qi
+                base = (
+                    p if base is None
+                    else np.intersect1d(base, p, assume_unique=True)
+                )
+                if not len(base):
+                    return
+            out.append((int(doc), len(base), unions[0].norm_current()))
+
+        _leapfrog_intersect(unions, on_match, self.tombstones)
+        hits = [
+            (doc, idf_sum * pf / (pf + float(ncache[norm])))
+            for doc, pf, norm in out
+        ]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
 
     def search_synonyms_multiword(
         self,

@@ -2184,6 +2184,16 @@ def q_image_near_dup(sf_dir: str) -> pa.Table:
     return image_near_dups(ds, max_hamming=0)
 
 
+def q_ft_multi_phrase(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery analog: slot-level term alternatives
+    ('data'|'batch' followed by 'merge'|'stream'), leapfrog + position
+    union per slot (index/search.py search_multi_phrase)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_multi_phrase([["data", "batch"], ["merge", "stream"]], k=10)
+    )
+
+
 def q_hits(sf_dir: str) -> pa.Table:
     """HITS hubs & authorities (Kleinberg 1999), 2 L2-normalized
     iterations: forward contributions exchange for authorities, a
@@ -2513,6 +2523,7 @@ def queries() -> dict:
         "hits": q_hits,
         "image_decode": q_image_decode,
         "image_near_dup": q_image_near_dup,
+        "ft_multi_phrase": q_ft_multi_phrase,
     }
 
 
@@ -3171,6 +3182,31 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # MultiPhrase: slot alternatives (data|batch)(merge|stream);
+        # idf = sum over ALL member terms, tf = anchor count.
+        "ft_multi_phrase": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+anch AS (SELECT t1.doc_id, count(*)::DOUBLE AS pf
+         FROM ptoks t1 JOIN ptoks t2
+           ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         WHERE t1.tok IN ('data', 'batch') AND t2.tok IN ('merge', 'stream')
+         GROUP BY t1.doc_id),
+dfs AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+        WHERE tok IN ('data', 'batch', 'merge', 'stream') GROUP BY tok),
+idf AS (SELECT sum(ln(1 + (stats.dc - dfs.df + 0.5) / (dfs.df + 0.5))) AS v
+        FROM dfs, stats)
+SELECT anch.doc_id,
+       CAST(round((SELECT v FROM idf) * pf
+                  / (pf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))), 4)
+            AS DOUBLE) AS score
+FROM anch JOIN dlq ON dlq.doc_id = anch.doc_id CROSS JOIN stats
+ORDER BY score DESC, anch.doc_id LIMIT 10
 """,
         # Multi-word synonym: group {"batch stream" phrase, "window"} as
         # one pseudo-term (tf = phrase_freq + term tf), plus 'data'.

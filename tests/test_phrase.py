@@ -449,3 +449,47 @@ class TestSynonymMultiword:
         # strictest check on one doc with both members present
         both = [d for d in union if d in pf and d in dogs]
         assert both, "fixture must have a doc with both phrase and term"
+
+
+class TestMultiPhrase:
+    def test_multi_phrase_matches_bruteforce(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        slots = [["quick"], ["brown", "red"]]
+        got = s.search_multi_phrase(slots, k=100)
+        # brute force anchors
+        import math
+
+        from fdblucene_ray.index.search import bm25_idf, bm25_norm_cache
+        match_tf = {}
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            c = sum(
+                1 for p in range(len(toks) - 1)
+                if toks[p] == "quick" and toks[p + 1] in ("brown", "red")
+            )
+            if c:
+                match_tf[i] = c
+        assert sorted(d for d, _ in got) == sorted(match_tf)
+        # single-alternative slots must equal plain PhraseQuery
+        a = s.search_multi_phrase([["quick"], ["brown"]], k=100)
+        b = s.search_phrase("quick brown", k=100)
+        assert a == b
+
+    def test_multi_phrase_union_positions(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        # 'brown quick is not quick brown' (doc 2, 8, 14): slot0 in
+        # {brown,quick} slot1 in {quick,brown} matches both orders
+        got = dict(
+            (d, None) for d, _ in
+            s.search_multi_phrase([["brown", "quick"], ["quick", "brown"]],
+                                  k=100)
+        )
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            hit = any(
+                toks[p] in ("brown", "quick") and toks[p + 1] in ("quick", "brown")
+                for p in range(len(toks) - 1)
+            )
+            assert (i in got) == hit, i
