@@ -150,7 +150,7 @@ def train_quality_classifier(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        agg = parts.groupby("j").sum(["g", "n"]).take_all()
+        agg = parts.groupby("j", num_partitions=8).sum(["g", "n"]).take_all()
         g = np.zeros(n_feat + 1)
         n_docs = 0
         for r in agg:

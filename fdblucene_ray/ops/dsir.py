@@ -137,7 +137,7 @@ def bucket_log_ratio(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = parts.groupby("bkt").sum(["tgt_c", "raw_c"]).take_all()
+    agg = parts.groupby("bkt", num_partitions=8).sum(["tgt_c", "raw_c"]).take_all()
     tgt = np.zeros(n_buckets)
     raw = np.zeros(n_buckets)
     for r in agg:

@@ -52,8 +52,17 @@ _STEP = 1009
 MAX_DEG = 13
 
 
-def _default_parts() -> int:
-    return max(16, int(ray.cluster_resources().get("CPU", 8)))
+def _default_parts(n_rows: int | None = None) -> int:
+    """Exchange partition count: scales with the CLUSTER by default,
+    dropping for small rank tables (a 5k-row exchange does not need 32
+    sort partitions of scheduling overhead) and growing past the CPU
+    count when partitions would otherwise exceed ~50M rows (map_groups
+    holds one partition in memory)."""
+    by_cpu = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    if n_rows is None:
+        return by_cpu
+    small = max(4, min(by_cpu, int(n_rows) // 1000 + 1))
+    return max(small, int(n_rows) // 50_000_000)
 
 
 def synth_out_edges(
@@ -122,9 +131,9 @@ def pagerank(
     hashed-partition exchange per iteration, rank state never leaves
     the object store.
     """
-    num_parts = num_parts or _default_parts()
     if n_docs is None:
         n_docs = ds.count()
+    num_parts = num_parts or _default_parts(n_docs)
 
     def init(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -249,8 +258,8 @@ def trustrank_top(
     n_docs, 6dp, ties doc_id asc. Columns: (doc_id, score)."""
     import pyarrow.compute as pc
 
-    num_parts = num_parts or _default_parts()
     n_docs = ds.count()
+    num_parts = num_parts or _default_parts(n_docs)
     # count seeds with one cheap aggregate pass
     n_seed = (
         ds.map_batches(
@@ -353,8 +362,8 @@ def hits_top(
 
     Returns top-``top_n`` per kind: columns (kind 'auth'|'hub', doc_id,
     score@6dp), kind asc, score desc, doc_id asc."""
-    num_parts = num_parts or _default_parts()
     n_docs = ds.count()
+    num_parts = num_parts or _default_parts(n_docs)
 
     def init(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -531,8 +540,8 @@ def anchor_terms(
     from fdblucene_ray.analysis.analyzer import BatchTokenizer
     from fdblucene_ray.ops.broadcast import cached_state
 
-    num_parts = num_parts or _default_parts()
     n_docs = ds.count()
+    num_parts = num_parts or _default_parts(n_docs)
 
     def expand(batch: pa.Table) -> pa.Table:
         tk = cached_state(
@@ -621,8 +630,8 @@ def degree_stats(
     hashed-partition exchange with a run-count kernel — in-degree of a
     10^12-vertex graph without a vertex-cardinality groupby.
     Columns: (doc_id, in_deg)."""
-    num_parts = num_parts or _default_parts()
     n_docs = ds.count()
+    num_parts = num_parts or _default_parts(n_docs)
 
     def expand(batch: pa.Table) -> pa.Table:
         src = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
