@@ -2484,6 +2484,31 @@ class Searcher:
         out.sort()
         return out
 
+    def search_term_set(
+        self, field: str, values: list[str]
+    ) -> list[int]:
+        """TermInSetQuery analog: docs whose keyword ``field`` holds any
+        of ``values`` (constant score — a filter, not a scorer). One
+        bounded postings decode per present value; values absent from
+        the dictionary cost one term lookup each. Returns doc_ids asc."""
+        parts: list[np.ndarray] = []
+        for v in dict.fromkeys(values):
+            for r in self.readers:
+                h = r.postings_handle(field, v)
+                if h:
+                    blob, skips, n = h
+                    d, _, _ = r.codec.decode_all(
+                        blob, skips, n, self.manifest.block_size
+                    )
+                    parts.append(d)
+        if not parts:
+            return []
+        docs = np.unique(np.concatenate(parts))
+        am = _alive_mask(docs, self.tombstones)
+        if am is not None:
+            docs = docs[am]
+        return docs.astype(np.int64).tolist()
+
     def search_span_not(
         self,
         include: str,

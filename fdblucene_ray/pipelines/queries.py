@@ -269,6 +269,14 @@ def q_ft_keyword_lookup(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def q_ft_term_set(sf_dir: str) -> pa.Table:
+    """TermInSetQuery analog: keyword-field membership filter over a
+    value set (index/search.py search_term_set)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    docs = s.search_term_set("source", ["src3", "src5", "src11", "nosuch"])
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def q_ft_prefix(sf_dir: str) -> pa.Table:
     """PrefixQuery expansion against the term dictionary (bounded
     row-group reads via the sampled term index): terms starting with
@@ -2524,6 +2532,7 @@ def queries() -> dict:
         "image_decode": q_image_decode,
         "image_near_dup": q_image_near_dup,
         "ft_multi_phrase": q_ft_multi_phrase,
+        "ft_term_set": q_ft_term_set,
     }
 
 
@@ -3182,6 +3191,10 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_term_set": """
+SELECT doc_id FROM documents
+WHERE source IN ('src3', 'src5', 'src11', 'nosuch') ORDER BY doc_id
 """,
         # MultiPhrase: slot alternatives (data|batch)(merge|stream);
         # idf = sum over ALL member terms, tf = anchor count.
