@@ -111,3 +111,55 @@ class TestSpanCoverage:
         for s in starts:
             naive[s : s + n] = True
         assert (covered == naive).all()
+
+
+# ---- session-3 kernels --------------------------------------------------
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_random_images(w, h, seed):
+    import numpy as np
+
+    from fdblucene_ray.ops.image import decode_ppm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    out = decode_ppm(payload)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+@given(st.floats(-500, 500))
+@settings(max_examples=60, deadline=None)
+def test_sigmoid_stable_and_bounded(z):
+    import numpy as np
+
+    from fdblucene_ray.ops.classifier import _sigmoid
+
+    v = _sigmoid(np.array([z]))[0]
+    assert 0.0 <= v <= 1.0 and np.isfinite(v)
+    # complementarity: sigma(z) + sigma(-z) == 1 (no overflow branch bias)
+    v2 = _sigmoid(np.array([-z]))[0]
+    assert abs(v + v2 - 1.0) < 1e-12
+
+
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=50),
+       st.integers(2, 4096))
+@settings(max_examples=40, deadline=None)
+def test_synth_edges_in_range_and_degree_law(ids, n_docs):
+    import numpy as np
+
+    from fdblucene_ray.ops.graph import MAX_DEG, synth_out_edges
+
+    src = np.array(ids, np.int64) % n_docs
+    src_rep, dst, deg_rep = synth_out_edges(src, n_docs)
+    assert (dst >= 0).all() and (dst < n_docs).all()
+    assert len(dst) == (1 + src % MAX_DEG).sum()
+    # per-source degree law
+    assert (deg_rep == 1 + src_rep % MAX_DEG).all()
