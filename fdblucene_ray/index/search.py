@@ -3127,6 +3127,48 @@ class Searcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out
 
+    def facet_sums(
+        self,
+        query: str,
+        facet_field: str,
+        *,
+        value_source,
+        value_col: str,
+        field: str = "text",
+        min_count: int = 1,
+        max_values: int = 1024,
+    ) -> list[tuple[str, int, float]]:
+        """Facet ASSOCIATIONS (Lucene TaxonomyFacetSumValueSource /
+        LongValueFacetCounts analog): per facet value, the count AND the
+        sum of a numeric doc-values column over the matching docs. The
+        numeric column hydrates ONCE for the whole match set (row-group
+        pruned); per-facet sums index into it via searchsorted. Returns
+        [(value, count, sum)] sorted by sum desc, value asc."""
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        docs = self.multiterm_docs(field, terms)
+        if not len(docs):
+            return []
+        hyd = hydrate_from_source(
+            value_source, docs.tolist(), columns=[value_col]
+        )  # rows sorted by doc_id == sorted match set order
+        vals = hyd[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = []
+        for v, _df in self.expand_term_range(
+            facet_field, None, None, max_terms=max_values
+        ):
+            fd = self.multiterm_docs(facet_field, [v])
+            inter = np.intersect1d(docs, fd, assume_unique=True)
+            if len(inter) < min_count:
+                continue
+            ix = np.searchsorted(docs, inter)
+            out.append((v, int(len(inter)), float(vals[ix].sum())))
+        out.sort(key=lambda x: (-x[2], x[0]))
+        return out
+
     def _multiterm_hits(self, field, terms, k, rewrite):
         """Evaluate an expanded term set under a Lucene rewrite method:
         ``constant`` = CONSTANT_SCORE_REWRITE (1.0 per matching doc,

@@ -381,6 +381,41 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_facet_sum(sf_dir: str) -> pa.Table:
+    """Facet associations (TaxonomyFacetSumValueSource analog): per
+    'source' value, count + sum(n_chars) over docs matching 'data'
+    (index/search.py facet_sums; values hydrate once, row-group
+    pruned)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.facet_sums(
+        "data", "source",
+        value_source=_docs_path(sf_dir), value_col="n_chars",
+    )
+    return pa.table(
+        {
+            "value": pa.array([v for v, _, _ in rows], pa.string()),
+            "n": pa.array([c for _, c, _ in rows], pa.int64()),
+            "total": pa.array([t for _, _, t in rows], pa.float64()),
+        }
+    )
+
+
+def q_ft_count(sf_dir: str) -> pa.Table:
+    """IndexSearcher.count analog: matching-doc count without scoring,
+    for an OR and an AND query."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return pa.table(
+        {
+            "op": pa.array(["and", "or"], pa.string()),
+            "n": pa.array(
+                [s.count("window batch", operator="and"),
+                 s.count("data merge", operator="or")],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_ft_page2(sf_dir: str) -> pa.Table:
     """searchAfter pagination: the second page of 10 for 'data merge'
     (after = last hit of page 1). SQL twin uses OFFSET."""
@@ -2533,6 +2568,8 @@ def queries() -> dict:
         "image_near_dup": q_image_near_dup,
         "ft_multi_phrase": q_ft_multi_phrase,
         "ft_term_set": q_ft_term_set,
+        "ft_facet_sum": q_ft_facet_sum,
+        "ft_count": q_ft_count,
     }
 
 
@@ -3191,6 +3228,27 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_facet_sum": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+    FROM documents) WHERE tok <> ''),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+SELECT d.source AS value, count(*)::BIGINT AS n,
+       CAST(sum(d.n_chars) AS DOUBLE) AS total
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.source ORDER BY total DESC, value
+""",
+        "ft_count": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+    FROM documents) WHERE tok <> '')
+SELECT 'and' AS op, count(*)::BIGINT AS n FROM (
+  SELECT doc_id FROM toks WHERE tok IN ('window', 'batch')
+  GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+UNION ALL
+SELECT 'or' AS op, count(DISTINCT doc_id)::BIGINT AS n
+FROM toks WHERE tok IN ('data', 'merge')
 """,
         "ft_term_set": """
 SELECT doc_id FROM documents
