@@ -165,6 +165,30 @@ class Index:
             query, levels, value_source=value_source, **kw
         )
 
+    def span_not(self, include: str, exclude: str, **kw):
+        """SpanNotQuery analog; see Searcher.search_span_not."""
+        return self.searcher.search_span_not(include, exclude, **kw)
+
+    def span_or(self, phrases, **kw):
+        """SpanOrQuery analog; see Searcher.search_span_or."""
+        return self.searcher.search_span_or(phrases, **kw)
+
+    def multi_phrase(self, slots, k: int = 10, **kw):
+        """MultiPhraseQuery analog (per-slot term alternatives)."""
+        return self.searcher.search_multi_phrase(slots, k, **kw)
+
+    def term_set(self, field: str, values):
+        """TermInSetQuery analog (keyword membership filter)."""
+        return self.searcher.search_term_set(field, values)
+
+    def synonyms_multiword(self, groups, k: int = 10, **kw):
+        """SynonymGraphFilter analog with multi-word members."""
+        return self.searcher.search_synonyms_multiword(groups, k, **kw)
+
+    def facet_sums(self, query: str, facet_field: str, **kw):
+        """Facet associations (count + numeric sum per facet value)."""
+        return self.searcher.facet_sums(query, facet_field, **kw)
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 
