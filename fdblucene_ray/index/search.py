@@ -1761,6 +1761,33 @@ class Searcher:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    def search_phrase_prefix(
+        self,
+        phrase: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        max_expansions: int = 128,
+    ) -> list[tuple[int, float]]:
+        """PhrasePrefixQuery analog ("jakarta ap*"): the LAST token is a
+        prefix expanded against the term dictionary (bounded range
+        scan); the result evaluates as a MultiPhraseQuery whose final
+        slot holds the expansions. idf uses the FIRST slots' terms plus
+        one shared contribution for the prefix slot (its union df),
+        matching Lucene's MultiPhraseQuery blended treatment as closely
+        as the SQL twin can express (sum of all member idfs)."""
+        toks = phrase.split()
+        if not toks:
+            return []
+        head, pre = toks[:-1], toks[-1].rstrip("*")
+        exp = [t for t, _ in self.expand_prefix(field, pre, max_expansions)]
+        if not exp:
+            return []
+        az = get_analyzer(self.manifest.analyzers.get(field, "lucene"))
+        slots = [[t] for h in head for t in az.tokens(h)]
+        slots.append(exp)
+        return self.search_multi_phrase(slots, k, field=field)
+
     def search_synonyms_multiword(
         self,
         groups: list[list[str]],

@@ -381,6 +381,16 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_phrase_prefix(sf_dir: str) -> pa.Table:
+    """PhrasePrefixQuery analog: 'batch str*' — prefix expanded against
+    the term dictionary, evaluated as a MultiPhraseQuery
+    (index/search.py search_phrase_prefix)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_phrase_prefix("batch str*", k=10, max_expansions=1024)
+    )
+
+
 def q_ft_facet_sum(sf_dir: str) -> pa.Table:
     """Facet associations (TaxonomyFacetSumValueSource analog): per
     'source' value, count + sum(n_chars) over docs matching 'data'
@@ -2570,6 +2580,7 @@ def queries() -> dict:
         "ft_term_set": q_ft_term_set,
         "ft_facet_sum": q_ft_facet_sum,
         "ft_count": q_ft_count,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
     }
 
 
@@ -3228,6 +3239,29 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_phrase_prefix": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+anch AS (SELECT t1.doc_id, count(*)::DOUBLE AS pf
+         FROM ptoks t1 JOIN ptoks t2
+           ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         WHERE t1.tok = 'batch' AND t2.tok LIKE 'str%'
+         GROUP BY t1.doc_id),
+dfs AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+        WHERE tok = 'batch' OR tok LIKE 'str%' GROUP BY tok),
+idf AS (SELECT sum(ln(1 + (stats.dc - dfs.df + 0.5) / (dfs.df + 0.5))) AS v
+        FROM dfs, stats)
+SELECT anch.doc_id,
+       CAST(round((SELECT v FROM idf) * pf
+                  / (pf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))), 4)
+            AS DOUBLE) AS score
+FROM anch JOIN dlq ON dlq.doc_id = anch.doc_id CROSS JOIN stats
+ORDER BY score DESC, anch.doc_id LIMIT 10
 """,
         "ft_facet_sum": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,

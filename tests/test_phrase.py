@@ -493,3 +493,25 @@ class TestMultiPhrase:
                 for p in range(len(toks) - 1)
             )
             assert (i in got) == hit, i
+
+
+class TestPhrasePrefix:
+    def test_phrase_prefix_matches_expanded_multi_phrase(self, built):
+        ix, _ = built
+        s = Searcher(ix)
+        got = s.search_phrase_prefix("quick bro*", k=100)
+        exp_terms = [t for t, _ in s.expand_prefix("text", "bro")]
+        want = s.search_multi_phrase([["quick"], exp_terms], k=100)
+        assert got == want
+        # brute force membership
+        for i, txt in enumerate(TEXTS):
+            toks = txt.lower().split()
+            hit = any(
+                toks[p] == "quick" and toks[p + 1].startswith("bro")
+                for p in range(len(toks) - 1)
+            )
+            assert (i in dict(got)) == hit, i
+
+    def test_phrase_prefix_no_expansion(self, built):
+        ix, _ = built
+        assert Searcher(ix).search_phrase_prefix("quick zzz*") == []
