@@ -133,6 +133,11 @@ def pagerank(
     """
     if n_docs is None:
         n_docs = ds.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pr": pa.array([], pa.float64())})
+        )
     num_parts = num_parts or _default_parts(n_docs)
 
     def init(batch: pa.Table) -> pa.Table:
@@ -176,6 +181,9 @@ def pagerank_top(
     BEFORE the sort — ties then break doc_id asc, matching the SQL twin
     exactly. Columns: (doc_id, score)."""
     n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     pr = pagerank(
         ds, n_iters=n_iters, damping=damping, id_col=id_col, n_docs=n_docs,
     )
@@ -259,6 +267,9 @@ def trustrank_top(
     import pyarrow.compute as pc
 
     n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     num_parts = num_parts or _default_parts(n_docs)
     # count seeds with one cheap aggregate pass
     n_seed = (
@@ -363,6 +374,10 @@ def hits_top(
     Returns top-``top_n`` per kind: columns (kind 'auth'|'hub', doc_id,
     score@6dp), kind asc, score desc, doc_id asc."""
     n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"kind": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     num_parts = num_parts or _default_parts(n_docs)
 
     def init(batch: pa.Table) -> pa.Table:
@@ -541,6 +556,10 @@ def anchor_terms(
     from fdblucene_ray.ops.broadcast import cached_state
 
     n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
     num_parts = num_parts or _default_parts(n_docs)
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -631,6 +650,9 @@ def degree_stats(
     10^12-vertex graph without a vertex-cardinality groupby.
     Columns: (doc_id, in_deg)."""
     n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "in_deg": pa.array([], pa.int64())})
     num_parts = num_parts or _default_parts(n_docs)
 
     def expand(batch: pa.Table) -> pa.Table:

@@ -198,3 +198,23 @@ def test_hits_matches_dense():
             scaled[order[: sub.num_rows]],
             atol=1e-9,
         )
+
+
+def test_empty_input_guards():
+    from fdblucene_ray.ops.graph import (
+        degree_stats,
+        hits_top,
+        pagerank,
+        pagerank_top,
+        trustrank_top,
+    )
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "source": pa.array([], pa.string())})
+    )
+    assert pagerank(empty).count() == 0
+    assert pagerank_top(empty).num_rows == 0
+    assert hits_top(empty).num_rows == 0
+    assert degree_stats(empty).num_rows == 0
+    assert trustrank_top(empty, seed_col="source", seed_val="x").num_rows == 0
