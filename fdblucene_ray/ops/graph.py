@@ -388,12 +388,15 @@ def hits_top(
         )
 
     hub = ds.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
+    hub_z = 1.0  # pending L2 divisor of the CURRENT hub table (fused into
+    auth_z = 1.0  # the consuming stage instead of a normalization pass)
     auth = None
     for _ in range(n_iters):
-        # authority: forward exchange of hub mass
-        def fwd(batch: pa.Table) -> pa.Table:
+        # authority: forward exchange of hub mass (divide by the hub's
+        # pending L2 divisor here — no separate normalization pass)
+        def fwd(batch: pa.Table, *, z=hub_z) -> pa.Table:
             src = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            hv = batch["v"].to_numpy(zero_copy_only=False)
+            hv = batch["v"].to_numpy(zero_copy_only=False) / z
             deg = 1 + src % MAX_DEG
             _, dst, _ = synth_out_edges(src, n_docs)
             return pa.table(
@@ -415,23 +418,12 @@ def hits_top(
                  "v": pa.array(np.add.reduceat(c, st))}
             )
 
-        auth_raw = (
+        auth = (
             hub.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part", num_partitions=num_parts)
             .map_groups(sum_runs, batch_format="pyarrow")
         ).materialize()
-        nz = _l2_of(auth_raw, "v")
-
-        def norm(batch: pa.Table, *, z=nz) -> pa.Table:
-            return pa.table(
-                {"doc_id": batch["doc_id"],
-                 "v": pa.array(
-                     batch["v"].to_numpy(zero_copy_only=False) / z)}
-            )
-
-        auth = auth_raw.map_batches(
-            norm, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        auth_z = _l2_of(auth, "v")
 
         # hub: reverse join — edge rows and authority rows co-partition
         # on hash(dst), per-partition searchsorted match, re-key by src
@@ -448,13 +440,14 @@ def hits_top(
                 }
             )
 
-        def auth_side(batch: pa.Table) -> pa.Table:
+        def auth_side(batch: pa.Table, *, z=auth_z) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
                     "doc_id": pa.array(ids),
                     "src": pa.array(np.full(len(ids), -1, np.int64)),
-                    "v": batch["v"],
+                    "v": pa.array(
+                        batch["v"].to_numpy(zero_copy_only=False) / z),
                     "side": pa.array(np.ones(len(ids), np.int8)),
                     "part": pa.array(part_of(ids, num_parts)),
                 }
@@ -489,29 +482,21 @@ def hits_top(
         a_ds = auth.map_batches(
             auth_side, batch_format="pyarrow", zero_copy_batch=True
         )
-        hub_raw = (
+        hub = (
             edges_ds.union(a_ds)
             .groupby("part", num_partitions=num_parts)
             .map_groups(match_dst, batch_format="pyarrow")
             .groupby("part", num_partitions=num_parts)
             .map_groups(sum_runs, batch_format="pyarrow")
         ).materialize()
-        hz = _l2_of(hub_raw, "v")
-        hub = hub_raw.map_batches(
-            lambda b, z=hz: pa.table(
-                {"doc_id": b["doc_id"],
-                 "v": pa.array(b["v"].to_numpy(zero_copy_only=False) / z)}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        hub_z = _l2_of(hub, "v")
 
-    def top(d: ray.data.Dataset, kind: str) -> pa.Table:
+    def top(d: ray.data.Dataset, kind: str, z: float) -> pa.Table:
         def scale(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {"doc_id": batch["doc_id"],
                  "score": pa.array(round_half_away(
-                     batch["v"].to_numpy(zero_copy_only=False), 6))}
+                     batch["v"].to_numpy(zero_copy_only=False) / z, 6))}
             )
 
         o = (
@@ -528,7 +513,9 @@ def hits_top(
             }
         )
 
-    return pa.concat_tables([top(auth, "auth"), top(hub, "hub")])
+    return pa.concat_tables(
+        [top(auth, "auth", auth_z), top(hub, "hub", hub_z)]
+    )
 
 
 def anchor_terms(
