@@ -163,3 +163,33 @@ class TestMultiValuedField:
         got = dict(zip(terms, pos.tolist()))
         assert got == {"a": 0, "b": 1, "c": 102, "d": 103, "e": 104,
                        "f": 205}
+
+    def test_multivalue_gap_survives_compaction_and_merge(self, tmp_path):
+        """Compacting (and merging) a multi-valued index must carry the
+        positionIncrementGap semantics: phrases still never cross value
+        boundaries afterwards, and results are identical to the fresh
+        index."""
+        from fdblucene_ray.index.merge import compact_index, merge_indexes
+        from fdblucene_ray.index.search import Searcher
+
+        docs = [
+            ["alpha beta", "gamma"],
+            ["alpha", "beta gamma"],
+            ["x alpha beta y", "z"],
+        ]
+        ix = self._build(tmp_path, docs)
+        fresh = Searcher(ix)
+        want_phrase = fresh.phrase_freqs("alpha beta")
+        want_near = fresh.search_near("alpha gamma", 5)
+
+        cx = str(tmp_path / "ix-compact")
+        compact_index(ix, cx, num_partitions=2)
+        cs = Searcher(cx)
+        assert cs.phrase_freqs("alpha beta") == want_phrase
+        assert cs.search_near("alpha gamma", 5) == want_near
+
+        mx = str(tmp_path / "ix-merged")
+        merge_indexes([(ix, 0)], mx)
+        ms = Searcher(mx)
+        assert ms.phrase_freqs("alpha beta") == want_phrase
+        assert ms.search_near("alpha gamma", 5) == want_near
