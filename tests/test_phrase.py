@@ -515,3 +515,30 @@ class TestPhrasePrefix:
     def test_phrase_prefix_no_expansion(self, built):
         ix, _ = built
         assert Searcher(ix).search_phrase_prefix("quick zzz*") == []
+
+
+class TestNewQueriesRespectDeletes:
+    def test_span_and_term_set_skip_tombstoned_docs(self, built, tmp_path):
+        import shutil
+
+        from fdblucene_ray.index.delete import delete_docs
+
+        ix, _ = built
+        # work on a copy: `built` is module-scoped
+        ix2 = str(tmp_path / "ixdel")
+        shutil.copytree(ix, ix2)
+        s0 = Searcher(ix2)
+        before_not = s0.search_span_not("quick brown", "fox")
+        before_or = s0.search_span_or(["quick brown", "lazy dog"])
+        victims = [before_not[0][0], before_or[-1][0]]
+        delete_docs(ix2, victims)
+        s = Searcher(ix2)
+        assert [d for d, _ in s.search_span_not("quick brown", "fox")] == [
+            d for d, _ in before_not if d not in victims
+        ]
+        assert [d for d, _ in s.search_span_or(["quick brown", "lazy dog"])] == [
+            d for d, _ in before_or if d not in victims
+        ]
+        # multi-phrase and term-set text-field analog
+        mp = [d for d, _ in s.search_multi_phrase([["quick"], ["brown"]], k=100)]
+        assert set(victims).isdisjoint(mp)
