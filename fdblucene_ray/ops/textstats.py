@@ -721,3 +721,81 @@ def readability(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.d
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _report_partials(batch: pa.Table, *, text_col: str, lang_col: str,
+                     chars_col: str) -> pa.Table:
+    """One row of summable partials per metric per batch — the corpus
+    card is ONE pass regardless of how many metrics it carries."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n_tokens = int(
+        pc.sum(
+            pc.count_substring_regex(pc.utf8_lower(txt), "[0-9a-z_]+")
+        ).as_py()
+        or 0
+    )
+    chars = batch[chars_col].to_numpy(zero_copy_only=False)
+    metrics = [
+        ("docs", float(batch.num_rows)),
+        ("tokens", float(n_tokens)),
+        ("chars", float(chars.sum())),
+        ("max_chars", float(chars.max()) if len(chars) else 0.0),
+    ]
+    langs = batch[lang_col]
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    dct = langs.dictionary_encode()
+    cnt = np.bincount(
+        dct.indices.to_numpy(zero_copy_only=False),
+        minlength=len(dct.dictionary),
+    )
+    for v, c in zip(dct.dictionary.to_pylist(), cnt):
+        metrics.append((f"lang:{v}", float(c)))
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics]),
+            "value": pa.array([v for _, v in metrics]),
+        }
+    )
+
+
+def corpus_report(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> pa.Table:
+    """Corpus card: docs / tokens / chars / per-lang counts /
+    avg_doc_tokens in ONE streaming pass (per-batch summable partials,
+    tiny metric-keyed fold; max folded with max). Columns:
+    (metric, value@4dp) sorted by metric."""
+    parts = ds.map_batches(
+        _report_partials,
+        fn_kwargs=dict(text_col=text_col, lang_col=lang_col,
+                       chars_col=chars_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # <= n_metrics rows per batch
+    sums: dict[str, float] = {}
+    mx: dict[str, float] = {}
+    for r in parts:
+        m, v = r["metric"], float(r["value"])
+        if m.startswith("max_"):
+            mx[m] = max(mx.get(m, float("-inf")), v)
+        else:
+            sums[m] = sums.get(m, 0.0) + v
+    out = dict(sums)
+    out.update(mx)
+    if out.get("docs"):
+        out["avg_doc_tokens"] = out["tokens"] / out["docs"]
+    names = sorted(out)
+    return pa.table(
+        {
+            "metric": pa.array(names),
+            "value": pa.array(round_half_away(
+                np.array([out[n] for n in names]), 4)),
+        }
+    )

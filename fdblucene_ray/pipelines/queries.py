@@ -381,6 +381,16 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_corpus_report(sf_dir: str) -> pa.Table:
+    """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
+    streaming pass of summable partials (ops/textstats.corpus_report)."""
+    from fdblucene_ray.ops.textstats import corpus_report
+
+    return corpus_report(
+        _docs_ds(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    )
+
+
 def q_ft_phrase_prefix(sf_dir: str) -> pa.Table:
     """PhrasePrefixQuery analog: 'batch str*' — prefix expanded against
     the term dictionary, evaluated as a MultiPhraseQuery
@@ -2581,6 +2591,7 @@ def queries() -> dict:
         "ft_facet_sum": q_ft_facet_sum,
         "ft_count": q_ft_count,
         "ft_phrase_prefix": q_ft_phrase_prefix,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -3239,6 +3250,27 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "corpus_report": """
+WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+    FROM documents) WHERE tok <> ''),
+base AS (
+  SELECT 'docs' AS metric, count(*)::DOUBLE AS value FROM documents
+  UNION ALL
+  SELECT 'tokens', count(*)::DOUBLE FROM toks
+  UNION ALL
+  SELECT 'chars', sum(n_chars)::DOUBLE FROM documents
+  UNION ALL
+  SELECT 'max_chars', max(n_chars)::DOUBLE FROM documents
+  UNION ALL
+  SELECT 'avg_doc_tokens',
+         (SELECT count(*)::DOUBLE FROM toks)
+           / (SELECT count(*)::DOUBLE FROM documents)
+  UNION ALL
+  SELECT 'lang:' || lang, count(*)::DOUBLE FROM documents GROUP BY lang)
+SELECT metric, CAST(round(value, 4) AS DOUBLE) AS value
+FROM base ORDER BY metric
 """,
         "ft_phrase_prefix": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
