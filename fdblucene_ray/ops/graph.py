@@ -205,6 +205,55 @@ def pagerank_top(
     return t.select(["doc_id", "score"])
 
 
+def host_rank(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "source",
+    n_iters: int = 3,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Host-level authority (the web-pipeline roll-up of PageRank:
+    host-level spam/quality signals aggregate page ranks by site):
+    PageRank joined back to the doc→host mapping with Ray Data's
+    hash join (both sides partitioned on doc_id), then a small groupby
+    over the host cardinality. Columns: (host, n_docs, rank@6dp),
+    rank desc, host asc."""
+    n_docs = ds.count()
+    if n_docs == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    pr = pagerank(
+        ds.select_columns([id_col]), n_iters=n_iters, damping=damping,
+        id_col=id_col, n_docs=n_docs,
+    )
+    num_parts = _default_parts(n_docs)
+    joined = pr.join(
+        ds.select_columns([id_col, host_col]),
+        join_type="inner",
+        num_partitions=num_parts,
+        on=("doc_id",),
+    )
+    agg = joined.groupby(host_col).sum(["pr"]).take_all()
+    cnt = {r[host_col]: int(r["count()"]) for r in
+           ds.groupby(host_col).count().take_all()}
+    rows = sorted(
+        ((r[host_col], cnt.get(r[host_col], 0),
+          float(r["sum(pr)"]) * n_docs) for r in agg),
+        key=lambda x: (-round_half_away(np.array([x[2]]), 6)[0], x[0]),
+    )
+    return pa.table(
+        {
+            "host": pa.array([h for h, _, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c, _ in rows], pa.int64()),
+            "rank": pa.array(
+                round_half_away(np.array([v for _, _, v in rows]), 6)
+            ),
+        }
+    )
+
+
 def _expand_contribs_tele(
     batch: pa.Table, *, n_docs: int, id_col: str, num_parts: int, damping: float
 ) -> pa.Table:

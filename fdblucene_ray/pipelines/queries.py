@@ -381,6 +381,15 @@ def q_ft_facets(sf_dir: str) -> pa.Table:
     )
 
 
+def q_host_rank(sf_dir: str) -> pa.Table:
+    """Host-level PageRank roll-up: rank vector hash-joined back to the
+    doc→source mapping (both sides on doc_id), summed per host
+    (ops/graph.py host_rank)."""
+    from fdblucene_ray.ops.graph import host_rank
+
+    return host_rank(_docs_ds(sf_dir, ["doc_id", "source"]))
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -2592,6 +2601,7 @@ def queries() -> dict:
         "ft_count": q_ft_count,
         "ft_phrase_prefix": q_ft_phrase_prefix,
         "corpus_report": q_corpus_report,
+        "host_rank": q_host_rank,
     }
 
 
@@ -3250,6 +3260,33 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "host_rank": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e AS (SELECT d.doc_id AS src, 1 + (d.doc_id % 13) AS deg,
+             (d.doc_id * (48271 + j.j) + j.j * 1009) % (SELECT c FROM n) AS dst
+      FROM documents d, (SELECT unnest(range(1, 14)) AS j) j
+      WHERE j.j <= 1 + (d.doc_id % 13)),
+p0 AS (SELECT doc_id, 1.0 / (SELECT c FROM n) AS pr FROM documents),
+p1 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p0 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p2 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p1 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id)),
+p3 AS (SELECT d.doc_id, 0.15 / (SELECT c FROM n) + 0.85 * coalesce(s.x, 0) AS pr
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(p.pr / e.deg) AS x
+         FROM e JOIN p2 p ON p.doc_id = e.src GROUP BY e.dst) s
+       USING (doc_id))
+SELECT d.source AS host, count(*)::BIGINT AS n_docs,
+       CAST(round(sum(p3.pr) * (SELECT c FROM n), 6) AS DOUBLE) AS rank
+FROM documents d JOIN p3 USING (doc_id)
+GROUP BY d.source ORDER BY rank DESC, host
 """,
         "corpus_report": """
 WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
