@@ -114,14 +114,30 @@ def _grad_batch(
     if len(rows):
         np.add.at(g, cols, vals * err[rows])
     g[n_feat] = err.sum()
-    nz = np.flatnonzero(g)
-    # sentinel row j=-1 carries the batch's doc count (never lost even
-    # if every gradient component cancels to exactly zero)
-    j = np.concatenate((nz.astype(np.int64), [-1]))
-    gv = np.concatenate((g[nz], [0.0]))
-    n = np.zeros(len(j), np.int64)
-    n[-1] = batch.num_rows
-    return pa.table({"j": pa.array(j), "g": pa.array(gv), "n": pa.array(n)})
+    # ONE dense row per batch: the gradient is a fixed (n_feat+1,)
+    # vector, so partials need no shuffle — they tree-fold through a
+    # narrow map stage (see train_quality_classifier)
+    return pa.table(
+        {
+            "g": pa.array([g], pa.list_(pa.float64())),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
+
+
+def _fold_grads(batch: pa.Table) -> pa.Table:
+    """Sum a batch of dense gradient partials into one row."""
+    gs = batch["g"]
+    if isinstance(gs, pa.ChunkedArray):
+        gs = gs.combine_chunks()
+    flat = gs.flatten().to_numpy(zero_copy_only=False)
+    d = len(flat) // max(1, batch.num_rows)
+    g = flat.reshape(batch.num_rows, d).sum(axis=0)
+    n = int(pa.compute.sum(batch["n"]).as_py() or 0)
+    return pa.table(
+        {"g": pa.array([g], pa.list_(pa.float64())),
+         "n": pa.array([n], pa.int64())}
+    )
 
 
 def train_quality_classifier(
@@ -136,8 +152,10 @@ def train_quality_classifier(
     lr: float = 2.0,
 ) -> np.ndarray:
     """Full-batch GD logistic regression; returns (n_feat+1,) weights
-    (last entry is the bias). One gradient-partials pass per iteration;
-    only (bucket, g) rows and the folded weight vector move."""
+    (last entry is the bias). One gradient pass per iteration; partials
+    are DENSE (n_feat+1,) rows folded through a narrow map stage — no
+    shuffle anywhere (the driver receives ~n_batches/128 rows; add a
+    second fold level if a corpus ever produces millions of batches)."""
     w = np.zeros(n_feat + 1)
     for _ in range(n_iters):
         w_ref = ray.put(w)
@@ -149,14 +167,15 @@ def train_quality_classifier(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        ).map_batches(
+            _fold_grads, batch_size=128, batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        agg = parts.groupby("j", num_partitions=8).sum(["g", "n"]).take_all()
         g = np.zeros(n_feat + 1)
         n_docs = 0
-        for r in agg:
-            if r["j"] >= 0:
-                g[r["j"]] = r["sum(g)"]
-            n_docs += r["sum(n)"]
+        for r in parts.take_all():
+            g += np.asarray(r["g"], np.float64)
+            n_docs += int(r["n"])
         w = w - lr * g / max(1, n_docs)
     return w
 
