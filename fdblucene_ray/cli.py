@@ -282,6 +282,41 @@ def cmd_pagerank(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    _ensure_ray()
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        args.input,
+        columns=[args.id_col] + ([args.host_col] if args.kind in
+                                 ("trustrank", "hostrank") else []),
+    )
+    if args.kind == "trustrank":
+        from fdblucene_ray.ops.graph import trustrank_top
+
+        t = trustrank_top(ds, args.k, seed_col=args.host_col,
+                          seed_val=args.seed_val, n_iters=args.iters)
+        cols = ("doc_id", "score")
+    elif args.kind == "hostrank":
+        from fdblucene_ray.ops.graph import host_rank
+
+        t = host_rank(ds, host_col=args.host_col, n_iters=args.iters)
+        cols = ("host", "rank")
+    elif args.kind == "hits":
+        from fdblucene_ray.ops.graph import hits_top
+
+        t = hits_top(ds, args.k, n_iters=args.iters)
+        cols = ("kind", "doc_id", "score")
+    else:
+        from fdblucene_ray.ops.graph import degree_stats
+
+        t = degree_stats(ds, args.k)
+        cols = ("doc_id", "in_deg")
+    for row in zip(*(t[c].to_pylist() for c in cols)):
+        print("\t".join(str(v) for v in row))
+    return 0
+
+
 def cmd_dsir(args) -> int:
     _ensure_ray()
     import ray.data
@@ -703,6 +738,17 @@ def main(argv=None) -> int:
     pr.add_argument("--iters", type=int, default=3)
     pr.add_argument("-k", type=int, default=20)
     pr.set_defaults(fn=cmd_pagerank)
+
+    gr = sub.add_parser("graph",
+                        help="link-graph ops: trustrank/hostrank/hits/degree")
+    gr.add_argument("kind", choices=["trustrank", "hostrank", "hits", "degree"])
+    gr.add_argument("--input", required=True, nargs="+")
+    gr.add_argument("--id-col", default="doc_id")
+    gr.add_argument("--host-col", default="source")
+    gr.add_argument("--seed-val", default=None)
+    gr.add_argument("--iters", type=int, default=3)
+    gr.add_argument("-k", type=int, default=20)
+    gr.set_defaults(fn=cmd_graph)
 
     dsr = sub.add_parser("dsir", help="DSIR importance resample top-k")
     dsr.add_argument("--input", required=True, nargs="+")
