@@ -200,3 +200,83 @@ def sliding_window_agg(
         agg.Sum(value_col, alias_name="sum_value"),
         agg.Mean(value_col, alias_name="mean_value"),
     )
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """Ordered event-funnel analysis: how many users reach each step of
+    ``steps`` with STRICTLY increasing timestamps (the classic
+    first-match funnel: t_k = the user's earliest step-k event after
+    t_{k-1}).
+
+    Scale shape: ONE hashed-partition exchange on user, then every
+    user's funnel evaluated simultaneously with per-run vectorized
+    minima (masked ``np.minimum.reduceat`` per step — no per-user
+    Python); partitions emit per-step partial counts that sum on the
+    driver (len(steps) numbers each). Columns: (step, users),
+    funnel order."""
+    import ray as _ray
+
+    from fdblucene_ray.ops.hashing import part_of
+
+    num_parts = num_parts or max(
+        8, int(_ray.cluster_resources().get("CPU", 8))
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(part_of(k, num_parts)))
+
+    INF = np.iinfo(np.int64).max
+
+    def funnel_partition(group: pa.Table) -> pa.Table:
+        users = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = group[type_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        users, ts, types = users[order], ts[order], types[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        run_of_row = np.cumsum(
+            np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64)))
+        )
+        # all-int64 arithmetic: microsecond timestamps exceed 2^53, so a
+        # float64 detour would corrupt the strict > comparisons
+        prev = np.full(len(starts), np.iinfo(np.int64).min, np.int64)
+        counts = []
+        for step in steps:
+            m = types == step
+            cand = np.where(m & (ts > prev[run_of_row]), ts, INF)
+            t_k = np.minimum.reduceat(cand, starts)
+            counts.append(int((t_k != INF).sum()))
+            prev = t_k  # INF for unreached users propagates: ts > INF never
+        return pa.table(
+            {
+                "step": pa.array(list(steps)),
+                "users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(funnel_partition, batch_format="pyarrow")
+        .take_all()
+    )
+    agg = {s: 0 for s in steps}
+    for r in parts:
+        agg[r["step"]] += int(r["users"])
+    return pa.table(
+        {
+            "step": pa.array(list(steps)),
+            "users": pa.array([agg[s] for s in steps], pa.int64()),
+        }
+    )

@@ -390,6 +390,16 @@ def q_host_rank(sf_dir: str) -> pa.Table:
     return host_rank(_docs_ds(sf_dir, ["doc_id", "source"]))
 
 
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered event funnel view→click→purchase (strictly increasing
+    timestamps, first-match semantics): one user-keyed exchange,
+    per-run vectorized minima (ops/windows.py funnel_counts)."""
+    from fdblucene_ray.ops.windows import funnel_counts
+
+    ds = _events_ds(sf_dir, ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -2602,6 +2612,7 @@ def queries() -> dict:
         "ft_phrase_prefix": q_ft_phrase_prefix,
         "corpus_report": q_corpus_report,
         "host_rank": q_host_rank,
+        "funnel": q_funnel,
     }
 
 
@@ -3260,6 +3271,19 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "funnel": """
+WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS step, count(*)::BIGINT AS users FROM t1
+UNION ALL SELECT 'click', count(*)::BIGINT FROM t2
+UNION ALL SELECT 'purchase', count(*)::BIGINT FROM t3
 """,
         "host_rank": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),

@@ -110,3 +110,48 @@ class TestSessionize:
         for row in out.itertuples():
             st, en, n = exp_rows[(row.user_id, int(row.session_id))]
             assert (row.session_start, row.session_end, row.n_events) == (st, en, n)
+
+
+def test_funnel_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fdblucene_ray.ops.windows import funnel_counts
+
+    rng = np.random.default_rng(11)
+    n = 600
+    users = rng.integers(0, 40, n)
+    ts = rng.permutation(n).astype(np.int64) * 1_000_000
+    types = rng.choice(["view", "click", "purchase", "other"], n)
+    t = pa.table(
+        {
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types.astype(object)),
+        }
+    )
+    got = funnel_counts(
+        ray.data.from_arrow(t).repartition(4), ["view", "click", "purchase"]
+    )
+    # brute force first-match funnel
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for u, s, ty in zip(users, ts, types):
+        per_user[u].append((s, ty))
+    counts = [0, 0, 0]
+    for u, evs in per_user.items():
+        evs.sort()
+        prev = -1
+        for k, step in enumerate(["view", "click", "purchase"]):
+            nxt = [s for s, ty in evs if ty == step and s > prev]
+            if not nxt:
+                break
+            prev = min(nxt)
+            counts[k] += 1
+    assert got["step"].to_pylist() == ["view", "click", "purchase"]
+    assert got["users"].to_pylist() == counts
+    # funnel is monotone non-increasing
+    us = got["users"].to_pylist()
+    assert us[0] >= us[1] >= us[2]
