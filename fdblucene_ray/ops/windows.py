@@ -280,3 +280,74 @@ def funnel_counts(
             "users": pa.array([agg[s] for s in steps], pa.int64()),
         }
     )
+
+
+def retention_weeks(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """Weekly retention cohorts collapsed to offsets: for each user,
+    week 0 = their first active week; count distinct users active at
+    each week offset. One user-keyed exchange; per-partition distinct
+    (user, week) pairs by lexsort runs, offsets bincounted — partitions
+    emit O(#offsets) partials. Columns: (week_offset, users)."""
+    import ray as _ray
+
+    from fdblucene_ray.ops.hashing import part_of
+
+    num_parts = num_parts or max(
+        8, int(_ray.cluster_resources().get("CPU", 8))
+    )
+    WEEK_US = 604_800 * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(part_of(k, num_parts)))
+
+    def partials(group: pa.Table) -> pa.Table:
+        users = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = ts // WEEK_US
+        order = np.lexsort((wk, users))
+        users, wk = users[order], wk[order]
+        keep = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (wk[1:] != wk[:-1]))
+        )
+        users, wk = users[keep], wk[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        run_of_row = np.cumsum(
+            np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64)))
+        )
+        off = wk - wk[starts][run_of_row]  # per (user,week): week - w0
+        cnt = np.bincount(off)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "week_offset": pa.array(nz.astype(np.int64)),
+                "users": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(partials, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["week_offset"])] = agg.get(int(r["week_offset"]), 0) + int(
+            r["users"]
+        )
+    offs = sorted(agg)
+    return pa.table(
+        {
+            "week_offset": pa.array(offs, pa.int64()),
+            "users": pa.array([agg[o] for o in offs], pa.int64()),
+        }
+    )

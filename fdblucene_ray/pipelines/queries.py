@@ -400,6 +400,14 @@ def q_funnel(sf_dir: str) -> pa.Table:
     return funnel_counts(ds, ["view", "click", "purchase"])
 
 
+def q_retention(sf_dir: str) -> pa.Table:
+    """Weekly retention cohorts by offset from each user's first active
+    week (ops/windows.py retention_weeks)."""
+    from fdblucene_ray.ops.windows import retention_weeks
+
+    return retention_weeks(_events_ds(sf_dir, ["user_id", "ts"]))
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -2613,6 +2621,7 @@ def queries() -> dict:
         "corpus_report": q_corpus_report,
         "host_rank": q_host_rank,
         "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -3271,6 +3280,16 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+            FROM events),
+w0 AS (SELECT user_id, min(wk) AS w0 FROM uw GROUP BY user_id)
+SELECT (uw.wk - w0.w0) AS week_offset,
+       count(DISTINCT uw.user_id)::BIGINT AS users
+FROM uw JOIN w0 USING (user_id)
+GROUP BY 1 ORDER BY 1
 """,
         "funnel": """
 WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events

@@ -155,3 +155,33 @@ def test_funnel_matches_bruteforce():
     # funnel is monotone non-increasing
     us = got["users"].to_pylist()
     assert us[0] >= us[1] >= us[2]
+
+
+def test_retention_matches_bruteforce():
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fdblucene_ray.ops.windows import retention_weeks
+
+    rng = np.random.default_rng(3)
+    n = 500
+    users = rng.integers(0, 30, n).astype(np.int64)
+    ts = (rng.integers(0, 6 * 604800, n).astype(np.int64)) * 1_000_000
+    t = pa.table(
+        {"user_id": pa.array(users), "ts": pa.array(ts, pa.timestamp("us"))}
+    )
+    got = retention_weeks(ray.data.from_arrow(t).repartition(3))
+    per = collections.defaultdict(set)
+    for u, s in zip(users, ts):
+        per[u].add(s // (604800 * 1_000_000))
+    cnt = collections.Counter()
+    for u, wks in per.items():
+        w0 = min(wks)
+        for w in wks:
+            cnt[int(w - w0)] += 1
+    offs = sorted(cnt)
+    assert got["week_offset"].to_pylist() == offs
+    assert got["users"].to_pylist() == [cnt[o] for o in offs]
