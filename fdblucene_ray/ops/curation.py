@@ -668,3 +668,51 @@ def dup_ngram_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): item i is selected iff its key ln(u_i)/w_i is among the k
+    largest, u_i a seeded md5 uniform — exactly distributed as
+    sequential weighted draws, yet embarrassingly parallel and
+    deterministic (reruns and the DuckDB twin select byte-identical
+    rows). One pass with a per-batch local top-k; the global top-k
+    sorts batches×k candidate rows. Rows with weight <= 0 are never
+    selected. Columns: (id_col, weight), id asc."""
+    import ray.data  # noqa: F401 — ds is a Dataset
+
+    from fdblucene_ray.ops.dsir import md5_uniform
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lnu = np.log(md5_uniform(ids, seed))
+        key = np.where(w > 0, lnu / np.maximum(w, 1e-300), -np.inf)
+        top = np.argsort(-key, kind="stable")[:k]
+        top = top[np.isfinite(key[top])]
+        return pa.table(
+            {
+                id_col: pa.array(ids[top]),
+                "weight": pa.array(w[top]),
+                "key": pa.array(key[top]),
+            }
+        )
+
+    cands = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = cands.sort("key", descending=True).limit(k).to_pandas()
+    top = top.sort_values(id_col).reset_index(drop=True)
+    return pa.table(
+        {
+            id_col: pa.array(top[id_col].to_numpy(np.int64)),
+            "weight": pa.array(top["weight"].to_numpy(np.float64)),
+        }
+    )

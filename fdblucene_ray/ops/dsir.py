@@ -58,8 +58,10 @@ def md5_bucket(strings: list[str], n_buckets: int) -> np.ndarray:
     )
 
 
-def _gumbel_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
-    """Deterministic per-doc Gumbel(0,1) noise from md5(seed, doc_id)."""
+def md5_uniform(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-doc Uniform(0,1) from md5(seed, doc_id) —
+    reproducible in DuckDB as
+    ``(('0x'||substr(md5('s{seed}-'||id),1,8))::UBIGINT + 0.5)/2^32``."""
     u = np.fromiter(
         (
             int.from_bytes(md5(f"s{seed}-{d}".encode()).digest()[:4], "big")
@@ -68,8 +70,12 @@ def _gumbel_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
         dtype=np.float64,
         count=len(doc_ids),
     )
-    u = (u + 0.5) / 4294967296.0
-    return -np.log(-np.log(u))
+    return (u + 0.5) / 4294967296.0
+
+
+def _gumbel_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-doc Gumbel(0,1) noise from md5(seed, doc_id)."""
+    return -np.log(-np.log(md5_uniform(doc_ids, seed)))
 
 
 def _doc_buckets(batch: pa.Table, *, analyzer: str, text_col: str, n_buckets: int):

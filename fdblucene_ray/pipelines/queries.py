@@ -400,6 +400,17 @@ def q_funnel(sf_dir: str) -> pa.Table:
     return funnel_counts(ds, ["view", "click", "purchase"])
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (Efraimidis-Spirakis,
+    seeded md5 uniforms): 100 docs drawn ∝ n_chars
+    (ops/curation.weighted_sample)."""
+    from fdblucene_ray.ops.curation import weighted_sample
+
+    return weighted_sample(
+        _docs_ds(sf_dir, ["doc_id", "n_chars"]), 100, weight_col="n_chars"
+    )
+
+
 def q_retention(sf_dir: str) -> pa.Table:
     """Weekly retention cohorts by offset from each user's first active
     week (ops/windows.py retention_weeks)."""
@@ -2622,6 +2633,7 @@ def queries() -> dict:
         "host_rank": q_host_rank,
         "funnel": q_funnel,
         "retention": q_retention,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3280,6 +3292,14 @@ contrib AS (
 scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
 SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "weighted_sample": """
+WITH keyed AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         ln((CAST(('0x' || substr(md5('s42-' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) + 0.5) / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight FROM keyed ORDER BY k DESC, doc_id LIMIT 100
 """,
         "retention": """
 WITH uw AS (SELECT DISTINCT user_id,

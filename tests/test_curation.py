@@ -489,3 +489,53 @@ class TestSampleTokenBudget:
         texts = [f"a b c doc{i}" for i in range(20)]
         out = sample_token_budget(_docs(texts), 0, seed=1).to_pandas()
         assert len(out) == 0
+
+
+def test_weighted_sample_matches_sequential_oracle():
+    """Efraimidis-Spirakis keys reproduce exact sequential weighted
+    draws: verify key formula + determinism + weight bias."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fdblucene_ray.ops.curation import weighted_sample
+    from fdblucene_ray.ops.dsir import md5_uniform
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    w = (1.0 + (ids % 10) * 50).astype(np.float64)  # heavy tail
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = weighted_sample(ds, 50, weight_col="n_chars")
+    # brute-force: top-50 by ln(u)/w
+    key = np.log(md5_uniform(ids, 42)) / w
+    expect = np.sort(np.argsort(-key, kind="stable")[:50])
+    assert got["doc_id"].to_pylist() == expect.tolist()
+    # determinism
+    got2 = weighted_sample(ds, 50, weight_col="n_chars")
+    assert got.equals(got2)
+    # bias: high-weight ids (w=451) should dominate over w=1
+    sel = set(got["doc_id"].to_pylist())
+    heavy = sum(1 for d in sel if d % 10 == 9)
+    light = sum(1 for d in sel if d % 10 == 0)
+    assert heavy > light
+
+
+def test_weighted_sample_zero_weight_never_selected():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fdblucene_ray.ops.curation import weighted_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "n_chars": pa.array(
+                [0.0] * 10 + [5.0] * 10, pa.float64()
+            ),
+        }
+    )
+    got = weighted_sample(ray.data.from_arrow(t), 15, weight_col="n_chars")
+    assert all(d >= 10 for d in got["doc_id"].to_pylist())
+    assert got.num_rows == 10
