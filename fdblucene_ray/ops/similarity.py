@@ -881,3 +881,50 @@ def pq_topk(
     )
     exact["dist"] = _rha(exact["dist"].to_numpy(np.float64), 5)
     return pa.Table.from_pandas(exact, preserve_index=False)
+
+
+def _range_batch(batch, *, qn_T, query_ids, min_sim, vec_col, id_col):
+    x = _normalize(_stack(batch[vec_col]))
+    sims = x @ qn_T  # (rows, n_queries)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ri, qi = np.nonzero(sims >= min_sim)
+    return pa.table(
+        {
+            "query_id": pa.array(query_ids[qi]),
+            id_col: pa.array(ids[ri]),
+            "sim": pa.array(np.round(sims[ri, qi], 5)),
+        }
+    )
+
+
+def range_search(
+    ds,
+    queries: np.ndarray,
+    query_ids,
+    min_sim: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Radius (range) search: EVERY vector with cosine >= ``min_sim``
+    to each query — the FAISS range_search / vector RangeQuery analog,
+    complementing the top-k APIs. Map-only (broadcast query matrix,
+    per-batch matmul + threshold); result size is the match set, not
+    rows×k. Columns: (query_id, vec_id, sim@5dp), query then id asc."""
+    qn = _normalize(np.asarray(queries, np.float64)).T
+    out = ds.map_batches(
+        _range_batch,
+        fn_kwargs=dict(
+            qn_T=qn, query_ids=np.asarray(query_ids, np.int64),
+            min_sim=min_sim, vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = out.sort_values(["query_id", id_col]).reset_index(drop=True)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            "sim": pa.array(out["sim"].to_numpy(np.float64)),
+        }
+    )

@@ -1072,6 +1072,17 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ann_range(sf_dir: str) -> pa.Table:
+    """Radius (range) vector search: all vectors with cosine >= 0.3 to
+    3 queries — FAISS range_search analog, map-only
+    (ops/similarity.range_search)."""
+    from fdblucene_ray.ops.similarity import range_search
+
+    q = _query_vectors(sf_dir, [0, 1, 2])
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    return range_search(ds, q, [0, 1, 2], 0.3)
+
+
 def q_ft_multi_index(sf_dir: str) -> pa.Table:
     """Federated search over TWO half-corpus indexes (MultiReader
     analog): collection stats sum across indexes, so BM25 top-10 for
@@ -2634,6 +2645,7 @@ def queries() -> dict:
         "funnel": q_funnel,
         "retention": q_retention,
         "weighted_sample": q_weighted_sample,
+        "ann_range": q_ann_range,
     }
 
 
@@ -3797,6 +3809,15 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "ann_range": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3)
+SELECT q.query_id::BIGINT AS query_id, e.vec_id,
+       CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM embeddings e CROSS JOIN q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) >= 0.3
+ORDER BY query_id, e.vec_id
 """,
         "ann_batch": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
