@@ -173,6 +173,11 @@ class Index:
         """SpanOrQuery analog; see Searcher.search_span_or."""
         return self.searcher.search_span_or(phrases, **kw)
 
+    def intervals(self, query: str, **kw):
+        """Intervals query (o.a.l.queries.intervals analog); see
+        Searcher.search_intervals."""
+        return self.searcher.search_intervals(query, **kw)
+
     def multi_phrase(self, slots, k: int = 10, **kw):
         """MultiPhraseQuery analog (per-slot term alternatives)."""
         return self.searcher.search_multi_phrase(slots, k, **kw)

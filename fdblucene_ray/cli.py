@@ -269,6 +269,21 @@ def cmd_span(args) -> int:
     return 0
 
 
+def cmd_intervals(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    rows = s.search_intervals(
+        args.terms, field=args.field, max_gaps=args.max_gaps,
+        ordered=not args.unordered, not_containing=args.not_containing,
+        containing=args.containing,
+    )
+    for d, n, st in rows[: args.k]:
+        print(f"{d}\t{n}\t{st}")
+    return 0
+
+
 def cmd_pagerank(args) -> int:
     _ensure_ray()
     import ray.data
@@ -731,6 +746,19 @@ def main(argv=None) -> int:
     sn.add_argument("--field", default="text")
     sn.add_argument("-k", type=int, default=20)
     sn.set_defaults(fn=cmd_span)
+
+    iv = sub.add_parser(
+        "intervals", help="intervals query: ordered/unordered + maxgaps"
+    )
+    iv.add_argument("index")
+    iv.add_argument("terms")
+    iv.add_argument("--max-gaps", type=int, default=0)
+    iv.add_argument("--unordered", action="store_true")
+    iv.add_argument("--not-containing", default=None)
+    iv.add_argument("--containing", default=None)
+    iv.add_argument("--field", default="text")
+    iv.add_argument("-k", type=int, default=20)
+    iv.set_defaults(fn=cmd_intervals)
 
     pr = sub.add_parser("pagerank", help="link-graph PageRank top-k")
     pr.add_argument("--input", required=True, nargs="+")

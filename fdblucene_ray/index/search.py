@@ -2630,6 +2630,130 @@ class Searcher:
                 freqs[d] = freqs.get(d, 0) + int(pf)
         return sorted(freqs.items())
 
+    def search_intervals(
+        self,
+        query: str,
+        *,
+        field: str = "text",
+        max_gaps: int = 0,
+        ordered: bool = True,
+        not_containing: str | None = None,
+        containing: str | None = None,
+    ) -> list[tuple[int, int, int]]:
+        """Lucene Intervals analog (o.a.l.queries.intervals):
+        ``Intervals.maxgaps(g, Intervals.ordered/unordered(terms))``
+        with optional ``notContaining`` / ``containing`` filters.
+
+        Matching semantics (deterministic, mirrored exactly by the SQL
+        oracles):
+
+        * ``ordered``: a witness interval anchored at position ``p`` of
+          the FIRST term is the GREEDY MINIMAL chain — each later term
+          takes its earliest occurrence strictly after the chain's
+          current end (the exchange argument makes the greedy end the
+          minimal reachable end for that anchor, so "any witness
+          exists" == "the greedy witness qualifies"). The anchor counts
+          when ``end - start - (m-1) <= max_gaps``.
+        * ``unordered``: anchored window — position ``p`` of the first
+          term counts when EVERY other term has an occurrence within
+          ``max_gaps`` intervening positions of ``p`` in either
+          direction (``|q - p| - 1 <= max_gaps``). (Lucene's unordered
+          minimal-interval enumeration is anchor-free; the anchored
+          form is what a per-start SQL witness can express, and the two
+          agree on match/no-match for two-term sources.)
+        * ``not_containing`` / ``containing``: the anchor's minimal
+          interval ``[start, end]`` must contain no / some occurrence
+          of the (analyzed, single-term) filter source, endpoints
+          inclusive (ordered sources only — unordered windows have no
+          single minimal interval per anchor).
+
+        Returns (doc_id, n_intervals, first_start) for docs with >= 1
+        qualifying anchor, sorted by doc_id. Runs on the same doc-level
+        skip-pointer leapfrog + LAZY per-block position decode as
+        PhraseQuery: position blocks of non-candidate docs are never
+        decoded, and the filter term's cursor only advances to docs the
+        conjunction already matched.
+
+        Reference tie-in: the positions channel of DATA.md:54 ("pp"
+        rows) queried through Lucene's modern intervals surface
+        (SURVEY §2 K-family).
+        """
+        terms, _ = self._phrase_terms(query, field)
+        if not terms:
+            return []
+        if len(terms) < 2:
+            raise ValueError("intervals need >= 2 source terms")
+        if not ordered and (not_containing or containing):
+            raise ValueError("containment filters need an ordered source")
+        filt = not_containing if not_containing is not None else containing
+        filt_terms: list[str] = []
+        if filt is not None:
+            filt_terms, _ = self._phrase_terms(filt, field)
+        bs = self.manifest.block_size
+        dummy_cache = np.zeros(256)
+        unions: list[UnionCursor] = []
+        for qi, t in enumerate(terms):
+            cs = _gather_cursors(self.readers, field, t, bs, 0.0, dummy_cache, qi)
+            if not cs:
+                return []
+            unions.append(UnionCursor(cs, qi))
+        f_union = None
+        if filt_terms:
+            fcs = _gather_cursors(
+                self.readers, field, filt_terms[0], bs, 0.0, dummy_cache,
+                len(terms),
+            )
+            if fcs:
+                f_union = UnionCursor(fcs, len(terms))
+        if containing is not None and f_union is None:
+            return []  # the required inner source matches nothing
+        m = len(terms)
+        out: list[tuple[int, int, int]] = []
+
+        def on_match(doc: int):
+            starts = unions[0].positions_current().astype(np.int64)
+            ok = np.ones(len(starts), bool)
+            if ordered:
+                ends = starts.copy()
+                for u in unions[1:]:
+                    pi = u.positions_current().astype(np.int64)
+                    idx = np.searchsorted(pi, ends, side="right")
+                    valid = idx < len(pi)
+                    ok &= valid
+                    ends = np.where(valid, pi[np.minimum(idx, len(pi) - 1)], ends)
+                ok &= (ends - starts - (m - 1)) <= max_gaps
+                if f_union is not None and not f_union.exhausted():
+                    if f_union.doc < doc:
+                        f_union.advance(doc)
+                    on_doc = (not f_union.exhausted()) and f_union.doc == doc
+                    if containing is not None and not on_doc:
+                        ok[:] = False
+                    elif on_doc:
+                        fp = f_union.positions_current().astype(np.int64)
+                        lo = np.searchsorted(fp, starts, side="left")
+                        hi = np.searchsorted(fp, ends, side="right")
+                        inside = hi > lo
+                        ok &= ~inside if not_containing is not None else inside
+                elif containing is not None:
+                    ok[:] = False
+            else:
+                for u in unions[1:]:
+                    pi = u.positions_current().astype(np.int64)
+                    idx = np.searchsorted(pi, starts)
+                    right = pi[np.minimum(idx, len(pi) - 1)]
+                    left = pi[np.maximum(idx - 1, 0)]
+                    near = np.minimum(
+                        np.where(idx < len(pi), np.abs(right - starts), np.iinfo(np.int64).max),
+                        np.where(idx > 0, np.abs(starts - left), np.iinfo(np.int64).max),
+                    )
+                    ok &= (near - 1) <= max_gaps
+            n = int(ok.sum())
+            if n:
+                out.append((int(doc), n, int(starts[ok][0])))
+
+        _leapfrog_intersect(unions, on_match, self.tombstones)
+        return out
+
     def count(self, query: str, *, field: str = "text", operator: str = "or") -> int:
         """Number of matching docs (exhaustive; used by tests/oracles)."""
         terms = self.parse(query, field)

@@ -2179,6 +2179,45 @@ def q_ft_span_or(sf_dir: str) -> pa.Table:
     )
 
 
+def _intervals_table(rows: list[tuple[int, int, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+            "n_intervals": pa.array([n for _, n, _ in rows], pa.int64()),
+            "first_start": pa.array([s for _, _, s in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_intervals(sf_dir: str) -> pa.Table:
+    """Intervals query (Lucene o.a.l.queries.intervals analog):
+    maxgaps(3, ordered("data", "merge")) — greedy-minimal-chain anchor
+    semantics, per-doc qualifying-anchor counts
+    (index/search.py search_intervals)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _intervals_table(s.search_intervals("data merge", max_gaps=3))
+
+
+def q_ft_intervals_unordered(sf_dir: str) -> pa.Table:
+    """Intervals maxgaps(2, unordered("batch", "stream")): anchored
+    window semantics — each 'batch' position with a 'stream' occurrence
+    within 2 intervening positions either side."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _intervals_table(
+        s.search_intervals("batch stream", max_gaps=2, ordered=False)
+    )
+
+
+def q_ft_intervals_not(sf_dir: str) -> pa.Table:
+    """Intervals notContaining(maxgaps(5, ordered("data", "merge")),
+    "sort"): minimal intervals with no 'sort' position inside
+    (endpoints inclusive)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _intervals_table(
+        s.search_intervals("data merge", max_gaps=5, not_containing="sort")
+    )
+
+
 def q_ft_rank_boost(sf_dir: str) -> pa.Table:
     """Authority-boosted retrieval: BM25 top-50 candidates rescored by
     the corpus link-graph PageRank — final = bm25 * (1 + ln(1 + pr*N)),
@@ -2626,6 +2665,9 @@ def queries() -> dict:
         "quality_classifier": q_quality_classifier,
         "ft_span_not": q_ft_span_not,
         "ft_span_or": q_ft_span_or,
+        "ft_intervals": q_ft_intervals,
+        "ft_intervals_unordered": q_ft_intervals_unordered,
+        "ft_intervals_not": q_ft_intervals_not,
         "ft_rank_boost": q_ft_rank_boost,
         "readability": q_readability,
         "ft_synonym_multiword": q_ft_synonym_multiword,
@@ -4627,6 +4669,60 @@ kept AS (SELECT m.doc_id, m.s FROM m WHERE NOT EXISTS (
   SELECT 1 FROM toks e WHERE e.doc_id = m.doc_id AND e.tok = 'data'
     AND e.pos BETWEEN m.s - 5 AND m.s + 1 + 5))
 SELECT doc_id, count(*)::BIGINT AS span_freq FROM kept GROUP BY doc_id
+""",
+        "ft_intervals": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+a AS (SELECT doc_id, pos FROM toks WHERE tok = 'data'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = 'merge'),
+chain AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b
+          WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a),
+w AS (SELECT doc_id, s FROM chain WHERE e IS NOT NULL AND e - s - 1 <= 3)
+SELECT doc_id, count(*)::BIGINT AS n_intervals, min(s)::BIGINT AS first_start
+FROM w GROUP BY doc_id ORDER BY doc_id
+""",
+        "ft_intervals_unordered": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+w AS (
+  SELECT t1.doc_id, t1.pos AS s FROM toks t1
+  WHERE t1.tok = 'batch' AND EXISTS (
+    SELECT 1 FROM toks t2 WHERE t2.doc_id = t1.doc_id AND t2.tok = 'stream'
+      AND t2.pos <> t1.pos AND abs(t2.pos - t1.pos) - 1 <= 2))
+SELECT doc_id, count(*)::BIGINT AS n_intervals, min(s)::BIGINT AS first_start
+FROM w GROUP BY doc_id ORDER BY doc_id
+""",
+        "ft_intervals_not": """
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM lists),
+a AS (SELECT doc_id, pos FROM toks WHERE tok = 'data'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = 'merge'),
+chain AS (
+  SELECT a.doc_id, a.pos AS s,
+         (SELECT min(b.pos) FROM b
+          WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+  FROM a),
+w AS (
+  SELECT doc_id, s FROM chain
+  WHERE e IS NOT NULL AND e - s - 1 <= 5
+    AND NOT EXISTS (
+      SELECT 1 FROM toks x
+      WHERE x.doc_id = chain.doc_id AND x.tok = 'sort'
+        AND x.pos BETWEEN chain.s AND chain.e))
+SELECT doc_id, count(*)::BIGINT AS n_intervals, min(s)::BIGINT AS first_start
+FROM w GROUP BY doc_id ORDER BY doc_id
 """,
         "hits": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
