@@ -1966,6 +1966,177 @@ class Searcher:
         sel = np.lexsort((ids, -vals if desc else vals))[:k]
         return [(int(ids[i]), float(vals[i])) for i in sel]
 
+    def _values_for_ids(
+        self, ids: np.ndarray, value_source, value_col: str
+    ) -> np.ndarray:
+        """Doc-values lookup for a (small) hit-id set: hydrate the
+        numeric column row-group-pruned for exactly these ids and align
+        it to ``ids`` order. Shared by the feature/boost query family —
+        the ids are a top-k-ish match set, never the corpus."""
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        tbl = hydrate_from_source(value_source, ids.tolist(), columns=[value_col])
+        vid = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        vval = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(vid)
+        return vval[order][np.searchsorted(vid[order], ids)]
+
+    def search_feature_field(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        value_source,
+        value_col: str,
+        pivot: float,
+        weight: float = 1.0,
+        operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """``FeatureField.newSaturationQuery`` analog (Lucene rank
+        features): final = bm25 + weight * v / (v + pivot) with v
+        clamped to >= 0 — the saturation clause is ADDITIVE, a SHOULD
+        clause alongside the text query, exactly Lucene's recommended
+        BooleanQuery composition. The whole match set is scored
+        (the additive boost reorders) and the feature column hydrates
+        row-group-pruned for matched ids only; at head-term scale the
+        saturation bound folds into block-max metadata (Lucene stores
+        feature values as impacts in term freq) — documented scale
+        path, same as search_function_score."""
+        terms = self.parse(query, field)
+        hits = self.search_terms(
+            terms, 1 << 31, field=field, operator=operator, mode="exhaustive"
+        )
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], np.int64)
+        bm25 = np.array([s for _, s in hits], np.float64)
+        v = np.maximum(self._values_for_ids(ids, value_source, value_col), 0.0)
+        final = bm25 + weight * v / (v + pivot)
+        sel = np.lexsort((ids, -final))[:k]
+        return [(int(ids[i]), float(final[i])) for i in sel]
+
+    def search_distance_feature(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        value_source,
+        value_col: str,
+        origin: float,
+        pivot: float,
+        weight: float = 1.0,
+        operator: str = "or",
+    ) -> list[tuple[int, float]]:
+        """``LongPoint.newDistanceFeatureQuery`` analog: final = bm25 +
+        weight * pivot / (pivot + |v - origin|) — recency/proximity
+        boosting where a doc exactly at the origin gains ``weight`` and
+        one ``pivot`` away gains ``weight/2``. Additive SHOULD clause,
+        same match-set shape as search_feature_field."""
+        terms = self.parse(query, field)
+        hits = self.search_terms(
+            terms, 1 << 31, field=field, operator=operator, mode="exhaustive"
+        )
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], np.int64)
+        bm25 = np.array([s for _, s in hits], np.float64)
+        v = self._values_for_ids(ids, value_source, value_col)
+        final = bm25 + weight * pivot / (pivot + np.abs(v - origin))
+        sel = np.lexsort((ids, -final))[:k]
+        return [(int(ids[i]), float(final[i])) for i in sel]
+
+    def search_sort_multi(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        value_source,
+        sort_fields: list[tuple[str, bool]],
+        operator: str = "or",
+    ) -> list[tuple]:
+        """Multi-key ``Sort(SortField...)`` analog: docs matching the
+        query ordered by several doc-values columns, ties doc_id asc.
+        ``sort_fields``: [(column, descending)] in priority order;
+        string columns must be ascending (no total-order negation for
+        unicode — Lucene reverses via ordinals, which needs a global
+        sorted dictionary; documented limitation). Same streaming shape
+        as search_sort_by: match set broadcast, value columns stream
+        from the parquet with per-batch local top-k, <=k rows per batch
+        reach the driver merge. Returns (doc_id, v1, v2, ...) tuples."""
+        import ray
+        import ray.data
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        if operator == "and":
+            match: np.ndarray | None = None
+            for reader_docs in _matching_docs_per_term(self.readers, terms, field):
+                match = (
+                    reader_docs if match is None else np.intersect1d(match, reader_docs)
+                )
+            match = np.sort(match) if match is not None else np.empty(0, np.int64)
+            am = _alive_mask(match, self.tombstones)
+            if am is not None:
+                match = match[am]
+        else:
+            match = self.multiterm_docs(field, terms)
+        if not len(match):
+            return []
+        match_ref = ray.put(match)
+        cols = [c for c, _ in sort_fields]
+        src_ds = ray.data.read_parquet(value_source, columns=["doc_id"] + cols)
+        schema = src_ds.schema()
+        col_types = dict(zip(schema.names, schema.types))
+        for col, desc in sort_fields:
+            typ = col_types[col]
+            if desc and not (
+                pa.types.is_integer(typ) or pa.types.is_floating(typ)
+            ):
+                # fail on the DRIVER, before any task launches
+                raise ValueError(
+                    f"descending string sort not supported: {col}"
+                )
+
+        def sort_sel(tbl_cols: dict[str, np.ndarray], n: int) -> np.ndarray:
+            # np.lexsort: LAST key is primary -> reverse priority order;
+            # doc_id asc is the final tie-break (first key)
+            keys: list[np.ndarray] = [tbl_cols["doc_id"]]
+            for col, desc in reversed(sort_fields):
+                arr = tbl_cols[col]
+                if desc:
+                    arr = -arr.astype(np.float64)
+                keys.append(arr)
+            return np.lexsort(tuple(keys))[:n]
+
+        def topk_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(match_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            data = {"doc_id": ids[hit]}
+            for c in cols:
+                data[c] = b[c].to_numpy(zero_copy_only=False)[hit]
+            sel = sort_sel(data, k)
+            return pa.table({c: pa.array(a[sel]) for c, a in data.items()})
+
+        parts = src_ds.map_batches(topk_batch, batch_format="pyarrow").take_all()
+        if not parts:
+            return []
+        data = {
+            "doc_id": np.array([r["doc_id"] for r in parts], np.int64),
+        }
+        for c in cols:
+            data[c] = np.array([r[c] for r in parts])
+        sel = sort_sel(data, k)
+        return [
+            tuple(data[c][i] for c in ["doc_id"] + cols) for i in sel
+        ]
+
     def search_expr(
         self, query: str, k: int = 10, *, default_field: str = "text"
     ) -> list[tuple[int, float]]:

@@ -1990,6 +1990,54 @@ def q_ft_function_score(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_feature_field(sf_dir: str) -> pa.Table:
+    """FeatureField saturation query analog (Lucene rank features):
+    BM25('data stream') + 0.5 * n_chars/(n_chars + 500) — the additive
+    SHOULD-clause composition Lucene documents for FeatureQuery
+    (index/search.py search_feature_field)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_feature_field(
+            "data stream", k=10,
+            value_source=_docs_path(sf_dir), value_col="n_chars",
+            pivot=500.0, weight=0.5,
+        )
+    )
+
+
+def q_ft_distance_feature(sf_dir: str) -> pa.Table:
+    """DistanceFeatureQuery analog: BM25('data stream') + 0.6 *
+    300/(300 + |n_chars - 700|) — proximity-to-origin boosting
+    (index/search.py search_distance_feature)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(
+        s.search_distance_feature(
+            "data stream", k=10,
+            value_source=_docs_path(sf_dir), value_col="n_chars",
+            origin=700.0, pivot=300.0, weight=0.6,
+        )
+    )
+
+
+def q_ft_sort_multi(sf_dir: str) -> pa.Table:
+    """Multi-key Sort(SortField...) analog: docs matching 'data'
+    ordered by (lang asc, n_chars desc, doc_id) — value columns stream
+    with per-batch local top-k (index/search.py search_sort_multi)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_sort_multi(
+        "data", k=10,
+        value_source=_docs_path(sf_dir),
+        sort_fields=[("lang", False), ("n_chars", True)],
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([int(r[0]) for r in rows], pa.int64()),
+            "lang": pa.array([str(r[1]) for r in rows], pa.string()),
+            "n_chars": pa.array([int(r[2]) for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_ft_sort_by_field(sf_dir: str) -> pa.Table:
     """Sort-by-field search (SortField analog): docs matching
     'vector AND stream' ordered by n_chars desc; the value column
@@ -2557,6 +2605,9 @@ def queries() -> dict:
         "ft_bool_msm": q_ft_bool_msm,
         "ft_synonym": q_ft_synonym,
         "ft_function_score": q_ft_function_score,
+        "ft_feature_field": q_ft_feature_field,
+        "ft_distance_feature": q_ft_distance_feature,
+        "ft_sort_multi": q_ft_sort_multi,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
@@ -3555,6 +3606,57 @@ boosted AS (
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
 SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
 FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
+""",
+        # FeatureField saturation: additive boost, ordered by the
+        # UNROUNDED final score (the engine sorts pre-rounding).
+        "ft_feature_field": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'stream') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id,
+         s.score + 0.5 * greatest(d.n_chars, 0)::DOUBLE
+                     / (greatest(d.n_chars, 0)::DOUBLE + 500.0) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
+FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
+""",
+        # DistanceFeatureQuery: pivot-decay boost around origin=700.
+        "ft_distance_feature": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'stream') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id,
+         s.score + 0.6 * 300.0
+                     / (300.0 + abs(d.n_chars::DOUBLE - 700.0)) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
+FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
+""",
+        # Multi-key sort: lang asc, n_chars desc, doc_id asc ties.
+        "ft_sort_multi": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data')
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.lang, d.n_chars DESC, d.doc_id LIMIT 10
 """,
         # Sort-by-field: 'vector' AND 'stream' matches ordered by the
         # n_chars doc value desc, doc_id asc ties.

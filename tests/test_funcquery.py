@@ -34,6 +34,8 @@ def corpus(tmp_path_factory, ray_session):
                 "doc_id": pa.array(range(300), pa.int64()),
                 "text": pa.array(texts),
                 "n_chars": pa.array(n_chars, pa.int64()),
+                # string group column for multi-key sort tests
+                "tag": pa.array([f"t{n % 3}" for n in n_chars], pa.string()),
             }
         ),
         src,
@@ -230,3 +232,106 @@ class TestMinShouldMatch:
                 should=should, k=10, min_should_match=2, mode=mode
             )
             assert [d for d, _ in got] == [d for d, _ in top], mode
+
+
+class TestFeatureQueries:
+    """FeatureField saturation, DistanceFeatureQuery and multi-key
+    SortField analogs — brute-force oracles on the planted corpus. SQL
+    twins (`ft_feature_field`, `ft_distance_feature`, `ft_sort_multi`)
+    run in the driver gate."""
+
+    def test_feature_field_saturation(self, corpus):
+        ix, src, _, n_chars = corpus
+        s = Searcher(ix)
+        base = dict(s.search("merge scan", k=1 << 31, mode="exhaustive"))
+        want = {
+            d: sc + 0.4 * max(n_chars[d], 0) / (max(n_chars[d], 0) + 30.0)
+            for d, sc in base.items()
+        }
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = s.search_feature_field(
+            "merge scan", k=10, value_source=src, value_col="n_chars",
+            pivot=30.0, weight=0.4,
+        )
+        assert [d for d, _ in got] == [d for d, _ in top]
+        for (d, sc), (_, w) in zip(got, top):
+            assert sc == pytest.approx(w, rel=1e-12)
+
+    def test_feature_field_is_additive_not_multiplicative(self, corpus):
+        # a zero-score feature (pivot -> inf limit not hit, but weight 0)
+        # leaves the BM25 ranking untouched
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        base = s.search("merge scan", k=10, mode="exhaustive")
+        got = s.search_feature_field(
+            "merge scan", k=10, value_source=src, value_col="n_chars",
+            pivot=30.0, weight=0.0,
+        )
+        assert [d for d, _ in got] == [d for d, _ in base]
+
+    def test_distance_feature(self, corpus):
+        ix, src, _, n_chars = corpus
+        s = Searcher(ix)
+        base = dict(s.search("merge scan", k=1 << 31, mode="exhaustive"))
+        want = {
+            d: sc + 0.7 * 20.0 / (20.0 + abs(float(n_chars[d]) - 50.0))
+            for d, sc in base.items()
+        }
+        top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = s.search_distance_feature(
+            "merge scan", k=10, value_source=src, value_col="n_chars",
+            origin=50.0, pivot=20.0, weight=0.7,
+        )
+        assert [d for d, _ in got] == [d for d, _ in top]
+        for (d, sc), (_, w) in zip(got, top):
+            assert sc == pytest.approx(w, rel=1e-12)
+
+    def test_distance_feature_origin_doc_gains_full_weight(self, corpus):
+        ix, src, _, n_chars = corpus
+        s = Searcher(ix)
+        base = dict(s.search("merge", k=1 << 31, mode="exhaustive"))
+        d0 = next(iter(base))
+        got = dict(
+            s.search_distance_feature(
+                "merge", k=1 << 31, value_source=src, value_col="n_chars",
+                origin=float(n_chars[d0]), pivot=5.0, weight=0.9,
+            )
+        )
+        assert got[d0] == pytest.approx(base[d0] + 0.9, rel=1e-12)
+
+    def test_sort_multi_single_key_equals_sort_by(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        a = s.search_sort_by(
+            "merge scan", k=10, value_source=src, value_col="n_chars"
+        )
+        b = s.search_sort_multi(
+            "merge scan", k=10, value_source=src,
+            sort_fields=[("n_chars", True)],
+        )
+        assert [(d, float(v)) for d, v in a] == [
+            (int(r[0]), float(r[1])) for r in b
+        ]
+
+    def test_sort_multi_two_keys_bruteforce(self, corpus):
+        ix, src, texts, n_chars = corpus
+        s = Searcher(ix)
+        match = sorted(
+            d for d, t in enumerate(texts) if "merge" in t.split()
+        )
+        rows = [(d, f"t{n_chars[d] % 3}", n_chars[d]) for d in match]
+        want = sorted(rows, key=lambda r: (r[1], -r[2], r[0]))[:7]
+        got = s.search_sort_multi(
+            "merge", k=7, value_source=src,
+            sort_fields=[("tag", False), ("n_chars", True)],
+        )
+        assert [(int(r[0]), str(r[1]), int(r[2])) for r in got] == want
+
+    def test_sort_multi_string_desc_rejected(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        with pytest.raises(ValueError, match="descending string"):
+            s.search_sort_multi(
+                "merge", k=5, value_source=src,
+                sort_fields=[("tag", True)],
+            )
