@@ -236,3 +236,114 @@ def pca_project(
         )
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- k-center
+
+
+def _kcenter_batch_best(batch: pa.Table, *, centers_ref, vec_col, id_col):
+    """Per-batch farthest-point candidate: the row maximizing
+    min-distance-to-centers (squared L2), ties smallest id. Distances
+    use the exact per-row ((x-c)^2).sum form — independent of batch
+    boundaries, so results are deterministic across block layouts (and
+    bit-identical to a single-machine greedy oracle)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    centers = cached_state(
+        ("kcenter", centers_ref.hex()), lambda: ray.get(centers_ref)
+    )
+    X = _stack64(batch[vec_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.float64()),
+             "vec": pa.array([], pa.list_(pa.float64()))}
+        )
+    d = np.full(len(ids), np.inf)
+    for c in centers:
+        np.minimum(d, ((X - c) ** 2).sum(axis=1), out=d)
+    best = np.lexsort((ids, -d))[0]
+    return pa.table(
+        {
+            "vec_id": pa.array([int(ids[best])], pa.int64()),
+            "dist": pa.array([float(d[best])], pa.float64()),
+            "vec": pa.array([X[best].tolist()], pa.list_(pa.float64())),
+        }
+    )
+
+
+def kcenter_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Greedy k-center (Gonzalez farthest-point) diversity sample over
+    an embedding column — the coreset selector curation pipelines use
+    to pick a maximally-spread subset (2-approx to the optimal k-center
+    cover). Deterministic: seeds at the smallest id, each round adds
+    the point farthest (squared L2) from the chosen set, ties smallest
+    id.
+
+    Shape: k streaming passes; each pass broadcasts the current center
+    matrix (``ray.put``, k x D doubles — tiny) and reduces each batch
+    to ONE candidate row, so the driver sees n_blocks rows per round,
+    never the corpus. At extreme k, persist a running min-dist column
+    between rounds instead of recomputing against all centers
+    (documented scale path; recompute keeps rounds stateless and
+    deterministic here).
+
+    Returns (rank, vec_id, dist): dist = distance to the previously
+    selected set at selection time (0.0 for the seed)."""
+
+    # seed: smallest id, one streaming pass
+    def batch_min(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "vec": pa.array([], pa.list_(pa.float64()))}
+            )
+        X = _stack64(batch[vec_col])
+        i = int(np.argmin(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[i])], pa.int64()),
+                "vec": pa.array([X[i].tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(batch_min, batch_format="pyarrow").take_all()
+    seed = min(rows, key=lambda r: r["vec_id"])
+    sel_ids = [int(seed["vec_id"])]
+    sel_dists = [0.0]
+    centers = [np.asarray(seed["vec"], np.float64)]
+    for _ in range(k - 1):
+        centers_ref = ray.put(np.vstack(centers))
+        cands = ds.map_batches(
+            _kcenter_batch_best,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "centers_ref": centers_ref,
+                "vec_col": vec_col,
+                "id_col": id_col,
+            },
+        ).take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["dist"], r["vec_id"]))
+        if best["dist"] <= 0.0:
+            # every remaining point coincides with a center: stop early
+            break
+        sel_ids.append(int(best["vec_id"]))
+        sel_dists.append(float(best["dist"]))
+        centers.append(np.asarray(best["vec"], np.float64))
+    return pa.table(
+        {
+            "rank": pa.array(range(len(sel_ids)), pa.int64()),
+            "vec_id": pa.array(sel_ids, pa.int64()),
+            "dist": pa.array(sel_dists, pa.float64()),
+        }
+    )

@@ -489,6 +489,86 @@ def sample_stratified(
     )
 
 
+def cap_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    n_per_group: int,
+    *,
+    order_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group cap by a QUALITY column — the domain-balancing op web
+    corpora need (e.g. "keep the 100 longest/highest-scored pages per
+    host" so no single domain dominates the training mix; C4/Gopher-
+    style host caps). Equals SQL ``row_number() OVER (PARTITION BY g
+    ORDER BY order_col DESC, id) <= n``.
+
+    Same two-phase shape as ``sample_stratified`` (which caps by a
+    deterministic HASH instead of a quality signal): a per-batch
+    partial top-n cuts each block to <= n x |groups in block| rows
+    before the exchange, then one hashed-partition groupby ranks every
+    group of a partition in ONE vectorized call (lexsort + run
+    arithmetic — no per-key Python)."""
+
+    sign = -1.0 if descending else 1.0
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        out = []
+        groups = pc.unique(batch[group_col])
+        for g in groups:
+            sub = batch.filter(pc.equal(batch[group_col], g))
+            if sub.num_rows > n_per_group:
+                v = sub[order_col].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                sid = sub[id_col].to_numpy(zero_copy_only=False)
+                order = np.lexsort((sid, sign * v))[:n_per_group]
+                sub = sub.take(pa.array(np.sort(order)))
+            out.append(sub)
+        return pa.concat_tables(out) if out else batch.slice(0, 0)
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        gcol = group[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        codes = gcol.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if not len(codes):
+            return group.drop_columns(["_part"])
+        v = group[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sign * v, codes))
+        gc = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], gc[1:] != gc[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(gc)])))
+        rank = np.arange(len(gc)) - np.repeat(starts, runlen)
+        sel = order[rank < n_per_group]
+        return group.take(pa.array(np.sort(sel))).drop_columns(["_part"])
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        hp = hash_strings(g.cast(pa.string()))
+        return t.append_column(
+            "_part", pa.array((hp % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    candidates = ds.map_batches(
+        partial_topn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        candidates.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .groupby("_part", num_partitions=num_parts)
+        .map_groups(final_topn, batch_format="pyarrow")
+    )
+
+
 def mix_rates(
     ds: ray.data.Dataset,
     group_col: str,

@@ -79,6 +79,103 @@ class PartialDedup:
         )
 
 
+class PartialDedupBest:
+    """map_batches combiner for quality-aware exact dedup: per-batch
+    (hash, len) -> (best score, id of best, count) partials, where
+    "best" = max score, ties min id. Same pre-aggregation shape as
+    PartialDedup — the shuffle carries one row per distinct content per
+    block, never the text."""
+
+    def __init__(self, text_col: str, score_col: str, id_col: str):
+        self.text_col, self.score_col, self.id_col = text_col, score_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, ln = content_digest(batch[self.text_col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sc = batch[self.score_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        key = (h ^ splitmix64(ln.astype(np.uint64))).astype(np.int64)
+        # within each content run: best (max score, min id) FIRST
+        order = np.lexsort((ids, -sc, key))
+        k, i, s = key[order], ids[order], sc[order]
+        hh, ll = h[order], ln[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        return pa.table(
+            {
+                "content_hash": pa.array(hh[starts].astype(np.int64)),
+                "content_len": pa.array(ll[starts]),
+                "best_id": pa.array(i[starts], pa.int64()),
+                "best_score": pa.array(s[starts], pa.float64()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def exact_dedup_keep_best(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact dedup that keeps the BEST representative per distinct
+    content (max ``score_col``, ties min id) instead of the smallest id
+    — the form curation pipelines actually want ("among byte-identical
+    pages keep the one with the richest metadata / highest quality
+    score"). One row per distinct content: (doc_id, score, dup_count).
+
+    Shape: per-batch combiner partials -> hashed-partition exchange ->
+    one vectorized lexsort-runs reduce per partition (argmax-by-two-
+    keys is not expressible with Ray's column aggregates, so the reduce
+    uses the same run-arithmetic idiom as the other dedup family ops —
+    one Python call per PARTITION, not per key)."""
+
+    partials = ds.map_batches(
+        PartialDedupBest(text_col, score_col, id_col), batch_format="pyarrow"
+    )
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["content_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array(part_of(h.astype(np.int64), num_parts))
+        )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        h = group["content_hash"].to_numpy(zero_copy_only=False)
+        ln = group["content_len"].to_numpy(zero_copy_only=False)
+        ids = group["best_id"].to_numpy(zero_copy_only=False)
+        sc = group["best_score"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        key = (h.view(np.uint64) ^ splitmix64(ln.astype(np.uint64))).astype(
+            np.int64
+        )
+        order = np.lexsort((ids, -sc, key))
+        k = key[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+        seg = np.repeat(
+            np.arange(len(starts)),
+            np.diff(np.concatenate((starts, [len(k)]))),
+        )
+        total = np.bincount(seg, weights=cnt[order]).astype(np.int64)
+        first = order[starts]
+        return pa.table(
+            {
+                id_col: pa.array(ids[first], pa.int64()),
+                "score": pa.array(sc[first], pa.float64()),
+                "dup_count": pa.array(total, pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_part", num_partitions=num_parts)
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -774,3 +774,70 @@ def url_dedup(
         )
 
     return agg.map_batches(order_cols, batch_format="pyarrow")
+
+
+# host extraction: scheme://HOST[/...] — RE2-safe, one pass
+# (pc.extract_regex requires NAMED groups)
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def url_hosts(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lowercased host per URL ('' when no scheme://host prefix)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    low = pc.utf8_lower(urls)
+    ex = pc.extract_regex(low, _HOST_RE)
+    host = pc.struct_field(ex, "host")
+    return pc.fill_null(host, "")
+
+
+def filter_urls(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    blocked_hosts: list[str] | None = None,
+    blocked_patterns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """URL blocklist filter — the fetch-side curation gate (UT1/adult
+    blocklists, spam hosts, tracker paths). Drops rows whose host is in
+    ``blocked_hosts`` or whose URL contains any ``blocked_patterns``
+    substring.
+
+    Scale shape: the blocklist ships to workers ONCE as a broadcast
+    object (``ray.put`` of the hashed host set — real lists are 10^6+
+    entries); each batch probes membership with a vectorized
+    searchsorted, and pattern checks are RE2 substring scans. Pure
+    map-only: no shuffle, text never leaves its block."""
+    from fdblucene_ray.ops.broadcast import cached_state
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    hosts = sorted(set(blocked_hosts or []))
+    host_hashes = np.sort(hash_strings(pa.array(hosts, pa.string())))
+    hosts_ref = ray.put(host_hashes)
+    patterns = list(blocked_patterns or [])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        blocked = cached_state(
+            ("url_blocklist", hosts_ref.hex()), lambda: ray.get(hosts_ref)
+        )
+        host = url_hosts(batch[url_col])
+        hh = hash_strings(host)
+        pos = np.searchsorted(blocked, hh)
+        pos[pos == len(blocked)] = 0
+        bad = (
+            (blocked[pos] == hh)
+            if len(blocked)
+            else np.zeros(len(hh), bool)
+        )
+        low = pc.utf8_lower(
+            batch[url_col].combine_chunks()
+            if isinstance(batch[url_col], pa.ChunkedArray)
+            else batch[url_col]
+        )
+        for pat in patterns:
+            bad |= pc.match_substring(low, pat).to_numpy(
+                zero_copy_only=False
+            )
+        return batch.filter(pa.array(~bad))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -2573,6 +2573,109 @@ def q_ft_span_first(sf_dir: str) -> pa.Table:
     )
 
 
+def q_host_cap(sf_dir: str) -> pa.Table:
+    """Per-host document cap (domain balancing): keep the 5 longest
+    docs per source, ties doc_id asc (ops/curation.py cap_per_group) —
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, id)
+    <= 5 in SQL."""
+    from fdblucene_ray.ops.curation import cap_per_group
+
+    out = cap_per_group(
+        _docs_ds(sf_dir, ["doc_id", "source", "n_chars"]),
+        "source", 5, order_col="n_chars",
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "source", "n_chars"]], preserve_index=False
+    )
+
+
+def q_url_filter(sf_dir: str) -> pa.Table:
+    """URL blocklist filter: the synthetic per-doc URLs (same derivation
+    as url_dedup) minus one blocked host and one blocked path pattern
+    (ops/webtext.py filter_urls: broadcast hashed host set + RE2
+    substring scans, map-only)."""
+    from fdblucene_ray.ops.webtext import filter_urls
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pylist()
+        urls = [
+            f"HTTPS://Example-{s}.COM/Path/{int(i) % 40}/"
+            f"?utm_source=s{int(i)}&ref=keep#frag"
+            for i, s in zip(d, src)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "source"]).map_batches(
+        with_url, batch_format="pyarrow"
+    )
+    out = filter_urls(
+        ds,
+        blocked_hosts=["example-src1.com", "example-src7.com"],
+        blocked_patterns=["/path/13/"],
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware exact dedup: group docs by their first 30
+    codepoints (planted collision key — the corpus has no full-text
+    dups) and keep the LONGEST representative per group, ties doc_id
+    asc (ops/dedup.py exact_dedup_keep_best)."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.dedup import exact_dedup_keep_best
+
+    def with_snippet(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "snippet": pc.utf8_slice_codeunits(t, 0, 30),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        with_snippet, batch_format="pyarrow"
+    )
+    out = exact_dedup_keep_best(
+        ds, text_col="snippet", score_col="n_chars"
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_diverse_sample(sf_dir: str) -> pa.Table:
+    """Greedy k-center (farthest-point) diversity sample over the
+    embeddings table — deterministic coreset selection
+    (ops/clustering.py kcenter_sample). Rows-only: the greedy argmax
+    recursion is not SQL-expressible; tests/test_geo_clustering.py
+    holds the brute-force oracle."""
+    from fdblucene_ray.ops.clustering import kcenter_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = kcenter_sample(ds, 10)
+    return pa.table(
+        {
+            "rank": out["rank"],
+            "vec_id": out["vec_id"],
+            "dist": _round_col(
+                out["dist"].to_numpy(zero_copy_only=False), 6
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2672,6 +2775,10 @@ def queries() -> dict:
         "chunk_dedup": q_chunk_dedup,
         "scrub_spans": q_scrub_spans,
         "url_dedup": q_url_dedup,
+        "url_filter": q_url_filter,
+        "host_cap": q_host_cap,
+        "dedup_keep_best": q_dedup_keep_best,
+        "diverse_sample": q_diverse_sample,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
@@ -4085,6 +4192,37 @@ t AS (SELECT doc_id, tok,
 SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
        min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
 FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
+""",
+        "host_cap": """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+ORDER BY doc_id
+""",
+        "url_filter": """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://Example-' || source || '.COM/Path/' || (doc_id % 40)
+           || '/?utm_source=s' || doc_id || '&ref=keep#frag' AS url
+  FROM documents)
+SELECT doc_id, url FROM u
+WHERE regexp_extract(lower(url),
+        '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+      NOT IN ('example-src1.com', 'example-src7.com')
+  AND lower(url) NOT LIKE '%/path/13/%'
+ORDER BY doc_id
+""",
+        "dedup_keep_best": """
+WITH c AS (
+  SELECT doc_id, n_chars::DOUBLE AS score,
+         row_number() OVER (PARTITION BY substr(text, 1, 30)
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY substr(text, 1, 30)) AS dup_count
+  FROM documents)
+SELECT doc_id, score, dup_count::BIGINT AS dup_count
+FROM c WHERE rn = 1 ORDER BY doc_id
 """,
         "url_dedup": r"""
 WITH u AS (

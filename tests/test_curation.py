@@ -539,3 +539,113 @@ def test_weighted_sample_zero_weight_never_selected():
     got = weighted_sample(ray.data.from_arrow(t), 15, weight_col="n_chars")
     assert all(d >= 10 for d in got["doc_id"].to_pylist())
     assert got.num_rows == 10
+
+
+class TestCapPerGroup:
+    def test_matches_window_oracle(self, ray_session):
+        rng = np.random.default_rng(7)
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        grp = [f"h{int(g)}" for g in rng.integers(0, 7, n)]
+        score = rng.integers(10, 5000, n).astype(np.int64)
+        # plant score ties inside groups to exercise the id tie-break
+        score[50:60] = 777
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "host": pa.array(grp, pa.string()),
+                    "score": pa.array(score),
+                }
+            )
+        ).repartition(8)
+        from fdblucene_ray.ops.curation import cap_per_group
+
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                ds, "host", 4, order_col="score"
+            ).take_all()
+        )
+        # brute-force window oracle
+        import collections
+
+        byg = collections.defaultdict(list)
+        for i in range(n):
+            byg[grp[i]].append(i)
+        want = []
+        for g, rows in byg.items():
+            rows.sort(key=lambda i: (-score[i], i))
+            want += rows[:4]
+        assert got == sorted(want)
+
+    def test_ascending_and_group_smaller_than_cap(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "host": pa.array(["a", "a", "a", "b"]),
+                    "score": pa.array([9, 1, 5, 3], pa.int64()),
+                }
+            )
+        )
+        from fdblucene_ray.ops.curation import cap_per_group
+
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                ds, "host", 2, order_col="score", descending=False
+            ).take_all()
+        )
+        assert got == [2, 3, 4]  # a: scores 1,5 -> ids 2,3; b: id 4
+
+
+class TestDedupKeepBest:
+    def test_planted_duplicates_keep_highest_score(self, ray_session):
+        texts = (
+            ["alpha beta"] * 3 + ["gamma delta"] * 2 + ["unique one"]
+        )
+        ids = [10, 11, 12, 20, 21, 30]
+        score = [5, 9, 9, 4, 2, 7]  # dup scores: best = (9, id 11)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                    "q": pa.array(score, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        from fdblucene_ray.ops.dedup import exact_dedup_keep_best
+
+        rows = {
+            r["doc_id"]: r
+            for r in exact_dedup_keep_best(
+                ds, text_col="text", score_col="q"
+            ).take_all()
+        }
+        assert set(rows) == {11, 20, 30}
+        assert rows[11]["dup_count"] == 3 and rows[11]["score"] == 9.0
+        assert rows[20]["dup_count"] == 2 and rows[20]["score"] == 4.0
+        assert rows[30]["dup_count"] == 1
+
+    def test_counts_merge_across_batches(self, ray_session):
+        # the same content spread over MANY small blocks: partial
+        # combiners each emit one row, the reduce must sum them
+        texts = ["same text"] * 64
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(64), pa.int64()),
+                    "text": pa.array(texts),
+                    "q": pa.array([i % 7 for i in range(64)], pa.int64()),
+                }
+            )
+        ).repartition(16)
+        from fdblucene_ray.ops.dedup import exact_dedup_keep_best
+
+        rows = exact_dedup_keep_best(ds, text_col="text", score_col="q").take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        # best score 6 first reached at doc_id 6
+        assert r["dup_count"] == 64 and r["score"] == 6.0 and r["doc_id"] == 6

@@ -175,3 +175,53 @@ class TestPQ:
         flat = np.concatenate([cb[j] for j in range(8)], axis=1)
         exact_codes = _pq_encode(flat, cb)
         assert (exact_codes == np.arange(16)[:, None]).all()
+
+
+class TestKCenter:
+    def _brute_greedy(self, X, ids, k):
+        sel = [int(np.argmin(ids))]
+        d = np.full(len(ids), np.inf)
+        while len(sel) < k:
+            c = X[sel[-1]]
+            np.minimum(d, ((X - c) ** 2).sum(axis=1), out=d)
+            order = np.lexsort((ids, -d))
+            best = order[0]
+            if d[best] <= 0.0:
+                break
+            sel.append(int(best))
+        return [int(ids[i]) for i in sel]
+
+    def test_matches_bruteforce_greedy(self, sf_dir, ray_session):
+        from fdblucene_ray.ops.clustering import kcenter_sample
+
+        ds = _emb(sf_dir)
+        tbl = ds.take_all()
+        ids = np.array([r["vec_id"] for r in tbl], np.int64)
+        X = np.array([r["embedding"] for r in tbl], np.float64)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        want = self._brute_greedy(X, ids, 12)
+        got = kcenter_sample(_emb(sf_dir), 12)
+        assert got["vec_id"].to_pylist() == want
+        assert got["rank"].to_pylist() == list(range(len(want)))
+        assert got["dist"][0].as_py() == 0.0
+        # selection distances are non-increasing (greedy invariant)
+        d = got["dist"].to_pylist()[1:]
+        assert all(a >= b for a, b in zip(d, d[1:]))
+
+    def test_duplicate_points_stop_early(self, ray_session):
+        from fdblucene_ray.ops.clustering import kcenter_sample
+
+        X = [[0.0, 0.0], [0.0, 0.0], [3.0, 4.0], [3.0, 4.0]]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([5, 6, 7, 8], pa.int64()),
+                    "embedding": pa.array(X, pa.list_(pa.float32())),
+                }
+            )
+        )
+        out = kcenter_sample(ds, 4)
+        # only 2 distinct locations exist: seed 5, then 7 (dist 25)
+        assert out["vec_id"].to_pylist() == [5, 7]
+        assert out["dist"].to_pylist() == [0.0, 25.0]

@@ -310,3 +310,57 @@ class TestUrlDedup:
             "doc_id").reset_index(drop=True)
         assert list(out["doc_id"]) == [0, 2, 4]
         assert list(out["dup_count"]) == [2, 2, 1]
+
+
+class TestFilterUrls:
+    def _ds(self):
+        urls = [
+            "https://good.example.com/a",
+            "HTTPS://Bad-Host.COM/a",           # blocked host (case-folded)
+            "https://good.example.com/ads/x",   # blocked pattern
+            "http://other.org/page?q=1",
+            "not-a-url",                        # no host -> never host-blocked
+            "https://bad-host.com/else",        # blocked host again
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(urls)), pa.int64()),
+                    "url": pa.array(urls, pa.string()),
+                }
+            )
+        )
+
+    def test_host_and_pattern_blocklists(self, ray_session):
+        from fdblucene_ray.ops.webtext import filter_urls
+
+        kept = sorted(
+            r["doc_id"]
+            for r in filter_urls(
+                self._ds(),
+                blocked_hosts=["bad-host.com"],
+                blocked_patterns=["/ads/"],
+            ).take_all()
+        )
+        assert kept == [0, 3, 4]
+
+    def test_empty_blocklists_keep_everything(self, ray_session):
+        from fdblucene_ray.ops.webtext import filter_urls
+
+        kept = filter_urls(self._ds()).take_all()
+        assert len(kept) == 6
+
+    def test_url_hosts_extraction(self):
+        from fdblucene_ray.ops.webtext import url_hosts
+
+        got = url_hosts(
+            pa.array(
+                [
+                    "HTTPS://A.B.C/x?y#z",
+                    "ftp://Host:8080/p",
+                    "relative/path",
+                    "https://noslash",
+                ]
+            )
+        ).to_pylist()
+        assert got == ["a.b.c", "host:8080", "", "noslash"]
