@@ -54,6 +54,11 @@ class Analyzer:
     lowercase: bool = True
     stopwords: frozenset = frozenset()
     stem: Callable[[str], str] | None = None
+    # ShingleFilter analog: emit word n-grams joined by '_' INSTEAD of
+    # unigrams (Lucene outputUnigrams=false). Only supported without
+    # stopwords (Lucene inserts '_' fillers at stopword holes; this
+    # chain keeps the SQL-twin-friendly no-holes form).
+    shingle: int = 1
 
     def tokens(self, text: str) -> list[str]:
         """Row-wise analysis (oracle / query parsing path)."""
@@ -67,6 +72,12 @@ class Analyzer:
         if self.stem is not None:
             stem = self.stem
             toks = [stem(t) for t in toks]
+        if self.shingle > 1:
+            n = self.shingle
+            toks = [
+                "_".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            ]
         return toks
 
     def tokens_with_positions(self, text: str) -> tuple[list[str], list[int]]:
@@ -89,6 +100,14 @@ class Analyzer:
                 continue
             toks.append(stem(t) if stem is not None else t)
             pos.append(p)
+        if self.shingle > 1:
+            # shingle takes the position of its FIRST token (Lucene
+            # ShingleFilter posIncrement semantics)
+            n = self.shingle
+            toks = [
+                "_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            pos = pos[: max(len(toks), 0)]
         return toks, pos
 
 
@@ -99,6 +118,10 @@ ANALYZERS: dict[str, Analyzer] = {
     "simple": Analyzer("simple"),
     # lowercase + word-split + stopword removal (SQL-expressible)
     "simple_stop": Analyzer("simple_stop", stopwords=ENGLISH_STOPWORDS),
+    # word-bigram chain (Lucene ShingleFilter, outputUnigrams=false):
+    # lowercase -> word-split -> join adjacent pairs with '_'. Every
+    # step SQL-expressible (lead() OVER per-doc token order).
+    "shingle2": Analyzer("shingle2", shingle=2),
 }
 
 
@@ -209,9 +232,48 @@ class BatchTokenizer:
                 vocab.append(t)
             remap[i] = j
         keep_mask = keep_u[codes]
-        out = [row_idx[keep_mask], remap[codes[keep_mask]], vocab]
+        kept_rows = row_idx[keep_mask]
+        kept_codes = remap[codes[keep_mask]]
+        kept_pos = positions[keep_mask] if with_positions else None
+        if self.analyzer.shingle > 1:
+            # ShingleFilter (outputUnigrams=false): adjacent kept-token
+            # pairs within a row become the emitted terms. Vectorized:
+            # pair key = first*|V| + second over the adjacency mask,
+            # unique pairs -> bigram dictionary (small), stream remap.
+            # doc_lens downstream count EMITTED tokens, so norms/avgdl
+            # become shingle counts automatically (Lucene norms count
+            # the emitted token stream).
+            if self.analyzer.stopwords:
+                raise ValueError(
+                    "shingle chains require no stopwords (no-filler form)"
+                )
+            if self.analyzer.shingle != 2:
+                raise NotImplementedError(
+                    "vectorized path supports shingle=2"
+                )
+            if with_row_lengths:
+                raise ValueError("shingle fields are single-valued")
+            adj = (
+                (kept_rows[1:] == kept_rows[:-1])
+                if len(kept_rows)
+                else np.zeros(0, bool)
+            )
+            first = kept_codes[:-1][adj] if len(kept_codes) else kept_codes
+            second = kept_codes[1:][adj] if len(kept_codes) else kept_codes
+            V = max(1, len(vocab))
+            pk = first * V + second
+            uniq, inv = np.unique(pk, return_inverse=True)
+            vocab = [
+                f"{vocab[int(u) // V]}_{vocab[int(u) % V]}" for u in uniq
+            ]
+            kept_rows = kept_rows[:-1][adj] if len(kept_rows) else kept_rows
+            kept_codes = inv.astype(np.int64)
+            if with_positions:
+                # a shingle takes its FIRST token's position
+                kept_pos = kept_pos[:-1][adj] if len(kept_pos) else kept_pos
+        out = [kept_rows, kept_codes, vocab]
         if with_positions:
-            out.append(positions[keep_mask])
+            out.append(kept_pos)
         if with_row_lengths:
             # per-row count of NON-EMPTY tokens (stopwords included) —
             # the position-stream length a multi-valued field needs to
@@ -231,6 +293,8 @@ class BatchTokenizer:
         TextField default, gap=100 in IndexWriter terms). Returns the
         same tuple shape as ``encoded_tokens`` with row indices mapped
         to the PARENT row."""
+        if self.analyzer.shingle > 1:
+            raise ValueError("shingle chains are single-valued only")
         if isinstance(list_col, pa.ChunkedArray):
             list_col = list_col.combine_chunks()
         n = len(list_col)

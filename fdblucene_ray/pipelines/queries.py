@@ -72,6 +72,11 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
             read_columns=["text"],
         )
         return ix
+    elif flavor == "sh2":
+        # word-bigram flavor (ShingleFilter analog): terms are adjacent
+        # lowercased word pairs joined by '_'; norms/avgdl count emitted
+        # shingles (Lucene counts the emitted token stream)
+        fields = {"text": {"column": "text", "analyzer": "shingle2"}}
     else:
         fields = {"text": {"column": "text", "analyzer": "lucene"}}
     build_index(
@@ -217,7 +222,9 @@ def q_ft_field_stats(sf_dir: str) -> pa.Table:
     )
 
 
-def _terms_ds(ix: str, field: str) -> ray.data.Dataset:
+def _terms_ds(
+    ix: str, field: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
     """The index's term dictionaries as a Dataset (one parquet per
     segment, column-pruned) — vocabulary analytics stay distributed
     instead of driver-side to_pylist loops (round-1 VERDICT minor #8)."""
@@ -227,7 +234,9 @@ def _terms_ds(ix: str, field: str) -> ray.data.Dataset:
     paths = [
         os.path.join(ix, "segments", s.name, "terms.parquet") for s in m.segments
     ]
-    ds = ray.data.read_parquet(paths, columns=["field", "term", "df"])
+    ds = ray.data.read_parquet(
+        paths, columns=columns or ["field", "term", "df"]
+    )
     return ds.filter(expr=f"field == '{field}'")
 
 
@@ -2573,6 +2582,38 @@ def q_ft_span_first(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_shingle(sf_dir: str) -> pa.Table:
+    """ShingleFilter chain (word bigrams, outputUnigrams=false): top-15
+    bigram terms by collection (df desc, term asc) with df and ttf —
+    verifies the shingled analysis chain end-to-end through the index
+    build (analysis/analyzer.py shingle2)."""
+    ds = _terms_ds(
+        _ensure_index(sf_dir, "sh2"), "text",
+        columns=["field", "term", "df", "ttf"],
+    )
+    agg = ds.groupby("term").aggregate(
+        ray.data.aggregate.Sum("df", alias_name="df"),
+        ray.data.aggregate.Sum("ttf", alias_name="ttf"),
+    )
+    top = agg.sort(["df", "term"], descending=[True, False]).limit(15)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "term": t["term"],
+            "df": t["df"].cast(pa.int64()),
+            "ttf": t["ttf"].cast(pa.int64()),
+        }
+    )
+
+
+def q_ft_shingle_search(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over the shingled field: the query 'data stream'
+    analyzes to the single bigram term 'data_stream'; norms/avgdl are
+    shingle counts."""
+    s = Searcher(_ensure_index(sf_dir, "sh2"))
+    return _hits_table(s.search("data stream", k=10, mode="exhaustive"))
+
+
 def q_host_cap(sf_dir: str) -> pa.Table:
     """Per-host document cap (domain balancing): keep the 5 longest
     docs per source, ties doc_id asc (ops/curation.py cap_per_group) —
@@ -2777,6 +2818,8 @@ def queries() -> dict:
         "url_dedup": q_url_dedup,
         "url_filter": q_url_filter,
         "host_cap": q_host_cap,
+        "ft_shingle": q_ft_shingle,
+        "ft_shingle_search": q_ft_shingle_search,
         "dedup_keep_best": q_dedup_keep_best,
         "diverse_sample": q_diverse_sample,
         "repetition": q_repetition,
@@ -4192,6 +4235,59 @@ t AS (SELECT doc_id, tok,
 SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
        min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
 FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
+""",
+        # ShingleFilter bigrams: ordered token stream via the
+        # generate_series ordinality trick, pairs via lead() per doc.
+        "ft_shingle": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS pos
+      FROM t0 WHERE tok <> ''),
+big AS (SELECT doc_id,
+               tok || '_' || lead(tok) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS bg
+        FROM t)
+SELECT bg AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM big WHERE bg IS NOT NULL
+GROUP BY bg ORDER BY df DESC, term LIMIT 15
+""",
+        # BM25 over the bigram stream: dl/avgdl/norms count SHINGLES.
+        "ft_shingle_search": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+tt AS (SELECT doc_id, tok,
+              row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS pos
+       FROM t0 WHERE tok <> ''),
+toks AS (SELECT doc_id,
+                tok || '_' || lead(tok) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS tok
+         FROM tt QUALIFY tok || '_' || lead(tok) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) IS NOT NULL),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS dc, sum(dl)::DOUBLE AS sttf FROM dl),
+""" + NORMVALS_CTE + ", " + DLQ_CTE + r""",
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok = 'data_stream' GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "host_cap": """
 SELECT doc_id, source, n_chars FROM (

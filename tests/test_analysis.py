@@ -92,3 +92,57 @@ class TestBatchTokenizer:
         r1 = tk.term_frequencies(col)
         r2 = tk.term_frequencies(col)
         assert r1[1].to_pylist() == r2[1].to_pylist()
+
+
+class TestShingles:
+    TEXTS = [
+        "The quick brown fox",
+        "a",
+        "",
+        "data data stream data",
+        "One-two, three!",
+        "x " * 50,  # long repetitive row
+    ]
+
+    def test_rowwise_bigrams(self):
+        from fdblucene_ray.analysis.analyzer import get_analyzer
+
+        az = get_analyzer("shingle2")
+        assert az.tokens("The quick brown fox") == [
+            "the_quick", "quick_brown", "brown_fox"
+        ]
+        assert az.tokens("a") == []
+        assert az.tokens("") == []
+        toks, pos = az.tokens_with_positions("data data stream data")
+        assert toks == ["data_data", "data_stream", "stream_data"]
+        assert pos == [0, 1, 2]
+
+    def test_batch_equals_rowwise(self):
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer, get_analyzer
+
+        az = get_analyzer("shingle2")
+        tk = BatchTokenizer("shingle2")
+        col = pa.array(self.TEXTS)
+        r, c, vocab, pos = tk.encoded_tokens(col, with_positions=True)
+        for i, t in enumerate(self.TEXTS):
+            m = r == i
+            assert [vocab[j] for j in c[m]] == az.tokens(t), i
+            assert list(pos[m]) == az.tokens_with_positions(t)[1], i
+
+    def test_doc_lens_count_emitted_shingles(self):
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer, get_analyzer
+
+        az = get_analyzer("shingle2")
+        tk = BatchTokenizer("shingle2")
+        out = tk.term_frequencies_encoded(pa.array(self.TEXTS))
+        assert list(out[4]) == [len(az.tokens(t)) for t in self.TEXTS]
+
+    def test_multi_valued_rejected(self):
+        from fdblucene_ray.analysis.analyzer import BatchTokenizer
+
+        tk = BatchTokenizer("shingle2")
+        lst = pa.array([["a b", "c d"]], pa.list_(pa.string()))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="single-valued"):
+            tk.encoded_tokens_multi(lst)
