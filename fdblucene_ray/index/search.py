@@ -1424,6 +1424,72 @@ class Searcher:
             for i in range(n_ranges)
         ]
 
+    def stats_by(
+        self,
+        query: str,
+        *,
+        value_source,
+        value_col: str,
+        field: str = "text",
+    ) -> dict:
+        """Numeric doc-values stats over the match set (Lucene
+        StatsCollector / facet sum-aggregation family): count, min,
+        max, sum, avg of ``value_col`` across docs matching ``query``
+        (OR semantics, facet_ranges' match shape). Match set broadcast,
+        values stream with per-batch partials (4 scalars per batch
+        reach the reduce)."""
+        import ray
+        import ray.data
+
+        terms = self.parse(query, field)
+        empty = {"n": 0, "min": None, "max": None, "sum": 0.0, "avg": None}
+        if not terms:
+            return empty
+        match = np.sort(self.multiterm_docs(field, terms))
+        if not len(match):
+            return empty
+        match_ref = ray.put(match)
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = ray.get(match_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            vals = b[value_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            v = vals[hit]
+            if not len(v):
+                return pa.table(
+                    {"n": pa.array([0], pa.int64()),
+                     "mn": pa.array([np.inf], pa.float64()),
+                     "mx": pa.array([-np.inf], pa.float64()),
+                     "sm": pa.array([0.0], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "n": pa.array([len(v)], pa.int64()),
+                    "mn": pa.array([float(v.min())], pa.float64()),
+                    "mx": pa.array([float(v.max())], pa.float64()),
+                    "sm": pa.array([float(v.sum())], pa.float64()),
+                }
+            )
+
+        parts = ray.data.read_parquet(
+            value_source, columns=["doc_id", value_col]
+        ).map_batches(partial, batch_format="pyarrow").take_all()
+        n = sum(r["n"] for r in parts)
+        if not n:
+            return empty
+        mn = min(r["mn"] for r in parts)
+        mx = max(r["mx"] for r in parts)
+        sm = float(sum(r["sm"] for r in parts))
+        return {
+            "n": int(n), "min": float(mn), "max": float(mx),
+            "sum": sm, "avg": sm / n,
+        }
+
     def facet_taxonomy(
         self,
         query: str,

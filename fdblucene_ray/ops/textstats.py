@@ -799,3 +799,173 @@ def corpus_report(
                 np.array([out[n] for n in names]), 4)),
         }
     )
+
+
+# ---------------------------------------------------------- fertility
+
+
+def token_fertility(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Tokenizer-fertility report per group: docs, total whitespace
+    tokens, total chars, chars-per-token — the compression diagnostic
+    tokenizer teams run per source/language (high chars/token = the
+    tokenizer fragments that slice of the corpus).
+
+    Shape: the TokenCount kernel per batch, then a per-batch partial
+    per group (map-side combine) so the groupby moves |groups| rows per
+    block, never per-doc rows."""
+
+    counter = TokenCount(text_col, id_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = counter(batch)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes_arr = g.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        groups = codes_arr.dictionary.to_pylist()
+        toks = counts["n_ws_tokens"].to_numpy(zero_copy_only=False)
+        chars = counts["n_chars"].to_numpy(zero_copy_only=False)
+        k = len(groups)
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(codes, minlength=k).astype(np.int64)
+                ),
+                "n_tokens": pa.array(
+                    np.bincount(codes, weights=toks, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+                "n_chars": pa.array(
+                    np.bincount(codes, weights=chars, minlength=k).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col
+    ).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cpt = np.divide(nc, nt, out=np.zeros_like(nc), where=nt > 0)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "n_tokens": t["n_tokens"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "chars_per_token": pa.array(
+                    round_half_away(cpt, 6).astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- filter funnel
+
+# (name, SQL-twin-documented predicate); evaluated IN ORDER, a doc is
+# charged to its FIRST failing gate (classic C4/Gopher-style funnel)
+FUNNEL_STAGES = ("min_chars", "min_tokens", "max_word_len",
+                 "distinct_ratio", "pass")
+
+
+def filter_funnel(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_chars: int = 200,
+    min_tokens: int = 30,
+    max_word_len: int = 25,
+    min_distinct_ratio: float = 0.3,
+) -> ray.data.Dataset:
+    """Quality-gate funnel report: how many docs each curation gate
+    rejects, with first-fail attribution — the observability table every
+    filtering pipeline publishes next to its output. Gates (C4/Gopher
+    heuristics): doc length, whitespace-token count, longest-word
+    length, distinct-token ratio.
+
+    One vectorized pass computes every predicate; the exchange carries
+    |stages| partial rows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        ws = pc.split_pattern_regex(text, r"\s+")
+        offs = ws.offsets.to_numpy(zero_copy_only=False)
+        per_row = np.diff(offs)
+        flat = ws.flatten()
+        row_idx = np.repeat(np.arange(n), per_row)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_toks = np.bincount(row_idx[nonempty], minlength=n).astype(np.int64)
+        # longest token per row
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        max_len = np.zeros(n, np.int64)
+        np.maximum.at(max_len, row_idx[nonempty], tok_len[nonempty])
+        # distinct non-empty tokens per row: lexsort + run starts
+        h = hash_strings(flat)[nonempty]
+        rid = row_idx[nonempty]
+        order = np.lexsort((h, rid))
+        rs, hs = rid[order], h[order]
+        new_run = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1]))
+        ) if len(rs) else np.zeros(0, bool)
+        n_distinct = np.bincount(rs[new_run], minlength=n).astype(np.int64)
+        ratio = np.divide(
+            n_distinct.astype(np.float64), n_toks,
+            out=np.zeros(n, np.float64), where=n_toks > 0,
+        )
+        # first-fail stage per doc
+        stage = np.full(n, len(FUNNEL_STAGES) - 1, np.int64)  # pass
+        fails = [
+            chars < min_chars,
+            n_toks < min_tokens,
+            max_len > max_word_len,
+            ratio < min_distinct_ratio,
+        ]
+        for i in range(len(fails) - 1, -1, -1):
+            stage[fails[i]] = i
+        counts = np.bincount(stage, minlength=len(FUNNEL_STAGES))
+        return pa.table(
+            {
+                "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "stage"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"stage": t["stage"], "n_docs": t["n_docs"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

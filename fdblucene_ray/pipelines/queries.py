@@ -2614,6 +2614,54 @@ def q_ft_shingle_search(sf_dir: str) -> pa.Table:
     return _hits_table(s.search("data stream", k=10, mode="exhaustive"))
 
 
+def q_ft_docvalue_stats(sf_dir: str) -> pa.Table:
+    """Doc-values stats over the match set (Lucene StatsCollector /
+    facet aggregation analog): count/min/max/sum/avg of n_chars across
+    docs matching 'data stream' (index/search.py stats_by — match set
+    broadcast, 4 scalars per batch reach the reduce)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    st = s.stats_by(
+        "data stream", value_source=_docs_path(sf_dir), value_col="n_chars"
+    )
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    return pa.table(
+        {
+            "n": pa.array([st["n"]], pa.int64()),
+            "vmin": pa.array([st["min"]], pa.float64()),
+            "vmax": pa.array([st["max"]], pa.float64()),
+            "vsum": pa.array([st["sum"]], pa.float64()),
+            "vavg": pa.array(
+                [float(round_half_away(np.array([st["avg"]]), 6)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_token_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility per source: docs, whitespace tokens, chars,
+    chars-per-token (ops/textstats.py token_fertility — per-batch
+    per-group partials, the groupby moves |groups| rows per block)."""
+    from fdblucene_ray.ops.textstats import token_fertility
+
+    out = token_fertility(_docs_ds(sf_dir, ["doc_id", "text", "source"]))
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_filter_funnel(sf_dir: str) -> pa.Table:
+    """Quality-gate funnel report with first-fail attribution
+    (ops/textstats.py filter_funnel): docs charged to the first
+    C4/Gopher-style gate they fail (length, token count, longest word,
+    distinct-token ratio), plus the pass-through count."""
+    from fdblucene_ray.ops.textstats import filter_funnel
+
+    out = filter_funnel(_docs_ds(sf_dir, ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("stage").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_host_cap(sf_dir: str) -> pa.Table:
     """Per-host document cap (domain balancing): keep the 5 longest
     docs per source, ties doc_id asc (ops/curation.py cap_per_group) —
@@ -2820,6 +2868,9 @@ def queries() -> dict:
         "host_cap": q_host_cap,
         "ft_shingle": q_ft_shingle,
         "ft_shingle_search": q_ft_shingle_search,
+        "ft_docvalue_stats": q_ft_docvalue_stats,
+        "token_fertility": q_token_fertility,
+        "filter_funnel": q_filter_funnel,
         "dedup_keep_best": q_dedup_keep_best,
         "diverse_sample": q_diverse_sample,
         "repetition": q_repetition,
@@ -4235,6 +4286,52 @@ t AS (SELECT doc_id, tok,
 SELECT doc_id, tok AS term, count(*)::BIGINT AS tf,
        min(pos)::BIGINT AS min_pos, max(pos)::BIGINT AS max_pos
 FROM t GROUP BY doc_id, tok ORDER BY doc_id, term
+""",
+        "ft_docvalue_stats": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ('data', 'stream'))
+SELECT count(*)::BIGINT AS n,
+       min(d.n_chars)::DOUBLE AS vmin,
+       max(d.n_chars)::DOUBLE AS vmax,
+       sum(d.n_chars)::DOUBLE AS vsum,
+       CAST(round(sum(d.n_chars)::DOUBLE / count(*), 6) AS DOUBLE) AS vavg
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+""",
+        "token_fertility": r"""
+WITH c AS (
+  SELECT source, length(text)::BIGINT AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       CAST(round(sum(n_chars)::DOUBLE / sum(n_toks), 6) AS DOUBLE)
+         AS chars_per_token
+FROM c GROUP BY source ORDER BY source
+""",
+        "filter_funnel": r"""
+WITH c AS (
+  SELECT length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+p AS (SELECT n_chars, len(toks) AS n_toks,
+             list_max(list_transform(toks, x -> length(x))) AS max_len,
+             len(list_distinct(toks)) AS n_distinct
+      FROM c),
+s AS (SELECT CASE
+        WHEN n_chars < 200 THEN 'min_chars'
+        WHEN n_toks < 30 THEN 'min_tokens'
+        WHEN max_len > 25 THEN 'max_word_len'
+        WHEN n_distinct::DOUBLE / n_toks < 0.3 THEN 'distinct_ratio'
+        ELSE 'pass' END AS stage
+      FROM p)
+SELECT v.stage, count(s.stage)::BIGINT AS n_docs
+FROM (VALUES ('min_chars'), ('min_tokens'), ('max_word_len'),
+             ('distinct_ratio'), ('pass')) v(stage)
+LEFT JOIN s ON s.stage = v.stage
+GROUP BY v.stage ORDER BY v.stage
 """,
         # ShingleFilter bigrams: ordered token stream via the
         # generate_series ordinality trick, pairs via lead() per doc.

@@ -335,3 +335,30 @@ class TestFeatureQueries:
                 "merge", k=5, value_source=src,
                 sort_fields=[("tag", True)],
             )
+
+
+class TestStatsBy:
+    def test_matches_bruteforce(self, corpus):
+        ix, src, texts, n_chars = corpus
+        s = Searcher(ix)
+        match = sorted(
+            d for d, t in enumerate(texts)
+            if {"merge", "scan"} & set(t.split())
+        )
+        vals = [n_chars[d] for d in match]
+        got = s.stats_by(
+            "merge scan", value_source=src, value_col="n_chars"
+        )
+        assert got["n"] == len(match)
+        assert got["min"] == float(min(vals))
+        assert got["max"] == float(max(vals))
+        assert got["sum"] == float(sum(vals))
+        assert got["avg"] == pytest.approx(sum(vals) / len(vals), rel=1e-12)
+
+    def test_no_match_empty_stats(self, corpus):
+        ix, src, _, _ = corpus
+        s = Searcher(ix)
+        got = s.stats_by("zzzzz", value_source=src, value_col="n_chars")
+        assert got == {
+            "n": 0, "min": None, "max": None, "sum": 0.0, "avg": None
+        }

@@ -507,3 +507,71 @@ class TestSignificantTerms:
         assert out["term"].iloc[0] == "marker"
         for got, (_, s) in zip(out["score"], exp):
             assert got == pytest.approx(round(s, 6), abs=1e-9)
+
+
+class TestFertilityFunnel:
+    TEXTS = [
+        "short",                                   # tiny doc
+        " ".join(f"w{i}" for i in range(40)),      # healthy, 40 distinct
+        " ".join(["dup"] * 50),                    # repetitive (ratio 1/50)
+        "x" * 300,                                 # one huge word
+        " ".join(f"tok{i % 35}" for i in range(64)) + " " + "y" * 250,
+    ]
+
+    def _ds(self):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+                    "text": pa.array(self.TEXTS),
+                    "source": pa.array(
+                        ["a", "a", "b", "b", "b"], pa.string()
+                    ),
+                }
+            )
+        ).repartition(2)
+
+    def test_token_fertility_matches_bruteforce(self, ray_session):
+        from fdblucene_ray.ops.textstats import token_fertility
+
+        rows = {
+            r["source"]: r
+            for r in token_fertility(self._ds()).take_all()
+        }
+        import collections
+
+        want = collections.defaultdict(lambda: [0, 0, 0])
+        srcs = ["a", "a", "b", "b", "b"]
+        for t, s in zip(self.TEXTS, srcs):
+            toks = [x for x in t.split() if x]
+            want[s][0] += 1
+            want[s][1] += len(toks)
+            want[s][2] += len(t)
+        for s, (nd, nt, nc) in want.items():
+            r = rows[s]
+            assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (nd, nt, nc)
+            assert r["chars_per_token"] == round(nc / nt, 6)
+
+    def test_filter_funnel_first_fail_attribution(self, ray_session):
+        from fdblucene_ray.ops.textstats import filter_funnel
+
+        rows = {
+            r["stage"]: r["n_docs"]
+            for r in filter_funnel(
+                self._ds(), min_chars=100, min_tokens=30,
+                max_word_len=25, min_distinct_ratio=0.3,
+            ).take_all()
+        }
+        # doc0: 5 chars -> min_chars; doc1: 40 toks distinct -> but
+        # n_chars = len(doc1) >= 100? "w0 ... w39" ~ 150 chars -> pass
+        # doc2: 50 toks 199 chars -> chars>=100, toks>=30, max word 3,
+        #       ratio 1/50 -> distinct_ratio
+        # doc3: 300 chars, 1 tok -> min_tokens
+        # doc4: 64+1 toks, one 250-char word -> max_word_len
+        assert rows == {
+            "min_chars": 1,
+            "min_tokens": 1,
+            "max_word_len": 1,
+            "distinct_ratio": 1,
+            "pass": 1,
+        }
