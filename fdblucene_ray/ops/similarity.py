@@ -149,6 +149,48 @@ def brute_force_topk(
     return _merge_topk(cand.to_pandas(), k)
 
 
+def filtered_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    allowed: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Pre-filtered exact cosine top-k — the Lucene
+    ``KnnFloatVectorQuery(field, vector, k, filter)`` analog: top-k is
+    collected ONLY over ids in the ``allowed`` set (e.g. docs matching
+    a term/metadata query), Lucene's pre-filter semantics (the filter
+    restricts the candidate pool, it doesn't post-trim the top-k).
+
+    ``allowed``: sorted int64 id array, shipped ONCE via ``ray.put``
+    and probed per batch with a vectorized searchsorted; scoring then
+    reuses the brute-force per-batch top-k kernel. Map-only."""
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    qn = _normalize(np.asarray(queries, np.float64)).T
+    qids = np.asarray(query_ids, np.int64)
+    allowed_ref = ray.put(np.sort(np.asarray(allowed, np.int64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        al = cached_state(
+            ("knn_filter", allowed_ref.hex()), lambda: ray.get(allowed_ref)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(al, ids)
+        pos[pos == len(al)] = 0
+        hit = (al[pos] == ids) if len(al) else np.zeros(len(ids), bool)
+        sub = batch.filter(pa.array(hit))
+        return _score_batch_topk(
+            sub, qn_T=qn, query_ids=qids, k=k, vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    cand = ds.map_batches(fn, batch_format="pyarrow")
+    return _merge_topk(cand.to_pandas(), k)
+
+
 # ------------------------------------------------------------------ IVF
 #
 # Scale path: ``build_ivf_index`` writes the corpus as parquet

@@ -1081,6 +1081,23 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_knn_prefilter(sf_dir: str) -> pa.Table:
+    """Filtered vector search (KnnFloatVectorQuery + filter analog):
+    cosine top-10 to the vec_id-0 query among ONLY the vectors whose
+    twin document matches the term 'data' — the match set comes from
+    the inverted index, the vectors stream
+    (ops/similarity.filtered_topk)."""
+    from fdblucene_ray.ops.similarity import filtered_topk
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    allowed = np.sort(s.multiterm_docs("text", ["data"]))
+    q = _query_vectors(sf_dir, [0])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return filtered_topk(ds, q, [0], allowed, k=10)
+
+
 def q_ann_range(sf_dir: str) -> pa.Table:
     """Radius (range) vector search: all vectors with cosine >= 0.3 to
     3 queries — FAISS range_search analog, map-only
@@ -2614,6 +2631,23 @@ def q_ft_shingle_search(sf_dir: str) -> pa.Table:
     return _hits_table(s.search("data stream", k=10, mode="exhaustive"))
 
 
+def q_check_index(sf_dir: str) -> pa.Table:
+    """CheckIndex analog (index/check.py): per-segment CRC + term-dict
+    + posting-invariant verification, one Ray task per segment.
+    Rows-only: segment layout isn't SQL-expressible;
+    tests/test_checkindex.py plants corruptions for the strong oracle."""
+    from fdblucene_ray.index.check import check_index
+
+    out = check_index(_ensure_index(sf_dir, "simple"), level="full")
+    return pa.table(
+        {
+            "segment": out["segment"],
+            "status": out["status"],
+            "issues": out["issues"],
+        }
+    )
+
+
 def q_ft_docvalue_stats(sf_dir: str) -> pa.Table:
     """Doc-values stats over the match set (Lucene StatsCollector /
     facet aggregation analog): count/min/max/sum/avg of n_chars across
@@ -2869,6 +2903,7 @@ def queries() -> dict:
         "ft_shingle": q_ft_shingle,
         "ft_shingle_search": q_ft_shingle_search,
         "ft_docvalue_stats": q_ft_docvalue_stats,
+        "check_index": q_check_index,
         "token_fertility": q_token_fertility,
         "filter_funnel": q_filter_funnel,
         "dedup_keep_best": q_dedup_keep_best,
@@ -2940,6 +2975,7 @@ def queries() -> dict:
         "retention": q_retention,
         "weighted_sample": q_weighted_sample,
         "ann_range": q_ann_range,
+        "knn_prefilter": q_knn_prefilter,
     }
 
 
@@ -4153,6 +4189,15 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "knn_prefilter": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'data'),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT 0::BIGINT AS query_id, e.vec_id,
+       CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM embeddings e JOIN m ON m.doc_id = e.vec_id CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
 """,
         "ann_range": """

@@ -575,3 +575,62 @@ class TestFertilityFunnel:
             "distinct_ratio": 1,
             "pass": 1,
         }
+
+
+class TestFilteredKnn:
+    def test_prefilter_restricts_candidate_pool(self, ray_session):
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 8)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array(
+                        vecs.tolist(), pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.similarity import brute_force_topk, filtered_topk
+
+        allowed = np.arange(0, 200, 3, dtype=np.int64)  # every 3rd id
+        q = vecs[:1].astype(np.float64)
+        got = filtered_topk(ds, q, [0], allowed, k=7).to_pandas()
+        # every hit is in the allowed set
+        assert set(got.vec_id).issubset(set(allowed.tolist()))
+        # equals brute force over the allowed subset only
+        mask = np.zeros(200, bool)
+        mask[allowed] = True
+        sub = pa.table(
+            {
+                "vec_id": pa.array(np.arange(200)[mask], pa.int64()),
+                "embedding": pa.array(
+                    vecs[mask].tolist(), pa.list_(pa.float32())
+                ),
+            }
+        )
+        want = brute_force_topk(
+            ray.data.from_arrow(sub), q, [0], k=7
+        ).to_pandas()
+        assert got.vec_id.tolist() == want.vec_id.tolist()
+        assert got.sim.tolist() == want.sim.tolist()
+
+    def test_full_filter_equals_unfiltered(self, ray_session):
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(60, 6)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(
+                        vecs.tolist(), pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        from fdblucene_ray.ops.similarity import brute_force_topk, filtered_topk
+
+        q = vecs[:1].astype(np.float64)
+        a = filtered_topk(ds, q, [0], np.arange(60), k=5).to_pandas()
+        b = brute_force_topk(ds, q, [0], k=5).to_pandas()
+        assert a.vec_id.tolist() == b.vec_id.tolist()
