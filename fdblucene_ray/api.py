@@ -194,6 +194,30 @@ class Index:
         """Facet associations (count + numeric sum per facet value)."""
         return self.searcher.facet_sums(query, facet_field, **kw)
 
+    def check(self, level: str = "full"):
+        """CheckIndex analog: distributed per-segment integrity report
+        (index/check.py)."""
+        from fdblucene_ray.index.check import check_index
+
+        return check_index(self.index_dir, level=level)
+
+    def feature_field(self, query: str, k: int = 10, **kw):
+        """FeatureField saturation boost (additive rank feature)."""
+        return self.searcher.search_feature_field(query, k, **kw)
+
+    def distance_feature(self, query: str, k: int = 10, **kw):
+        """DistanceFeatureQuery pivot-decay boost around an origin."""
+        return self.searcher.search_distance_feature(query, k, **kw)
+
+    def sort_multi(self, query: str, k: int = 10, **kw):
+        """Multi-key Sort(SortField...) over streaming doc values."""
+        return self.searcher.search_sort_multi(query, k, **kw)
+
+    def stats(self, query: str, **kw) -> dict:
+        """count/min/max/sum/avg of a doc-values column over the match
+        set (StatsCollector analog)."""
+        return self.searcher.stats_by(query, **kw)
+
     def term_stats(self, term: str, field: str = "text"):
         return self.searcher.term_stats(field, term)
 

@@ -250,6 +250,22 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.check import check_index
+
+    out = check_index(args.index, level=args.level)
+    bad = 0
+    for r in out.to_pylist():
+        line = f"{r['segment']}: {r['status']}  terms={r['n_terms']} postings={r['n_postings']}"
+        if r["issues"]:
+            line += f"  [{r['issues']}]"
+            bad += 1
+        print(line)
+    print(f"{out.num_rows} segments, {bad} corrupt")
+    return 0 if bad == 0 else 1
+
+
 def cmd_span(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.search import Searcher
@@ -659,6 +675,13 @@ def main(argv=None) -> int:
     st_ = sub.add_parser("stats", help="index diagnostics (CheckIndex-lite)")
     st_.add_argument("--index", required=True)
     st_.set_defaults(fn=cmd_stats)
+
+    ck = sub.add_parser(
+        "check", help="verify index integrity (CheckIndex analog)"
+    )
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--level", choices=["fast", "full"], default="full")
+    ck.set_defaults(fn=cmd_check)
 
     m = sub.add_parser("merge", help="merge indexes (addIndexes analog)")
     m.add_argument("--source", action="append", required=True,

@@ -871,14 +871,30 @@ def dedup_components(pairs: pa.Table) -> pa.Table:
     )
 
 
-def near_dedup_drop_list(pairs: pa.Table) -> np.ndarray:
+def near_dedup_drop_list(
+    pairs: pa.Table, *, scores: dict | None = None
+) -> np.ndarray:
     """Doc ids to DROP so each near-duplicate component keeps exactly
-    its min-id representative (sorted int64 — broadcast it into a
-    map_batches filter to materialize the deduplicated corpus)."""
+    one representative (sorted int64 — broadcast it into a map_batches
+    filter to materialize the deduplicated corpus). Default policy:
+    min id. With ``scores`` ({doc_id: quality}), keep the MAX-score
+    member instead, ties min id — the curation-grade policy ("among
+    near-duplicate pages keep the highest-quality one"). The component
+    member set is pair-graph-sized (small by construction), so the
+    argmax runs driver-side on it."""
     comp = dedup_components(pairs)
     docs = comp["doc_id"].to_numpy(zero_copy_only=False)
     keep = comp["keep_id"].to_numpy(zero_copy_only=False)
-    return np.sort(docs[docs != keep])
+    if scores is None:
+        return np.sort(docs[docs != keep])
+    s = np.array([float(scores[int(d)]) for d in docs], np.float64)
+    order = np.lexsort((docs, -s, keep))
+    k = keep[order]
+    if not len(k):
+        return docs[:0].astype(np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+    best_ids = docs[order[starts]]
+    return np.sort(np.setdiff1d(docs, best_ids))
 
 
 def drop_docs(ds: ray.data.Dataset, drop_ids: np.ndarray, id_col: str = "doc_id"):
@@ -908,15 +924,47 @@ def near_dedup_corpus(
     threshold: float = 0.8,
     shingle: int = 3,
     analyzer: str = "simple",
+    quality_col: str | None = None,
 ):
     """End-to-end near-dedup: minhash-LSH pairs -> components -> drop
     non-representatives -> deduplicated Dataset (streams; only the pair
-    set and drop list touch the driver)."""
+    set and drop list touch the driver). With ``quality_col``, each
+    component keeps its highest-quality member (ties min id) instead of
+    the min id; only the component MEMBERS' (id, quality) rows — a
+    pair-graph-sized set — are pulled to the driver via a broadcast
+    membership filter."""
     pairs = minhash_lsh_pairs(
         ds, text_col, id_col, threshold=threshold, shingle=shingle,
         analyzer=analyzer,
     )
-    drop = near_dedup_drop_list(pairs)
+    scores = None
+    if quality_col is not None and pairs.num_rows:
+        members = np.unique(
+            np.concatenate(
+                (
+                    pairs["a"].to_numpy(zero_copy_only=False),
+                    pairs["b"].to_numpy(zero_copy_only=False),
+                )
+            )
+        ).astype(np.int64)
+        ref = ray.put(members)
+
+        def member_rows(batch: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(m, ids)
+            pos[pos == len(m)] = 0
+            hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(pa.array(hit)),
+                    quality_col: batch[quality_col].filter(pa.array(hit)),
+                }
+            )
+
+        rows = ds.map_batches(member_rows, batch_format="pyarrow").take_all()
+        scores = {int(r[id_col]): float(r[quality_col]) for r in rows}
+    drop = near_dedup_drop_list(pairs, scores=scores)
     return drop_docs(ds, drop, id_col)
 
 

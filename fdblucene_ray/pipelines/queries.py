@@ -1013,6 +1013,21 @@ def q_dedup_near_corpus(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(np.int64))})
 
 
+def q_dedup_near_best(sf_dir: str) -> pa.Table:
+    """Near-dedup with the keep-best policy: each near-dup component
+    keeps its longest member (n_chars as the quality signal) instead of
+    the min id (ops/dedup.py near_dedup_corpus(quality_col=...));
+    rows-only — tests/test_ops.py plants the inverted-quality oracle."""
+    from fdblucene_ray.ops.dedup import near_dedup_corpus
+
+    out = near_dedup_corpus(
+        _docs_ds(sf_dir, ["doc_id", "text", "n_chars"]),
+        threshold=0.8, quality_col="n_chars",
+    )
+    kept = out.select_columns(["doc_id"]).to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(np.int64))})
+
+
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.dedup import simhash_fingerprints
 
@@ -2907,6 +2922,7 @@ def queries() -> dict:
         "token_fertility": q_token_fertility,
         "filter_funnel": q_filter_funnel,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_near_best": q_dedup_near_best,
         "diverse_sample": q_diverse_sample,
         "repetition": q_repetition,
         "source_stats": q_source_stats,

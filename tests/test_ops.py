@@ -634,3 +634,65 @@ class TestFilteredKnn:
         a = filtered_topk(ds, q, [0], np.arange(60), k=5).to_pandas()
         b = brute_force_topk(ds, q, [0], k=5).to_pandas()
         assert a.vec_id.tolist() == b.vec_id.tolist()
+
+
+class TestNearDedupKeepBest:
+    def test_quality_policy_keeps_best_member(self, ray_session):
+        # 3 near-dup variants of one base doc + unrelated docs; quality
+        # deliberately INVERTS id order so min-id and keep-best differ
+        base = " ".join(f"w{(j * 11) % 70}" for j in range(80))
+        v1 = base.split(); v1[5] = "alpha"
+        v2 = base.split(); v2[9] = "beta"
+        rows = [base, " ".join(v1), " ".join(v2)] + [
+            " ".join(f"u{i}x{j}" for j in range(60)) for i in range(5)
+        ]
+        quality = [1.0, 9.0, 5.0, 2, 2, 2, 2, 2]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array(rows, pa.string()),
+                    "q": pa.array(
+                        [float(x) for x in quality], pa.float64()
+                    ),
+                }
+            )
+        ).repartition(2)
+        from fdblucene_ray.ops.dedup import near_dedup_corpus
+
+        out = near_dedup_corpus(
+            ds, threshold=0.7, quality_col="q"
+        ).to_pandas()
+        kept = set(out["doc_id"])
+        # doc 1 (quality 9) survives its component; 0 and 2 are dropped
+        assert 1 in kept and 0 not in kept and 2 not in kept
+        assert kept.issuperset({3, 4, 5, 6, 7})
+
+    def test_min_id_policy_unchanged_without_quality(self, ray_session):
+        base = " ".join(f"w{(j * 11) % 70}" for j in range(80))
+        v1 = base.split(); v1[5] = "alpha"
+        rows = [base, " ".join(v1)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([10, 20], pa.int64()),
+                    "text": pa.array(rows, pa.string()),
+                }
+            )
+        )
+        from fdblucene_ray.ops.dedup import near_dedup_corpus
+
+        out = near_dedup_corpus(ds, threshold=0.7).to_pandas()
+        assert sorted(out["doc_id"]) == [10]
+
+    def test_score_tie_falls_back_to_min_id(self, ray_session):
+        from fdblucene_ray.ops.dedup import near_dedup_drop_list
+
+        pairs = pa.table(
+            {"a": pa.array([1, 2], pa.int64()),
+             "b": pa.array([2, 3], pa.int64())}
+        )
+        drop = near_dedup_drop_list(
+            pairs, scores={1: 4.0, 2: 4.0, 3: 4.0}
+        )
+        assert sorted(drop.tolist()) == [2, 3]
