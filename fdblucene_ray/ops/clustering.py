@@ -347,3 +347,67 @@ def kcenter_sample(
             "dist": pa.array(sel_dists, pa.float64()),
         }
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Mean-pooled centroid per label — the class-prototype computation
+    (nearest-class-mean classifiers, SemDeDup-style per-cluster
+    anchors, label-conditioned data selection). Returns long-form
+    (label, dim, avg) rows.
+
+    Shape: each batch folds its vectors into |labels| x D partial sums
+    (one np.add.at) and emits LONG-FORM (label, dim, s, n) rows —
+    |labels| x D per batch, independent of batch size — so the groupby
+    exchange is tiny and Ray's scalar Sum aggregates apply (no
+    list-typed aggregation needed)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _stack64(batch[vec_col])
+        lab = batch[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        codes_arr = lab.dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        labels = np.asarray(codes_arr.dictionary.to_pylist())
+        L, D = len(labels), X.shape[1] if len(X) else 0
+        sums = np.zeros((L, D), np.float64)
+        np.add.at(sums, codes, X)
+        counts = np.bincount(codes, minlength=L).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labels, D)),
+                "dim": pa.array(np.tile(np.arange(1, D + 1), L), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, D), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "dim"]
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"].cast(pa.int64()),
+                "avg": pa.array(
+                    round_half_away(s / n, 6).astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1096,6 +1096,28 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Mean-pooled centroid per label (class prototypes): long-form
+    (label, dim, avg) rows via per-batch |labels|xD partial sums
+    (ops/clustering.label_centroids)."""
+    from fdblucene_ray.ops.clustering import label_centroids
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["embedding", "label"]
+    )
+    df = label_centroids(ds).to_pandas().sort_values(
+        ["label", "dim"]
+    ).reset_index(drop=True)
+    out = pa.Table.from_pandas(df, preserve_index=False)
+    return pa.table(
+        {
+            "label": out["label"].cast(pa.int64()),
+            "dim": out["dim"],
+            "avg": out["avg"],
+        }
+    )
+
+
 def q_knn_prefilter(sf_dir: str) -> pa.Table:
     """Filtered vector search (KnnFloatVectorQuery + filter analog):
     cosine top-10 to the vec_id-0 query among ONLY the vectors whose
@@ -2992,6 +3014,7 @@ def queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "ann_range": q_ann_range,
         "knn_prefilter": q_knn_prefilter,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -4206,6 +4229,14 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "label_centroids": """
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       CAST(round(avg(v::DOUBLE), 6) AS DOUBLE) AS avg
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
 """,
         "knn_prefilter": f"""
 WITH {TOKS_CTE},

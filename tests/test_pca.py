@@ -57,3 +57,25 @@ def test_pca_project_reconstructs_variance():
     proj_var = (p ** 2).sum(axis=1).mean()
     # top-3 captured variance ratio must match evr sum
     np.testing.assert_allclose(proj_var / total_var, evr.sum(), atol=1e-9)
+
+
+class TestLabelCentroids:
+    def test_matches_numpy_groupby_mean(self, ray_session):
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(120, 5)).astype(np.float32)
+        lab = rng.integers(0, 4, 120).astype(np.int32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+                    "label": pa.array(lab),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.clustering import label_centroids
+
+        out = label_centroids(ds).to_pandas()
+        for l in range(4):
+            want = X[lab == l].astype(np.float64).sum(axis=0) / (lab == l).sum()
+            got = out[out.label == l].sort_values("dim")["avg"].to_numpy()
+            assert np.allclose(got, np.round(want, 6), atol=1.1e-6)
