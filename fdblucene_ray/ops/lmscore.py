@@ -90,7 +90,9 @@ def train_unigram_lm(
 class _ScoreDocs:
     """Broadcast-model scorer: mean NLL + OOV fraction per doc."""
 
-    def __init__(self, model_ref, analyzer: str, text_col: str, id_col: str):
+    def __init__(self, model_ref, analyzer: str, text_col: str, id_col: str,
+                 keep_cols: tuple = ()):
+        self.keep_cols = tuple(keep_cols)
         m = ray.get(model_ref)
         self.terms = pa.array(m["terms"].tolist(), pa.string())
         self.total = float(m["total"])
@@ -116,18 +118,19 @@ class _ScoreDocs:
         n_oov = np.bincount(row_idx[oov], minlength=n).astype(np.int64)
         denom = np.maximum(n_tok, 1)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "n_tokens": pa.array(n_tok),
-                "mean_nll": pa.array(
-                    np.round(sum_nll / denom, 6).astype(np.float64)
-                ),
-                "oov_frac": pa.array(
-                    np.round(n_oov / denom, 6).astype(np.float64)
-                ),
-            }
-        )
+        out = {
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "mean_nll": pa.array(
+                np.round(sum_nll / denom, 6).astype(np.float64)
+            ),
+            "oov_frac": pa.array(
+                np.round(n_oov / denom, 6).astype(np.float64)
+            ),
+        }
+        for c in self.keep_cols:
+            out[c] = batch[c]
+        return pa.table(out)
 
 
 def _partial_counts_batch(batch, *, analyzer, text_col):
@@ -142,14 +145,17 @@ def _partial_counts_batch(batch, *, analyzer, text_col):
     return st(batch)
 
 
-def _score_docs_batch(batch, *, model_ref, analyzer, text_col, id_col):
+def _score_docs_batch(batch, *, model_ref, analyzer, text_col, id_col,
+                      keep_cols=()):
     """Task wrapper: per-worker cached _ScoreDocs keyed by the broadcast
     model's ObjectRef (zero-copy plasma fetch once per worker)."""
     from fdblucene_ray.ops.broadcast import cached_state
 
     st = cached_state(
-        ("lm_score", model_ref.hex(), analyzer, text_col, id_col),
-        lambda: _ScoreDocs(model_ref, analyzer, text_col, id_col),
+        ("lm_score", model_ref.hex(), analyzer, text_col, id_col,
+         tuple(keep_cols)),
+        lambda: _ScoreDocs(model_ref, analyzer, text_col, id_col,
+                           keep_cols),
     )
     return st(batch)
 
@@ -162,9 +168,10 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     model: dict | None = None,
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Score every doc under a corpus-trained (or supplied) unigram LM.
-    -> Dataset of (doc_id, n_tokens, mean_nll, oov_frac)."""
+    -> Dataset of (doc_id, n_tokens, mean_nll, oov_frac[, keep_cols])."""
     if model is None:
         model = train_unigram_lm(
             ds, vocab_size, analyzer=analyzer, text_col=text_col
@@ -174,8 +181,113 @@ def lm_score(
         _score_docs_batch,
         fn_kwargs=dict(
             model_ref=model_ref, analyzer=analyzer,
-            text_col=text_col, id_col=id_col,
+            text_col=text_col, id_col=id_col, keep_cols=tuple(keep_cols),
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def ppl_buckets(
+    ds: ray.data.Dataset,
+    *,
+    vocab_size: int = 200,
+    k: int = 3,
+    group_col: str = "source",
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    group, rank docs by LM mean-NLL and split into ``k`` equal-size
+    buckets (SQL ``ntile(k)`` semantics, ties doc_id asc) — CCNet's
+    head/middle/tail split, the standard web-corpus quality
+    stratification. Returns (group, bucket 1..k, n_docs, min_nll,
+    max_nll) rows.
+
+    Shape: LM scoring is the lm_score broadcast-model pass; bucketing
+    is ONE hashed-partition exchange of the (group, id, nll) triples —
+    every group lands whole in one partition, ranked there with a
+    single lexsort + ntile run arithmetic (no per-group Python)."""
+    import ray as _ray
+
+    from fdblucene_ray.ops.hashing import hash_strings
+
+    scored = lm_score(
+        ds, vocab_size, analyzer=analyzer, text_col=text_col,
+        id_col=id_col, keep_cols=(group_col,),
+    )
+    num_parts = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        hp = hash_strings(g.cast(pa.string()))
+        return pa.table(
+            {
+                group_col: g,
+                "doc_id": t["doc_id"],
+                "mean_nll": t["mean_nll"],
+                "_part": pa.array(
+                    (hp % np.uint64(num_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        gcol = group[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        denc = gcol.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = denc.dictionary.to_pylist()
+        if not len(codes):
+            return pa.table(
+                {group_col: pa.array([], pa.string()),
+                 "bucket": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "min_nll": pa.array([], pa.float64()),
+                 "max_nll": pa.array([], pa.float64())}
+            )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nll = group["mean_nll"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, nll, codes))
+        gc, nl = codes[order], nll[order]
+        starts = np.flatnonzero(np.concatenate(([True], gc[1:] != gc[:-1])))
+        runlen = np.diff(np.concatenate((starts, [len(gc)])))
+        rank = np.arange(len(gc)) - np.repeat(starts, runlen)
+        n = np.repeat(runlen, runlen)
+        # ntile(k): first (n % k) buckets get ceil(n/k) rows
+        small = n // k
+        nbig = n % k
+        big = small + 1
+        cut = nbig * big
+        bucket = np.where(
+            rank < cut,
+            rank // np.maximum(big, 1),
+            nbig + (rank - cut) // np.maximum(small, 1),
+        ) + 1  # 1-based like SQL ntile
+        # aggregate per (group-run, bucket): contiguous because rows are
+        # sorted by (group, nll, id) and bucket is monotone in rank
+        key_change = np.concatenate(
+            ([True], (gc[1:] != gc[:-1]) | (bucket[1:] != bucket[:-1]))
+        )
+        bs = np.flatnonzero(key_change)
+        be = np.concatenate((bs[1:], [len(gc)]))
+        return pa.table(
+            {
+                group_col: pa.array([names[c] for c in gc[bs]], pa.string()),
+                "bucket": pa.array(bucket[bs].astype(np.int64)),
+                "n_docs": pa.array((be - bs).astype(np.int64)),
+                "min_nll": pa.array(nl[bs], pa.float64()),
+                "max_nll": pa.array(nl[be - 1], pa.float64()),
+            }
+        )
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("_part", num_partitions=num_parts)
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -1096,6 +1096,22 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ppl_buckets(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail perplexity split: per source, docs ranked
+    by unigram-LM mean NLL and ntile(3)-bucketed
+    (ops/lmscore.ppl_buckets — one hashed-partition exchange of
+    (source, id, nll) triples)."""
+    from fdblucene_ray.ops.lmscore import ppl_buckets
+
+    out = ppl_buckets(
+        _docs_ds(sf_dir, ["doc_id", "text", "source"]), vocab_size=200, k=3
+    )
+    df = out.to_pandas().sort_values(["source", "bucket"]).reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_label_centroids(sf_dir: str) -> pa.Table:
     """Mean-pooled centroid per label (class prototypes): long-form
     (label, dim, avg) rows via per-batch |labels|xD partial sums
@@ -3015,6 +3031,7 @@ def queries() -> dict:
         "ann_range": q_ann_range,
         "knn_prefilter": q_knn_prefilter,
         "label_centroids": q_label_centroids,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -4229,6 +4246,34 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # CCNet terciles: the lm_score model/scoring CTEs + ntile(3)
+        # per source ordered by (rounded mean_nll, doc_id).
+        "ppl_buckets": f"""
+WITH {TOKS_CTE},
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+model AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 200),
+sc AS (
+  SELECT k.doc_id,
+         count(*) AS n_tokens,
+         sum(-ln(coalesce(m.c, 1) / tot.t)) AS sum_nll
+  FROM toks k CROSS JOIN tot LEFT JOIN model m ON m.tok = k.tok
+  GROUP BY k.doc_id),
+j AS (
+  SELECT d.source, d.doc_id,
+         CAST(round(coalesce(sc.sum_nll, 0)
+                    / greatest(coalesce(sc.n_tokens, 0), 1), 6) AS DOUBLE)
+           AS mean_nll
+  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+b AS (
+  SELECT source, mean_nll,
+         ntile(3) OVER (PARTITION BY source
+                        ORDER BY mean_nll, doc_id) AS bucket
+  FROM j)
+SELECT source, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(mean_nll) AS min_nll, max(mean_nll) AS max_nll
+FROM b GROUP BY source, bucket ORDER BY source, bucket
 """,
         "label_centroids": """
 SELECT label::BIGINT AS label, dim::BIGINT AS dim,

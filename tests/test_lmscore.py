@@ -80,3 +80,79 @@ class TestLmScore:
         want = -np.mean([math.log(4 / T), math.log(1 / T)])
         assert got["mean_nll"] == round(want, 6)
         assert got["oov_frac"] == 0.5
+
+
+class TestPplBuckets:
+    def test_ntile_semantics_match_bruteforce(self, ray_session):
+        rng = np.random.default_rng(5)
+        texts = [
+            " ".join(rng.choice(
+                ["a", "b", "c", "d", "e", "rare1", "rare2"],
+                size=rng.integers(5, 25),
+            ))
+            for _ in range(101)  # odd count -> uneven ntile sizes
+        ]
+        srcs = [f"s{i % 3}" for i in range(101)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(101), pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs, pa.string()),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.lmscore import lm_score, ppl_buckets, train_unigram_lm
+
+        model = train_unigram_lm(ds, 5)
+        scored = {
+            r["doc_id"]: r["mean_nll"]
+            for r in lm_score(ds, model=model).take_all()
+        }
+        out = ppl_buckets(ds, vocab_size=5, k=3).take_all()
+        # brute-force ntile per source
+        import collections
+
+        bysrc = collections.defaultdict(list)
+        for i in range(101):
+            bysrc[srcs[i]].append((scored[i], i))
+        want = {}
+        for s, rows in bysrc.items():
+            rows.sort()
+            n = len(rows)
+            small, nbig = n // 3, n % 3
+            sizes = [small + 1] * nbig + [small] * (3 - nbig)
+            pos = 0
+            for b, sz in enumerate(sizes, start=1):
+                chunk = rows[pos : pos + sz]
+                pos += sz
+                if chunk:
+                    want[(s, b)] = (
+                        len(chunk),
+                        round(min(v for v, _ in chunk), 6),
+                        round(max(v for v, _ in chunk), 6),
+                    )
+        got = {
+            (r["source"], r["bucket"]): (
+                r["n_docs"], round(r["min_nll"], 6), round(r["max_nll"], 6)
+            )
+            for r in out
+        }
+        assert got == want
+
+    def test_tiny_groups_get_one_doc_per_bucket(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a a a", "b b"], pa.string()),
+                    "source": pa.array(["x", "x"], pa.string()),
+                }
+            )
+        )
+        from fdblucene_ray.ops.lmscore import ppl_buckets
+
+        out = sorted(
+            (r["bucket"], r["n_docs"]) for r in ppl_buckets(ds, k=3).take_all()
+        )
+        assert out == [(1, 1), (2, 1)]  # ntile(3) of 2 rows -> buckets 1,2
