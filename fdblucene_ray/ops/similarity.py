@@ -970,3 +970,88 @@ def range_search(
             "sim": pa.array(out["sim"].to_numpy(np.float64)),
         }
     )
+
+
+# ------------------------------------------------------------------ SQ8
+
+
+def sq8_params(
+    ds: ray.data.Dataset, *, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus — the SQ8 training
+    pass. Per-batch long-form (dim, mn, mx) partials (D rows per
+    batch), one tiny groupby; only 2 x D floats reach the driver."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col]).astype(np.float64)
+        if not len(X):
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(X.shape[1], dtype=np.int64)),
+                "mn": pa.array(X.min(axis=0)),
+                "mx": pa.array(X.max(axis=0)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["dim"])
+    mn = np.array([r["mn"] for r in rows], np.float64)
+    mx = np.array([r["mx"] for r in rows], np.float64)
+    return mn, mx
+
+
+def sq8_quantize(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    params: tuple[np.ndarray, np.ndarray] | None = None,
+) -> ray.data.Dataset:
+    """Scalar 8-bit quantization (FAISS ScalarQuantizer QT_8bit analog):
+    code = clip(floor((v - min_d) / (max_d - min_d) * 256), 0, 255) per
+    dimension, constant dims code to 0. Returns compact (id,
+    codes list<uint8>) rows — 4x (float32) / 8x (float64) smaller at
+    rest, the embedding-store compression step before ANN serving.
+
+    Map-only after the tiny params pass; params broadcast in
+    fn_kwargs (2 x D doubles)."""
+    if params is None:
+        params = sq8_params(ds, vec_col=vec_col)
+    mn, mx = params
+    span = mx - mn
+    safe = np.where(span > 0, span, 1.0)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col]).astype(np.float64)
+        if not len(X):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "codes": pa.array([], pa.list_(pa.uint8()))}
+            )
+        q = np.floor((X - mn) / safe * 256.0)
+        q = np.clip(q, 0.0, 255.0)
+        q[:, span <= 0] = 0.0
+        codes = q.astype(np.uint8)
+        n, d = codes.shape
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(codes.ravel(), pa.uint8()),
+                ),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

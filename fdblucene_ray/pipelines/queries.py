@@ -1096,6 +1096,33 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_sq8_codes(sf_dir: str) -> pa.Table:
+    """SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit analog):
+    per-dim min/max training pass, then map-only uint8 coding
+    (ops/similarity.sq8_quantize). Codes exploded long-form for the SQL
+    compare; the op itself returns compact list<uint8> rows."""
+    from fdblucene_ray.ops.similarity import sq8_quantize
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    rows = sq8_quantize(ds).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids, dims, codes = [], [], []
+    for r in rows:
+        c = np.asarray(r["codes"], np.int64)
+        ids.append(np.full(len(c), int(r["vec_id"]), np.int64))
+        dims.append(np.arange(1, len(c) + 1, dtype=np.int64))
+        codes.append(c)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids)),
+            "dim": pa.array(np.concatenate(dims)),
+            "code": pa.array(np.concatenate(codes)),
+        }
+    )
+
+
 def q_ppl_buckets(sf_dir: str) -> pa.Table:
     """CCNet head/middle/tail perplexity split: per source, docs ranked
     by unigram-LM mean NLL and ntile(3)-bucketed
@@ -3032,6 +3059,7 @@ def queries() -> dict:
         "knn_prefilter": q_knn_prefilter,
         "label_centroids": q_label_centroids,
         "ppl_buckets": q_ppl_buckets,
+        "sq8_codes": q_sq8_codes,
     }
 
 
@@ -4246,6 +4274,19 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "sq8_codes": """
+WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings),
+mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM u GROUP BY dim)
+SELECT u.vec_id, u.dim::BIGINT AS dim,
+       CASE WHEN mm.mx = mm.mn THEN 0
+            ELSE least(greatest(floor((u.v - mm.mn) / (mm.mx - mm.mn)
+                                      * 256), 0), 255)
+       END::BIGINT AS code
+FROM u JOIN mm ON mm.dim = u.dim
+ORDER BY u.vec_id, u.dim
 """,
         # CCNet terciles: the lm_score model/scoring CTEs + ntile(3)
         # per source ordered by (rounded mean_nll, doc_id).

@@ -696,3 +696,57 @@ class TestNearDedupKeepBest:
             pairs, scores={1: 4.0, 2: 4.0, 3: 4.0}
         )
         assert sorted(drop.tolist()) == [2, 3]
+
+
+class TestSQ8:
+    def test_codes_match_bruteforce(self, ray_session):
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(150, 6)).astype(np.float32)
+        X[:, 3] = 2.5  # constant dim -> code 0
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(150), pa.int64()),
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        ).repartition(5)
+        from fdblucene_ray.ops.similarity import sq8_params, sq8_quantize
+
+        mn, mx = sq8_params(ds)
+        Xd = X.astype(np.float64)
+        assert np.array_equal(mn, Xd.min(axis=0))
+        assert np.array_equal(mx, Xd.max(axis=0))
+        rows = {r["vec_id"]: np.asarray(r["codes"]) for r in sq8_quantize(ds).take_all()}
+        span = mx - mn
+        safe = np.where(span > 0, span, 1.0)
+        want = np.clip(np.floor((Xd - mn) / safe * 256.0), 0, 255)
+        want[:, span <= 0] = 0
+        for i in range(150):
+            assert np.array_equal(rows[i], want[i].astype(np.uint8)), i
+        # max-value rows code to 255 (clip), min to 0
+        for d in [0, 1, 2, 4, 5]:
+            i_max = int(np.argmax(Xd[:, d]))
+            i_min = int(np.argmin(Xd[:, d]))
+            assert rows[i_max][d] == 255
+            assert rows[i_min][d] == 0
+
+    def test_supplied_params_reused(self, ray_session):
+        X = np.array([[0.0], [1.0], [2.0]], np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        from fdblucene_ray.ops.similarity import sq8_quantize
+
+        rows = {
+            r["vec_id"]: list(r["codes"])
+            for r in sq8_quantize(
+                ds, params=(np.array([0.0]), np.array([4.0]))
+            ).take_all()
+        }
+        assert rows == {0: [0], 1: [64], 2: [128]}
