@@ -131,3 +131,80 @@ def score_fuse(
     for i, col in enumerate(score_cols):
         cols[f"score_{i}"] = pa.array(np.round(col[order], 6))
     return pa.table(cols)
+
+
+def mmr_rerank(
+    hits: list[tuple[int, float]],
+    emb_source,
+    k: int = 10,
+    *,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+) -> list[tuple[int, float]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick argmax of
+
+        lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    over the CANDIDATE hits (a retriever's top-N), diversifying the
+    final top-k — the standard redundancy-removal step between
+    retrieval and an LLM context window. Ties (score, then doc id)
+    are deterministic.
+
+    Scale shape: candidates are top-N (tens to hundreds), so the
+    embeddings hydrate row-group-pruned for exactly those ids and the
+    greedy loop is k x N dot products on the driver — the corpus is
+    never touched beyond the retriever's own pass."""
+    from fdblucene_ray.sources.corpus import hydrate_from_source
+
+    if not hits:
+        return []
+    ids = np.array([d for d, _ in hits], np.int64)
+    rel = np.array([s for _, s in hits], np.float64)
+    tbl = hydrate_from_source(emb_source, ids.tolist(), columns=[vec_col])
+    hid = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    arr = tbl[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    V = flat.reshape(len(arr), -1)
+    # align to hits order
+    order = np.argsort(hid)
+    pos = np.searchsorted(hid[order], ids)
+    V = V[order][pos]
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    Vn = V / norms[:, None]
+
+    n = len(ids)
+    k = min(k, n)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    taken = np.zeros(n, bool)
+    for _ in range(k):
+        if selected:
+            score = lam * rel - (1.0 - lam) * max_sim
+        else:
+            score = lam * rel
+        score = np.where(taken, -np.inf, score)
+        best = int(np.lexsort((ids, -score))[0])
+        selected.append(best)
+        taken[best] = True
+        sims = Vn @ Vn[best]
+        np.maximum(max_sim, sims, out=max_sim)
+    pre = _max_sim_at_selection(selected, len(rel), Vn)
+    return [
+        (int(ids[i]), float(lam * rel[i] - (1.0 - lam) * pre[j]))
+        for j, i in enumerate(selected)
+    ]
+
+
+def _max_sim_at_selection(selected, n, Vn):
+    """Replay the max-similarity value each pick saw AT selection time
+    (0.0 for the first pick) so the realized MMR score is reportable."""
+    out = []
+    max_sim = np.full(n, -np.inf)
+    for j, i in enumerate(selected):
+        out.append(0.0 if j == 0 else float(max_sim[i]))
+        np.maximum(max_sim, Vn @ Vn[i], out=max_sim)
+    return out

@@ -1055,3 +1055,56 @@ def sq8_quantize(
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def sq8_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    *,
+    params: tuple[np.ndarray, np.ndarray] | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate cosine top-k over SQ8 codes with ASYMMETRIC distance
+    (FAISS SQ8 search): the float query scores against reconstructed
+    codes v_hat = mn + (code + 0.5) * span / 256 — queries stay exact,
+    the corpus reads 4x less. Same per-batch top-k + driver merge shape
+    as brute_force_topk; recall bounded in tests (quantization error ~
+    span/512 per dim)."""
+    if params is None:
+        params = sq8_params(ds, vec_col=vec_col)
+    mn, mx = params
+    span = mx - mn
+    qn = _normalize(np.asarray(queries, np.float64)).T
+    qids = np.asarray(query_ids, np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        X = _stack(batch[vec_col]).astype(np.float64)
+        if not len(X):
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        # quantize + reconstruct INSIDE the scorer — models reading a
+        # code store at rest (here the codes are derived on the fly so
+        # the op composes with any list<float> input)
+        q8 = np.floor((X - mn) / np.where(span > 0, span, 1.0) * 256.0)
+        q8 = np.clip(q8, 0.0, 255.0)
+        q8[:, span <= 0] = 0.0
+        xhat = mn + (q8 + 0.5) * span / 256.0
+        rec = pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: pa.array(xhat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        return _score_batch_topk(
+            rec, qn_T=qn, query_ids=qids, k=k, vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(cand.to_pandas(), k)

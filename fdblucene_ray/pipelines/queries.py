@@ -1096,6 +1096,42 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ann_sq8(sf_dir: str) -> pa.Table:
+    """Approximate cosine top-k over SQ8-reconstructed vectors
+    (asymmetric distance, FAISS SQ8 search shape). Rows-only: the
+    quantization error channel isn't SQL-replayable at 5 dp; pytest
+    bounds recall vs the exact oracle."""
+    from fdblucene_ray.ops.similarity import sq8_topk
+
+    q = _query_vectors(sf_dir, [0, 1, 2])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    return sq8_topk(ds, q, [0, 1, 2], k=10)
+
+
+def q_ft_mmr(sf_dir: str) -> pa.Table:
+    """MMR-diversified search: BM25 top-50 for 'data stream' re-ranked
+    by Maximal Marginal Relevance over the docs' embedding twins
+    (ops/hybrid.mmr_rerank — candidates-only hydration + driver greedy).
+    Rows-only: the greedy recursion isn't SQL-expressible; pytest holds
+    the brute-force oracle."""
+    from fdblucene_ray.ops.hybrid import mmr_rerank
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits = s.search("data stream", k=50, mode="exhaustive")
+    out = mmr_rerank(hits, _emb_path(sf_dir), k=10, lam=0.7)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(out)), pa.int64()),
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "score": _round_col(
+                np.array([sc for _, sc in out], np.float64), 6
+            ),
+        }
+    )
+
+
 def q_sq8_codes(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit analog):
     per-dim min/max training pass, then map-only uint8 coding
@@ -3060,6 +3096,8 @@ def queries() -> dict:
         "label_centroids": q_label_centroids,
         "ppl_buckets": q_ppl_buckets,
         "sq8_codes": q_sq8_codes,
+        "ann_sq8": q_ann_sq8,
+        "ft_mmr": q_ft_mmr,
     }
 
 

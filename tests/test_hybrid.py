@@ -124,3 +124,108 @@ class TestScoreFuse:
             score_fuse(legs, [1.0])
         with pytest.raises(ValueError, match="norm"):
             score_fuse(legs, norm="zscore")
+
+
+class TestMMR:
+    def _setup(self, tmp_path, n=40, d=8, seed=21):
+        rng = np.random.default_rng(seed)
+        V = rng.normal(size=(n, d)).astype(np.float32)
+        # make docs 1 and 2 near-identical so diversification matters
+        V[2] = V[1] + 0.01 * rng.normal(size=d).astype(np.float32)
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path / "emb.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(V.tolist(), pa.list_(pa.float32())),
+                }
+            ),
+            src,
+        )
+        return V, src
+
+    def _brute(self, hits, V, k, lam):
+        ids = np.array([d for d, _ in hits], np.int64)
+        rel = np.array([s for _, s in hits], np.float64)
+        Vn = V[ids].astype(np.float64)
+        Vn /= np.maximum(np.linalg.norm(Vn, axis=1, keepdims=True), 1e-300)
+        sel, taken = [], np.zeros(len(ids), bool)
+        max_sim = np.full(len(ids), -np.inf)
+        for j in range(min(k, len(ids))):
+            sc = lam * rel - (0.0 if j == 0 else (1.0 - lam) * max_sim)
+            sc = np.where(taken, -np.inf, sc)
+            b = int(np.lexsort((ids, -sc))[0])
+            sel.append(int(ids[b])); taken[b] = True
+            np.maximum(max_sim, Vn @ Vn[b], out=max_sim)
+        return sel
+
+    def test_matches_bruteforce_greedy(self, tmp_path, ray_session):
+        from fdblucene_ray.ops.hybrid import mmr_rerank
+
+        V, src = self._setup(tmp_path)
+        rng = np.random.default_rng(4)
+        hits = [(i, float(s)) for i, s in
+                zip(range(40), np.sort(rng.uniform(1, 5, 40))[::-1])]
+        got = mmr_rerank(hits, src, k=8, lam=0.6)
+        want = self._brute(hits, V, 8, 0.6)
+        assert [d for d, _ in got] == want
+
+    def test_lambda_one_is_relevance_order(self, tmp_path, ray_session):
+        from fdblucene_ray.ops.hybrid import mmr_rerank
+
+        V, src = self._setup(tmp_path)
+        hits = [(i, 10.0 - i * 0.1) for i in range(20)]
+        got = mmr_rerank(hits, src, k=5, lam=1.0)
+        assert [d for d, _ in got] == [0, 1, 2, 3, 4]
+        assert [round(s, 9) for _, s in got] == [
+            round(10.0 - i * 0.1, 9) for i in range(5)
+        ]
+
+    def test_diversification_skips_near_duplicate(self, tmp_path, ray_session):
+        from fdblucene_ray.ops.hybrid import mmr_rerank
+
+        V, src = self._setup(tmp_path)
+        # relevance order 1, 2, 3... but 2 ~ duplicate of 1
+        hits = [(1, 5.0), (2, 4.99), (3, 4.5), (4, 4.4)]
+        got = [d for d, _ in mmr_rerank(hits, src, k=3, lam=0.5)]
+        assert got[0] == 1
+        assert got[1] != 2  # near-dup pushed out of slot 2
+
+    def test_empty_and_short(self, tmp_path, ray_session):
+        from fdblucene_ray.ops.hybrid import mmr_rerank
+
+        V, src = self._setup(tmp_path)
+        assert mmr_rerank([], src, k=5) == []
+        got = mmr_rerank([(7, 2.0)], src, k=5)
+        assert [d for d, _ in got] == [7]
+
+
+class TestSQ8Ann:
+    def test_recall_against_exact(self, ray_session):
+        rng = np.random.default_rng(31)
+        V = rng.normal(size=(400, 24)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(V.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.similarity import brute_force_topk, sq8_topk
+
+        q = V[:3].astype(np.float64)
+        exact = brute_force_topk(ds, q, [0, 1, 2], k=10).to_pandas()
+        approx = sq8_topk(ds, q, [0, 1, 2], k=10).to_pandas()
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            assert len(e & a) / len(e) >= 0.8, (qi, e, a)
+        # the query point itself must survive quantization as rank 1
+        for qi in range(3):
+            top = approx[approx.query_id == qi].sort_values(
+                ["sim", "vec_id"], ascending=[False, True]
+            ).vec_id.iloc[0]
+            assert top == qi
