@@ -291,3 +291,220 @@ def ppl_buckets(
         .groupby("_part", num_partitions=num_parts)
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+class _BigramPartials:
+    """Per-batch map-side combine of bigram counts: (w1, w2, cnt) rows,
+    one per unique ADJACENT token pair in the batch (pairs never cross
+    row boundaries). Two string columns (not a joined key) so the
+    denominator c(w1 ·) can aggregate exactly — '_'-joined keys would
+    be ambiguous for tokens that contain '_'."""
+
+    def __init__(self, analyzer: str, text_col: str):
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
+            batch[self.text_col]
+        )
+        if len(codes) < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        adj = row_idx[1:] == row_idx[:-1]
+        first, second = codes[:-1][adj], codes[1:][adj]
+        V = max(1, len(vocab))
+        pk = first * V + second
+        uniq, cnt = np.unique(pk, return_counts=True)
+        vv = np.asarray(vocab, dtype=object)
+        return pa.table(
+            {
+                "w1": pa.array(vv[(uniq // V)].tolist(), pa.string()),
+                "w2": pa.array(vv[(uniq % V)].tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def train_bigram_lm(
+    ds: ray.data.Dataset,
+    model_size: int = 1000,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+) -> dict:
+    """Bigram LM with OOV floor: model = the ``model_size`` most
+    frequent bigrams (count desc, (w1, w2) asc ties); per-first-word
+    denominators c(w1 ·) and the corpus bigram total T come from the
+    FULL distributed aggregate (exact, not model-truncated), so
+    P(w2|w1) = c12 / c(w1 ·) for in-model bigrams and 1/T for the rest.
+
+    Shape: one tokenize pass with per-batch unique-pair combine, one
+    groupby over the (vocabulary²-bounded, Zipf-small in practice)
+    bigram table; the denominators aggregate from the SAME table. Only
+    the model (M rows) and the model-first-word denominators ship to
+    the driver / broadcast."""
+    partials = ds.map_batches(
+        _bigram_partials_batch,
+        fn_kwargs=dict(analyzer=analyzer, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = partials.groupby(["w1", "w2"]).sum("cnt").materialize()
+    total = int(agg.sum("sum(cnt)"))
+    top = agg.sort(
+        ["sum(cnt)", "w1", "w2"], descending=[True, False, False]
+    ).limit(model_size).take_all()
+    # denominators ONLY for first-words appearing in the model (tiny)
+    firsts = sorted({r["w1"] for r in top})
+    fset = pa.array(firsts, pa.string())
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.is_in(t["w1"], value_set=fset)
+        sub = t.filter(m)
+        return pa.table({"w1": sub["w1"], "c": sub["sum(cnt)"]})
+
+    dens = (
+        agg.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("w1")
+        .sum("c")
+        .take_all()
+    )
+    c1dot = {r["w1"]: int(r["sum(c)"]) for r in dens}
+    w1 = np.asarray([r["w1"] for r in top], dtype=object)
+    w2 = np.asarray([r["w2"] for r in top], dtype=object)
+    c12 = np.asarray([int(r["sum(cnt)"]) for r in top], np.int64)
+    return {
+        "w1": w1, "w2": w2, "c12": c12,
+        "c1dot": np.asarray([c1dot[x] for x in w1], np.int64),
+        "total": total,
+    }
+
+
+def _bigram_partials_batch(batch, *, analyzer, text_col):
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("lm2_partials", analyzer, text_col),
+        lambda: _BigramPartials(analyzer, text_col),
+    )
+    return st(batch)
+
+
+class _ScoreBigrams:
+    """Broadcast-bigram-model scorer: per-doc mean bigram NLL + OOV
+    (out-of-model) bigram fraction. Exact model probe: both words map
+    into the model's word dictionaries, the pair key searchsorts into
+    the sorted packed key array — no hash-collision channel, so the SQL
+    twin replays bit-for-bit."""
+
+    def __init__(self, model_ref, analyzer, text_col, id_col):
+        m = ray.get(model_ref)
+        words = sorted({*m["w1"].tolist(), *m["w2"].tolist()})
+        self.words = pa.array(words, pa.string())
+        widx = {w: i for i, w in enumerate(words)}
+        W = max(1, len(words))
+        key = np.array(
+            [widx[a] * W + widx[b] for a, b in zip(m["w1"], m["w2"])],
+            np.int64,
+        )
+        order = np.argsort(key)
+        self.keys = key[order]
+        with np.errstate(divide="ignore"):
+            self.nll = -np.log(
+                m["c12"].astype(np.float64) / m["c1dot"].astype(np.float64)
+            )[order]
+        self.W = W
+        self.oov_nll = -np.log(1.0 / float(m["total"]))
+        self.tokenizer = BatchTokenizer(analyzer)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        row_idx, codes, vocab = self.tokenizer.encoded_tokens(
+            batch[self.text_col]
+        )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vmap = pc.index_in(
+            pa.array(vocab, pa.string()), value_set=self.words
+        ).fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        wi = vmap[codes] if len(codes) else np.empty(0, np.int64)
+        if len(codes) >= 2:
+            adj = row_idx[1:] == row_idx[:-1]
+            a, b = wi[:-1][adj], wi[1:][adj]
+            prow = row_idx[:-1][adj]
+        else:
+            a = b = np.empty(0, np.int64)
+            prow = np.empty(0, np.int64)
+        known = (a >= 0) & (b >= 0)
+        key = a * self.W + b
+        pos = np.searchsorted(self.keys, key)
+        pos[pos == len(self.keys)] = 0
+        inm = known & (
+            (self.keys[pos] == key) if len(self.keys) else False
+        )
+        nll = np.where(inm, self.nll[np.clip(pos, 0, max(len(self.keys) - 1, 0))],
+                       self.oov_nll)
+        n_bg = np.bincount(prow, minlength=n).astype(np.int64)
+        sum_nll = np.bincount(prow, weights=nll, minlength=n)
+        n_oov = np.bincount(prow[~inm], minlength=n).astype(np.int64)
+        denom = np.maximum(n_bg, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_bigrams": pa.array(n_bg),
+                "mean_nll": pa.array(
+                    np.round(sum_nll / denom, 6).astype(np.float64)
+                ),
+                "oov_frac": pa.array(
+                    np.round(n_oov / denom, 6).astype(np.float64)
+                ),
+            }
+        )
+
+
+def _score_bigrams_batch(batch, *, model_ref, analyzer, text_col, id_col):
+    from fdblucene_ray.ops.broadcast import cached_state
+
+    st = cached_state(
+        ("lm2_score", model_ref.hex(), analyzer, text_col, id_col),
+        lambda: _ScoreBigrams(model_ref, analyzer, text_col, id_col),
+    )
+    return st(batch)
+
+
+def lm_score_bigram(
+    ds: ray.data.Dataset,
+    model_size: int = 1000,
+    *,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: dict | None = None,
+) -> ray.data.Dataset:
+    """Bigram-LM scoring (one step toward CCNet's KenLM 5-gram filter):
+    -> Dataset of (doc_id, n_bigrams, mean_nll, oov_frac)."""
+    if model is None:
+        model = train_bigram_lm(
+            ds, model_size, analyzer=analyzer, text_col=text_col
+        )
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        _score_bigrams_batch,
+        fn_kwargs=dict(
+            model_ref=model_ref, analyzer=analyzer,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

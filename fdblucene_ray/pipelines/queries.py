@@ -1096,6 +1096,18 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_lm_score_bigram(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality scoring (CCNet KenLM-filter direction): top-300
+    bigram model with exact c(w1 .) denominators, OOV floor 1/T; per-doc
+    mean bigram NLL + OOV fraction (ops/lmscore.lm_score_bigram)."""
+    from fdblucene_ray.ops.lmscore import lm_score_bigram
+
+    out = lm_score_bigram(
+        _docs_ds(sf_dir, ["doc_id", "text"]), model_size=300
+    )
+    return _collect(out).sort_by("doc_id")
+
+
 def q_ann_sq8(sf_dir: str) -> pa.Table:
     """Approximate cosine top-k over SQ8-reconstructed vectors
     (asymmetric distance, FAISS SQ8 search shape). Rows-only: the
@@ -3096,6 +3108,7 @@ def queries() -> dict:
         "label_centroids": q_label_centroids,
         "ppl_buckets": q_ppl_buckets,
         "sq8_codes": q_sq8_codes,
+        "lm_score_bigram": q_lm_score_bigram,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
     }
@@ -4312,6 +4325,47 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # Bigram LM: model + exact first-word denominators + OOV floor,
+        # replayed over the ordered-token bigram CTE.
+        "lm_score_bigram": r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS pos
+      FROM t0 WHERE tok <> ''),
+big AS (SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM t),
+bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+cnt2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt2),
+model AS (SELECT w1, w2, c FROM cnt2 ORDER BY c DESC, w1, w2 LIMIT 300),
+c1 AS (SELECT w1, sum(c)::DOUBLE AS cd FROM cnt2
+       WHERE w1 IN (SELECT w1 FROM model) GROUP BY w1),
+sc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN m.c IS NOT NULL THEN -ln(m.c / c1.cd)
+                  ELSE -ln(1 / tot.t) END) AS sum_nll,
+         count(*) FILTER (WHERE m.c IS NULL) AS n_oov
+  FROM bg CROSS JOIN tot
+  LEFT JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+  LEFT JOIN c1 ON c1.w1 = bg.w1
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+  coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+  CAST(round(coalesce(sc.sum_nll, 0)
+             / greatest(coalesce(sc.n_bigrams, 0), 1), 6) AS DOUBLE)
+    AS mean_nll,
+  CAST(round(coalesce(sc.n_oov, 0)
+             / greatest(coalesce(sc.n_bigrams, 0), 1)::DOUBLE, 6) AS DOUBLE)
+    AS oov_frac
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
         "sq8_codes": """
 WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,

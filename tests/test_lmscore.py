@@ -3,6 +3,8 @@ oracle. The SQL twin (`lm_score`) runs in the driver gate."""
 
 import math
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -156,3 +158,74 @@ class TestPplBuckets:
             (r["bucket"], r["n_docs"]) for r in ppl_buckets(ds, k=3).take_all()
         )
         assert out == [(1, 1), (2, 1)]  # ntile(3) of 2 rows -> buckets 1,2
+
+
+class TestBigramLM:
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(6)
+        texts = [
+            " ".join(rng.choice(list("abcdefg"), size=rng.integers(4, 20)))
+            for _ in range(80)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(80), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.lmscore import lm_score_bigram, train_bigram_lm
+
+        M = 10
+        model = train_bigram_lm(ds, M)
+        # brute-force counts
+        import collections, math
+
+        cnt2 = collections.Counter()
+        for t in texts:
+            toks = t.split()
+            for a, b in zip(toks, toks[1:]):
+                cnt2[(a, b)] += 1
+        total = sum(cnt2.values())
+        top = sorted(cnt2.items(), key=lambda kv: (-kv[1], kv[0]))[:M]
+        model_set = {k for k, _ in top}
+        assert set(zip(model["w1"], model["w2"])) == model_set
+        c1dot = collections.Counter()
+        for (a, _), c in cnt2.items():
+            c1dot[a] += c
+        got = {
+            r["doc_id"]: r
+            for r in lm_score_bigram(ds, model=model).take_all()
+        }
+        for i, t in enumerate(texts):
+            toks = t.split()
+            pairs = list(zip(toks, toks[1:]))
+            nlls = [
+                -math.log(cnt2[p] / c1dot[p[0]])
+                if p in model_set else -math.log(1.0 / total)
+                for p in pairs
+            ]
+            r = got[i]
+            assert r["n_bigrams"] == len(pairs)
+            if pairs:
+                assert r["mean_nll"] == pytest.approx(
+                    round(sum(nlls) / len(pairs), 6), abs=1.1e-6
+                )
+                oov = sum(1 for p in pairs if p not in model_set)
+                assert r["oov_frac"] == round(oov / len(pairs), 6)
+
+    def test_single_token_docs_score_zero(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["word", "two words"], pa.string()),
+                }
+            )
+        )
+        from fdblucene_ray.ops.lmscore import lm_score_bigram
+
+        got = {r["doc_id"]: r for r in lm_score_bigram(ds, 5).take_all()}
+        assert got[0]["n_bigrams"] == 0 and got[0]["mean_nll"] == 0.0
+        assert got[1]["n_bigrams"] == 1
