@@ -1096,6 +1096,40 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_warc_extract(sf_dir: str) -> pa.Table:
+    """WARC ingestion (Common Crawl's at-rest container): synthesize a
+    deterministic gzip-per-record WARC fixture, read it through the
+    sources/warc.py Ray pipeline, run HTML->text extraction, and report
+    (url, text_len) — rows-only; tests/test_warc.py holds the
+    round-trip-identity oracle against the canonical webpages table."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.sources.warc import read_warc, synth_warc_files
+    from fdblucene_ray.sources.webpages import extract_text_batch
+
+    paths = synth_warc_files(
+        os.path.join(CACHE_ROOT, "warc-fixture"), 500,
+        rows_per_file=125, gzip_per_record=True,
+    )
+    ds = read_warc(paths).map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    )
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "text_len": pc.binary_length(t["text_extracted"]).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    df = ds.map_batches(lens, batch_format="pyarrow").to_pandas()
+    df = df.sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_lm_score_bigram(sf_dir: str) -> pa.Table:
     """Bigram-LM quality scoring (CCNet KenLM-filter direction): top-300
     bigram model with exact c(w1 .) denominators, OOV floor 1/T; per-doc
@@ -3109,6 +3143,7 @@ def queries() -> dict:
         "ppl_buckets": q_ppl_buckets,
         "sq8_codes": q_sq8_codes,
         "lm_score_bigram": q_lm_score_bigram,
+        "warc_extract": q_warc_extract,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
     }
