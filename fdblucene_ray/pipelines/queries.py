@@ -1096,6 +1096,36 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_jsonl_ingest(sf_dir: str) -> pa.Table:
+    """JSONL corpus connector: the documents table exported once to
+    line-delimited JSON (the other ubiquitous corpus interchange
+    format), re-ingested with ray.data.read_json, and token-counted —
+    oracled against the SAME stats computed by DuckDB over the original
+    parquet, so the connector's value fidelity is the thing under
+    test."""
+    from fdblucene_ray.ops.textstats import token_counts
+
+    key = hashlib.sha1(f"{sf_dir}:jsonl:v1".encode()).hexdigest()[:12]
+    out_dir = os.path.join(CACHE_ROOT, f"jsonl-{key}")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        os.makedirs(out_dir, exist_ok=True)
+        _docs_ds(sf_dir, ["doc_id", "text"]).repartition(4).write_json(
+            out_dir
+        )
+        with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".json")
+    ]
+    ds = ray.data.read_json(files)
+    df = token_counts(ds).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_warc_extract(sf_dir: str) -> pa.Table:
     """WARC ingestion (Common Crawl's at-rest container): synthesize a
     deterministic gzip-per-record WARC fixture, read it through the
@@ -3144,6 +3174,7 @@ def queries() -> dict:
         "sq8_codes": q_sq8_codes,
         "lm_score_bigram": q_lm_score_bigram,
         "warc_extract": q_warc_extract,
+        "jsonl_ingest": q_jsonl_ingest,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
     }
@@ -4360,6 +4391,15 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # JSONL connector fidelity: stats computed AFTER the
+        # parquet -> jsonl -> read_json round trip must equal stats
+        # DuckDB computes on the original parquet.
+        "jsonl_ingest": r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id
 """,
         # Bigram LM: model + exact first-word denominators + OOV floor,
         # replayed over the ordered-token bigram CTE.
