@@ -414,6 +414,9 @@ def run_default() -> None:
     timed("pagerank", lambda: q.q_pagerank(sf_dir))
     timed("dsir_select", lambda: q.q_dsir_select(sf_dir))
     timed("quality_classifier", lambda: q.q_quality_classifier(sf_dir))
+    timed("host_cap", lambda: q.q_host_cap(sf_dir))
+    timed("ppl_buckets", lambda: q.q_ppl_buckets(sf_dir))
+    timed("lm_score_bigram", lambda: q.q_lm_score_bigram(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

@@ -163,3 +163,54 @@ def test_synth_edges_in_range_and_degree_law(ids, n_docs):
     assert len(dst) == (1 + src % MAX_DEG).sum()
     # per-source degree law
     assert (deg_rep == 1 + src_rep % MAX_DEG).all()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab _-x", min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_shingle_batch_equals_rowwise_property(texts):
+    """Property: the vectorized shingle2 path equals the row-wise chain
+    on arbitrary text (underscores, separators, empties included)."""
+    import pyarrow as pa
+
+    from fdblucene_ray.analysis.analyzer import BatchTokenizer, get_analyzer
+
+    az = get_analyzer("shingle2")
+    tk = BatchTokenizer("shingle2")
+    r, c, vocab, pos = tk.encoded_tokens(pa.array(texts, pa.string()),
+                                         with_positions=True)
+    for i, t in enumerate(texts):
+        m = r == i
+        assert [vocab[j] for j in c[m]] == az.tokens(t)
+        assert list(pos[m]) == az.tokens_with_positions(t)[1]
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=80, deadline=None)
+def test_ntile_run_arithmetic_matches_spec(n, k):
+    """Property: the vectorized ntile used by ppl_buckets matches the
+    SQL spec (first n%k buckets get ceil(n/k) rows, buckets 1..min(n,k)
+    non-empty, sizes differ by at most 1)."""
+    import numpy as np
+
+    rank = np.arange(n)
+    small, nbig = n // k, n % k
+    big = small + 1
+    cut = nbig * big
+    bucket = np.where(
+        rank < cut,
+        rank // max(big, 1),
+        nbig + (rank - cut) // max(small, 1) if small else rank,
+    ) + 1
+    sizes = np.bincount(bucket)[1:]
+    expect = [small + 1] * nbig + [small] * (k - nbig)
+    expect = [s for s in expect if s > 0]
+    assert sizes.tolist() == expect
+    assert bucket.min() == 1 and bucket.max() == len(expect)
