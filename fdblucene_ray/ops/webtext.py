@@ -841,3 +841,56 @@ def filter_urls(
         return batch.filter(pa.array(~bad))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ASCIIFoldingFilter analog ----------------------------------------------
+
+# pre-translate the common non-decomposable Latin letters the way
+# Lucene's ASCIIFoldingFilter maps them (NFKD alone would DROP these)
+_FOLD_SPECIALS = str.maketrans(
+    {
+        "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+        "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+        "ł": "l", "Ł": "L",
+    }
+)
+
+
+def fold_to_ascii(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Accent/diacritic folding (Lucene ASCIIFoldingFilter analog):
+    á→a, ç→c, ß→ss ... . Vectorized trick: one NUL-joined mega-string
+    per batch goes through C-level ``str.translate`` + NFKD + ASCII
+    encode-ignore ONCE, then splits back — no per-row Python beyond the
+    final split (NUL is normalization-invariant and cannot appear in
+    valid text columns). Characters with no ASCII decomposition and no
+    special-case mapping are dropped (DuckDB ``strip_accents`` keeps
+    them — the SQL twin only plants decomposable accents)."""
+    import unicodedata
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    vals = texts.to_pylist()
+    big = "\x00".join(v if v is not None else "" for v in vals)
+    big = big.translate(_FOLD_SPECIALS)
+    big = unicodedata.normalize("NFKD", big)
+    big = big.encode("ascii", "ignore").decode("ascii")
+    out = big.split("\x00")
+    return pa.array(out, pa.string())
+
+
+def ascii_fold(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(doc_id, folded) per row — the normalization web pipelines run
+    before cross-language exact dedup / URL slugging."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "folded": fold_to_ascii(batch[text_col]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1096,6 +1096,33 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ascii_fold(sf_dir: str) -> pa.Table:
+    """ASCIIFoldingFilter analog: accents planted deterministically on
+    both sides (a→á, o→ö, c→ç — all strip_accents-decomposable), folded
+    back by ops/webtext.fold_to_ascii (single NFKD pass per batch) —
+    the folded text must round-trip to DuckDB's strip_accents output."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.webtext import ascii_fold
+
+    def plant(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.replace_substring(t, "a", "á")
+        t = pc.replace_substring(t, "o", "ö")
+        t = pc.replace_substring(t, "c", "ç")
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    df = ascii_fold(ds).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_jsonl_ingest(sf_dir: str) -> pa.Table:
     """JSONL corpus connector: the documents table exported once to
     line-delimited JSON (the other ubiquitous corpus interchange
@@ -3175,6 +3202,7 @@ def queries() -> dict:
         "lm_score_bigram": q_lm_score_bigram,
         "warc_extract": q_warc_extract,
         "jsonl_ingest": q_jsonl_ingest,
+        "ascii_fold": q_ascii_fold,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
     }
@@ -4391,6 +4419,12 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "ascii_fold": """
+SELECT doc_id,
+       strip_accents(replace(replace(replace(text, 'a', 'á'),
+                                     'o', 'ö'), 'c', 'ç')) AS folded
+FROM documents ORDER BY doc_id
 """,
         # JSONL connector fidelity: stats computed AFTER the
         # parquet -> jsonl -> read_json round trip must equal stats

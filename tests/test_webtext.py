@@ -364,3 +364,40 @@ class TestFilterUrls:
             )
         ).to_pylist()
         assert got == ["a.b.c", "host:8080", "", "noslash"]
+
+
+class TestAsciiFold:
+    def test_known_mappings(self):
+        from fdblucene_ray.ops.webtext import fold_to_ascii
+
+        got = fold_to_ascii(
+            pa.array(
+                ["cámión über naïve", "straße Œuvre", "Ærø þing łódź",
+                 "plain ascii", ""]
+            )
+        ).to_pylist()
+        assert got == [
+            "camion uber naive", "strasse OEuvre", "AEro thing lodz",
+            "plain ascii", "",
+        ]
+
+    def test_idempotent_and_nul_safe(self):
+        from fdblucene_ray.ops.webtext import fold_to_ascii
+
+        once = fold_to_ascii(pa.array(["déjà vu", "x"]))
+        twice = fold_to_ascii(once)
+        assert once.to_pylist() == twice.to_pylist() == ["deja vu", "x"]
+
+    def test_dataset_op(self, ray_session):
+        from fdblucene_ray.ops.webtext import ascii_fold
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["café", "noël"], pa.string()),
+                }
+            )
+        )
+        rows = {r["doc_id"]: r["folded"] for r in ascii_fold(ds).take_all()}
+        assert rows == {1: "cafe", 2: "noel"}
