@@ -1096,6 +1096,90 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_auto_stopwords(sf_dir: str) -> pa.Table:
+    """Corpus-adaptive stopword detection (DynamicStopwordFilter /
+    CommonTermsQuery threshold analog): terms whose document frequency
+    exceeds 40% of docCount, with df and df/dc ratio — a distributed
+    term-dictionary scan + broadcast docCount, no corpus pass."""
+    ix = _ensure_index(sf_dir, "simple")
+    s = Searcher(ix)
+    dc, _, _ = s.field_stats("text")
+    ds = _terms_ds(ix, "text")
+    agg = ds.groupby("term").sum("df")
+
+    def threshold(t: pa.Table) -> pa.Table:
+        df = t["sum(df)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = df / dc > 0.4
+        return pa.table(
+            {
+                "term": t["term"].filter(pa.array(keep)),
+                "df": pa.array(df[keep].astype(np.int64)),
+                "ratio": _round_col(df[keep] / dc, 6),
+            }
+        )
+
+    out = agg.map_batches(threshold, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_event_zscores(sf_dir: str) -> pa.Table:
+    """Per-type daily event-rate z-scores (rate-anomaly screening over
+    the events table): daily counts per event_type, z = (cnt - mean) /
+    population-std across that type's days. Two tiny aggregates — daily
+    counts, then per-type moments — all map-side combinable."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return pa.table(
+            {"event_type": t["event_type"], "day": pa.array(day)}
+        )
+
+    daily = (
+        ev.map_batches(day_rows, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .count()
+    )
+    rows = daily.take_all()
+    import collections
+
+    byt = collections.defaultdict(list)
+    for r in rows:
+        byt[r["event_type"]].append((int(r["day"]), int(r["count()"])))
+    out_t, out_d, out_c, out_z = [], [], [], []
+    from fdblucene_ray.ops.hashing import round_half_away
+
+    for t in sorted(byt):
+        pairs = sorted(byt[t])
+        cnts = np.array([c for _, c in pairs], np.float64)
+        mean = cnts.sum() / len(cnts)
+        var = (cnts * cnts).sum() / len(cnts) - mean * mean
+        std = np.sqrt(var) if var > 0 else 1.0
+        z = (cnts - mean) / std
+        for (d, c), zz in zip(pairs, z):
+            out_t.append(t)
+            out_d.append(d)
+            out_c.append(c)
+            out_z.append(float(round_half_away(np.array([zz]), 6)[0]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "day": pa.array(out_d, pa.int64()),
+            "n": pa.array(out_c, pa.int64()),
+            "z": pa.array(out_z, pa.float64()),
+        }
+    )
+
+
 def q_ascii_fold(sf_dir: str) -> pa.Table:
     """ASCIIFoldingFilter analog: accents planted deterministically on
     both sides (a→á, o→ö, c→ç — all strip_accents-decomposable), folded
@@ -3203,6 +3287,8 @@ def queries() -> dict:
         "warc_extract": q_warc_extract,
         "jsonl_ingest": q_jsonl_ingest,
         "ascii_fold": q_ascii_fold,
+        "auto_stopwords": q_auto_stopwords,
+        "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
     }
@@ -4419,6 +4505,31 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "auto_stopwords": f"""
+WITH {TOKS_CTE},
+dc AS (SELECT count(DISTINCT doc_id)::DOUBLE AS dc FROM toks),
+dfx AS (SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM toks GROUP BY tok)
+SELECT term, df::BIGINT AS df,
+       CAST(round(df / dc.dc, 6) AS DOUBLE) AS ratio
+FROM dfx CROSS JOIN dc
+WHERE df / dc.dc > 0.4 ORDER BY term
+""",
+        "event_zscores": """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*)::DOUBLE AS n
+           FROM events GROUP BY event_type, day),
+m AS (SELECT event_type, sum(n) / count(*) AS mean,
+             sum(n * n) / count(*)
+               - (sum(n) / count(*)) * (sum(n) / count(*)) AS var
+      FROM d GROUP BY event_type)
+SELECT d.event_type, d.day::BIGINT AS day, d.n::BIGINT AS n,
+       CAST(round((d.n - m.mean)
+                  / CASE WHEN m.var > 0 THEN sqrt(m.var) ELSE 1 END, 6)
+            AS DOUBLE) AS z
+FROM d JOIN m ON m.event_type = d.event_type
+ORDER BY d.event_type, d.day
 """,
         "ascii_fold": """
 SELECT doc_id,
