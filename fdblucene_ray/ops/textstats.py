@@ -969,3 +969,114 @@ def filter_funnel(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- KL divergence
+
+
+def source_divergence(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    analyzer: str = "simple",
+) -> pa.Table:
+    """Per-group KL divergence from the corpus unigram distribution —
+    the distribution-shift diagnostic a mixture pipeline watches
+    (which sources' token distributions deviate most from the blend):
+
+        KL(P_g || P) = sum_t p_g(t) * ln(p_g(t) / p(t))
+
+    Shape: one tokenize pass emits per-batch (group, term, c) partials
+    (unique terms per group per batch); ONE vocabulary-sized groupby
+    builds per-(group, term) counts; corpus per-term counts derive from
+    the same table by a second small groupby; the two meet in a Ray
+    hash join ON TERM (both sides vocabulary-sized, co-partitioned);
+    the KL contribution is row-local and a final |groups|-sized groupby
+    sums it. Group/corpus token totals are |groups|+1 scalars. Only
+    vocabulary-sized data ever shuffles."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        tk = cached_state(
+            ("kl_tok", analyzer), lambda: BatchTokenizer(analyzer)
+        )
+        row_idx, codes, vocab = tk.encoded_tokens(batch[text_col])
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        genc = g.dictionary_encode()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gnames = np.asarray(genc.dictionary.to_pylist(), dtype=object)
+        V = max(1, len(vocab))
+        key = gcodes[row_idx] * V + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        vv = np.asarray(vocab, dtype=object)
+        return pa.table(
+            {
+                group_col: pa.array(gnames[(uniq // V)].tolist(), pa.string()),
+                "term": pa.array(vv[(uniq % V)].tolist(), pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    gt = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [group_col, "term"]
+    ).aggregate(Sum("c", alias_name="c")).materialize()
+    corpus = gt.groupby("term").aggregate(Sum("c", alias_name="ct"))
+    totals = {
+        r[group_col]: int(r["n"])
+        for r in gt.groupby(group_col).aggregate(
+            Sum("c", alias_name="n")
+        ).take_all()
+    }
+    N = float(sum(totals.values()))
+    num_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = gt.join(
+        corpus, join_type="inner", num_partitions=num_parts, on=("term",)
+    )
+    totals_ref = _ray.put(totals)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        tot = cached_state(
+            ("kl_totals", totals_ref.hex()), lambda: _ray.get(totals_ref)
+        )
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        ns = np.array([float(tot[x]) for x in g.to_pylist()], np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ct = t["ct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pg = c / ns
+        p = ct / N
+        return pa.table(
+            {
+                group_col: g,
+                "kl": pa.array(pg * np.log(pg / p)),
+            }
+        )
+
+    agg = joined.map_batches(contrib, batch_format="pyarrow").groupby(
+        group_col
+    ).aggregate(Sum("kl", alias_name="kl")).take_all()
+    agg.sort(key=lambda r: r[group_col])
+    return pa.table(
+        {
+            group_col: pa.array([r[group_col] for r in agg], pa.string()),
+            "n_tokens": pa.array(
+                [totals[r[group_col]] for r in agg], pa.int64()
+            ),
+            "kl": pa.array(
+                [
+                    float(round_half_away(np.array([r["kl"]]), 6)[0])
+                    for r in agg
+                ],
+                pa.float64(),
+            ),
+        }
+    )

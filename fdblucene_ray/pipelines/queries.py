@@ -1096,6 +1096,18 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_source_kl(sf_dir: str) -> pa.Table:
+    """Per-source KL divergence from the corpus unigram distribution
+    (mixture distribution-shift diagnostic;
+    ops/textstats.source_divergence — vocabulary-sized exchanges only,
+    per-term join co-partitioned)."""
+    from fdblucene_ray.ops.textstats import source_divergence
+
+    return source_divergence(
+        _docs_ds(sf_dir, ["doc_id", "text", "source"])
+    )
+
+
 def q_auto_stopwords(sf_dir: str) -> pa.Table:
     """Corpus-adaptive stopword detection (DynamicStopwordFilter /
     CommonTermsQuery threshold analog): terms whose document frequency
@@ -3288,6 +3300,7 @@ def queries() -> dict:
         "jsonl_ingest": q_jsonl_ingest,
         "ascii_fold": q_ascii_fold,
         "auto_stopwords": q_auto_stopwords,
+        "source_kl": q_source_kl,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
@@ -4505,6 +4518,24 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        "source_kl": f"""
+WITH {TOKS_CTE},
+st AS (SELECT d.source, t.tok, count(*)::DOUBLE AS c
+       FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+       GROUP BY d.source, t.tok),
+stot AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+ct AS (SELECT tok, sum(c) AS ctot FROM st GROUP BY tok),
+alltot AS (SELECT sum(ctot) AS nn FROM ct)
+SELECT st.source, stot.n::BIGINT AS n_tokens,
+       CAST(round(sum((st.c / stot.n)
+                      * ln((st.c / stot.n) / (ct.ctot / alltot.nn))), 6)
+            AS DOUBLE) AS kl
+FROM st
+JOIN stot ON stot.source = st.source
+JOIN ct ON ct.tok = st.tok
+CROSS JOIN alltot
+GROUP BY st.source, stot.n ORDER BY st.source
 """,
         "auto_stopwords": f"""
 WITH {TOKS_CTE},

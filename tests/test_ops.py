@@ -750,3 +750,54 @@ class TestSQ8:
             ).take_all()
         }
         assert rows == {0: [0], 1: [64], 2: [128]}
+
+
+class TestSourceKL:
+    def test_matches_bruteforce(self, ray_session):
+        texts = ["a a b", "a b c", "c c c c", "a a a b b"]
+        srcs = ["x", "x", "y", "y"]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs, pa.string()),
+                }
+            )
+        ).repartition(2)
+        from fdblucene_ray.ops.textstats import source_divergence
+
+        out = {r["source"]: r for r in source_divergence(ds).to_pylist()}
+        import collections, math
+
+        cnt = collections.defaultdict(collections.Counter)
+        for t, s in zip(texts, srcs):
+            cnt[s].update(t.split())
+        corpus = collections.Counter()
+        for c in cnt.values():
+            corpus.update(c)
+        N = sum(corpus.values())
+        for s, c in cnt.items():
+            n = sum(c.values())
+            kl = sum(
+                (v / n) * math.log((v / n) / (corpus[t] / N))
+                for t, v in c.items()
+            )
+            assert out[s]["n_tokens"] == n
+            assert out[s]["kl"] == pytest.approx(round(kl, 6), abs=2e-6)
+
+    def test_identical_distribution_is_zero(self, ray_session):
+        # both sources have the same distribution -> KL == 0
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(["a b", "a b", "a b", "a b"]),
+                    "source": pa.array(["x", "x", "y", "y"]),
+                }
+            )
+        )
+        from fdblucene_ray.ops.textstats import source_divergence
+
+        out = source_divergence(ds)
+        assert out["kl"].to_pylist() == [0.0, 0.0]
