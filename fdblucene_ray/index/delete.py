@@ -211,3 +211,29 @@ def gc_tombstones(index_dir: str, *, dry_run: bool = False) -> list[str]:
                     except OSError:  # pragma: no cover
                         pass
     return removed
+
+
+def diff_commits(index_dir: str, v_old: int, v_new: int) -> dict:
+    """Commit-point diff — what changed between two retained manifests
+    (the snapshot-inspection tool an ops console wants before a
+    rollback): segments added/removed, per-commit doc counts, tombstone
+    delta. Pure metadata (two manifest JSONs + two tombstone sidecars);
+    never touches postings."""
+    mo = load_manifest(index_dir, v_old)
+    mn = load_manifest(index_dir, v_new)
+    so = {s.name for s in mo.segments}
+    sn = {s.name for s in mn.segments}
+    to = load_tombstones(index_dir, mo)
+    tn = load_tombstones(index_dir, mn)
+    return {
+        "v_old": int(mo.version),
+        "v_new": int(mn.version),
+        "segments_added": sorted(sn - so),
+        "segments_removed": sorted(so - sn),
+        "n_postings_delta": int(
+            sum(s.n_postings for s in mn.segments)
+            - sum(s.n_postings for s in mo.segments)
+        ),
+        "tombstones_added": int(len(np.setdiff1d(tn, to))),
+        "tombstones_removed": int(len(np.setdiff1d(to, tn))),
+    }

@@ -1108,3 +1108,74 @@ def sq8_topk(
 
     cand = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(cand.to_pandas(), k)
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    query_ids,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> pa.Table:
+    """Hard-negative mining (contrastive-training data prep): for each
+    query vector, the k most cosine-similar vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns most from. The
+    label predicate is evaluated per batch per query (a vectorized
+    mask), so this is the metadata-filtered variant of the brute-force
+    scorer; queries + labels broadcast in fn_kwargs."""
+    qids = np.asarray(query_ids, np.int64)
+    want = np.sort(qids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos[pos == len(want)] = 0
+        hit = want[pos] == ids
+        return batch.filter(pa.array(hit))
+
+    qrows = {
+        int(r[id_col]): r
+        for r in ds.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    Q = np.array([list(qrows[int(i)][vec_col]) for i in qids], np.float64)
+    qlabels = np.array([qrows[int(i)][label_col] for i in qids])
+    qn = _normalize(Q).T
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labs = batch[label_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qn.shape[1]):
+            mask = labs != qlabels[qi]
+            if not mask.any():
+                continue
+            s = m[mask] @ qn[:, qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(s))
+            sel = (
+                np.argpartition(-s, kk - 1)[:kk]
+                if len(s) > kk
+                else np.arange(len(s))
+            )
+            out_q.append(np.full(len(sel), qids[qi], np.int64))
+            out_v.append(sel_ids[sel].astype(np.int64))
+            out_s.append(s[sel].astype(np.float64))
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(cand.to_pandas(), k)

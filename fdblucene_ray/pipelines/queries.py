@@ -1096,6 +1096,44 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining: top-10 cosine neighbors with a DIFFERENT
+    label for each of queries vec_id 0..2
+    (ops/similarity.hard_negatives — per-batch vectorized label mask)."""
+    from fdblucene_ray.ops.similarity import hard_negatives
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding", "label"]
+    )
+    return hard_negatives(ds, [0, 1, 2], k=10)
+
+
+def q_commit_diff(sf_dir: str) -> pa.Table:
+    """Commit-point diff (snapshot inspection before a rollback): the
+    ft_delete_* index's first vs latest retained commits — deletes add
+    tombstones, segments stay (index/delete.py diff_commits, pure
+    metadata)."""
+    from fdblucene_ray.index.delete import diff_commits
+    from fdblucene_ray.index.manifest import list_commits
+
+    ix = _ensure_deleted_index(sf_dir)
+    vs = list_commits(ix)
+    d = diff_commits(ix, vs[0], vs[-1])
+    return pa.table(
+        {
+            "n_segments_added": pa.array([len(d["segments_added"])], pa.int64()),
+            "n_segments_removed": pa.array(
+                [len(d["segments_removed"])], pa.int64()
+            ),
+            "n_postings_delta": pa.array([d["n_postings_delta"]], pa.int64()),
+            "tombstones_added": pa.array([d["tombstones_added"]], pa.int64()),
+            "tombstones_removed": pa.array(
+                [d["tombstones_removed"]], pa.int64()
+            ),
+        }
+    )
+
+
 def q_source_kl(sf_dir: str) -> pa.Table:
     """Per-source KL divergence from the corpus unigram distribution
     (mixture distribution-shift diagnostic;
@@ -3301,6 +3339,8 @@ def queries() -> dict:
         "ascii_fold": q_ascii_fold,
         "auto_stopwords": q_auto_stopwords,
         "source_kl": q_source_kl,
+        "hard_negatives": q_hard_negatives,
+        "commit_diff": q_commit_diff,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
@@ -4518,6 +4558,28 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # deletes add tombstones only; segment set and postings stand
+        "commit_diff": """
+SELECT 0::BIGINT AS n_segments_added, 0::BIGINT AS n_segments_removed,
+       0::BIGINT AS n_postings_delta,
+       (SELECT count(*) FROM documents WHERE source = 'src3')::BIGINT
+         AS tombstones_added,
+       0::BIGINT AS tombstones_removed
+""",
+        "hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw
+      FROM embeddings e JOIN q ON e.label <> q.ql),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 10
 """,
         "source_kl": f"""
 WITH {TOKS_CTE},

@@ -91,3 +91,40 @@ class TestCommitPoints:
     def test_missing_commit_error_lists_retained(self, committed_ix):
         with pytest.raises(FileNotFoundError, match="retained"):
             Searcher(committed_ix, version=999)
+
+
+class TestDiffCommits:
+    def test_delete_diff_counts(self, tmp_path, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.delete import delete_docs, diff_commits
+        from fdblucene_ray.index.manifest import list_commits
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array([f"w{i % 9} common" for i in range(60)]),
+                }
+            ),
+            src,
+        )
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=2)
+        v0 = list_commits(ix)[-1]
+        delete_docs(ix, [3, 5, 9])
+        delete_docs(ix, [9, 11])  # overlap -> union semantics
+        v2 = list_commits(ix)[-1]
+        d = diff_commits(ix, v0, v2)
+        assert d["segments_added"] == [] and d["segments_removed"] == []
+        assert d["n_postings_delta"] == 0
+        assert d["tombstones_added"] == 4  # {3,5,9,11}
+        assert d["tombstones_removed"] == 0
+        # reverse direction flips the tombstone delta
+        rd = diff_commits(ix, v2, v0)
+        assert rd["tombstones_added"] == 0 and rd["tombstones_removed"] == 4

@@ -801,3 +801,34 @@ class TestSourceKL:
 
         out = source_divergence(ds)
         assert out["kl"].to_pylist() == [0.0, 0.0]
+
+
+class TestHardNegatives:
+    def test_labels_always_differ_and_match_bruteforce(self, ray_session):
+        rng = np.random.default_rng(13)
+        V = rng.normal(size=(120, 8)).astype(np.float32)
+        lab = (np.arange(120) % 4).astype(np.int32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(120), pa.int64()),
+                    "embedding": pa.array(V.tolist(), pa.list_(pa.float32())),
+                    "label": pa.array(lab),
+                }
+            )
+        ).repartition(3)
+        from fdblucene_ray.ops.similarity import hard_negatives
+
+        out = hard_negatives(ds, [0, 5], k=6).to_pandas()
+        Vn = V.astype(np.float64)
+        Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+        for qi in [0, 5]:
+            rows = out[out.query_id == qi]
+            assert (lab[rows.vec_id.to_numpy()] != lab[qi]).all()
+            sims = Vn @ Vn[qi]
+            cand = np.flatnonzero(lab != lab[qi])
+            order = cand[np.lexsort((cand, -sims[cand]))][:6]
+            got = rows.sort_values(
+                ["sim", "vec_id"], ascending=[False, True]
+            ).vec_id.to_numpy()
+            assert set(got) == set(order)
