@@ -72,6 +72,19 @@ class Index:
 
         return list_commits(self.index_dir)
 
+    def export(self, out_dir: str, version: int | None = None) -> "Index":
+        """Clone this index at a commit point (snapshot export/backup)."""
+        from fdblucene_ray.index.manifest import export_commit
+
+        export_commit(self.index_dir, out_dir, version)
+        return Index(out_dir)
+
+    def diff(self, v_old: int, v_new: int) -> dict:
+        """Metadata diff between two retained commits."""
+        from fdblucene_ray.index.delete import diff_commits
+
+        return diff_commits(self.index_dir, v_old, v_new)
+
     def gc(self) -> list[str]:
         return gc_index(self.index_dir)
 

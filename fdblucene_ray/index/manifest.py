@@ -327,3 +327,38 @@ def read_lineage(index_dir: str, signature: str, part: int) -> dict | None:
             return json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+
+
+def export_commit(index_dir: str, out_dir: str, version: int | None = None) -> "Manifest":
+    """Clone an index AT A COMMIT POINT into a fresh directory — the
+    snapshot-export/backup tool (Lucene SnapshotDeletionPolicy + copy
+    semantics): only the segments (and tombstone sidecar) the chosen
+    manifest references are copied; the clone's live manifest IS that
+    commit, with history reset to a single commit point. Pure file
+    copies — postings are immutable so no re-encode happens; at object-
+    store scale the copies become server-side puts (index/store.py)."""
+    import shutil
+
+    m = load_manifest(index_dir, version)
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    for s in m.segments:
+        src = os.path.join(index_dir, "segments", s.name)
+        dst = os.path.join(out_dir, "segments", s.name)
+        if not os.path.exists(dst):
+            tmp = dst + ".tmp-export"
+            shutil.copytree(src, tmp)
+            os.replace(tmp, dst)
+    tf = (m.extra or {}).get("tombstone_file")
+    if tf:
+        sdir = os.path.join(out_dir, "tombstones")
+        os.makedirs(sdir, exist_ok=True)
+        shutil.copy2(
+            os.path.join(index_dir, "tombstones", tf),
+            os.path.join(sdir, tf),
+        )
+    clone = Manifest(
+        analyzers=m.analyzers, block_size=m.block_size,
+        segments=m.segments, version=0, extra=m.extra, codec=m.codec,
+    )
+    publish_manifest(out_dir, clone)
+    return clone

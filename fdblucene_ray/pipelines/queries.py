@@ -1096,6 +1096,82 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_prep_pipeline(sf_dir: str) -> pa.Table:
+    """End-to-end training-data prep COMPOSITION: quality gate (chars +
+    whitespace-token minimums) -> quality-keep-best exact dedup on the
+    30-codepoint snippet key -> 128-token sequence packing; reports the
+    funnel (n_input, n_filtered, n_deduped, n_tokens, n_sequences).
+    Every stage is an existing scale-shaped op; the SQL twin replays
+    the whole chain relationally."""
+    import pyarrow.compute as pc
+
+    from fdblucene_ray.ops.dedup import exact_dedup_keep_best
+    from fdblucene_ray.ops.packing import pack_sequences
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text", "n_chars"])
+    n_input = docs.count()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        chars = pc.utf8_length(t).to_numpy(zero_copy_only=False)
+        ws = pc.split_pattern_regex(t, r"\s+")
+        per_row = np.diff(ws.offsets.to_numpy(zero_copy_only=False))
+        flat = ws.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(batch)), per_row)
+        n_toks = np.bincount(rid[nonempty], minlength=len(batch))
+        keep = (chars >= 200) & (n_toks >= 30)
+        return batch.filter(pa.array(keep))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    n_filtered = gated.count()
+
+    def with_snippet(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return batch.append_column(
+            "snippet", pc.utf8_slice_codeunits(t, 0, 30)
+        )
+
+    keep_rows = exact_dedup_keep_best(
+        gated.map_batches(with_snippet, batch_format="pyarrow"),
+        text_col="snippet", score_col="n_chars",
+    ).take_all()
+    keep_ids = np.sort(np.array([r["doc_id"] for r in keep_rows], np.int64))
+    n_deduped = len(keep_ids)
+    ref = ray.put(keep_ids)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = ray.get(ref)
+        pos = np.searchsorted(m, ids)
+        pos[pos == len(m)] = 0
+        hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(hit))
+
+    deduped = gated.map_batches(keep_only, batch_format="pyarrow")
+    spans = pack_sequences(
+        deduped.select_columns(["doc_id", "text"]), seq_len=128,
+        bucket_size=100,
+    )
+    agg = spans.aggregate(
+        ray.data.aggregate.Sum("n_tokens", alias_name="nt"),
+        ray.data.aggregate.Max("seq_id", alias_name="max_seq"),
+    )
+    return pa.table(
+        {
+            "n_input": pa.array([int(n_input)], pa.int64()),
+            "n_filtered": pa.array([int(n_filtered)], pa.int64()),
+            "n_deduped": pa.array([int(n_deduped)], pa.int64()),
+            "n_tokens": pa.array([int(agg["nt"])], pa.int64()),
+            "n_sequences": pa.array([int(agg["max_seq"]) + 1], pa.int64()),
+        }
+    )
+
+
 def q_hard_negatives(sf_dir: str) -> pa.Table:
     """Hard-negative mining: top-10 cosine neighbors with a DIFFERENT
     label for each of queries vec_id 0..2
@@ -3341,6 +3417,7 @@ def queries() -> dict:
         "source_kl": q_source_kl,
         "hard_negatives": q_hard_negatives,
         "commit_diff": q_commit_diff,
+        "prep_pipeline": q_prep_pipeline,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,
@@ -4558,6 +4635,32 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # full relational replay of the prep chain: gate -> keep-best
+        # dedup on the snippet key -> concat-and-chunk sequence count
+        "prep_pipeline": r"""
+WITH f AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 200
+    AND len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) >= 30),
+d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY substr(text, 1, 30)
+                              ORDER BY length(text) DESC, doc_id) AS rn
+    FROM f) WHERE rn = 1),
+toks AS (SELECT doc_id, tok FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok
+  FROM d) WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS nt FROM dl)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+       (SELECT count(*) FROM f)::BIGINT AS n_filtered,
+       (SELECT count(*) FROM d)::BIGINT AS n_deduped,
+       tot.nt::BIGINT AS n_tokens,
+       ((tot.nt + 127) // 128)::BIGINT AS n_sequences
+FROM tot
 """,
         # deletes add tombstones only; segment set and postings stand
         "commit_diff": """

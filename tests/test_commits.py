@@ -128,3 +128,48 @@ class TestDiffCommits:
         # reverse direction flips the tombstone delta
         rd = diff_commits(ix, v2, v0)
         assert rd["tombstones_added"] == 0 and rd["tombstones_removed"] == 4
+
+
+class TestExportCommit:
+    def test_clone_at_pre_delete_commit(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.build import build_index
+        from fdblucene_ray.index.delete import delete_docs
+        from fdblucene_ray.index.manifest import export_commit, list_commits
+        from fdblucene_ray.index.search import Searcher
+
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(80), pa.int64()),
+                    "text": pa.array(
+                        [f"alpha w{i % 7} beta" for i in range(80)]
+                    ),
+                }
+            ),
+            src,
+        )
+        ix = str(tmp_path / "ix")
+        build_index(src, ix,
+                    fields={"text": {"column": "text", "analyzer": "simple"}},
+                    num_partitions=2)
+        v0 = list_commits(ix)[-1]
+        pre = Searcher(ix).search("alpha", k=100, mode="exhaustive")
+        delete_docs(ix, list(range(0, 80, 2)))
+        # clone the PRE-delete commit: full results, no tombstones
+        out0 = str(tmp_path / "clone0")
+        export_commit(ix, out0, version=v0)
+        s0 = Searcher(out0)
+        assert s0.num_deleted == 0
+        assert s0.search("alpha", k=100, mode="exhaustive") == pre
+        assert list_commits(out0) == [0]
+        # clone the LIVE (post-delete) state: tombstones carried
+        out1 = str(tmp_path / "clone1")
+        export_commit(ix, out1)
+        s1 = Searcher(out1)
+        assert s1.num_deleted == 40
+        assert s1.search("alpha", k=100, mode="exhaustive") == Searcher(
+            ix
+        ).search("alpha", k=100, mode="exhaustive")
