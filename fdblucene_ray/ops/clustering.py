@@ -411,3 +411,55 @@ def label_centroids(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def jl_project(
+    ds: ray.data.Dataset,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0x9E3779B9,
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    Rademacher matrix (Achlioptas 2003: entries ±1/sqrt(k) from hashed
+    (seed, i, j) bits — no RNG state, so any worker regenerates the
+    identical matrix from three integers). Distance-preserving
+    dimensionality reduction ahead of ANN/clustering at 100 TB: the
+    (D x k) matrix is built once per worker (cached) and every batch is
+    one matmul. Returns (id, proj list<double>)."""
+    from fdblucene_ray.ops.broadcast import cached_state
+    from fdblucene_ray.ops.hashing import splitmix64
+
+    def build_matrix(d: int) -> np.ndarray:
+        idx = np.arange(d * out_dim, dtype=np.uint64) + (
+            np.uint64(seed) << np.uint64(32)
+        )
+        bits = splitmix64(idx) & np.uint64(1)
+        signs = bits.astype(np.float64) * 2.0 - 1.0
+        return signs.reshape(d, out_dim) / np.sqrt(out_dim)
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = _stack64(batch[vec_col])
+        if not len(X):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "proj": pa.array([], pa.list_(pa.float64()))}
+            )
+        R = cached_state(
+            ("jl", seed, X.shape[1], out_dim),
+            lambda: build_matrix(X.shape[1]),
+        )
+        P = X @ R
+        n, k = P.shape
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "proj": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32)),
+                    pa.array(P.ravel(), pa.float64()),
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

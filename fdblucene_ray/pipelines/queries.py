@@ -1096,6 +1096,50 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_jl_project(sf_dir: str) -> pa.Table:
+    """Johnson-Lindenstrauss Rademacher projection to 16 dims
+    (ops/clustering.jl_project — deterministic hashed sign matrix, one
+    matmul per batch). Rows-only: the projection isn't SQL-expressible;
+    pytest bounds pairwise-distance distortion."""
+    from fdblucene_ray.ops.clustering import jl_project
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    rows = jl_project(ds, 16).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "p0": _round_col(
+                np.array([r["proj"][0] for r in rows], np.float64), 6
+            ),
+            "p1": _round_col(
+                np.array([r["proj"][1] for r in rows], np.float64), 6
+            ),
+        }
+    )
+
+
+def q_ft_index_stats(sf_dir: str) -> pa.Table:
+    """Index diagnostics surface (CheckIndex-lite metadata report):
+    totals from Searcher.index_stats — rows-only (segment layout isn't
+    SQL-visible), but doc/posting totals cross-check the manifest."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    st = s.index_stats()
+    return pa.table(
+        {
+            "n_segments": pa.array([int(st["n_segments"])], pa.int64()),
+            "n_terms": pa.array([int(st["n_terms"])], pa.int64()),
+            "n_postings": pa.array([int(st["n_postings"])], pa.int64()),
+            "doc_count": pa.array(
+                [int(st["fields"]["text"]["doc_count"])], pa.int64()
+            ),
+            "n_tombstones": pa.array([int(st["n_tombstones"])], pa.int64()),
+        }
+    )
+
+
 def q_prep_pipeline(sf_dir: str) -> pa.Table:
     """End-to-end training-data prep COMPOSITION: quality gate (chars +
     whitespace-token minimums) -> quality-keep-best exact dedup on the
@@ -3418,6 +3462,8 @@ def queries() -> dict:
         "hard_negatives": q_hard_negatives,
         "commit_diff": q_commit_diff,
         "prep_pipeline": q_prep_pipeline,
+        "jl_project": q_jl_project,
+        "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
         "ft_mmr": q_ft_mmr,

@@ -79,3 +79,44 @@ class TestLabelCentroids:
             want = X[lab == l].astype(np.float64).sum(axis=0) / (lab == l).sum()
             got = out[out.label == l].sort_values("dim")["avg"].to_numpy()
             assert np.allclose(got, np.round(want, 6), atol=1.1e-6)
+
+
+class TestJLProjection:
+    def test_distance_preservation_and_determinism(self, ray_session):
+        rng = np.random.default_rng(8)
+        X = rng.normal(size=(100, 64)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(100), pa.int64()),
+                    "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        ).repartition(4)
+        from fdblucene_ray.ops.clustering import jl_project
+
+        rows = {r["vec_id"]: np.asarray(r["proj"]) for r in jl_project(ds, 32).take_all()}
+        P = np.stack([rows[i] for i in range(100)])
+        # deterministic matrix: across block layouts results agree to
+        # BLAS dot-order jitter (~1e-15 rel; the MATRIX is identical,
+        # only the matmul's internal summation order can differ)
+        rows2 = {
+            r["vec_id"]: np.asarray(r["proj"])
+            for r in jl_project(ds.repartition(9), 32).take_all()
+        }
+        for i in range(100):
+            assert np.allclose(rows[i], rows2[i], rtol=1e-12, atol=1e-12)
+        # pairwise distance distortion is bounded (JL with k=32: loose
+        # statistical bound; seeded so this never flakes)
+        Xd = X.astype(np.float64)
+        idx = rng.integers(0, 100, size=(200, 2))
+        ratios = []
+        for a, b in idx:
+            if a == b:
+                continue
+            d0 = np.linalg.norm(Xd[a] - Xd[b])
+            d1 = np.linalg.norm(P[a] - P[b])
+            ratios.append(d1 / d0)
+        r = np.array(ratios)
+        assert 0.5 < r.min() and r.max() < 1.6
+        assert abs(r.mean() - 1.0) < 0.1
