@@ -1096,6 +1096,17 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_compress_ratio(sf_dir: str) -> pa.Table:
+    """Per-doc zlib compressibility (repetitive-boilerplate signal;
+    ops/textstats.compression_ratio). Rows-only: no SQL deflate; pytest
+    replays zlib exactly and orders planted repetitive vs random."""
+    from fdblucene_ray.ops.textstats import compression_ratio
+
+    out = compression_ratio(_docs_ds(sf_dir, ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_jl_project(sf_dir: str) -> pa.Table:
     """Johnson-Lindenstrauss Rademacher projection to 16 dims
     (ops/clustering.jl_project — deterministic hashed sign matrix, one
@@ -3463,6 +3474,7 @@ def queries() -> dict:
         "commit_diff": q_commit_diff,
         "prep_pipeline": q_prep_pipeline,
         "jl_project": q_jl_project,
+        "compress_ratio": q_compress_ratio,
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,

@@ -832,3 +832,41 @@ class TestHardNegatives:
                 ["sim", "vec_id"], ascending=[False, True]
             ).vec_id.to_numpy()
             assert set(got) == set(order)
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_more_than_random(self, ray_session):
+        rng = np.random.default_rng(17)
+        rand = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnop"), 8)) for _ in range(100)
+        )
+        rep = "spam ham " * 400
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array([rand, rep]),
+                }
+            )
+        )
+        from fdblucene_ray.ops.textstats import compression_ratio
+
+        rows = {r["doc_id"]: r for r in compression_ratio(ds).take_all()}
+        assert rows[1]["ratio"] < 0.1 < rows[0]["ratio"]
+        # ratio replays exactly (deterministic level)
+        import zlib
+
+        assert rows[0]["c_bytes"] == len(zlib.compress(rand.encode(), 6))
+        assert rows[0]["n_bytes"] == len(rand.encode())
+
+    def test_empty_text_ratio_one(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([0], pa.int64()),
+                 "text": pa.array([""])}
+            )
+        )
+        from fdblucene_ray.ops.textstats import compression_ratio
+
+        r = compression_ratio(ds).take_all()[0]
+        assert r["n_bytes"] == 0 and r["ratio"] == 1.0
