@@ -1096,6 +1096,23 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_catalog(sf_dir: str) -> pa.Table:
+    """Named-index catalog (the reference's many-directories-on-one-
+    cluster deployment shape, index/catalog.py): create two indexes
+    under one root, list them. Rows-only; tests/test_catalog.py holds
+    lifecycle + federated oracles."""
+    from fdblucene_ray.index.catalog import Catalog
+
+    key = hashlib.sha1(f"{sf_dir}:catalog:v1".encode()).hexdigest()[:12]
+    cat = Catalog(os.path.join(CACHE_ROOT, f"cat-{key}"))
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    cat.create("main", _docs_path(sf_dir), fields=fields, num_partitions=4)
+    cat.create("kw", _docs_path(sf_dir), fields={
+        "source": {"column": "source", "analyzer": "keyword"},
+    }, num_partitions=2)
+    return cat.list()
+
+
 def q_compress_ratio(sf_dir: str) -> pa.Table:
     """Per-doc zlib compressibility (repetitive-boilerplate signal;
     ops/textstats.compression_ratio). Rows-only: no SQL deflate; pytest
@@ -3475,6 +3492,7 @@ def queries() -> dict:
         "prep_pipeline": q_prep_pipeline,
         "jl_project": q_jl_project,
         "compress_ratio": q_compress_ratio,
+        "catalog": q_catalog,
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
