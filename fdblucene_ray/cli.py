@@ -250,6 +250,31 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    _ensure_ray()
+    from fdblucene_ray.index.catalog import Catalog
+
+    cat = Catalog(args.root)
+    if args.action == "list":
+        for r in cat.list().to_pylist():
+            print(f"{r['name']}  v{r['version']}  "
+                  f"segments={r['n_segments']} docs={r['n_docs']}")
+    elif args.action == "create":
+        fields = {args.field: {"column": args.column or args.field,
+                               "analyzer": args.analyzer}}
+        cat.create(args.name, args.source, fields=fields,
+                   num_partitions=args.partitions)
+        print(f"created {args.name}")
+    elif args.action == "drop":
+        cat.drop(args.name)
+        print(f"dropped {args.name}")
+    elif args.action == "search":
+        t = cat.search_each(args.name.split(","), args.query, k=args.k)
+        for r in t.to_pylist():
+            print(f"{r['name']}\t{r['doc_id']}\t{round(r['score'], 4)}")
+    return 0
+
+
 def cmd_check(args) -> int:
     _ensure_ray()
     from fdblucene_ray.index.check import check_index
@@ -682,6 +707,21 @@ def main(argv=None) -> int:
     ck.add_argument("--index", required=True)
     ck.add_argument("--level", choices=["fast", "full"], default="full")
     ck.set_defaults(fn=cmd_check)
+
+    ct = sub.add_parser(
+        "catalog", help="named-index catalog (create/list/drop/search)"
+    )
+    ct.add_argument("action", choices=["list", "create", "drop", "search"])
+    ct.add_argument("--root", required=True)
+    ct.add_argument("--name", help="index name (comma-list for search)")
+    ct.add_argument("--source", help="parquet source (create)")
+    ct.add_argument("--field", default="text")
+    ct.add_argument("--column")
+    ct.add_argument("--analyzer", default="lucene")
+    ct.add_argument("--partitions", type=int, default=8)
+    ct.add_argument("--query", help="query string (search)")
+    ct.add_argument("-k", type=int, default=10)
+    ct.set_defaults(fn=cmd_catalog)
 
     m = sub.add_parser("merge", help="merge indexes (addIndexes analog)")
     m.add_argument("--source", action="append", required=True,
