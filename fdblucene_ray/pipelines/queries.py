@@ -1096,6 +1096,49 @@ def q_ann_cosine(sf_dir: str) -> pa.Table:
     return brute_force_topk(ds, q, [0], k=10)
 
 
+def q_ft_append_refresh(sf_dir: str) -> pa.Table:
+    """Near-real-time ingest (SURVEY §2.9): the index is built from
+    shard 1 (first half of the corpus), then REFRESHED by appending
+    shard 2 — the completed shard is skipped via its done-record and
+    only the new files build (index/build.py build_sharded). The
+    refreshed index's term stats + search must equal a full-corpus
+    build, which is exactly what the SQL twin computes."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.build import build_sharded
+
+    key = hashlib.sha1(f"{sf_dir}:append:v1".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"append-{key}")
+    os.makedirs(root, exist_ok=True)
+    halves = [os.path.join(root, f"half{i}.parquet") for i in (0, 1)]
+    if not all(os.path.exists(p) for p in halves):
+        t = pq.read_table(_docs_path(sf_dir))
+        per = (t.num_rows + 1) // 2
+        for i, p in enumerate(halves):
+            pq.write_table(t.slice(i * per, per), p + ".tmp",
+                           row_group_size=2048)
+            os.replace(p + ".tmp", p)
+    ix = os.path.join(root, "ix")
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    # initial build: shard 1 only
+    build_sharded([halves[0]], ix, fields=fields,
+                  num_partitions_per_shard=4)
+    # refresh: append shard 2 (shard 1's done-record skips its input)
+    build_sharded(halves, ix, fields=fields, num_partitions_per_shard=4)
+    s = Searcher(ix)
+    terms = ["data", "merge", "join", "window"]
+    rows = sorted((t, *s.term_stats("text", t)) for t in terms)
+    hits = s.search_terms(["data", "merge"], 10, mode="wand")
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "ttf": pa.array([r[2] for r in rows], pa.int64()),
+            "top1_doc": pa.array([hits[0][0]] * len(rows), pa.int64()),
+        }
+    )
+
+
 def q_catalog(sf_dir: str) -> pa.Table:
     """Named-index catalog (the reference's many-directories-on-one-
     cluster deployment shape, index/catalog.py): create two indexes
@@ -3493,6 +3536,7 @@ def queries() -> dict:
         "jl_project": q_jl_project,
         "compress_ratio": q_compress_ratio,
         "catalog": q_catalog,
+        "ft_append_refresh": q_ft_append_refresh,
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
@@ -4711,6 +4755,16 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # refreshed (shard-appended) index == full-corpus build
+        "ft_append_refresh": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf,
+       (SELECT doc_id FROM ({_bm25_sql(["data", "merge"], k=1)}))::BIGINT
+         AS top1_doc
+FROM toks WHERE tok IN ('data', 'merge', 'join', 'window')
+GROUP BY tok ORDER BY term
 """,
         # full relational replay of the prep chain: gate -> keep-best
         # dedup on the snippet key -> concat-and-chunk sequence count
