@@ -349,22 +349,15 @@ def kcenter_sample(
     )
 
 
-def label_centroids(
+def label_centroid_sums(
     ds: ray.data.Dataset,
     *,
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> ray.data.Dataset:
-    """Mean-pooled centroid per label — the class-prototype computation
-    (nearest-class-mean classifiers, SemDeDup-style per-cluster
-    anchors, label-conditioned data selection). Returns long-form
-    (label, dim, avg) rows.
-
-    Shape: each batch folds its vectors into |labels| x D partial sums
-    (one np.add.at) and emits LONG-FORM (label, dim, s, n) rows —
-    |labels| x D per batch, independent of batch size — so the groupby
-    exchange is tiny and Ray's scalar Sum aggregates apply (no
-    list-typed aggregation needed)."""
+    """Aggregated long-form per-(label, dim) sufficient statistics
+    (label, dim, s, n) — the shared partial behind label_centroids and
+    drift metrics; |labels| x D rows total."""
 
     def partial(batch: pa.Table) -> pa.Table:
         X = _stack64(batch[vec_col])
@@ -391,9 +384,29 @@ def label_centroids(
 
     from ray.data.aggregate import Sum
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["label", "dim"]
     ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Mean-pooled centroid per label — the class-prototype computation
+    (nearest-class-mean classifiers, SemDeDup-style per-cluster
+    anchors, label-conditioned data selection). Returns long-form
+    (label, dim, avg) rows.
+
+    Shape: each batch folds its vectors into |labels| x D partial sums
+    (one np.add.at) and emits LONG-FORM (label, dim, s, n) rows —
+    |labels| x D per batch, independent of batch size — so the groupby
+    exchange is tiny and Ray's scalar Sum aggregates apply (no
+    list-typed aggregation needed); see label_centroid_sums."""
+
+    agg = label_centroid_sums(ds, vec_col=vec_col, label_col=label_col)
 
     from fdblucene_ray.ops.hashing import round_half_away
 

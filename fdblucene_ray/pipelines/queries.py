@@ -1139,6 +1139,35 @@ def q_ft_append_refresh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_label_drift(sf_dir: str) -> pa.Table:
+    """Per-label embedding drift: cosine similarity of each label's
+    mean vector to the global mean — the cluster-vs-corpus drift
+    monitor. Reuses the label_centroids partial sums; global centroid
+    folds from the same partials; cosine is computed on the driver
+    over |labels| x D doubles."""
+    from fdblucene_ray.ops.clustering import label_centroid_sums
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["embedding", "label"]
+    )
+    sums = label_centroid_sums(ds).to_pandas()
+    piv_s = sums.pivot(index="label", columns="dim", values="s").sort_index()
+    piv_n = sums.pivot(index="label", columns="dim", values="n").sort_index()
+    S = piv_s.to_numpy(np.float64)
+    Ncnt = piv_n.to_numpy(np.float64)
+    M = S / Ncnt  # per-label mean, dims columns
+    g = S.sum(axis=0) / Ncnt.sum(axis=0)  # global mean per dim
+    num = (M * g).sum(axis=1)
+    den = np.sqrt((M * M).sum(axis=1)) * np.sqrt((g * g).sum())
+    cos = num / den
+    return pa.table(
+        {
+            "label": pa.array(piv_s.index.to_numpy(np.int64)),
+            "cos_to_global": _round_col(cos, 6),
+        }
+    )
+
+
 def q_catalog(sf_dir: str) -> pa.Table:
     """Named-index catalog (the reference's many-directories-on-one-
     cluster deployment shape, index/catalog.py): create two indexes
@@ -3537,6 +3566,7 @@ def queries() -> dict:
         "compress_ratio": q_compress_ratio,
         "catalog": q_catalog,
         "ft_append_refresh": q_ft_append_refresh,
+        "label_drift": q_label_drift,
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
@@ -4755,6 +4785,26 @@ SELECT 0::BIGINT AS query_id, e.vec_id,
        CAST(round(CAST(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id LIMIT 10
+""",
+        # cosine of each label's mean vector to the global mean; the
+        # expression shapes mirror the engine: mean = sum/count per
+        # (label, dim), num = sum(m*g), den = sqrt(sum m^2)*sqrt(sum g^2)
+        "label_drift": """
+WITH u AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings),
+lm AS (SELECT label, dim, sum(v) AS s, count(*) AS n
+       FROM u GROUP BY label, dim),
+gm AS (SELECT dim, sum(s) / sum(n) AS g FROM lm GROUP BY dim),
+parts AS (SELECT lm.label,
+                 sum((lm.s / lm.n) * gm.g) AS num,
+                 sum((lm.s / lm.n) * (lm.s / lm.n)) AS nl
+          FROM lm JOIN gm ON gm.dim = lm.dim GROUP BY lm.label),
+g2 AS (SELECT sum(g * g) AS ng FROM gm)
+SELECT label::BIGINT AS label,
+       CAST(round(num / (sqrt(nl) * sqrt(g2.ng)), 6) AS DOUBLE)
+         AS cos_to_global
+FROM parts CROSS JOIN g2 ORDER BY label
 """,
         # refreshed (shard-appended) index == full-corpus build
         "ft_append_refresh": f"""
