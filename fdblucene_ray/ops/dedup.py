@@ -17,6 +17,7 @@ dedup generalizes it (SURVEY.md §2.7 D3).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -1031,5 +1032,167 @@ def simhash_near_pairs_from_fingerprints(fp, max_hamming=3) -> pa.Table:
             "a": pa.array(df["a"].to_numpy(np.int64)),
             "b": pa.array(df["b"].to_numpy(np.int64)),
             "hamming": pa.array(df["hamming"].to_numpy(np.int64)),
+        }
+    )
+
+
+# ------------------------------------------------- online near-dup probe
+
+
+def build_neardup_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    analyzer: str = "simple",
+    num_parts: int = 32,
+) -> str:
+    """At-rest near-duplicate PROBE index — the online twin of the
+    batch minhash pipeline ("is this newly crawled page a near-dup of
+    anything already in the corpus?"): band rows written
+    hive-partitioned by ``part=K`` (a probe reads ONLY the partitions
+    its query bands hash to) plus per-doc minhash signatures
+    partitioned by ``sig_part = doc_id % P`` (candidate signatures are
+    point-read the same way). Index size is O(docs x n_perm x 8B) —
+    bounded, independent of document length."""
+    import json as _json
+
+    mh = MinHashBands(text_col, id_col, shingle=shingle, analyzer=analyzer,
+                      num_parts=num_parts)
+    bands = ds.map_batches(mh, batch_format="pyarrow")
+    bands.write_parquet(
+        os.path.join(out_dir, "bands"), partition_cols=["part"]
+    )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        has, sig = mh.signature_matrix(batch[text_col], len(batch))
+        if not len(has):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "sig_part": pa.array([], pa.int32()),
+                 "sig": pa.array([], pa.list_(pa.uint64()))}
+            )
+        n, p = sig.shape
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has], pa.int64()),
+                "sig_part": pa.array(
+                    (ids[has] % num_parts).astype(np.int32)
+                ),
+                "sig": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * p, p, dtype=np.int32)),
+                    pa.array(sig.ravel(), pa.uint64()),
+                ),
+            }
+        )
+
+    ds.map_batches(sig_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "sigs"), partition_cols=["sig_part"]
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        _json.dump(
+            {"shingle": shingle, "analyzer": analyzer,
+             "n_perm": int(mh.n_perm), "n_bands": int(mh.n_bands),
+             "num_parts": num_parts, "text_col": text_col}, fh,
+        )
+    return out_dir
+
+
+def probe_neardup(
+    index_dir: str, texts: list[str], *, min_est_jaccard: float = 0.5
+) -> pa.Table:
+    """Probe the near-dup index with NEW documents: returns
+    (query_idx, doc_id, est_jaccard) for every indexed doc sharing a
+    band bucket with a query, with the jaccard ESTIMATED from matching
+    signature slots (Broder). I/O: only the band partitions the query
+    bands hash to and only the signature partitions of the candidate
+    ids are read — a probe touches O(candidates), never the corpus."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = _json.load(fh)
+    num_parts = meta["num_parts"]
+    mh = MinHashBands(
+        meta["text_col"], "doc_id", shingle=meta["shingle"],
+        analyzer=meta["analyzer"], num_parts=num_parts,
+    )
+    has, qsig = mh.signature_matrix(pa.array(texts, pa.string()), len(texts))
+    if not len(has):
+        return pa.table(
+            {"query_idx": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+    r = mh.rows_per_band
+    # query band hashes + their partitions
+    want: dict[int, list[tuple[int, int, int]]] = {}
+    for qi_pos, qi in enumerate(has):
+        for bi in range(mh.n_bands):
+            bh = qsig[qi_pos, bi * r]
+            for k in range(1, r):
+                bh = combine(
+                    np.array([bh], np.uint64),
+                    np.array([qsig[qi_pos, bi * r + k]], np.uint64),
+                )[0]
+            bh_i64 = np.int64(np.uint64(bh).astype(np.int64))
+            # int() BEFORE the modulo: np.uint64 % python-int silently
+            # promotes to float64 and corrupts the partition id
+            part = int(
+                splitmix64(np.array([np.uint64(bh) + np.uint64(bi)]))[0]
+            ) % num_parts
+            want.setdefault(part, []).append((int(qi), bi, int(bh_i64)))
+    cand: dict[tuple[int, int], None] = {}
+    for part, triples in want.items():
+        pdir = os.path.join(index_dir, "bands", f"part={part}")
+        if not os.path.isdir(pdir):
+            continue
+        t = pads.dataset(pdir).to_table(columns=["band", "band_hash", "doc_id"])
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bhash = t["band_hash"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        for qi, bi, bh in triples:
+            m = (band == bi) & (bhash == bh)
+            for d in did[m]:
+                cand[(qi, int(d))] = None
+    if not cand:
+        return pa.table(
+            {"query_idx": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+    # point-read candidate signatures from their id-hash partitions
+    need_ids = sorted({d for _, d in cand})
+    cand_ids_set = set(need_ids)
+    sig_parts = sorted({d % num_parts for d in need_ids})
+    sigs: dict[int, np.ndarray] = {}
+    for sp in sig_parts:
+        pdir = os.path.join(index_dir, "sigs", f"sig_part={sp}")
+        if not os.path.isdir(pdir):
+            continue
+        t = pads.dataset(pdir).to_table(columns=["doc_id", "sig"])
+        for d, s in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+            if d in cand_ids_set:
+                sigs[int(d)] = np.asarray(s, np.uint64)
+    out_q, out_d, out_j = [], [], []
+    pos_of = {int(q): i for i, q in enumerate(has)}
+    for (qi, d), _ in sorted(cand.items()):
+        s = sigs.get(d)
+        if s is None:
+            continue
+        est = float((qsig[pos_of[qi]] == s).mean())
+        if est >= min_est_jaccard:
+            out_q.append(qi)
+            out_d.append(d)
+            out_j.append(round(est, 6))
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "est_jaccard": pa.array(out_j, pa.float64()),
         }
     )

@@ -1139,6 +1139,30 @@ def q_ft_append_refresh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_neardup_probe(sf_dir: str) -> pa.Table:
+    """Online near-dup probe: build the at-rest banded minhash index
+    over documents (hive part= layout; probes read only colliding
+    partitions), then probe with the exact text of docs 3 and 7 — each
+    must come back with est_jaccard 1.0 (ops/dedup.py
+    build_neardup_index/probe_neardup). Rows-only; planted-near-dup
+    pytest holds the stronger oracle."""
+    from fdblucene_ray.ops.dedup import build_neardup_index, probe_neardup
+    from fdblucene_ray.sources.corpus import hydrate_from_source
+
+    key = hashlib.sha1(f"{sf_dir}:ndix:v1".encode()).hexdigest()[:12]
+    d = os.path.join(CACHE_ROOT, f"ndix-{key}")
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        build_neardup_index(_docs_ds(sf_dir, ["doc_id", "text"]), d)
+    q = hydrate_from_source(
+        _docs_path(sf_dir), [3, 7], columns=["text"]
+    )["text"].to_pylist()
+    out = probe_neardup(d, q, min_est_jaccard=0.95)
+    df = out.to_pandas().sort_values(["query_idx", "doc_id"]).reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_label_drift(sf_dir: str) -> pa.Table:
     """Per-label embedding drift: cosine similarity of each label's
     mean vector to the global mean — the cluster-vs-corpus drift
@@ -3567,6 +3591,7 @@ def queries() -> dict:
         "catalog": q_catalog,
         "ft_append_refresh": q_ft_append_refresh,
         "label_drift": q_label_drift,
+        "neardup_probe": q_neardup_probe,
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,

@@ -870,3 +870,48 @@ class TestCompressionRatio:
 
         r = compression_ratio(ds).take_all()[0]
         assert r["n_bytes"] == 0 and r["ratio"] == 1.0
+
+
+class TestNearDupProbe:
+    def test_probe_finds_planted_near_dup(self, tmp_path, ray_session):
+        rng = np.random.default_rng(7)
+        base = " ".join(f"w{(i * 13) % 80}" for i in range(100))
+        texts = [
+            " ".join(rng.choice([f"u{i}{j}" for j in range(50)], 60))
+            for i in range(60)
+        ]
+        texts[17] = base
+        ds = ray.data.from_arrow(_docs_table(texts)).repartition(4)
+        from fdblucene_ray.ops.dedup import build_neardup_index, probe_neardup
+
+        d = str(tmp_path / "ndix")
+        build_neardup_index(ds, d)
+        q = base.split()
+        q[5] = "changed"
+        out = probe_neardup(
+            d, [" ".join(q), "completely different text entirely"],
+            min_est_jaccard=0.4,
+        ).to_pylist()
+        assert [(r["query_idx"], r["doc_id"]) for r in out] == [(0, 17)]
+        assert out[0]["est_jaccard"] > 0.8
+
+    def test_exact_copy_estimates_one(self, tmp_path, ray_session):
+        texts = [f"doc {i} " + " ".join(f"t{i}{j}" for j in range(40))
+                 for i in range(20)]
+        ds = ray.data.from_arrow(_docs_table(texts))
+        from fdblucene_ray.ops.dedup import build_neardup_index, probe_neardup
+
+        d = str(tmp_path / "ndix2")
+        build_neardup_index(ds, d)
+        out = probe_neardup(d, [texts[7]], min_est_jaccard=0.9).to_pylist()
+        assert [(r["doc_id"], r["est_jaccard"]) for r in out] == [(7, 1.0)]
+
+    def test_empty_and_novel_queries(self, tmp_path, ray_session):
+        texts = [f"x{i} y{i} z{i} w{i} v{i}" for i in range(10)]
+        ds = ray.data.from_arrow(_docs_table(texts))
+        from fdblucene_ray.ops.dedup import build_neardup_index, probe_neardup
+
+        d = str(tmp_path / "ndix3")
+        build_neardup_index(ds, d)
+        assert probe_neardup(d, [""]).num_rows == 0
+        assert probe_neardup(d, ["totally novel unseen content here"]).num_rows == 0
