@@ -240,6 +240,7 @@ class Index:
 
 __all__ = [
     "Index",
+    "Catalog",
     "build_index",
     "build_sharded",
     "merge_indexes",
@@ -248,3 +249,11 @@ __all__ = [
     "Searcher",
     "load_manifest",
 ]
+
+
+def __getattr__(name):  # lazy: Catalog pulls in build/search modules
+    if name == "Catalog":
+        from fdblucene_ray.index.catalog import Catalog
+
+        return Catalog
+    raise AttributeError(name)
