@@ -491,6 +491,17 @@ def merge_segments_inplace(
     extra = dict(m.extra)
     if full:
         extra.pop("tombstone_file", None)
+        # bake pending numeric doc-values generations into the docstore
+        # (Lucene: merge folds dv-gen files into the rewritten segment);
+        # fields without a docstore column carry forward
+        if extra.get("dv_files"):
+            from fdblucene_ray.index.docvalues import fold_dv_into_docstore
+
+            remaining = fold_dv_into_docstore(index_dir, m)
+            if remaining:
+                extra["dv_files"] = remaining
+            else:
+                extra.pop("dv_files", None)
     m2 = Manifest(
         analyzers=m.analyzers,
         block_size=m.block_size,
@@ -510,6 +521,9 @@ def merge_segments_inplace(
         gc_index(index_dir)
         if full:
             gc_tombstones(index_dir)
+            from fdblucene_ray.index.docvalues import gc_dv_files
+
+            gc_dv_files(index_dir)
     return m2
 
 

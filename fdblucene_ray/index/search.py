@@ -1933,10 +1933,14 @@ class Searcher:
         value_col: str,
         weight: float = 1.0,
         operator: str = "or",
+        dv_field: str | None = None,
     ) -> list[tuple[int, float]]:
         """FunctionScoreQuery analog: final score = bm25 *
         (1 + weight * ln(1 + max(value, 0))) with the value taken from
-        a numeric doc-values column. The whole match set is scored
+        a numeric doc-values column. ``dv_field``: apply the index's
+        pending doc-values UPDATE overlay (index/docvalues.py) for that
+        field over the hydrated base values — Lucene's
+        updateNumericDocValue read path. The whole match set is scored
         (boosting reorders, so top-k can't early-terminate on bm25
         alone) and values hydrate row-group-pruned for the matched ids
         only. At head-term scale the value folds into the per-block
@@ -1959,6 +1963,16 @@ class Searcher:
         vmap_ids, vmap_vals = vmap_ids[order], vmap_vals[order]
         pos = np.searchsorted(vmap_ids, ids)
         vals = vmap_vals[pos]
+        if dv_field is not None:
+            from fdblucene_ray.index.docvalues import (
+                load_dv_overlay,
+                overlay_values,
+            )
+
+            ov_ids, ov_vals = load_dv_overlay(
+                self.index_dir, dv_field, self.manifest
+            )
+            vals = overlay_values(ids, vals, ov_ids, ov_vals)
         # np.log (not log1p) so the doubles match the SQL oracle's
         # ln(1 + v) expression bit-for-bit
         final = bm25 * (1.0 + weight * np.log(1.0 + np.maximum(vals, 0.0)))
@@ -1975,11 +1989,17 @@ class Searcher:
         value_col: str,
         descending: bool = True,
         operator: str = "or",
+        dv_field: str | None = None,
     ) -> list[tuple[int, float]]:
         """Sort-by-field search (``IndexSearcher.search(query, n,
         Sort)`` with a numeric ``SortField`` — relevance is ignored):
         docs matching the query ordered by a doc-values column, ties
-        doc_id asc. The match set is broadcast (``ray.put``) and the
+        doc_id asc. ``dv_field``: overlay the index's pending numeric
+        doc-values updates (index/docvalues.py) over the streamed base
+        column — the overlay is update-sized and rides the same
+        broadcast as the match set, so the sort sees post-update values
+        without any corpus rewrite. The match set is broadcast
+        (``ray.put``) and the
         value column STREAMS from the input parquet with a per-batch
         local top-k; only ≤k rows per batch reach the driver merge —
         the same shape as ``facet_ranges`` and safe at 100 TB."""
@@ -2003,13 +2023,24 @@ class Searcher:
             match = self.multiterm_docs(field, terms)
         if not len(match):
             return []
+        if dv_field is not None:
+            from fdblucene_ray.index.docvalues import load_dv_overlay
+
+            ov = load_dv_overlay(self.index_dir, dv_field, self.manifest)
+        else:
+            ov = (np.empty(0, np.int64), np.empty(0, np.float64))
+        ov_ref = ray.put(ov)
         match_ref = ray.put(match)
         desc = descending
 
         def topk_batch(b: pa.Table) -> pa.Table:
+            from fdblucene_ray.index.docvalues import overlay_values
+
             m = ray.get(match_ref)
+            ov_ids, ov_vals = ray.get(ov_ref)
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = overlay_values(ids, vals, ov_ids, ov_vals)
             pos = np.searchsorted(m, ids)
             pos[pos == len(m)] = 0
             hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)

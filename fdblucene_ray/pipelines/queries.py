@@ -2661,6 +2661,55 @@ def q_ft_sort_multi(sf_dir: str) -> pa.Table:
     )
 
 
+def _ensure_dv_index(sf_dir: str) -> str:
+    """documents index with an in-place numeric doc-values update
+    applied (``updateNumericDocValue`` analog, index/docvalues.py):
+    every doc with doc_id % 7 == 0 gets n_chars := 100000 - doc_id via
+    a dv-generation sidecar — postings untouched, no reindex. The
+    update is content-idempotent (re-running publishes nothing)."""
+    import pyarrow.dataset as pads
+
+    from fdblucene_ray.index.docvalues import update_numeric_docvalues
+
+    ix = _index_dir(sf_dir, "dvu")
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    build_index(
+        _docs_path(sf_dir), ix, fields=fields, num_partitions=16,
+        batch_size=2048, docstore_cols=["n_chars"],
+    )
+    ids = (
+        pads.dataset(_docs_path(sf_dir))
+        .to_table(columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    upd_ids = ids[ids % 7 == 0]
+    update_numeric_docvalues(
+        ix, "n_chars", {int(d): float(100000 - d) for d in upd_ids}
+    )
+    return ix
+
+
+def q_ft_dv_update(sf_dir: str) -> pa.Table:
+    """In-place numeric doc-values update read path: 'vector stream'
+    AND-matches sorted by the POST-update n_chars (docs with
+    doc_id % 7 == 0 were repointed to 100000 - doc_id without any
+    reindex); the overlay rides the streaming sort's broadcast
+    (index/search.py search_sort_by dv_field=)."""
+    s = Searcher(_ensure_dv_index(sf_dir))
+    rows = s.search_sort_by(
+        "vector stream", k=10, operator="and",
+        value_source=_docs_path(sf_dir), value_col="n_chars",
+        dv_field="n_chars",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+        }
+    )
+
+
 def q_ft_sort_by_field(sf_dir: str) -> pa.Table:
     """Sort-by-field search (SortField analog): docs matching
     'vector AND stream' ordered by n_chars desc; the value column
@@ -3432,6 +3481,7 @@ def queries() -> dict:
         "ft_distance_feature": q_ft_distance_feature,
         "ft_sort_multi": q_ft_sort_multi,
         "ft_sort_by_field": q_ft_sort_by_field,
+        "ft_dv_update": q_ft_dv_update,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
         "ft_bool_expr": q_ft_bool_expr,
@@ -4522,6 +4572,16 @@ WITH {TOKS_CTE},
 m AS (SELECT doc_id FROM toks WHERE tok IN ('vector', 'stream')
       GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
 SELECT d.doc_id, d.n_chars::DOUBLE AS value
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY value DESC, d.doc_id LIMIT 10
+""",
+        "ft_dv_update": f"""
+WITH {TOKS_CTE},
+m AS (SELECT doc_id FROM toks WHERE tok IN ('vector', 'stream')
+      GROUP BY doc_id HAVING count(DISTINCT tok) = 2)
+SELECT d.doc_id,
+       (CASE WHEN d.doc_id % 7 = 0 THEN 100000 - d.doc_id
+             ELSE d.n_chars END)::DOUBLE AS value
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 ORDER BY value DESC, d.doc_id LIMIT 10
 """,

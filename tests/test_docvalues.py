@@ -1,0 +1,221 @@
+"""In-place numeric doc-values updates (Lucene updateNumericDocValue
+analog, index/docvalues.py): sidecar generations, last-write-wins
+coalescing, overlay read paths (sort-by-field + function-score),
+commit-point pinning, and merge-time folding into the docstore."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fdblucene_ray.index.build import build_index, hydrate
+from fdblucene_ray.index.docvalues import (
+    gc_dv_files,
+    load_dv_overlay,
+    overlay_values,
+    update_numeric_docvalues,
+)
+from fdblucene_ray.index.manifest import load_manifest
+from fdblucene_ray.index.merge import merge_segments_inplace
+from fdblucene_ray.index.search import Searcher
+
+N = 50
+TEXTS = [
+    f"data merge {'join ' * (i % 3)}window batch value stream t{i:03d}"
+    for i in range(N)
+]
+NCHARS = [100 + 3 * i for i in range(N)]
+FIELDS = {"text": {"column": "text", "analyzer": "simple"}}
+
+
+def _write_corpus(d):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(N)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "n_chars": pa.array(NCHARS, pa.int64()),
+        }
+    )
+    p = str(d / "c.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def dv_ix(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("dv")
+    src = _write_corpus(d)
+    ix = str(d / "ix")
+    build_index(
+        src, ix, fields=FIELDS, num_partitions=4, batch_size=16,
+        docstore_cols=["n_chars"],
+    )
+    return ix, src
+
+
+def _expected(updates: dict[int, float]) -> list[float]:
+    return [float(updates.get(i, NCHARS[i])) for i in range(N)]
+
+
+class TestOverlayKernel:
+    def test_overlay_values_patches_hits_only(self):
+        ids = np.array([5, 1, 9, 30], np.int64)
+        vals = np.array([0.5, 0.1, 0.9, 3.0])
+        ov_ids = np.array([1, 9, 40], np.int64)
+        ov_vals = np.array([11.0, 99.0, 7.0])
+        out = overlay_values(ids, vals, ov_ids, ov_vals)
+        assert out.tolist() == [0.5, 11.0, 99.0, 3.0]
+        # original untouched
+        assert vals.tolist() == [0.5, 0.1, 0.9, 3.0]
+
+    def test_empty_overlay_is_identity(self):
+        ids = np.array([1, 2], np.int64)
+        vals = np.array([1.0, 2.0])
+        out = overlay_values(
+            ids, vals, np.empty(0, np.int64), np.empty(0, np.float64)
+        )
+        assert out.tolist() == [1.0, 2.0]
+
+
+class TestUpdatePublish:
+    def test_update_publishes_generation_and_overlay_reads(self, dv_ix):
+        ix, _ = dv_ix
+        v0 = load_manifest(ix).version
+        m = update_numeric_docvalues(ix, "n_chars", {3: 1000.0, 10: 2000.0})
+        assert m.version == v0 + 1
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        assert ids.tolist() == [3, 10]
+        assert vals.tolist() == [1000.0, 2000.0]
+
+    def test_idempotent_republish_skips(self, dv_ix):
+        ix, _ = dv_ix
+        m1 = update_numeric_docvalues(ix, "n_chars", {3: 1000.0, 10: 2000.0})
+        m2 = update_numeric_docvalues(ix, "n_chars", {3: 1000.0, 10: 2000.0})
+        assert m2.version == m1.version
+
+    def test_last_write_wins_coalesce(self, dv_ix):
+        ix, _ = dv_ix
+        update_numeric_docvalues(ix, "n_chars", {10: 5000.0, 20: 7000.0})
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        got = dict(zip(ids.tolist(), vals.tolist()))
+        # 3 survives from the earlier generation, 10 is overwritten
+        assert got == {3: 1000.0, 10: 5000.0, 20: 7000.0}
+
+    def test_commit_point_pins_pre_update_values(self, dv_ix):
+        ix, _ = dv_ix
+        from fdblucene_ray.index.manifest import list_commits
+
+        first = list_commits(ix)[0]
+        old = load_manifest(ix, first)
+        ids, _ = load_dv_overlay(ix, "n_chars", old)
+        assert len(ids) == 0  # pre-update snapshot sees no overlay
+
+    def test_stats_and_postings_untouched(self, dv_ix):
+        ix, _ = dv_ix
+        s = Searcher(ix)
+        dc, sttf, _ = s.field_stats("text")
+        assert dc == N
+        assert s.search_terms(["data"], 5)  # postings still serve
+
+
+class TestReadPaths:
+    UPD = {i: float(10_000 + i) for i in range(0, N, 7)}
+
+    @pytest.fixture(scope="class")
+    def updated(self, dv_ix):
+        ix, src = dv_ix
+        update_numeric_docvalues(ix, "n_chars", self.UPD)
+        return ix, src
+
+    def test_sort_by_field_sees_updates(self, updated):
+        ix, src = updated
+        s = Searcher(ix)
+        rows = s.search_sort_by(
+            "data", k=10, value_source=src, value_col="n_chars",
+            dv_field="n_chars",
+        )
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        cur = dict(zip(ids.tolist(), vals.tolist()))
+        exp_vals = [(i, cur.get(i, float(NCHARS[i]))) for i in range(N)]
+        exp = sorted(exp_vals, key=lambda t: (-t[1], t[0]))[:10]
+        assert rows == [(int(d), float(v)) for d, v in exp]
+
+    def test_function_score_sees_updates(self, updated):
+        ix, src = updated
+        s = Searcher(ix)
+        plain = s.search_function_score(
+            "data", k=N, value_source=src, value_col="n_chars",
+            weight=1.0,
+        )
+        dv = s.search_function_score(
+            "data", k=N, value_source=src, value_col="n_chars",
+            weight=1.0, dv_field="n_chars",
+        )
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        cur = dict(zip(ids.tolist(), vals.tolist()))
+        plain_map = dict(plain)
+        # recompute: bm25 component is final / (1 + ln(1 + base_value))
+        for d, sc in dv:
+            base = float(NCHARS[d])
+            bm25 = plain_map[d] / (1.0 + np.log(1.0 + base))
+            want = bm25 * (1.0 + np.log(1.0 + cur.get(d, base)))
+            assert sc == pytest.approx(want, rel=1e-12)
+
+
+class TestMergeFold:
+    def test_full_merge_folds_into_docstore(self, tmp_path, ray_session):
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix, fields=FIELDS, num_partitions=4, batch_size=16,
+            docstore_cols=["n_chars"],
+        )
+        upd = {0: 9_999.0, 13: 8_888.0, 49: 7_777.0}
+        update_numeric_docvalues(ix, "n_chars", upd)
+        m = load_manifest(ix)
+        names = [s.name for s in m.segments]
+        m2 = merge_segments_inplace(ix, names, num_partitions=2)
+        # sidecar folded away
+        assert "dv_files" not in m2.extra
+        assert gc_dv_files(ix, dry_run=True) == []
+        dv_dir = os.path.join(ix, "dv_updates")
+        assert not os.path.isdir(dv_dir) or os.listdir(dv_dir) == []
+        # docstore now carries the post-update values
+        t = hydrate(ix, [0, 1, 13, 49], columns=["doc_id", "n_chars"])
+        got = dict(
+            zip(
+                t["doc_id"].to_pylist(),
+                [float(v) for v in t["n_chars"].to_pylist()],
+            )
+        )
+        assert got == {
+            0: 9_999.0,
+            1: float(NCHARS[1]),
+            13: 8_888.0,
+            49: 7_777.0,
+        }
+        # reading through the (now empty) overlay equals the docstore
+        s = Searcher(ix)
+        store = os.path.join(ix, "docstore")
+        rows = s.search_sort_by(
+            "data", k=5, value_source=store, value_col="n_chars",
+            dv_field="n_chars",
+        )
+        assert rows[0] == (0, 9_999.0)
+
+    def test_partial_merge_carries_overlay(self, tmp_path, ray_session):
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix, fields=FIELDS, num_partitions=4, batch_size=16,
+            docstore_cols=["n_chars"],
+        )
+        update_numeric_docvalues(ix, "n_chars", {5: 1.5})
+        m = load_manifest(ix)
+        names = [s.name for s in m.segments][:2]
+        m2 = merge_segments_inplace(ix, names, num_partitions=1)
+        assert m2.extra.get("dv_files", {}).get("n_chars")
+        ids, vals = load_dv_overlay(ix, "n_chars", m2)
+        assert ids.tolist() == [5] and vals.tolist() == [1.5]
