@@ -1815,6 +1815,63 @@ def q_hybrid_weighted(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rank_eval(sf_dir: str) -> pa.Table:
+    """Retrieval-quality evaluation (trec_eval analog,
+    ops/evalrank.py): three single-term sort-by-field runs (top-20 by
+    n_chars desc) scored against deterministic graded qrels (for qid
+    q, docs with doc_id % (3+q) == 0, rel = 1 + (doc_id // (3+q)) % 2)
+    — per-query MRR / P@10 / recall@10 / AP@10 / nDCG@10 via ONE
+    hash(qid) shuffle and vectorized run arithmetic."""
+    from fdblucene_ray.ops.evalrank import rank_eval
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    terms = ["data", "merge", "stream"]
+    qids, docs, ranks = [], [], []
+    for qid, term in enumerate(terms):
+        hits = s.search_sort_by(
+            term, k=20, value_source=_docs_path(sf_dir), value_col="n_chars"
+        )
+        for r, (d, _) in enumerate(hits, 1):
+            qids.append(qid)
+            docs.append(d)
+            ranks.append(r)
+    run = ray.data.from_arrow(
+        pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+    )
+
+    def mk_qrels(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for q in range(3):
+            mod = 3 + q
+            sel = ids[ids % mod == 0]
+            parts.append(
+                pa.table(
+                    {
+                        "qid": pa.array(np.full(len(sel), q, np.int64)),
+                        "doc_id": pa.array(sel),
+                        "rel": pa.array(1 + (sel // mod) % 2),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    qrels = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mk_qrels, batch_format="pyarrow"
+    )
+    out = _collect(rank_eval(run, qrels, k=10))
+    return out.sort_by("qid")
+
+
 def q_ann_batch(sf_dir: str) -> pa.Table:
     from fdblucene_ray.ops.similarity import brute_force_topk
 
@@ -3530,6 +3587,7 @@ def queries() -> dict:
         "ann_cosine": q_ann_cosine,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_weighted": q_hybrid_weighted,
+        "rank_eval": q_rank_eval,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
@@ -4574,6 +4632,68 @@ m AS (SELECT doc_id FROM toks WHERE tok IN ('vector', 'stream')
 SELECT d.doc_id, d.n_chars::DOUBLE AS value
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 ORDER BY value DESC, d.doc_id LIMIT 10
+""",
+        "rank_eval": f"""
+WITH {TOKS_CTE},
+qterm(qid, term) AS (VALUES (0, 'data'), (1, 'merge'), (2, 'stream')),
+m AS (SELECT q.qid, t.doc_id FROM qterm q JOIN toks t ON t.tok = q.term
+      GROUP BY q.qid, t.doc_id),
+run AS (
+  SELECT m.qid, m.doc_id,
+         row_number() OVER (PARTITION BY m.qid
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rank
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  QUALIFY rank <= 20
+),
+qrels AS (
+  SELECT q.qid, d.doc_id,
+         1 + ((d.doc_id // (3 + q.qid)) % 2) AS rel
+  FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
+  WHERE d.doc_id % (3 + q.qid) = 0
+),
+topk AS (
+  SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels qr
+    ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+rstats AS (
+  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R FROM qrels GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2, rel) - 1) / log2(ipos + 1)) AS idcg FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC) AS ipos
+    FROM qrels WHERE rel > 0
+  ) WHERE ipos <= 10 GROUP BY qid
+),
+cums AS (
+  SELECT qid, rank, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS cum
+  FROM topk
+),
+perq AS (
+  SELECT qid,
+         count(*) AS n_ret,
+         max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS mrr,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+         sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
+         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num
+  FROM cums GROUP BY qid
+)
+SELECT p.qid, p.n_ret,
+  COALESCE(s.R, 0)::BIGINT AS n_rel,
+  round(p.mrr, 6) AS mrr,
+  round(p.n_hit / 10.0, 6) AS "precision",
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.n_hit * 1.0 / s.R ELSE 0 END, 6) AS recall,
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.ap_num / least(s.R, 10) ELSE 0 END, 6) AS ap,
+  round(CASE WHEN COALESCE(i.idcg, 0) > 0
+             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+FROM perq p LEFT JOIN rstats s USING (qid) LEFT JOIN ideal i USING (qid)
+ORDER BY p.qid
 """,
         "ft_dv_update": f"""
 WITH {TOKS_CTE},
