@@ -443,6 +443,54 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_dv(args) -> int:
+    """In-place numeric doc-values update / read-back (no reindex)."""
+    _ensure_ray()
+    from fdblucene_ray.index.docvalues import (
+        load_dv_overlay,
+        update_numeric_docvalues,
+    )
+
+    if args.set:
+        updates = {}
+        for kv in args.set:
+            d, _, v = kv.partition("=")
+            updates[int(d)] = float(v)
+        m = update_numeric_docvalues(args.index, args.field, updates)
+        print(json.dumps({
+            "index": args.index, "field": args.field,
+            "version": m.version, "n_updates": len(updates),
+            "dv_file": m.extra.get("dv_files", {}).get(args.field),
+        }))
+    else:
+        ids, vals = load_dv_overlay(args.index, args.field)
+        print(json.dumps({
+            "index": args.index, "field": args.field,
+            "n_pending": int(len(ids)),
+            "overlay": {int(d): float(v) for d, v in zip(ids[:20], vals[:20])},
+        }))
+    return 0
+
+
+def cmd_rankeval(args) -> int:
+    """trec_eval analog: per-query metrics of a run vs qrels parquet."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.evalrank import rank_eval, rank_eval_mean
+
+    run = ray.data.read_parquet(args.run)
+    qrels = ray.data.read_parquet(args.qrels)
+    per_q = rank_eval(run, qrels, k=args.k)
+    if args.per_query:
+        df = per_q.to_pandas().sort_values("qid")
+        print(df.to_string(index=False))
+    else:
+        t = rank_eval_mean(per_q)
+        print(json.dumps({c: t[c][0].as_py() for c in t.column_names}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Merge-policy maintenance: plan_tiered -> in-place merge -> gc."""
     _ensure_ray()
@@ -736,6 +784,26 @@ def main(argv=None) -> int:
                    help="doc id to delete (repeatable)")
     d.add_argument("--term", help="FIELD:TERM — deleteDocuments(Term) analog")
     d.set_defaults(fn=cmd_delete)
+
+    dv = sub.add_parser(
+        "dv", help="in-place numeric doc-values update (no reindex)"
+    )
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--field", required=True)
+    dv.add_argument("--set", action="append", default=[],
+                    help="DOC_ID=VALUE (repeatable); omit to show overlay")
+    dv.set_defaults(fn=cmd_dv)
+
+    re_ = sub.add_parser(
+        "rankeval", help="trec_eval analog: run vs qrels parquet"
+    )
+    re_.add_argument("--run", required=True,
+                     help="parquet with (qid, doc_id, rank)")
+    re_.add_argument("--qrels", required=True,
+                     help="parquet with (qid, doc_id, rel)")
+    re_.add_argument("-k", type=int, default=10)
+    re_.add_argument("--per-query", action="store_true")
+    re_.set_defaults(fn=cmd_rankeval)
 
     mt = sub.add_parser("maintain", help="tiered merge maintenance loop")
     mt.add_argument("--index", required=True)

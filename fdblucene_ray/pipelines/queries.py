@@ -2670,6 +2670,22 @@ def q_ft_function_score(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_dv_boost(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery over UPDATED doc values: the same
+    1 + 0.2*ln(1 + v) boost as ft_function_score, but v reads through
+    the in-place doc-values overlay (docs with doc_id % 7 == 0 were
+    repointed to 100000 - doc_id by _ensure_dv_index) — scoring follows
+    the update with no reindex (index/docvalues.py)."""
+    s = Searcher(_ensure_dv_index(sf_dir))
+    return _hits_table(
+        s.search_function_score(
+            "filter sort", k=10,
+            value_source=_docs_path(sf_dir), value_col="n_chars",
+            weight=0.2, dv_field="n_chars",
+        )
+    )
+
+
 def q_ft_feature_field(sf_dir: str) -> pa.Table:
     """FeatureField saturation query analog (Lucene rank features):
     BM25('data stream') + 0.5 * n_chars/(n_chars + 500) — the additive
@@ -3539,6 +3555,7 @@ def queries() -> dict:
         "ft_sort_multi": q_ft_sort_multi,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_dv_update": q_ft_dv_update,
+        "ft_dv_boost": q_ft_dv_boost,
         "ft_bm25_boolean": q_ft_boolean,
         "ft_bm25_filter": q_ft_filter,
         "ft_bool_expr": q_ft_bool_expr,
@@ -4568,6 +4585,29 @@ scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
 boosted AS (
   SELECT s.doc_id,
          s.score * (1 + 0.2 * ln(1 + greatest(d.n_chars, 0))) AS fs
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
+FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
+""",
+        # FunctionScore through the doc-values UPDATE overlay: identical
+        # scoring pipeline, but the boost value is the post-update one.
+        "ft_dv_boost": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('filter', 'sort') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+boosted AS (
+  SELECT s.doc_id,
+         s.score * (1 + 0.2 * ln(1 + greatest(
+           CASE WHEN d.doc_id % 7 = 0 THEN 100000 - d.doc_id
+                ELSE d.n_chars END, 0))) AS fs
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
 SELECT doc_id, CAST(round(fs, 4) AS DOUBLE) AS score
 FROM boosted ORDER BY fs DESC, doc_id LIMIT 10
