@@ -48,6 +48,7 @@ from fdblucene_ray.index.manifest import (
 
 SEGMENTS = "segments"
 TOMBSTONES = "tombstones"
+DV_UPDATES = "dv_updates"
 
 
 @runtime_checkable
@@ -358,6 +359,7 @@ def push_index(index_dir: str, store: SegmentStore, *,
     uploaded = 0
     seg_names = {s.name for s in m.segments}
     tomb_files = {m.extra.get("tombstone_file")} - {None}
+    dv_files = set(m.extra.get("dv_files", {}).values())
     commit_rels: list[str] = []
     if include_commits:
         for v in list_commits(index_dir):
@@ -369,6 +371,7 @@ def push_index(index_dir: str, store: SegmentStore, *,
             tf_ = cm.extra.get("tombstone_file")
             if tf_:
                 tomb_files.add(tf_)
+            dv_files |= set(cm.extra.get("dv_files", {}).values())
             rel = os.path.join("commits", f"manifest_{v:09d}.json")
             if os.path.exists(os.path.join(index_dir, rel)):
                 commit_rels.append(rel)
@@ -380,6 +383,14 @@ def push_index(index_dir: str, store: SegmentStore, *,
         uploaded += 1
     for tf in sorted(tomb_files):
         rel = os.path.join(TOMBSTONES, tf)
+        if not store.exists(rel):
+            with open(os.path.join(index_dir, rel), "rb") as fh:
+                store.put(rel, fh.read())
+            uploaded += 1
+    # doc-values update generations ride replication like tombstones:
+    # the manifest names them, so a replica without them is torn
+    for df in sorted(dv_files):
+        rel = os.path.join(DV_UPDATES, df)
         if not store.exists(rel):
             with open(os.path.join(index_dir, rel), "rb") as fh:
                 store.put(rel, fh.read())
@@ -416,6 +427,7 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
     os.makedirs(cache_dir, exist_ok=True)
     extra_segs: list = []
     extra_tombs: set[str] = set()
+    extra_dvs: set[str] = set()
     if include_commits:
         for rel in store.list_files("commits"):
             base = os.path.basename(rel)
@@ -433,6 +445,7 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
             tf_ = cm.extra.get("tombstone_file")
             if tf_:
                 extra_tombs.add(tf_)
+            extra_dvs |= set(cm.extra.get("dv_files", {}).values())
     seen = set()
     for seg in list(m.segments) + extra_segs:
         if seg.name in seen:
@@ -455,6 +468,14 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
     tf = m.extra.get("tombstone_file")
     for tf_ in sorted(({tf} - {None}) | extra_tombs):
         rel = os.path.join(TOMBSTONES, tf_)
+        dst = os.path.join(cache_dir, rel)
+        if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(dst, "wb") as fh:
+                fh.write(store.get(rel))
+    dv_pull = set(m.extra.get("dv_files", {}).values()) | extra_dvs
+    for df in sorted(dv_pull):
+        rel = os.path.join(DV_UPDATES, df)
         dst = os.path.join(cache_dir, rel)
         if not os.path.exists(dst):
             os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -205,6 +205,39 @@ class TestMergeFold:
         )
         assert rows[0] == (0, 9_999.0)
 
+    def test_push_pull_replicates_dv_generations(self, tmp_path, ray_session):
+        from fdblucene_ray.index.store import (
+            LocalFSStore,
+            pull_index,
+            push_index,
+        )
+
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields=FIELDS, num_partitions=3, batch_size=16)
+        update_numeric_docvalues(ix, "n_chars", {2: 42.0, 11: 7.0})
+        store = LocalFSStore(str(tmp_path / "store"))
+        push_index(ix, store)
+        cache = str(tmp_path / "cache")
+        m = pull_index(store, cache)
+        assert m.extra.get("dv_files", {}).get("n_chars")
+        ids, vals = load_dv_overlay(cache, "n_chars", m)
+        assert ids.tolist() == [2, 11]
+        assert vals.tolist() == [42.0, 7.0]
+        # the pulled replica serves the post-update sort
+        s = Searcher(cache)
+        rows = s.search_sort_by(
+            "data", k=1, value_source=src, value_col="n_chars",
+            dv_field="n_chars",
+        )
+        top_base = max(range(N), key=lambda i: (NCHARS[i], -i))
+        assert rows[0][0] == top_base  # 42/7 don't beat the base max
+        asc = s.search_sort_by(
+            "data", k=1, value_source=src, value_col="n_chars",
+            dv_field="n_chars", descending=False,
+        )
+        assert asc[0] == (11, 7.0)
+
     def test_partial_merge_carries_overlay(self, tmp_path, ray_session):
         src = _write_corpus(tmp_path)
         ix = str(tmp_path / "ix")
