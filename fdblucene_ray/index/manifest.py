@@ -356,6 +356,13 @@ def export_commit(index_dir: str, out_dir: str, version: int | None = None) -> "
             os.path.join(index_dir, "tombstones", tf),
             os.path.join(sdir, tf),
         )
+    # doc-values update generations the manifest references travel too
+    for df in sorted((m.extra or {}).get("dv_files", {}).values()):
+        ddir = os.path.join(out_dir, "dv_updates")
+        os.makedirs(ddir, exist_ok=True)
+        dst = os.path.join(ddir, df)
+        if not os.path.exists(dst):
+            shutil.copy2(os.path.join(index_dir, "dv_updates", df), dst)
     clone = Manifest(
         analyzers=m.analyzers, block_size=m.block_size,
         segments=m.segments, version=0, extra=m.extra, codec=m.codec,

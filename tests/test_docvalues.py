@@ -238,6 +238,18 @@ class TestMergeFold:
         )
         assert asc[0] == (11, 7.0)
 
+    def test_export_commit_carries_dv(self, tmp_path, ray_session):
+        from fdblucene_ray.index.manifest import export_commit
+
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields=FIELDS, num_partitions=3, batch_size=16)
+        update_numeric_docvalues(ix, "n_chars", {4: 400.0})
+        out = str(tmp_path / "clone")
+        export_commit(ix, out)
+        ids, vals = load_dv_overlay(out, "n_chars")
+        assert ids.tolist() == [4] and vals.tolist() == [400.0]
+
     def test_partial_merge_carries_overlay(self, tmp_path, ray_session):
         src = _write_corpus(tmp_path)
         ix = str(tmp_path / "ix")
