@@ -1845,6 +1845,16 @@ def q_rank_eval(sf_dir: str) -> pa.Table:
         )
     )
 
+    out = _collect(rank_eval(run, _eval_qrels_ds(sf_dir), k=10))
+    return out.sort_by("qid")
+
+
+def _eval_qrels_ds(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic graded qrels streamed from the documents table:
+    for qid q, docs with doc_id % (3+q) == 0 are relevant with grade
+    1 + (doc_id // (3+q)) % 2 (shared by the rank_eval / similarity-AB
+    oracles)."""
+
     def mk_qrels(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
         if isinstance(ids, pa.ChunkedArray):
@@ -1865,11 +1875,51 @@ def q_rank_eval(sf_dir: str) -> pa.Table:
             )
         return pa.concat_tables(parts)
 
-    qrels = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+    return _docs_ds(sf_dir, ["doc_id"]).map_batches(
         mk_qrels, batch_format="pyarrow"
     )
-    out = _collect(rank_eval(run, qrels, k=10))
-    return out.sort_by("qid")
+
+
+def q_eval_similarity_ab(sf_dir: str) -> pa.Table:
+    """The tuning loop a search team actually runs: the SAME queries
+    under two Similarity implementations (BM25 vs ClassicSimilarity
+    TF-IDF — the U6 SPI swap), both runs scored with rank_eval against
+    the same graded qrels; one row per (config, qid). The retrieval
+    legs and the metric math are each independently oracled; this
+    composes them into the A/B readout."""
+    from fdblucene_ray.ops.evalrank import rank_eval
+
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    terms = ["data", "merge", "stream"]
+    qrels = _eval_qrels_ds(sf_dir)
+    outs = []
+    for config in ("bm25", "classic"):
+        qids, docs, ranks = [], [], []
+        for qid, term in enumerate(terms):
+            if config == "bm25":
+                hits = s.search_terms([term], 20, mode="wand")
+            else:
+                hits = s.search(term, 20, similarity="classic")
+            for r, (d, _) in enumerate(hits, 1):
+                qids.append(qid)
+                docs.append(d)
+                ranks.append(r)
+        run = ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array(qids, pa.int64()),
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "rank": pa.array(ranks, pa.int64()),
+                }
+            )
+        )
+        t = _collect(rank_eval(run, qrels, k=10)).sort_by("qid")
+        outs.append(
+            t.add_column(
+                0, "config", pa.array([config] * t.num_rows, pa.string())
+            )
+        )
+    return pa.concat_tables(outs)
 
 
 def q_ann_batch(sf_dir: str) -> pa.Table:
@@ -3605,6 +3655,7 @@ def queries() -> dict:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_weighted": q_hybrid_weighted,
         "rank_eval": q_rank_eval,
+        "eval_similarity_ab": q_eval_similarity_ab,
         "ann_batch": q_ann_batch,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
@@ -4734,6 +4785,80 @@ SELECT p.qid, p.n_ret,
              THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
 FROM perq p LEFT JOIN rstats s USING (qid) LEFT JOIN ideal i USING (qid)
 ORDER BY p.qid
+""",
+        "eval_similarity_ab": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+qterm(qid, term) AS (VALUES (0, 'data'), (1, 'merge'), (2, 'stream')),
+tf AS (SELECT t.doc_id, q.qid, count(*)::DOUBLE AS tf
+       FROM toks t JOIN qterm q ON t.tok = q.term
+       GROUP BY t.doc_id, q.qid),
+dfx AS (SELECT qid, count(*)::DOUBLE AS df FROM tf GROUP BY qid),
+scored AS (
+  SELECT 'bm25' AS config, tf.qid, tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS score
+  FROM tf JOIN dfx USING (qid) JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+  UNION ALL
+  SELECT 'classic', tf.qid, tf.doc_id,
+         pow(1 + ln(stats.dc / (dfx.df + 1)), 2)
+           * sqrt(tf.tf) / sqrt(dlq.dlq)
+  FROM tf JOIN dfx USING (qid) JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats),
+run AS (
+  SELECT config, qid, doc_id,
+         row_number() OVER (PARTITION BY config, qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 20),
+qrels AS (
+  SELECT q.qid, d.doc_id,
+         1 + ((d.doc_id // (3 + q.qid)) % 2) AS rel
+  FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
+  WHERE d.doc_id % (3 + q.qid) = 0
+),
+topk AS (
+  SELECT r.config, r.qid, r.rank, COALESCE(qr.rel, 0) AS rel
+  FROM run r LEFT JOIN qrels qr
+    ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  WHERE r.rank <= 10
+),
+rstats AS (
+  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R FROM qrels GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2, rel) - 1) / log2(ipos + 1)) AS idcg FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC) AS ipos
+    FROM qrels WHERE rel > 0
+  ) WHERE ipos <= 10 GROUP BY qid
+),
+cums AS (
+  SELECT config, qid, rank, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY config, qid ORDER BY rank) AS cum
+  FROM topk
+),
+perq AS (
+  SELECT config, qid,
+         count(*) AS n_ret,
+         max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS mrr,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+         sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
+         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num
+  FROM cums GROUP BY config, qid
+)
+SELECT p.config, p.qid, p.n_ret,
+  COALESCE(s.R, 0)::BIGINT AS n_rel,
+  round(p.mrr, 6) AS mrr,
+  round(p.n_hit / 10.0, 6) AS "precision",
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.n_hit * 1.0 / s.R ELSE 0 END, 6) AS recall,
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.ap_num / least(s.R, 10) ELSE 0 END, 6) AS ap,
+  round(CASE WHEN COALESCE(i.idcg, 0) > 0
+             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+FROM perq p LEFT JOIN rstats s USING (qid) LEFT JOIN ideal i USING (qid)
+ORDER BY p.config, p.qid
 """,
         "ft_dv_update": f"""
 WITH {TOKS_CTE},
