@@ -476,3 +476,179 @@ def jl_project(
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def cluster_topics(
+    docs_ds: ray.data.Dataset,
+    labels_ds: ray.data.Dataset,
+    *,
+    n: int = 5,
+    analyzer: str = "simple",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "cluster",
+    label_id_col: str | None = None,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Topic labels for document clusters — per-cluster significant
+    terms (the 'what is in this cluster' readout an embedding-
+    clustered corpus card needs; ES significant_terms-under-terms-agg
+    analog, JLH score over DISTINCT-doc term frequencies vs the whole
+    labeled corpus).
+
+    Scale shape: per-doc distinct (doc_id, term) rows join their doc's
+    label with Ray's native hash join (both sides on doc_id), then ONE
+    groupby([label, term]) count aggregates doc frequencies. df_all
+    per term is the sum of its per-label counts (labels partition the
+    corpus), computed inside a hash(term)-partitioned pass — the
+    |vocab|-sized relation never lands on the driver. Label sizes are
+    a K-row broadcast. Only the final K x n topic rows return.
+
+    Columns: (cluster, term, df_fg, df_all, score@6dp), ordered
+    (cluster, score desc, term)."""
+    from fdblucene_ray.analysis.analyzer import BatchTokenizer
+    from fdblucene_ray.ops.broadcast import cached_state
+    from fdblucene_ray.ops.hashing import hash_strings, round_half_away
+
+    P = num_partitions or max(
+        16, int(ray.cluster_resources().get("CPU", 8))
+    )
+
+    def distinct_terms(batch: pa.Table) -> pa.Table:
+        tok = cached_state(
+            ("cluster_topics_tok", analyzer),
+            lambda: BatchTokenizer(analyzer),
+        )
+        row_idx, codes, vocab = tok.encoded_tokens(batch[text_col])
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(1, len(vocab))
+        pair = np.unique(row_idx.astype(np.int64) * V + codes)
+        prow, pcode = pair // V, pair % V
+        vocab_arr = (
+            vocab
+            if isinstance(vocab, (pa.Array, pa.ChunkedArray))
+            else pa.array(list(vocab), pa.string())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[prow]),
+                "term": vocab_arr.take(pa.array(pcode)).cast(pa.string()),
+            }
+        )
+
+    tok_rows = docs_ds.map_batches(
+        distinct_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+    lid = label_id_col or id_col
+
+    empty = pa.table(
+        {label_col: pa.array([], pa.int64()),
+         "term": pa.array([], pa.string()),
+         "df_fg": pa.array([], pa.int64()),
+         "df_all": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[lid].cast(pa.int64()),
+                label_col: t[label_col],
+            }
+        )
+
+    lab = labels_ds.map_batches(lab_rows, batch_format="pyarrow")
+
+    # label sizes: K rows, safely driver-side (also the empty guard —
+    # Arrow's hash join chokes on fully empty inputs)
+    sizes = {
+        r[label_col]: float(r["count()"])
+        for r in labels_ds.groupby(label_col).count().take_all()
+    }
+    n_all = float(sum(sizes.values()))
+    if not sizes:
+        return empty
+
+    joined = tok_rows.join(
+        lab, join_type="inner", num_partitions=P, on=("doc_id",)
+    )
+    fg = joined.groupby([label_col, "term"]).count()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        h = hash_strings(terms)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
+
+    def score_part(group: pa.Table) -> pa.Table:
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dct = terms.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = group["count()"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        labs = group[label_col]
+        if isinstance(labs, pa.ChunkedArray):
+            labs = labs.combine_chunks()
+        df_all_by_code = np.bincount(
+            codes, weights=cnt, minlength=len(dct.dictionary)
+        )
+        df_all = df_all_by_code[codes]
+        n_fg = np.asarray(
+            [sizes[v] for v in labs.to_pylist()], np.float64
+        )
+        pf = cnt / n_fg
+        pb = df_all / n_all
+        score = (pf - pb) * pf / pb
+        return pa.table(
+            {
+                label_col: labs,
+                "term": terms,
+                "df_fg": pa.array(cnt.astype(np.int64)),
+                "df_all": pa.array(df_all.astype(np.int64)),
+                "score": pa.array(score),
+            }
+        )
+
+    def topn(group: pa.Table) -> pa.Table:
+        sc = group["score"].to_numpy(zero_copy_only=False)
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        order = np.lexsort(
+            (np.asarray(terms.to_pylist(), dtype=object), -sc)
+        )[:n]
+        return group.take(pa.array(order))
+
+    score_part.__name__ = "cluster_topics_score"
+    topn.__name__ = "cluster_topics_topn"
+    scored = (
+        fg.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part", num_partitions=P)
+        .map_groups(score_part, batch_format="pyarrow")
+    )
+    # K clusters (bounded) -> per-label group call is facet-shaped
+    top = scored.groupby(label_col).map_groups(
+        topn, batch_format="pyarrow"
+    )
+    t = pa.Table.from_pylist(top.take_all())
+    if t.num_rows == 0:
+        return empty
+    sc = round_half_away(
+        t["score"].to_numpy(zero_copy_only=False).astype(np.float64), 6
+    )
+    t = t.set_column(
+        t.schema.get_field_index("score"), "score", pa.array(sc)
+    )
+    df = t.to_pandas().sort_values(
+        [label_col, "score", "term"], ascending=[True, False, True]
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)

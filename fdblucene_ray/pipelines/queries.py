@@ -2914,6 +2914,28 @@ def q_cluster_assign(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cluster_topics(sf_dir: str) -> pa.Table:
+    """Topic labels for embedding clusters: fixed-centroid assignment
+    (cluster_assign's layout) joined to the documents' distinct terms
+    via Ray's native hash join, per-cluster JLH significant terms vs
+    the labeled corpus (ops/clustering.cluster_topics). The 'what is
+    in this cluster' corpus-card readout."""
+    from fdblucene_ray.ops.clustering import (
+        assign_fixed_centroids,
+        cluster_topics,
+    )
+
+    cents = _query_vectors(sf_dir, [0, 1, 2, 3])
+    emb = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    labels = assign_fixed_centroids(emb, cents)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return cluster_topics(
+        docs, labels, n=5, label_id_col="vec_id"
+    )
+
+
 def q_ann_pq(sf_dir: str) -> pa.Table:
     """Product-quantization ANN (Jegou et al.): sample-trained (m=8,
     k=16) codebooks, streaming encode to 8-byte codes, ADC lookup-table
@@ -3718,6 +3740,7 @@ def queries() -> dict:
         "geo_knn": q_geo_knn,
         "geo_bbox": q_geo_bbox,
         "cluster_assign": q_cluster_assign,
+        "cluster_topics": q_cluster_topics,
         "cluster_kmeans": q_cluster_kmeans,
         "ann_pq": q_ann_pq,
         "pagerank": q_pagerank,
@@ -6646,6 +6669,37 @@ SELECT event_type, count(*)::BIGINT AS n
 FROM pts
 WHERE lat >= 0 AND lat < 30 AND lon >= -90 AND lon < 0
 GROUP BY event_type ORDER BY n DESC, event_type
+""",
+        "cluster_topics": f"""
+WITH {TOKS_CTE},
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < 4),
+d AS (SELECT e.vec_id, c.cid,
+             list_distance(e.embedding::DOUBLE[], c.ce) AS dist
+      FROM embeddings e CROSS JOIN c),
+lab AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d) WHERE rn = 1),
+dtok AS (SELECT DISTINCT doc_id, tok FROM toks),
+fg AS (SELECT l.cluster, d.tok, count(*)::DOUBLE AS df_fg
+       FROM dtok d JOIN lab l ON l.vec_id = d.doc_id
+       GROUP BY l.cluster, d.tok),
+alltok AS (SELECT tok, sum(df_fg) AS df_all FROM fg GROUP BY tok),
+nn AS (SELECT cluster, count(*)::DOUBLE AS n_fg FROM lab GROUP BY cluster),
+tot AS (SELECT sum(n_fg) AS n_all FROM nn),
+s AS (SELECT fg.cluster, fg.tok, fg.df_fg, a.df_all,
+             (fg.df_fg / nn.n_fg - a.df_all / tot.n_all)
+               * (fg.df_fg / nn.n_fg) / (a.df_all / tot.n_all) AS score
+      FROM fg JOIN alltok a ON a.tok = fg.tok
+      JOIN nn ON nn.cluster = fg.cluster CROSS JOIN tot),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, tok) AS rn
+      FROM s)
+SELECT cluster::BIGINT AS cluster, tok AS term, df_fg::BIGINT AS df_fg,
+       df_all::BIGINT AS df_all, CAST(round(score, 6) AS DOUBLE) AS score
+FROM r WHERE rn <= 5 ORDER BY cluster, score DESC, term
 """,
         "cluster_assign": """
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
