@@ -894,3 +894,170 @@ def ascii_fold(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- boilerplate stripping
+
+
+def _sentence_rows(batch: pa.Table, *, text_col, id_col, group_col, sep):
+    """Per-doc sentence units: (doc_id, group, ord, sent_hash) for every
+    unit of every doc in the batch (hashes only — the text itself never
+    leaves the map stage)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    sents = pc.split_pattern(text, sep)
+    offs = sents.offsets.to_numpy(zero_copy_only=False)
+    per_row = np.diff(offs)
+    row_idx = np.repeat(np.arange(len(batch)), per_row)
+    flat = sents.flatten()
+    h = hash_strings(flat)
+    ord_ = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offs[:-1].astype(np.int64), per_row
+    )
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    grp = batch[group_col]
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    return ids, row_idx, ord_, h, grp
+
+
+def strip_boilerplate(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    frac: float = 0.3,
+    min_df: int = 2,
+    sep: str = ".",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Host-scoped boilerplate removal — the CCNet / RefinedWeb
+    line-dedup stage: a sentence unit (text split on ``sep``) that
+    appears in >= max(min_df, ceil(frac * n_docs(group))) DISTINCT docs
+    of its group (host/source) is template boilerplate (nav bars,
+    footers, cookie banners) and is removed from every doc of that
+    group. Output: (doc_id, clean_text [kept units re-joined with
+    ``sep``], n_removed [occurrences dropped]).
+
+    Scale shape: stage 1 ships ONLY (group, sent_hash, doc_id) hash
+    rows, exchanged on ``hash(group) % P`` so each group's frequency
+    math is one vectorized run pass (df via unique-pair run arithmetic;
+    per-group doc counts ride the same rows — no separate broadcast of
+    an unbounded per-host count map). The frequent set that comes back
+    is template-sized (units repeated across >= min_df docs). Stage 2
+    re-streams the corpus map-only against the broadcast frequent set
+    (sorted uint64 membership via searchsorted; for corpora where even
+    the template set outgrows a broadcast, the same rows co-partition
+    by group instead — documented alternative, same math)."""
+    P = num_parts or max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    def emit_hash_rows(batch: pa.Table) -> pa.Table:
+        ids, row_idx, _, h, grp = _sentence_rows(
+            batch, text_col=text_col, id_col=id_col,
+            group_col=group_col, sep=sep,
+        )
+        gh = hash_strings(grp.cast(pa.string()))
+        # distinct (doc, sent) within the batch (df counts docs once)
+        key = combine(h, ids[row_idx].view(np.uint64))
+        _, first = np.unique(key, return_index=True)
+        gsel = gh[row_idx[first]]
+        return pa.table(
+            {
+                "part": pa.array((gsel % np.uint64(P)).astype(np.int32)),
+                "ghash": pa.array(gsel.view(np.int64)),
+                "shash": pa.array(h[first].view(np.int64)),
+                "doc_id": pa.array(ids[row_idx[first]]),
+            }
+        )
+
+    def frequent_units(group: pa.Table) -> pa.Table:
+        g = group["ghash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        s = group["shash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(g):
+            return pa.table({"member": pa.array([], pa.int64())})
+        # per-group doc counts: unique (group, doc) pairs per group run
+        gd = combine(g, d.view(np.uint64))
+        order = np.lexsort((gd, g))
+        gs, gds = g[order], gd[order]
+        new_g = np.concatenate(([True], gs[1:] != gs[:-1]))
+        new_gd = np.concatenate(([True], gds[1:] != gds[:-1]))
+        run_id = np.cumsum(new_g) - 1
+        ndocs_run = np.bincount(run_id, weights=new_gd)
+        thresh_run = np.maximum(min_df, np.ceil(frac * ndocs_run))
+        # df per (group, sentence): rows are already (doc-)distinct
+        gsk = combine(g, s)
+        uk, inv, cnt = np.unique(gsk, return_inverse=True, return_counts=True)
+        # map each unique (group, sent) key to its group's threshold
+        ug = g[np.unique(gsk, return_index=True)[1]]
+        # group run index for each unique key: position of its ghash
+        ug_sorted = gs[new_g]
+        run_of = np.searchsorted(ug_sorted, ug)
+        keep = cnt >= thresh_run[run_of]
+        member = combine(
+            ug[keep], uk[keep]
+        )  # (group, (group,sent)) composite membership token
+        return pa.table({"member": pa.array(member.view(np.int64))})
+
+    frequent_units.__name__ = "boilerplate_frequent_units"
+    freq_rows = (
+        ds.map_batches(
+            emit_hash_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part", num_partitions=P)
+        .map_groups(frequent_units, batch_format="pyarrow")
+        .take_all()
+    )
+    members = np.sort(
+        np.asarray([r["member"] for r in freq_rows], np.int64).view(
+            np.uint64
+        )
+    )
+    member_ref = ray.put(members)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        ids, row_idx, _, h, grp = _sentence_rows(
+            batch, text_col=text_col, id_col=id_col,
+            group_col=group_col, sep=sep,
+        )
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sents = pc.split_pattern(text, sep)
+        flat = sents.flatten()
+        gh = hash_strings(grp.cast(pa.string()))[row_idx]
+        tok = combine(gh, combine(gh, h))
+        if len(mem):
+            pos = np.minimum(np.searchsorted(mem, tok), len(mem) - 1)
+            drop = mem[pos] == tok
+        else:
+            drop = np.zeros(len(tok), bool)
+        keep = ~drop
+        n_removed = np.bincount(
+            row_idx[drop], minlength=len(batch)
+        ).astype(np.int64)
+        kept_flat = flat.filter(pa.array(keep))
+        kept_rows = row_idx[keep]
+        # rebuild per-doc text: join kept units with sep, in order
+        kept_counts = np.bincount(kept_rows, minlength=len(batch))
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(
+            np.int32
+        )
+        la = pa.ListArray.from_arrays(pa.array(offsets), kept_flat)
+        clean = pc.binary_join(la.cast(pa.list_(pa.string())), sep)
+        ids_col = batch[id_col]
+        return pa.table(
+            {
+                "doc_id": ids_col,
+                "clean_text": clean,
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

@@ -2914,6 +2914,51 @@ def q_cluster_assign(sf_dir: str) -> pa.Table:
     )
 
 
+def q_strip_boilerplate(sf_dir: str) -> pa.Table:
+    """Host-scoped boilerplate removal (CCNet/RefinedWeb line-dedup
+    stage, ops/webtext.strip_boilerplate): a deterministic template is
+    injected per source (a universal footer + a 1-in-3 banner), then
+    any sentence unit appearing in >= max(2, ceil(0.05 * n_docs(src)))
+    distinct docs of its source is stripped. Only hash rows shuffle;
+    the template set comes back broadcast-sized."""
+    from fdblucene_ray.ops.webtext import strip_boilerplate
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text", "source"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        part1 = pc.binary_join_element_wise(
+            t, src, pa.scalar(".footer promo ")
+        )
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        banner = pc.if_else(
+            pa.array(idn % 3 == 0),
+            pa.scalar(".subscribe newsletter"),
+            pa.scalar(""),
+        )
+        aug = pc.binary_join_element_wise(part1, banner, pa.scalar(""))
+        return pa.table(
+            {"doc_id": ids, "text": aug, "source": src}
+        )
+
+    out = strip_boilerplate(
+        ds.map_batches(augment, batch_format="pyarrow"),
+        frac=0.05, min_df=2,
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_cluster_topics(sf_dir: str) -> pa.Table:
     """Topic labels for embedding clusters: fixed-centroid assignment
     (cluster_assign's layout) joined to the documents' distinct terms
@@ -3741,6 +3786,7 @@ def queries() -> dict:
         "geo_bbox": q_geo_bbox,
         "cluster_assign": q_cluster_assign,
         "cluster_topics": q_cluster_topics,
+        "boilerplate": q_strip_boilerplate,
         "cluster_kmeans": q_cluster_kmeans,
         "ann_pq": q_ann_pq,
         "pagerank": q_pagerank,
@@ -6669,6 +6715,34 @@ SELECT event_type, count(*)::BIGINT AS n
 FROM pts
 WHERE lat >= 0 AND lat < 30 AND lon >= -90 AND lon < 0
 GROUP BY event_type ORDER BY n DESC, event_type
+""",
+        "boilerplate": r"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || '.footer promo ' || source ||
+         CASE WHEN doc_id % 3 = 0 THEN '.subscribe newsletter'
+              ELSE '' END AS text
+  FROM documents),
+u AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(text, '\.')) AS sent,
+         unnest(generate_series(1, len(regexp_split_to_array(text, '\.')))) AS ord
+  FROM aug),
+ns AS (SELECT source, count(*)::DOUBLE AS n_docs FROM aug GROUP BY source),
+df AS (SELECT source, sent, count(DISTINCT doc_id)::DOUBLE AS df
+       FROM u GROUP BY source, sent),
+freq AS (SELECT d.source, d.sent FROM df d JOIN ns ON ns.source = d.source
+         WHERE d.df >= greatest(2, ceil(0.05 * ns.n_docs))),
+marked AS (SELECT u.doc_id, u.sent, u.ord,
+                  (f.sent IS NOT NULL) AS dropped
+           FROM u LEFT JOIN freq f
+             ON f.source = u.source AND f.sent = u.sent)
+SELECT a.doc_id,
+       coalesce(string_agg(CASE WHEN NOT m.dropped THEN m.sent END,
+                           '.' ORDER BY m.ord), '') AS clean_text,
+       sum(CASE WHEN m.dropped THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM aug a JOIN marked m ON m.doc_id = a.doc_id
+GROUP BY a.doc_id ORDER BY a.doc_id
 """,
         "cluster_topics": f"""
 WITH {TOKS_CTE},
