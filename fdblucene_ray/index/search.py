@@ -2064,19 +2064,34 @@ class Searcher:
         return [(int(ids[i]), float(vals[i])) for i in sel]
 
     def _values_for_ids(
-        self, ids: np.ndarray, value_source, value_col: str
+        self, ids: np.ndarray, value_source, value_col: str,
+        dv_field: str | None = None,
     ) -> np.ndarray:
         """Doc-values lookup for a (small) hit-id set: hydrate the
         numeric column row-group-pruned for exactly these ids and align
         it to ``ids`` order. Shared by the feature/boost query family —
-        the ids are a top-k-ish match set, never the corpus."""
+        the ids are a top-k-ish match set, never the corpus.
+        ``dv_field``: apply the index's pending numeric doc-values
+        UPDATE overlay (index/docvalues.py) so every value-reading
+        query path honors in-place updates uniformly."""
         from fdblucene_ray.sources.corpus import hydrate_from_source
 
         tbl = hydrate_from_source(value_source, ids.tolist(), columns=[value_col])
         vid = tbl["doc_id"].to_numpy(zero_copy_only=False)
         vval = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(vid)
-        return vval[order][np.searchsorted(vid[order], ids)]
+        vals = vval[order][np.searchsorted(vid[order], ids)]
+        if dv_field is not None:
+            from fdblucene_ray.index.docvalues import (
+                load_dv_overlay,
+                overlay_values,
+            )
+
+            ov_ids, ov_vals = load_dv_overlay(
+                self.index_dir, dv_field, self.manifest
+            )
+            vals = overlay_values(ids, vals, ov_ids, ov_vals)
+        return vals
 
     def search_feature_field(
         self,
@@ -2089,6 +2104,7 @@ class Searcher:
         pivot: float,
         weight: float = 1.0,
         operator: str = "or",
+        dv_field: str | None = None,
     ) -> list[tuple[int, float]]:
         """``FeatureField.newSaturationQuery`` analog (Lucene rank
         features): final = bm25 + weight * v / (v + pivot) with v
@@ -2108,7 +2124,10 @@ class Searcher:
             return []
         ids = np.array([d for d, _ in hits], np.int64)
         bm25 = np.array([s for _, s in hits], np.float64)
-        v = np.maximum(self._values_for_ids(ids, value_source, value_col), 0.0)
+        v = np.maximum(
+            self._values_for_ids(ids, value_source, value_col, dv_field),
+            0.0,
+        )
         final = bm25 + weight * v / (v + pivot)
         sel = np.lexsort((ids, -final))[:k]
         return [(int(ids[i]), float(final[i])) for i in sel]
@@ -2125,12 +2144,14 @@ class Searcher:
         pivot: float,
         weight: float = 1.0,
         operator: str = "or",
+        dv_field: str | None = None,
     ) -> list[tuple[int, float]]:
         """``LongPoint.newDistanceFeatureQuery`` analog: final = bm25 +
         weight * pivot / (pivot + |v - origin|) — recency/proximity
         boosting where a doc exactly at the origin gains ``weight`` and
         one ``pivot`` away gains ``weight/2``. Additive SHOULD clause,
-        same match-set shape as search_feature_field."""
+        same match-set shape as search_feature_field. ``dv_field``
+        reads through the doc-values update overlay."""
         terms = self.parse(query, field)
         hits = self.search_terms(
             terms, 1 << 31, field=field, operator=operator, mode="exhaustive"
@@ -2139,7 +2160,7 @@ class Searcher:
             return []
         ids = np.array([d for d, _ in hits], np.int64)
         bm25 = np.array([s for _, s in hits], np.float64)
-        v = self._values_for_ids(ids, value_source, value_col)
+        v = self._values_for_ids(ids, value_source, value_col, dv_field)
         final = bm25 + weight * pivot / (pivot + np.abs(v - origin))
         sel = np.lexsort((ids, -final))[:k]
         return [(int(ids[i]), float(final[i])) for i in sel]
@@ -3449,6 +3470,54 @@ class Searcher:
             raise ValueError(f"unknown score_mode {score_mode!r}")
         sel = np.lexsort((uniq, -agg))[:k]
         return [(int(uniq[i]), float(agg[i]), int(cnt[i])) for i in sel]
+
+    def search_block_join_children(
+        self,
+        query: str,
+        k_parents: int = 10,
+        *,
+        field: str = "text",
+        operator: str = "or",
+        parent_stride: int,
+        score_mode: str = "max",
+    ) -> list[tuple[int, int, float]]:
+        """Child-direction nested join (Lucene ``ToChildBlockJoinQuery``
+        / ES inner_hits): find the top-``k_parents`` parents whose
+        child block matches ``query`` (same aggregation as
+        ``search_block_join``), then EXPAND to every live child of
+        those parents — each child inherits its parent's aggregated
+        score (ToChildBlockJoin propagates the parent score down).
+        Returns (parent_id, doc_id, score) rows, ordered (score desc,
+        parent asc, child asc).
+
+        Vectorized: the expansion is one arange per selected parent
+        (k_parents * stride ids), masked by maxDoc and tombstones —
+        never a per-child Python loop over the corpus."""
+        parents = self.search_block_join(
+            query, k_parents, field=field, operator=operator,
+            parent_stride=parent_stride, score_mode=score_mode,
+        )
+        if not parents:
+            return []
+        max_doc = max(s.doc_id_max for s in self.manifest.segments) + 1
+        pids = np.array([p for p, _, _ in parents], np.int64)
+        scores = np.array([s for _, s, _ in parents], np.float64)
+        kids = (
+            pids[:, None] * parent_stride
+            + np.arange(parent_stride, dtype=np.int64)[None, :]
+        ).ravel()
+        ksc = np.repeat(scores, parent_stride)
+        kpar = np.repeat(pids, parent_stride)
+        alive = kids < max_doc
+        if len(self.tombstones):
+            pos = np.searchsorted(self.tombstones, kids)
+            pos_c = np.minimum(pos, len(self.tombstones) - 1)
+            alive &= self.tombstones[pos_c] != kids
+        kids, ksc, kpar = kids[alive], ksc[alive], kpar[alive]
+        order = np.lexsort((kids, kpar, -ksc))
+        return [
+            (int(kpar[i]), int(kids[i]), float(ksc[i])) for i in order
+        ]
 
     def join_query(
         self,

@@ -654,6 +654,26 @@ def q_ft_block_join(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_block_join_child(sf_dir: str) -> pa.Table:
+    """Child-direction nested join (ToChildBlockJoinQuery analog):
+    the top-3 parents whose block matches "data merge" (ScoreMode.Max)
+    expanded to every live child, each child inheriting the parent's
+    aggregated score (index/search.py search_block_join_children)."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    rows = s.search_block_join_children(
+        "data merge", 3, parent_stride=8, score_mode="max"
+    )
+    return pa.table(
+        {
+            "parent_id": pa.array([p for p, _, _ in rows], pa.int64()),
+            "doc_id": pa.array([d for _, d, _ in rows], pa.int64()),
+            "score": _round_col(
+                np.array([s_ for _, _, s_ in rows] or [], np.float64), 4
+            ),
+        }
+    )
+
+
 def q_ft_join(sf_dir: str) -> pa.Table:
     """Query-time join (JoinUtil.createJoinQuery analog, ScoreMode.
     None): docs matching "dup" -> their distinct `source` values ->
@@ -3686,6 +3706,7 @@ def queries() -> dict:
         "ft_dfr": q_ft_dfr,
         "ft_boolean_sim": q_ft_boolean_sim,
         "ft_block_join": q_ft_block_join,
+        "ft_block_join_child": q_ft_block_join_child,
         "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -4118,6 +4139,31 @@ par AS (SELECT doc_id // 8 AS parent_id, max(score) AS score,
         FROM scored GROUP BY doc_id // 8)
 SELECT parent_id, CAST(round(score, 4) AS DOUBLE) AS score, n_children
 FROM par ORDER BY score DESC, parent_id LIMIT 10
+""",
+        "ft_block_join_child": f"""
+WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+par AS (SELECT doc_id // 8 AS parent_id, max(score) AS score
+        FROM scored GROUP BY doc_id // 8
+        ORDER BY score DESC, parent_id LIMIT 3),
+maxd AS (SELECT max(doc_id) AS md FROM documents),
+kids AS (SELECT p.parent_id, p.parent_id * 8 + g.o AS doc_id, p.score
+         FROM par p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) g)
+SELECT k.parent_id, k.doc_id, CAST(round(k.score, 4) AS DOUBLE) AS score
+FROM kids k CROSS JOIN maxd WHERE k.doc_id <= maxd.md
+ORDER BY k.score DESC, k.parent_id, k.doc_id
 """,
         "ft_join": f"""
 WITH {TOKS_CTE},

@@ -142,6 +142,45 @@ class TestReadPaths:
         exp = sorted(exp_vals, key=lambda t: (-t[1], t[0]))[:10]
         assert rows == [(int(d), float(v)) for d, v in exp]
 
+    def test_feature_and_distance_queries_see_updates(self, updated):
+        ix, src = updated
+        s = Searcher(ix)
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        cur = dict(zip(ids.tolist(), vals.tolist()))
+
+        ff = s.search_feature_field(
+            "data", k=N, value_source=src, value_col="n_chars",
+            pivot=100.0, weight=1.0, dv_field="n_chars",
+        )
+        base = s.search_feature_field(
+            "data", k=N, value_source=src, value_col="n_chars",
+            pivot=100.0, weight=1.0,
+        )
+        base_map = dict(base)
+        for d, sc in ff:
+            v0 = float(NCHARS[d])
+            bm25 = base_map[d] - v0 / (v0 + 100.0)
+            v = max(cur.get(d, v0), 0.0)
+            assert sc == pytest.approx(bm25 + v / (v + 100.0), rel=1e-12)
+
+        df = s.search_distance_feature(
+            "data", k=N, value_source=src, value_col="n_chars",
+            origin=0.0, pivot=50.0, weight=1.0, dv_field="n_chars",
+        )
+        base2 = dict(
+            s.search_distance_feature(
+                "data", k=N, value_source=src, value_col="n_chars",
+                origin=0.0, pivot=50.0, weight=1.0,
+            )
+        )
+        for d, sc in df:
+            v0 = float(NCHARS[d])
+            bm25 = base2[d] - 50.0 / (50.0 + abs(v0))
+            v = cur.get(d, v0)
+            assert sc == pytest.approx(
+                bm25 + 50.0 / (50.0 + abs(v)), rel=1e-12
+            )
+
     def test_function_score_sees_updates(self, updated):
         ix, src = updated
         s = Searcher(ix)

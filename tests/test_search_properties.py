@@ -589,3 +589,42 @@ def test_join_query_matches_bruteforce(tmp_path, ray_session):
     # cardinality guard fails loudly instead of silently truncating
     with pytest.raises(ValueError):
         s.join_query("w0", "src", 10, source=src_path, max_values=1)
+
+
+def test_block_join_children_expansion(tmp_path, ray_session):
+    """ToChildBlockJoinQuery analog: children of the top parents come
+    back with the parent's aggregated score; tombstoned and
+    beyond-maxDoc children are excluded."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.delete import delete_docs
+
+    texts = _random_corpus(7, 21, 20, 30)  # 21 docs -> last block ragged
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=4, batch_size=64)
+    delete_docs(ix, [1])
+    s = Searcher(ix)
+    parents = s.search_block_join(
+        "w0 w3", 3, parent_stride=8, score_mode="max"
+    )
+    rows = s.search_block_join_children(
+        "w0 w3", 3, parent_stride=8, score_mode="max"
+    )
+    pmap = {p: sc for p, sc, _ in parents}
+    assert rows, "expected child expansion"
+    seen: dict[int, list[int]] = {}
+    for p, d, sc in rows:
+        assert sc == pytest.approx(pmap[p])
+        assert d // 8 == p
+        assert d != 1  # tombstoned child excluded
+        assert d < 21  # beyond-maxDoc children excluded
+        seen.setdefault(p, []).append(d)
+    for p, kids in seen.items():
+        expect = [d for d in range(p * 8, min((p + 1) * 8, 21)) if d != 1]
+        assert kids == expect
