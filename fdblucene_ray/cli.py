@@ -160,13 +160,38 @@ def cmd_percolate(args) -> int:
     _ensure_ray()
     import ray.data
 
-    from fdblucene_ray.ops.percolate import percolate
+    from fdblucene_ray.ops.percolate import (
+        compile_queries,
+        load_queries,
+        percolate,
+        save_queries,
+    )
 
-    with open(args.queries) as fh:
-        queries = json.load(fh)
+    if not args.queries and not args.monitor:
+        raise SystemExit("percolate: need --queries and/or --monitor")
+    if args.monitor and not args.queries:
+        # reload a persisted (compiled) monitor set
+        compiled = load_queries(args.monitor)
+        queries = None
+    else:
+        with open(args.queries) as fh:
+            queries = json.load(fh)
+        compiled = compile_queries(queries, args.analyzer)
+        if args.monitor:
+            n = save_queries(args.monitor, compiled)
+            print(json.dumps({"monitor": args.monitor, "saved": n}))
     ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
-    out = percolate(ds, queries, analyzer=args.analyzer,
-                    text_col=args.text_col, id_col=args.id_col)
+    if queries is not None:
+        out = percolate(ds, queries, analyzer=args.analyzer,
+                        text_col=args.text_col, id_col=args.id_col)
+    else:
+        from fdblucene_ray.ops.percolate import Percolator
+
+        out = ds.map_batches(
+            Percolator(compiled, analyzer=args.analyzer,
+                       text_col=args.text_col, id_col=args.id_col),
+            batch_format="pyarrow", concurrency=2,
+        )
     if args.out:
         out.write_parquet(args.out)
         print(json.dumps({"out": args.out}))
@@ -690,8 +715,11 @@ def main(argv=None) -> int:
 
     pc_ = sub.add_parser("percolate", help="reverse search over a doc stream")
     pc_.add_argument("--input", required=True, nargs="+")
-    pc_.add_argument("--queries", required=True,
+    pc_.add_argument("--queries", default=None,
                      help="JSON file: list of clause dicts")
+    pc_.add_argument("--monitor", default=None,
+                     help="persisted compiled-query parquet: written "
+                          "when --queries is given, reloaded otherwise")
     pc_.add_argument("--out", default=None, help="parquet output dir")
     pc_.add_argument("--analyzer", default="simple")
     pc_.add_argument("--text-col", default="text")

@@ -105,6 +105,51 @@ def compile_queries(
     return compiled
 
 
+def save_queries(path: str, compiled: list[dict]) -> int:
+    """Persist a compiled query set (Lucene monitor durability: the
+    registered-query index survives restarts). One JSON document per
+    query in a single-column parquet — atomic temp+rename publish, so
+    a reader never sees a torn set. Returns the number saved."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "query_id": pa.array(range(len(compiled)), pa.int64()),
+            "query_json": pa.array(
+                [json.dumps(q, sort_keys=True) for q in compiled],
+                pa.string(),
+            ),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return len(compiled)
+
+
+def load_queries(path: str) -> list[dict]:
+    """Reload a persisted compiled query set (tuple-shape restored:
+    clause lists back to (field, term) tuples, phrases to
+    (field, [terms]))."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("query_id")
+    out = []
+    for s in t["query_json"].to_pylist():
+        q = json.loads(s)
+        for key in ("must", "should", "must_not"):
+            q[key] = [tuple(x) for x in q.get(key, [])]
+        q["phrases"] = [(f, list(tl)) for f, tl in q.get("phrases", [])]
+        out.append(q)
+    return out
+
+
 def query_term_dfs(
     index_dir: str, compiled: list[dict]
 ) -> dict[tuple[str, str], int]:

@@ -245,3 +245,28 @@ def test_per_doc_trigger_restricts_rows(corpus):
     p(t)
     n_w17 = sum(1 for txt in texts if "w17" in txt.split())
     assert p.doc_evals == n_w17 < t.num_rows
+
+
+def test_save_load_roundtrip(tmp_path, corpus):
+    """Monitor durability: a persisted compiled query set reloads
+    tuple-identical and percolates identically."""
+    from fdblucene_ray.ops.percolate import (
+        Percolator, compile_queries, load_queries, save_queries,
+    )
+
+    t, _ = corpus
+    qs = compile_queries(
+        [
+            {"must": ["data", "merge"], "min_should": 0},
+            {"should": ["window", "batch"], "min_should": 2},
+            {"must": ["stream"], "must_not": ["window"],
+             "phrases": ["batch stream"]},
+        ]
+    )
+    path = str(tmp_path / "monitor" / "queries.parquet")
+    assert save_queries(path, qs) == 3
+    back = load_queries(path)
+    assert back == qs
+    a = Percolator(qs)(t).to_pydict()
+    b = Percolator(back)(t).to_pydict()
+    assert a == b
