@@ -3519,6 +3519,56 @@ class Searcher:
             (int(kpar[i]), int(kids[i]), float(ksc[i])) for i in order
         ]
 
+    def search_substring(
+        self,
+        needle: str,
+        k: int = 25,
+        *,
+        field: str = "tri",
+        source,
+        text_col: str = "text",
+    ) -> list[int]:
+        """Index-accelerated infix/substring search (the Lucene
+        NGramTokenizer pattern — what a leading-wildcard
+        ``*infix*`` query should be instead of a term-dict scan):
+        the needle's normalized char trigrams (analysis/trigram.py)
+        AND-intersect their postings in a ``field`` indexed over
+        ``trigram_signature(text)``; the few candidates hydrate
+        row-group-pruned from ``source`` and verify with EXACT
+        substring matching (trigram candidacy is a superset — the
+        verify removes non-contiguous false positives). Returns doc
+        ids ascending, first ``k``. Needles shorter than 3 normalized
+        bytes raise (no index leverage below one trigram)."""
+        from fdblucene_ray.analysis.trigram import key_to_term, trigram_keys
+        from fdblucene_ray.sources.corpus import hydrate_from_source
+
+        keys = trigram_keys(needle)
+        if not len(keys):
+            raise ValueError("substring needle must be >= 3 chars")
+        terms = [key_to_term(int(x)) for x in keys]
+        # rarest-first intersection: cheapest early exit
+        with_df = sorted(terms, key=lambda t: self.term_stats(field, t)[0])
+        cand: np.ndarray | None = None
+        for docs in _matching_docs_per_term(self.readers, with_df, field):
+            docs = np.unique(docs)
+            cand = docs if cand is None else np.intersect1d(cand, docs)
+            if not len(cand):
+                return []
+        am = _alive_mask(cand, self.tombstones)
+        if am is not None:
+            cand = cand[am]
+        if not len(cand):
+            return []
+        tbl = hydrate_from_source(source, cand.tolist(), columns=[text_col])
+        import pyarrow.compute as _pc
+
+        txt = tbl[text_col]
+        hit = _pc.match_substring(
+            _pc.utf8_lower(txt), needle.lower()
+        ).to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return sorted(int(d) for d in ids[hit])[:k]
+
     def join_query(
         self,
         from_query: str,

@@ -72,6 +72,20 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
             read_columns=["text"],
         )
         return ix
+    elif flavor == "tri":
+        # char-trigram flavor (NGramTokenizer pattern): a derived
+        # space-joined unique-trigram signature column indexed as an
+        # ordinary simple-analyzer field — substring queries intersect
+        # trigram postings then verify (Searcher.search_substring)
+        from fdblucene_ray.analysis.trigram import add_trigram_column
+
+        fields = {"tri": {"column": "trigrams", "analyzer": "simple"}}
+        build_index(
+            _docs_path(sf_dir), ix, fields=fields, num_partitions=16,
+            batch_size=2048, preprocess=add_trigram_column,
+            read_columns=["text"],
+        )
+        return ix
     elif flavor == "sh2":
         # word-bigram flavor (ShingleFilter analog): terms are adjacent
         # lowercased word pairs joined by '_'; norms/avgdl count emitted
@@ -672,6 +686,18 @@ def q_ft_block_join_child(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def q_ft_substring(sf_dir: str) -> pa.Table:
+    """Index-accelerated substring (infix) search: 'indo' (inside
+    'window') via char-trigram postings intersection + exact verify —
+    the NGramTokenizer answer to leading-wildcard queries
+    (Searcher.search_substring over the 'tri' flavor)."""
+    s = Searcher(_ensure_index(sf_dir, "tri"))
+    ids = s.search_substring(
+        "indo", 25, source=_docs_path(sf_dir), text_col="text"
+    )
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 def q_ft_join(sf_dir: str) -> pa.Table:
@@ -3707,6 +3733,7 @@ def queries() -> dict:
         "ft_boolean_sim": q_ft_boolean_sim,
         "ft_block_join": q_ft_block_join,
         "ft_block_join_child": q_ft_block_join_child,
+        "ft_substring": q_ft_substring,
         "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -4140,6 +4167,11 @@ par AS (SELECT doc_id // 8 AS parent_id, max(score) AS score,
 SELECT parent_id, CAST(round(score, 4) AS DOUBLE) AS score, n_children
 FROM par ORDER BY score DESC, parent_id LIMIT 10
 """,
+        "ft_substring": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(text), 'indo') "
+            "ORDER BY doc_id LIMIT 25"
+        ),
         "ft_block_join_child": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
