@@ -237,6 +237,29 @@ class Index:
     def stored(self, doc_ids, columns=None):
         return hydrate(self.index_dir, doc_ids, columns)
 
+    def block_join_children(self, query: str, k_parents: int = 10, **kw):
+        """ToChildBlockJoinQuery analog: children of the top matching
+        parents, each carrying the parent's aggregated score."""
+        return self.searcher.search_block_join_children(
+            query, k_parents, **kw
+        )
+
+    def substring(self, needle: str, k: int = 25, *, source, **kw):
+        """Infix search via char-trigram postings + exact verify
+        (requires a trigram-signature field, analysis/trigram.py)."""
+        return self.searcher.search_substring(
+            needle, k, source=source, **kw
+        )
+
+    def update_docvalues(self, field: str, updates: dict) -> "Index":
+        """In-place numeric doc-values update (updateNumericDocValue
+        analog): publishes a dv generation, no reindex; returns a
+        refreshed handle pinned to the new commit."""
+        from fdblucene_ray.index.docvalues import update_numeric_docvalues
+
+        update_numeric_docvalues(self.index_dir, field, updates)
+        return self.refresh()
+
 
 __all__ = [
     "Index",

@@ -516,6 +516,20 @@ def cmd_rankeval(args) -> int:
     return 0
 
 
+def cmd_substring(args) -> int:
+    """Infix search over a trigram-signature index."""
+    _ensure_ray()
+    from fdblucene_ray.index.search import Searcher
+
+    s = Searcher(args.index)
+    ids = s.search_substring(
+        args.needle, args.k, field=args.field, source=args.source,
+        text_col=args.text_col,
+    )
+    print(json.dumps({"needle": args.needle, "doc_ids": ids}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Merge-policy maintenance: plan_tiered -> in-place merge -> gc."""
     _ensure_ray()
@@ -832,6 +846,18 @@ def main(argv=None) -> int:
     re_.add_argument("-k", type=int, default=10)
     re_.add_argument("--per-query", action="store_true")
     re_.set_defaults(fn=cmd_rankeval)
+
+    ss = sub.add_parser(
+        "substring", help="infix search via a trigram-signature index"
+    )
+    ss.add_argument("--index", required=True)
+    ss.add_argument("--source", required=True,
+                    help="parquet with the raw text for exact verify")
+    ss.add_argument("needle")
+    ss.add_argument("-k", type=int, default=25)
+    ss.add_argument("--field", default="tri")
+    ss.add_argument("--text-col", default="text")
+    ss.set_defaults(fn=cmd_substring)
 
     mt = sub.add_parser("maintain", help="tiered merge maintenance loop")
     mt.add_argument("--index", required=True)
