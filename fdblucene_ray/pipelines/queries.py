@@ -700,6 +700,61 @@ def q_ft_substring(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def q_ft_maxp(sf_dir: str) -> pa.Table:
+    """MaxP passage retrieval (Dai & Callan 2019): docs are chunked
+    into 64-token windows every 48 tokens, a chunk-level BM25 index
+    scores 'data merge', and each document ranks by its BEST passage —
+    the chunk→doc rollup is search_block_join(parent_of=...) with
+    ScoreMode.Max. Chunk table and index are signature-cached."""
+    from fdblucene_ray.ops.packing import chunk_documents
+
+    key = hashlib.sha1(f"{sf_dir}:maxp:v1".encode()).hexdigest()[:12]
+    chunk_dir = os.path.join(CACHE_ROOT, f"chunks-{key}")
+    cpath = os.path.join(chunk_dir, "chunks.parquet")
+    if not os.path.exists(os.path.join(chunk_dir, "_DONE")):
+        os.makedirs(chunk_dir, exist_ok=True)
+        df = (
+            chunk_documents(
+                _docs_ds(sf_dir, ["doc_id", "text"]),
+                max_tokens=64, stride=48,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), cpath)
+        with open(os.path.join(chunk_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    import pyarrow.parquet as pq
+
+    parents = (
+        pq.read_table(cpath, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ix = _index_dir(sf_dir, "maxp")
+    build_index(
+        cpath, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=16, batch_size=2048,
+    )
+    s = Searcher(ix)
+    hits = s.search_block_join(
+        "data merge", 10, parent_of=parents, score_mode="max"
+    )
+    return pa.table(
+        {
+            "parent_id": pa.array([p for p, _, _ in hits], pa.int64()),
+            "score": _round_col(
+                np.array([s_ for _, s_, _ in hits] or [], np.float64), 4
+            ),
+            "n_chunks": pa.array([c for _, _, c in hits], pa.int64()),
+        }
+    )
+
+
 def q_ft_join(sf_dir: str) -> pa.Table:
     """Query-time join (JoinUtil.createJoinQuery analog, ScoreMode.
     None): docs matching "dup" -> their distinct `source` values ->
@@ -3734,6 +3789,7 @@ def queries() -> dict:
         "ft_block_join": q_ft_block_join,
         "ft_block_join_child": q_ft_block_join_child,
         "ft_substring": q_ft_substring,
+        "ft_maxp": q_ft_maxp,
         "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -4172,6 +4228,47 @@ FROM par ORDER BY score DESC, parent_id LIMIT 10
             "WHERE contains(lower(text), 'indo') "
             "ORDER BY doc_id LIMIT 25"
         ),
+        "ft_maxp": f"""
+WITH t0 AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^0-9a-z_]+') AS arr
+        FROM documents)
+),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM t0 WHERE tok <> ''),
+n AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id),
+starts AS (SELECT doc_id,
+                  unnest(generate_series(0, (n_tok - 1)::BIGINT, 48)) AS start_tok
+           FROM n),
+ct AS (SELECT s.doc_id, s.start_tok, t.tok
+       FROM starts s JOIN t ON t.doc_id = s.doc_id
+         AND t.pos >= s.start_tok AND t.pos < s.start_tok + 64),
+dl AS (SELECT doc_id, start_tok, count(*) AS dl FROM ct
+       GROUP BY doc_id, start_tok),
+stats AS (SELECT count(*)::DOUBLE AS dc, sum(dl)::DOUBLE AS sttf FROM dl),
+{NORMVALS_CTE},
+dlq AS (SELECT d.doc_id, d.start_tok, max(v) AS dlq FROM dl d
+        JOIN normvals ON v <= d.dl GROUP BY d.doc_id, d.start_tok),
+tf AS (SELECT doc_id, start_tok, tok, count(*)::DOUBLE AS tf FROM ct
+       WHERE tok IN ('data', 'merge') GROUP BY doc_id, start_tok, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id, tf.start_tok,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id AND dlq.start_tok = tf.start_tok
+  CROSS JOIN stats),
+scored AS (SELECT doc_id, start_tok, sum(s) AS score FROM contrib
+           GROUP BY doc_id, start_tok),
+par AS (SELECT doc_id AS parent_id, max(score) AS score,
+               count(*)::BIGINT AS n_chunks
+        FROM scored GROUP BY doc_id)
+SELECT parent_id, CAST(round(score, 4) AS DOUBLE) AS score, n_chunks
+FROM par ORDER BY score DESC, parent_id LIMIT 10
+""",
         "ft_block_join_child": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
