@@ -803,16 +803,41 @@ def build_sharded(
         all_segs.extend(shard_segs[i])
 
     version = 0
+    prev_extra: dict = {}
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
-        version = load_manifest(index_dir).version + 1
+        prev = load_manifest(index_dir)
+        version = prev.version + 1
+        prev_extra = prev.extra or {}
+    extra = {
+        "signature": "+".join(sig_parts),
+        "sharded": True,
+        "built_at_unix": int(time.time()),
+        "positions_fields": sorted(
+            f for f, cfg in fields.items() if cfg.get("positions")
+        ),
+    }
+    # a shard APPEND keeps the existing docs (and their ids): the prior
+    # tombstone set, pending doc-values generations and merge-carried
+    # base stats must ride into the new manifest or deletes resurrect
+    # and updates vanish on refresh. Append is detected by signature
+    # prefix (the old shard list re-passed plus new shards); a rebuild
+    # over a DIFFERENT corpus reassigns ids, so sidecars must NOT carry.
+    prev_sig = prev_extra.get("signature")
+    is_append = bool(prev_sig) and (
+        extra["signature"] == prev_sig
+        or extra["signature"].startswith(prev_sig + "+")
+    )
+    if is_append:
+        for k in ("tombstone_file", "dv_files", "base_field_stats"):
+            if k in prev_extra:
+                extra[k] = prev_extra[k]
     manifest = Manifest(
         analyzers={f: cfg["analyzer"] for f, cfg in fields.items()},
         block_size=kw.get("block_size", BLOCK_SIZE),
         segments=sorted(all_segs, key=lambda m: m.name),
         version=version,
         codec=kw.get("codec", "varint-block"),
-        extra={"signature": "+".join(sig_parts), "sharded": True,
-               "built_at_unix": int(time.time())},
+        extra=extra,
     )
     publish_manifest(index_dir, manifest)
     return manifest

@@ -303,3 +303,74 @@ class TestMergeFold:
         assert m2.extra.get("dv_files", {}).get("n_chars")
         ids, vals = load_dv_overlay(ix, "n_chars", m2)
         assert ids.tolist() == [5] and vals.tolist() == [1.5]
+
+
+class TestShardAppendCarry:
+    """A shard-append refresh must carry tombstones / dv generations /
+    positions metadata into the new manifest (deletes must not
+    resurrect, updates must not vanish)."""
+
+    def _shard(self, d, name, ids):
+        p = str(d / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(ids), pa.int64()),
+                    "text": pa.array(
+                        [f"data merge body t{i:03d}" for i in ids]
+                    ),
+                    "n_chars": pa.array([100 + i for i in ids], pa.int64()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    def test_append_preserves_sidecars_and_positions(
+        self, tmp_path, ray_session
+    ):
+        from fdblucene_ray.index.build import build_sharded
+        from fdblucene_ray.index.delete import delete_docs
+
+        s1 = self._shard(tmp_path, "s1.parquet", range(0, 10))
+        s2 = self._shard(tmp_path, "s2.parquet", range(10, 20))
+        s3 = self._shard(tmp_path, "s3.parquet", range(20, 30))
+        ix = str(tmp_path / "ix")
+        fields = {
+            "text": {"column": "text", "analyzer": "simple",
+                     "positions": True}
+        }
+        build_sharded([s1, s2], ix, fields=fields,
+                      num_partitions_per_shard=2)
+        m0 = load_manifest(ix)
+        assert m0.extra.get("positions_fields") == ["text"]
+        delete_docs(ix, [3])
+        update_numeric_docvalues(ix, "n_chars", {5: 9_999.0})
+        # append refresh: old shards re-passed (resumed), one new shard
+        m = build_sharded([s1, s2, s3], ix, fields=fields,
+                          num_partitions_per_shard=2)
+        assert m.extra.get("tombstone_file"), "tombstones must carry"
+        assert m.extra.get("dv_files", {}).get("n_chars"), "dv must carry"
+        assert m.extra.get("positions_fields") == ["text"]
+        s = Searcher(ix)
+        assert 3 not in [d for d, _ in s.search_terms(["data"], 100)]
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        assert ids.tolist() == [5] and vals.tolist() == [9_999.0]
+        # new shard's docs are searchable in the same snapshot
+        assert any(d >= 20 for d, _ in s.search_terms(["data"], 100))
+
+    def test_rebuild_on_different_corpus_drops_sidecars(
+        self, tmp_path, ray_session
+    ):
+        from fdblucene_ray.index.build import build_sharded
+        from fdblucene_ray.index.delete import delete_docs
+
+        s1 = self._shard(tmp_path, "s1.parquet", range(0, 10))
+        other = self._shard(tmp_path, "other.parquet", range(0, 12))
+        ix = str(tmp_path / "ix")
+        fields = {"text": {"column": "text", "analyzer": "simple"}}
+        build_sharded([s1], ix, fields=fields, num_partitions_per_shard=2)
+        delete_docs(ix, [1])
+        m = build_sharded([other], ix, fields=fields,
+                          num_partitions_per_shard=2)
+        assert "tombstone_file" not in m.extra  # ids reassigned
