@@ -420,18 +420,70 @@ def merge_indexes(
     version = 0
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
         version = load_manifest(out_dir).version + 1
+
+    # pending doc-values generations ride the merge, remapped to the
+    # output id space (base offsets); tombstoned docs' updates drop
+    # with their docs. The merged output has no docstore, so the
+    # overlay stays a sidecar (a later in-place full merge with a
+    # docstore folds it).
+    dv_files: dict[str, str] = {}
+    dv_fields = sorted(
+        {f for m in manifests for f in m.extra.get("dv_files", {})}
+    )
+    if dv_fields:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.index.docvalues import DV_DIR, load_dv_overlay
+
+        for field in dv_fields:
+            parts_ids, parts_vals = [], []
+            for (d, base), m in zip(sources, manifests):
+                ids, vals = load_dv_overlay(d, field, m)
+                if not len(ids):
+                    continue
+                if purge_tombstones and d in tombstones:
+                    keep = ~np.isin(ids, tombstones[d])
+                    ids, vals = ids[keep], vals[keep]
+                if len(ids):
+                    parts_ids.append(ids + np.int64(base))
+                    parts_vals.append(vals)
+            if not parts_ids:
+                continue
+            ids = np.concatenate(parts_ids)
+            vals = np.concatenate(parts_vals)
+            order = np.argsort(ids, kind="stable")
+            fname = f"dv-{field}-v{version:06d}.parquet"
+            ddir = os.path.join(out_dir, DV_DIR)
+            os.makedirs(ddir, exist_ok=True)
+            tmp = os.path.join(ddir, fname + ".tmp")
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[order], pa.int64()),
+                        "value": pa.array(vals[order]),
+                    }
+                ),
+                tmp,
+            )
+            os.replace(tmp, os.path.join(ddir, fname))
+            dv_files[field] = fname
+
+    extra = {
+        "signature": sig,
+        "num_partitions": num_partitions,
+        "positions_fields": positions_fields,
+        "built_at_unix": int(time.time()),
+    }
+    if dv_files:
+        extra["dv_files"] = dv_files
     manifest = Manifest(
         analyzers=analyzers,
         block_size=block_size,
         segments=segs,
         version=version,
         codec=codec,
-        extra={
-            "signature": sig,
-            "num_partitions": num_partitions,
-            "positions_fields": positions_fields,
-            "built_at_unix": int(time.time()),
-        },
+        extra=extra,
     )
     publish_manifest(out_dir, manifest)
     return manifest

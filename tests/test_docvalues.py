@@ -374,3 +374,29 @@ class TestShardAppendCarry:
         m = build_sharded([other], ix, fields=fields,
                           num_partitions_per_shard=2)
         assert "tombstone_file" not in m.extra  # ids reassigned
+
+
+class TestMergeCarry:
+    def test_compact_to_new_dir_carries_remapped_dv(
+        self, tmp_path, ray_session
+    ):
+        from fdblucene_ray.index.merge import compact_index, merge_indexes
+
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(src, ix, fields=FIELDS, num_partitions=4, batch_size=16)
+        update_numeric_docvalues(ix, "n_chars", {2: 222.0, 7: 777.0})
+        out = str(tmp_path / "compacted")
+        compact_index(ix, out, num_partitions=2)
+        ids, vals = load_dv_overlay(out, "n_chars")
+        assert ids.tolist() == [2, 7]
+        assert vals.tolist() == [222.0, 777.0]
+        # multi-source merge remaps by base and drops purged docs
+        from fdblucene_ray.index.delete import delete_docs
+
+        delete_docs(ix, [7])
+        out2 = str(tmp_path / "merged2")
+        merge_indexes([(ix, 0), (ix, 1000)], out2, num_partitions=2)
+        ids2, vals2 = load_dv_overlay(out2, "n_chars")
+        assert ids2.tolist() == [2, 1002]  # 7 purged; second copy +1000
+        assert vals2.tolist() == [222.0, 222.0]
