@@ -158,6 +158,7 @@ def check_index(
         min(len(names), 16)
     )
     out = ds.map_batches(run, batch_format="pyarrow").take_all()
+    out.extend(_check_sidecars(index_dir, manifest))
     out.sort(key=lambda r: r["segment"])
     return pa.table(
         {
@@ -170,3 +171,52 @@ def check_index(
             "issues": pa.array([r["issues"] for r in out], pa.string()),
         }
     )
+
+
+def _check_sidecars(index_dir: str, manifest) -> list[dict]:
+    """Validate manifest-referenced sidecars: the tombstone file and
+    every doc-values generation must exist, parse, and hold strictly
+    ascending doc ids (last-write-wins coalescing and every overlay
+    read path assume sortedness). One pseudo-segment row each."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = []
+
+    def row(name, n, status, issues):
+        rows.append(
+            {
+                "segment": name,
+                "n_terms": 0,
+                "n_postings": int(n),
+                "status": status,
+                "issues": issues,
+            }
+        )
+
+    tf = (manifest.extra or {}).get("tombstone_file")
+    if tf:
+        p = os.path.join(index_dir, "tombstones", tf)
+        try:
+            ids = pq.read_table(p)["doc_id"].to_numpy(zero_copy_only=False)
+            ok = len(ids) == 0 or bool(np.all(np.diff(ids) > 0))
+            row("(tombstones)", len(ids), "ok" if ok else "corrupt",
+                "" if ok else "doc ids not strictly ascending")
+        except Exception as e:  # missing / unreadable
+            row("(tombstones)", 0, "corrupt", f"{type(e).__name__}: {e}")
+    for field, fname in sorted(
+        (manifest.extra or {}).get("dv_files", {}).items()
+    ):
+        p = os.path.join(index_dir, "dv_updates", fname)
+        try:
+            t = pq.read_table(p)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            ok = len(ids) == 0 or bool(np.all(np.diff(ids) > 0))
+            ok = ok and "value" in t.column_names
+            row(f"(dv:{field})", len(ids), "ok" if ok else "corrupt",
+                "" if ok else "doc ids not strictly ascending")
+        except Exception as e:
+            row(f"(dv:{field})", 0, "corrupt", f"{type(e).__name__}: {e}")
+    return rows

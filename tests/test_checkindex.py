@@ -111,3 +111,44 @@ class TestCheckIndex:
         publish_manifest(d, Manifest(analyzers={}, block_size=128))
         out = check_index(d)
         assert out.num_rows == 0
+
+
+def test_sidecar_rows_reported(tmp_path, ray_session):
+    """check_index validates the tombstone + dv sidecars the manifest
+    references: present-and-sorted -> ok; a deleted generation file ->
+    corrupt."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.build import build_index
+    from fdblucene_ray.index.check import check_index
+    from fdblucene_ray.index.delete import delete_docs
+    from fdblucene_ray.index.docvalues import update_numeric_docvalues
+    from fdblucene_ray.index.manifest import load_manifest
+
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "text": pa.array([f"data merge t{i}" for i in range(20)]),
+                  "n_chars": pa.array([10 + i for i in range(20)], pa.int64())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=3, batch_size=8)
+    delete_docs(ix, [4, 9])
+    update_numeric_docvalues(ix, "n_chars", {1: 5.0, 6: 7.0})
+    rep = check_index(ix, level="fast").to_pylist()
+    by = {r["segment"]: r for r in rep}
+    assert by["(tombstones)"]["status"] == "ok"
+    assert by["(tombstones)"]["n_postings"] == 2
+    assert by["(dv:n_chars)"]["status"] == "ok"
+    assert by["(dv:n_chars)"]["n_postings"] == 2
+    # a vanished generation file reports corrupt
+    m = load_manifest(ix)
+    os.remove(os.path.join(ix, "dv_updates",
+                           m.extra["dv_files"]["n_chars"]))
+    rep2 = check_index(ix, level="fast").to_pylist()
+    by2 = {r["segment"]: r for r in rep2}
+    assert by2["(dv:n_chars)"]["status"] == "corrupt"
