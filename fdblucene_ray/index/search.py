@@ -404,6 +404,25 @@ class Searcher:
         # a single merged index would — {"totals": {field: {dc,sum_dl}},
         # "terms": {(field, term): (df, ttf)}}
         self.stats_override: dict | None = None
+        # doc-values overlay sources: (dir, manifest) per member index
+        # (Searcher.multi appends its members so dv_field= reads see
+        # every index's pending updates — id spaces are disjoint)
+        self._dv_sources: list[tuple[str, Manifest]] = [
+            (index_dir, self.manifest)
+        ]
+
+    def _dv_overlay(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Merged (sorted ids, values) doc-values update overlay across
+        every member index of this searcher."""
+        from fdblucene_ray.index.docvalues import load_dv_overlay
+
+        parts = [
+            load_dv_overlay(d, field, m) for d, m in self._dv_sources
+        ]
+        ids = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], vals[order]
 
     @property
     def num_deleted(self) -> int:
@@ -460,6 +479,7 @@ class Searcher:
             s.tombstones = np.unique(
                 np.concatenate((s.tombstones, load_tombstones(d, m)))
             )
+            s._dv_sources.append((d, m))
         return s
 
     # ---- stats ----
@@ -1964,14 +1984,9 @@ class Searcher:
         pos = np.searchsorted(vmap_ids, ids)
         vals = vmap_vals[pos]
         if dv_field is not None:
-            from fdblucene_ray.index.docvalues import (
-                load_dv_overlay,
-                overlay_values,
-            )
+            from fdblucene_ray.index.docvalues import overlay_values
 
-            ov_ids, ov_vals = load_dv_overlay(
-                self.index_dir, dv_field, self.manifest
-            )
+            ov_ids, ov_vals = self._dv_overlay(dv_field)
             vals = overlay_values(ids, vals, ov_ids, ov_vals)
         # np.log (not log1p) so the doubles match the SQL oracle's
         # ln(1 + v) expression bit-for-bit
@@ -2024,9 +2039,7 @@ class Searcher:
         if not len(match):
             return []
         if dv_field is not None:
-            from fdblucene_ray.index.docvalues import load_dv_overlay
-
-            ov = load_dv_overlay(self.index_dir, dv_field, self.manifest)
+            ov = self._dv_overlay(dv_field)
         else:
             ov = (np.empty(0, np.int64), np.empty(0, np.float64))
         ov_ref = ray.put(ov)
@@ -2082,14 +2095,9 @@ class Searcher:
         order = np.argsort(vid)
         vals = vval[order][np.searchsorted(vid[order], ids)]
         if dv_field is not None:
-            from fdblucene_ray.index.docvalues import (
-                load_dv_overlay,
-                overlay_values,
-            )
+            from fdblucene_ray.index.docvalues import overlay_values
 
-            ov_ids, ov_vals = load_dv_overlay(
-                self.index_dir, dv_field, self.manifest
-            )
+            ov_ids, ov_vals = self._dv_overlay(dv_field)
             vals = overlay_values(ids, vals, ov_ids, ov_vals)
         return vals
 

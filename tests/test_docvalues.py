@@ -400,3 +400,35 @@ class TestMergeCarry:
         ids2, vals2 = load_dv_overlay(out2, "n_chars")
         assert ids2.tolist() == [2, 1002]  # 7 purged; second copy +1000
         assert vals2.tolist() == [222.0, 222.0]
+
+
+def test_multi_searcher_merges_member_overlays(tmp_path, ray_session):
+    """Federated Searcher.multi must see EVERY member index's pending
+    dv updates (disjoint id spaces; each member contributes its own
+    overlay slice)."""
+    src_a = _write_corpus(tmp_path)
+    ix_a = str(tmp_path / "ixa")
+    build_index(src_a, ix_a, fields=FIELDS, num_partitions=3, batch_size=16)
+    # second index with shifted ids
+    tb = pa.table(
+        {
+            "doc_id": pa.array([1000 + i for i in range(N)], pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "n_chars": pa.array(NCHARS, pa.int64()),
+        }
+    )
+    src_b = str(tmp_path / "b.parquet")
+    pq.write_table(tb, src_b)
+    ix_b = str(tmp_path / "ixb")
+    build_index(src_b, ix_b, fields=FIELDS, num_partitions=3,
+                batch_size=16, doc_base=1000)
+    update_numeric_docvalues(ix_a, "n_chars", {2: 50_000.0})
+    update_numeric_docvalues(ix_b, "n_chars", {1005: 60_000.0})
+    s = Searcher.multi([ix_a, ix_b])
+    ids, vals = s._dv_overlay("n_chars")
+    assert ids.tolist() == [2, 1005]
+    rows = s.search_sort_by(
+        "data", k=2, value_source=[src_a, src_b], value_col="n_chars",
+        dv_field="n_chars",
+    )
+    assert rows == [(1005, 60_000.0), (2, 50_000.0)]
