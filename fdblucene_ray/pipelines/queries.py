@@ -2229,6 +2229,38 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """REAL audio codec path (ops/audio.py): deterministic PCM16 WAVs
+    synthesized per doc (pure sine, integer cycles), decoded by the
+    RIFF chunk walker, DSP features via one vectorized rfft. The SQL
+    twin regenerates the exact quantized signal (round-half-away on
+    both sides) and recomputes RMS + zero crossings relationally; the
+    FFT peak is checked against the planted analytic frequency."""
+    from fdblucene_ray.ops.audio import audio_features, synth_wav_batch
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        synth_wav_batch, batch_format="pyarrow"
+    )
+    out = _collect(audio_features(ds)).sort_by("doc_id")
+    return out.select(
+        ["doc_id", "sr", "n_samples", "rms", "zcr", "peak_freq_hz"]
+    )
+
+
+def q_audio_near_dup(sf_dir: str) -> pa.Table:
+    """Audio near-duplicate pairs: scale-invariant spectral
+    fingerprints (same signal at different volumes collides) through
+    the shared simhash band machinery — only 8-byte fingerprints
+    shuffle. Rows-only; tests/test_audio.py plants the ground truth."""
+    from fdblucene_ray.ops.audio import audio_near_dup_pairs, synth_wav_batch
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        synth_wav_batch, batch_format="pyarrow"
+    )
+    t = audio_near_dup_pairs(ds, max_hamming=0)
+    return t
+
+
 def q_media_dedup(sf_dir: str) -> pa.Table:
     """Exact media dedup over the binary payload column (digest
     groupby, keeper = min doc_id) — the multimodal twin of
@@ -3834,6 +3866,8 @@ def queries() -> dict:
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
+        "audio_features": q_audio_features,
+        "audio_near_dup": q_audio_near_dup,
         "media_dedup": q_media_dedup,
         "chunk_docs": q_chunk_documents,
         "approx_users": q_approx_users,
@@ -4228,6 +4262,28 @@ FROM par ORDER BY score DESC, parent_id LIMIT 10
             "WHERE contains(lower(text), 'indo') "
             "ORDER BY doc_id LIMIT 25"
         ),
+        "audio_features": """
+WITH ids AS (SELECT doc_id, 16 + (doc_id % 32) AS k,
+                    0.3 + (doc_id % 5) * 0.1 AS amp FROM documents),
+sig AS (SELECT i.doc_id,
+               round(i.amp * 32767 * sin(2 * pi() * i.k * g.n / 1024)) AS q,
+               g.n
+        FROM ids i CROSS JOIN
+          (SELECT unnest(generate_series(0, 1023)) AS n) g),
+x AS (SELECT doc_id, n, q / 32768.0 AS v FROM sig),
+r AS (SELECT doc_id, sqrt(avg(v * v)) AS rms FROM x GROUP BY doc_id),
+z AS (SELECT doc_id,
+             sum(CASE WHEN sgn * prev_sgn < 0 THEN 1 ELSE 0 END)::BIGINT AS zcr
+      FROM (SELECT doc_id, sign(v) AS sgn,
+                   lag(sign(v)) OVER (PARTITION BY doc_id ORDER BY n) AS prev_sgn
+            FROM x)
+      WHERE prev_sgn IS NOT NULL GROUP BY doc_id)
+SELECT i.doc_id, 8192::BIGINT AS sr, 1024::BIGINT AS n_samples,
+       CAST(round(r.rms, 4) AS DOUBLE) AS rms, z.zcr,
+       (8 * i.k)::BIGINT AS peak_freq_hz
+FROM ids i JOIN r ON r.doc_id = i.doc_id JOIN z ON z.doc_id = i.doc_id
+ORDER BY i.doc_id
+""",
         "ft_maxp": f"""
 WITH t0 AS (
   SELECT doc_id, unnest(arr) AS tok,
