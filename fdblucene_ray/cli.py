@@ -516,6 +516,28 @@ def cmd_rankeval(args) -> int:
     return 0
 
 
+def cmd_audio(args) -> int:
+    """Decode WAV payloads from parquet and print DSP features."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.audio import audio_features
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.payload_col]
+    )
+    out = audio_features(
+        ds, payload_col=args.payload_col, id_col=args.id_col
+    )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        for row in out.take_all()[: args.limit]:
+            print(json.dumps({k: row[k] for k in row}))
+    return 0
+
+
 def cmd_substring(args) -> int:
     """Infix search over a trigram-signature index."""
     _ensure_ray()
@@ -846,6 +868,16 @@ def main(argv=None) -> int:
     re_.add_argument("-k", type=int, default=10)
     re_.add_argument("--per-query", action="store_true")
     re_.set_defaults(fn=cmd_rankeval)
+
+    au = sub.add_parser(
+        "audio", help="WAV/PCM16 decode + DSP features over parquet payloads"
+    )
+    au.add_argument("--input", required=True, nargs="+")
+    au.add_argument("--payload-col", default="payload")
+    au.add_argument("--id-col", default="doc_id")
+    au.add_argument("--out", default=None, help="parquet output dir")
+    au.add_argument("--limit", type=int, default=20)
+    au.set_defaults(fn=cmd_audio)
 
     ss = sub.add_parser(
         "substring", help="infix search via a trigram-signature index"
