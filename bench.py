@@ -417,6 +417,10 @@ def run_default() -> None:
     timed("host_cap", lambda: q.q_host_cap(sf_dir))
     timed("ppl_buckets", lambda: q.q_ppl_buckets(sf_dir))
     timed("lm_score_bigram", lambda: q.q_lm_score_bigram(sf_dir))
+    timed("boilerplate", lambda: q.q_strip_boilerplate(sf_dir))
+    timed("rank_eval", lambda: q.q_rank_eval(sf_dir))
+    timed("cluster_topics", lambda: q.q_cluster_topics(sf_dir))
+    timed("audio_features", lambda: q.q_audio_features(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)
