@@ -26,6 +26,13 @@ Metric definitions (binary relevance = rel > 0, gain = 2^rel - 1):
 - ``ap``         sum over relevant positions i of (cum_rel(i) / rank_i),
                  normalized by min(R, k)  (the trec_eval AP@k form)
 - ``ndcg``       DCG@k / IDCG@k with DCG = sum gain / log2(rank + 1)
+- ``judged``     fraction of the top-k that has ANY judgment (pooling
+                 health — rel = 0 rows in qrels are judged nonrelevant)
+- ``bpref``      (1/R) * sum over relevant retrieved r of
+                 (1 - min(nonrel_above(r), R) / min(N, R)) with N the
+                 per-query judged-NONRELEVANT total (Buckley & Voorhees
+                 2004, the incomplete-judgments metric; 1-per-term when
+                 N = 0), computed over the top-k (bpref@k)
 """
 
 from __future__ import annotations
@@ -62,6 +69,8 @@ def _eval_partition(group: pa.Table, k: int) -> pa.Table:
         "recall": pa.array([], pa.float64()),
         "ap": pa.array([], pa.float64()),
         "ndcg": pa.array([], pa.float64()),
+        "judged": pa.array([], pa.float64()),
+        "bpref": pa.array([], pa.float64()),
     }
     if not len(r_q):
         return pa.table(empty_cols)
@@ -79,10 +88,12 @@ def _eval_partition(group: pa.Table, k: int) -> pa.Table:
     r_rel = np.zeros(len(rkey), np.int64)
     if len(qkey_s):
         r_rel[hit] = q_rel_s[pos_c[hit]]
+    r_judged = hit
 
     # run rows in (qid, rank) order; run starts mark each query
     o = np.lexsort((r_k, r_q))
     r_q, r_k, r_rel = r_q[o], r_k[o], r_rel[o]
+    r_judged = r_judged[o]
     starts = np.flatnonzero(np.concatenate(([True], r_q[1:] != r_q[:-1])))
     runlen = np.diff(np.concatenate((starts, [len(r_q)])))
     qidx = np.repeat(np.arange(len(starts)), runlen)
@@ -110,6 +121,16 @@ def _eval_partition(group: pa.Table, k: int) -> pa.Table:
         minlength=len(uq),
     )
 
+    judged_n = np.bincount(qidx, weights=r_judged, minlength=len(uq))
+    judged_frac = judged_n / np.maximum(runlen, 1)
+    # judged-NONrelevant rows ranked above each position (for bpref):
+    # inclusive cumsum equals the exclusive count at relevant rows
+    # (a relevant row is never judged-nonrelevant itself)
+    jn = (r_judged & (r_rel == 0)).astype(np.int64)
+    cj = np.cumsum(jn)
+    base_j = cj[starts] - jn[starts]
+    nonrel_above = cj - np.repeat(base_j, runlen)
+
     # qrels side: per-query relevant totals and ideal DCG@k
     if len(q_q):
         rel_pos = q_r > 0
@@ -133,17 +154,35 @@ def _eval_partition(group: pa.Table, k: int) -> pa.Table:
             minlength=len(gs),
         )
         guq = g_q[gs]
+        n_tot_u = glen.astype(np.float64)
         p2 = np.searchsorted(guq, uq)
         p2c = np.minimum(p2, len(guq) - 1)
         have = guq[p2c] == uq
         R = np.where(have, r_tot_u[p2c], 0.0)
         idcg = np.where(have, idcg_u[p2c], 0.0)
+        N_nonrel = np.where(have, n_tot_u[p2c] - r_tot_u[p2c], 0.0)
     else:
         R = np.zeros(len(uq))
         idcg = np.zeros(len(uq))
+        N_nonrel = np.zeros(len(uq))
 
     denom_ap = np.minimum(R, float(k))
     ap = np.where(denom_ap > 0, ap_num / np.maximum(denom_ap, 1.0), 0.0)
+    # bpref@k (Buckley & Voorhees 2004): per relevant retrieved row,
+    # 1 - min(nonrel_above, R)/min(N, R); rows of queries with N = 0
+    # contribute 1 each
+    R_row = R[qidx]
+    N_row = N_nonrel[qidx]
+    denom_b = np.minimum(np.maximum(N_row, 0.0), np.maximum(R_row, 0.0))
+    term = np.where(
+        denom_b > 0,
+        1.0 - np.minimum(nonrel_above, R_row) / np.maximum(denom_b, 1.0),
+        1.0,
+    )
+    bpref_num = np.bincount(
+        qidx, weights=np.where(binary, term, 0.0), minlength=len(uq)
+    )
+    bpref = np.where(R > 0, bpref_num / np.maximum(R, 1.0), 0.0)
     recall = np.where(R > 0, n_hit / np.maximum(R, 1.0), 0.0)
     ndcg = np.where(idcg > 0, dcg / np.where(idcg > 0, idcg, 1.0), 0.0)
 
@@ -160,6 +199,8 @@ def _eval_partition(group: pa.Table, k: int) -> pa.Table:
             "recall": r6(recall),
             "ap": r6(ap),
             "ndcg": r6(ndcg),
+            "judged": r6(judged_frac),
+            "bpref": r6(bpref),
         }
     )
 
@@ -174,8 +215,8 @@ def rank_eval(
     """Per-query retrieval metrics of ``run`` (qid, doc_id, rank;
     1-based ranks) against ``qrels`` (qid, doc_id, rel; graded ints).
     Returns one row per qid present in the run: (qid, n_ret, n_rel,
-    mrr, precision, recall, ap, ndcg), floats rounded half-away to 6
-    decimals. One hash(qid) shuffle; everything else is vectorized
+    mrr, precision, recall, ap, ndcg, judged, bpref), floats rounded
+    half-away to 6 decimals. One hash(qid) shuffle; everything else is vectorized
     run arithmetic inside the partition call."""
     P = num_parts or max(16, int(ray.cluster_resources().get("CPU", 8)))
 
@@ -241,6 +282,8 @@ def rank_eval_mean(per_query: ray.data.Dataset) -> pa.Table:
         Mean("recall"),
         Mean("ap"),
         Mean("ndcg"),
+        Mean("judged"),
+        Mean("bpref"),
     )
     vals = {
         "n_queries": int(row["count()"]),
@@ -249,6 +292,8 @@ def rank_eval_mean(per_query: ray.data.Dataset) -> pa.Table:
         "recall": row["mean(recall)"],
         "map": row["mean(ap)"],
         "ndcg": row["mean(ndcg)"],
+        "judged": row["mean(judged)"],
+        "bpref": row["mean(bpref)"],
     }
     return pa.table(
         {
@@ -257,7 +302,10 @@ def rank_eval_mean(per_query: ray.data.Dataset) -> pa.Table:
                 m: pa.array(
                     round_half_away(np.array([vals[m]], np.float64), 6)
                 )
-                for m in ("mrr", "precision", "recall", "map", "ndcg")
+                for m in (
+                    "mrr", "precision", "recall", "map", "ndcg",
+                    "judged", "bpref",
+                )
             },
         }
     )

@@ -1953,8 +1953,9 @@ def q_rank_eval(sf_dir: str) -> pa.Table:
 def _eval_qrels_ds(sf_dir: str) -> ray.data.Dataset:
     """Deterministic graded qrels streamed from the documents table:
     for qid q, docs with doc_id % (3+q) == 0 are relevant with grade
-    1 + (doc_id // (3+q)) % 2 (shared by the rank_eval / similarity-AB
-    oracles)."""
+    1 + (doc_id // (3+q)) % 2, and docs with doc_id % (3+q) == 1 are
+    JUDGED NONRELEVANT (rel = 0 — feeds judged@k and bpref). Shared by
+    the rank_eval / similarity-AB oracles."""
 
     def mk_qrels(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
@@ -1971,6 +1972,16 @@ def _eval_qrels_ds(sf_dir: str) -> ray.data.Dataset:
                         "qid": pa.array(np.full(len(sel), q, np.int64)),
                         "doc_id": pa.array(sel),
                         "rel": pa.array(1 + (sel // mod) % 2),
+                    }
+                )
+            )
+            nonrel = ids[ids % mod == 1]
+            parts.append(
+                pa.table(
+                    {
+                        "qid": pa.array(np.full(len(nonrel), q, np.int64)),
+                        "doc_id": pa.array(nonrel),
+                        "rel": pa.array(np.zeros(len(nonrel), np.int64)),
                     }
                 )
             )
@@ -5041,15 +5052,22 @@ qrels AS (
          1 + ((d.doc_id // (3 + q.qid)) % 2) AS rel
   FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
   WHERE d.doc_id % (3 + q.qid) = 0
+  UNION ALL
+  SELECT q.qid, d.doc_id, 0 AS rel
+  FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
+  WHERE d.doc_id % (3 + q.qid) = 1
 ),
 topk AS (
-  SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel
+  SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel,
+         (qr.rel IS NOT NULL) AS judged
   FROM run r LEFT JOIN qrels qr
     ON qr.qid = r.qid AND qr.doc_id = r.doc_id
   WHERE r.rank <= 10
 ),
 rstats AS (
-  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R FROM qrels GROUP BY qid
+  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R,
+         count(*) FILTER (WHERE rel = 0) AS Nn
+  FROM qrels GROUP BY qid
 ),
 ideal AS (
   SELECT qid, sum((pow(2, rel) - 1) / log2(ipos + 1)) AS idcg FROM (
@@ -5059,19 +5077,29 @@ ideal AS (
   ) WHERE ipos <= 10 GROUP BY qid
 ),
 cums AS (
-  SELECT qid, rank, rel,
+  SELECT qid, rank, rel, judged,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY qid ORDER BY rank) AS cum
+           OVER (PARTITION BY qid ORDER BY rank) AS cum,
+         sum(CASE WHEN judged AND rel = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS nonrel_above
   FROM topk
 ),
+cumsr AS (SELECT c.*, s.R, s.Nn FROM cums c LEFT JOIN rstats s USING (qid)),
 perq AS (
   SELECT qid,
          count(*) AS n_ret,
          max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS mrr,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
          sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
-         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num
-  FROM cums GROUP BY qid
+         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num,
+         sum(CASE WHEN judged THEN 1 ELSE 0 END) AS judged_n,
+         sum(CASE WHEN rel > 0 THEN
+               CASE WHEN least(COALESCE(Nn, 0), COALESCE(R, 0)) > 0
+                    THEN 1 - least(nonrel_above, R) * 1.0
+                           / greatest(least(Nn, R), 1)
+                    ELSE 1 END
+             ELSE 0 END) AS bpref_num
+  FROM cumsr GROUP BY qid
 )
 SELECT p.qid, p.n_ret,
   COALESCE(s.R, 0)::BIGINT AS n_rel,
@@ -5082,7 +5110,10 @@ SELECT p.qid, p.n_ret,
   round(CASE WHEN COALESCE(s.R, 0) > 0
              THEN p.ap_num / least(s.R, 10) ELSE 0 END, 6) AS ap,
   round(CASE WHEN COALESCE(i.idcg, 0) > 0
-             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+  round(p.judged_n * 1.0 / p.n_ret, 6) AS judged,
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.bpref_num / s.R ELSE 0 END, 6) AS bpref
 FROM perq p LEFT JOIN rstats s USING (qid) LEFT JOIN ideal i USING (qid)
 ORDER BY p.qid
 """,
@@ -5115,15 +5146,22 @@ qrels AS (
          1 + ((d.doc_id // (3 + q.qid)) % 2) AS rel
   FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
   WHERE d.doc_id % (3 + q.qid) = 0
+  UNION ALL
+  SELECT q.qid, d.doc_id, 0 AS rel
+  FROM documents d CROSS JOIN (SELECT DISTINCT qid FROM qterm) q
+  WHERE d.doc_id % (3 + q.qid) = 1
 ),
 topk AS (
-  SELECT r.config, r.qid, r.rank, COALESCE(qr.rel, 0) AS rel
+  SELECT r.config, r.qid, r.rank, COALESCE(qr.rel, 0) AS rel,
+         (qr.rel IS NOT NULL) AS judged
   FROM run r LEFT JOIN qrels qr
     ON qr.qid = r.qid AND qr.doc_id = r.doc_id
   WHERE r.rank <= 10
 ),
 rstats AS (
-  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R FROM qrels GROUP BY qid
+  SELECT qid, count(*) FILTER (WHERE rel > 0) AS R,
+         count(*) FILTER (WHERE rel = 0) AS Nn
+  FROM qrels GROUP BY qid
 ),
 ideal AS (
   SELECT qid, sum((pow(2, rel) - 1) / log2(ipos + 1)) AS idcg FROM (
@@ -5133,19 +5171,29 @@ ideal AS (
   ) WHERE ipos <= 10 GROUP BY qid
 ),
 cums AS (
-  SELECT config, qid, rank, rel,
+  SELECT config, qid, rank, rel, judged,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY config, qid ORDER BY rank) AS cum
+           OVER (PARTITION BY config, qid ORDER BY rank) AS cum,
+         sum(CASE WHEN judged AND rel = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY config, qid ORDER BY rank) AS nonrel_above
   FROM topk
 ),
+cumsr AS (SELECT c.*, s.R, s.Nn FROM cums c LEFT JOIN rstats s USING (qid)),
 perq AS (
   SELECT config, qid,
          count(*) AS n_ret,
          max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS mrr,
          sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit,
          sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
-         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num
-  FROM cums GROUP BY config, qid
+         sum(CASE WHEN rel > 0 THEN cum * 1.0 / rank ELSE 0 END) AS ap_num,
+         sum(CASE WHEN judged THEN 1 ELSE 0 END) AS judged_n,
+         sum(CASE WHEN rel > 0 THEN
+               CASE WHEN least(COALESCE(Nn, 0), COALESCE(R, 0)) > 0
+                    THEN 1 - least(nonrel_above, R) * 1.0
+                           / greatest(least(Nn, R), 1)
+                    ELSE 1 END
+             ELSE 0 END) AS bpref_num
+  FROM cumsr GROUP BY config, qid
 )
 SELECT p.config, p.qid, p.n_ret,
   COALESCE(s.R, 0)::BIGINT AS n_rel,
@@ -5156,7 +5204,10 @@ SELECT p.config, p.qid, p.n_ret,
   round(CASE WHEN COALESCE(s.R, 0) > 0
              THEN p.ap_num / least(s.R, 10) ELSE 0 END, 6) AS ap,
   round(CASE WHEN COALESCE(i.idcg, 0) > 0
-             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+             THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+  round(p.judged_n * 1.0 / p.n_ret, 6) AS judged,
+  round(CASE WHEN COALESCE(s.R, 0) > 0
+             THEN p.bpref_num / s.R ELSE 0 END, 6) AS bpref
 FROM perq p LEFT JOIN rstats s USING (qid) LEFT JOIN ideal i USING (qid)
 ORDER BY p.config, p.qid
 """,

@@ -29,6 +29,7 @@ def brute_force(run_rows, qrel_rows, k):
         lst.sort()
         rel_of = rels.get(q, {})
         R = sum(1 for v in rel_of.values() if v > 0)
+        Nn = sum(1 for v in rel_of.values() if v == 0)
         gains = sorted((v for v in rel_of.values() if v > 0), reverse=True)
         idcg = sum(
             (2**g - 1) / math.log2(i + 2) for i, g in enumerate(gains[:k])
@@ -38,8 +39,14 @@ def brute_force(run_rows, qrel_rows, k):
         mrr = 0.0
         ap_num = 0.0
         cum = 0
+        judged_n = 0
+        nonrel_above = 0
+        bpref_num = 0.0
         for rank, d in lst:
             rel = rel_of.get(d, 0)
+            judged = d in rel_of
+            if judged:
+                judged_n += 1
             dcg += (2**rel - 1) / math.log2(rank + 1)
             if rel > 0:
                 cum += 1
@@ -47,6 +54,12 @@ def brute_force(run_rows, qrel_rows, k):
                 if mrr == 0.0:
                     mrr = 1.0 / rank
                 ap_num += cum / rank
+                if min(Nn, R) > 0:
+                    bpref_num += 1 - min(nonrel_above, R) / min(Nn, R)
+                else:
+                    bpref_num += 1.0
+            if judged and rel == 0:
+                nonrel_above += 1
         out[q] = {
             "n_ret": len(lst),
             "n_rel": R,
@@ -55,6 +68,8 @@ def brute_force(run_rows, qrel_rows, k):
             "recall": (n_hit / R) if R else 0.0,
             "ap": (ap_num / min(R, k)) if R else 0.0,
             "ndcg": (dcg / idcg) if idcg > 0 else 0.0,
+            "judged": judged_n / len(lst) if lst else 0.0,
+            "bpref": (bpref_num / R) if R else 0.0,
         }
     return out
 
@@ -88,7 +103,8 @@ def _check(run_rows, qrel_rows, k):
         row = got.loc[q]
         assert row["n_ret"] == w["n_ret"]
         assert row["n_rel"] == w["n_rel"]
-        for m in ("mrr", "precision", "recall", "ap", "ndcg"):
+        for m in ("mrr", "precision", "recall", "ap", "ndcg",
+                  "judged", "bpref"):
             assert row[m] == pytest.approx(w[m], abs=1.5e-6), (q, m)
 
 
