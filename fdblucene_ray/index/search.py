@@ -3527,6 +3527,42 @@ class Searcher:
             (int(kpar[i]), int(kids[i]), float(ksc[i])) for i in order
         ]
 
+    def search_relaxed(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        field: str = "text",
+        min_results: int = 1,
+        mode: str = "auto",
+    ) -> tuple[list[tuple[int, float]], list[str], int]:
+        """Zero-results rescue (the query-relaxation loop every search
+        UX ships): run the conjunction; while it returns fewer than
+        ``min_results`` hits and more than one term remains, DROP the
+        lowest-df term (rarest = the likely typo / over-constraint —
+        zero matches are caused by the term nothing contains) and
+        retry. Ties break by term string. Returns (hits,
+        dropped_terms, level) with level = number of drops.
+
+        Cost shape: each retry is one AND query; drops are decided
+        from the term dictionary's df stats (point lookups), so the
+        loop never scans postings it won't use."""
+        terms = self.parse(query, field)
+        if not terms:
+            return [], [], 0
+        cur = list(dict.fromkeys(terms))
+        dropped: list[str] = []
+        while True:
+            hits = self.search_terms(
+                cur, k, field=field, operator="and", mode=mode
+            )
+            if len(hits) >= min_results or len(cur) <= 1:
+                return hits, dropped, len(dropped)
+            dfs = {t: self.term_stats(field, t)[0] for t in cur}
+            victim = min(cur, key=lambda t: (dfs[t], t))
+            cur.remove(victim)
+            dropped.append(victim)
+
     def search_substring(
         self,
         needle: str,

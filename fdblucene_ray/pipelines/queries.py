@@ -688,6 +688,23 @@ def q_ft_block_join_child(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_relaxed(sf_dir: str) -> pa.Table:
+    """Query relaxation (zero-results rescue): 'data merge
+    zzzunlikelyterm' AND-matches nothing, so the rarest term (df 0)
+    drops and the conjunction retries — level reports the drops
+    (index/search.py search_relaxed). The oracle pins the rescued
+    query's BM25 AND result with level = 1."""
+    s = Searcher(_ensure_index(sf_dir, "simple"))
+    hits, dropped, level = s.search_relaxed(
+        "data merge zzzunlikelyterm", k=10
+    )
+    assert dropped == ["zzzunlikelyterm"], dropped
+    t = _hits_table(hits)
+    return t.append_column(
+        "level", pa.array([level] * t.num_rows, pa.int64())
+    )
+
+
 def q_ft_substring(sf_dir: str) -> pa.Table:
     """Index-accelerated substring (infix) search: 'indo' (inside
     'window') via char-trigram postings intersection + exact verify —
@@ -3833,6 +3850,7 @@ def queries() -> dict:
         "ft_block_join_child": q_ft_block_join_child,
         "ft_substring": q_ft_substring,
         "ft_maxp": q_ft_maxp,
+        "ft_relaxed": q_ft_relaxed,
         "ft_join": q_ft_join,
         "ft_bm25f": q_ft_bm25f,
         "ft_boost": q_ft_boost,
@@ -4429,6 +4447,13 @@ SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
         "ft_bm25_and": _bm25_sql(["window", "batch"], operator="and"),
+        # relaxation rescue: the planted df-0 term drops, leaving the
+        # ordinary data AND merge conjunction at level 1
+        "ft_relaxed": (
+            "SELECT doc_id, score, 1::BIGINT AS level FROM ("
+            + _bm25_sql(["data", "merge"], operator="and")
+            + ") rescued"
+        ),
         "ft_term_stats": f"""
 WITH {TOKS_CTE}
 SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf

@@ -628,3 +628,39 @@ def test_block_join_children_expansion(tmp_path, ray_session):
     for p, kids in seen.items():
         expect = [d for d in range(p * 8, min((p + 1) * 8, 21)) if d != 1]
         assert kids == expect
+
+
+def test_search_relaxed(tmp_path, ray_session):
+    """Relaxation drops the lowest-df term until results appear; a
+    query that already matches never relaxes; a fully hopeless query
+    ends at one term with level = n-1."""
+    import pyarrow.parquet as pq
+
+    texts = ["alpha beta gamma", "alpha beta", "alpha delta", "beta"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix,
+                fields={"text": {"column": "text", "analyzer": "simple"}},
+                num_partitions=2, batch_size=4)
+    s = Searcher(ix)
+    # matches as-is: no relaxation
+    hits, dropped, level = s.search_relaxed("alpha beta", 10)
+    assert level == 0 and dropped == [] and {d for d, _ in hits} == {0, 1}
+    # one hopeless term (df 0) drops first
+    hits, dropped, level = s.search_relaxed("alpha beta zzz", 10)
+    assert dropped == ["zzz"] and level == 1
+    assert {d for d, _ in hits} == {0, 1}
+    # two rare terms drop in (df, term) order: gamma (df 1) before
+    # delta? both df 1 -> 'delta' < 'gamma' lexicographically
+    hits, dropped, level = s.search_relaxed("gamma delta", 10)
+    assert dropped == ["delta"] and level == 1
+    assert {d for d, _ in hits} == {0}
+    # min_results forces deeper relaxation
+    hits, dropped, level = s.search_relaxed(
+        "alpha gamma", 10, min_results=3
+    )
+    assert dropped == ["gamma"] and level == 1
+    assert {d for d, _ in hits} == {0, 1, 2}
