@@ -83,6 +83,9 @@ def main():
     qs = e.queries()
     sqls = e.oracle_sql()
     n_bad = 0
+    n_pass = 0
+    n_rows_only = 0
+    names = [n for n in qs if not only or n in only]
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,6 +101,7 @@ def main():
         dt = time.perf_counter() - t0
         if name not in sqls:
             print(f"ok?  {name}: rows={len(mine)} ({dt:.1f}s) [no oracle — rows-only]")
+            n_rows_only += 1
             continue
         try:
             oracle = con.sql(sqls[name]).df()
@@ -111,6 +115,11 @@ def main():
             n_bad += 1
         else:
             print(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
+            n_pass += 1
+    print(
+        f"SUMMARY: {n_pass} PASS, {n_rows_only} rows-only, {n_bad} FAIL "
+        f"of {len(names)} queries"
+    )
     ray.shutdown()
     sys.exit(1 if n_bad else 0)
 
