@@ -432,3 +432,27 @@ def test_multi_searcher_merges_member_overlays(tmp_path, ray_session):
         dv_field="n_chars",
     )
     assert rows == [(1005, 60_000.0), (2, 50_000.0)]
+
+
+def test_overlay_values_random_vs_dict(ray_session):
+    """Property: overlay_values equals dict-based patching for random
+    id sets and overlays (including ids above/below the overlay range
+    and duplicate query ids)."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(50):
+        ov = {rng.randrange(1000): float(rng.randrange(10_000))
+              for _ in range(rng.randint(0, 40))}
+        ov_ids = np.array(sorted(ov), np.int64)
+        ov_vals = np.array([ov[i] for i in sorted(ov)], np.float64)
+        ids = np.array(
+            [rng.randrange(-50, 1100) for _ in range(rng.randint(0, 60))],
+            np.int64,
+        )
+        vals = np.array([float(rng.randrange(100)) for _ in ids])
+        got = overlay_values(ids, vals, ov_ids, ov_vals)
+        want = np.array(
+            [ov.get(int(i), v) for i, v in zip(ids, vals)], np.float64
+        )
+        assert np.array_equal(got, want)

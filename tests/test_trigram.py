@@ -109,3 +109,37 @@ class TestSubstringSearch:
             docs = np.unique(docs)
             cand = docs if cand is None else np.intersect1d(cand, docs)
         assert 3 not in set(cand.tolist())
+
+
+class TestSignatureProperties:
+    def test_superset_property_random(self):
+        """If needle occurs in text, every trigram key of the needle is
+        in the text's signature — the invariant candidate pruning
+        relies on (verify may remove, never re-add)."""
+        import random
+
+        rng = random.Random(11)
+        alpha = "abc XY-9 "
+        for _ in range(200):
+            text = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 60)))
+            i = rng.randint(0, len(text) - 3)
+            j = rng.randint(i + 3, len(text))
+            needle = text[i:j]
+            sig = set(
+                trigram_signature(pa.array([text])).to_pylist()[0].split(" ")
+            )
+            need = {key_to_term(int(k)) for k in trigram_keys(needle)}
+            assert need <= sig, (text, needle)
+
+    def test_signature_matches_rowwise_reference(self):
+        """The buffer-vectorized signature equals a per-row reference
+        built from trigram_keys, including multi-chunk arrays with a
+        nonzero offset."""
+        texts = ["Hello, World", "", "ab", "a b c d", "ZZ-top 99"]
+        arr = pa.chunked_array([texts[:2], texts[2:]]).combine_chunks()
+        sliced = arr.slice(1)  # nonzero offset path
+        sig = trigram_signature(sliced).to_pylist()
+        for t, s in zip(texts[1:], sig):
+            got = set(s.split(" ")) - {""}
+            want = {key_to_term(int(k)) for k in trigram_keys(t)}
+            assert got == want, t
