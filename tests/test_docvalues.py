@@ -456,3 +456,42 @@ def test_overlay_values_random_vs_dict(ray_session):
             [ov.get(int(i), v) for i, v in zip(ids, vals)], np.float64
         )
         assert np.array_equal(got, want)
+
+
+def test_concurrent_updates_cas_fenced(tmp_path, ray_session):
+    """Two racing dv updates: exactly one publishes per version; the
+    loser gets ManifestConflictError (never a silent clobber), and a
+    retry lands on the coalesced state."""
+    import threading
+
+    from fdblucene_ray.index.manifest import ManifestConflictError
+
+    src = _write_corpus(tmp_path)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix, fields=FIELDS, num_partitions=2, batch_size=16)
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def write(field_val):
+        d, v = field_val
+        barrier.wait()
+        try:
+            update_numeric_docvalues(ix, "n_chars", {d: v})
+        except ManifestConflictError as e:
+            errors.append(e)
+
+    wins = 0
+    for trial in range(6):
+        errors.clear()
+        t1 = threading.Thread(target=write, args=((1 + trial, 100.0),))
+        t2 = threading.Thread(target=write, args=((30 + trial, 200.0),))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert len(errors) <= 1
+        wins += 2 - len(errors)
+        # retry the loser's update; coalesced state must hold both
+        update_numeric_docvalues(ix, "n_chars", {1 + trial: 100.0})
+        update_numeric_docvalues(ix, "n_chars", {30 + trial: 200.0})
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        got = dict(zip(ids.tolist(), vals.tolist()))
+        assert got[1 + trial] == 100.0 and got[30 + trial] == 200.0
+    assert wins >= 6  # every round published at least one side
