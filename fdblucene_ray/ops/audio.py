@@ -117,7 +117,20 @@ class AudioFeatures:
         pay = batch[self.payload_col]
         if isinstance(pay, pa.ChunkedArray):
             pay = pay.combine_chunks()
-        decoded = [decode_wav(p.as_py()) for p in pay]
+        decoded = []
+        for p in pay:
+            sr, nch, pcm = decode_wav(p.as_py())
+            if nch > 1:
+                # downmix interleaved channels to mono (mean) so the
+                # DSP sees one coherent signal, not channel zigzag
+                usable = (len(pcm) // nch) * nch
+                pcm = (
+                    pcm[:usable]
+                    .reshape(-1, nch)
+                    .mean(axis=1)
+                    .astype(np.float64)
+                )
+            decoded.append((sr, nch, pcm))
         n = len(decoded)
         srs = np.array([d[0] for d in decoded], np.int64)
         lens = np.array([len(d[2]) for d in decoded], np.int64)

@@ -136,3 +136,35 @@ class TestNearDup:
         assert fps[0] != fps[1] and fps[1] != fps[2]
         pairs = audio_near_dup_pairs(ds, max_hamming=0).to_pylist()
         assert [(p["a"], p["b"]) for p in pairs] == [(0, 32)]
+
+
+def test_stereo_downmix(ray_session):
+    """A stereo payload (both channels the mono signal) downmixes to
+    the mono features exactly; n_samples reports frames, not
+    interleaved samples."""
+    mono = decode_wav(synth_wav(3))[2]
+    inter = np.empty(2 * len(mono), "<i2")
+    inter[0::2] = mono
+    inter[1::2] = mono
+    data = inter.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, SR, SR * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([hdr + data, synth_wav(3)], pa.binary()),
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ray.data.from_arrow(t)
+        .map_batches(AudioFeatures(), batch_format="pyarrow")
+        .take_all()
+    }
+    st, mo = rows[0], rows[1]
+    assert st["n_samples"] == mo["n_samples"] == N_SAMPLES
+    for m in ("rms", "zcr", "peak_freq_hz", "centroid_hz"):
+        assert st[m] == mo[m], m
