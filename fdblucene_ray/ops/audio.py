@@ -206,7 +206,10 @@ class AudioFingerprint:
             pay = pay.combine_chunks()
         out = np.empty(len(pay), np.uint64)
         for i, p in enumerate(pay):
-            _, _, pcm = decode_wav(p.as_py())
+            _, nch, pcm = decode_wav(p.as_py())
+            if nch > 1:
+                usable = (len(pcm) // nch) * nch
+                pcm = pcm[:usable].reshape(-1, nch).mean(axis=1)
             mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))[1:65]
             if len(mag) < 64:
                 mag = np.pad(mag, (0, 64 - len(mag)))
