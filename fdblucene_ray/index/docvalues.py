@@ -37,6 +37,7 @@ publish (safe under driver retries).
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -117,10 +118,19 @@ def update_numeric_docvalues(
         and np.array_equal(vals, prev_vals)
     ):
         return m  # idempotent re-publish of identical content
-    fname = f"dv-{field}-v{m.version + 1:06d}.parquet"
+    # Per-writer unique nonce in BOTH the tmp and the final name. Two
+    # racing updaters that read the same base version must never share
+    # a path: a shared tmp loses one writer's bytes before publish
+    # (observed as FileNotFoundError on os.replace), and a shared FINAL
+    # name lets the CAS loser overwrite the winner's already-published
+    # generation content — a silent lost update. The manifest names the
+    # exact file, so uniqueness is all that's required; the CAS on
+    # publish_manifest below arbitrates which generation becomes live.
+    nonce = uuid.uuid4().hex[:8]
+    fname = f"dv-{field}-v{m.version + 1:06d}-{nonce}.parquet"
     d = os.path.join(index_dir, DV_DIR)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, fname + ".tmp")
+    tmp = os.path.join(d, f".tmp-{nonce}-" + fname)
     pq.write_table(
         pa.table(
             {"doc_id": pa.array(ids, pa.int64()), "value": pa.array(vals)}
@@ -155,12 +165,23 @@ def fold_dv_into_docstore(index_dir: str, manifest: Manifest) -> dict:
         return dv_files
     import pyarrow.dataset as pads
 
-    schema_names = pads.dataset(store).schema.names
-    foldable = [f for f in dv_files if f in schema_names]
+    ds_schema = pads.dataset(store).schema
+    foldable = [f for f in dv_files if f in ds_schema.names]
     if not foldable:
         return dv_files
     overlays = {
         f: load_dv_overlay(index_dir, f, manifest) for f in foldable
+    }
+    # Fold policy for integer docstore columns receiving fractional
+    # updates (update_numeric_docvalues accepts dict[int, float]): a
+    # default safe cast would raise ArrowInvalid mid-merge. Decide ONCE
+    # per field, before touching any file, so every docstore shard gets
+    # the same schema: promote the column to float64 iff any overlay
+    # value is non-integral; otherwise keep the original type.
+    promote = {
+        f: pa.types.is_integer(ds_schema.field(f).type)
+        and not np.all(np.equal(np.mod(ov_vals, 1.0), 0.0))
+        for f, (_ids, ov_vals) in overlays.items()
     }
     tmp = store + ".fold-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -174,7 +195,9 @@ def fold_dv_into_docstore(index_dir: str, manifest: Manifest) -> dict:
         for f, (ov_ids, ov_vals) in overlays.items():
             base = t[f].to_numpy(zero_copy_only=False).astype(np.float64)
             patched = overlay_values(ids, base, ov_ids, ov_vals)
-            col_type = t.schema.field(f).type
+            col_type = (
+                pa.float64() if promote[f] else t.schema.field(f).type
+            )
             t = t.set_column(
                 t.schema.get_field_index(f),
                 f,

@@ -244,6 +244,64 @@ class TestMergeFold:
         )
         assert rows[0] == (0, 9_999.0)
 
+    def test_full_merge_folds_fractional_updates_on_int_column(
+        self, tmp_path, ray_session
+    ):
+        """update_numeric_docvalues accepts floats; folding 2.5 into an
+        int64 docstore column must not crash (ArrowInvalid truncation)
+        — the column is promoted to float64 across every shard."""
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix, fields=FIELDS, num_partitions=4, batch_size=16,
+            docstore_cols=["n_chars"],
+        )
+        update_numeric_docvalues(ix, "n_chars", {3: 2.5, 7: 10.0})
+        m = load_manifest(ix)
+        names = [s.name for s in m.segments]
+        m2 = merge_segments_inplace(ix, names, num_partitions=2)
+        assert "dv_files" not in m2.extra
+        import pyarrow.dataset as pads
+
+        store = os.path.join(ix, "docstore")
+        assert pads.dataset(store).schema.field("n_chars").type == (
+            pa.float64()
+        )
+        t = hydrate(ix, [3, 5, 7], columns=["doc_id", "n_chars"])
+        got = dict(
+            zip(
+                t["doc_id"].to_pylist(),
+                [float(v) for v in t["n_chars"].to_pylist()],
+            )
+        )
+        assert got == {3: 2.5, 5: float(NCHARS[5]), 7: 10.0}
+
+    def test_full_merge_integral_float_updates_keep_int_column(
+        self, tmp_path, ray_session
+    ):
+        """Whole-number float updates fold back into the original int64
+        column type — no gratuitous schema change."""
+        src = _write_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(
+            src, ix, fields=FIELDS, num_partitions=4, batch_size=16,
+            docstore_cols=["n_chars"],
+        )
+        update_numeric_docvalues(ix, "n_chars", {3: 123.0})
+        m = load_manifest(ix)
+        m2 = merge_segments_inplace(
+            ix, [s.name for s in m.segments], num_partitions=2
+        )
+        assert "dv_files" not in m2.extra
+        import pyarrow.dataset as pads
+
+        store = os.path.join(ix, "docstore")
+        assert pa.types.is_integer(
+            pads.dataset(store).schema.field("n_chars").type
+        )
+        t = hydrate(ix, [3], columns=["doc_id", "n_chars"])
+        assert t["n_chars"].to_pylist() == [123]
+
     def test_push_pull_replicates_dv_generations(self, tmp_path, ray_session):
         from fdblucene_ray.index.store import (
             LocalFSStore,
@@ -470,7 +528,8 @@ def test_concurrent_updates_cas_fenced(tmp_path, ray_session):
     ix = str(tmp_path / "ix")
     build_index(src, ix, fields=FIELDS, num_partitions=2, batch_size=16)
     barrier = threading.Barrier(2)
-    errors: list[Exception] = []
+    conflicts: list[Exception] = []
+    fatals: list[BaseException] = []  # anything NOT the contracted error
 
     def write(field_val):
         d, v = field_val
@@ -478,16 +537,30 @@ def test_concurrent_updates_cas_fenced(tmp_path, ray_session):
         try:
             update_numeric_docvalues(ix, "n_chars", {d: v})
         except ManifestConflictError as e:
-            errors.append(e)
+            conflicts.append(e)
+        except BaseException as e:  # noqa: BLE001 — race contract check
+            fatals.append(e)
 
     wins = 0
     for trial in range(6):
-        errors.clear()
+        conflicts.clear()
+        fatals.clear()
         t1 = threading.Thread(target=write, args=((1 + trial, 100.0),))
         t2 = threading.Thread(target=write, args=((30 + trial, 200.0),))
         t1.start(); t2.start(); t1.join(); t2.join()
-        assert len(errors) <= 1
-        wins += 2 - len(errors)
+        # a loser must surface ManifestConflictError, never e.g. a
+        # FileNotFoundError from a shared tmp path (the r3 race bug)
+        assert not fatals, fatals
+        assert len(conflicts) <= 1
+        wins += 2 - len(conflicts)
+        # lost-update check: the PUBLISHED overlay must contain every
+        # update whose writer reported success (winner's own bytes)
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        got = dict(zip(ids.tolist(), vals.tolist()))
+        if len(conflicts) == 0:  # both landed (serialized by chance)
+            assert got[1 + trial] == 100.0 and got[30 + trial] == 200.0
+        else:  # exactly one won; its update must be visible
+            assert got.get(1 + trial) == 100.0 or got.get(30 + trial) == 200.0
         # retry the loser's update; coalesced state must hold both
         update_numeric_docvalues(ix, "n_chars", {1 + trial: 100.0})
         update_numeric_docvalues(ix, "n_chars", {30 + trial: 200.0})
@@ -495,3 +568,47 @@ def test_concurrent_updates_cas_fenced(tmp_path, ray_session):
         got = dict(zip(ids.tolist(), vals.tolist()))
         assert got[1 + trial] == 100.0 and got[30 + trial] == 200.0
     assert wins >= 6  # every round published at least one side
+
+
+def test_concurrent_updates_stress_50_rounds(tmp_path, ray_session):
+    """50-round two-writer stress: zero non-conflict exceptions, the
+    reported winner's bytes are always the published bytes, and dv
+    generation filenames never collide across writers."""
+    import threading
+
+    from fdblucene_ray.index.manifest import ManifestConflictError
+
+    src = _write_corpus(tmp_path)
+    ix = str(tmp_path / "ix")
+    build_index(src, ix, fields=FIELDS, num_partitions=2, batch_size=16)
+
+    for trial in range(50):
+        barrier = threading.Barrier(2)
+        results: dict[str, object] = {}
+
+        def write(tag, d, v):
+            barrier.wait()
+            try:
+                update_numeric_docvalues(ix, "n_chars", {d: v})
+                results[tag] = "ok"
+            except ManifestConflictError:
+                results[tag] = "conflict"
+            except BaseException as e:  # noqa: BLE001
+                results[tag] = e
+
+        a = threading.Thread(
+            target=write, args=("a", trial % 40, 1000.0 + trial)
+        )
+        b = threading.Thread(
+            target=write, args=("b", (trial % 40) + 1, 2000.0 + trial)
+        )
+        a.start(); b.start(); a.join(); b.join()
+        assert results["a"] in ("ok", "conflict"), results["a"]
+        assert results["b"] in ("ok", "conflict"), results["b"]
+        assert "ok" in results.values()  # at least one side published
+        ids, vals = load_dv_overlay(ix, "n_chars")
+        got = dict(zip(ids.tolist(), vals.tolist()))
+        if results["a"] == "ok":
+            assert got[trial % 40] == 1000.0 + trial
+        if results["b"] == "ok":
+            assert got[(trial % 40) + 1] == 2000.0 + trial
