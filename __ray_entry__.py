@@ -22,16 +22,26 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _quiet_benign_ray_warning() -> None:
+    # drop ONLY Ray's empty-new-schema RefBundle warning (internal
+    # operators emit schemaless empty blocks; see ops/raylog.py)
+    from fdblucene_ray.ops.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from fdblucene_ray.pipelines.queries import q_search_lucene
 
+    _quiet_benign_ray_warning()
     return q_search_lucene("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from fdblucene_ray.pipelines import queries as q
 
+    _quiet_benign_ray_warning()
     return q.queries()
 
 

@@ -39,6 +39,9 @@ def _init_ray(num_cpus: int):
         )
     from ray.data import DataContext
 
+    from fdblucene_ray.ops.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

@@ -34,6 +34,9 @@ def _ensure_ray():
         )
     from ray.data import DataContext
 
+    from fdblucene_ray.ops.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     DataContext.get_current().enable_progress_bars = False
 
 

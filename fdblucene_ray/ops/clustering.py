@@ -33,6 +33,37 @@ import ray
 import ray.data
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _hash_shuffle(*datasets):
+    """Force hash-shuffle on the given datasets' captured DataContexts
+    (and the global one) for the scope. Ray's sort-based shuffle emits
+    empty blocks with NO schema, which the streaming executor logs as
+    'RefBundle with a different schema' warnings on every groupby whose
+    output has empty partitions; the hash shuffle path emits typed
+    blocks. Each Dataset carries a COPY of the DataContext captured at
+    source creation and groupby consults ``dataset.context``, so the
+    captured copies must be patched too (see index/build.py
+    _shuffle_strategy for the full capture-semantics story)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctxs = [DataContext.get_current()]
+    for d in datasets:
+        if d is not None and d.context not in ctxs:
+            ctxs.append(d.context)
+    prev = [c.shuffle_strategy for c in ctxs]
+    try:
+        for c in ctxs:
+            c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        yield
+    finally:
+        for c, p in zip(ctxs, prev):
+            c.shuffle_strategy = p
+
+
 def _stack64(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -562,12 +593,33 @@ def cluster_topics(
 
     lab = labels_ds.map_batches(lab_rows, batch_format="pyarrow")
 
-    # label sizes: K rows, safely driver-side (also the empty guard —
-    # Arrow's hash join chokes on fully empty inputs)
-    sizes = {
-        r[label_col]: float(r["count()"])
-        for r in labels_ds.groupby(label_col).count().take_all()
-    }
+    # label sizes: K rows — per-batch partial counts folded on the
+    # driver. No groupby: Ray's Aggregate operator emits one
+    # SCHEMALESS empty bundle from its reduce stage, which cascades a
+    # "." RefBundle schema downstream and triggers the streaming
+    # executor's schema-divergence warning on every subsequent
+    # operator (the r3 bench-tail noise). Every wide op in this
+    # pipeline therefore uses the repo's hash-part map_groups pattern,
+    # whose blocks are always typed.
+    def size_partials(t: pa.Table) -> pa.Table:
+        labs = t[label_col]
+        if isinstance(labs, pa.ChunkedArray):
+            labs = labs.combine_chunks()
+        uniq, cnt = np.unique(
+            labs.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                label_col: pa.array(uniq),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    sizes: dict = {}
+    for r in labels_ds.map_batches(
+        size_partials, batch_format="pyarrow"
+    ).take_all():
+        sizes[r[label_col]] = sizes.get(r[label_col], 0.0) + float(r["cnt"])
     n_all = float(sum(sizes.values()))
     if not sizes:
         return empty
@@ -575,73 +627,95 @@ def cluster_topics(
     joined = tok_rows.join(
         lab, join_type="inner", num_partitions=P, on=("doc_id",)
     )
-    fg = joined.groupby([label_col, "term"]).count()
 
     def add_part(t: pa.Table) -> pa.Table:
         terms = t["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         h = hash_strings(terms)
-        return t.append_column(
-            "part", pa.array((h % np.uint64(P)).astype(np.int32))
+        return pa.table(
+            {
+                "term": terms,
+                label_col: t[label_col],
+                "part": pa.array((h % np.uint64(P)).astype(np.int32)),
+            }
         )
 
     def score_part(group: pa.Table) -> pa.Table:
+        # typed empty table: a schemaless empty block makes the
+        # streaming executor log a schema-drift warning downstream
+        if group.num_rows == 0:
+            return empty
         terms = group["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         dct = terms.dictionary_encode()
         codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        cnt = group["count()"].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
         labs = group[label_col]
         if isinstance(labs, pa.ChunkedArray):
             labs = labs.combine_chunks()
+        labs_np = np.asarray(labs.to_pylist(), dtype=object)
+        lab_uniq, lab_codes = np.unique(labs_np, return_inverse=True)
+        # count distinct-doc rows per (term, label) via run arithmetic
+        # — this part holds ALL rows of every term hashed to it, so
+        # both df_fg and df_all are exact here
+        nl = len(lab_uniq)
+        key = codes * nl + lab_codes
+        key_uniq, cnt_i = np.unique(key, return_counts=True)
+        cnt = cnt_i.astype(np.float64)
+        u_term = key_uniq // nl
+        u_lab = key_uniq % nl
         df_all_by_code = np.bincount(
-            codes, weights=cnt, minlength=len(dct.dictionary)
+            u_term, weights=cnt, minlength=len(dct.dictionary)
         )
-        df_all = df_all_by_code[codes]
+        df_all = df_all_by_code[u_term]
         n_fg = np.asarray(
-            [sizes[v] for v in labs.to_pylist()], np.float64
+            [sizes[v] for v in lab_uniq[u_lab]], np.float64
         )
         pf = cnt / n_fg
         pb = df_all / n_all
         score = (pf - pb) * pf / pb
+        # per-(part, label) top-n: the global per-label top-n is
+        # contained in the union of per-part top-n sets — only
+        # P x K x n rows ever leave the exchange, and the second
+        # groupby(label) shuffle disappears entirely.
+        terms_u = np.asarray(
+            dct.dictionary.to_pylist(), dtype=object
+        )[u_term]
+        order = np.lexsort((terms_u, -score, u_lab))
+        lab_sorted = u_lab[order]
+        run_start = np.r_[
+            0, np.nonzero(lab_sorted[1:] != lab_sorted[:-1])[0] + 1
+        ]
+        rank = np.arange(len(order)) - np.repeat(
+            run_start, np.diff(np.r_[run_start, len(order)])
+        )
+        keep = order[rank < n]
         return pa.table(
             {
-                label_col: labs,
-                "term": terms,
-                "df_fg": pa.array(cnt.astype(np.int64)),
-                "df_all": pa.array(df_all.astype(np.int64)),
-                "score": pa.array(score),
+                label_col: pa.array(lab_uniq[u_lab[keep]]),
+                "term": pa.array(list(terms_u[keep]), pa.string()),
+                "df_fg": pa.array(cnt[keep].astype(np.int64)),
+                "df_all": pa.array(df_all[keep].astype(np.int64)),
+                "score": pa.array(score[keep]),
             }
         )
 
-    def topn(group: pa.Table) -> pa.Table:
-        sc = group["score"].to_numpy(zero_copy_only=False)
-        terms = group["term"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        order = np.lexsort(
-            (np.asarray(terms.to_pylist(), dtype=object), -sc)
-        )[:n]
-        return group.take(pa.array(order))
-
     score_part.__name__ = "cluster_topics_score"
-    topn.__name__ = "cluster_topics_topn"
     scored = (
-        fg.map_batches(add_part, batch_format="pyarrow")
+        joined.map_batches(add_part, batch_format="pyarrow")
         .groupby("part", num_partitions=P)
         .map_groups(score_part, batch_format="pyarrow")
     )
-    # K clusters (bounded) -> per-label group call is facet-shaped
-    top = scored.groupby(label_col).map_groups(
-        topn, batch_format="pyarrow"
-    )
-    t = pa.Table.from_pylist(top.take_all())
+    # P x K x n candidate rows (tiny): per-label top-n on driver
+    t = pa.Table.from_pylist(scored.take_all())
     if t.num_rows == 0:
         return empty
+    df_c = t.to_pandas().sort_values(
+        [label_col, "score", "term"], ascending=[True, False, True]
+    )
+    df_c = df_c.groupby(label_col, sort=False).head(n)
+    t = pa.Table.from_pandas(df_c.reset_index(drop=True), preserve_index=False)
     sc = round_half_away(
         t["score"].to_numpy(zero_copy_only=False).astype(np.float64), 6
     )

@@ -650,21 +650,127 @@ def lsh_topk(
     return _merge_topk(cand.to_pandas(), k)
 
 
-class _BucketPairs:
-    """map_groups: exact cosine pairs within one centroid bucket."""
+def _pairs_tiled(
+    m: np.ndarray,
+    ids: np.ndarray,
+    threshold: float,
+    tile: int,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], int]:
+    """Exact >=threshold cosine pairs over normalized rows ``m`` via
+    tile-at-a-time matmuls: identical output to one ``m @ m.T`` but the
+    similarity matrix never exceeds ``tile x tile`` floats — the fix
+    for the quadratic-memory blowup on a hot bucket. Returns (a chunks,
+    b chunks, sim chunks, max tile rows seen)."""
+    n = len(ids)
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    s_out: list[np.ndarray] = []
+    max_tile = 0
+    starts = range(0, n, tile)
+    for si in starts:
+        mi = m[si : si + tile]
+        max_tile = max(max_tile, len(mi))
+        for sj in range(si, n, tile):
+            mj = m[sj : sj + tile]
+            sims = mi @ mj.T
+            if si == sj:
+                ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+            if not len(ii):
+                continue
+            a_out.append(ids[si + ii])
+            b_out.append(ids[sj + jj])
+            s_out.append(sims[ii, jj])
+    return a_out, b_out, s_out, max_tile
 
-    def __init__(self, threshold: float, vec_col: str, id_col: str):
+
+class _BucketPairs:
+    """map_groups: exact cosine pairs within one centroid bucket.
+
+    Scale-safe: the pairwise similarity matrix is computed in
+    ``tile x tile`` blocks (exact, bounded memory — never a full
+    ``n x n`` allocation), and a bucket larger than ``hard_cap`` rows
+    is sub-partitioned by id hash into ceil(n / hard_cap) parts
+    compared within-part only. Cross-part comparisons are DROPPED and
+    logged (the no-silent-caps rule): for dedup/union-find a
+    near-identical mega-cluster stays connected through intra-part
+    pairs, and the O(n^2) flops of a pathological bucket are bounded
+    at hard_cap^2 per part. Small (oracle-sized) buckets take the
+    unchanged exact path.
+    """
+
+    def __init__(
+        self,
+        threshold: float,
+        vec_col: str,
+        id_col: str,
+        *,
+        tile: int = 4096,
+        hard_cap: int = 65536,
+    ):
         self.threshold = threshold
         self.vec_col, self.id_col = vec_col, id_col
+        self.tile, self.hard_cap = tile, hard_cap
+        self.last_stats: dict[str, int] = {}
         self.__name__ = "_BucketPairs"
 
     def __call__(self, group: pa.Table) -> pa.Table:
         m = _normalize(_stack(group[self.vec_col]))
-        ids = group[self.id_col].to_numpy(zero_copy_only=False)
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hit = sims[ii, jj] >= self.threshold
-        a, b = ids[ii[hit]], ids[jj[hit]]
+        ids = np.asarray(
+            group[self.id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        n = len(ids)
+        if n <= self.hard_cap:
+            parts = [np.arange(n)]
+            dropped = 0
+        else:
+            n_parts = -(-n // self.hard_cap)
+            # deterministic id-hash split (near-identical vectors can't
+            # be separated by any data-dependent projection)
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            assign = (
+                (ids.astype(np.uint64) * mult) % np.uint64(n_parts)
+            ).astype(np.int64)
+            parts = [np.nonzero(assign == p)[0] for p in range(n_parts)]
+            sizes = np.array([len(p) for p in parts], np.int64)
+            total = n * (n - 1) // 2
+            within = int((sizes * (sizes - 1) // 2).sum())
+            dropped = total - within
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_BucketPairs: bucket of %d rows exceeds hard_cap=%d; "
+                "split into %d id-hash parts, %d cross-part "
+                "comparisons dropped (intra-part pairs keep dup "
+                "clusters connected for union-find)",
+                n, self.hard_cap, n_parts, dropped,
+            )
+        a_all: list[np.ndarray] = []
+        b_all: list[np.ndarray] = []
+        s_all: list[np.ndarray] = []
+        max_tile = 0
+        for idx in parts:
+            a_c, b_c, s_c, mt = _pairs_tiled(
+                m[idx], ids[idx], self.threshold, self.tile
+            )
+            a_all += a_c
+            b_all += b_c
+            s_all += s_c
+            max_tile = max(max_tile, mt)
+        self.last_stats = {
+            "rows": n,
+            "parts": len(parts),
+            "dropped_comparisons": dropped,
+            "max_tile_rows": max_tile,
+        }
+        if a_all:
+            a = np.concatenate(a_all)
+            b = np.concatenate(b_all)
+            s = np.concatenate(s_all)
+        else:
+            a = b = np.empty(0, np.int64)
+            s = np.empty(0, np.float64)
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
@@ -672,7 +778,7 @@ class _BucketPairs:
             {
                 "a": pa.array(a2.astype(np.int64)),
                 "b": pa.array(b2.astype(np.int64)),
-                "sim": pa.array(_rha(sims[ii[hit], jj[hit]], 5)),
+                "sim": pa.array(_rha(s, 5)),
             }
         )
 

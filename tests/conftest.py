@@ -6,6 +6,9 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    from fdblucene_ray.ops.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     ray.init(
         address="local",
         num_cpus=4,
