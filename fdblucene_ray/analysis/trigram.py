@@ -29,11 +29,21 @@ for _c in b"abcdefghijklmnopqrstuvwxyz0123456789":
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(offsets[int64, len+1], data[uint8]) of a string array,
-    adjusted for a non-zero array offset."""
+    adjusted for a non-zero array offset. Handles both string (int32
+    offsets) and large_string (int64 offsets) — reading a
+    large_string buffer as int32 silently misparses every offset and
+    corrupts trigram signatures with false-negative substring
+    candidates."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
     start = arr.offset
-    off = np.frombuffer(arr.buffers()[1], np.int32)[
+    off = np.frombuffer(arr.buffers()[1], off_dtype)[
         start : start + len(arr) + 1
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)

@@ -1782,6 +1782,8 @@ class Searcher:
         k: int = 10,
         *,
         field: str = "text",
+        pre_analyzed: bool = False,
+        offsets: list[int] | None = None,
     ) -> list[tuple[int, float]]:
         """MultiPhraseQuery analog: a phrase where each position slot
         accepts ANY of several (analyzed) terms — ``[["quick"],
@@ -1790,18 +1792,41 @@ class Searcher:
         ALL member-term idfs (Lucene MultiPhraseQuery/Similarity
         treatment), tf = matching anchor count.
 
+        ``pre_analyzed=True`` passes slot members through verbatim —
+        REQUIRED when members are already index-dictionary terms
+        (prefix expansions, stemmed tokens): Porter stemming is not
+        idempotent (agree -> agre -> agr), so re-analyzing stemmed
+        terms maps them to nonexistent dictionary entries and the
+        query silently returns []. ``offsets`` carries per-slot
+        relative positions (Lucene position-increment semantics —
+        a removed stopword leaves a gap); default consecutive.
+
         Slot alternatives merge through ``MultiUnionCursor`` (position
         union per doc); doc iteration is the same leapfrog + lazy
         position path as PhraseQuery."""
-        az = get_analyzer(self.manifest.analyzers.get(field, "lucene"))
         norm_slots: list[list[str]] = []
-        for alts in slots:
-            terms = list(
-                dict.fromkeys(t for a in alts for t in az.tokens(a))
-            )
-            if not terms:
-                return []
-            norm_slots.append(terms)
+        if pre_analyzed:
+            for alts in slots:
+                terms = list(dict.fromkeys(alts))
+                if not terms:
+                    return []
+                norm_slots.append(terms)
+        else:
+            az = get_analyzer(self.manifest.analyzers.get(field, "lucene"))
+            for alts in slots:
+                terms = list(
+                    dict.fromkeys(t for a in alts for t in az.tokens(a))
+                )
+                if not terms:
+                    return []
+                norm_slots.append(terms)
+        offs = (
+            list(offsets)
+            if offsets is not None
+            else list(range(len(norm_slots)))
+        )
+        if len(offs) != len(norm_slots):
+            raise ValueError("offsets must align with slots")
         dc, _, avgdl = self.field_stats(field)
         if dc == 0:
             return []
@@ -1830,7 +1855,7 @@ class Searcher:
         def on_match(doc: int):
             base = None
             for qi, u in enumerate(unions):
-                p = u.positions_current() - qi
+                p = u.positions_current() - offs[qi]
                 base = (
                     p if base is None
                     else np.intersect1d(base, p, assume_unique=True)
@@ -1869,10 +1894,32 @@ class Searcher:
         exp = [t for t, _ in self.expand_prefix(field, pre, max_expansions)]
         if not exp:
             return []
-        az = get_analyzer(self.manifest.analyzers.get(field, "lucene"))
-        slots = [[t] for h in head for t in az.tokens(h)]
+        # Analyze the raw head ONCE, with positions: a dropped stopword
+        # ("jakarta the ap*") must leave a position gap exactly as
+        # PhraseQuery does, not collapse adjacent slots. The expansions
+        # (and the analyzed head terms) then pass through
+        # search_multi_phrase pre_analyzed — they are index-dictionary
+        # terms already; re-stemming them would corrupt the query
+        # (Porter is not idempotent).
+        head_terms, head_offs = self._phrase_terms(" ".join(head), field)
+        slots = [[t] for t in head_terms]
+        offsets = list(head_offs)
+        # the prefix slot's position: analyze head + raw prefix token
+        # together so trailing dropped stopwords still advance it
+        full_terms, full_offs = self._phrase_terms(
+            " ".join(head + [pre]), field
+        )
+        if len(full_terms) == len(head_terms) + 1:
+            pre_off = full_offs[-1]
+        elif offsets:
+            pre_off = offsets[-1] + 1
+        else:
+            pre_off = 0
         slots.append(exp)
-        return self.search_multi_phrase(slots, k, field=field)
+        offsets.append(pre_off)
+        return self.search_multi_phrase(
+            slots, k, field=field, pre_analyzed=True, offsets=offsets
+        )
 
     def search_synonyms_multiword(
         self,
@@ -2093,7 +2140,25 @@ class Searcher:
         vid = tbl["doc_id"].to_numpy(zero_copy_only=False)
         vval = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(vid)
-        vals = vval[order][np.searchsorted(vid[order], ids)]
+        vid_sorted = vid[order]
+        pos = np.searchsorted(vid_sorted, ids)
+        # membership check BEFORE aligning: a value_source missing some
+        # matched ids would silently misalign searchsorted (wrong
+        # scores) or index out of bounds — fail with a clear error
+        found = (
+            np.zeros(len(ids), bool)
+            if not len(vid_sorted)
+            else vid_sorted[np.minimum(pos, len(vid_sorted) - 1)] == ids
+        )
+        if not found.all():
+            missing = np.asarray(ids)[~found]
+            raise ValueError(
+                f"value_source is missing {value_col} rows for "
+                f"{len(missing)} matched doc ids (e.g. "
+                f"{missing[:5].tolist()}); every matched id must "
+                f"hydrate exactly one row"
+            )
+        vals = vval[order][pos]
         if dv_field is not None:
             from fdblucene_ray.index.docvalues import overlay_values
 
@@ -3737,7 +3802,20 @@ class Searcher:
         hyd = hydrate_from_source(
             value_source, docs.tolist(), columns=[value_col]
         )  # rows sorted by doc_id == sorted match set order
-        vals = hyd[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hid = hyd["doc_id"].to_numpy(zero_copy_only=False)
+        if len(hid) != len(docs) or not np.array_equal(
+            np.sort(hid), docs
+        ):
+            missing = np.setdiff1d(docs, hid)
+            raise ValueError(
+                f"value_source is missing {value_col} rows for "
+                f"{len(missing)} matched doc ids (e.g. "
+                f"{missing[:5].tolist()})"
+            )
+        # align explicitly rather than trusting source row order
+        vals = hyd[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )[np.argsort(hid)]
         out = []
         for v, _df in self.expand_term_range(
             facet_field, None, None, max_terms=max_values

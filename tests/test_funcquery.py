@@ -362,3 +362,54 @@ class TestStatsBy:
         assert got == {
             "n": 0, "min": None, "max": None, "sum": 0.0, "avg": None
         }
+
+
+def test_values_for_ids_missing_rows_raise(tmp_path, ray_session):
+    """ADVICE r3: a value_source missing some matched ids must raise a
+    clear error instead of silently misaligning searchsorted."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.build import build_index
+    from fdblucene_ray.index.search import Searcher
+
+    texts = [f"data point t{i:02d}" for i in range(20)]
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        src,
+    )
+    ix = str(tmp_path / "ix")
+    build_index(
+        src, ix,
+        fields={"text": {"column": "text", "analyzer": "simple"}},
+        num_partitions=2, batch_size=8,
+    )
+    # value source covers only half the docs
+    vsrc = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(0, 20, 2), pa.int64()),
+                "pop": pa.array([float(i) for i in range(10)]),
+            }
+        ),
+        vsrc,
+    )
+    s = Searcher(ix)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing pop rows"):
+        s.search_feature_field(
+            "data", k=5, value_source=vsrc, value_col="pop", pivot=1.0
+        )
+    with _pytest.raises(ValueError, match="missing pop rows"):
+        s.facet_sums(
+            "data", "text", value_source=vsrc, value_col="pop"
+        )

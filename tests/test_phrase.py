@@ -542,3 +542,65 @@ class TestNewQueriesRespectDeletes:
         # multi-phrase and term-set text-field analog
         mp = [d for d, _ in s.search_multi_phrase([["quick"], ["brown"]], k=100)]
         assert set(victims).isdisjoint(mp)
+
+
+class TestPhrasePrefixLuceneChain:
+    """ADVICE r3 regressions: prefix expansions are index-dictionary
+    terms and must NOT be re-analyzed (Porter is not idempotent), and
+    dropped stopword head tokens must leave position gaps."""
+
+    @pytest.fixture(scope="class")
+    def lucene_ix(self, tmp_path_factory, ray_session):
+        texts = [
+            "the parties agreed on terms",     # agre at pos 1 (parti 0)
+            "jakarta the apache server",       # jakarta 0, apach 2
+            "jakarta apache server",           # jakarta 0, apach 1
+            "parties disagree on terms",
+            "agreeable jakarta arrangement",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = tmp_path_factory.mktemp("phlc")
+        src = str(d / "c.parquet")
+        pq.write_table(t, src)
+        ix = str(d / "ix")
+        build_index(
+            src, ix,
+            fields={"text": {"column": "text", "analyzer": "lucene",
+                             "positions": True}},
+            num_partitions=2, batch_size=3, block_size=8,
+        )
+        return ix
+
+    def test_stemmed_expansion_not_restemmed(self, lucene_ix):
+        s = Searcher(lucene_ix)
+        # dictionary holds the stemmed 'agre' (from agreed); the old
+        # code re-stemmed the expansion agre -> agr and matched nothing
+        exps = [t for t, _ in s.expand_prefix("text", "agre")]
+        assert "agre" in exps
+        got = s.search_phrase_prefix("parties agre*", k=10)
+        assert [d for d, _ in got] == [0]
+
+    def test_stopword_head_leaves_position_gap(self, lucene_ix):
+        s = Searcher(lucene_ix)
+        got = s.search_phrase_prefix("jakarta the ap*", k=10)
+        # doc 1 has apache two positions after jakarta (stopword gap);
+        # doc 2 has it adjacent — Lucene semantics match only doc 1
+        assert [d for d, _ in got] == [1]
+        # and the no-stopword phrase still matches only the tight one
+        got2 = s.search_phrase_prefix("jakarta ap*", k=10)
+        assert [d for d, _ in got2] == [2]
+
+    def test_pre_analyzed_multi_phrase_passthrough(self, lucene_ix):
+        s = Searcher(lucene_ix)
+        # raw-term path: already-stemmed dictionary terms with explicit
+        # offsets behave like the analyzed path on raw text
+        raw = s.search_multi_phrase(
+            [["parti"], ["agre"]], k=10, pre_analyzed=True
+        )
+        analyzed = s.search_multi_phrase([["parties"], ["agreed"]], k=10)
+        assert raw == analyzed and [d for d, _ in raw] == [0]

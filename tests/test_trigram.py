@@ -8,6 +8,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from fdblucene_ray.analysis.trigram import (
+    add_trigram_column,
     key_to_term,
     trigram_keys,
     trigram_signature,
@@ -143,3 +144,24 @@ class TestSignatureProperties:
             got = set(s.split(" ")) - {""}
             want = {key_to_term(int(k)) for k in trigram_keys(t)}
             assert got == want, t
+
+    def test_large_string_column(self):
+        """large_string (int64 offsets) columns must produce the same
+        signatures as string columns — ADVICE r3: reading the offsets
+        buffer as int32 silently shifted every row."""
+        texts = ["Hello, World", "", "ab", "a b c d", "ZZ-top 99",
+                 "substring search target xyzzy"]
+        small = pa.array(texts, pa.string())
+        large = pa.array(texts, pa.large_string())
+        assert trigram_signature(large).to_pylist() == (
+            trigram_signature(small).to_pylist()
+        )
+        # sliced large_string (nonzero offset) too
+        assert trigram_signature(large.slice(2)).to_pylist() == (
+            trigram_signature(small.slice(2)).to_pylist()
+        )
+        # chunked large_string through add_trigram_column
+        t = pa.table({"text": pa.chunked_array(
+            [texts[:3], texts[3:]], pa.large_string())})
+        got = add_trigram_column(t)["trigrams"].to_pylist()
+        assert got == trigram_signature(small).to_pylist()
