@@ -44,6 +44,16 @@ class Index:
         build_sharded(shards, index_dir, **kw)
         return cls(index_dir)
 
+    def append(self, shards, **kw) -> "Index":
+        """Multi-writer-safe shard append (manifest-CAS reserved doc-id
+        ranges): independent driver processes may append concurrently
+        to this index_dir and every append lands. See
+        index/build.py append_shards."""
+        from fdblucene_ray.index.build import append_shards
+
+        append_shards(self.index_dir, shards, **kw)
+        return self.refresh()
+
     @classmethod
     def merge(cls, sources, out_dir: str, **kw) -> "Index":
         srcs = [

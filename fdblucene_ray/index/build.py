@@ -841,3 +841,294 @@ def build_sharded(
     )
     publish_manifest(index_dir, manifest)
     return manifest
+
+def append_shards(
+    index_dir: str,
+    shards: list[list[str] | str],
+    *,
+    fields: dict[str, dict] | None = None,
+    num_partitions_per_shard: int | None = None,
+    resume: bool = True,
+    concurrent_shards: int = 1,
+    max_publish_retries: int = 16,
+    **kw,
+) -> Manifest:
+    """MULTI-WRITER-safe shard append: independent driver PROCESSES may
+    call this concurrently against one index_dir and every append lands
+    (the reference's concurrent Writer ingest, README.md:34-38 — FDB
+    transactions + sparse insert-if-absent doc ids; here manifest CAS +
+    reserved id ranges).
+
+    Protocol (all contention is on tiny manifest publishes, never on
+    build work):
+
+    1. RESERVE: CAS-publish a manifest whose
+       ``extra["id_reservations"][token] = [base, end)`` claims this
+       append's doc-id range, where ``base`` = max(segment doc_id_max+1,
+       every live reservation end). A CAS loser just reloads and
+       re-reserves above the winner — no build work exists yet to lose.
+    2. BUILD: each shard builds exactly as ``build_sharded`` does
+       (lineage-checkpointed, publish=False) with globally-offset doc
+       ids starting at the reserved base. Ranges are disjoint BY
+       RESERVATION, so no rebase/rebuild is ever needed on conflict.
+    3. PUBLISH: CAS-append this append's segments to the CURRENT live
+       manifest (re-read on every retry so other writers' segments,
+       tombstones and dv generations are preserved), dropping the
+       reservation token. Retries are metadata-only.
+
+    A writer that crashes after step 1 leaves a dangling reservation:
+    later appends simply start above it (sparse doc ids — harmless,
+    exactly the reference's sparse-id posture). ``gc_reservations``
+    clears tokens older than a cutoff if id compaction matters.
+
+    Creation race: if ``index_dir`` has no manifest yet, the reserve
+    step CAS-creates version 0 (expected_version=-1) — two concurrent
+    creators serialize on it.
+    """
+    import uuid as _uuid
+
+    from fdblucene_ray.index.manifest import (
+        ManifestConflictError,
+        publish_manifest,
+    )
+    from fdblucene_ray.sources.corpus import plan_fragments
+
+    fields = fields or default_fields()
+    if num_partitions_per_shard is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions_per_shard = max(4, 2 * cpus)
+
+    # per-shard row counts (footer metadata only) relative to base 0
+    rel_bases: list[int] = []
+    rel = 0
+    for shard in shards:
+        rel_bases.append(rel)
+        frags = plan_fragments(shard, rel)
+        rel = frags[-1]["base"] + frags[-1]["num_rows"] if frags else rel
+    total_rows = rel
+
+    def _load_or_none():
+        try:
+            return load_manifest(index_dir)
+        except FileNotFoundError:
+            return None
+
+    # ---- step 1: reserve the id range (CAS loop, cheap) ----
+    token = _uuid.uuid4().hex
+    for _ in range(max_publish_retries):
+        m = _load_or_none()
+        if m is None:
+            hwm = 0
+            res: dict = {}
+            expected = -1
+            prev_segments: list[SegmentMeta] = []
+            prev_extra: dict = {}
+            version = 0
+        else:
+            _check_config_matches(m, fields, kw)
+            res = dict(m.extra.get("id_reservations", {}))
+            hwm = max(
+                [s.doc_id_max + 1 for s in m.segments]
+                + [int(e) for _, e in res.values()]
+                + [0]
+            )
+            expected = m.version
+            prev_segments = list(m.segments)
+            prev_extra = dict(m.extra)
+            version = m.version + 1
+        base = hwm
+        res[token] = [base, base + total_rows]
+        reserve = Manifest(
+            analyzers={f: cfg["analyzer"] for f, cfg in fields.items()}
+            if m is None
+            else m.analyzers,
+            block_size=kw.get("block_size", BLOCK_SIZE)
+            if m is None
+            else m.block_size,
+            segments=prev_segments,
+            version=version,
+            codec=kw.get("codec", "varint-block") if m is None else m.codec,
+            extra={**prev_extra, "id_reservations": res},
+        )
+        try:
+            publish_manifest(index_dir, reserve, expected_version=expected)
+            break
+        except ManifestConflictError:
+            continue
+    else:
+        raise ManifestConflictError(
+            f"could not reserve id range after {max_publish_retries} tries"
+        )
+
+    # ---- step 2: build the shards (identical to build_sharded) ----
+    prev_sig = prev_extra.get("signature", "")
+    shard_index0 = prev_sig.count("+") + 1 if prev_sig else 0
+    sig_parts: list[str] = []
+    jobs = []
+    shard_segs: dict[int, list[SegmentMeta]] = {}
+    for j, shard in enumerate(shards):
+        sbase = base + rel_bases[j]
+        i = shard_index0 + j
+        ssig = corpus_signature(
+            shard,
+            json.dumps(
+                [sorted(fields.items()), sbase, num_partitions_per_shard],
+                default=str,
+            ),
+        ) + f"-s{i:04d}"
+        sig_parts.append(ssig)
+        done_path = os.path.join(
+            index_dir, "lineage", ssig, "_shard_done.json"
+        )
+        if resume and os.path.exists(done_path):
+            with open(done_path) as f:
+                metas = json.load(f)["segments"]
+            shard_segs[j] = [SegmentMeta.from_json(m) for m in metas]
+            continue
+        jobs.append((j, shard, sbase, ssig, done_path))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    concurrent_shards = min(concurrent_shards, max(1, cpus // 2))
+    shard_kw = dict(kw)
+    if concurrent_shards > 1 and "tokenize_concurrency" not in shard_kw:
+        share = max(1, cpus // concurrent_shards)
+        if shard_kw.get("exchange", "spill") == "spill":
+            shard_kw["tokenize_concurrency"] = share
+        else:
+            shard_kw["tokenize_concurrency"] = (
+                max(1, share // 4), max(2, (share * 2) // 3)
+            )
+
+    def _run_shard(job):
+        j, shard, sbase, ssig, done_path = job
+        sub = build_index(
+            shard,
+            index_dir,
+            fields=fields,
+            num_partitions=num_partitions_per_shard,
+            doc_base=sbase,
+            signature=ssig,
+            resume=resume,
+            publish=False,
+            **shard_kw,
+        )
+        os.makedirs(os.path.dirname(done_path), exist_ok=True)
+        tmp = done_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"segments": [s.to_json() for s in sub.segments]}, f
+            )
+        os.replace(tmp, done_path)
+        return j, list(sub.segments)
+
+    if concurrent_shards > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrent_shards) as ex:
+            for j, segs in ex.map(_run_shard, jobs):
+                shard_segs[j] = segs
+    else:
+        for job in jobs:
+            j, segs = _run_shard(job)
+            shard_segs[j] = segs
+
+    new_segs: list[SegmentMeta] = []
+    for j in sorted(shard_segs):
+        new_segs.extend(shard_segs[j])
+
+    # ---- step 3: CAS-append to the live manifest ----
+    for _ in range(max_publish_retries):
+        live = load_manifest(index_dir)
+        extra = dict(live.extra)
+        res = dict(extra.get("id_reservations", {}))
+        res.pop(token, None)
+        if res:
+            extra["id_reservations"] = res
+        else:
+            extra.pop("id_reservations", None)
+        sig = extra.get("signature", "")
+        extra["signature"] = (
+            sig + "+" + "+".join(sig_parts) if sig else "+".join(sig_parts)
+        )
+        extra["sharded"] = True
+        extra["built_at_unix"] = int(time.time())
+        pf = set(extra.get("positions_fields", []))
+        pf |= {f for f, cfg in fields.items() if cfg.get("positions")}
+        extra["positions_fields"] = sorted(pf)
+        manifest = Manifest(
+            analyzers=live.analyzers,
+            block_size=live.block_size,
+            segments=sorted(
+                list(live.segments) + new_segs, key=lambda s: s.name
+            ),
+            version=live.version + 1,
+            codec=live.codec,
+            extra=extra,
+        )
+        try:
+            publish_manifest(
+                index_dir, manifest, expected_version=live.version
+            )
+            return manifest
+        except ManifestConflictError:
+            continue
+    raise ManifestConflictError(
+        f"could not publish append after {max_publish_retries} tries"
+    )
+
+
+def _check_config_matches(
+    m: Manifest, fields: dict[str, dict], kw: dict
+) -> None:
+    """An append must agree with the live index's analyzers /
+    block_size / codec — mismatches fail loudly before any build."""
+    want_az = {f: cfg["analyzer"] for f, cfg in fields.items()}
+    for f, az in want_az.items():
+        if f in m.analyzers and m.analyzers[f] != az:
+            raise ValueError(
+                f"analyzer mismatch for field {f!r}: index has "
+                f"{m.analyzers[f]!r}, append wants {az!r}"
+            )
+    bs = kw.get("block_size", BLOCK_SIZE)
+    if bs != m.block_size:
+        raise ValueError(
+            f"block_size mismatch: index {m.block_size}, append {bs}"
+        )
+    codec = kw.get("codec", "varint-block")
+    if codec != m.codec:
+        raise ValueError(
+            f"codec mismatch: index {m.codec!r}, append {codec!r}"
+        )
+
+
+def gc_reservations(index_dir: str) -> list[str]:
+    """Drop ALL doc-id reservations from the live manifest (operator
+    tool for cleaning up after crashed appenders; safe because a live
+    appender that loses its reservation token still publishes its
+    already-built disjoint ids — only FUTURE reservations could then
+    collide, so run this only when no append is in flight)."""
+    from fdblucene_ray.index.manifest import (
+        ManifestConflictError,
+        publish_manifest,
+    )
+
+    for _ in range(8):
+        m = load_manifest(index_dir)
+        res = m.extra.get("id_reservations", {})
+        if not res:
+            return []
+        extra = {k: v for k, v in m.extra.items() if k != "id_reservations"}
+        m2 = Manifest(
+            analyzers=m.analyzers,
+            block_size=m.block_size,
+            segments=m.segments,
+            version=m.version + 1,
+            codec=m.codec,
+            extra=extra,
+        )
+        try:
+            publish_manifest(index_dir, m2, expected_version=m.version)
+            return sorted(res)
+        except ManifestConflictError:
+            continue
+    raise ManifestConflictError("gc_reservations kept losing the CAS")
