@@ -363,6 +363,17 @@ def export_commit(index_dir: str, out_dir: str, version: int | None = None) -> "
         dst = os.path.join(ddir, df)
         if not os.path.exists(dst):
             shutil.copy2(os.path.join(index_dir, "dv_updates", df), dst)
+    # sorted/binary doc-values sidecar dirs too
+    for key in ("dv_sorted", "dv_binary"):
+        for f in sorted((m.extra or {}).get(key, {})):
+            src = os.path.join(index_dir, key, f)
+            dst = os.path.join(out_dir, key, f)
+            if os.path.isdir(src) and not os.path.exists(dst):
+                tmp = dst + ".tmp-export"
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.copytree(src, tmp)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(tmp, dst)
     clone = Manifest(
         analyzers=m.analyzers, block_size=m.block_size,
         segments=m.segments, version=0, extra=m.extra, codec=m.codec,

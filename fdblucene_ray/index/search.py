@@ -2328,6 +2328,116 @@ class Searcher:
             tuple(data[c][i] for c in ["doc_id"] + cols) for i in sel
         ]
 
+    def _sorted_dict(self, dv_field: str) -> np.ndarray:
+        cache = getattr(self, "_sorted_dicts", None)
+        if cache is None:
+            cache = self._sorted_dicts = {}
+        if dv_field not in cache:
+            from fdblucene_ray.index.stringdv import load_sorted_dict
+
+            cache[dv_field] = load_sorted_dict(self.index_dir, dv_field)
+        return cache[dv_field]
+
+    def search_sort_by_keyword(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        dv_field: str,
+        field: str = "text",
+        descending: bool = False,
+        operator: str = "or",
+    ) -> list[tuple[int, str]]:
+        """``Sort(SortField(f, SortField.Type.STRING))`` analog over a
+        SORTED doc-values sidecar (index/stringdv.py): matched docs
+        ordered by the keyword column via ORDINALS — descending works
+        by negating the ordinal, the exact capability
+        ``search_sort_multi`` cannot offer for raw string columns.
+        Only the matched ids' ord row groups are read (pruned); the
+        dictionary loads once per searcher. Ties doc_id asc. Returns
+        (doc_id, value)."""
+        from fdblucene_ray.index.stringdv import sorted_dv_rows
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        match = self.multiterm_docs(field, terms)
+        if operator == "and":
+            m: np.ndarray | None = None
+            for rd in _matching_docs_per_term(self.readers, terms, field):
+                m = rd if m is None else np.intersect1d(m, rd)
+            match = np.sort(m) if m is not None else np.empty(0, np.int64)
+            am = _alive_mask(match, self.tombstones)
+            if am is not None:
+                match = match[am]
+        if not len(match):
+            return []
+        ids, ords = sorted_dv_rows(self.index_dir, dv_field, match)
+        if self.manifest.extra.get("dv_sorted", {}).get(
+            dv_field, {}
+        ).get("multi"):
+            # SortedSet sort key is the per-doc MIN ord (Lucene
+            # SortedSetSelector.Type.MIN default)
+            order = np.lexsort((ords, ids))
+            ids, ords = ids[order], ords[order]
+            first = np.r_[True, ids[1:] != ids[:-1]]
+            ids, ords = ids[first], ords[first]
+        found = np.isin(match, ids)
+        if not found.all():
+            missing = match[~found]
+            raise ValueError(
+                f"sorted dv {dv_field!r} missing {len(missing)} matched "
+                f"doc ids (e.g. {missing[:5].tolist()})"
+            )
+        key = -ords if descending else ords
+        sel = np.lexsort((ids, key))[:k]
+        dct = self._sorted_dict(dv_field)
+        return [
+            (int(ids[i]), str(dct[int(ords[i])])) for i in sel
+        ]
+
+    def facet_counts_sortedset(
+        self,
+        query: str,
+        dv_field: str,
+        *,
+        field: str = "text",
+        min_count: int = 1,
+    ) -> list[tuple[str, int]]:
+        """SortedSetDocValuesFacetCounts analog: per distinct value of
+        a (possibly multi-valued) sorted-dv field, the number of
+        MATCHING docs holding it. One pruned ords read + one bincount —
+        no per-value postings intersections (contrast facet_counts,
+        which walks the keyword postings). Sorted count desc, value
+        asc."""
+        from fdblucene_ray.index.stringdv import sorted_dv_rows
+
+        terms = self.parse(query, field)
+        if not terms:
+            return []
+        match = self.multiterm_docs(field, terms)
+        if not len(match):
+            return []
+        _ids, ords = sorted_dv_rows(self.index_dir, dv_field, match)
+        dct = self._sorted_dict(dv_field)
+        cnt = np.bincount(ords, minlength=len(dct))
+        out = [
+            (str(dct[i]), int(c))
+            for i, c in enumerate(cnt)
+            if c >= min_count
+        ]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    def binary_dv(self, dv_field: str, doc_ids) -> list[bytes]:
+        """BinaryDocValues read: per-doc opaque bytes for a (small)
+        matched id set, aligned to input order (pruned row groups)."""
+        from fdblucene_ray.index.stringdv import binary_dv_values
+
+        return binary_dv_values(
+            self.index_dir, dv_field, np.asarray(doc_ids, np.int64)
+        )
+
     def search_expr(
         self, query: str, k: int = 10, *, default_field: str = "text"
     ) -> list[tuple[int, float]]:

@@ -400,6 +400,12 @@ def push_index(index_dir: str, store: SegmentStore, *,
             with open(os.path.join(index_dir, rel), "rb") as fh:
                 store.put(rel, fh.read())
             uploaded += 1
+    # sorted/binary doc-values sidecars the manifest names travel too
+    for rel in _dv_sidecar_files(index_dir, m.extra):
+        if not store.exists(rel):
+            with open(os.path.join(index_dir, rel), "rb") as fh:
+                store.put(rel, fh.read())
+            uploaded += 1
     if expected_version is None:
         cur = store.get_manifest()
         expected_version = -1 if cur is None else cur.version
@@ -481,5 +487,27 @@ def pull_index(store: SegmentStore, cache_dir: str, *,
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             with open(dst, "wb") as fh:
                 fh.write(store.get(rel))
+    for key, dirname in (("dv_sorted", "dv_sorted"), ("dv_binary", "dv_binary")):
+        for f in sorted(m.extra.get(key, {})):
+            for rel in store.list_files(os.path.join(dirname, f)):
+                dst = os.path.join(cache_dir, rel)
+                if not os.path.exists(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    with open(dst, "wb") as fh:
+                        fh.write(store.get(rel))
     publish_manifest(cache_dir, m)
     return m
+
+
+def _dv_sidecar_files(index_dir: str, extra: dict) -> list[str]:
+    """Relative paths of every sorted/binary doc-values sidecar file
+    the manifest's extra references."""
+    rels: list[str] = []
+    for key, dirname in (("dv_sorted", "dv_sorted"), ("dv_binary", "dv_binary")):
+        for f in sorted(extra.get(key, {})):
+            root = os.path.join(index_dir, dirname, f)
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in sorted(files):
+                    full = os.path.join(dirpath, fn)
+                    rels.append(os.path.relpath(full, index_dir))
+    return rels

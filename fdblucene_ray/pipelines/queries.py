@@ -2994,6 +2994,129 @@ def q_ft_dv_update(sf_dir: str) -> pa.Table:
     )
 
 
+def _ensure_string_dv(sf_dir: str) -> str:
+    """The 'simple' documents index with Sorted ('lang'), SortedSet
+    ('tags' = [lang, source], synthesized deterministically) and
+    Binary ('payload' = first 12 utf-8 bytes of text) doc-values
+    sidecars (index/stringdv.py; reference DATA.md:38-42 TODO types).
+    Idempotent: sidecars already recorded in the manifest are kept."""
+    from fdblucene_ray.index.manifest import load_manifest
+    from fdblucene_ray.index.stringdv import (
+        build_binary_dv,
+        build_sorted_dv,
+    )
+
+    ix = _ensure_index(sf_dir, "simple")
+    extra = load_manifest(ix).extra
+    have_s = extra.get("dv_sorted", {})
+    have_b = extra.get("dv_binary", {})
+    if "lang" not in have_s:
+        build_sorted_dv(ix, "lang", _docs_path(sf_dir))
+    if "tags" not in have_s:
+
+        def add_tags(b: pa.Table) -> pa.Table:
+            tags = pa.array(
+                [
+                    [lg, sc]
+                    for lg, sc in zip(
+                        b["lang"].to_pylist(), b["source"].to_pylist()
+                    )
+                ],
+                pa.list_(pa.string()),
+            )
+            return pa.table({"doc_id": b["doc_id"], "tags": tags})
+
+        build_sorted_dv(
+            ix, "tags",
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id", "lang", "source"]
+            ),
+            multi=True, preprocess=add_tags,
+        )
+    if "payload" not in have_b:
+
+        def add_payload(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            pay = pc.cast(
+                pc.utf8_slice_codeunits(b["text"], 0, 12), pa.binary()
+            )
+            return pa.table({"doc_id": b["doc_id"], "payload": pay})
+
+        build_binary_dv(
+            ix, "payload",
+            ray.data.read_parquet(
+                _docs_path(sf_dir), columns=["doc_id", "text"]
+            ),
+            preprocess=add_payload,
+        )
+    return ix
+
+
+def q_ft_sort_keyword(sf_dir: str) -> pa.Table:
+    """SortedDocValues string sort (DATA.md:38-42; Lucene
+    SortField.Type.STRING): docs matching 'merge' ordered by lang asc
+    via ordinals against the dv_sorted sidecar — only matched ids' ord
+    row groups are read (index/search.py search_sort_by_keyword)."""
+    s = Searcher(_ensure_string_dv(sf_dir))
+    rows = s.search_sort_by_keyword("merge", k=15, dv_field="lang")
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "lang": pa.array([v for _, v in rows], pa.string()),
+        }
+    )
+
+
+def q_ft_sort_keyword_desc(sf_dir: str) -> pa.Table:
+    """DESCENDING string sort via ordinal negation — the capability a
+    raw string column cannot offer (search_sort_multi documents the
+    limitation; ordinals solve it, Lucene-style)."""
+    s = Searcher(_ensure_string_dv(sf_dir))
+    rows = s.search_sort_by_keyword(
+        "merge", k=15, dv_field="lang", descending=True
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "lang": pa.array([v for _, v in rows], pa.string()),
+        }
+    )
+
+
+def q_ft_facet_sortedset(sf_dir: str) -> pa.Table:
+    """SortedSetDocValuesFacetCounts analog: per distinct value of the
+    multi-valued 'tags' dv ([lang, source] per doc), the number of
+    matching docs — one pruned ords read + a bincount, no per-value
+    postings intersections."""
+    s = Searcher(_ensure_string_dv(sf_dir))
+    rows = s.facet_counts_sortedset("merge", "tags")[:20]
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in rows], pa.string()),
+            "cnt": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def q_ft_binary_dv(sf_dir: str) -> pa.Table:
+    """BinaryDocValues read path: per-doc opaque bytes for the first
+    10 matching docs (pruned row-group reads, aligned to id order)."""
+    s = Searcher(_ensure_string_dv(sf_dir))
+    docs = sorted(
+        d for d, _ in s.search_terms(["merge"], 1 << 31, mode="exhaustive")
+    )[:10]
+    vals = s.binary_dv("payload", docs)
+    # hex-encode for the oracle compare (bytes vs DuckDB bytearray
+    # canonicalize differently); the engine surface stays raw bytes
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "payload": pa.array([v.hex() for v in vals], pa.string()),
+        }
+    )
+
+
 def q_ft_sort_by_field(sf_dir: str) -> pa.Table:
     """Sort-by-field search (SortField analog): docs matching
     'vector AND stream' ordered by n_chars desc; the value column
@@ -3832,6 +3955,10 @@ def queries() -> dict:
         "ft_distance_feature": q_ft_distance_feature,
         "ft_sort_multi": q_ft_sort_multi,
         "ft_sort_by_field": q_ft_sort_by_field,
+        "ft_sort_keyword": q_ft_sort_keyword,
+        "ft_sort_keyword_desc": q_ft_sort_keyword_desc,
+        "ft_facet_sortedset": q_ft_facet_sortedset,
+        "ft_binary_dv": q_ft_binary_dv,
         "ft_dv_update": q_ft_dv_update,
         "ft_dv_boost": q_ft_dv_boost,
         "ft_bm25_boolean": q_ft_boolean,
@@ -5059,6 +5186,43 @@ m AS (SELECT doc_id FROM toks WHERE tok IN ('vector', 'stream')
 SELECT d.doc_id, d.n_chars::DOUBLE AS value
 FROM documents d JOIN m ON m.doc_id = d.doc_id
 ORDER BY value DESC, d.doc_id LIMIT 10
+""",
+        # Sorted doc values: string sort by ordinals (binary collation
+        # == UTF-8 byte order == DuckDB's default). Ties doc_id asc.
+        "ft_sort_keyword": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge')
+SELECT d.doc_id, d.lang
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.lang, d.doc_id LIMIT 15
+""",
+        "ft_sort_keyword_desc": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge')
+SELECT d.doc_id, d.lang
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.lang DESC, d.doc_id LIMIT 15
+""",
+        # SortedSet facets: per distinct value of [lang, source], the
+        # count of matching docs; count desc, value asc, top 20.
+        "ft_facet_sortedset": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge'),
+vals AS (
+  SELECT m.doc_id, unnest([d.lang, d.source]) AS value
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+)
+SELECT value, count(*) AS cnt FROM vals
+GROUP BY value ORDER BY cnt DESC, value LIMIT 20
+""",
+        # Binary doc values: first 12 utf-8 code units of text as bytes
+        # for the first 10 matching docs.
+        "ft_binary_dv": f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge')
+SELECT d.doc_id, lower(hex(encode(substr(d.text, 1, 12)))) AS payload
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id LIMIT 10
 """,
         "rank_eval": f"""
 WITH {TOKS_CTE},
