@@ -608,34 +608,84 @@ class ScrubSpans:
     """Remove tokens covered by any duplicated window. Docs with no
     duplicated span keep their text BYTE-IDENTICAL; scrubbed docs are
     re-joined with single spaces (whitespace-normalized by
-    construction). The per-row work is bounded by that row's span
-    count — corpus cost is proportional to actual duplication."""
+    construction). Fully vectorized: coverage is one diff-array pass
+    over the batch's flattened token stream (doc boundaries clamp the
+    windows), the rejoin is Arrow list-filter + ``binary_join``, and
+    untouched rows ride a concat+take scatter — no per-doc Python."""
 
     def __init__(self, n: int, text_col: str, id_col: str):
         self.n = n
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        out_text, out_removed = [], np.zeros(len(texts), np.int64)
-        for i, (txt, spans) in enumerate(zip(texts, spans_col)):
-            if not spans:
-                out_text.append(txt)
-                continue
-            toks = txt.split()
-            diff = np.zeros(len(toks) + 1, np.int64)
-            starts = np.frombuffer(spans, dtype="<i8").astype(np.int64)
-            np.add.at(diff, starts, 1)
-            np.add.at(diff, np.minimum(starts + self.n, len(toks)), -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            out_text.append(" ".join(t for t, c in zip(toks, covered) if not c))
-            out_removed[i] = int(covered.sum())
+        n_rows = batch.num_rows
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        has = pc.and_kleene(
+            spans.is_valid(), pc.greater(pc.binary_length(spans), 0)
+        )
+        idx = np.flatnonzero(has.to_numpy(zero_copy_only=False))
+        n_removed = np.zeros(n_rows, np.int64)
+        out_text = pc.cast(texts, pa.string())
+        if len(idx):
+            take = pa.array(idx)
+            sp = spans.take(take)
+            # tokens of scrubbed rows only (str.split() semantics via
+            # _ws_tokens — identical to DupSpanOccurrences positions);
+            # string-cast first: binary_join has no large_string kernel
+            _, flat, L, _ = _ws_tokens(out_text.take(take))
+            bounds = np.concatenate(([0], np.cumsum(L)))
+            total = int(bounds[-1])
+            # every row's packed int64 span starts, straight from the
+            # binary column's offsets/data buffers (no per-row slices)
+            offs = np.frombuffer(sp.buffers()[1], np.int32)[
+                sp.offset : sp.offset + len(sp) + 1
+            ].astype(np.int64)
+            starts = np.frombuffer(
+                sp.buffers()[2], "<i8",
+                count=int(offs[-1] - offs[0]) // 8, offset=int(offs[0]),
+            ).astype(np.int64)
+            di = np.repeat(
+                np.arange(len(idx), dtype=np.int64),
+                (offs[1:] - offs[:-1]) // 8,
+            )
+            ge = bounds[di] + np.minimum(starts + self.n, L[di])
+            gs = np.minimum(bounds[di] + starts, ge)
+            cov = (
+                np.cumsum(
+                    np.bincount(gs, minlength=total + 1)[:total]
+                    .astype(np.int64)
+                    - np.bincount(ge, minlength=total + 1)[:total]
+                )
+                > 0
+            )
+            cum = np.concatenate(([0], np.cumsum(cov)))
+            rem = cum[bounds[1:]] - cum[bounds[:-1]]
+            n_removed[idx] = rem
+            scrubbed = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(([0], np.cumsum(L - rem))),
+                        pa.int32(),
+                    ),
+                    flat.filter(pa.array(~cov)),
+                ),
+                " ",
+            )
+            sel = np.arange(n_rows, dtype=np.int64)
+            sel[idx] = n_rows + np.arange(len(idx), dtype=np.int64)
+            out_text = pa.concat_arrays(
+                [out_text, pc.cast(scrubbed, pa.string())]
+            ).take(pa.array(sel))
         return pa.table(
             {
                 "doc_id": batch[self.id_col],
-                "text": pa.array(out_text, pa.string()),
-                "n_removed": pa.array(out_removed),
+                "text": out_text,
+                "n_removed": pa.array(n_removed),
             }
         )
 

@@ -278,6 +278,68 @@ class TestScrubSpans:
             assert row["n_removed"] == exp_removed, d
             assert row["text"] == exp_text, d
 
+    def test_vectorized_kernel_matches_per_doc_reference(self):
+        """Batch-level: the Arrow/diff-array ScrubSpans kernel ==
+        the per-doc Python reference on randomized batches covering
+        null spans, b'' spans, empty docs, messy whitespace and
+        large_string input."""
+        from fdblucene_ray.ops.webtext import ScrubSpans
+
+        def ref(texts, spans_col, n):
+            out_text, out_removed = [], []
+            for txt, spans in zip(texts, spans_col):
+                if not spans:
+                    out_text.append(txt)
+                    out_removed.append(0)
+                    continue
+                toks = txt.split()
+                diff = np.zeros(len(toks) + 1, np.int64)
+                starts = np.frombuffer(spans, dtype="<i8").astype(np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, np.minimum(starts + n, len(toks)), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                out_text.append(
+                    " ".join(t for t, c in zip(toks, covered) if not c)
+                )
+                out_removed.append(int(covered.sum()))
+            return out_text, out_removed
+
+        rng = np.random.default_rng(7)
+        n = 5
+        for trial in range(60):
+            n_rows = int(rng.integers(1, 40))
+            texts, spans_col = [], []
+            for _ in range(n_rows):
+                length = int(rng.integers(0, 30))
+                toks = [f"t{rng.integers(0, 9)}" for _ in range(length)]
+                sep = str(rng.choice([" ", "  ", "\t", " \n "]))
+                txt = sep.join(toks)
+                if rng.random() < 0.3:
+                    txt = " " + txt + "  "
+                texts.append(txt)
+                if length >= n and rng.random() < 0.6:
+                    k = int(rng.integers(1, 5))
+                    starts = np.sort(
+                        rng.integers(0, length - n + 1, size=k)
+                    ).astype("<i8")
+                    spans_col.append(starts.tobytes())
+                elif rng.random() < 0.2:
+                    spans_col.append(b"")
+                else:
+                    spans_col.append(None)
+            ttype = pa.large_string() if trial % 3 == 0 else pa.string()
+            batch = pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+                    "text": pa.array(texts, ttype),
+                    "spans": pa.array(spans_col, pa.binary()),
+                }
+            )
+            got = ScrubSpans(n, "text", "doc_id")(batch)
+            want_text, want_rem = ref(texts, spans_col, n)
+            assert got["text"].to_pylist() == want_text, trial
+            assert got["n_removed"].to_pylist() == want_rem, trial
+
 
 class TestUrlDedup:
     def test_canonicalization_rules(self):
