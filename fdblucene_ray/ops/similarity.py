@@ -822,6 +822,94 @@ def embedding_near_dups(
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+    exact: bool = False,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, find within-cluster cosine near-duplicate
+    pairs (sim >= ``threshold``), connect them into components, and
+    keep ONE representative per component — the member FARTHEST from
+    its cluster centroid (the paper's keep-low-centroid-similarity
+    policy: the most atypical member carries the most information),
+    ties min id. Returns the deduplicated dataset.
+
+    Scale shape: the corpus streams through centroid assignment and the
+    capped/tiled within-bucket pair kernel; only the pair-graph-sized
+    member set (ids + their centroid similarity) ever lands on the
+    driver. ``exact=True`` compares all pairs corpus-wide (oracle-sized
+    inputs only) — the keep policy still uses the sampled centroids."""
+    from fdblucene_ray.ops.dedup import drop_docs, near_dedup_drop_list
+
+    rows = ds.limit(sample_rows).take_all()
+    cents = train_centroids(
+        np.array([r[vec_col] for r in rows], np.float64), n_centroids
+    )
+    if exact:
+        tall = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        pairs = _BucketPairs(threshold, vec_col, id_col)(tall)
+    else:
+        assigned = ds.map_batches(
+            assign_centroid_batch,
+            fn_kwargs=dict(centroids=cents, vec_col=vec_col),
+            batch_format="pyarrow",
+        )
+        pairs = pa.Table.from_pandas(
+            assigned.groupby("centroid")
+            .map_groups(
+                _BucketPairs(threshold, vec_col, id_col),
+                batch_format="pyarrow",
+            )
+            .to_pandas(),
+            preserve_index=False,
+        )
+    if not pairs.num_rows:
+        return ds
+    members = np.unique(
+        np.concatenate(
+            (
+                pairs["a"].to_numpy(zero_copy_only=False),
+                pairs["b"].to_numpy(zero_copy_only=False),
+            )
+        )
+    ).astype(np.int64)
+    mem_ref = ray.put(members)
+    c_T = _normalize(cents).T
+
+    def member_cent_sim(batch: pa.Table) -> pa.Table:
+        m = ray.get(mem_ref)
+        ids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        pos = np.searchsorted(m, ids)
+        pos[pos == len(m)] = 0
+        hit = (m[pos] == ids) if len(m) else np.zeros(len(ids), bool)
+        if not hit.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cent_sim": pa.array([], pa.float64())}
+            )
+        vecs = _normalize(_stack(batch[vec_col]))[hit]
+        return pa.table(
+            {
+                id_col: pa.array(ids[hit]),
+                "cent_sim": pa.array((vecs @ c_T).max(axis=1)),
+            }
+        )
+
+    got = ds.map_batches(member_cent_sim, batch_format="pyarrow").take_all()
+    # keep the FARTHEST-from-centroid member: max score = -cent_sim
+    scores = {int(r[id_col]): -float(r["cent_sim"]) for r in got}
+    drop = near_dedup_drop_list(pairs, scores=scores)
+    return drop_docs(ds, drop, id_col=id_col)
+
+
 # ------------------------------------------------------------------- PQ
 #
 # Product quantization (Jégou et al., TPAMI 2011): vectors split into m

@@ -2127,6 +2127,22 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     return embedding_near_dups(ds, threshold=0.4, exact=True)
 
 
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-bucketed
+    cosine dup components over embeddings, keep each component's
+    farthest-from-centroid member. Returns the kept vec ids (iterative
+    sampled k-means => rows-only; tests/test_ops.py holds the
+    planted-group and exact-vs-brute-force-policy oracles)."""
+    from fdblucene_ray.ops.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, threshold=0.4, n_centroids=8)
+    kept = out.select_columns(["vec_id"]).to_pandas().sort_values("vec_id")
+    return pa.table({"vec_id": pa.array(kept["vec_id"].to_numpy(np.int64))})
+
+
 def q_curate_then_index(sf_dir: str) -> pa.Table:
     """End-to-end composition: curate the corpus (same parameters as
     `curate`), index ONLY the kept docs, and run a BM25 top-10 for
@@ -4021,6 +4037,7 @@ def queries() -> dict:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_meta": q_multimodal_meta,
         "audio_features": q_audio_features,
         "audio_near_dup": q_audio_near_dup,

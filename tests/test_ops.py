@@ -438,6 +438,93 @@ class TestEmbeddingNearDup:
         assert len(ids_seen) == 5000  # every member linked to its part
 
 
+class TestSemanticDedup:
+    def _table(self):
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(60, 16))
+        vecs = list(base)
+        # plant dup groups: 3 near-copies of base[4], a scaled copy of 9
+        vecs.append(base[4] + 0.004 * rng.normal(size=16))  # id 60
+        vecs.append(base[4] + 0.004 * rng.normal(size=16))  # id 61
+        vecs.append(base[9] * 3.0)                          # id 62
+        arr = np.array(vecs)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(arr)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in arr], pa.list_(pa.float64())
+                ),
+            }
+        )
+        return arr, t
+
+    def _brute(self, arr, n_centroids, threshold):
+        """Brute-force SemDeDup: all-pairs components, keep the member
+        farthest from its (same deterministic k-means) centroid."""
+        from fdblucene_ray.ops.similarity import _normalize, train_centroids
+
+        x = _normalize(arr)
+        cents = train_centroids(arr, n_centroids)
+        cent_sim = (x @ _normalize(cents).T).max(axis=1)
+        n = len(arr)
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        sims = x @ x.T
+        pair_list = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    pair_list.append((i, j))
+                    parent[find(i)] = find(j)
+        comps: dict[int, list[int]] = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        dropped = set()
+        for members in comps.values():
+            if len(members) > 1:
+                keep = min(members, key=lambda m: (cent_sim[m], m))
+                dropped |= set(members) - {keep}
+        return pair_list, dropped
+
+    def test_exact_matches_bruteforce_policy(self, ray_session):
+        from fdblucene_ray.ops.similarity import semantic_dedup
+
+        arr, t = self._table()
+        pair_list, dropped = self._brute(arr, 4, 0.98)
+        assert len(pair_list) >= 3  # the planted groups produced pairs
+        out = semantic_dedup(
+            ray.data.from_arrow(t), threshold=0.98,
+            n_centroids=4, sample_rows=len(arr), exact=True,
+        ).to_pandas()
+        assert set(out["vec_id"]) == set(range(len(arr))) - dropped
+
+    def test_scale_path_drops_planted_groups(self, ray_session):
+        """Bucketed path: near-identical vectors share a centroid, so
+        each planted group keeps exactly its farthest-from-centroid
+        member; untouched vectors all survive."""
+        from fdblucene_ray.ops.similarity import semantic_dedup
+
+        arr, t = self._table()
+        _, dropped = self._brute(arr, 4, 0.98)
+        out = semantic_dedup(
+            ray.data.from_arrow(t), threshold=0.98,
+            n_centroids=4, sample_rows=len(arr),
+        ).to_pandas()
+        kept = set(out["vec_id"])
+        # bucketing can only MISS pairs (never invent them): kept is a
+        # superset of the exact kept set and planted groups are caught
+        assert kept >= set(range(len(arr))) - dropped
+        planted = [{4, 60, 61}, {9, 62}]
+        for grp in planted:
+            assert len(kept & grp) == 1, grp
+
+
 class TestDedupKeepList:
     def test_components_union_find(self, ray_session):
         import pyarrow as pa
