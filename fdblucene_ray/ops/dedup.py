@@ -988,17 +988,35 @@ def ngram_jaccard_vs_anchor(
             self.tk = BatchTokenizer(analyzer)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            hh, srow, offs, counts = _shingle_hashes(
-                self.tk, batch[text_col], len(batch), shingle
+            n = len(batch)
+            hh, srow, _, _ = _shingle_hashes(
+                self.tk, batch[text_col], n, shingle
             )
-            jac = np.zeros(len(batch))
             a = self.anchor
-            for i in range(len(batch)):
-                s = np.unique(hh[offs[i] : offs[i + 1]])
-                if len(s) == 0 and len(a) == 0:
-                    continue
-                inter = len(np.intersect1d(s, a, assume_unique=True))
-                jac[i] = inter / (len(s) + len(a) - inter)
+            # per-row DISTINCT shingles: one lexsort, run heads mark the
+            # first occurrence of each (row, hash) — no per-row unique
+            order = np.lexsort((hh, srow))
+            hs, rs = hh[order], srow[order]
+            head = np.empty(len(hs), bool)
+            if len(hs):
+                head[0] = True
+                head[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            dh, dr = hs[head], rs[head]
+            n_distinct = np.bincount(dr, minlength=n).astype(np.int64)
+            if len(a) and len(dh):
+                pos = np.searchsorted(a, dh)
+                pos[pos == len(a)] = 0
+                isin = a[pos] == dh
+                n_inter = np.bincount(
+                    dr[isin], minlength=n
+                ).astype(np.int64)
+            else:
+                n_inter = np.zeros(n, np.int64)
+            union = n_distinct + len(a) - n_inter
+            jac = np.divide(
+                n_inter, union, out=np.zeros(n, np.float64),
+                where=union > 0,
+            )
             return pa.table(
                 {
                     "doc_id": batch[id_col],
