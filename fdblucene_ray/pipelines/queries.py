@@ -442,6 +442,40 @@ def q_retention(sf_dir: str) -> pa.Table:
     return retention_weeks(_events_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_tpch_q1(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 pricing summary over lineitem: map_batches combiner
+    partials (Arrow group_by per batch), one tiny key-combo exchange
+    (ops/relational.pricing_summary)."""
+    import datetime
+
+    from fdblucene_ray.ops.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    return pricing_summary(li, datetime.datetime(1999, 6, 30))
+
+
+def q_tpch_q3(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shipping priority: segment-filtered customer ⨝ orders ⨝
+    pre-aggregated lineitem revenue, distributed sort().limit(10)
+    (ops/relational.shipping_priority)."""
+    from fdblucene_ray.ops.relational import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+def q_tpch_q18(sf_dir: str) -> pa.Table:
+    """TPC-H Q18 large orders: fact-table combiner partials, HAVING on
+    the small aggregate, join back to orders+customer
+    (ops/relational.large_orders)."""
+    from fdblucene_ray.ops.relational import large_orders
+
+    return large_orders(sf_dir)
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4127,6 +4161,9 @@ def queries() -> dict:
         "host_rank": q_host_rank,
         "funnel": q_funnel,
         "retention": q_retention,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q18": q_tpch_q18,
         "weighted_sample": q_weighted_sample,
         "ann_range": q_ann_range,
         "knn_prefilter": q_knn_prefilter,
@@ -4941,6 +4978,54 @@ t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
 SELECT 'view' AS step, count(*)::BIGINT AS users FROM t1
 UNION ALL SELECT 'click', count(*)::BIGINT FROM t2
 UNION ALL SELECT 'purchase', count(*)::BIGINT FROM t3
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity)::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice)::DOUBLE, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2)
+         AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))::DOUBLE,
+             2) AS sum_charge,
+       round((sum(l_quantity) / count(*))::DOUBLE, 6) AS avg_qty,
+       round((sum(l_extendedprice) / count(*))::DOUBLE, 6) AS avg_price,
+       round((sum(l_discount) / count(*))::DOUBLE, 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2)
+         AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+         o.o_orderdate, o.o_orderkey
+LIMIT 10
+""",
+        "tpch_q18": """
+WITH t AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(l_quantity) > 120.0)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice::DOUBLE, 2) AS o_totalprice,
+       round(t.total_qty::DOUBLE, 2) AS total_qty
+FROM t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY t.total_qty DESC, o.o_orderkey
+LIMIT 20
 """,
         "host_rank": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
