@@ -112,6 +112,128 @@ def quality_scores(ds, text_col="text", id_col="doc_id") -> ray.data.Dataset:
     return ds.map_batches(QualityScore(text_col, id_col), batch_format="pyarrow")
 
 
+class GopherRules:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1), vectorized: per doc the rule metrics and the final
+    keep verdict. Words are non-empty whitespace tokens (the SQL
+    oracle's regexp_split + ``<> ''``); lines split on ``\\n``.
+
+    Rules (Gopher defaults, all parameters overridable):
+      1. 50 <= word count <= 100000
+      2. 3 <= mean word length <= 10
+      3. symbol-to-word ratio (# and non-overlapping ...) <= 0.1
+      4. fraction of lines starting with a bullet (-, *, •) <= 0.9
+      5. fraction of lines ending with ... <= 0.3
+      6. fraction of words with >= 1 alphabetic char >= 0.8
+      7. >= 2 distinct members of the required-stopword set present
+         {the, be, to, of, and, that, have, with}
+    """
+
+    REQUIRED_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+    def __init__(self, text_col="text", id_col="doc_id", *,
+                 min_words=50, max_words=100_000,
+                 min_mean_len=3.0, max_mean_len=10.0,
+                 max_symbol_ratio=0.1, max_bullet_frac=0.9,
+                 max_ellipsis_frac=0.3, min_alpha_frac=0.8,
+                 min_req_stops=2):
+        self.text_col, self.id_col = text_col, id_col
+        self.min_words, self.max_words = min_words, max_words
+        self.min_mean_len, self.max_mean_len = min_mean_len, max_mean_len
+        self.max_symbol_ratio = max_symbol_ratio
+        self.max_bullet_frac = max_bullet_frac
+        self.max_ellipsis_frac = max_ellipsis_frac
+        self.min_alpha_frac = min_alpha_frac
+        self.min_req_stops = min_req_stops
+        self.req = np.array(self.REQUIRED_STOPS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.webtext import _ws_tokens
+
+        n = len(batch)
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        row_idx, flat, n_words, _ = _ws_tokens(text)
+        safe_w = np.maximum(n_words, 1)
+        # rule 2: mean word length
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.zeros(n, np.int64)
+        np.add.at(sum_len, row_idx, wlen)
+        mean_len = sum_len / safe_w
+        # rule 3: symbols (# chars + non-overlapping '...')
+        n_hash = pc.count_substring(text, "#").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_ell = pc.count_substring(text, "...").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        symbol_ratio = (n_hash + n_ell) / safe_w
+        # rules 4+5: line fractions
+        lines = pc.split_pattern(text, "\n")
+        per_row_lines = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
+        lflat = lines.flatten()
+        lrow = np.repeat(np.arange(n, dtype=np.int64), per_row_lines)
+        bullet = pc.or_(
+            pc.or_(
+                pc.starts_with(lflat, "-"), pc.starts_with(lflat, "*")
+            ),
+            pc.starts_with(lflat, "•"),
+        ).to_numpy(zero_copy_only=False)
+        ell_end = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+        safe_l = np.maximum(per_row_lines, 1)
+        bullet_frac = np.bincount(lrow[bullet], minlength=n) / safe_l
+        ellipsis_frac = np.bincount(lrow[ell_end], minlength=n) / safe_l
+        # rule 6: words with at least one alphabetic char
+        has_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        )
+        alpha_frac = np.bincount(row_idx[has_alpha], minlength=n) / safe_w
+        # rule 7: distinct required stopwords present
+        low = pc.utf8_lower(flat)
+        pos = np.searchsorted(self.req, low.to_numpy(zero_copy_only=False))
+        pos_c = np.minimum(pos, len(self.req) - 1)
+        is_req = self.req[pos_c] == low.to_numpy(zero_copy_only=False)
+        key = row_idx[is_req] * len(self.req) + pos_c[is_req]
+        n_req = np.bincount(
+            np.unique(key) // len(self.req), minlength=n
+        ).astype(np.int64)
+        keep = (
+            (n_words >= self.min_words)
+            & (n_words <= self.max_words)
+            & (mean_len >= self.min_mean_len)
+            & (mean_len <= self.max_mean_len)
+            & (symbol_ratio <= self.max_symbol_ratio)
+            & (bullet_frac <= self.max_bullet_frac)
+            & (ellipsis_frac <= self.max_ellipsis_frac)
+            & (alpha_frac >= self.min_alpha_frac)
+            & (n_req >= self.min_req_stops)
+        )
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "mean_word_len": pa.array(round_half_away(mean_len, 6)),
+                "symbol_ratio": pa.array(round_half_away(symbol_ratio, 6)),
+                "bullet_frac": pa.array(round_half_away(bullet_frac, 6)),
+                "ellipsis_frac": pa.array(
+                    round_half_away(ellipsis_frac, 6)
+                ),
+                "alpha_frac": pa.array(round_half_away(alpha_frac, 6)),
+                "n_req_stops": pa.array(n_req),
+                "keep": pa.array(keep),
+            }
+        )
+
+
+def gopher_rules(ds, text_col="text", id_col="doc_id", **kw) -> ray.data.Dataset:
+    """Gopher quality rules (Rae et al. 2021) — map-only, one streaming
+    pass; see :class:`GopherRules`."""
+    return ds.map_batches(
+        GopherRules(text_col, id_col, **kw), batch_format="pyarrow"
+    )
+
+
 class TokenCount:
     """Whitespace-ish token count + a BPE-flavored subword count (the
     regex splits words from digit runs and punctuation runs, a crude but

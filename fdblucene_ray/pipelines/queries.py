@@ -476,6 +476,15 @@ def q_tpch_q18(sf_dir: str) -> pa.Table:
     return large_orders(sf_dir)
 
 
+def q_gopher_rules(sf_dir: str) -> pa.Table:
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446):
+    per-doc rule metrics + keep verdict, map-only streaming pass
+    (ops/textstats.gopher_rules)."""
+    from fdblucene_ray.ops.textstats import gopher_rules
+
+    return _collect(gopher_rules(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4161,6 +4170,7 @@ def queries() -> dict:
         "host_rank": q_host_rank,
         "funnel": q_funnel,
         "retention": q_retention,
+        "gopher_rules": q_gopher_rules,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q18": q_tpch_q18,
@@ -4978,6 +4988,49 @@ t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
 SELECT 'view' AS step, count(*)::BIGINT AS users FROM t1
 UNION ALL SELECT 'click', count(*)::BIGINT FROM t2
 UNION ALL SELECT 'purchase', count(*)::BIGINT FROM t3
+""",
+        "gopher_rules": """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS words,
+         split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         greatest(len(words), 1) AS safe_w,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                   / len(words) END AS mean_word_len,
+         (n_hash + n_ell)::DOUBLE / greatest(len(words), 1)
+           AS symbol_ratio,
+         len(list_filter(lines, x -> starts_with(x, '-')
+             OR starts_with(x, '*') OR starts_with(x, '•')))::DOUBLE
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / greatest(len(words), 1) AS alpha_frac,
+         len(list_filter(['and','be','have','of','that','the','to','with'],
+             s -> list_contains(list_transform(words, x -> lower(x)), s))
+            )::BIGINT AS n_req_stops
+  FROM base)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       n_req_stops,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_req_stops >= 2) AS keep
+FROM m ORDER BY doc_id
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

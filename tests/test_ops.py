@@ -340,6 +340,53 @@ class TestTextStats:
             assert got == want, (doc, len(flat))
 
 
+class TestGopherRules:
+    def test_rule_flags_on_crafted_docs(self, ray_session):
+        from fdblucene_ray.ops.textstats import gopher_rules
+
+        good = (
+            "the quick brown fox jumps over that lazy dog and then "
+            "walks away with some other words to have here "
+        ) * 3  # ~60 words, clean prose, has the/that/and/to/with/have
+        too_short = "the cat and to of"
+        symbol_heavy = (
+            "the " + "# " * 30 + " and that to of have with " * 8
+        )
+        bullets = "\n".join(["- item one the and to have"] * 10)
+        numbers = ("123 456 789 " * 30) + "the and to have"
+        rows = [good, too_short, symbol_heavy, bullets, numbers]
+        out = (
+            gopher_rules(ray.data.from_arrow(_docs_table(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert bool(out.loc[0, "keep"])
+        assert not bool(out.loc[1, "keep"])  # n_words < 50
+        assert out.loc[1, "n_words"] == 5
+        assert not bool(out.loc[2, "keep"])  # symbol ratio
+        assert out.loc[2, "symbol_ratio"] > 0.1
+        assert not bool(out.loc[3, "keep"])  # bullet lines
+        assert out.loc[3, "bullet_frac"] == 1.0
+        assert not bool(out.loc[4, "keep"])  # alpha fraction
+        assert out.loc[4, "alpha_frac"] < 0.8
+        # required-stopword counting is DISTINCT membership
+        assert out.loc[1, "n_req_stops"] == 4  # the, and, to, of
+
+    def test_empty_and_ellipsis(self, ray_session):
+        from fdblucene_ray.ops.textstats import gopher_rules
+
+        rows = ["", "good line\nbad line...\nalso bad...\nfine here"]
+        out = (
+            gopher_rules(ray.data.from_arrow(_docs_table(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "n_words"] == 0 and not bool(out.loc[0, "keep"])
+        assert abs(out.loc[1, "ellipsis_frac"] - 0.5) < 1e-9
+
+
 class TestEmbeddingNearDup:
     def test_planted_near_dup_vectors(self, ray_session):
         rng = np.random.default_rng(3)
