@@ -424,6 +424,9 @@ def run_default() -> None:
     timed("rank_eval", lambda: q.q_rank_eval(sf_dir))
     timed("cluster_topics", lambda: q.q_cluster_topics(sf_dir))
     timed("audio_features", lambda: q.q_audio_features(sf_dir))
+    timed("gopher_rules", lambda: q.q_gopher_rules(sf_dir))
+    timed("semantic_dedup", lambda: q.q_semantic_dedup(sf_dir))
+    timed("tpch_q3", lambda: q.q_tpch_q3(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)

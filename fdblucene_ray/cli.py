@@ -659,6 +659,44 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_gopher(args) -> int:
+    """Gopher quality rules (Rae et al. 2021): write per-doc metrics +
+    keep verdicts; --keep-only writes just the surviving docs' ids."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.textstats import gopher_rules
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col]
+    )
+    out = gopher_rules(ds, text_col=args.text_col, id_col=args.id_col)
+    if args.keep_only:
+        out = out.filter(expr="keep == True").select_columns(["doc_id"])
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embedding table: write the deduplicated rows."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.vec_col]
+    )
+    out = semantic_dedup(
+        ds, threshold=args.threshold, n_centroids=args.centroids,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_commits(args) -> int:
     """List retained commit points; --prune applies the deletion policy."""
     from fdblucene_ray.index.manifest import list_commits, prune_commits
@@ -944,6 +982,23 @@ def main(argv=None) -> int:
     sc.add_argument("--text-col", default="text")
     sc.add_argument("--id-col", default="doc_id")
     sc.set_defaults(fn=cmd_scrub)
+
+    gp = sub.add_parser("gopher", help="Gopher quality rules (Rae 2021)")
+    gp.add_argument("--input", required=True, nargs="+")
+    gp.add_argument("--out", required=True)
+    gp.add_argument("--text-col", default="text")
+    gp.add_argument("--id-col", default="doc_id")
+    gp.add_argument("--keep-only", action="store_true")
+    gp.set_defaults(fn=cmd_gopher)
+
+    sd = sub.add_parser("semdedup", help="SemDeDup embedding dedup")
+    sd.add_argument("--input", required=True, nargs="+")
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--centroids", type=int, default=16)
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.set_defaults(fn=cmd_semdedup)
 
     pu = sub.add_parser("push", help="upload index to a SegmentStore (U1)")
     pu.add_argument("index")
