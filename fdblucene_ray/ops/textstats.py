@@ -234,6 +234,104 @@ def gopher_rules(ds, text_col="text", id_col="doc_id", **kw) -> ray.data.Dataset
     )
 
 
+class C4Rules:
+    """C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683
+    §2.2), line-level + doc-level, vectorized. Per doc:
+
+      - ``n_kept_lines`` / ``clean_text``: keep only lines that end in
+        terminal punctuation (. ! ? "), contain >= ``min_line_words``
+        words, and contain neither ``javascript`` nor ``{``; kept lines
+        re-join with ``\\n``.
+      - ``has_lorem`` / ``has_brace`` / ``has_js``: doc-level flags
+        ("lorem ipsum" or a curly brace anywhere drops the DOC in C4;
+        javascript drops the line).
+      - ``keep``: >= ``min_sentences`` kept lines, no lorem ipsum, no
+        curly brace.
+    """
+
+    TERMINAL = ('.', '!', '?', '"')
+
+    def __init__(self, text_col="text", id_col="doc_id", *,
+                 min_line_words=3, min_sentences=3):
+        self.text_col, self.id_col = text_col, id_col
+        self.min_line_words = min_line_words
+        self.min_sentences = min_sentences
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.cast(text, pa.string())
+        lines = pc.split_pattern(text, "\n")
+        per_row = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
+        lflat = pc.utf8_trim_whitespace(lines.flatten())
+        lrow = np.repeat(np.arange(n, dtype=np.int64), per_row)
+        term = pc.match_substring_regex(
+            lflat, r'[.!?"]$'
+        ).to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(lflat)
+        js = pc.match_substring(low, "javascript").to_numpy(
+            zero_copy_only=False
+        )
+        brace = pc.match_substring(lflat, "{").to_numpy(
+            zero_copy_only=False
+        )
+        # words per line (non-empty whitespace tokens)
+        wsplit = pc.split_pattern_regex(lflat, r"\s+")
+        wp = np.diff(wsplit.offsets.to_numpy(zero_copy_only=False))
+        wflat = wsplit.flatten()
+        wempty = pc.equal(wflat, "").to_numpy(zero_copy_only=False)
+        wlrow = np.repeat(np.arange(len(lflat), dtype=np.int64), wp)
+        n_line_words = wp - np.bincount(wlrow[wempty], minlength=len(lflat))
+        kept = (
+            term & ~js & ~brace & (n_line_words >= self.min_line_words)
+        )
+        n_kept = np.bincount(lrow[kept], minlength=n).astype(np.int64)
+        # doc-level flags
+        lorem = pc.match_substring(
+            pc.utf8_lower(text), "lorem ipsum"
+        ).to_numpy(zero_copy_only=False)
+        has_brace = pc.match_substring(text, "{").to_numpy(
+            zero_copy_only=False
+        )
+        has_js = np.zeros(n, bool)
+        hit = np.bincount(lrow[js], minlength=n) > 0
+        has_js[hit] = True
+        # clean_text: kept lines re-joined with \n
+        new_off = np.concatenate(
+            ([0], np.cumsum(np.bincount(lrow[kept], minlength=n)))
+        ).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()),
+                lflat.filter(pa.array(kept)),
+            ),
+            "\n",
+        )
+        keep = (n_kept >= self.min_sentences) & ~lorem & ~has_brace
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "n_lines": pa.array(per_row.astype(np.int64)),
+                "n_kept_lines": pa.array(n_kept),
+                "has_lorem": pa.array(lorem),
+                "has_brace": pa.array(has_brace),
+                "has_js": pa.array(has_js),
+                "clean_text": clean,
+                "keep": pa.array(keep),
+            }
+        )
+
+
+def c4_rules(ds, text_col="text", id_col="doc_id", **kw) -> ray.data.Dataset:
+    """C4 cleaning heuristics (Raffel et al. 2020) — map-only, one
+    streaming pass; see :class:`C4Rules`."""
+    return ds.map_batches(
+        C4Rules(text_col, id_col, **kw), batch_format="pyarrow"
+    )
+
+
 class TokenCount:
     """Whitespace-ish token count + a BPE-flavored subword count (the
     regex splits words from digit runs and punctuation runs, a crude but

@@ -485,6 +485,16 @@ def q_gopher_rules(sf_dir: str) -> pa.Table:
     return _collect(gopher_rules(_docs_ds(sf_dir, ["doc_id", "text"])))
 
 
+def q_c4_rules(sf_dir: str) -> pa.Table:
+    """C4 cleaning heuristics (Raffel et al. 2020): line-level keep
+    (terminal punctuation, >=3 words, no javascript/brace) + doc-level
+    lorem-ipsum/brace flags, kept lines re-joined
+    (ops/textstats.c4_rules)."""
+    from fdblucene_ray.ops.textstats import c4_rules
+
+    return _collect(c4_rules(_docs_ds(sf_dir, ["doc_id", "text"])))
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4171,6 +4181,7 @@ def queries() -> dict:
         "funnel": q_funnel,
         "retention": q_retention,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q18": q_tpch_q18,
@@ -4988,6 +4999,32 @@ t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
 SELECT 'view' AS step, count(*)::BIGINT AS users FROM t1
 UNION ALL SELECT 'click', count(*)::BIGINT FROM t2
 UNION ALL SELECT 'purchase', count(*)::BIGINT FROM t3
+""",
+        "c4_rules": """
+WITH l AS (
+  SELECT doc_id,
+         list_transform(split(text, chr(10)),
+                        x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g'))
+           AS lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM documents),
+k AS (
+  SELECT doc_id, len(lines)::BIGINT AS n_lines, has_lorem, has_brace,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?"]$')
+             AND NOT contains(lower(x), 'javascript')
+             AND NOT contains(x, '{')
+             AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                 w -> w <> '')) >= 3) AS kept,
+         len(list_filter(lines,
+             x -> contains(lower(x), 'javascript'))) > 0 AS has_js
+  FROM l)
+SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+       has_lorem, has_brace, has_js,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+FROM k ORDER BY doc_id
 """,
         "gopher_rules": """
 WITH base AS (

@@ -387,6 +387,40 @@ class TestGopherRules:
         assert abs(out.loc[1, "ellipsis_frac"] - 0.5) < 1e-9
 
 
+class TestC4Rules:
+    def test_line_and_doc_rules(self, ray_session):
+        from fdblucene_ray.ops.textstats import c4_rules
+
+        rows = [
+            "This is a good sentence.\nAnother fine sentence here!\n"
+            "And a third one, yes?\nno terminal punct\nok.",  # keeps 3
+            # ("ok." fails the 3-word line minimum)
+            "Uses javascript for menus.\nGood line stays here.\n"
+            "Another keeper sentence.\nThird keeper sentence.",
+            "fine sentence one.\nfine sentence two.\nfine sentence "
+            "three.\nbut { a brace } kills the doc.",
+            "Has Lorem Ipsum dolor sit.\nGood one here.\nGood two "
+            "here.\nGood three here.",
+            "too.\nshort.\nlines.",  # <3 words per line -> 0 kept
+        ]
+        out = (
+            c4_rules(ray.data.from_arrow(_docs_table(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert bool(out.loc[0, "keep"]) and out.loc[0, "n_kept_lines"] == 3
+        assert "no terminal punct" not in out.loc[0, "clean_text"]
+        # javascript drops the LINE, not the doc
+        assert bool(out.loc[1, "keep"]) and out.loc[1, "n_kept_lines"] == 3
+        assert bool(out.loc[1, "has_js"])
+        assert not bool(out.loc[2, "keep"]) and bool(out.loc[2, "has_brace"])
+        assert not bool(out.loc[3, "keep"]) and bool(out.loc[3, "has_lorem"])
+        assert not bool(out.loc[4, "keep"])
+        assert out.loc[4, "n_kept_lines"] == 0
+        assert out.loc[4, "clean_text"] == ""
+
+
 class TestEmbeddingNearDup:
     def test_planted_near_dup_vectors(self, ray_session):
         rng = np.random.default_rng(3)
