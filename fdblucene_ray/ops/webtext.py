@@ -41,7 +41,18 @@ def _ws_tokens(text: pa.ChunkedArray | pa.Array):
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n = len(text)
-    ws = pc.split_pattern_regex(text, r"\s+")
+    # fast path: ascii_split_whitespace is ~6x faster than the RE2
+    # split and agrees with \s+ everywhere except vertical tab \x0b
+    # (RE2 \s excludes it); fall back to the regex only when a batch
+    # actually contains one so SQL-oracle parity holds bit-for-bit
+    has_vt = pc.any(
+        pc.greater(pc.count_substring(text, "\x0b"), 0)
+    ).as_py()
+    ws = (
+        pc.split_pattern_regex(text, r"\s+")
+        if has_vt
+        else pc.ascii_split_whitespace(text)
+    )
     per_row = np.diff(ws.offsets.to_numpy(zero_copy_only=False))
     flat = ws.flatten()
     row_idx = np.repeat(np.arange(n, dtype=np.int64), per_row)
