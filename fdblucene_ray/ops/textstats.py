@@ -278,7 +278,9 @@ class C4Rules:
             zero_copy_only=False
         )
         # words per line (non-empty whitespace tokens)
-        wsplit = pc.split_pattern_regex(lflat, r"\s+")
+        from fdblucene_ray.ops.webtext import ws_split
+
+        wsplit = ws_split(lflat)
         wp = np.diff(wsplit.offsets.to_numpy(zero_copy_only=False))
         wflat = wsplit.flatten()
         wempty = pc.equal(wflat, "").to_numpy(zero_copy_only=False)
@@ -341,10 +343,12 @@ class TokenCount:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.webtext import ws_split
+
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        ws = pc.split_pattern_regex(text, r"\s+")
+        ws = ws_split(text)
         # count non-empty whitespace tokens: total per row minus empties
         offs = ws.offsets.to_numpy(zero_copy_only=False)
         per_row = np.diff(offs)

@@ -34,6 +34,22 @@ from fdblucene_ray.ops.hashing import (
 _SEED = np.uint64(0x6A09E667F3BCC908)  # sqrt(2) fractional bits, fixed seed
 
 
+def ws_split(text: pa.Array) -> pa.ListArray:
+    """``\\s+``-split of a string column, fast path: Arrow's
+    ``ascii_split_whitespace`` is ~6x faster than the RE2 split and
+    agrees with ``\\s+`` everywhere except vertical tab ``\\x0b`` (RE2
+    ``\\s`` excludes it); fall back to the regex only when the batch
+    actually contains one so SQL-oracle parity holds bit-for-bit."""
+    has_vt = pc.any(
+        pc.greater(pc.count_substring(text, "\x0b"), 0)
+    ).as_py()
+    return (
+        pc.split_pattern_regex(text, r"\s+")
+        if has_vt
+        else pc.ascii_split_whitespace(text)
+    )
+
+
 def _ws_tokens(text: pa.ChunkedArray | pa.Array):
     """Whitespace tokens of a string column -> (row_idx, flat tokens,
     per-row counts, within-row ordinal), empties dropped. Mirrors the
@@ -41,18 +57,7 @@ def _ws_tokens(text: pa.ChunkedArray | pa.Array):
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     n = len(text)
-    # fast path: ascii_split_whitespace is ~6x faster than the RE2
-    # split and agrees with \s+ everywhere except vertical tab \x0b
-    # (RE2 \s excludes it); fall back to the regex only when a batch
-    # actually contains one so SQL-oracle parity holds bit-for-bit
-    has_vt = pc.any(
-        pc.greater(pc.count_substring(text, "\x0b"), 0)
-    ).as_py()
-    ws = (
-        pc.split_pattern_regex(text, r"\s+")
-        if has_vt
-        else pc.ascii_split_whitespace(text)
-    )
+    ws = ws_split(text)
     per_row = np.diff(ws.offsets.to_numpy(zero_copy_only=False))
     flat = ws.flatten()
     row_idx = np.repeat(np.arange(n, dtype=np.int64), per_row)
