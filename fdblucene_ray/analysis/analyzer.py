@@ -46,6 +46,54 @@ TOKEN_SPLIT_PATTERN_CASED = "[^0-9a-zA-Z_]+"
 _TOKEN_RE = re.compile(r"[0-9a-z_]+")
 
 
+def _token_lut(cased: bool) -> "np.ndarray":
+    """256-entry byte translation table: token bytes map to themselves,
+    every other byte (incl. all UTF-8 continuation/lead bytes — they
+    have the high bit set and are never token chars) maps to space."""
+    lut = np.full(256, ord(" "), np.uint8)
+    for c in b"0123456789_":
+        lut[c] = c
+    for c in range(ord("a"), ord("z") + 1):
+        lut[c] = c
+    if cased:
+        for c in range(ord("A"), ord("Z") + 1):
+            lut[c] = c
+    return lut
+
+
+_LUT_CASED = _token_lut(True)
+_LUT_LOWER = _token_lut(False)
+
+
+def _fast_token_split(text_col: pa.Array, cased: bool):
+    """``split_pattern_regex(text, "[^0-9a-zA-Z_]+")`` twin, ~3x faster:
+    one vectorized byte-LUT gather rewrites every delimiter byte to a
+    space (position-preserving, so the original offsets buffer is
+    reused verbatim), then Arrow's non-regex ``ascii_split_whitespace``
+    does the boundary work. Token streams are byte-identical to the
+    regex (delimiter RUNS collapse to one separator either way, and
+    multibyte UTF-8 sequences become space runs). Returns None when the
+    input needs the regex path (nulls, or non-int32-offset layouts)."""
+    if text_col.null_count:
+        return None
+    if not pa.types.is_string(text_col.type):
+        return None
+    bufs = text_col.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[
+        text_col.offset : text_col.offset + len(text_col) + 1
+    ]
+    data = np.frombuffer(bufs[2], np.uint8, count=int(off[-1])) if bufs[2] \
+        else np.empty(0, np.uint8)
+    lut = _LUT_CASED if cased else _LUT_LOWER
+    trans = lut[data]
+    new = pa.StringArray.from_buffers(
+        len(text_col),
+        pa.py_buffer(off.tobytes()) if text_col.offset else bufs[1],
+        pa.py_buffer(trans.tobytes()),
+    )
+    return pc.ascii_split_whitespace(new)
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """An analysis chain. ``name`` is the stable config identifier."""
@@ -164,12 +212,16 @@ class BatchTokenizer:
         if isinstance(text_col, pa.ChunkedArray):
             text_col = text_col.combine_chunks()
         n = len(text_col)
-        if self.analyzer.lowercase:
-            # split raw, lower the DICTIONARY below (see
-            # TOKEN_SPLIT_PATTERN_CASED) — saves a full-data lower pass
-            toks = pc.split_pattern_regex(text_col, TOKEN_SPLIT_PATTERN_CASED)
-        else:
-            toks = pc.split_pattern_regex(text_col, TOKEN_SPLIT_PATTERN)
+        # split raw when lowercasing, lower the DICTIONARY below (see
+        # TOKEN_SPLIT_PATTERN_CASED) — saves a full-data lower pass
+        toks = _fast_token_split(text_col, cased=self.analyzer.lowercase)
+        if toks is None:  # nulls / large_string: regex fallback
+            toks = pc.split_pattern_regex(
+                text_col,
+                TOKEN_SPLIT_PATTERN_CASED
+                if self.analyzer.lowercase
+                else TOKEN_SPLIT_PATTERN,
+            )
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
