@@ -343,7 +343,8 @@ def sample_token_budget(
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        ws = pc.split_pattern_regex(text, r"\s+")
+        from fdblucene_ray.ops.webtext import ws_split
+        ws = ws_split(text)
         offs = ws.offsets.to_numpy(zero_copy_only=False)
         per_row = np.diff(offs)
         flat = ws.flatten()

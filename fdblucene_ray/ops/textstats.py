@@ -1139,7 +1139,8 @@ def filter_funnel(
             text = text.combine_chunks()
         n = len(text)
         chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
-        ws = pc.split_pattern_regex(text, r"\s+")
+        from fdblucene_ray.ops.webtext import ws_split
+        ws = ws_split(text)
         offs = ws.offsets.to_numpy(zero_copy_only=False)
         per_row = np.diff(offs)
         flat = ws.flatten()

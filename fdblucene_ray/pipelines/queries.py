@@ -1455,7 +1455,8 @@ def q_prep_pipeline(sf_dir: str) -> pa.Table:
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
         chars = pc.utf8_length(t).to_numpy(zero_copy_only=False)
-        ws = pc.split_pattern_regex(t, r"\s+")
+        from fdblucene_ray.ops.webtext import ws_split
+        ws = ws_split(t)
         per_row = np.diff(ws.offsets.to_numpy(zero_copy_only=False))
         flat = ws.flatten()
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
