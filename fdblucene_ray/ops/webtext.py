@@ -735,24 +735,15 @@ def scrub_duplicated_spans(
     num_parts = max(
         num_partitions, int(ray.cluster_resources().get("CPU", 8))
     )
-
-    def part_by(col: str):
-        def add(t: pa.Table) -> pa.Table:
-            key = t[col].to_numpy(zero_copy_only=False)
-            return t.append_column("part", pa.array(part_of(key, num_parts)))
-
-        add.__name__ = f"part_by_{col}"
-        return add
-
     dup_occ = (
-        occ.map_batches(part_by("gram"), batch_format="pyarrow",
+        occ.map_batches(_part_by("gram", num_parts), batch_format="pyarrow",
                         zero_copy_batch=True)
         .groupby("part", num_partitions=num_parts)
         .map_groups(_dup_occurrences(min_df), batch_format="pyarrow")
     )
     doc_spans = (
-        dup_occ.map_batches(part_by("doc_id"), batch_format="pyarrow",
-                            zero_copy_batch=True)
+        dup_occ.map_batches(_part_by("doc_id", num_parts),
+                            batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part", num_partitions=num_parts)
         .map_groups(_fold_spans, batch_format="pyarrow")
     )
@@ -767,6 +758,281 @@ def scrub_duplicated_spans(
     )
     if id_col != "doc_id" or text_col != "text":
         out = out.rename_columns({"doc_id": id_col, "text": text_col})
+    return out
+
+
+# ---------------------------------------------- exact maximal dup spans
+#
+# The EXACT half of Lee et al. ACL'22 (scrub_duplicated_spans above is
+# the hash-approximate scrubber): report every maximal token region
+# covered by n-token windows duplicated across >= min_df distinct docs,
+# with LITERAL-BYTE verification so a 64-bit hash collision can never
+# put a non-duplicated span in the output.
+#
+# Exactness argument: every n-window inside a truly duplicated region is
+# itself duplicated, so the hash candidate pass has no false negatives;
+# candidates are then re-grouped by the literal window text (equal
+# literals always share a hash, hence a partition — dictionary-encode
+# inside the partition distinguishes colliding literals), which kills
+# the false positives. The verify exchange ships only candidate window
+# text: volume is proportional to actual duplication, not corpus size.
+
+
+def _part_by(col: str, num_parts: int):
+    """Append ``part = hash(col) % num_parts`` — the explicit shuffle
+    key used by every span exchange (a few dozen keys regardless of
+    gram/doc cardinality)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        key = t[col].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(key, num_parts)))
+
+    add.__name__ = f"part_by_{col}"
+    return add
+
+
+class _WindowText:
+    """Expand (doc_id, text) x (doc_id, packed candidate starts) join
+    rows into one (part, gram=literal window text, doc_id, pos) row per
+    candidate window — all gathers vectorized over the batch's
+    flattened token stream."""
+
+    def __init__(self, n: int, num_parts: int):
+        self.n, self.num_parts = n, num_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = batch["spans"]
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, flat, L, _ = _ws_tokens(pc.cast(texts, pa.string()))
+        bounds = np.concatenate(([0], np.cumsum(L)))
+        offs = np.frombuffer(sp.buffers()[1], np.int32)[
+            sp.offset : sp.offset + len(sp) + 1
+        ].astype(np.int64)
+        starts = np.frombuffer(
+            sp.buffers()[2], "<i8",
+            count=int(offs[-1] - offs[0]) // 8, offset=int(offs[0]),
+        ).astype(np.int64)
+        if not len(starts):
+            return empty
+        di = np.repeat(
+            np.arange(len(ids), dtype=np.int64), (offs[1:] - offs[:-1]) // 8
+        )
+        n = self.n
+        # the n tokens of every window (windows are full by
+        # construction: candidate positions came from full windows)
+        gidx = (bounds[di] + starts)[:, None] + np.arange(n, dtype=np.int64)
+        toks = flat.take(pa.array(gidx.ravel()))
+        grams = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(len(starts) + 1, dtype=np.int64) * n,
+                         pa.int32()),
+                toks,
+            ),
+            " ",
+        )
+        gh = hash_strings(grams)
+        return pa.table(
+            {
+                "part": pa.array(part_of(gh.view(np.int64), self.num_parts)),
+                "gram": grams,
+                "doc_id": pa.array(ids[di]),
+                "pos": pa.array(starts),
+            }
+        )
+
+
+def _verify_literal(min_df: int):
+    """Keep candidate occurrences whose LITERAL window text appears in
+    >= min_df distinct docs: dictionary-encode the partition's grams
+    (vectorized byte-exact grouping) and reuse the run arithmetic of
+    ``_dup_occurrences`` over the integer codes."""
+
+    dup = _dup_occurrences(min_df)
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group["gram"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = (
+            g.dictionary_encode().indices.cast(pa.int64())
+            if len(g)
+            else pa.array([], pa.int64())
+        )
+        return dup(
+            pa.table(
+                {
+                    "gram": codes,
+                    "doc_id": group["doc_id"],
+                    "pos": group["pos"],
+                }
+            )
+        )
+
+    fn.__name__ = "_verify_literal"
+    return fn
+
+
+class _MaximalSpans:
+    """Merge a doc's verified window starts into maximal covered
+    regions and emit (doc_id, span_start, span_end, n_tokens,
+    span_text) — positions arrive sorted+deduped per doc from
+    ``_fold_spans``; region breaks where the next start exceeds the
+    previous start by more than n (coverage gap)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "span_text": pa.array([], pa.string()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = batch["spans"]
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, flat, L, _ = _ws_tokens(pc.cast(texts, pa.string()))
+        bounds = np.concatenate(([0], np.cumsum(L)))
+        offs = np.frombuffer(sp.buffers()[1], np.int32)[
+            sp.offset : sp.offset + len(sp) + 1
+        ].astype(np.int64)
+        starts = np.frombuffer(
+            sp.buffers()[2], "<i8",
+            count=int(offs[-1] - offs[0]) // 8, offset=int(offs[0]),
+        ).astype(np.int64)
+        if not len(starts):
+            return empty
+        di = np.repeat(
+            np.arange(len(ids), dtype=np.int64), (offs[1:] - offs[:-1]) // 8
+        )
+        n = self.n
+        new_region = np.empty(len(starts), bool)
+        new_region[0] = True
+        new_region[1:] = (di[1:] != di[:-1]) | (
+            starts[1:] > starts[:-1] + n
+        )
+        reg_first = np.flatnonzero(new_region)
+        reg_last = np.concatenate((reg_first[1:] - 1, [len(starts) - 1]))
+        rdoc = di[reg_first]
+        rstart = starts[reg_first]
+        rend = starts[reg_last] + n
+        lens = rend - rstart
+        gstart = bounds[rdoc] + rstart
+        offs_out = np.concatenate(([0], np.cumsum(lens)))
+        take = (
+            np.arange(int(offs_out[-1]), dtype=np.int64)
+            - np.repeat(offs_out[:-1], lens)
+            + np.repeat(gstart, lens)
+        )
+        span_text = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs_out, pa.int32()), flat.take(pa.array(take))
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rdoc]),
+                "span_start": pa.array(rstart),
+                "span_end": pa.array(rend),
+                "n_tokens": pa.array(lens),
+                "span_text": pc.cast(span_text, pa.string()),
+            }
+        )
+
+
+def exact_dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Maximal EXACTLY-duplicated token regions (Lee et al. ACL'22):
+    one row (doc_id, span_start, span_end, n_tokens, span_text) per
+    maximal region covered by n-token windows occurring in >= min_df
+    distinct docs, literal-byte verified (hash collisions cannot leak
+    into the output; see module comment for the exactness argument).
+
+    Shape: hash candidate pass (same exchanges as
+    scrub_duplicated_spans) -> docs join -> literal window re-emit
+    (volume ~ actual duplication) -> byte-exact verify -> docs join ->
+    vectorized maximal-region merge. Text crosses an exchange only as
+    candidate windows."""
+    from fdblucene_ray.ops.relational import _join_partitions
+
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    num_parts = max(
+        num_partitions, int(ray.cluster_resources().get("CPU", 8))
+    )
+    # TWO chained JoinOperators in this plan: clamp each join's
+    # aggregator reservation to the cluster or a small session livelocks
+    join_parts = _join_partitions(num_partitions)
+    occ = left.map_batches(
+        DupSpanOccurrences(n, "text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = (
+        occ.map_batches(_part_by("gram", num_parts), batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_dup_occurrences(min_df), batch_format="pyarrow")
+    )
+    cand_spans = (
+        cand.map_batches(_part_by("doc_id", num_parts),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_fold_spans, batch_format="pyarrow")
+    )
+    lit = left.join(
+        cand_spans, join_type="inner",
+        num_partitions=join_parts, on=("doc_id",),
+    ).map_batches(_WindowText(n, num_parts), batch_format="pyarrow")
+    verified = lit.groupby("part", num_partitions=num_parts).map_groups(
+        _verify_literal(min_df), batch_format="pyarrow"
+    )
+    ver_spans = (
+        verified.map_batches(_part_by("doc_id", num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_fold_spans, batch_format="pyarrow")
+    )
+    out = left.join(
+        ver_spans, join_type="inner",
+        num_partitions=join_parts, on=("doc_id",),
+    ).map_batches(_MaximalSpans(n), batch_format="pyarrow")
+    if id_col != "doc_id":
+        out = out.rename_columns({"doc_id": id_col})
     return out
 
 

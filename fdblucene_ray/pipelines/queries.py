@@ -2593,6 +2593,30 @@ def q_scrub_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_exact_dup_spans(sf_dir: str) -> pa.Table:
+    """EXACT maximal duplicated-span report (Lee et al. ACL'22 exact
+    half): maximal token regions covered by 8-token windows occurring
+    in >=2 distinct docs, literal-byte verified (a 64-bit gram-hash
+    collision cannot leak a non-duplicated span into the output)."""
+    from fdblucene_ray.ops.webtext import exact_dup_spans
+
+    out = exact_dup_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n=8, min_df=2
+    )
+    df = out.to_pandas().sort_values(
+        ["doc_id", "span_start"]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "span_start": pa.array(df["span_start"].to_numpy(np.int64)),
+            "span_end": pa.array(df["span_end"].to_numpy(np.int64)),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64)),
+            "span_text": pa.array(df["span_text"], pa.string()),
+        }
+    )
+
+
 def q_chunk_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style exact span dedup: non-overlapping 16-token chunks,
     corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
@@ -4102,6 +4126,7 @@ def queries() -> dict:
         "term_vectors": q_term_vectors,
         "chunk_dedup": q_chunk_dedup,
         "scrub_spans": q_scrub_spans,
+        "exact_dup_spans": q_exact_dup_spans,
         "url_dedup": q_url_dedup,
         "url_filter": q_url_filter,
         "host_cap": q_host_cap,
@@ -6436,6 +6461,38 @@ SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_removed
 FROM documents d
 LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM cov GROUP BY doc_id) c
   ON c.doc_id = d.doc_id
+""",
+        "exact_dup_spans": r"""
+WITH raw AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord0
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)),
+t AS (SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1 AS pos
+      FROM raw WHERE tok <> ''),
+g AS (SELECT doc_id, pos,
+             string_agg(tok, ' ') OVER w AS gram,
+             count(*) OVER w AS wlen
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+gg AS (SELECT doc_id, pos, gram FROM g WHERE wlen = 8),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT doc_id, pos FROM gg WHERE gram IN (SELECT gram FROM dup)),
+mark AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                     THEN 0 ELSE 1 END AS new_region
+         FROM occ),
+reg AS (SELECT doc_id, pos,
+               sum(new_region) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+        FROM mark),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+          FROM reg GROUP BY doc_id, rid)
+SELECT s.doc_id, s.s::BIGINT AS span_start, s.e::BIGINT AS span_end,
+       (s.e - s.s)::BIGINT AS n_tokens,
+       string_agg(t.tok, ' ' ORDER BY t.pos) AS span_text
+FROM spans s JOIN t ON t.doc_id = s.doc_id
+ AND t.pos >= s.s AND t.pos < s.e
+GROUP BY s.doc_id, s.s, s.e
+ORDER BY s.doc_id, s.s
 """,
         "chunk_dedup": r"""
 WITH raw AS (

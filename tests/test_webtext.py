@@ -463,3 +463,110 @@ class TestAsciiFold:
         )
         rows = {r["doc_id"]: r["folded"] for r in ascii_fold(ds).take_all()}
         assert rows == {1: "cafe", 2: "noel"}
+
+
+class TestExactDupSpans:
+    def test_planted_maximal_span(self, ray_session):
+        from fdblucene_ray.ops.webtext import exact_dup_spans
+
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = []
+        for i in range(8):
+            filler = " ".join(f"u{i}x{j}" for j in range(12))
+            if i in (1, 4):
+                texts.append(f"{filler} {dup} tail{i}")
+            else:
+                texts.append(f"{filler} solo{i}")
+        t = pa.table(
+            {"doc_id": pa.array(range(8), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = (
+            exact_dup_spans(ray.data.from_arrow(t), n=8, min_df=2)
+            .to_pandas().sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        # exactly the two planted docs report exactly the planted
+        # 10-token run, maximally merged from its three 8-windows
+        assert list(out.doc_id) == [1, 4]
+        assert list(out.span_start) == [12, 12]
+        assert list(out.span_end) == [22, 22]
+        assert list(out.n_tokens) == [10, 10]
+        assert set(out.span_text) == {dup}
+
+    def test_matches_bruteforce(self, ray_session):
+        """Random corpus with induced repeats: engine == pure-Python
+        maximal covered-region merge over literal duplicated windows."""
+        from fdblucene_ray.ops.webtext import exact_dup_spans
+
+        rng = np.random.default_rng(17)
+        n, min_df = 5, 2
+        texts = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 12, 30))
+            for _ in range(40)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        out = (
+            exact_dup_spans(ray.data.from_arrow(t), n=n, min_df=min_df)
+            .to_pandas().sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        # brute force: duplicated windows -> per-doc maximal regions
+        from collections import defaultdict
+
+        gram_docs = defaultdict(set)
+        toks_by_doc = [txt.split() for txt in texts]
+        for d, toks in enumerate(toks_by_doc):
+            for p in range(len(toks) - n + 1):
+                gram_docs[tuple(toks[p:p + n])].add(d)
+        dup_grams = {g for g, ds_ in gram_docs.items() if len(ds_) >= min_df}
+        want = []
+        for d, toks in enumerate(toks_by_doc):
+            positions = [
+                p for p in range(len(toks) - n + 1)
+                if tuple(toks[p:p + n]) in dup_grams
+            ]
+            cur = None
+            for p in positions:
+                if cur is not None and p <= cur[1]:
+                    cur = (cur[0], p + n)
+                else:
+                    if cur is not None:
+                        want.append((d, *cur))
+                    cur = (p, p + n)
+            if cur is not None:
+                want.append((d, *cur))
+        got = [
+            (int(r.doc_id), int(r.span_start), int(r.span_end))
+            for r in out.itertuples()
+        ]
+        assert got == want
+        for r in out.itertuples():
+            assert r.span_text == " ".join(
+                toks_by_doc[r.doc_id][r.span_start:r.span_end]
+            )
+            assert r.n_tokens == r.span_end - r.span_start
+
+    def test_literal_verify_kills_hash_collisions(self):
+        """The verify stage groups by LITERAL window text: two
+        different literals forced into one partition (what a 64-bit
+        gram-hash collision produces) are counted separately, so a
+        single-doc literal can never ride a collider's df."""
+        from fdblucene_ray.ops.webtext import _verify_literal
+
+        group = pa.table(
+            {
+                "part": pa.array([0, 0, 0, 0], pa.int32()),
+                "gram": pa.array(
+                    ["a b c", "a b c", "x y z", "q r s"], pa.string()
+                ),
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "pos": pa.array([0, 5, 7, 9], pa.int64()),
+            }
+        )
+        out = _verify_literal(2)(group).to_pydict()
+        # only the literal seen in two distinct docs survives
+        assert sorted(zip(out["doc_id"], out["pos"])) == [(1, 0), (2, 5)]
