@@ -620,6 +620,113 @@ def _fold_spans(group: pa.Table) -> pa.Table:
     )
 
 
+# ------------------------------------------- co-partitioned span scatter
+#
+# The corpus-side "join" of every span pipeline. Ray's JoinOperator is
+# NOT used: its per-partition aggregator builds the right side from the
+# shards it received, and a sparse right side (zero or few duplicated
+# docs) leaves some partitions with only the zero-COLUMN empty blocks a
+# sort-groupby emits for group-less partitions — the Acero join then
+# raises ``ArrowInvalid: No match ... for key field doc_id`` (empty
+# blocks also skip map_batches UDFs, so they cannot be re-typed away).
+# Instead both sides ride ONE hash(doc_id)%P exchange as a tagged
+# union and the per-partition kernel folds + aligns + scrubs locally.
+
+
+def _tag_docs_fn(t: pa.Table) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": pc.cast(t["text"], pa.string()),
+            "pos": pa.array(np.full(n, -1, np.int64)),
+            "kind": pa.array(np.ones(n, np.int8)),
+        }
+    )
+
+
+def _tag_rows_fn(t: pa.Table) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": pa.nulls(n, pa.string()),
+            "pos": t["pos"],
+            "kind": pa.array(np.zeros(n, np.int8)),
+        }
+    )
+
+
+def _spans_scatter_kernel(stage_fn, inner: bool):
+    """Per hash(doc_id)%P partition: split the tagged union back into
+    docs and (doc_id, pos) rows, fold the rows into per-doc packed
+    spans (``_fold_spans``, in-memory), align them to the docs with one
+    searchsorted, and hand the assembled (doc_id, text, spans) batch to
+    ``stage_fn``. ``inner`` keeps only docs that have spans."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        dmask = kind == 1
+        docs = group.filter(pa.array(dmask)).select(["doc_id", "text"])
+        rem = group.filter(pa.array(~dmask)).select(["doc_id", "pos"])
+        folded = _fold_spans(rem)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        fid = folded["doc_id"].to_numpy(zero_copy_only=False)
+        if len(fid):
+            j = np.searchsorted(fid, ids)
+            jc = np.minimum(j, len(fid) - 1)
+            hit = (j < len(fid)) & (fid[jc] == ids)
+        else:
+            j = np.zeros(len(ids), np.int64)
+            hit = np.zeros(len(ids), bool)
+        if inner:
+            docs = docs.filter(pa.array(hit))
+            spans = folded["spans"].take(pa.array(j[hit], pa.int64()))
+        elif len(fid):
+            taken = folded["spans"].take(
+                pa.array(np.where(hit, j, 0), pa.int64())
+            )
+            spans = pc.if_else(
+                pa.array(hit), taken, pa.scalar(None, pa.binary())
+            )
+        else:
+            spans = pa.nulls(len(ids), pa.binary())
+        batch = docs.append_column("spans", spans)
+        return stage_fn(batch)
+
+    fn.__name__ = (
+        f"spans_scatter_{getattr(stage_fn, '__name__', type(stage_fn).__name__)}"
+    )
+    return fn
+
+
+def _spans_scatter(
+    left: ray.data.Dataset,
+    rows: ray.data.Dataset,
+    stage_fn,
+    num_parts: int,
+    *,
+    inner: bool,
+) -> ray.data.Dataset:
+    """Co-partition the (doc_id, text) corpus with sparse (doc_id, pos)
+    rows on ONE hash exchange and run ``stage_fn`` per partition —
+    tolerates a rows side that is empty or covers few partitions."""
+    tagged = left.map_batches(
+        _tag_docs_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        rows.map_batches(
+            _tag_rows_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return (
+        tagged.map_batches(_part_by("doc_id", num_parts),
+                           batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=num_parts)
+        .map_groups(_spans_scatter_kernel(stage_fn, inner),
+                    batch_format="pyarrow")
+    )
+
+
 class ScrubSpans:
     """Remove tokens covered by any duplicated window. Docs with no
     duplicated span keep their text BYTE-IDENTICAL; scrubbed docs are
@@ -741,20 +848,12 @@ def scrub_duplicated_spans(
         .groupby("part", num_partitions=num_parts)
         .map_groups(_dup_occurrences(min_df), batch_format="pyarrow")
     )
-    doc_spans = (
-        dup_occ.map_batches(_part_by("doc_id", num_parts),
-                            batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part", num_partitions=num_parts)
-        .map_groups(_fold_spans, batch_format="pyarrow")
-    )
-    joined = left.join(
-        doc_spans,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("doc_id",),
-    )
-    out = joined.map_batches(
-        ScrubSpans(n, "text", "doc_id"), batch_format="pyarrow"
+    # corpus + dup occurrences co-partitioned on ONE hash(doc_id)%P
+    # exchange (see _spans_scatter: Ray's JoinOperator rejects sparse
+    # right sides); the fold + align + scrub all run per partition
+    out = _spans_scatter(
+        left, dup_occ, ScrubSpans(n, "text", "doc_id"), num_parts,
+        inner=False,
     )
     if id_col != "doc_id" or text_col != "text":
         out = out.rename_columns({"doc_id": id_col, "text": text_col})

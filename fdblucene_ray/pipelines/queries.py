@@ -495,6 +495,19 @@ def q_c4_rules(sf_dir: str) -> pa.Table:
     return _collect(c4_rules(_docs_ds(sf_dir, ["doc_id", "text"])))
 
 
+def q_c4_sentence_dedup(sf_dir: str) -> pa.Table:
+    """C4 three-sentence-span global dedup (Raffel et al. 2020 §2.2):
+    real sentence segmentation ([.!?]-run boundaries), any 3-sentence
+    span occurring more than once keeps only its first (doc_id, pos)
+    occurrence; cleaned text is SQL-oracled byte-for-byte
+    (ops/sentences.c4_sentence_dedup)."""
+    from fdblucene_ray.ops.sentences import c4_sentence_dedup
+
+    out = c4_sentence_dedup(_docs_ds(sf_dir, ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4208,6 +4221,7 @@ def queries() -> dict:
         "retention": q_retention,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
+        "c4_sentence_dedup": q_c4_sentence_dedup,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q18": q_tpch_q18,
@@ -5051,6 +5065,43 @@ SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
        coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
        (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
 FROM k ORDER BY doc_id
+""",
+        "c4_sentence_dedup": r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(coalesce(text, ''),
+                              '[\s\S]*?[.!?]+|[^.!?]+$'),
+           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+           x -> x <> '') AS sents
+  FROM documents),
+e AS (
+  SELECT doc_id, i - 1 AS pos, sents[i] AS sent
+  FROM s, UNNEST(range(1, len(sents) + 1)) AS t(i)),
+sp AS (
+  SELECT doc_id, i - 1 AS pos,
+         sents[i] || chr(31) || sents[i+1] || chr(31) || sents[i+2] AS key
+  FROM s, UNNEST(range(1, len(sents) - 1)) AS t(i)),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY key) AS c,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM sp),
+rem AS (
+  SELECT DISTINCT doc_id, pos + o AS spos
+  FROM r, UNNEST([0, 1, 2]) AS t(o) WHERE c > 1 AND rn > 1),
+agg AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_sent,
+         count(rem.spos)::BIGINT AS n_removed,
+         coalesce(string_agg(CASE WHEN rem.spos IS NULL THEN e.sent END,
+                             ' ' ORDER BY e.pos), '') AS clean_text
+  FROM e LEFT JOIN rem ON e.doc_id = rem.doc_id AND e.pos = rem.spos
+  GROUP BY e.doc_id)
+SELECT d.doc_id, coalesce(agg.n_sent, 0)::BIGINT AS n_sentences,
+       coalesce(agg.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
 """,
         "gopher_rules": """
 WITH base AS (
