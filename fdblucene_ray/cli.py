@@ -697,6 +697,32 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_graphann(args) -> int:
+    """Build a Vamana graph-ANN layout and run a sample query batch."""
+    _ensure_ray()
+    import numpy as np
+    import ray.data
+
+    from fdblucene_ray.ops.graphann import build_graph_index, graph_topk_indexed
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.vec_col]
+    )
+    build_graph_index(
+        ds, args.index, n_centroids=args.centroids, R=args.r,
+        L_build=args.l_build, vec_col=args.vec_col, id_col=args.id_col,
+    )
+    rows = ds.limit(args.queries).take_all()
+    q = np.array([r[args.vec_col] for r in rows], np.float64)
+    ids = [int(r[args.id_col]) for r in rows]
+    t = graph_topk_indexed(
+        args.index, q, ids, k=args.k, nprobe=args.nprobe,
+        L_search=args.l_search, vec_col=args.vec_col, id_col=args.id_col,
+    )
+    print(json.dumps({"index": args.index, "rows": t.num_rows}))
+    return 0
+
+
 def cmd_commits(args) -> int:
     """List retained commit points; --prune applies the deletion policy."""
     from fdblucene_ray.index.manifest import list_commits, prune_commits
@@ -999,6 +1025,20 @@ def main(argv=None) -> int:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     sd.set_defaults(fn=cmd_semdedup)
+
+    ga = sub.add_parser("graphann", help="Vamana graph ANN build + query")
+    ga.add_argument("--input", required=True, nargs="+")
+    ga.add_argument("--index", required=True)
+    ga.add_argument("--centroids", type=int, default=8)
+    ga.add_argument("--r", type=int, default=16)
+    ga.add_argument("--l-build", type=int, default=32)
+    ga.add_argument("--l-search", type=int, default=64)
+    ga.add_argument("--nprobe", type=int, default=2)
+    ga.add_argument("--k", type=int, default=10)
+    ga.add_argument("--queries", type=int, default=3)
+    ga.add_argument("--vec-col", default="embedding")
+    ga.add_argument("--id-col", default="vec_id")
+    ga.set_defaults(fn=cmd_graphann)
 
     pu = sub.add_parser("push", help="upload index to a SegmentStore (U1)")
     pu.add_argument("index")

@@ -2155,6 +2155,22 @@ def q_ann_ivf_full(sf_dir: str) -> pa.Table:
     return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
 
 
+def q_ann_graph(sf_dir: str) -> pa.Table:
+    """Graph ANN: per-partition Vamana graphs (DiskANN, Subramanya et
+    al. NeurIPS'19) over the IVF centroid layout; queries beam-search
+    only the probed partitions' graphs. Approximate and iterative =>
+    rows-only; tests/test_graphann.py holds the recall-vs-brute-force,
+    determinism and resumability oracles."""
+    from fdblucene_ray.ops.graphann import build_graph_index, graph_topk_indexed
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    g_dir = _index_dir(sf_dir, "graphann")
+    build_graph_index(ds, g_dir, n_centroids=8, R=16, L_build=32)
+    return graph_topk_indexed(g_dir, q, ids, k=10, nprobe=2, L_search=64)
+
+
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
     reads only probed ``bucket=K/`` partitions (data-independent hash —
@@ -4123,6 +4139,7 @@ def queries() -> dict:
         "rank_eval": q_rank_eval,
         "eval_similarity_ab": q_eval_similarity_ab,
         "ann_batch": q_ann_batch,
+        "ann_graph": q_ann_graph,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_lsh": q_ann_lsh,

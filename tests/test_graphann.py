@@ -1,0 +1,169 @@
+"""Vamana graph ANN (fdblucene_ray/ops/graphann.py): build invariants,
+beam-search recall vs brute force, determinism and resumability."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.graphann import (
+    _greedy_search,
+    _robust_prune,
+    build_graph_index,
+    build_partition_graph,
+    graph_topk_indexed,
+)
+from fdblucene_ray.ops.similarity import _normalize, brute_force_topk
+
+
+def _clustered_vectors(n, dim=16, n_clusters=6, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, dim))
+    labels = rng.integers(0, n_clusters, n)
+    return cents[labels] + 0.15 * rng.normal(size=(n, dim))
+
+
+def _ds_from(vecs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+
+
+class TestRobustPrune:
+    def test_degree_bound_and_no_self(self):
+        rng = np.random.default_rng(0)
+        v = _normalize(rng.normal(size=(50, 8)))
+        out = _robust_prune(0, np.arange(50), v, R=6, alpha=1.2)
+        assert len(out) <= 6
+        assert 0 not in out
+        assert len(np.unique(out)) == len(out)
+
+    def test_keeps_closest(self):
+        # candidate most similar to p always survives the prune
+        rng = np.random.default_rng(1)
+        v = _normalize(rng.normal(size=(30, 8)))
+        sims = v @ v[5]
+        sims[5] = -2
+        best = int(np.argmax(sims))
+        out = _robust_prune(5, np.arange(30), v, R=4, alpha=1.2)
+        assert best == out[0]
+
+
+class TestPartitionGraph:
+    def test_connected_to_medoid_and_degree(self):
+        vecs = _clustered_vectors(300)
+        adj, medoid = build_partition_graph(vecs, R=12, L=24)
+        assert adj.shape == (300, 12)
+        deg = (adj >= 0).sum(axis=1)
+        assert deg.max() <= 12
+        assert deg.min() >= 1
+        # BFS from medoid reaches (nearly) everything
+        seen = np.zeros(300, bool)
+        frontier = [medoid]
+        seen[medoid] = True
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w >= 0 and not seen[w]:
+                        seen[w] = True
+                        nxt.append(int(w))
+            frontier = nxt
+        assert seen.mean() > 0.99
+
+    def test_deterministic(self):
+        vecs = _clustered_vectors(150, seed=9)
+        a1, m1 = build_partition_graph(vecs, R=8, L=16, seed=7)
+        a2, m2 = build_partition_graph(vecs, R=8, L=16, seed=7)
+        assert m1 == m2
+        assert np.array_equal(a1, a2)
+
+    def test_tiny_partitions(self):
+        for n in (0, 1, 2, 3):
+            vecs = _clustered_vectors(max(n, 1))[:n]
+            adj, medoid = build_partition_graph(
+                vecs.reshape(n, -1) if n else np.empty((0, 4)), R=4, L=8
+            )
+            assert adj.shape[0] == n
+
+
+class TestGreedySearch:
+    def test_beam_recall_single_partition(self):
+        vecs = _clustered_vectors(800, seed=5)
+        vecs_n = _normalize(vecs)
+        adj, medoid = build_partition_graph(vecs, R=16, L=32)
+        rng = np.random.default_rng(11)
+        hits = total = 0
+        for _ in range(20):
+            q = _normalize(rng.normal(size=(1, vecs.shape[1])))[0]
+            visited, sims = _greedy_search(vecs_n, adj, medoid, q, L=48)
+            got = set(visited[np.argsort(-sims)[:10]].tolist())
+            true = set(np.argsort(-(vecs_n @ q))[:10].tolist())
+            hits += len(got & true)
+            total += 10
+        assert hits / total >= 0.9
+
+
+class TestGraphIndex:
+    def test_recall_and_resume(self, ray_session, tmp_path):
+        vecs = _clustered_vectors(1200, seed=13)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "gidx")
+        build_graph_index(ds, out, n_centroids=4, R=16, L_build=32)
+        assert os.path.exists(os.path.join(out, "graph_meta.json"))
+        gfiles = sorted(glob.glob(os.path.join(out, "graph", "*.parquet")))
+        assert len(gfiles) == 4
+
+        rng = np.random.default_rng(21)
+        queries = rng.normal(size=(10, vecs.shape[1]))
+        qids = np.arange(10)
+        got = graph_topk_indexed(
+            out, queries, qids, k=10, nprobe=2, L_search=64
+        ).to_pandas()
+        true = brute_force_topk(
+            ds, queries, qids, k=10
+        ).to_pandas()
+        recall = 0.0
+        for qi in range(10):
+            g = set(got[got.query_id == qi].vec_id)
+            t = set(true[true.query_id == qi].vec_id)
+            recall += len(g & t) / len(t)
+        assert recall / 10 >= 0.8
+
+        # resumability: delete one graph file; rebuild restores ONLY it
+        mtimes = {f: os.path.getmtime(f) for f in gfiles}
+        os.remove(gfiles[0])
+        build_graph_index(ds, out, n_centroids=4, R=16, L_build=32)
+        assert os.path.exists(gfiles[0])
+        for f in gfiles[1:]:
+            assert os.path.getmtime(f) == mtimes[f]
+
+    def test_full_probe_high_recall(self, ray_session, tmp_path):
+        vecs = _clustered_vectors(600, seed=17)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "gidx2")
+        build_graph_index(ds, out, n_centroids=3, R=16, L_build=32)
+        rng = np.random.default_rng(23)
+        queries = rng.normal(size=(8, vecs.shape[1]))
+        qids = np.arange(8)
+        got = graph_topk_indexed(
+            out, queries, qids, k=5, nprobe=3, L_search=200
+        ).to_pandas()
+        true = brute_force_topk(ds, queries, qids, k=5).to_pandas()
+        recall = 0.0
+        for qi in range(8):
+            g = set(got[got.query_id == qi].vec_id)
+            t = set(true[true.query_id == qi].vec_id)
+            recall += len(g & t) / len(t)
+        assert recall / 8 >= 0.95
