@@ -427,6 +427,8 @@ def run_default() -> None:
     timed("gopher_rules", lambda: q.q_gopher_rules(sf_dir))
     timed("semantic_dedup", lambda: q.q_semantic_dedup(sf_dir))
     timed("tpch_q3", lambda: q.q_tpch_q3(sf_dir))
+    timed("c4_sentence_dedup", lambda: q.q_c4_sentence_dedup(sf_dir))
+    timed("ann_graph", lambda: q.q_ann_graph(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)
