@@ -78,10 +78,157 @@ def _fixed_decode(buf, count: int) -> np.ndarray:
     return np.ascontiguousarray(arr[: count * 4]).view("<u4").astype(np.uint64)
 
 
+# "pfor": frame-of-reference bit packing per posting block (the
+# PForDelta family — Zukowski et al. ICDE'06; Lucene's own
+# Lucene84/90 postings pack each 128-int block at the block's max bit
+# width, exceptions dropped, which is exactly this form). Each chunk
+# is self-describing — [width u8][count u32le][ceil(count*width/8)
+# payload bytes] — so any concatenation of chunks decodes from just
+# the total count (the bulk gather-then-decode paths need that).
+# Chunks are CO-TERMINOUS with posting blocks: encode_partition hands
+# the block boundaries in, so a skip entry's byte span is a whole
+# chunk and block decode stays one slice.
+
+_FOR_HDR = 5
+
+
+def _bit_widths(maxs: np.ndarray) -> np.ndarray:
+    """Exact per-chunk bit width (0 for all-zero chunks); integer
+    compares, no float log rounding."""
+    w = np.zeros(maxs.shape, np.int64)
+    for k in range(64):
+        w += (maxs >= (np.uint64(1) << np.uint64(k))).astype(np.int64)
+    return w
+
+
+def _concat_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather index for concatenating ranges [starts, starts+lens)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    base = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(base, lens)
+    )
+
+
+def _for_encode_chunks(
+    v: np.ndarray, bounds: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Bit-pack ``v`` in chunks delimited by ``bounds`` (monotone,
+    covering [0, len(v)]; empty chunks emit nothing). Vectorized by
+    width GROUP, not per chunk — all chunks sharing a bit width pack in
+    one unpackbits/packbits pass. Returns (bytes, per-bound offsets)."""
+    v = np.ascontiguousarray(v, np.uint64)
+    bounds = np.asarray(bounds, np.int64)
+    starts, ends = bounds[:-1], bounds[1:]
+    cnt = ends - starts
+    nz = cnt > 0
+    C = len(starts)
+    maxs = np.zeros(C, np.uint64)
+    if len(v) and nz.any():
+        # consecutive non-empty chunks tile the value space, so each
+        # reduceat segment ends exactly at the chunk's end
+        maxs[nz] = np.maximum.reduceat(v, starts[nz])
+    widths = np.where(nz, _bit_widths(maxs), 0)
+    payload_bytes = (cnt * widths + 7) // 8
+    chunk_bytes = np.where(nz, _FOR_HDR + payload_bytes, 0)
+    off = np.concatenate(([0], np.cumsum(chunk_bytes)))
+    out = np.zeros(int(off[-1]), np.uint8)
+    if nz.any():
+        hp = off[:-1][nz]
+        cn = cnt[nz]
+        out[hp] = widths[nz]
+        out[hp + 1] = cn & 0xFF
+        out[hp + 2] = (cn >> 8) & 0xFF
+        out[hp + 3] = (cn >> 16) & 0xFF
+        out[hp + 4] = (cn >> 24) & 0xFF
+    for b in np.unique(widths[nz & (widths > 0)]):
+        sel = nz & (widths == b)
+        c_st, c_cnt = starts[sel], cnt[sel]
+        vals = v[_concat_index(c_st, c_cnt)]
+        b = int(b)
+        bits = np.unpackbits(
+            vals.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+        )[:, 64 - b :]
+        pad_bits = ((c_cnt * b + 7) // 8) * 8
+        bit_start = np.concatenate(([0], np.cumsum(pad_bits)))
+        bitbuf = np.zeros(int(bit_start[-1]), np.uint8)
+        vbase = np.concatenate(([0], np.cumsum(c_cnt[:-1])))
+        val_in_chunk = (
+            np.arange(int(c_cnt.sum()), dtype=np.int64)
+            - np.repeat(vbase, c_cnt)
+        )
+        dst0 = np.repeat(bit_start[:-1], c_cnt) + val_in_chunk * b
+        bitbuf[(dst0[:, None] + np.arange(b)).ravel()] = bits.ravel()
+        payload = np.packbits(bitbuf)
+        pbytes = (c_cnt * b + 7) // 8
+        out[_concat_index(off[:-1][sel] + _FOR_HDR, pbytes)] = payload[
+            _concat_index(bit_start[:-1] // 8, pbytes)
+        ]
+    return out.tobytes(), off
+
+
+def _for_decode(buf, count: int) -> np.ndarray:
+    """Decode ``count`` values from a chain of self-describing FOR
+    chunks. Header walk is a cheap Python loop over CHUNKS (~count/128);
+    bit unpacking is grouped by width and fully vectorized."""
+    if count == 0:
+        return np.empty(0, np.uint64)
+    arr = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    pos = 0
+    got = 0
+    hdrs: list[tuple[int, int, int, int]] = []
+    while got < count:
+        b = int(arr[pos])
+        cn = (
+            int(arr[pos + 1])
+            | int(arr[pos + 2]) << 8
+            | int(arr[pos + 3]) << 16
+            | int(arr[pos + 4]) << 24
+        )
+        hdrs.append((pos + _FOR_HDR, b, cn, got))
+        pos += _FOR_HDR + (cn * b + 7) // 8
+        got += cn
+    if got != count:
+        raise ValueError(f"FOR chunk chain holds {got} values, need {count}")
+    out = np.empty(count, np.uint64)
+    by_width: dict[int, list[tuple[int, int, int, int]]] = {}
+    for h in hdrs:
+        by_width.setdefault(h[1], []).append(h)
+    for b, hs in by_width.items():
+        ogs = np.array([h[3] for h in hs], np.int64)
+        cnts = np.array([h[2] for h in hs], np.int64)
+        if b == 0:
+            out[_concat_index(ogs, cnts)] = 0
+            continue
+        pstarts = np.array([h[0] for h in hs], np.int64)
+        plens = (cnts * b + 7) // 8
+        payload = arr[_concat_index(pstarts, plens)]
+        bits = np.unpackbits(payload)
+        bit_start = np.concatenate(([0], np.cumsum(plens * 8)))
+        vbase = np.concatenate(([0], np.cumsum(cnts[:-1])))
+        n_vals = int(cnts.sum())
+        val_in_chunk = (
+            np.arange(n_vals, dtype=np.int64) - np.repeat(vbase, cnts)
+        )
+        src0 = np.repeat(bit_start[:-1], cnts) + val_in_chunk * b
+        vb = bits[src0[:, None] + np.arange(b)].astype(np.uint64)
+        weights = np.uint64(1) << np.arange(b - 1, -1, -1, dtype=np.uint64)
+        vals = (vb * weights).sum(axis=1, dtype=np.uint64)
+        out[np.repeat(ogs, cnts) + val_in_chunk] = vals
+    return out
+
+
 _STREAMS = {
     "varint": (varint_encode, _varint_widths, varint_decode),
     "fixed": (_fixed_encode, _fixed_widths, _fixed_decode),
+    "pfor": (None, None, _for_decode),
 }
+
+# streams whose encoder packs whole BLOCKS (needs the block bounds)
+# rather than independent per-value codes
+_CHUNKED_STREAMS = {"pfor": _for_encode_chunks}
 
 
 @dataclass
@@ -139,12 +286,38 @@ def encode_partition(
         deltas[1:] = np.diff(doc_ids).astype(np.uint64)
     deltas[term_starts] = (doc_ids[term_starts] + 1).astype(np.uint64)
 
-    enc, widths, _ = _STREAMS[streams]
+    # global block index (needed up front: chunked codecs pack whole
+    # blocks, so their chunk bounds ARE the block starts)
+    nb_per_term = (lens + block_size - 1) // block_size
+    total_blocks = int(nb_per_term.sum())
+    term_of_block = np.repeat(np.arange(T), nb_per_term)
+    first_block = np.concatenate(([0], np.cumsum(nb_per_term[:-1])))
+    block_j = np.arange(total_blocks) - first_block[term_of_block]
+    lo = term_starts[term_of_block] + block_j * block_size
+    hi = np.minimum(lo + block_size, term_ends[term_of_block])
+
+    chunk_enc = _CHUNKED_STREAMS.get(streams)
     tf64 = tfs.astype(np.uint64)
-    docs_stream = enc(deltas)
-    tfs_stream = enc(tf64)
-    off_docs = np.concatenate(([0], np.cumsum(widths(deltas))))
-    off_tfs = np.concatenate(([0], np.cumsum(widths(tf64))))
+    if chunk_enc is not None:
+        # block-packed streams: offsets are exact at block/term
+        # boundaries (the only indices consulted below); interior
+        # indices inherit their chunk's start offset via the repeat
+        dbounds = np.concatenate((lo, [n]))
+        dcnt = np.diff(dbounds)
+        docs_stream, off_c = chunk_enc(deltas, dbounds)
+        off_docs = np.concatenate(
+            (np.repeat(off_c[:-1], dcnt), [off_c[-1]])
+        )
+        tfs_stream, off_c = chunk_enc(tf64, dbounds)
+        off_tfs = np.concatenate(
+            (np.repeat(off_c[:-1], dcnt), [off_c[-1]])
+        )
+    else:
+        enc, widths, _ = _STREAMS[streams]
+        docs_stream = enc(deltas)
+        tfs_stream = enc(tf64)
+        off_docs = np.concatenate(([0], np.cumsum(widths(deltas))))
+        off_tfs = np.concatenate(([0], np.cumsum(widths(tf64))))
 
     # optional position streams: per-posting delta coding (first pos
     # absolute, then gaps), one varint pass over the whole partition
@@ -156,8 +329,16 @@ def encode_partition(
         if len(pos) > 1:
             pdeltas[1:] = np.diff(pos).astype(np.uint64)
         pdeltas[ps[:-1]] = pos[ps[:-1]].astype(np.uint64)
-        pos_stream = enc(pdeltas)
-        off_pos = np.concatenate(([0], np.cumsum(widths(pdeltas))))
+        if chunk_enc is not None:
+            pbounds = np.concatenate((ps[lo], [len(pos)]))
+            pcnt = np.diff(pbounds)
+            pos_stream, off_c = chunk_enc(pdeltas, pbounds)
+            off_pos = np.concatenate(
+                (np.repeat(off_c[:-1], pcnt), [off_c[-1]])
+            )
+        else:
+            pos_stream = enc(pdeltas)
+            off_pos = np.concatenate(([0], np.cumsum(widths(pdeltas))))
         # per-term byte spans of the pos region
         p_term_lo = off_pos[ps[term_starts]]
         p_term_hi = off_pos[ps[term_ends]]
@@ -171,15 +352,6 @@ def encode_partition(
     t_total = off_tfs[term_ends] - off_tfs[term_starts]
     post_len = d_total + t_total + lens + p_total
     post_offset = np.concatenate(([0], np.cumsum(post_len[:-1])))
-
-    # global block index
-    nb_per_term = (lens + block_size - 1) // block_size
-    total_blocks = int(nb_per_term.sum())
-    term_of_block = np.repeat(np.arange(T), nb_per_term)
-    first_block = np.concatenate(([0], np.cumsum(nb_per_term[:-1])))
-    block_j = np.arange(total_blocks) - first_block[term_of_block]
-    lo = term_starts[term_of_block] + block_j * block_size
-    hi = np.minimum(lo + block_size, term_ends[term_of_block])
 
     skips = np.zeros(total_blocks, SKIP_DTYPE)
     skips["last_doc"] = doc_ids[hi - 1]

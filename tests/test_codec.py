@@ -226,3 +226,130 @@ class TestFixedBlockCodec:
         v = get_codec("varint-block").encode_partition(docs, tfs, norms, starts)
         f = get_codec("fixed-block").encode_partition(docs, tfs, norms, starts)
         assert len(f.blob) > 2 * len(v.blob)
+
+
+class TestForBlockCodec:
+    """Third production codec (U3 codec SPI): frame-of-reference bit
+    packing per posting block (PForDelta family / Lucene84 PackedInts
+    form). Chunks are self-describing, so every decode surface —
+    single block, whole term, bulk gathered segment — must round-trip
+    and agree with the varint codec."""
+
+    def _codec(self):
+        from fdblucene_ray.codec.registry import get_codec
+
+        return get_codec("for-block")
+
+    @pytest.mark.parametrize("n", [0, 1, B - 1, B, B + 1, 3 * B + 1, 1000])
+    def test_roundtrip_boundaries(self, n):
+        c = self._codec()
+        rng = np.random.default_rng(n)
+        docs = np.sort(rng.choice(10**8, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 500, n).astype(np.uint32)
+        norms = rng.integers(0, 256, n).astype(np.uint8)
+        starts = np.zeros(1 if n else 0, np.int64)
+        pp = c.encode_partition(docs, tfs, norms, starts)
+        sk = read_skips(pp.skips)
+        d, t, nn = c.decode_all(pp.blob, sk, n)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(nn, norms)
+        for bi in range(len(sk)):
+            db, tb, nb = c.decode_block(pp.blob, sk, bi, n)
+            lo, hi = bi * B, min((bi + 1) * B, n)
+            assert np.array_equal(db, docs[lo:hi])
+            assert np.array_equal(tb, tfs[lo:hi])
+            assert np.array_equal(nb, norms[lo:hi])
+
+    def test_positions_roundtrip_with_nonpositional_term(self):
+        """A non-positional TERM (pos_counts 0 — the codec contract
+        for fields indexed without positions) leaves its blocks with
+        NO position chunks; the self-describing chain must still bulk
+        decode the surrounding positional terms."""
+        c = self._codec()
+        rng = np.random.default_rng(9)
+        per = B + 11
+        n = 3 * per
+        docs = np.concatenate(
+            [np.sort(rng.choice(10**6, size=per, replace=False))
+             for _ in range(3)]
+        ).astype(np.int64)
+        tfs = rng.integers(1, 5, n).astype(np.uint32)
+        norms = rng.integers(0, 200, n).astype(np.uint8)
+        pos_counts = tfs.astype(np.int64).copy()
+        pos_counts[per : 2 * per] = 0  # middle term: no positions
+        pos = np.concatenate(
+            [np.sort(rng.choice(500, size=int(t), replace=False))
+             for t in pos_counts]
+        ).astype(np.int64)
+        pp = c.encode_partition(
+            docs, tfs, norms,
+            (np.arange(3) * per).astype(np.int64),
+            positions=pos, pos_counts=pos_counts,
+        )
+        sk = read_skips(pp.skips)
+        blob_u8 = np.frombuffer(pp.blob, np.uint8)
+        d, t, nn, ts = c.bulk_decode_segment(
+            blob_u8, read_skips(pp.skips), pp.post_offset,
+            pp.skip_offset, pp.n_blocks, pp.df,
+        )
+        flat, pcs = c.bulk_decode_segment_positions(
+            blob_u8, sk, pp.post_offset, pp.post_len, pp.skip_offset,
+            pp.n_blocks, pp.df, t, ts,
+        )
+        assert np.array_equal(flat, pos)
+        assert np.array_equal(pcs, pos_counts)
+
+    def test_wide_values_and_zero_chunks(self):
+        """Width-0 chunks (all-zero values) and near-64-bit values both
+        survive: exact integer widths, no float log rounding."""
+        from fdblucene_ray.codec.postings import _for_decode, _for_encode_chunks
+
+        v = np.array(
+            [0, 0, 0, 1, (1 << 53) + 1, (1 << 63) - 1, 2**64 - 1, 0],
+            np.uint64,
+        )
+        bounds = np.array([0, 3, 3, 8], np.int64)  # incl. an empty chunk
+        buf, off = _for_encode_chunks(v, bounds)
+        assert off[1] == off[2]  # empty chunk occupies zero bytes
+        out = _for_decode(np.frombuffer(buf, np.uint8), len(v))
+        assert np.array_equal(out, v)
+
+    def test_bulk_decode_matches_varint(self):
+        from fdblucene_ray.codec.registry import get_codec
+
+        rng = np.random.default_rng(21)
+        T, per = 37, 61
+        docs = np.concatenate(
+            [np.sort(rng.choice(10**6, size=per, replace=False)) for _ in range(T)]
+        ).astype(np.int64)
+        tfs = rng.integers(1, 30, T * per).astype(np.uint32)
+        norms = rng.integers(0, 255, T * per).astype(np.uint8)
+        starts = (np.arange(T) * per).astype(np.int64)
+        outs = []
+        for name in ("varint-block", "for-block"):
+            c = get_codec(name)
+            pp = c.encode_partition(docs, tfs, norms, starts)
+            sk = read_skips(pp.skips)
+            blob_u8 = np.frombuffer(pp.blob, np.uint8)
+            outs.append(
+                c.bulk_decode_segment(
+                    blob_u8, sk, pp.post_offset, pp.skip_offset, pp.n_blocks, pp.df
+                )
+            )
+        for a, b in zip(*outs):
+            assert np.array_equal(a, b)
+        assert np.array_equal(outs[0][0], docs)
+
+    def test_denser_than_varint_on_small_gaps(self):
+        """The point of FOR: dense posting lists (small uniform deltas)
+        pack below one byte per value; varint's floor is one byte."""
+        from fdblucene_ray.codec.registry import get_codec
+
+        docs = np.arange(0, 50_000, dtype=np.int64)  # delta 1 everywhere
+        tfs = np.ones(50_000, np.uint32)
+        norms = np.zeros(50_000, np.uint8)
+        starts = np.zeros(1, np.int64)
+        v = get_codec("varint-block").encode_partition(docs, tfs, norms, starts)
+        f = get_codec("for-block").encode_partition(docs, tfs, norms, starts)
+        assert len(f.blob) < 0.5 * len(v.blob)

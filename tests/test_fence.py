@@ -179,7 +179,7 @@ class TestCodecRegistry:
                            "positions": True}}
 
         results = {}
-        for codec in ("varint-block", "fixed-block"):
+        for codec in ("varint-block", "fixed-block", "for-block"):
             ix = str(tmp_path / f"ix-{codec}")
             m = build_index(src, ix, fields=fields, num_partitions=4,
                             codec=codec)
@@ -197,9 +197,11 @@ class TestCodecRegistry:
                 assert m2.codec == codec
                 s2 = Searcher(ix)
                 assert s2.search("alpha gamma", k=20) == results[codec]["or"]
-        v, f = results["varint-block"], results["fixed-block"]
-        assert [d for d, _ in v["or"]] == [d for d, _ in f["or"]]
-        for (d1, s1), (d2, s2) in zip(v["or"], f["or"]):
-            assert abs(s1 - s2) < 1e-12
-        assert v["and"] == f["and"]
-        assert v["phrase"] == f["phrase"]
+        v = results["varint-block"]
+        for other in ("fixed-block", "for-block"):
+            f = results[other]
+            assert [d for d, _ in v["or"]] == [d for d, _ in f["or"]]
+            for (d1, s1), (d2, s2) in zip(v["or"], f["or"]):
+                assert abs(s1 - s2) < 1e-12
+            assert v["and"] == f["and"]
+            assert v["phrase"] == f["phrase"]
