@@ -91,6 +91,17 @@ def _ensure_index(sf_dir: str, flavor: str) -> str:
         # lowercased word pairs joined by '_'; norms/avgdl count emitted
         # shingles (Lucene counts the emitted token stream)
         fields = {"text": {"column": "text", "analyzer": "shingle2"}}
+    elif flavor == "forblock":
+        # same logical index as "simple" but at rest under the
+        # for-block (PForDelta-family bit-packed) codec — proves the
+        # codec SPI end-to-end through the driver gate (U3)
+        fields = {"text": {"column": "text", "analyzer": "simple",
+                           "positions": True}}
+        build_index(
+            _docs_path(sf_dir), ix, fields=fields, num_partitions=16,
+            batch_size=2048, codec="for-block",
+        )
+        return ix
     else:
         fields = {"text": {"column": "text", "analyzer": "lucene"}}
     build_index(
@@ -194,6 +205,15 @@ def _hits_table(hits) -> pa.Table:
 
 def q_ft_bm25_single(sf_dir: str) -> pa.Table:
     s = Searcher(_ensure_index(sf_dir, "simple"))
+    return _hits_table(s.search_terms(["data"], 10, mode="wand"))
+
+
+def q_ft_bm25_forblock(sf_dir: str) -> pa.Table:
+    """Same BM25 WAND top-10 as ft_bm25_single but over an index whose
+    postings are at rest under the for-block (PForDelta-family
+    bit-packed) codec — the codec SPI proven through the driver gate
+    against the identical SQL oracle."""
+    s = Searcher(_ensure_index(sf_dir, "forblock"))
     return _hits_table(s.search_terms(["data"], 10, mode="wand"))
 
 
@@ -4048,6 +4068,7 @@ def q_diverse_sample(sf_dir: str) -> pa.Table:
 def queries() -> dict:
     return {
         "ft_bm25_single": q_ft_bm25_single,
+        "ft_bm25_forblock": q_ft_bm25_forblock,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_term_stats": q_ft_term_stats,
@@ -4279,6 +4300,7 @@ def oracle_sql() -> dict:
     }
     return {
         "ft_bm25_single": _bm25_sql(["data"]),
+        "ft_bm25_forblock": _bm25_sql(["data"]),
         "ft_bm25_boolean": f"""
 WITH {TOKS_CTE}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
 tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
