@@ -205,7 +205,6 @@ def _for_decode(buf, count: int) -> np.ndarray:
         pstarts = np.array([h[0] for h in hs], np.int64)
         plens = (cnts * b + 7) // 8
         payload = arr[_concat_index(pstarts, plens)]
-        bits = np.unpackbits(payload)
         bit_start = np.concatenate(([0], np.cumsum(plens * 8)))
         vbase = np.concatenate(([0], np.cumsum(cnts[:-1])))
         n_vals = int(cnts.sum())
@@ -213,9 +212,24 @@ def _for_decode(buf, count: int) -> np.ndarray:
             np.arange(n_vals, dtype=np.int64) - np.repeat(vbase, cnts)
         )
         src0 = np.repeat(bit_start[:-1], cnts) + val_in_chunk * b
-        vb = bits[src0[:, None] + np.arange(b)].astype(np.uint64)
-        weights = np.uint64(1) << np.arange(b - 1, -1, -1, dtype=np.uint64)
-        vals = (vb * weights).sum(axis=1, dtype=np.uint64)
+        if b <= 56:
+            # fast path: each value's b bits live inside the 8-byte
+            # window starting at its start byte — one gather of 8
+            # bytes per value, big-endian view, shift + mask
+            pad = np.concatenate((payload, np.zeros(8, np.uint8)))
+            byte0 = src0 >> 3
+            win = pad[byte0[:, None] + np.arange(8)]
+            w64 = win.reshape(-1, 8).copy().view(">u8").ravel().astype(np.uint64)
+            shift = (np.uint64(64 - b) - (src0 & 7).astype(np.uint64))
+            mask = np.uint64((1 << b) - 1)
+            vals = (w64 >> shift) & mask
+        else:
+            bits = np.unpackbits(payload)
+            vb = bits[src0[:, None] + np.arange(b)].astype(np.uint64)
+            weights = np.uint64(1) << np.arange(
+                b - 1, -1, -1, dtype=np.uint64
+            )
+            vals = (vb * weights).sum(axis=1, dtype=np.uint64)
         out[np.repeat(ogs, cnts) + val_in_chunk] = vals
     return out
 

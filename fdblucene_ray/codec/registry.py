@@ -28,8 +28,8 @@ differing only in the integer-stream coding (codec/postings.py):
   densest at rest when deltas are small and uniform; chunks are
   self-describing so bulk gather-then-decode still works. Measured on
   a zipf-df 1.56M-posting partition: 11% smaller than varint-block at
-  rest, ~2x encode / ~4x bulk-decode CPU (numpy bit gather) — the
-  cold-tier choice when storage dominates CPU.
+  rest, ~2x encode / ~2.4x bulk-decode CPU (8-byte-window gather +
+  shift-mask decode) — the cold-tier choice when storage dominates CPU.
 
 Opening an index whose manifest names an unregistered codec fails
 loudly (never silently misdecodes).
