@@ -697,6 +697,32 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Resumable partitioned corpus export (C4-kept docs per shard)."""
+    _ensure_ray()
+    from fdblucene_ray.ops.export import export_corpus
+    from fdblucene_ray.ops.textstats import C4Rules
+
+    rules = C4Rules(args.text_col, args.id_col)
+
+    def keep_clean(t):
+        r = rules(t)
+        return r.filter(r["keep"])
+
+    man = export_corpus(
+        args.input, args.out, keep_clean, shard_rows=args.shard_rows,
+        columns=[args.id_col, args.text_col],
+    )
+    print(json.dumps({
+        "out": args.out,
+        "shards": man.num_rows,
+        "n_in": int(sum(man["n_in"].to_pylist())),
+        "n_out": int(sum(man["n_out"].to_pylist())),
+        "resumed": int(sum(man["resumed"].to_pylist())),
+    }))
+    return 0
+
+
 def cmd_graphann(args) -> int:
     """Build a Vamana graph-ANN layout and run a sample query batch."""
     _ensure_ray()
@@ -1025,6 +1051,14 @@ def main(argv=None) -> int:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     sd.set_defaults(fn=cmd_semdedup)
+
+    ex = sub.add_parser("export", help="resumable partitioned corpus export")
+    ex.add_argument("--input", required=True, nargs="+")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--shard-rows", type=int, default=100_000)
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--id-col", default="doc_id")
+    ex.set_defaults(fn=cmd_export)
 
     ga = sub.add_parser("graphann", help="Vamana graph ANN build + query")
     ga.add_argument("--input", required=True, nargs="+")

@@ -528,6 +528,51 @@ def q_c4_sentence_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_corpus_export(sf_dir: str) -> pa.Table:
+    """Resumable partitioned corpus export (ops/export.py): docs with
+    >= 40 whitespace tokens written one atomic ``shard={i}/`` dir per
+    contiguous 100-row input slice; already-published shards are
+    skipped unread on rerun. Returns the export manifest
+    (shard, n_in, n_out) — SQL-oracled by sharding the same word-count
+    verdicts over row_number order."""
+    import hashlib
+
+    from fdblucene_ray.ops.export import export_corpus
+    from fdblucene_ray.ops.webtext import ws_split
+
+    src = _docs_path(sf_dir)
+    key = hashlib.blake2s(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out_dir = os.path.join("/tmp/fdblucene_ray_cache", f"export-{key}")
+
+    def keep_long(t: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        col = t["text"]
+        if isinstance(col, pa_.ChunkedArray):
+            col = col.combine_chunks()
+        toks = ws_split(pc_.fill_null(col, ""))
+        # count NON-EMPTY tokens (ws_split keeps boundary empties,
+        # matching the oracle's list_filter(x <> ''))
+        flat = toks.flatten()
+        import numpy as np_
+
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        ne = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        csum = np_.concatenate(([0], np_.cumsum(ne)))
+        nw = csum[offs[1:]] - csum[offs[:-1]]
+        return t.filter(pa_.array(nw >= 40))
+
+    man = export_corpus(
+        src, out_dir, keep_long, shard_rows=100,
+        columns=["doc_id", "text"],
+    )
+    return man.select(["shard", "n_in", "n_out"])
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4260,6 +4305,7 @@ def queries() -> dict:
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
         "c4_sentence_dedup": q_c4_sentence_dedup,
+        "corpus_export": q_corpus_export,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q18": q_tpch_q18,
@@ -4298,7 +4344,7 @@ def oracle_sql() -> dict:
             "fdblucene_ray.ops.textstats", fromlist=["LANG_MARKERS"]
         ).LANG_MARKERS.items()
     }
-    return {
+    sql = {
         "ft_bm25_single": _bm25_sql(["data"]),
         "ft_bm25_forblock": _bm25_sql(["data"]),
         "ft_bm25_boolean": f"""
@@ -7598,3 +7644,17 @@ r AS (SELECT vec_id, cid,
 SELECT vec_id, cid::INTEGER AS cluster FROM r WHERE rn = 1 ORDER BY vec_id
 """,
     }
+    # corpus_export: shard the word-count keep verdicts into the same
+    # contiguous 100-row slices the resumable exporter writes (doc_id
+    # is the file row order in the testdata tables)
+    sql["corpus_export"] = r"""
+WITH o AS (
+  SELECT len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+             x -> x <> '')) >= 40 AS keep,
+         (row_number() OVER (ORDER BY doc_id) - 1) // 100 AS shard
+  FROM documents)
+SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_in,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_out
+FROM o GROUP BY shard ORDER BY shard
+"""
+    return sql
