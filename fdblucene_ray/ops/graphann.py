@@ -51,6 +51,7 @@ from fdblucene_ray.ops.similarity import (
     _normalize,
     _stack,
     build_ivf_index,
+    partition_dirs,
     probed_partition_paths,
 )
 
@@ -206,16 +207,18 @@ class _BuildGraphTask:
             out_path = os.path.join(
                 self.index_dir, "graph", f"centroid={c}.parquet"
             )
-            part_dir = os.path.join(
-                self.index_dir, "data", f"centroid={c}"
-            )
             if os.path.exists(out_path):
                 done.append(c)
                 n_vecs.append(pq.read_metadata(out_path).num_rows)
                 continue
+            files = [
+                f
+                for d in partition_dirs(self.index_dir, int(c))
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            ]
             t = pa.concat_tables(
                 [pq.read_table(f, columns=[self.id_col, self.vec_col])
-                 for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))]
+                 for f in files]
             )
             # stable global order inside the partition: sort by id so
             # the graph is independent of file/batch layout
@@ -267,27 +270,46 @@ def build_graph_index(
     alpha: float = 1.2,
     train: str = "sample",
     sample_rows: int = 2048,
+    refresh: bool = False,
 ) -> np.ndarray:
     """Centroid-partition the corpus (reuses ``build_ivf_index``), then
     build one Vamana graph per partition — one task per partition, no
-    shuffle, resumable. Returns the centroids."""
+    shuffle, resumable. With ``refresh=True``, partitions whose data
+    files (base or ``append_ivf_index`` batches) are newer than their
+    graph are rebuilt — the lazy graph-repair pass after streaming
+    appends. Returns the centroids."""
     cents = build_ivf_index(
         ds, out_dir, n_centroids=n_centroids, vec_col=vec_col,
         id_col=id_col, sample_rows=sample_rows, train=train,
     )
-    data_dir = os.path.join(out_dir, "data")
     parts = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(data_dir)
-        if d.startswith("centroid=")
+        {
+            int(d.split("=", 1)[1])
+            for root in [os.path.join(out_dir, "data")]
+            + glob.glob(os.path.join(out_dir, "data-append-*"))
+            for d in os.listdir(root)
+            if d.startswith("centroid=")
+        }
     )
-    todo = [
-        {"centroid": c}
-        for c in parts
-        if not os.path.exists(
-            os.path.join(out_dir, "graph", f"centroid={c}.parquet")
+
+    def _stale(c: int, gpath: str) -> bool:
+        if not refresh:
+            return False
+        gm = os.path.getmtime(gpath)
+        return any(
+            os.path.getmtime(f) > gm
+            for d in partition_dirs(out_dir, c)
+            for f in glob.glob(os.path.join(d, "*.parquet"))
         )
-    ]
+
+    todo = []
+    for c in parts:
+        gpath = os.path.join(out_dir, "graph", f"centroid={c}.parquet")
+        if not os.path.exists(gpath):
+            todo.append({"centroid": c})
+        elif _stale(c, gpath):
+            os.remove(gpath)
+            todo.append({"centroid": c})
     if todo:
         ray.data.from_items(todo).map_batches(
             _BuildGraphTask(out_dir, vec_col, id_col, R, L_build, alpha),
@@ -310,10 +332,13 @@ def _load_partition(index_dir: str, c: int, vec_col: str, id_col: str):
     to local indices. Cached per worker keyed by (dir, centroid)."""
 
     def build():
-        part_dir = os.path.join(index_dir, "data", f"centroid={c}")
+        files = [
+            f
+            for d in partition_dirs(index_dir, c)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
         t = pa.concat_tables(
-            [pq.read_table(f, columns=[id_col, vec_col])
-             for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))]
+            [pq.read_table(f, columns=[id_col, vec_col]) for f in files]
         ).sort_by(id_col)
         g = pq.read_table(
             os.path.join(index_dir, "graph", f"centroid={c}.parquet")

@@ -388,19 +388,76 @@ def build_ivf_index(
     return cents
 
 
+def partition_dirs(index_dir: str, c: int) -> list[str]:
+    """Every directory holding centroid ``c``'s vectors: the base
+    build plus any published ``data-append-*`` batches (appends are
+    additional files per partition, never rewrites)."""
+    import glob as _glob
+
+    dirs = []
+    base = os.path.join(index_dir, "data", f"centroid={c}")
+    if os.path.isdir(base):
+        dirs.append(base)
+    dirs.extend(
+        sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(index_dir, "data-append-*", f"centroid={c}")
+            )
+            if os.path.isdir(p)
+        )
+    )
+    return dirs
+
+
+def append_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    batch_id: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> bool:
+    """Streaming ingest into an existing IVF layout: assign the new
+    vectors to the FROZEN centroids and publish them as one atomic
+    ``data-append-{batch_id}/centroid=K/`` batch (temp dir + rename).
+    Idempotent by ``batch_id`` — re-running a failed or duplicate
+    append is a no-op once the batch is published (returns False).
+    Centroids are not retrained (the IVF contract for appends: recall
+    degrades only as the data distribution drifts; retrain + rebuild
+    is the compaction analog)."""
+    import shutil
+
+    dest = os.path.join(index_dir, f"data-append-{batch_id}")
+    if os.path.isdir(dest):
+        return False
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    tmp = os.path.join(index_dir, f".tmp-append-{batch_id}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = ds.map_batches(
+        assign_centroid_batch,
+        fn_kwargs=dict(centroids=cents, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    assigned.write_parquet(tmp, partition_cols=["centroid"])
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent publisher won
+        return False
+    return True
+
+
 def probed_partition_paths(
     index_dir: str, queries: np.ndarray, nprobe: int
 ) -> tuple[np.ndarray, list[str]]:
-    """(per-query probe matrix, partition dirs the probe set touches)."""
+    """(per-query probe matrix, partition dirs the probe set touches —
+    base layout plus published append batches)."""
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     qn = _normalize(np.asarray(queries, np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
     probed = sorted(set(int(c) for c in probe.flatten()))
-    paths = [
-        p
-        for c in probed
-        if os.path.isdir(p := os.path.join(index_dir, "data", f"centroid={c}"))
-    ]
+    paths = [p for c in probed for p in partition_dirs(index_dir, c)]
     return probe, paths
 
 

@@ -2236,6 +2236,33 @@ def q_ann_graph(sf_dir: str) -> pa.Table:
     return graph_topk_indexed(g_dir, q, ids, k=10, nprobe=2, L_search=64)
 
 
+def q_ann_ivf_append(sf_dir: str) -> pa.Table:
+    """Streaming ANN ingest: build IVF over the first half of the
+    embeddings, APPEND the second half as an atomic idempotent batch
+    (ops/similarity.append_ivf_index), then full-probe search — exact
+    over the union, pinned to the same brute-force SQL oracle as
+    ann_ivf_full (proves appends lose no vectors and probing reads
+    the append batches)."""
+    from fdblucene_ray.ops.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    ids = [0, 1, 2]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    n = ds.count()
+    half = n // 2
+    base = ds.filter(expr=f"vec_id < {half}")
+    rest = ds.filter(expr=f"vec_id >= {half}")
+    ivf_dir = _index_dir(sf_dir, "ivf-append")
+    build_ivf_index(base, ivf_dir, n_centroids=16)
+    append_ivf_index(rest, ivf_dir, "b1")
+    append_ivf_index(rest, ivf_dir, "b1")  # duplicate append: no-op
+    return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
+
+
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
     reads only probed ``bucket=K/`` partitions (data-independent hash —
@@ -4208,6 +4235,7 @@ def queries() -> dict:
         "ann_graph": q_ann_graph,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
+        "ann_ivf_append": q_ann_ivf_append,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
@@ -6307,6 +6335,18 @@ SELECT query_id::BIGINT AS query_id, vec_id,
 FROM r WHERE rn <= 3
 """,
         "ann_ivf_full": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 10
+""",
+        "ann_ivf_append": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 s AS (SELECT q.query_id, e.vec_id,
              list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim_raw

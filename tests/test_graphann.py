@@ -167,3 +167,84 @@ class TestGraphIndex:
             t = set(true[true.query_id == qi].vec_id)
             recall += len(g & t) / len(t)
         assert recall / 8 >= 0.95
+
+
+class TestIvfAppend:
+    def test_append_exact_and_idempotent(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+        )
+
+        vecs = _clustered_vectors(400, seed=31)
+        ds = _ds_from(vecs)
+        base = ds.filter(expr="vec_id < 200")
+        rest = ds.filter(expr="vec_id >= 200")
+        out = str(tmp_path / "ivf")
+        build_ivf_index(base, out, n_centroids=4)
+        assert append_ivf_index(rest, out, "b1") is True
+        assert append_ivf_index(rest, out, "b1") is False  # idempotent
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(6, vecs.shape[1]))
+        qids = np.arange(6)
+        got = ivf_topk_indexed(out, q, qids, k=8, nprobe=4).to_pandas()
+        true = brute_force_topk(ds, q, qids, k=8).to_pandas()
+        for qi in range(6):
+            g = got[got.query_id == qi].vec_id.tolist()
+            t = true[true.query_id == qi].vec_id.tolist()
+            assert g == t  # full probe over base+append == exact
+
+    def test_append_reaches_appended_ids(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+        )
+
+        vecs = _clustered_vectors(300, seed=33)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "ivf2")
+        build_ivf_index(ds.filter(expr="vec_id < 150"), out, n_centroids=3)
+        append_ivf_index(ds.filter(expr="vec_id >= 150"), out, "b1")
+        # query AT an appended vector: it must be its own top hit
+        q = vecs[250:251]
+        got = ivf_topk_indexed(out, q, [0], k=1, nprobe=3).to_pandas()
+        assert got.vec_id.tolist() == [250]
+
+
+class TestGraphRefresh:
+    def test_refresh_rebuilds_only_stale_partitions(
+        self, ray_session, tmp_path
+    ):
+        import time
+
+        from fdblucene_ray.ops.similarity import append_ivf_index
+
+        vecs = _clustered_vectors(600, seed=41)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "g")
+        build_graph_index(
+            ds.filter(expr="vec_id < 400"), out, n_centroids=3,
+            R=12, L_build=24,
+        )
+        gfiles = sorted(
+            glob.glob(os.path.join(out, "graph", "*.parquet"))
+        )
+        mtimes = {f: os.path.getmtime(f) for f in gfiles}
+        time.sleep(0.05)
+        append_ivf_index(ds.filter(expr="vec_id >= 400"), out, "b1")
+        build_graph_index(
+            ds.filter(expr="vec_id < 400"), out, n_centroids=3,
+            R=12, L_build=24, refresh=True,
+        )
+        rebuilt = [
+            f for f in gfiles if os.path.getmtime(f) != mtimes[f]
+        ]
+        assert rebuilt  # appended partitions' graphs were refreshed
+        # appended vector is findable through the refreshed graphs
+        q = vecs[550:551]
+        got = graph_topk_indexed(
+            out, q, [0], k=1, nprobe=3, L_search=64
+        ).to_pandas()
+        assert got.vec_id.tolist() == [550]
