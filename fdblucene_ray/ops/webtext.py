@@ -1081,21 +1081,19 @@ def exact_dup_spans(
     into the output; see module comment for the exactness argument).
 
     Shape: hash candidate pass (same exchanges as
-    scrub_duplicated_spans) -> docs join -> literal window re-emit
-    (volume ~ actual duplication) -> byte-exact verify -> docs join ->
-    vectorized maximal-region merge. Text crosses an exchange only as
-    candidate windows."""
-    from fdblucene_ray.ops.relational import _join_partitions
-
+    scrub_duplicated_spans) -> co-partitioned docs scatter -> literal
+    window re-emit (volume ~ actual duplication) -> byte-exact verify
+    -> docs scatter -> vectorized maximal-region merge. Text crosses an
+    exchange only as candidate windows. Both corpus-side "joins" ride
+    ``_spans_scatter`` (Ray's JoinOperator raises on the sparse/EMPTY
+    build side a dup-free corpus produces — found by feeding a
+    unique-docs corpus)."""
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})
     num_parts = max(
         num_partitions, int(ray.cluster_resources().get("CPU", 8))
     )
-    # TWO chained JoinOperators in this plan: clamp each join's
-    # aggregator reservation to the cluster or a small session livelocks
-    join_parts = _join_partitions(num_partitions)
     occ = left.map_batches(
         DupSpanOccurrences(n, "text", "doc_id"),
         batch_format="pyarrow",
@@ -1107,29 +1105,15 @@ def exact_dup_spans(
         .groupby("part", num_partitions=num_parts)
         .map_groups(_dup_occurrences(min_df), batch_format="pyarrow")
     )
-    cand_spans = (
-        cand.map_batches(_part_by("doc_id", num_parts),
-                         batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part", num_partitions=num_parts)
-        .map_groups(_fold_spans, batch_format="pyarrow")
+    lit = _spans_scatter(
+        left, cand, _WindowText(n, num_parts), num_parts, inner=True
     )
-    lit = left.join(
-        cand_spans, join_type="inner",
-        num_partitions=join_parts, on=("doc_id",),
-    ).map_batches(_WindowText(n, num_parts), batch_format="pyarrow")
     verified = lit.groupby("part", num_partitions=num_parts).map_groups(
         _verify_literal(min_df), batch_format="pyarrow"
     )
-    ver_spans = (
-        verified.map_batches(_part_by("doc_id", num_parts),
-                             batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part", num_partitions=num_parts)
-        .map_groups(_fold_spans, batch_format="pyarrow")
+    out = _spans_scatter(
+        left, verified, _MaximalSpans(n), num_parts, inner=True
     )
-    out = left.join(
-        ver_spans, join_type="inner",
-        num_partitions=join_parts, on=("doc_id",),
-    ).map_batches(_MaximalSpans(n), batch_format="pyarrow")
     if id_col != "doc_id":
         out = out.rename_columns({"doc_id": id_col})
     return out

@@ -570,3 +570,28 @@ class TestExactDupSpans:
         out = _verify_literal(2)(group).to_pydict()
         # only the literal seen in two distinct docs survives
         assert sorted(zip(out["doc_id"], out["pos"])) == [(1, 0), (2, 5)]
+
+
+class TestExactDupSpansEmpty:
+    def test_dup_free_corpus_yields_zero_rows(self, ray_session):
+        """Regression: the join-based plan raised ArrowInvalid ('No
+        match for key field doc_id') when the corpus had NO duplicated
+        windows — the _spans_scatter co-partition must return an empty
+        typed result instead."""
+        from fdblucene_ray.ops.webtext import exact_dup_spans
+
+        rows = [
+            f"unique doc {i} " + " ".join(f"tok{i}_{j}" for j in range(20))
+            for i in range(40)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(range(40), pa.int64()),
+                 "text": pa.array(rows)}
+            )
+        )
+        out = exact_dup_spans(ds, n=8).to_pandas()
+        # columns are unavailable on an all-empty dataset (Ray's
+        # sort-groupby emits schemaless empty bundles); zero rows
+        # without raising is the contract here
+        assert len(out) == 0
