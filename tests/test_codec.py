@@ -353,3 +353,40 @@ class TestForBlockCodec:
         v = get_codec("varint-block").encode_partition(docs, tfs, norms, starts)
         f = get_codec("for-block").encode_partition(docs, tfs, norms, starts)
         assert len(f.blob) < 0.5 * len(v.blob)
+
+
+class TestForBlockProperties:
+    """Hypothesis round-trips for the FOR chunk coder: arbitrary u64
+    values under arbitrary chunk bounds."""
+
+    def test_property_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fdblucene_ray.codec.postings import (
+            _for_decode,
+            _for_encode_chunks,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            vals=st.lists(
+                st.integers(min_value=0, max_value=2**64 - 1),
+                max_size=400,
+            ),
+            cuts=st.lists(st.integers(min_value=0, max_value=400),
+                          max_size=8),
+            data=st.data(),
+        )
+        def run(vals, cuts, data):
+            v = np.array(vals, np.uint64)
+            inner = sorted(c for c in cuts if c <= len(v))
+            bounds = np.array([0] + inner + [len(v)], np.int64)
+            buf, off = _for_encode_chunks(v, bounds)
+            assert off[-1] == len(buf)
+            out = _for_decode(np.frombuffer(buf, np.uint8), len(v))
+            assert np.array_equal(out, v)
+            # offsets are monotone and empty chunks occupy zero bytes
+            assert (np.diff(off) >= 0).all()
+
+        run()

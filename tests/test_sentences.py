@@ -226,3 +226,24 @@ class TestScrubStage:
         out = C4SentenceScrub("text", "doc_id")(batch)
         assert out["clean_text"].to_pylist() == ["A. B."]
         assert out["n_removed"].to_pylist() == [0]
+
+
+class TestSegmentationProperties:
+    def test_property_vs_duckdb(self):
+        """Hypothesis: segmentation is byte-exact with the oracle regex
+        on arbitrary short strings over a punctuation-heavy alphabet."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = "ab .!?\n\t\r\f\x0bé…。\"'"
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.text(alphabet=alphabet, max_size=40),
+                        max_size=12))
+        def run(rows):
+            got = split_sentences(
+                pa.array(rows, pa.string())
+            ).to_pylist()
+            assert got == _oracle_sents(rows)
+
+        run()
