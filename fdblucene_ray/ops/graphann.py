@@ -329,7 +329,12 @@ def build_graph_index(
 
 def _load_partition(index_dir: str, c: int, vec_col: str, id_col: str):
     """Worker-side load of one partition's vectors + graph, remapped
-    to local indices. Cached per worker keyed by (dir, centroid)."""
+    to local indices. Cached per worker keyed by (dir, centroid,
+    graph-file mtime) — a refreshed graph (after ``append_ivf_index``
+    + ``build_graph_index(refresh=True)``) invalidates the cache
+    instead of serving stale neighbors."""
+    gpath = os.path.join(index_dir, "graph", f"centroid={c}.parquet")
+    gen = os.path.getmtime(gpath)
 
     def build():
         files = [
@@ -362,7 +367,7 @@ def _load_partition(index_dir: str, c: int, vec_col: str, id_col: str):
         medoid = int(np.searchsorted(ids, med_gid))
         return ids, vecs_n, adj, medoid
 
-    return cached_state(("graphann", index_dir, c), build)
+    return cached_state(("graphann", index_dir, c, gen), build)
 
 
 def _graph_search_batch(

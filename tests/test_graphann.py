@@ -248,3 +248,36 @@ class TestGraphRefresh:
             out, q, [0], k=1, nprobe=3, L_search=64
         ).to_pandas()
         assert got.vec_id.tolist() == [550]
+
+    def test_stale_cache_invalidated_same_session(
+        self, ray_session, tmp_path
+    ):
+        """Query BEFORE and AFTER an append+refresh in one session:
+        the per-worker partition cache must key on the graph file's
+        generation, not serve pre-refresh neighbors."""
+        import time
+
+        from fdblucene_ray.ops.similarity import append_ivf_index
+
+        vecs = _clustered_vectors(400, seed=47)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "g2")
+        build_graph_index(
+            ds.filter(expr="vec_id < 300"), out, n_centroids=2,
+            R=12, L_build=24,
+        )
+        q = vecs[350:351]
+        pre = graph_topk_indexed(
+            out, q, [0], k=1, nprobe=2, L_search=64
+        ).to_pandas()
+        assert pre.vec_id.tolist() != [350]  # not indexed yet
+        time.sleep(0.05)
+        append_ivf_index(ds.filter(expr="vec_id >= 300"), out, "b1")
+        build_graph_index(
+            ds.filter(expr="vec_id < 300"), out, n_centroids=2,
+            R=12, L_build=24, refresh=True,
+        )
+        post = graph_topk_indexed(
+            out, q, [0], k=1, nprobe=2, L_search=64
+        ).to_pandas()
+        assert post.vec_id.tolist() == [350]
