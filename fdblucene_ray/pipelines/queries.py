@@ -573,6 +573,41 @@ def q_corpus_export(sf_dir: str) -> pa.Table:
     return man.select(["shard", "n_in", "n_out"])
 
 
+def q_warc_index(sf_dir: str) -> pa.Table:
+    """End-to-end Common-Crawl ingest: WARC container -> resumable
+    per-file parquet conversion (extract + lang-ID run exactly once,
+    sources/warc.warc_to_parquet) -> flagship webpages index -> BM25
+    WAND top-10 with url hydration. Rows-only; tests/test_warc.py
+    holds the search-identity oracle against an index built from the
+    canonical parquet twin of the same rows."""
+    from fdblucene_ray.pipelines.flagship import build_webpages_index
+    from fdblucene_ray.sources.warc import synth_warc_files, warc_to_parquet
+
+    root = os.path.join(CACHE_ROOT, "warc-index")
+    warcs = synth_warc_files(
+        os.path.join(root, "warc"), 500, rows_per_file=125,
+        gzip_per_record=True,
+    )
+    shards = warc_to_parquet(warcs, os.path.join(root, "parquet"))
+    ix = os.path.join(root, "ix")
+    build_webpages_index(shards, ix, num_partitions=8)
+    s = Searcher(ix)
+    # term7 is mid-frequency in the Zipf-ish webpages vocabulary
+    hits = s.search_terms(["term7"], 10, mode="wand")
+    from fdblucene_ray.index.build import hydrate
+
+    t = hydrate(ix, [d for d, _ in hits])
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+    return pa.table(
+        {
+            "url": pa.array([by_id[d] for d, _ in hits], pa.string()),
+            "score": pa.array(
+                [round(sc, 4) for _, sc in hits], pa.float64()
+            ),
+        }
+    )
+
+
 def q_corpus_report(sf_dir: str) -> pa.Table:
     """Corpus card: docs/tokens/chars/per-lang/avg tokens in one
     streaming pass of summable partials (ops/textstats.corpus_report)."""
@@ -4345,6 +4380,7 @@ def queries() -> dict:
         "sq8_codes": q_sq8_codes,
         "lm_score_bigram": q_lm_score_bigram,
         "warc_extract": q_warc_extract,
+        "warc_index": q_warc_index,
         "jsonl_ingest": q_jsonl_ingest,
         "ascii_fold": q_ascii_fold,
         "auto_stopwords": q_auto_stopwords,

@@ -198,3 +198,72 @@ def read_warc(paths: list[str] | str) -> ray.data.Dataset:
     return ray.data.read_binary_files(paths).map_batches(
         parse, batch_format="pyarrow"
     )
+
+
+class _WarcToParquetTask:
+    """One WARC file per call: parse records, extract text from html
+    (the expensive decode runs exactly once), language-ID the text, and
+    publish an input_hint-shaped parquet shard (url, warc_ts, html,
+    text, lang) via temp + atomic rename. Existing shards are skipped
+    unread — a failed conversion re-does only missing files."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from fdblucene_ray.ops.textstats import LangId
+        from fdblucene_ray.sources.webpages import extract_text_batch
+
+        done, rows = [], []
+        for p in batch["path"].to_pylist():
+            name = os.path.splitext(os.path.basename(p))[0]
+            if name.endswith(".warc"):
+                name = name[: -len(".warc")]
+            dest = os.path.join(self.out_dir, f"{name}.parquet")
+            if os.path.exists(dest):
+                done.append(dest)
+                rows.append(pq.read_metadata(dest).num_rows)
+                continue
+            with open(p, "rb") as fh:
+                t = parse_warc_bytes(fh.read())
+            t = extract_text_batch(t)
+            lang = LangId("text_extracted", "url")(t)["pred_lang"]
+            out = pa.table(
+                {
+                    "url": t["url"],
+                    "warc_ts": t["warc_ts"],
+                    "html": t["html"],
+                    "text": t["text_extracted"],
+                    "lang": lang,
+                }
+            )
+            tmp = dest + f".tmp-{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, dest)
+            done.append(dest)
+            rows.append(out.num_rows)
+        return pa.table(
+            {"path": pa.array(done, pa.string()),
+             "rows": pa.array(rows, pa.int64())}
+        )
+
+
+def warc_to_parquet(paths: list[str] | str, out_dir: str) -> list[str]:
+    """Convert WARC files to the input_hint parquet layout (one shard
+    per WARC file, resumable, one task per file — node-local reads on
+    a real cluster). Returns the shard paths in input order."""
+    if isinstance(paths, str):
+        paths = [paths]
+    os.makedirs(out_dir, exist_ok=True)
+    todo = [{"path": p} for p in paths]
+    out = (
+        ray.data.from_items(todo)
+        .map_batches(
+            _WarcToParquetTask(out_dir), batch_size=1,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return sorted(out["path"].tolist())
