@@ -615,18 +615,69 @@ def build_lsh_index(
     return planes
 
 
+def append_lsh_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    batch_id: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> bool:
+    """Streaming ingest into a sign-LSH layout: the hash is
+    data-independent (stored planes), so appends never drift — bucket
+    the new vectors with the SAME planes and publish one atomic
+    idempotent ``data-append-{batch_id}`` batch (same contract as
+    ``append_ivf_index``)."""
+    import shutil
+
+    dest = os.path.join(index_dir, f"data-append-{batch_id}")
+    if os.path.isdir(dest):
+        return False
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    tmp = os.path.join(index_dir, f".tmp-append-{batch_id}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = ds.map_batches(
+        assign_lsh_bucket_batch,
+        fn_kwargs=dict(planes=planes, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    assigned.write_parquet(tmp, partition_cols=["bucket"])
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    return True
+
+
+def _bucket_dirs(index_dir: str, c: int) -> list[str]:
+    import glob as _glob
+
+    dirs = []
+    base = os.path.join(index_dir, "data", f"bucket={c}")
+    if os.path.isdir(base):
+        dirs.append(base)
+    dirs.extend(
+        sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(index_dir, "data-append-*", f"bucket={c}")
+            )
+            if os.path.isdir(p)
+        )
+    )
+    return dirs
+
+
 def lsh_probe_paths(
     index_dir: str, queries: np.ndarray, nprobe: int
 ) -> tuple[np.ndarray, list[str]]:
-    """(per-query probe matrix, bucket dirs the probe set touches)."""
+    """(per-query probe matrix, bucket dirs the probe set touches —
+    base layout plus published append batches)."""
     planes = np.load(os.path.join(index_dir, "planes.npy"))
     probe = multiprobe_buckets(queries, planes, nprobe)
     probed = sorted(set(int(c) for c in probe.flatten()))
-    paths = [
-        p
-        for c in probed
-        if os.path.isdir(p := os.path.join(index_dir, "data", f"bucket={c}"))
-    ]
+    paths = [p for c in probed for p in _bucket_dirs(index_dir, c)]
     return probe, paths
 
 

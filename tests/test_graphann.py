@@ -281,3 +281,33 @@ class TestGraphRefresh:
             out, q, [0], k=1, nprobe=2, L_search=64
         ).to_pandas()
         assert post.vec_id.tolist() == [350]
+
+
+class TestLshAppend:
+    def test_append_exact_full_probe(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.similarity import (
+            append_lsh_index,
+            build_lsh_index,
+            lsh_topk_indexed,
+        )
+
+        vecs = _clustered_vectors(300, seed=51)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "lsh")
+        build_lsh_index(ds.filter(expr="vec_id < 150"), out, n_bits=5)
+        assert append_lsh_index(
+            ds.filter(expr="vec_id >= 150"), out, "b1"
+        ) is True
+        assert append_lsh_index(
+            ds.filter(expr="vec_id >= 150"), out, "b1"
+        ) is False
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(5, vecs.shape[1]))
+        qids = np.arange(5)
+        got = lsh_topk_indexed(out, q, qids, k=8, nprobe=32).to_pandas()
+        true = brute_force_topk(ds, q, qids, k=8).to_pandas()
+        for qi in range(5):
+            assert (
+                got[got.query_id == qi].vec_id.tolist()
+                == true[true.query_id == qi].vec_id.tolist()
+            )
