@@ -1481,3 +1481,82 @@ def hard_negatives(
 
     cand = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(cand.to_pandas(), k)
+
+
+# ------------------------------------------------- late interaction
+#
+# ColBERT-style MaxSim scoring (Khattab & Zaharia, SIGIR'20): a doc is
+# a BAG of token vectors; score(doc, query) = sum over query tokens of
+# the max cosine against any doc vector. The distributed shape is
+# combiner-first: each batch reduces its rows to one per-(doc, qtoken)
+# partial max (np.maximum.reduceat over the doc runs), a groupby(doc)
+# Max-folds the partials, and only |docs| x Q floats ever shuffle —
+# the token vectors themselves never leave their batch.
+
+
+def maxsim_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Late-interaction top-k over a (doc_col, vec_col) multi-vector
+    dataset: per-batch partial maxima -> groupby(doc).Max fold ->
+    row-local sum -> distributed sort().limit(k). Returns
+    (doc, score) with score = sum_j max_v cos(v, q_j), rounded 5dp."""
+    from ray.data.aggregate import Max
+
+    qn_T = _normalize(np.asarray(queries, np.float64)).T
+    Q = qn_T.shape[1]
+    mcols = [f"m{j}" for j in range(Q)]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        docs = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_stack(batch[vec_col]))
+        sims = m @ qn_T  # (n, Q)
+        order = np.argsort(docs, kind="stable")
+        d_s, s_s = docs[order], sims[order]
+        heads = np.empty(len(d_s), bool)
+        if len(d_s):
+            heads[0] = True
+            heads[1:] = d_s[1:] != d_s[:-1]
+            starts = np.flatnonzero(heads)
+            mx = np.maximum.reduceat(s_s, starts, axis=0)
+            uniq = d_s[starts]
+        else:
+            mx = np.empty((0, Q))
+            uniq = np.empty(0, np.int64)
+        return pa.table(
+            {doc_col: pa.array(uniq),
+             **{c: pa.array(mx[:, j]) for j, c in enumerate(mcols)}}
+        )
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(doc_col)
+        .aggregate(*[Max(c, alias_name=c) for c in mcols])
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = np.zeros(batch.num_rows, np.float64)
+        for c in mcols:
+            s += batch[c].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {doc_col: batch[doc_col], "score": pa.array(s)}
+        )
+
+    top = (
+        folded.map_batches(score, batch_format="pyarrow")
+        .sort(["score", doc_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            doc_col: pa.array(top[doc_col].to_numpy(np.int64)),
+            "score": pa.array(_rha(top["score"].to_numpy(np.float64), 5)),
+        }
+    )

@@ -2298,6 +2298,29 @@ def q_ann_ivf_append(sf_dir: str) -> pa.Table:
     return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
 
 
+def q_ann_maxsim(sf_dir: str) -> pa.Table:
+    """ColBERT-style late interaction (Khattab & Zaharia SIGIR'20):
+    docs are BAGS of token vectors (vec_id // 4 groups the embeddings
+    table into multi-vector docs), score = sum over query tokens of
+    the max cosine against any doc vector. Combiner-first: per-batch
+    partial maxima -> groupby(doc).Max -> distributed sort().limit
+    (ops/similarity.maxsim_topk); only |docs| x Q floats shuffle."""
+    from fdblucene_ray.ops.similarity import maxsim_topk
+
+    q = _query_vectors(sf_dir, [0, 1, 2, 3])
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def add_doc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        # integer divide truncates == floor for the non-negative ids
+        return t.append_column(
+            "doc", pc_.cast(pc_.divide(t["vec_id"], 4), pa.int64())
+        )
+
+    return maxsim_topk(ds.map_batches(add_doc, batch_format="pyarrow"), q, k=10)
+
+
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
     reads only probed ``bucket=K/`` partitions (data-independent hash —
@@ -4271,6 +4294,7 @@ def queries() -> dict:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_append": q_ann_ivf_append,
+        "ann_maxsim": q_ann_maxsim,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
@@ -6393,6 +6417,17 @@ r AS (SELECT query_id, vec_id, sim_raw,
 SELECT query_id::BIGINT AS query_id, vec_id,
        CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
 FROM r WHERE rn <= 10
+""",
+        "ann_maxsim": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+d AS (SELECT vec_id // 4 AS doc, embedding AS ev FROM embeddings),
+m AS (SELECT d.doc, q.qid,
+             max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
+      FROM d CROSS JOIN q GROUP BY d.doc, q.qid),
+s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
+r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
+SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score
+FROM r WHERE rn <= 10 ORDER BY rn
 """,
         "ann_lsh_full": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

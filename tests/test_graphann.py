@@ -311,3 +311,46 @@ class TestLshAppend:
                 got[got.query_id == qi].vec_id.tolist()
                 == true[true.query_id == qi].vec_id.tolist()
             )
+
+
+class TestMaxSim:
+    def test_matches_dense_numpy(self, ray_session):
+        """maxsim_topk == brute-force numpy late interaction on random
+        multi-vector docs (uneven bag sizes, batch-layout independent)."""
+        from fdblucene_ray.ops.hashing import round_half_away
+        from fdblucene_ray.ops.similarity import _normalize, maxsim_topk
+
+        rng = np.random.default_rng(61)
+        n_docs, dim = 40, 12
+        sizes = rng.integers(1, 6, n_docs)
+        docs = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+        vecs = rng.normal(size=(len(docs), dim))
+        q = rng.normal(size=(3, dim))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc": pa.array(docs),
+                    "embedding": pa.array(
+                        [v.astype(np.float32) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(5)  # force docs to split across blocks
+        got = maxsim_topk(ds, q, k=10).to_pandas()
+
+        # compare against what the engine actually stored (float32 in
+        # the Arrow column), not the pre-cast float64 — a 1e-7 gap
+        # could flip the 5-dp rounding at a boundary
+        vn = _normalize(vecs.astype(np.float32).astype(np.float64))
+        qn = _normalize(q.astype(np.float64))
+        sims = vn @ qn.T  # (n_vecs, 3)
+        want = np.zeros(n_docs)
+        for d in range(n_docs):
+            want[d] = sims[docs == d].max(axis=0).sum()
+        order = np.lexsort((np.arange(n_docs), -want))[:10]
+        assert got["doc"].tolist() == order.tolist()
+        assert np.allclose(
+            got["score"].to_numpy(),
+            round_half_away(want[order], 5),
+        )
