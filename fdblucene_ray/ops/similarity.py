@@ -1560,3 +1560,57 @@ def maxsim_topk(
             "score": pa.array(_rha(top["score"].to_numpy(np.float64), 5)),
         }
     )
+
+
+def tune_nprobe(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    target_recall: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Pick the smallest ``nprobe`` whose sampled recall@k meets
+    ``target_recall`` — the knob a 100-TB operator actually tunes.
+    Ground truth is ONE full-probe (exact) pass over the sample
+    queries; candidate nprobe values double from 1 to n_centroids.
+    Returns (nprobe, recall, meets_target) for every level tried, so
+    the recall curve is auditable (no silent pick)."""
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_c = len(cents)
+    qids = np.arange(len(queries))
+    truth = ivf_topk_indexed(
+        index_dir, queries, qids, k=k, nprobe=n_c,
+        vec_col=vec_col, id_col=id_col,
+    ).to_pandas()
+    true_sets = {
+        int(q): set(g["vec_id"]) for q, g in truth.groupby("query_id")
+    }
+    levels = []
+    p = 1
+    while p < n_c:
+        levels.append(p)
+        p *= 2
+    levels.append(n_c)
+    rows = []
+    for nprobe in levels:
+        got = ivf_topk_indexed(
+            index_dir, queries, qids, k=k, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col,
+        ).to_pandas()
+        rec = 0.0
+        for q, t in true_sets.items():
+            g = set(got[got.query_id == q]["vec_id"])
+            rec += len(g & t) / max(len(t), 1)
+        rec /= max(len(true_sets), 1)
+        rows.append((nprobe, round(rec, 6), rec >= target_recall))
+        if rec >= target_recall:
+            break
+    return pa.table(
+        {
+            "nprobe": pa.array([r[0] for r in rows], pa.int64()),
+            "recall": pa.array([r[1] for r in rows], pa.float64()),
+            "meets_target": pa.array([r[2] for r in rows]),
+        }
+    )

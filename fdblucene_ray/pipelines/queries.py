@@ -2298,6 +2298,22 @@ def q_ann_ivf_append(sf_dir: str) -> pa.Table:
     return ivf_topk_indexed(ivf_dir, q, ids, k=10, nprobe=16)
 
 
+def q_ann_tune(sf_dir: str) -> pa.Table:
+    """IVF nprobe auto-tune: walk doubling probe widths until sampled
+    recall@10 vs the full-probe ground truth meets 0.9; returns the
+    auditable recall curve (ops/similarity.tune_nprobe). Rows-only
+    (probing isn't SQL-expressible); pytest holds the monotone-recall
+    and exact-at-full-probe oracles."""
+    from fdblucene_ray.ops.similarity import build_ivf_index, tune_nprobe
+
+    ids = [0, 1, 2, 3, 4, 5]
+    q = _query_vectors(sf_dir, ids)
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ivf_dir = _index_dir(sf_dir, "ivf")
+    build_ivf_index(ds, ivf_dir, n_centroids=16)
+    return tune_nprobe(ivf_dir, q, k=10, target_recall=0.9)
+
+
 def q_ann_maxsim(sf_dir: str) -> pa.Table:
     """ColBERT-style late interaction (Khattab & Zaharia SIGIR'20):
     docs are BAGS of token vectors (vec_id // 4 groups the embeddings
@@ -4295,6 +4311,7 @@ def queries() -> dict:
         "ann_ivf_full": q_ann_ivf_full,
         "ann_ivf_append": q_ann_ivf_append,
         "ann_maxsim": q_ann_maxsim,
+        "ann_tune": q_ann_tune,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,

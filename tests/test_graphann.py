@@ -354,3 +354,27 @@ class TestMaxSim:
             got["score"].to_numpy(),
             round_half_away(want[order], 5),
         )
+
+
+class TestTuneNprobe:
+    def test_monotone_and_exact_at_full(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.similarity import (
+            build_ivf_index,
+            tune_nprobe,
+        )
+
+        vecs = _clustered_vectors(500, seed=71)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "ivf")
+        build_ivf_index(ds, out, n_centroids=8)
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(8, vecs.shape[1]))
+        # impossible target forces the full curve to n_centroids
+        t = tune_nprobe(out, q, k=5, target_recall=1.01).to_pandas()
+        assert t["nprobe"].tolist() == [1, 2, 4, 8]
+        rec = t["recall"].to_numpy()
+        assert (np.diff(rec) >= -1e-9).all()  # recall never drops
+        assert rec[-1] == 1.0  # full probe == ground truth
+        # a reachable target stops the walk early
+        t2 = tune_nprobe(out, q, k=5, target_recall=rec[0]).to_pandas()
+        assert len(t2) == 1 and bool(t2["meets_target"][0])
