@@ -289,15 +289,15 @@ def run_scaling(rows: int, lo: int = 4, hi: int = 16) -> None:
             for a, b in zip(levels, levels[1:])
         },
     }
-    # headline: the N->4N pair measured where the host CAN emulate
-    # independent nodes (hw ceiling ~1.0)
-    pairs = list(zip(levels, levels[1:]))
-    within = [
-        (a, b) for a, b in pairs if pure[b] / pure[a] >= 0.95
-    ] or pairs[:1]
-    a, b = within[-1]
+    # headline: the requested lo -> hi pair — the rule's N -> 4N (the
+    # intermediate lo/2 leg and the pure-compute hw-ceiling keys stay
+    # in the record as context for degraded-host windows)
+    a, b = levels[-2], levels[-1]
     result["scaling_pair"] = f"{a}->{b}"
     result["scaling_efficiency"] = eff(a, b)
+    result["scaling_efficiency_vs_hw"] = round(
+        eff(a, b) / (pure[b] / pure[a]), 3
+    )
     print(json.dumps(result))
 
 
