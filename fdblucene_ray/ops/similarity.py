@@ -1614,3 +1614,73 @@ def tune_nprobe(
             "meets_target": pa.array([r[2] for r in rows]),
         }
     )
+
+
+def maxsim_rerank(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    n_candidates: int = 50,
+    k: int = 10,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Two-stage late-interaction serving (the standard ColBERT
+    deployment shape): stage 1 ranks docs by a CHEAP proxy — the best
+    single-vector cosine against the mean query vector — and keeps
+    ``n_candidates``; stage 2 reruns exact MaxSim over only those docs
+    (broadcast id-set filter, no shuffle) and returns the top ``k``.
+    Both stages are deterministic and SQL-expressible, so the whole
+    composition is oracle-checkable."""
+    from ray.data.aggregate import Max
+
+    qn = _normalize(np.asarray(queries, np.float64))
+    mean_q = _normalize(qn.mean(axis=0, keepdims=True))[0]
+
+    def proxy(batch: pa.Table) -> pa.Table:
+        docs = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_stack(batch[vec_col]))
+        s = m @ mean_q
+        order = np.argsort(docs, kind="stable")
+        d_s, s_s = docs[order], s[order]
+        if len(d_s):
+            heads = np.empty(len(d_s), bool)
+            heads[0] = True
+            heads[1:] = d_s[1:] != d_s[:-1]
+            starts = np.flatnonzero(heads)
+            mx = np.maximum.reduceat(s_s, starts)
+            uniq = d_s[starts]
+        else:
+            mx = np.empty(0, np.float64)
+            uniq = np.empty(0, np.int64)
+        return pa.table(
+            {doc_col: pa.array(uniq), "proxy": pa.array(mx)}
+        )
+
+    cand = (
+        ds.map_batches(proxy, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(doc_col)
+        .aggregate(Max("proxy", alias_name="proxy"))
+        .sort(["proxy", doc_col], descending=[True, False])
+        .limit(n_candidates)
+        .to_pandas()
+    )
+    allowed = np.sort(cand[doc_col].to_numpy(np.int64))
+    allowed_ref = ray.put(allowed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        al = cached_state(
+            ("maxsim_cand", allowed_ref.hex()), lambda: ray.get(allowed_ref)
+        )
+        d = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(al, d)
+        pos[pos == len(al)] = 0
+        hit = (al[pos] == d) if len(al) else np.zeros(len(d), bool)
+        return batch.filter(pa.array(hit))
+
+    return maxsim_topk(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        queries, k=k, doc_col=doc_col, vec_col=vec_col,
+    )

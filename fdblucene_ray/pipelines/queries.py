@@ -2337,6 +2337,30 @@ def q_ann_maxsim(sf_dir: str) -> pa.Table:
     return maxsim_topk(ds.map_batches(add_doc, batch_format="pyarrow"), q, k=10)
 
 
+def q_ann_maxsim_rerank(sf_dir: str) -> pa.Table:
+    """Two-stage ColBERT serving: cheap proxy (best single-vector
+    cosine vs the MEAN query vector) keeps 50 candidate docs, exact
+    MaxSim reranks only those (broadcast id filter — no shuffle in
+    stage 2); both stages SQL-replayed end-to-end
+    (ops/similarity.maxsim_rerank)."""
+    from fdblucene_ray.ops.similarity import maxsim_rerank
+
+    q = _query_vectors(sf_dir, [0, 1, 2, 3])
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def add_doc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.append_column(
+            "doc", pc_.cast(pc_.divide(t["vec_id"], 4), pa.int64())
+        )
+
+    return maxsim_rerank(
+        ds.map_batches(add_doc, batch_format="pyarrow"), q,
+        n_candidates=50, k=10,
+    )
+
+
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
     reads only probed ``bucket=K/`` partitions (data-independent hash —
@@ -4312,6 +4336,7 @@ def queries() -> dict:
         "ann_ivf_append": q_ann_ivf_append,
         "ann_maxsim": q_ann_maxsim,
         "ann_tune": q_ann_tune,
+        "ann_maxsim_rerank": q_ann_maxsim_rerank,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
@@ -6441,6 +6466,25 @@ d AS (SELECT vec_id // 4 AS doc, embedding AS ev FROM embeddings),
 m AS (SELECT d.doc, q.qid,
              max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
       FROM d CROSS JOIN q GROUP BY d.doc, q.qid),
+s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
+r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
+SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score
+FROM r WHERE rn <= 10 ORDER BY rn
+""",
+        "ann_maxsim_rerank": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+qx AS (SELECT qid, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q),
+qn AS (SELECT qid, i, x / sqrt(sum(x * x) OVER (PARTITION BY qid)) AS xn FROM qx),
+mq AS (SELECT list(s ORDER BY i) AS mv
+       FROM (SELECT i, sum(xn)::DOUBLE AS s FROM qn GROUP BY i)),
+d AS (SELECT vec_id // 4 AS doc, embedding AS ev FROM embeddings),
+p AS (SELECT d.doc, max(list_cosine_similarity(d.ev::DOUBLE[], mq.mv)) AS proxy
+      FROM d CROSS JOIN mq GROUP BY d.doc),
+cand AS (SELECT doc FROM p ORDER BY proxy DESC, doc LIMIT 50),
+m AS (SELECT d.doc, q.qid,
+             max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
+      FROM d JOIN cand ON cand.doc = d.doc CROSS JOIN q
+      GROUP BY d.doc, q.qid),
 s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
 r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
 SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score

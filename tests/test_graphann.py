@@ -378,3 +378,30 @@ class TestTuneNprobe:
         # a reachable target stops the walk early
         t2 = tune_nprobe(out, q, k=5, target_recall=rec[0]).to_pandas()
         assert len(t2) == 1 and bool(t2["meets_target"][0])
+
+class TestMaxSimRerank:
+    def test_rerank_subset_of_maxsim_when_candidates_cover(
+        self, ray_session
+    ):
+        """With n_candidates >= n_docs the two-stage result equals the
+        one-stage exact MaxSim (the proxy stage only prunes)."""
+        from fdblucene_ray.ops.similarity import maxsim_rerank, maxsim_topk
+
+        rng = np.random.default_rng(81)
+        n_docs, dim = 30, 10
+        sizes = rng.integers(1, 5, n_docs)
+        docs = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+        vecs = rng.normal(size=(len(docs), dim))
+        q = rng.normal(size=(3, dim))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {"doc": pa.array(docs),
+                 "embedding": pa.array(
+                     [v.astype(np.float32) for v in vecs],
+                     pa.list_(pa.float32()))}
+            )
+        )
+        full = maxsim_topk(ds, q, k=10).to_pandas()
+        two = maxsim_rerank(ds, q, n_candidates=n_docs, k=10).to_pandas()
+        assert full["doc"].tolist() == two["doc"].tolist()
+        assert np.allclose(full["score"], two["score"])
