@@ -271,8 +271,83 @@ class Index:
         return self.refresh()
 
 
+
+
+class VectorIndex:
+    """Facade over the ANN index family (ops/similarity.py +
+    ops/graphann.py): one persistent centroid- or bucket-partitioned
+    layout, streaming appends, and every query path — IVF probe,
+    Vamana graph beam search, exact brute force, nprobe auto-tune.
+
+    >>> vi = VectorIndex.build_ivf(ds, "/idx", n_centroids=64)
+    >>> vi.append(new_ds, batch_id="2026-08-20")
+    >>> vi.topk(queries, qids, k=10, nprobe=4)
+    """
+
+    def __init__(self, index_dir: str, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.index_dir = index_dir
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def _kw(self):
+        return dict(vec_col=self.vec_col, id_col=self.id_col)
+
+    @classmethod
+    def build_ivf(cls, ds, index_dir: str, **kw) -> "VectorIndex":
+        from fdblucene_ray.ops.similarity import build_ivf_index
+
+        cols = {k: kw.pop(k) for k in ("vec_col", "id_col") if k in kw}
+        build_ivf_index(ds, index_dir, **cols, **kw)
+        return cls(index_dir, **cols)
+
+    @classmethod
+    def build_graph(cls, ds, index_dir: str, **kw) -> "VectorIndex":
+        from fdblucene_ray.ops.graphann import build_graph_index
+
+        cols = {k: kw.pop(k) for k in ("vec_col", "id_col") if k in kw}
+        build_graph_index(ds, index_dir, **cols, **kw)
+        return cls(index_dir, **cols)
+
+    def append(self, ds, batch_id: str) -> bool:
+        from fdblucene_ray.ops.similarity import append_ivf_index
+
+        return append_ivf_index(ds, self.index_dir, batch_id, **self._kw())
+
+    def refresh_graphs(self, ds, **kw) -> None:
+        from fdblucene_ray.ops.graphann import build_graph_index
+
+        build_graph_index(ds, self.index_dir, refresh=True,
+                          **self._kw(), **kw)
+
+    def topk(self, queries, query_ids, k: int = 10, *, nprobe: int = 4):
+        from fdblucene_ray.ops.similarity import ivf_topk_indexed
+
+        return ivf_topk_indexed(
+            self.index_dir, queries, query_ids, k=k, nprobe=nprobe,
+            **self._kw(),
+        )
+
+    def graph_topk(self, queries, query_ids, k: int = 10, *,
+                   nprobe: int = 2, L_search: int = 48):
+        from fdblucene_ray.ops.graphann import graph_topk_indexed
+
+        return graph_topk_indexed(
+            self.index_dir, queries, query_ids, k=k, nprobe=nprobe,
+            L_search=L_search, **self._kw(),
+        )
+
+    def tune(self, queries, *, k: int = 10, target_recall: float = 0.95):
+        from fdblucene_ray.ops.similarity import tune_nprobe
+
+        return tune_nprobe(
+            self.index_dir, queries, k=k, target_recall=target_recall,
+            **self._kw(),
+        )
+
+
 __all__ = [
     "Index",
+    "VectorIndex",
     "Catalog",
     "build_index",
     "build_sharded",

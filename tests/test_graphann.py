@@ -405,3 +405,29 @@ class TestMaxSimRerank:
         two = maxsim_rerank(ds, q, n_candidates=n_docs, k=10).to_pandas()
         assert full["doc"].tolist() == two["doc"].tolist()
         assert np.allclose(full["score"], two["score"])
+
+
+class TestVectorIndexFacade:
+    def test_build_append_query_tune(self, ray_session, tmp_path):
+        from fdblucene_ray.api import VectorIndex
+
+        vecs = _clustered_vectors(400, seed=91)
+        ds = _ds_from(vecs)
+        vi = VectorIndex.build_graph(
+            ds.filter(expr="vec_id < 300"), str(tmp_path / "vi"),
+            n_centroids=3, R=12, L_build=24,
+        )
+        assert vi.append(ds.filter(expr="vec_id >= 300"), "b1") is True
+        vi.refresh_graphs(
+            ds.filter(expr="vec_id < 300"), n_centroids=3, R=12,
+            L_build=24,
+        )
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(4, vecs.shape[1]))
+        ivf = vi.topk(q, np.arange(4), k=5, nprobe=3).to_pandas()
+        true = brute_force_topk(ds, q, np.arange(4), k=5).to_pandas()
+        assert ivf.vec_id.tolist() == true.vec_id.tolist()  # full probe
+        g = vi.graph_topk(q, np.arange(4), k=5, nprobe=3, L_search=64)
+        assert g.num_rows == 20
+        t = vi.tune(q, k=5, target_recall=1.01).to_pandas()
+        assert t["recall"].iloc[-1] == 1.0
