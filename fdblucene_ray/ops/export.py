@@ -106,13 +106,23 @@ class _ExportShard:
             pq.write_table(out, os.path.join(tmp, "data.parquet"))
             with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
                 json.dump({"n_in": n_in, "n_out": out.num_rows}, fh)
+            resumed = False
             if os.path.isdir(sdir):  # racing writer finished first
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+                resumed = True
             else:
-                os.rename(tmp, sdir)
-            out_rows.append((shard, n_in, out.num_rows, False))
+                try:
+                    os.rename(tmp, sdir)
+                except OSError:
+                    # TOCTOU: a racing writer renamed between our
+                    # isdir check and the rename — they won.
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    resumed = True
+            out_rows.append((shard, n_in, out.num_rows, resumed))
         return pa.table(
             {
                 "shard": pa.array([r[0] for r in out_rows], pa.int64()),

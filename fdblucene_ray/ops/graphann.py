@@ -351,7 +351,6 @@ def _load_partition(index_dir: str, c: int, vec_col: str, id_col: str):
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vecs_n = _normalize(_stack(t[vec_col]))
         gids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(gids)
         nbrs = g["neighbors"].combine_chunks()
         offs = nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -359,9 +358,13 @@ def _load_partition(index_dir: str, c: int, vec_col: str, id_col: str):
         flat_local = np.searchsorted(ids, flat)
         R = int((offs[1:] - offs[:-1]).max()) if len(gids) else 1
         adj = np.full((len(ids), max(R, 1)), -1, np.int64)
-        for k, gi in enumerate(order):
+        # Place each graph node's edge list at the node's TRUE local
+        # row (ids may include appended vectors not yet in the graph —
+        # the lazy-refresh window after append_ivf_index — so the k-th
+        # smallest graph id is NOT necessarily local row k).
+        for gi in range(len(gids)):
             row = flat_local[offs[gi] : offs[gi + 1]]
-            adj[k, : len(row)] = row
+            adj[np.searchsorted(ids, gids[gi]), : len(row)] = row
         med_mask = g["is_medoid"].to_numpy(zero_copy_only=False)
         med_gid = gids[med_mask][0] if med_mask.any() else gids[0]
         medoid = int(np.searchsorted(ids, med_gid))

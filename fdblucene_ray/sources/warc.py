@@ -258,12 +258,24 @@ def warc_to_parquet(paths: list[str] | str, out_dir: str) -> list[str]:
         paths = [paths]
     os.makedirs(out_dir, exist_ok=True)
     todo = [{"path": p} for p in paths]
-    out = (
+    produced = set(
         ray.data.from_items(todo)
         .map_batches(
             _WarcToParquetTask(out_dir), batch_size=1,
             batch_format="pyarrow",
         )
-        .to_pandas()
+        .to_pandas()["path"].tolist()
     )
-    return sorted(out["path"].tolist())
+    # Preserve INPUT order: dest names derive deterministically from the
+    # input basenames, so map each input to its shard rather than
+    # lexicographically sorting (file10 must not precede file2 — doc-id
+    # assignment downstream follows this list's order).
+    ordered = []
+    for p in paths:
+        name = os.path.splitext(os.path.basename(p))[0]
+        if name.endswith(".warc"):
+            name = name[: -len(".warc")]
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        assert dest in produced, dest
+        ordered.append(dest)
+    return ordered

@@ -249,6 +249,49 @@ class TestGraphRefresh:
         ).to_pandas()
         assert got.vec_id.tolist() == [550]
 
+    def test_lazy_refresh_window_keeps_base_graph_aligned(
+        self, ray_session, tmp_path
+    ):
+        """Query DURING the documented lazy-refresh window (after
+        append_ivf_index, before build_graph_index(refresh=True)):
+        appended vectors sit in the partition data but not in the
+        graph, so each graph node's edge list must be placed at the
+        node's TRUE local row, not the k-th smallest graph id's row —
+        otherwise edges attach to appended vectors and base search
+        dead-ends (ADVICE r4 medium)."""
+        import time
+
+        from fdblucene_ray.ops.similarity import append_ivf_index
+
+        vecs = _clustered_vectors(400, seed=59)
+        ds = _ds_from(vecs)
+        out = str(tmp_path / "g3")
+        build_graph_index(
+            ds.filter(expr="vec_id >= 100"), out, n_centroids=2,
+            R=12, L_build=24,
+        )
+        base_ids = set(range(100, 400))
+        time.sleep(0.05)
+        # appended ids (0..99) sort BELOW every graph id — the
+        # misalignment trigger. NO query before the append: the first
+        # _load_partition for this index must happen in-window (the
+        # worker cache keys on graph mtime and would otherwise serve
+        # the aligned pre-append load, masking the bug).
+        append_ivf_index(ds.filter(expr="vec_id < 100"), out, "b1")
+        probe_ids = list(range(150, 350, 20))
+        q = vecs[probe_ids]
+        mid = graph_topk_indexed(
+            out, q, np.arange(len(probe_ids)), k=5, nprobe=2,
+            L_search=96,
+        ).to_pandas()
+        # in-window search walks the base graph faithfully: each base
+        # vector finds itself, full k per query, base ids only
+        for qi, pid in enumerate(probe_ids):
+            got = mid[mid.query_id == qi].vec_id.tolist()
+            assert got[0] == pid
+            assert len(got) == 5
+            assert set(got) <= base_ids
+
     def test_stale_cache_invalidated_same_session(
         self, ray_session, tmp_path
     ):
