@@ -344,6 +344,20 @@ class VectorIndex:
             **self._kw(),
         )
 
+    def maxsim_topk(self, ds, queries, *, k: int = 10,
+                    nprobe: int = 4, per_token: int = 50,
+                    doc_col: str = "doc"):
+        """Indexed late-interaction serving (PLAID shape) over an IVF
+        layout built from the EXPLODED multi-vector table (doc column
+        carried through): per-query-token probes generate candidates,
+        exact MaxSim reranks them (ops/similarity.maxsim_rerank_indexed)."""
+        from fdblucene_ray.ops.similarity import maxsim_rerank_indexed
+
+        return maxsim_rerank_indexed(
+            ds, self.index_dir, queries, k=k, nprobe=nprobe,
+            per_token=per_token, doc_col=doc_col, vec_col=self.vec_col,
+        )
+
 
 __all__ = [
     "Index",

@@ -1665,7 +1665,21 @@ def maxsim_rerank(
         .limit(n_candidates)
         .to_pandas()
     )
-    allowed = np.sort(cand[doc_col].to_numpy(np.int64))
+    allowed = cand[doc_col].to_numpy(np.int64)
+    return maxsim_topk(
+        _filter_docs_broadcast(ds, allowed, doc_col),
+        queries, k=k, doc_col=doc_col, vec_col=vec_col,
+    )
+
+
+def _filter_docs_broadcast(
+    ds: ray.data.Dataset, allowed: np.ndarray, doc_col: str
+) -> ray.data.Dataset:
+    """Broadcast-filter a multi-vector dataset to an allowed doc-id
+    set: the (small, sorted) id array ships to the object store ONCE
+    (`ray.put`) and each batch keeps its rows via searchsorted — no
+    shuffle, no join."""
+    allowed = np.sort(np.asarray(allowed, np.int64))
     allowed_ref = ray.put(allowed)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -1680,7 +1694,160 @@ def maxsim_rerank(
         hit = (al[pos] == d) if len(al) else np.zeros(len(d), bool)
         return batch.filter(pa.array(hit))
 
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _maxsim_cand_batch(
+    batch: pa.Table,
+    *,
+    qn_T: np.ndarray,
+    probe: np.ndarray,
+    per_token: int,
+    vec_col: str,
+    doc_col: str,
+    part_col: str = "centroid",
+) -> pa.Table:
+    """PLAID stage-1 per-batch scorer: for each QUERY TOKEN whose probe
+    set includes this batch's centroid partition(s), reduce the batch
+    to one per-doc max cosine (sort + maximum.reduceat — no Python row
+    loop) and keep the top ``per_token`` docs. Emits (query_id=token,
+    vec_id=doc, sim) partials for the driver-side merge."""
+    m = _normalize(_stack(batch[vec_col]))
+    docs = batch[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ccol = batch[part_col]
+    if isinstance(ccol, pa.ChunkedArray):
+        ccol = ccol.combine_chunks()
+    if pa.types.is_dictionary(ccol.type):  # hive partition column
+        ccol = ccol.cast(ccol.type.value_type)
+    if not pa.types.is_integer(ccol.type):
+        ccol = ccol.cast(pa.int32())
+    cents = ccol.to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    if not len(docs):
+        return empty
+    order = np.argsort(docs, kind="stable")
+    d_s = docs[order]
+    heads = np.empty(len(d_s), bool)
+    heads[0] = True
+    heads[1:] = d_s[1:] != d_s[:-1]
+    starts = np.flatnonzero(heads)
+    uniq = d_s[starts]
+    sims = m[order] @ qn_T  # (n, Q)
+    Q = qn_T.shape[1]
+    out_t, out_d, out_s = [], [], []
+
+    def _emit(j: int, mx: np.ndarray, docs_u: np.ndarray) -> None:
+        valid = mx > -np.inf
+        mx, docs_u = mx[valid], docs_u[valid]
+        kk = min(per_token, len(mx))
+        if not kk:
+            return
+        sel = (
+            np.argpartition(-mx, kk - 1)[:kk]
+            if len(mx) > kk
+            else np.arange(len(mx))
+        )
+        out_t.append(np.full(kk, j, np.int64))
+        out_d.append(docs_u[sel])
+        out_s.append(mx[sel].astype(np.float64))
+
+    if cents[0] == cents[-1] and (cents == cents[0]).all():
+        # fast path: a read of hive-partitioned files yields single-
+        # centroid batches — the token mask is all-or-nothing
+        active = [j for j in range(Q) if cents[0] in probe[j]]
+        if not active:
+            return empty
+        mx_all = np.maximum.reduceat(sims[:, active], starts, axis=0)
+        for col, j in enumerate(active):
+            _emit(j, mx_all[:, col], uniq)
+    else:
+        cents_s = cents[order]
+        for j in range(Q):
+            mask = np.isin(cents_s, probe[j])
+            if not mask.any():
+                continue
+            s_tok = np.where(mask, sims[:, j], -np.inf)
+            _emit(j, np.maximum.reduceat(s_tok, starts), uniq)
+    if not out_t:
+        return empty
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_t)),
+            "vec_id": pa.array(np.concatenate(out_d)),
+            "sim": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
+def maxsim_candidates_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    nprobe: int = 4,
+    per_token: int = 50,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PLAID-shape candidate generation (Santhanam et al., CIKM'22
+    §3): probe a token-level IVF layout (``build_ivf_index`` over the
+    EXPLODED multi-vector table, doc column carried through) per QUERY
+    token, keep each token's top ``per_token`` docs by single-token
+    cosine, and return the sorted union of doc ids. Only probed
+    ``centroid=K/`` partition files are ever opened — the corpus is
+    NOT scanned (cf. the reference's top-k term-at-a-time candidate
+    pruning, fdb-lucene Search.java)."""
+    import glob
+
+    probe, paths = probed_partition_paths(index_dir, queries, nprobe)
+    files = [
+        f for p in paths for f in sorted(glob.glob(os.path.join(p, "*.parquet")))
+    ]
+    if not files:
+        return np.empty(0, np.int64)
+    ds = ray.data.read_parquet(files)
+    qn_T = _normalize(np.asarray(queries, np.float64)).T
+    cand = ds.map_batches(
+        _maxsim_cand_batch,
+        fn_kwargs=dict(
+            qn_T=qn_T, probe=probe, per_token=per_token,
+            vec_col=vec_col, doc_col=doc_col,
+        ),
+        batch_format="pyarrow",
+    )
+    merged = _merge_topk(cand.to_pandas(), per_token)
+    return np.unique(
+        merged["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def maxsim_rerank_indexed(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    nprobe: int = 4,
+    per_token: int = 50,
+    k: int = 10,
+    doc_col: str = "doc",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Indexed two-stage late interaction (the PLAID deployment shape):
+    stage 1 generates candidates from the token-level IVF layout
+    (``maxsim_candidates_indexed`` — per-query-token probes, union of
+    per-token top docs; probed partitions only), stage 2 reruns EXACT
+    MaxSim over just those docs (broadcast id filter, no shuffle) and
+    returns the top ``k``. At full probe the composition is
+    deterministic and SQL-expressible; at partial probe it is the
+    scale path (recall pinned by pytest)."""
+    allowed = maxsim_candidates_indexed(
+        index_dir, queries, nprobe=nprobe, per_token=per_token,
+        doc_col=doc_col, vec_col=vec_col,
+    )
     return maxsim_topk(
-        ds.map_batches(keep, batch_format="pyarrow"),
+        _filter_docs_broadcast(ds, allowed, doc_col),
         queries, k=k, doc_col=doc_col, vec_col=vec_col,
     )

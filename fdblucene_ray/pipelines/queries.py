@@ -2361,6 +2361,37 @@ def q_ann_maxsim_rerank(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_maxsim_plaid(sf_dir: str) -> pa.Table:
+    """INDEXED two-stage ColBERT serving (PLAID shape, Santhanam et
+    al. CIKM'22): stage 1 probes a token-level IVF layout per query
+    token (build_ivf_index over the exploded multi-vector table, doc
+    column carried through) and unions each token's top-30 docs;
+    stage 2 reruns exact MaxSim over only those docs. Full probe here
+    so the whole composition is SQL-replayable; partial-probe pruning
+    + recall are pinned by pytest (test_graphann.TestMaxSimPlaid)."""
+    from fdblucene_ray.ops.similarity import (
+        build_ivf_index,
+        maxsim_rerank_indexed,
+    )
+
+    q = _query_vectors(sf_dir, [0, 1, 2, 3])
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+    def add_doc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.append_column(
+            "doc", pc_.cast(pc_.divide(t["vec_id"], 4), pa.int64())
+        )
+
+    exploded = ds.map_batches(add_doc, batch_format="pyarrow")
+    idx = _index_dir(sf_dir, "maxsim-ivf")
+    build_ivf_index(exploded, idx, n_centroids=16)
+    return maxsim_rerank_indexed(
+        exploded, idx, q, nprobe=16, per_token=30, k=10
+    )
+
+
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     """Sign-LSH ANN over the bucket-PARTITIONED layout: multi-probe
     reads only probed ``bucket=K/`` partitions (data-independent hash —
@@ -4337,6 +4368,7 @@ def queries() -> dict:
         "ann_maxsim": q_ann_maxsim,
         "ann_tune": q_ann_tune,
         "ann_maxsim_rerank": q_ann_maxsim_rerank,
+        "ann_maxsim_plaid": q_ann_maxsim_plaid,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_full": q_ann_lsh_full,
         "dedup_embedding": q_dedup_embedding,
@@ -6485,6 +6517,24 @@ m AS (SELECT d.doc, q.qid,
              max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
       FROM d JOIN cand ON cand.doc = d.doc CROSS JOIN q
       GROUP BY d.doc, q.qid),
+s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
+r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
+SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score
+FROM r WHERE rn <= 10 ORDER BY rn
+""",
+        "ann_maxsim_plaid": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+d AS (SELECT vec_id // 4 AS doc, embedding AS ev FROM embeddings),
+tm AS (SELECT d.doc, q.qid,
+              max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
+       FROM d CROSS JOIN q GROUP BY d.doc, q.qid),
+tr AS (SELECT doc, qid, mx,
+              row_number() OVER (PARTITION BY qid ORDER BY mx DESC, doc) AS rn
+       FROM tm),
+cand AS (SELECT DISTINCT doc FROM tr WHERE rn <= 30),
+m AS (SELECT d.doc, q.qid,
+             max(list_cosine_similarity(d.ev::DOUBLE[], q.qv::DOUBLE[])) AS mx
+      FROM d JOIN cand USING (doc) CROSS JOIN q GROUP BY d.doc, q.qid),
 s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
 r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
 SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score

@@ -450,6 +450,98 @@ class TestMaxSimRerank:
         assert np.allclose(full["score"], two["score"])
 
 
+class TestMaxSimPlaid:
+    """Indexed late-interaction serving (PLAID shape): stage-1
+    candidates come from a token-level IVF layout, not a corpus scan."""
+
+    def _fixture(self, n_docs=150, tokens_per_doc=4, dim=16, seed=101):
+        rng = np.random.default_rng(seed)
+        # clustered TOKEN vectors so the IVF partitions carry signal
+        vecs = _clustered_vectors(
+            n_docs * tokens_per_doc, dim=dim, n_clusters=8, seed=seed
+        )
+        docs = np.repeat(
+            np.arange(n_docs, dtype=np.int64), tokens_per_doc
+        )
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(len(vecs), dtype=np.int64)
+                    ),
+                    "doc": pa.array(docs),
+                    "embedding": pa.array(
+                        [v.astype(np.float32) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(6)
+        # a multi-token query: perturbed tokens of one mid-corpus doc
+        q = vecs[200:204] + 0.05 * rng.normal(size=(4, dim))
+        return ds, vecs, q
+
+    def test_full_probe_equals_exact_when_candidates_cover(
+        self, ray_session, tmp_path
+    ):
+        from fdblucene_ray.ops.similarity import (
+            build_ivf_index,
+            maxsim_rerank_indexed,
+            maxsim_topk,
+        )
+
+        ds, vecs, q = self._fixture()
+        idx = str(tmp_path / "msivf")
+        build_ivf_index(ds, idx, n_centroids=8)
+        full = maxsim_topk(ds, q, k=10).to_pandas()
+        got = maxsim_rerank_indexed(
+            ds, idx, q, nprobe=8, per_token=150, k=10
+        ).to_pandas()
+        assert got["doc"].tolist() == full["doc"].tolist()
+        assert np.allclose(got["score"], full["score"])
+
+    def test_partial_probe_prunes_files_and_keeps_recall(
+        self, ray_session, tmp_path
+    ):
+        """Unprobed centroid=K/ files are NEVER opened: after the
+        build, every unprobed partition's parquet files are replaced
+        with garbage bytes — any read of them would raise — and the
+        indexed serving still answers, with recall >= 0.9 vs exact."""
+        import glob as _glob
+        import os
+
+        from fdblucene_ray.ops.similarity import (
+            build_ivf_index,
+            maxsim_rerank_indexed,
+            maxsim_topk,
+            probed_partition_paths,
+        )
+
+        ds, vecs, q = self._fixture()
+        idx = str(tmp_path / "msivf2")
+        build_ivf_index(ds, idx, n_centroids=8)
+        nprobe = 4
+        probe, paths = probed_partition_paths(idx, q, nprobe)
+        assert probe.shape == (4, nprobe)
+        all_parts = sorted(
+            _glob.glob(os.path.join(idx, "data", "centroid=*"))
+        )
+        probed_set = set(paths)
+        unprobed = [p for p in all_parts if p not in probed_set]
+        assert unprobed  # pruning is real: strictly fewer dirs probed
+        for p in unprobed:
+            for f in _glob.glob(os.path.join(p, "*.parquet")):
+                with open(f, "wb") as fh:
+                    fh.write(b"not a parquet file")
+
+        exact = maxsim_topk(ds, q, k=10).to_pandas()
+        got = maxsim_rerank_indexed(
+            ds, idx, q, nprobe=nprobe, per_token=30, k=10
+        ).to_pandas()
+        hit = len(set(got["doc"]) & set(exact["doc"])) / 10
+        assert hit >= 0.9, hit
+
+
 class TestVectorIndexFacade:
     def test_build_append_query_tune(self, ray_session, tmp_path):
         from fdblucene_ray.api import VectorIndex
