@@ -697,6 +697,26 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_suffixdedup(args) -> int:
+    """Suffix-array exact-substring dedup: write the maximal
+    duplicated byte spans (Lee et al. exact half, arbitrary length)."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.suffix import suffix_dup_spans
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col]
+    )
+    out = suffix_dup_spans(
+        ds, min_len=args.min_len, min_df=args.min_df,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Resumable partitioned corpus export (C4-kept docs per shard)."""
     _ensure_ray()
@@ -1051,6 +1071,17 @@ def main(argv=None) -> int:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     sd.set_defaults(fn=cmd_semdedup)
+
+    sx = sub.add_parser(
+        "suffixdedup", help="suffix-array exact-substring dup spans"
+    )
+    sx.add_argument("--input", required=True, nargs="+")
+    sx.add_argument("--out", required=True)
+    sx.add_argument("--min-len", type=int, default=40)
+    sx.add_argument("--min-df", type=int, default=2)
+    sx.add_argument("--text-col", default="text")
+    sx.add_argument("--id-col", default="doc_id")
+    sx.set_defaults(fn=cmd_suffixdedup)
 
     ex = sub.add_parser("export", help="resumable partitioned corpus export")
     ex.add_argument("--input", required=True, nargs="+")

@@ -1,0 +1,496 @@
+"""Distributed suffix-array exact-substring dedup — the EXACT half of
+Lee et al. (ACL'22, "Deduplicating Training Data Makes Language Models
+Better") at ARBITRARY match length, in bytes: report every maximal
+region of every document that is covered by length-``min_len`` byte
+windows occurring in >= ``min_df`` DISTINCT documents. The n-gram
+token span scrub (``webtext.exact_dup_spans``) remains the cheap path;
+this module is the byte-exact arbitrary-length path.
+
+Why the output is exact: a duplicated substring of length >= L is, by
+definition, covered by duplicated L-byte windows at every one of its
+start offsets, and conversely the union of duplicated L-windows is the
+union of all duplicated substrings of length >= L. So "maximal merged
+runs of duplicated L-windows" IS Lee et al.'s removal set, with no
+dependence on tokenization.
+
+Distributed shape (partition-bounded — no whole-corpus concatenation or
+materialization anywhere):
+
+1. **Per-batch truncated suffix sorting** (`_lgram_classes`): each
+   corpus batch concatenates ITS docs only and runs prefix-doubling
+   capped at L (Manber–Myers ranks with the sparse-table overlap
+   refinement), yielding EXACT byte-equality classes of every
+   position's L-prefix — no hashing, no collisions, O(n log L)
+   lexsorts over a few-MB chunk. Per class the batch emits at most
+   ``min_df`` (class-hash, doc_id) rows — a combiner: volume is
+   per-DISTINCT-gram, never per position, and positions never leave
+   their batch here.
+2. **Hash-partitioned candidate fold**: group the class rows by
+   hash(h)%P; a class hash seen in >= min_df distinct docs globally is
+   a candidate. (Rolling-hash collisions can only ADD candidates —
+   false positives die in step 4 — never lose one.)
+3. **Candidate distribution**: the candidate hash set streams back to
+   the driver bounded — an exact sorted uint64 array when small, a
+   fixed-size Bloom filter above ``broadcast_limit`` (filter FPs also
+   die in step 4) — and ships via ``ray.put`` once, read per worker.
+4. **Literal re-emit + byte verify**: a second corpus pass recomputes
+   every valid position's rolling hash (O(n), no sort) and emits the
+   LITERAL L-byte window only for candidate hits — volume proportional
+   to actual duplication — then a hash-partitioned fold
+   dictionary-encodes the window BYTES and keeps occurrences whose
+   window appears in >= min_df distinct docs. Byte-exact from here on.
+5. **Maximal merge**: verified (doc_id, pos) rows co-partition with
+   the corpus on ONE hash(doc_id)%P exchange (``webtext._spans_scatter``)
+   and a vectorized kernel merges each doc's covered positions into
+   maximal byte regions, slicing the literal span bytes zero-copy.
+
+Reference parity: fdb-lucene has no character-level dedup; this op is
+the Lee et al. ExactSubstr analog the LLM-data tier requires
+(cf. google-research/deduplicate-text-datasets' single-machine chunked
+suffix array; here chunks are Ray batches and the merge is the
+hash-partitioned candidate fold instead of a disk k-way merge).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from fdblucene_ray.ops.hashing import part_of
+
+# odd multiplier -> invertible mod 2^64, so window hashes pop out of
+# one prefix-sum (see _window_hashes); the exact constant is arbitrary
+_P = np.uint64(0x100000001B3)  # FNV-1a prime
+_PINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _lgram_classes(b: np.ndarray, L: int) -> np.ndarray:
+    """EXACT equivalence classes of the length-``L`` prefixes of all
+    suffixes of byte array ``b``: Manber–Myers prefix doubling, capped
+    at L with the sparse-table overlap step (pair ranks at offset
+    ``min(k, L-k)`` so the covered window length is min(2k, L), never
+    more). Positions whose suffix is shorter than the covered length
+    compare via a -1 sentinel (distinct from every real rank), which
+    is correct here because callers drop positions with fewer than L
+    bytes remaining in their own doc."""
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.int64)
+    rank = b.astype(np.int64)
+    k = 1
+    while k < L:
+        step = min(k, L - k)
+        second = np.full(n, -1, np.int64)
+        cut = max(n - step, 0)  # step can exceed n on tiny chunks
+        second[:cut] = rank[step:]
+        order = np.lexsort((second, rank))
+        r_s, s_s = rank[order], second[order]
+        head = np.empty(n, bool)
+        head[0] = True
+        head[1:] = (r_s[1:] != r_s[:-1]) | (s_s[1:] != s_s[:-1])
+        new_rank = np.empty(n, np.int64)
+        new_rank[order] = np.cumsum(head) - 1
+        rank = new_rank
+        k += step
+    return rank
+
+
+def _window_hashes(b: np.ndarray, L: int) -> np.ndarray:
+    """uint64 polynomial hash of EVERY length-``L`` byte window of
+    ``b`` in one vectorized pass: h[i] = sum_j b[i+j] * P^(L-1-j)
+    (mod 2^64), recovered from a single prefix sum of b[j] * P^(-j)
+    because the odd multiplier is invertible mod 2^64. Entries within
+    L-1 of the end are garbage — callers mask them (they can never be
+    valid window starts)."""
+    n = len(b)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    pinv_pows = np.empty(n, np.uint64)
+    pinv_pows[0] = 1
+    if n > 1:
+        pinv_pows[1:] = _PINV
+        np.cumprod(pinv_pows, out=pinv_pows)
+    pows = np.empty(n, np.uint64)
+    pows[0] = 1
+    if n > 1:
+        pows[1:] = _P
+        np.cumprod(pows, out=pows)
+    pref = np.zeros(n + 1, np.uint64)
+    np.cumsum(b.astype(np.uint64) * pinv_pows, out=pref[1:])
+    m = min(L, n)
+    # h[i] = (pref[i+L] - pref[i]) * P^(i+L-1)
+    out = np.zeros(n, np.uint64)
+    valid = n - m + 1
+    out[:valid] = (pref[m:] - pref[:valid]) * pows[m - 1] * pows[:valid]
+    return out
+
+
+def _flat_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 byte stream, per-doc offsets) of a string/binary
+    column — zero-copy views of the Arrow buffers."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.cast(texts, pa.binary())
+    offs = np.frombuffer(texts.buffers()[1], np.int32)[
+        texts.offset : texts.offset + len(texts) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(texts.buffers()[2], np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    return flat, offs - offs[0]
+
+
+class _SuffixSeeds:
+    """Pass-1 combiner: truncated suffix sorting over the batch's own
+    concatenated bytes -> per L-prefix CLASS, at most ``min_df``
+    (part, class hash, doc_id) rows. Positions stay in the batch."""
+
+    def __init__(self, L: int, min_df: int, num_parts: int,
+                 text_col: str, id_col: str):
+        self.L, self.min_df, self.num_parts = L, min_df, num_parts
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"part": pa.array([], pa.int32()),
+             "h": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+        L = self.L
+        flat, bounds = _flat_bytes(batch[self.text_col])
+        n = len(flat)
+        if not n:
+            return empty
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = bounds[1:] - bounds[:-1]
+        classes = _lgram_classes(flat, L)
+        doc_end = np.repeat(bounds[1:], lens)
+        pos_all = np.arange(n, dtype=np.int64)
+        valid = doc_end - pos_all >= L
+        vpos = pos_all[valid]
+        if not len(vpos):
+            return empty
+        vcls = classes[valid]
+        vdoc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[valid]
+        order = np.lexsort((vdoc, vcls))
+        cs, ds_, ps = vcls[order], vdoc[order], vpos[order]
+        head_c = np.empty(len(cs), bool)
+        head_c[0] = True
+        head_c[1:] = cs[1:] != cs[:-1]
+        head_d = head_c.copy()
+        head_d[1:] |= ds_[1:] != ds_[:-1]
+        # one content hash per class, from a representative position
+        h_all = _window_hashes(flat, L)
+        h_class = h_all[ps[np.flatnonzero(head_c)]]
+        # bounded distinct-doc list: first min_df distinct docs/class
+        idx_d = np.flatnonzero(head_d)
+        nc = head_c[idx_d]
+        grp = np.cumsum(nc) - 1
+        first_of = np.flatnonzero(nc)
+        rank = np.arange(len(idx_d), dtype=np.int64) - first_of[grp]
+        keep = rank < self.min_df
+        h_out = h_class[grp[keep]]
+        d_out = ids[ds_[idx_d[keep]]]
+        return pa.table(
+            {
+                "part": pa.array(
+                    part_of(h_out.view(np.int64), self.num_parts)
+                ),
+                "h": pa.array(h_out),
+                "doc_id": pa.array(d_out),
+            }
+        )
+
+
+def _cand_fold(min_df: int):
+    """Per hash partition: a class hash with >= min_df distinct docs
+    across ALL batches is a candidate."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"h": pa.array([], pa.uint64())})
+        if not len(h):
+            return empty
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        head_h = np.empty(len(hs), bool)
+        head_h[0] = True
+        head_h[1:] = hs[1:] != hs[:-1]
+        hid = np.cumsum(head_h) - 1
+        head_d = head_h.copy()
+        head_d[1:] |= ds_[1:] != ds_[:-1]
+        ndocs = np.bincount(hid[head_d])
+        win = ndocs >= min_df
+        if not win.any():
+            return empty
+        return pa.table({"h": pa.array(hs[np.flatnonzero(head_h)][win])})
+
+    fn.__name__ = "_cand_fold"
+    return fn
+
+
+# ------------------------------------------------------- bloom filter
+
+
+def _bloom_params(n_keys: int, bits_per_key: int = 16) -> tuple[int, int]:
+    """(#64-bit words, #probes) for ~0.05% FP at 16 bits/key."""
+    nbits = max(1 << 16, 1 << int(np.ceil(np.log2(max(n_keys, 1) * bits_per_key))))
+    return nbits // 64, 7
+
+
+def _bloom_probes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent avalanche-mixed probe bases per key. Raw keys
+    MUST NOT seed the double-hash progression directly: with a
+    power-of-two bit count, h1 + i*(key*C|1) concentrates one probe
+    index on multiples of gcd(1+iC, 2^m) and the per-probe FP rate
+    collapses to ~fill instead of fill^k (measured before the fix)."""
+    from fdblucene_ray.ops.hashing import splitmix64
+
+    h1 = splitmix64(keys)
+    h2 = splitmix64(keys ^ np.uint64(0xA5A5A5A55A5A5A5A)) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_add(words: np.ndarray, keys: np.ndarray, k: int) -> None:
+    nbits = np.uint64(len(words) * 64)
+    h1, h2 = _bloom_probes(keys)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % nbits
+        np.bitwise_or.at(
+            words, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+
+
+def _bloom_test(words: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    nbits = np.uint64(len(words) * 64)
+    h1, h2 = _bloom_probes(keys)
+    hit = np.ones(len(keys), bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % nbits
+        w = words[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((w >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
+class _EmitCandidateWindows:
+    """Pass 2: recompute every valid position's window hash (O(n)
+    prefix sum — no sort needed this time), test membership against
+    the broadcast candidate structure, and emit the LITERAL L-byte
+    window for hits only (volume ~ actual duplication + filter FPs)."""
+
+    def __init__(self, L: int, cand_ref, exact: bool, bloom_k: int,
+                 num_parts: int, text_col: str, id_col: str):
+        self.L, self.cand_ref, self.exact = L, cand_ref, exact
+        self.bloom_k, self.num_parts = bloom_k, num_parts
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        from fdblucene_ray.ops.broadcast import cached_state
+
+        empty = pa.table(
+            {"part": pa.array([], pa.int32()),
+             "gram": pa.array([], pa.binary()),
+             "doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64())}
+        )
+        L = self.L
+        flat, bounds = _flat_bytes(batch[self.text_col])
+        n = len(flat)
+        if not n:
+            return empty
+        cand = cached_state(
+            ("suffix_cand", self.cand_ref.hex()),
+            lambda: ray.get(self.cand_ref),
+        )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = bounds[1:] - bounds[:-1]
+        h_all = _window_hashes(flat, L)
+        pos_all = np.arange(n, dtype=np.int64)
+        doc_end = np.repeat(bounds[1:], lens)
+        valid = doc_end - pos_all >= L
+        if self.exact:
+            j = np.searchsorted(cand, h_all)
+            j[j == len(cand)] = 0
+            member = (cand[j] == h_all) if len(cand) else np.zeros(n, bool)
+        else:
+            member = _bloom_test(cand, h_all, self.bloom_k)
+        hits = np.flatnonzero(valid & member)
+        if not len(hits):
+            return empty
+        di = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[hits]
+        gidx = hits[:, None] + np.arange(L, dtype=np.int64)
+        values = flat[gidx.ravel()]
+        offs = (np.arange(len(hits) + 1, dtype=np.int64) * L).astype(np.int32)
+        grams = pa.BinaryArray.from_buffers(
+            pa.binary(), len(hits),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(values.tobytes())],
+        )
+        return pa.table(
+            {
+                "part": pa.array(
+                    part_of(h_all[hits].view(np.int64), self.num_parts)
+                ),
+                "gram": grams,
+                "doc_id": pa.array(ids[di]),
+                "pos": pa.array(hits - bounds[di]),
+            }
+        )
+
+
+class _MaximalByteSpans:
+    """Final kernel (runs inside ``webtext._spans_scatter``): merge a
+    doc's verified window starts (sorted + deduped by ``_fold_spans``)
+    into maximal covered BYTE regions and slice the literal span
+    bytes — region break where the next start exceeds the previous
+    start by more than L (coverage gap)."""
+
+    def __init__(self, L: int):
+        self.L = L
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+                "span_text": pa.array([], pa.binary()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, bounds = _flat_bytes(batch["text"])
+        sp = batch["spans"]
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        offs = np.frombuffer(sp.buffers()[1], np.int32)[
+            sp.offset : sp.offset + len(sp) + 1
+        ].astype(np.int64)
+        starts = np.frombuffer(
+            sp.buffers()[2], "<i8",
+            count=int(offs[-1] - offs[0]) // 8, offset=int(offs[0]),
+        ).astype(np.int64)
+        if not len(starts):
+            return empty
+        di = np.repeat(
+            np.arange(len(ids), dtype=np.int64), (offs[1:] - offs[:-1]) // 8
+        )
+        L = self.L
+        new_region = np.empty(len(starts), bool)
+        new_region[0] = True
+        new_region[1:] = (di[1:] != di[:-1]) | (
+            starts[1:] > starts[:-1] + L
+        )
+        reg_first = np.flatnonzero(new_region)
+        reg_last = np.concatenate((reg_first[1:] - 1, [len(starts) - 1]))
+        rdoc = di[reg_first]
+        rstart = starts[reg_first]
+        rend = starts[reg_last] + L
+        lens = rend - rstart
+        gstart = bounds[rdoc] + rstart
+        offs_out = np.concatenate(([0], np.cumsum(lens)))
+        take = (
+            np.arange(int(offs_out[-1]), dtype=np.int64)
+            - np.repeat(offs_out[:-1], lens)
+            + np.repeat(gstart, lens)
+        )
+        span_text = pa.BinaryArray.from_buffers(
+            pa.binary(), len(reg_first),
+            [None, pa.py_buffer(offs_out.astype(np.int32).tobytes()),
+             pa.py_buffer(flat[take].tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rdoc]),
+                "span_start": pa.array(rstart),
+                "span_end": pa.array(rend),
+                "n_bytes": pa.array(lens),
+                "span_text": span_text,
+            }
+        )
+
+
+def suffix_dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    min_len: int = 40,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Maximal exactly-duplicated BYTE regions at arbitrary match
+    length >= ``min_len``: one row (doc_id, span_start, span_end,
+    n_bytes, span_text[binary]) per maximal region covered by
+    ``min_len``-byte windows occurring in >= ``min_df`` distinct docs.
+    Literal-byte verified end to end (hash and Bloom false positives
+    cannot reach the output; false negatives are impossible — see the
+    module docstring's exactness argument)."""
+    import logging
+
+    import ray
+
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    from fdblucene_ray.ops.webtext import (
+        _spans_scatter,
+        _verify_literal,
+    )
+
+    num_parts = max(
+        num_partitions, int(ray.cluster_resources().get("CPU", 8))
+    )
+    seeds = left.map_batches(
+        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = seeds.groupby("part", num_partitions=num_parts).map_groups(
+        _cand_fold(min_df), batch_format="pyarrow"
+    )
+    # bounded candidate distribution: exact sorted array when small,
+    # fixed-size Bloom filter beyond broadcast_limit (FPs are removed
+    # by the literal verify stage either way)
+    n_cand = cand.count()
+    if n_cand <= broadcast_limit:
+        arr = np.sort(
+            cand.to_pandas()["h"].to_numpy()
+            if n_cand
+            else np.empty(0, np.uint64)
+        ).astype(np.uint64)
+        cand_ref, exact, bloom_k = ray.put(arr), True, 0
+    else:
+        words_n, bloom_k = _bloom_params(n_cand)
+        words = np.zeros(words_n, np.uint64)
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            _bloom_add(words, b["h"].to_numpy(zero_copy_only=False), bloom_k)
+        logging.getLogger(__name__).info(
+            "suffix_dup_spans: %d candidate hashes > broadcast_limit=%d; "
+            "using a %d-bit Bloom filter (FPs removed by literal verify)",
+            n_cand, broadcast_limit, words_n * 64,
+        )
+        cand_ref, exact = ray.put(words), False
+    lit = left.map_batches(
+        _EmitCandidateWindows(
+            min_len, cand_ref, exact, bloom_k, num_parts, "text", "doc_id"
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    verified = lit.groupby("part", num_partitions=num_parts).map_groups(
+        _verify_literal(min_df), batch_format="pyarrow"
+    )
+    out = _spans_scatter(
+        left, verified, _MaximalByteSpans(min_len), num_parts, inner=True
+    )
+    if id_col != "doc_id":
+        out = out.rename_columns({"doc_id": id_col})
+    return out

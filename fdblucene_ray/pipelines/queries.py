@@ -2867,6 +2867,41 @@ def q_exact_dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_suffix(sf_dir: str) -> pa.Table:
+    """Suffix-array exact-substring dedup (Lee et al. ACL'22 exact
+    half at ARBITRARY match length, in bytes): maximal byte regions
+    covered by 40-byte windows occurring in >=2 distinct docs,
+    byte-exact via per-batch truncated prefix-doubling suffix sorting
+    + a hash-partitioned candidate fold + literal window verification
+    (ops/suffix.suffix_dup_spans). The token n-gram scrub
+    (exact_dup_spans) remains the cheap path."""
+    from fdblucene_ray.ops.suffix import suffix_dup_spans
+
+    out = suffix_dup_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), min_len=40, min_df=2
+    )
+    df = out.to_pandas().sort_values(
+        ["doc_id", "span_start"]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "span_start": pa.array(df["span_start"].to_numpy(np.int64)),
+            "span_end": pa.array(df["span_end"].to_numpy(np.int64)),
+            "n_bytes": pa.array(df["n_bytes"].to_numpy(np.int64)),
+            # the corpus is ASCII/UTF-8-clean at window granularity
+            # here; span bytes decode 1:1 for the SQL comparison
+            "span_text": pa.array(
+                [
+                    x.decode() if isinstance(x, bytes) else str(x)
+                    for x in df["span_text"]
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def q_chunk_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style exact span dedup: non-overlapping 16-token chunks,
     corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
@@ -4384,6 +4419,7 @@ def queries() -> dict:
         "chunk_dedup": q_chunk_dedup,
         "scrub_spans": q_scrub_spans,
         "exact_dup_spans": q_exact_dup_spans,
+        "dedup_suffix": q_dedup_suffix,
         "url_dedup": q_url_dedup,
         "url_filter": q_url_filter,
         "host_cap": q_host_cap,
@@ -6851,6 +6887,30 @@ FROM spans s JOIN t ON t.doc_id = s.doc_id
  AND t.pos >= s.s AND t.pos < s.e
 GROUP BY s.doc_id, s.s, s.e
 ORDER BY s.doc_id, s.s
+""",
+        "dedup_suffix": r"""
+WITH idx AS (SELECT i FROM generate_series(0, 65535) AS t(i)),
+pos AS (SELECT doc_id, i, substr(text, i + 1, 40) AS gram
+        FROM documents JOIN idx ON i <= strlen(text) - 40),
+nd AS (SELECT gram FROM pos GROUP BY gram
+       HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT p.doc_id, p.i FROM pos p JOIN nd USING (gram)),
+brk AS (SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 40
+                    THEN 0 ELSE 1 END AS b
+        FROM dup),
+grp AS (SELECT doc_id, i,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM brk),
+sp AS (SELECT doc_id, min(i) AS span_start, max(i) + 40 AS span_end
+       FROM grp GROUP BY doc_id, g)
+SELECT s.doc_id, s.span_start::BIGINT AS span_start,
+       s.span_end::BIGINT AS span_end,
+       (s.span_end - s.span_start)::BIGINT AS n_bytes,
+       substr(d.text, s.span_start + 1, s.span_end - s.span_start)
+         AS span_text
+FROM sp s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.doc_id, s.span_start
 """,
         "chunk_dedup": r"""
 WITH raw AS (

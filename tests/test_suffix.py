@@ -1,0 +1,193 @@
+"""Suffix-array exact-substring dedup (fdblucene_ray/ops/suffix.py):
+byte-exact maximal duplicated spans vs a brute-force oracle, planted
+fixtures, Bloom-path equivalence, partition independence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fdblucene_ray.ops.suffix import suffix_dup_spans
+
+
+def _brute_spans2(docs: list[str], L: int, min_df: int = 2):
+    grams: dict[bytes, set[int]] = {}
+    enc = [d.encode() for d in docs]
+    for did, b in enumerate(enc):
+        for i in range(len(b) - L + 1):
+            grams.setdefault(b[i : i + L], set()).add(did)
+    out = []
+    for did, b in enumerate(enc):
+        pos = [
+            i
+            for i in range(len(b) - L + 1)
+            if len(grams[b[i : i + L]]) >= min_df
+        ]
+        if not pos:
+            continue
+        regions = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p > prev + L:
+                regions.append((start, prev + L))
+                start = p
+            prev = p
+        regions.append((start, prev + L))
+        for s, e in regions:
+            out.append((did, s, e, e - s, b[s:e]))
+    return sorted(out)
+
+
+def _run(docs: list[str], L: int, min_df: int = 2, **kw):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(docs), dtype=np.int64)
+                ),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(4)
+    t = suffix_dup_spans(ds, min_len=L, min_df=min_df, **kw).to_pandas()
+    if not len(t):
+        return []
+    t = t.sort_values(["doc_id", "span_start"])
+    return sorted(
+        zip(
+            t["doc_id"].astype(int),
+            t["span_start"].astype(int),
+            t["span_end"].astype(int),
+            t["n_bytes"].astype(int),
+            [
+                bytes(x) if not isinstance(x, str) else x.encode()
+                for x in t["span_text"]
+            ],
+        )
+    )
+
+
+def _rand_docs(rng, n_docs, alpha=4, lo=5, hi=120):
+    letters = "abcd"[:alpha]
+    return [
+        "".join(
+            rng.choice(list(letters), size=rng.integers(lo, hi))
+        )
+        for _ in range(n_docs)
+    ]
+
+
+class TestSuffixDupSpans:
+    def test_planted_fixture_matches_brute_force(self, ray_session):
+        """Planted shared substrings of several lengths, including one
+        shorter than L (must NOT be reported), overlapping plants, and
+        a within-doc-only repeat (must NOT be reported at min_df=2
+        distinct docs). Output spans are literal-byte equal to the
+        brute-force oracle."""
+        rng = np.random.default_rng(7)
+        base = [
+            "".join(
+                rng.choice(list("abcdefgh"), size=200)
+            )
+            for _ in range(8)
+        ]
+        plant_long = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-0123456789"
+        plant_mid = "SHARED-CHUNK-OF-EXACTLY-MODERATE-LENGTH!"
+        plant_short = "TOO-SHORT"  # < L, never reported
+        docs = list(base)
+        docs[0] = base[0][:30] + plant_long + base[0][30:]
+        docs[3] = base[3][:90] + plant_long + base[3][90:]
+        docs[1] = base[1][:10] + plant_mid + base[1][10:]
+        docs[4] = plant_mid + base[4]
+        docs[5] = base[5] + plant_mid  # three docs share plant_mid
+        docs[2] = base[2][:20] + plant_short + base[2][20:]
+        docs[6] = base[6][:40] + plant_short + base[6][40:]
+        # within-doc repeat only: same long chunk twice in ONE doc
+        # (a chunk that appears nowhere else in the corpus)
+        solo = "SOLO-REPEAT-NEVER-SHARED-WITH-OTHER-DOCS!"
+        docs[7] = solo + base[7] + solo
+        L = 20
+        got = _run(docs, L)
+        want = _brute_spans2(docs, L)
+        assert got == want
+        # sanity on the fixture itself: plants found, short one absent
+        texts = b" ".join(s for *_, s in want)
+        assert plant_long.encode() in texts
+        assert plant_mid.encode() in texts
+        assert plant_short.encode() not in texts
+        assert not any(d == 7 for d, *_ in want)
+
+    def test_dup_free_corpus_is_empty(self, ray_session):
+        import hashlib
+
+        docs = [
+            f"doc {i}:" + hashlib.sha256(bytes([i])).hexdigest()
+            + hashlib.sha256(bytes([i, i])).hexdigest()
+            for i in range(20)
+        ]
+        assert _run(docs, 12) == _brute_spans2(docs, 12) == []
+
+    def test_docs_shorter_than_L_and_empty_docs(self, ray_session):
+        docs = ["", "tiny", "also tiny", "X" * 50, "X" * 50]
+        got = _run(docs, 30)
+        want = _brute_spans2(docs, 30)
+        assert got == want
+        assert {d for d, *_ in got} == {3, 4}
+
+    def test_adjacent_and_overlapping_coverage_merges(self, ray_session):
+        """Two distinct duplicated substrings that abut in one doc
+        merge into a single maximal region (coverage union)."""
+        a = "AAAAAAAAAAAAAAAAAAAA"  # 20
+        b = "BBBBBBBBBBBBBBBBBBBB"  # 20
+        docs = ["xx" + a + b + "yy", a + "qq", "pp" + b]
+        L = 18
+        got = _run(docs, L)
+        want = _brute_spans2(docs, L)
+        assert got == want
+        d0 = [r for r in got if r[0] == 0]
+        assert len(d0) == 1 and d0[0][4] == (a + b).encode()
+
+    def test_randomized_equivalence(self, ray_session):
+        """Random small-alphabet corpora (dense natural duplication)
+        match the brute force for several (seed, L) combos."""
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            docs = _rand_docs(rng, 12)
+            for L in (4, 7, 13):
+                assert _run(docs, L) == _brute_spans2(docs, L), (
+                    seed, L,
+                )
+
+    def test_bloom_path_equals_exact_path(self, ray_session):
+        """broadcast_limit=0 forces the Bloom-filter candidate path;
+        the literal verify stage makes the output identical."""
+        rng = np.random.default_rng(11)
+        docs = _rand_docs(rng, 10, alpha=3)
+        L = 6
+        exact = _run(docs, L)
+        bloom = _run(docs, L, broadcast_limit=0)
+        assert exact == bloom == _brute_spans2(docs, L)
+
+    def test_partition_layout_independence(self, ray_session):
+        rng = np.random.default_rng(13)
+        docs = _rand_docs(rng, 16, alpha=3)
+        a = _run(docs, 8, num_partitions=2)
+        b = _run(docs, 8, num_partitions=9)
+        assert a == b == _brute_spans2(docs, 8)
+
+    def test_min_df_three(self, ray_session):
+        plant = "THIS-EXACT-SENTENCE-APPEARS-IN-MANY-DOCS"
+        rng = np.random.default_rng(17)
+        filler = _rand_docs(rng, 6, alpha=8, lo=50, hi=80)
+        docs = [
+            filler[0] + plant,
+            plant + filler[1],
+            filler[2] + plant + filler[3],
+            filler[4],
+            filler[5],
+        ]
+        L = 24
+        got = _run(docs, L, min_df=3)
+        want = _brute_spans2(docs, L, min_df=3)
+        assert got == want
+        assert {d for d, *_ in got} == {0, 1, 2}
