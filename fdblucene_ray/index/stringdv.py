@@ -59,8 +59,13 @@ def _as_dataset(source, columns):
 
 
 def _flatten(batch: pa.Table, id_col: str, column: str, multi: bool):
-    """(doc_ids, values) with list columns exploded to one row per
-    (doc, DISTINCT value) when multi."""
+    """(doc_ids, dictionary codes, batch dictionary values) with list
+    columns exploded to one row per (doc, DISTINCT value) when multi.
+    Fully Arrow/numpy: the values are dictionary-encoded ONCE per
+    batch (``pc.dictionary_encode`` — vectorized byte-exact grouping)
+    and all per-row work happens on the integer codes; the string
+    payload appears only as the batch-local dictionary (unique values,
+    typically far smaller than the rows)."""
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
@@ -68,20 +73,31 @@ def _flatten(batch: pa.Table, id_col: str, column: str, multi: bool):
     if isinstance(vals, pa.ChunkedArray):
         vals = vals.combine_chunks()
     idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-    if not multi:
-        return idn, np.asarray(vals.to_pylist(), dtype=object)
-    counts = np.asarray(
-        pc.list_value_length(vals).to_numpy(zero_copy_only=False), np.int64
-    )
-    flat = np.asarray(vals.flatten().to_pylist(), dtype=object)
-    rep = np.repeat(idn, counts)
-    # per-doc distinct: sort by (doc, value) and drop duplicate runs
-    order = np.lexsort((flat, rep))
-    rep, flat = rep[order], flat[order]
-    if len(rep):
-        keep = np.r_[True, (rep[1:] != rep[:-1]) | (flat[1:] != flat[:-1])]
-        rep, flat = rep[keep], flat[keep]
-    return rep, flat
+    if multi:
+        counts = np.asarray(
+            pc.list_value_length(vals).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        idn = np.repeat(idn, counts)
+        vals = vals.flatten()
+    de = vals.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dvals = de.dictionary
+    if multi and len(idn):
+        # per-doc distinct: code equality == value equality, so one
+        # integer lexsort + run heads suffice (no object arrays)
+        order = np.lexsort((codes, idn))
+        idn, codes = idn[order], codes[order]
+        keep = np.r_[True, (idn[1:] != idn[:-1]) | (codes[1:] != codes[:-1])]
+        idn, codes = idn[keep], codes[keep]
+    return idn, codes, dvals
+
+
+def _sorted_unique(vals: pa.Array) -> pa.Array:
+    """UTF-8 byte-order sorted distinct values of a string array
+    (byte order == code-point order, matching numpy/DuckDB/Lucene)."""
+    u = pc.unique(vals)
+    return u.take(pc.array_sort_indices(u))
 
 
 def _publish_extra(index_dir: str, key: str, field: str, meta: dict):
@@ -113,9 +129,26 @@ def build_sorted_dv(
     multi: bool = False,
     preprocess=None,
     max_dict_size: int = 5_000_000,
+    force_segmented: bool = False,
 ) -> Manifest:
     """Build the Sorted (or SortedSet, ``multi=True``) doc-values
-    sidecar for ``field`` from a parquet source / Dataset column."""
+    sidecar for ``field`` from a parquet source / Dataset column.
+
+    Two build shapes, SAME on-disk artifact (global sorted
+    ``dict.parquet`` + ``ords/``; the query path never knows which ran):
+
+    - dictionary fits ``max_dict_size``: the fast path — the vocab
+      broadcasts once (``ray.put``) and a second corpus pass assigns
+      global ordinals directly.
+    - dictionary exceeds the cap (or ``force_segmented``): the
+      PER-SEGMENT path (Lucene OrdinalMap analog) — each shard writes
+      its own sorted local dictionary + local ords (driver never holds
+      any values), a distributed value sort streams the global
+      dictionary through the driver one batch at a time into
+      ``dict.parquet``, and per-shard remap tasks rewrite local ords
+      to global by streaming the global dictionary's row groups
+      against their (small) local dict — memory bounded by one row
+      group everywhere. See ``merge_sorted_dv_segments``."""
     column = column or field
     cols = None if preprocess else [id_col, column]
     ds = _as_dataset(source, cols)
@@ -123,19 +156,35 @@ def build_sorted_dv(
         ds = ds.map_batches(preprocess, batch_format="pyarrow")
 
     def uniq(b: pa.Table) -> pa.Table:
-        _, vals = _flatten(b, id_col, column, multi)
-        u = np.unique(vals)
-        return pa.table({"value": pa.array(list(u), pa.string())})
+        _, _, dvals = _flatten(b, id_col, column, multi)
+        return pa.table({"value": pc.cast(dvals, pa.string())})
 
-    parts = ds.map_batches(uniq, batch_format="pyarrow").take_all()
-    vocab = np.unique(np.asarray([r["value"] for r in parts], dtype=object))
-    if len(vocab) > max_dict_size:
-        raise ValueError(
-            f"sorted-dv dictionary for {field!r} has {len(vocab)} values "
-            f"(> max_dict_size={max_dict_size}); a dictionary that large "
-            "needs the per-segment-ords + ord-remap merge design"
-        )
     d = os.path.join(index_dir, DV_SORTED_DIR, field)
+    vocab: np.ndarray | None = None
+    if not force_segmented:
+        parts = ds.map_batches(uniq, batch_format="pyarrow").take_all()
+        vocab = np.unique(
+            np.asarray([r["value"] for r in parts], dtype=object)
+        )
+        if len(vocab) > max_dict_size:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "sorted-dv dictionary for %r has %d values "
+                "(> max_dict_size=%d): switching to the per-segment "
+                "ords + ord-remap merge build",
+                field, len(vocab), max_dict_size,
+            )
+            vocab = None
+    if vocab is None:
+        card = _build_sorted_dv_segmented(
+            d, ds, id_col=id_col, column=column, multi=multi
+        )
+        return _publish_extra(
+            index_dir, "dv_sorted", field,
+            {"multi": bool(multi), "cardinality": int(card),
+             "segmented": True},
+        )
     os.makedirs(d, exist_ok=True)
     pq.write_table(
         pa.table({"value": pa.array(list(vocab), pa.string())}),
@@ -145,10 +194,16 @@ def build_sorted_dv(
 
     def to_ords(b: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
-        ids, vals = _flatten(b, id_col, column, multi)
-        ords = np.searchsorted(v, vals).astype(np.int32)
+        ids, codes, dvals = _flatten(b, id_col, column, multi)
+        # global ord of each batch-DICTIONARY value once, then a
+        # vectorized gather through the codes
+        lut = np.searchsorted(
+            v, np.asarray(dvals.to_pylist(), dtype=object)
+        ).astype(np.int32)
         return pa.table(
-            {"doc_id": pa.array(ids), "ord": pa.array(ords)}
+            {"doc_id": pa.array(ids),
+             "ord": pa.array(lut[codes] if len(ids) else
+                             np.empty(0, np.int32))}
         )
 
     ords_dir = os.path.join(d, "ords")
@@ -160,6 +215,197 @@ def build_sorted_dv(
         index_dir, "dv_sorted", field,
         {"multi": bool(multi), "cardinality": int(len(vocab))},
     )
+
+
+class _SegmentDVWriter:
+    """Per-shard writer for the segmented sorted-dv build: each batch
+    becomes one segment directory holding its SORTED local dictionary
+    and (doc_id, local ord) rows. Deterministic idempotent names from
+    the shard's doc-id span (doc ids are unique across the corpus)."""
+
+    def __init__(self, seg_root: str, id_col: str, column: str,
+                 multi: bool):
+        self.seg_root = seg_root
+        self.id_col, self.column, self.multi = id_col, column, multi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import shutil
+
+        ids, codes, dvals = _flatten(
+            batch, self.id_col, self.column, self.multi
+        )
+        if not len(ids):
+            return pa.table({"seg": pa.array([], pa.string())})
+        local_sorted = _sorted_unique(pc.cast(dvals, pa.string()))
+        # codes index the UNSORTED batch dictionary; local ords index
+        # the sorted one — rank of each dictionary entry in sort order
+        order = pc.array_sort_indices(dvals).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        remap = np.empty(len(order), np.int32)
+        remap[order] = np.arange(len(order), dtype=np.int32)
+        name = f"seg-{ids.min()}-{ids.max()}"
+        dest = os.path.join(self.seg_root, name)
+        if os.path.isdir(dest):  # resumed
+            return pa.table({"seg": pa.array([name])})
+        tmp = dest + f".tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.table({"value": local_sorted}),
+            os.path.join(tmp, "dict.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(ids),
+                 "ord": pa.array(remap[codes])}
+            ),
+            os.path.join(tmp, "ords.parquet"),
+        )
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # racing writer won
+        return pa.table({"seg": pa.array([name])})
+
+
+def _build_sorted_dv_segmented(
+    d: str,
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    column: str,
+    multi: bool,
+    dict_row_group: int = 65_536,
+) -> int:
+    """Segmented build + merge; returns the global cardinality."""
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    seg_root = os.path.join(d, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    segs = (
+        ds.map_batches(
+            _SegmentDVWriter(seg_root, id_col, column, multi),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()["seg"]
+        .tolist()
+    )
+    segs = sorted(set(segs))
+    return merge_sorted_dv_segments(
+        d, segs, dict_row_group=dict_row_group
+    )
+
+
+def merge_sorted_dv_segments(
+    d: str, segs: list[str], *, dict_row_group: int = 65_536
+) -> int:
+    """Ordinal-map merge of per-segment sorted-dv segments (the
+    Lucene ``OrdinalMap``/``MergeState`` analog, applied eagerly so the
+    query artifact stays one global dict + global ords):
+
+    1. the union of segment dictionaries goes through ONE distributed
+       value sort; the driver streams the sorted batches, drops
+       adjacent duplicates across batch boundaries, and appends row
+       groups to ``dict.parquet`` incrementally (``pq.ParquetWriter``)
+       while counting global ordinals — driver memory is one batch,
+       never the vocabulary;
+    2. one remap task per segment streams the global dictionary's row
+       groups against its own (small, sorted) local dict to build the
+       local-ord -> global-ord array, then rewrites its ords file with
+       global ordinals into ``ords/``.
+
+    Returns the global cardinality."""
+    dict_paths = [
+        os.path.join(d, "segments", s, "dict.parquet") for s in segs
+    ]
+    sorted_vals = ray.data.read_parquet(dict_paths).sort("value")
+    dict_path = os.path.join(d, "dict.parquet")
+    writer = None
+    last = None
+    card = 0
+    try:
+        for b in sorted_vals.iter_batches(batch_format="pyarrow"):
+            col = b["value"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not len(col):
+                continue
+            u = _sorted_unique(col)
+            if last is not None and len(u) and u[0].as_py() == last:
+                u = u.slice(1)
+            if not len(u):
+                continue
+            last = u[-1].as_py()
+            t = pa.table({"value": pc.cast(u, pa.string())})
+            if writer is None:
+                writer = pq.ParquetWriter(dict_path, t.schema)
+            writer.write_table(t, row_group_size=dict_row_group)
+            card += len(u)
+    finally:
+        if writer is not None:
+            writer.close()
+    if card == 0:  # empty corpus: still leave a valid empty dict
+        pq.write_table(
+            pa.table({"value": pa.array([], pa.string())}), dict_path
+        )
+
+    def remap_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        out_rows = []
+        for seg in batch["seg"].to_pylist():
+            sdir = os.path.join(d, "segments", seg)
+            local = pq_.read_table(os.path.join(sdir, "dict.parquet"))[
+                "value"
+            ]
+            if isinstance(local, pa.ChunkedArray):
+                local = local.combine_chunks()
+            ln = np.asarray(local.to_pylist(), dtype=object)
+            g_ord = np.full(len(ln), -1, np.int64)
+            pf = pq_.ParquetFile(dict_path)
+            base = 0
+            for rg in range(pf.num_row_groups):
+                gv = pf.read_row_group(rg)["value"]
+                if isinstance(gv, pa.ChunkedArray):
+                    gv = gv.combine_chunks()
+                gn = np.asarray(gv.to_pylist(), dtype=object)
+                lo = np.searchsorted(ln, gn[0])
+                hi = np.searchsorted(ln, gn[-1], side="right")
+                if hi > lo:
+                    pos = np.searchsorted(gn, ln[lo:hi])
+                    hit = gn[np.minimum(pos, len(gn) - 1)] == ln[lo:hi]
+                    g_ord[lo:hi][hit] = base + pos[hit]
+                base += len(gn)
+            if (g_ord < 0).any():
+                missing = ln[g_ord < 0]
+                raise ValueError(
+                    f"segment {seg}: {len(missing)} values absent from "
+                    f"the merged dictionary (e.g. {missing[:3].tolist()})"
+                )
+            ot = pq_.read_table(os.path.join(sdir, "ords.parquet"))
+            lo_ords = ot["ord"].to_numpy(zero_copy_only=False)
+            pq_.write_table(
+                pa.table(
+                    {"doc_id": ot["doc_id"],
+                     "ord": pa.array(
+                         g_ord[lo_ords].astype(np.int32))}
+                ),
+                os.path.join(d, "ords", f"{seg}.parquet"),
+            )
+            out_rows.append(seg)
+        return pa.table({"seg": pa.array(out_rows, pa.string())})
+
+    os.makedirs(os.path.join(d, "ords"), exist_ok=True)
+    done = (
+        ray.data.from_items([{"seg": s} for s in segs])
+        .map_batches(remap_one, batch_size=1, batch_format="pyarrow")
+        .count()
+    )
+    assert done == len(segs), (done, len(segs))
+    return card
 
 
 def load_sorted_dict(index_dir: str, field: str) -> np.ndarray:

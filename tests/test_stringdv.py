@@ -129,6 +129,123 @@ class TestSortedDV:
         assert [(v, d) for d, v in got] == want
 
 
+class TestSegmentedSortedDV:
+    """Per-segment ords + ordinal-remap merge (the Lucene OrdinalMap
+    analog) — the path that lifts the driver-side dictionary cap."""
+
+    def _big_corpus(self, d, n=3000, n_vals=800):
+        # dictionary of n_vals distinct keys, far above the test cap
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [
+                        ("data merge " if i % 2 == 0 else "data split ")
+                        + f"body t{i:04d}"
+                        for i in range(n)
+                    ],
+                    pa.string(),
+                ),
+                "key": pa.array(
+                    [f"k-{(i * 37) % n_vals:05d}" for i in range(n)],
+                    pa.string(),
+                ),
+            }
+        )
+        p = str(d / "big.parquet")
+        pq.write_table(t, p)
+        return p, t
+
+    def test_over_cap_build_equals_fast_path(
+        self, tmp_path, ray_session
+    ):
+        """A dictionary over max_dict_size auto-switches to the
+        segmented build; dict.parquet VALUES and the (doc, ord) rows
+        are identical to the fast (broadcast) path's."""
+        p, t = self._big_corpus(tmp_path)
+        ixa = str(tmp_path / "ixa")
+        ixb = str(tmp_path / "ixb")
+        for ix in (ixa, ixb):
+            build_index(
+                p, ix, fields=FIELDS, num_partitions=3, batch_size=256
+            )
+        build_sorted_dv(ixa, "key", p)  # fast path (cap = 5M)
+        m = build_sorted_dv(ixb, "key", p, max_dict_size=100)
+        assert m.extra["dv_sorted"]["key"].get("segmented") is True
+        da = load_sorted_dict(ixa, "key")
+        db = load_sorted_dict(ixb, "key")
+        assert list(da) == list(db)
+        ids = np.arange(t.num_rows, dtype=np.int64)
+        ia, oa = sorted_dv_rows(ixa, "key", ids)
+        ib, ob = sorted_dv_rows(ixb, "key", ids)
+        za = sorted(zip(ia.tolist(), oa.tolist()))
+        zb = sorted(zip(ib.tolist(), ob.tolist()))
+        assert za == zb
+        # and the ords decode to the source values
+        vals = t["key"].to_pylist()
+        for did, o in za[:50]:
+            assert da[o] == vals[did]
+
+    def test_over_cap_sort_query_green(self, tmp_path, ray_session):
+        """search_sort_by_keyword over a segmented-built dv matches
+        the brute-force (value, doc) order."""
+        p, t = self._big_corpus(tmp_path)
+        ix = str(tmp_path / "ix")
+        build_index(
+            p, ix, fields=FIELDS, num_partitions=3, batch_size=256
+        )
+        build_sorted_dv(ix, "key", p, max_dict_size=50)
+        s = Searcher(ix)
+        vals = t["key"].to_pylist()
+        want = sorted((vals[i], i) for i in range(0, t.num_rows, 2))[:15]
+        got = s.search_sort_by_keyword("merge", k=15, dv_field="key")
+        assert [(v, d) for d, v in got] == want
+
+    def test_segmented_multi_and_resume(self, tmp_path, ray_session):
+        """SortedSet through the segmented path; re-running the build
+        reuses published segment dirs (idempotent names)."""
+        import glob
+
+        n = 400
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["data x"] * n, pa.string()),
+                "tags": pa.array(
+                    [
+                        [f"t{(i * 13) % 90:03d}", f"t{(i * 7) % 90:03d}"]
+                        for i in range(n)
+                    ],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+        p = str(tmp_path / "m.parquet")
+        pq.write_table(t, p)
+        ix = str(tmp_path / "ix")
+        build_index(p, ix, fields=FIELDS, num_partitions=2, batch_size=64)
+        build_sorted_dv(ix, "tags", p, multi=True, force_segmented=True)
+        dct = load_sorted_dict(ix, "tags")
+        want_vocab = sorted(
+            {v for row in t["tags"].to_pylist() for v in row}
+        )
+        assert list(dct) == want_vocab
+        ids, ords = sorted_dv_rows(
+            ix, "tags", np.arange(n, dtype=np.int64)
+        )
+        got = sorted(zip(ids.tolist(), [dct[o] for o in ords]))
+        want = sorted(
+            (i, v)
+            for i, row in enumerate(t["tags"].to_pylist())
+            for v in set(row)
+        )
+        assert got == want
+        segs = glob.glob(
+            os.path.join(ix, "dv_sorted", "tags", "segments", "seg-*")
+        )
+        assert segs  # per-segment layout exists alongside the merge
+
+
 class TestBinaryDV:
     def test_roundtrip_aligned(self, dv_ix):
         ix, _ = dv_ix
