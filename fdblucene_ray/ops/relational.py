@@ -168,35 +168,28 @@ def shipping_priority(
 
     if cutoff is None:
         cutoff = datetime.datetime(1998, 6, 1)
+    # predicates push into the parquet scan: row groups whose
+    # min/max statistics cannot match are skipped before any bytes
+    # decode (date-sorted / segment-clustered files prune hardest)
     cust = (
         ray.data.read_parquet(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"],
+            filter=(pc.field("c_mktsegment") == segment),
         )
-        .filter(expr=f"c_mktsegment == '{segment}'")
         .select_columns(["c_custkey"])
         .rename_columns({"c_custkey": "o_custkey"})
     )
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff)),
     )
     li_rev = (
         ray.data.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_extendedprice", "l_discount",
-                     "l_shipdate"],
-        )
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater(t["l_shipdate"], pa.scalar(cutoff))
-            ).drop_columns(["l_shipdate"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") > pa.scalar(cutoff)),
         )
         .map_batches(
             _revenue_partials, batch_format="pyarrow", zero_copy_batch=True

@@ -86,3 +86,49 @@ class TestShippingPriorityAndLargeOrders:
         assert len(q18) == 20
         assert (q18["total_qty"].diff().dropna() <= 1e-9).all()
         assert (q18["total_qty"] > 120.0).all()
+
+
+class TestPredicatePushdown:
+    """The date/segment predicates ship INTO the parquet scan: on a
+    date-sorted multi-row-group fixture the scanner's statistics prune
+    whole row groups before any bytes decode, and the Ray read with
+    the same filter returns exactly the predicate rows."""
+
+    def test_row_groups_pruned_and_rows_exact(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        n = 10_000
+        days = np.arange(n) // 100  # sorted by date
+        base = datetime.datetime(1998, 1, 1)
+        dates = pa.array(
+            [base + datetime.timedelta(days=int(d)) for d in days],
+            pa.timestamp("us"),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "l_shipdate": dates,
+                "l_extendedprice": pa.array(
+                    np.linspace(1, 2, n)
+                ),
+            }
+        )
+        p = str(tmp_path / "li.parquet")
+        pq.write_table(t, p, row_group_size=1000)
+        assert pq.ParquetFile(p).num_row_groups == 10
+
+        cutoff = base + datetime.timedelta(days=19)  # first 2k rows
+        expr = pc.field("l_shipdate") <= pa.scalar(cutoff)
+        # the same expression Ray ships to the scan prunes row groups
+        # via statistics (this IS the pushed-down pruning path)
+        frag = list(pads.dataset(p).get_fragments())[0]
+        kept = list(frag.split_by_row_group(expr))
+        assert len(kept) == 2  # 8 of 10 row groups never decode
+
+        got = ray.data.read_parquet(p, filter=expr).to_pandas()
+        assert len(got) == 2000
+        assert sorted(got["l_orderkey"]) == list(range(2000))
