@@ -191,6 +191,89 @@ FROM scored {final_where} ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _mmr_sql(
+    terms: list[str], n_cand: int = 50, k: int = 10, lam: float = 0.7
+) -> str:
+    """SQL twin of BM25 top-``n_cand`` + greedy MMR re-rank
+    (ops/hybrid.mmr_rerank). The greedy loop is DETERMINISTIC
+    arithmetic with a fixed iteration count, so it unrolls into ``k``
+    chained CTE stages: stage j picks argmax of
+    lam*rel - (1-lam)*max_sim (ties score desc then doc asc) among
+    unpicked candidates, then folds the pick's cosine row into the
+    running per-candidate max. Reported score = the max-sim each pick
+    saw AT selection time (0.0 for the first pick), like the engine."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    mu = 1.0 - lam
+    toks_cte = (
+        "toks AS (SELECT doc_id, tok FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS tok "
+        "FROM documents) WHERE tok <> '')"
+    )
+    stages = []
+    picks = [
+        f"SELECT 0 AS rnk, ce.doc_id, {lam} * ce.rel - {mu} * 0.0 AS score "
+        "FROM s1 JOIN ce ON ce.doc_id = s1.doc_id"
+    ]
+    excl = "SELECT doc_id FROM s1"
+    stages.append(
+        f"s1 AS MATERIALIZED (SELECT doc_id FROM ce ORDER BY {lam} * rel DESC, doc_id LIMIT 1)"
+    )
+    stages.append(
+        "m1 AS MATERIALIZED (SELECT ce.doc_id, sim.s AS ms FROM ce "
+        "JOIN sim ON sim.da = ce.doc_id "
+        "AND sim.db = (SELECT doc_id FROM s1))"
+    )
+    for j in range(2, k + 1):
+        prev_m = f"m{j - 1}"
+        stages.append(
+            f"s{j} AS MATERIALIZED (SELECT m.doc_id FROM {prev_m} m "
+            "JOIN ce ON ce.doc_id = m.doc_id "
+            f"WHERE m.doc_id NOT IN ({excl}) "
+            f"ORDER BY {lam} * ce.rel - {mu} * m.ms DESC, m.doc_id LIMIT 1)"
+        )
+        picks.append(
+            f"SELECT {j - 1} AS rnk, s{j}.doc_id, "
+            f"{lam} * ce.rel - {mu} * m.ms AS score "
+            f"FROM s{j} JOIN ce ON ce.doc_id = s{j}.doc_id "
+            f"JOIN {prev_m} m ON m.doc_id = s{j}.doc_id"
+        )
+        excl += f" UNION ALL SELECT doc_id FROM s{j}"
+        if j < k:
+            stages.append(
+                f"m{j} AS MATERIALIZED (SELECT p.doc_id, greatest(p.ms, sim.s) AS ms "
+                f"FROM {prev_m} p JOIN sim ON sim.da = p.doc_id "
+                f"AND sim.db = (SELECT doc_id FROM s{j}))"
+            )
+    return f"""
+WITH {toks_cte}, {DL_CTE}, {STATS_CTE}, {NORMVALS_CTE}, {DLQ_CTE},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ({term_list}) GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.dc - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + (0.75 * dlq.dlq) / (stats.sttf / stats.dc))) AS s
+  FROM tf
+  JOIN dfx ON dfx.tok = tf.tok
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (SELECT doc_id, sum(s) AS score FROM contrib GROUP BY doc_id),
+cand AS MATERIALIZED (SELECT doc_id, score AS rel FROM scored
+         ORDER BY score DESC, doc_id LIMIT {n_cand}),
+ce AS MATERIALIZED (SELECT c.doc_id, c.rel, e.embedding::DOUBLE[] AS v
+       FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+sim AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
+               list_cosine_similarity(a.v, b.v) AS s
+        FROM ce a CROSS JOIN ce b),
+{", ".join(stages)},
+picks AS ({" UNION ALL ".join(picks)})
+SELECT rnk::BIGINT AS rank, doc_id,
+       CAST(round(CAST(score AS DOUBLE), 6) AS DOUBLE) AS score
+FROM picks ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------- fulltext
 
 
@@ -1870,9 +1953,10 @@ def q_lm_score_bigram(sf_dir: str) -> pa.Table:
 
 def q_ann_sq8(sf_dir: str) -> pa.Table:
     """Approximate cosine top-k over SQ8-reconstructed vectors
-    (asymmetric distance, FAISS SQ8 search shape). Rows-only: the
-    quantization error channel isn't SQL-replayable at 5 dp; pytest
-    bounds recall vs the exact oracle."""
+    (asymmetric distance, FAISS SQ8 search shape). The quantize +
+    reconstruct arithmetic is deterministic double-precision math, so
+    the WHOLE channel is SQL-replayed (floor/clip/reconstruct in the
+    oracle); pytest additionally bounds recall vs the exact ranking."""
     from fdblucene_ray.ops.similarity import sq8_topk
 
     q = _query_vectors(sf_dir, [0, 1, 2])
@@ -1886,8 +1970,9 @@ def q_ft_mmr(sf_dir: str) -> pa.Table:
     """MMR-diversified search: BM25 top-50 for 'data stream' re-ranked
     by Maximal Marginal Relevance over the docs' embedding twins
     (ops/hybrid.mmr_rerank — candidates-only hydration + driver greedy).
-    Rows-only: the greedy recursion isn't SQL-expressible; pytest holds
-    the brute-force oracle."""
+    The fixed-depth greedy is deterministic arithmetic, so it unrolls
+    into k chained MATERIALIZED CTE stages in the SQL oracle
+    (_mmr_sql); pytest additionally holds the brute-force oracle."""
     from fdblucene_ray.ops.hybrid import mmr_rerank
 
     s = Searcher(_ensure_index(sf_dir, "simple"))
@@ -6563,6 +6648,35 @@ s AS (SELECT doc, sum(mx) AS sc FROM m GROUP BY doc),
 r AS (SELECT doc, sc, row_number() OVER (ORDER BY sc DESC, doc) AS rn FROM s)
 SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score
 FROM r WHERE rn <= 10 ORDER BY rn
+""",
+        "ft_mmr": _mmr_sql(["data", "stream"], n_cand=50, k=10, lam=0.7),
+        "ann_sq8": """
+WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings),
+p AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+q8 AS (SELECT e.vec_id, e.dim, p.mn, p.mx - p.mn AS span,
+              CASE WHEN p.mx - p.mn <= 0 THEN 0.0
+                   ELSE least(greatest(
+                          floor((e.x - p.mn) / (p.mx - p.mn) * 256.0),
+                          0.0), 255.0)
+              END AS code
+       FROM e JOIN p USING (dim)),
+xh AS (SELECT vec_id,
+              list(mn + (code + 0.5) * span / 256.0 ORDER BY dim) AS xhat
+       FROM q8 GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT q.query_id, xh.vec_id,
+             list_cosine_similarity(xh.xhat, q.qv::DOUBLE[]) AS sim_raw
+      FROM xh CROSS JOIN q),
+r AS (SELECT query_id, vec_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_raw DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id::BIGINT AS query_id, vec_id,
+       CAST(round(CAST(sim_raw AS DOUBLE), 5) AS DOUBLE) AS sim
+FROM r WHERE rn <= 10
 """,
         "ann_maxsim_plaid": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
