@@ -101,6 +101,91 @@ def _greedy_search(
     return np.asarray(visited, np.int64), np.asarray(vis_sims, np.float64)
 
 
+def _lexsort_rows(ids2: np.ndarray, sims2: np.ndarray) -> np.ndarray:
+    """Row-wise lexsort order (best sim first, id-ascending ties) for
+    a (B, W) beam matrix — two chained STABLE axis argsorts instead of
+    a per-row ``np.lexsort`` loop."""
+    o1 = np.argsort(ids2, axis=1, kind="stable")
+    sims_s = np.take_along_axis(sims2, o1, 1)
+    o2 = np.argsort(-sims_s, axis=1, kind="stable")
+    return np.take_along_axis(o1, o2, 1)
+
+
+_PAD = np.int64(1) << 62  # sorts after every real node id
+
+
+def _greedy_search_batch(
+    vecs_n: np.ndarray,
+    adj: np.ndarray,
+    entry: int,
+    Qn: np.ndarray,
+    L: int,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """``_greedy_search`` for a BATCH of queries against one
+    partition's graph, advancing all beams in lockstep with masked
+    numpy ops — one vectorized iteration expands one node per active
+    query instead of a Python loop per query. Returns, per query, the
+    (visited node ids, sims) arrays; the visited SETS and sims are
+    identical to the scalar walk (determinism pytest), visit order is
+    not reproduced (no caller depends on it — top-k re-sorts).
+
+    Memory: two (B, n) bool masks per call — size the per-partition
+    query batch accordingly (B is tens; n is one IVF partition)."""
+    B = len(Qn)
+    n = len(vecs_n)
+    if not B or not n:
+        return [(np.empty(0, np.int64), np.empty(0, np.float64))] * B
+    seen = np.zeros((B, n), bool)
+    expanded = np.zeros((B, n), bool)
+    W = L  # beam capacity
+    beam_ids = np.full((B, W), _PAD, np.int64)
+    beam_sims = np.full((B, W), -np.inf, np.float64)
+    beam_ids[:, 0] = entry
+    beam_sims[:, 0] = Qn @ vecs_n[entry]
+    seen[:, entry] = True
+    visited: list[list[int]] = [[] for _ in range(B)]
+    vis_sims: list[list[float]] = [[] for _ in range(B)]
+    R = adj.shape[1]
+    while True:
+        valid = beam_ids < _PAD
+        unexp = valid.copy()
+        bi = np.clip(beam_ids, 0, n - 1)
+        unexp &= ~np.take_along_axis(expanded, bi, 1)
+        active = unexp.any(axis=1)
+        if not active.any():
+            break
+        a_idx = np.flatnonzero(active)
+        # first unexpanded slot per active beam (beam is best-first)
+        slot = np.argmax(unexp[a_idx], axis=1)
+        u = beam_ids[a_idx, slot]
+        u_sim = beam_sims[a_idx, slot]
+        expanded[a_idx, u] = True
+        for j, b in enumerate(a_idx):
+            visited[b].append(int(u[j]))
+            vis_sims[b].append(float(u_sim[j]))
+        nbrs = adj[u]  # (A, R)
+        ok = nbrs >= 0
+        nb = np.clip(nbrs, 0, n - 1)
+        ok &= ~seen[a_idx[:, None], nb]
+        seen[a_idx[:, None], np.where(ok, nb, 0)] |= ok
+        # sims of fresh neighbors; masked slots stay -inf/_PAD
+        sims = np.einsum(
+            "ard,ad->ar", vecs_n[nb], Qn[a_idx]
+        )
+        new_ids = np.where(ok, nbrs, _PAD)
+        new_sims = np.where(ok, sims, -np.inf)
+        cat_ids = np.concatenate((beam_ids[a_idx], new_ids), axis=1)
+        cat_sims = np.concatenate((beam_sims[a_idx], new_sims), axis=1)
+        order = _lexsort_rows(cat_ids, cat_sims)[:, :W]
+        beam_ids[a_idx] = np.take_along_axis(cat_ids, order, 1)
+        beam_sims[a_idx] = np.take_along_axis(cat_sims, order, 1)
+    return [
+        (np.asarray(visited[b], np.int64),
+         np.asarray(vis_sims[b], np.float64))
+        for b in range(B)
+    ]
+
+
 def _robust_prune(
     p: int,
     cand: np.ndarray,
@@ -395,10 +480,13 @@ def _graph_search_batch(
         )
         if not len(ids):
             continue
-        for qi in q_idx:
-            visited, sims = _greedy_search(
-                vecs_n, adj, medoid, qn[qi], L_search
-            )
+        q_idx = np.asarray(q_idx, np.int64)
+        # all of this partition's queries advance in ONE lockstep
+        # vectorized walk instead of a Python loop per query
+        results = _greedy_search_batch(
+            vecs_n, adj, medoid, qn[q_idx], L_search
+        )
+        for qi, (visited, sims) in zip(q_idx, results):
             kk = min(k, len(visited))
             order = np.lexsort((ids[visited], -sims))[:kk]
             out_q.append(np.full(kk, query_ids[qi], np.int64))

@@ -450,6 +450,73 @@ class TestMaxSimRerank:
         assert np.allclose(full["score"], two["score"])
 
 
+class TestBatchedBeamSearch:
+    """The lockstep batched beam walk returns the SAME visited sets
+    and sims as the scalar reference walk, and amortizes interpreter
+    overhead on large query batches."""
+
+    def _graph(self, n=600, dim=16, R=12, seed=23):
+        from fdblucene_ray.ops.graphann import _robust_prune
+
+        rng = np.random.default_rng(seed)
+        vecs = _normalize(
+            _clustered_vectors(n, dim=dim, n_clusters=5, seed=seed)
+        )
+        adj = np.full((n, R), -1, np.int64)
+        for i in range(n):
+            cand = rng.integers(0, n, 3 * R)
+            kept = _robust_prune(i, cand, vecs, R, 1.2)
+            adj[i, : len(kept)] = kept
+        return vecs, adj
+
+    def test_batch_equals_scalar(self, ray_session):
+        from fdblucene_ray.ops.graphann import (
+            _greedy_search,
+            _greedy_search_batch,
+        )
+
+        vecs, adj = self._graph()
+        rng = np.random.default_rng(5)
+        Qn = _normalize(rng.normal(size=(24, vecs.shape[1])))
+        for L in (8, 32, 64):
+            batched = _greedy_search_batch(vecs, adj, 0, Qn, L)
+            for qi in range(len(Qn)):
+                sv, ss = _greedy_search(vecs, adj, 0, Qn[qi], L)
+                bv, bs = batched[qi]
+                # visited SETS identical; sims agree to float64
+                # rounding (einsum vs matvec differ in the last ulp)
+                assert sorted(sv.tolist()) == sorted(bv.tolist()), (
+                    qi, L,
+                )
+                a = np.array(sorted(zip(sv, ss)))
+                b = np.array(sorted(zip(bv, bs)))
+                assert np.allclose(a, b, atol=1e-10), (qi, L)
+
+    def test_batch_faster_on_512_queries(self, ray_session):
+        import time
+
+        from fdblucene_ray.ops.graphann import (
+            _greedy_search,
+            _greedy_search_batch,
+        )
+
+        vecs, adj = self._graph(n=2000)
+        rng = np.random.default_rng(9)
+        Qn = _normalize(rng.normal(size=(512, vecs.shape[1])))
+        L = 32
+        _greedy_search_batch(vecs, adj, 0, Qn[:8], L)  # warm
+        t0 = time.perf_counter()
+        _greedy_search_batch(vecs, adj, 0, Qn, L)
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for q in Qn:
+            _greedy_search(vecs, adj, 0, q, L)
+        ts = time.perf_counter() - t0
+        # generous bar to stay unflaky on a loaded host; typical
+        # ratios are far higher
+        assert tb < ts, (tb, ts)
+
+
 class TestMaxSimPlaid:
     """Indexed late-interaction serving (PLAID shape): stage-1
     candidates come from a token-level IVF layout, not a corpus scan."""
