@@ -142,6 +142,158 @@ class TestCommitReplication:
         assert store.list_files("commits") == [_commit_rel(v)]
 
 
+class FakeS3Store:
+    """In-memory object store with S3 API semantics — the contract
+    double for ``PutObject If-None-Match: *`` conditional writes
+    (strongly consistent, atomic whole-object visibility, flat
+    keyspace, no rename). ``put_if_absent`` arbitrates under one lock
+    exactly the way S3's conditional put arbitrates server-side, so
+    the commit protocol (``_cas_put_manifest``) must pass against it
+    byte-for-byte as against LocalFS."""
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def list_files(self, prefix: str = "") -> list[str]:
+        with self._lock:
+            return sorted(
+                k for k in self._objects if k.startswith(prefix)
+            )
+
+    def get(self, rel: str) -> bytes:
+        with self._lock:
+            return self._objects[rel]
+
+    def put(self, rel: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[rel] = bytes(data)
+
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        with self._lock:  # S3: PutObject If-None-Match: *
+            if rel in self._objects:
+                return False
+            self._objects[rel] = bytes(data)
+            return True
+
+    def delete(self, rel: str) -> None:
+        with self._lock:
+            self._objects.pop(rel, None)
+
+    def exists(self, rel: str) -> bool:
+        with self._lock:
+            return rel in self._objects
+
+    def get_manifest(self):
+        from fdblucene_ray.index.store import _resolve_manifest
+
+        return _resolve_manifest(self)
+
+    def put_manifest(self, manifest, *, expected_version=None) -> None:
+        from fdblucene_ray.index.store import _cas_put_manifest
+
+        _cas_put_manifest(self, manifest, expected_version)
+
+
+def _race_two_writers(store, built_ix):
+    """Shared body: push, then two threads CAS the same version."""
+    import threading
+    from dataclasses import replace
+
+    push_index(built_ix, store)
+    m = store.get_manifest()
+    base_v = m.version
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def writer(i):
+        nxt = replace(m, version=base_v + 1,
+                      extra={**m.extra, "writer": i})
+        try:
+            barrier.wait()
+            store.put_manifest(nxt, expected_version=base_v)
+            results[i] = "won"
+        except ManifestConflictError:
+            results[i] = "lost"
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return results, base_v
+
+
+class TestFakeS3Contract:
+    """The S3-semantics contract suite: every conditional-put commit
+    property holds against the in-memory S3 double exactly as against
+    LocalFS (VERDICT r4 #5)."""
+
+    def test_two_writer_race(self, built_ix, ray_session):
+        for _ in range(5):  # arbitration, not scheduling luck
+            store = FakeS3Store()
+            results, base_v = _race_two_writers(store, built_ix)
+            assert sorted(results) == ["lost", "won"]
+            cur = store.get_manifest()
+            assert cur.version == base_v + 1
+            assert cur.extra["writer"] == results.index("won")
+
+    def test_put_if_absent_is_exclusive(self):
+        store = FakeS3Store()
+        assert store.put_if_absent("x/y.bin", b"a") is True
+        assert store.put_if_absent("x/y.bin", b"b") is False
+        assert store.get("x/y.bin") == b"a"
+
+    def test_commit_objects_are_authoritative(self, built_ix, ray_session):
+        from dataclasses import replace
+
+        from fdblucene_ray.index.store import _commit_rel, _manifest_bytes
+
+        store = FakeS3Store()
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        nxt = replace(m, version=m.version + 1)
+        # writer crash between commit-object put and pointer refresh
+        assert store.put_if_absent(
+            _commit_rel(nxt.version), _manifest_bytes(nxt)
+        )
+        assert store.get_manifest().version == nxt.version
+
+    def test_push_pull_roundtrip_identical_results(
+        self, built_ix, tmp_path, ray_session
+    ):
+        store = FakeS3Store()
+        push_index(built_ix, store)
+        dest = str(tmp_path / "from-s3")
+        pull_index(store, dest)
+        a = Searcher(built_ix).search_terms(["merge"], 10, mode="wand")
+        b = Searcher(dest).search_terms(["merge"], 10, mode="wand")
+        assert a == b
+
+    def test_idempotent_republish_same_bytes_ok(
+        self, built_ix, ray_session
+    ):
+        """Re-publishing the SAME manifest version with identical
+        bytes (resume) is accepted; different bytes under the same
+        version raise (lost the publish race)."""
+        from dataclasses import replace
+
+        store = FakeS3Store()
+        push_index(built_ix, store)
+        m = store.get_manifest()
+        nxt = replace(m, version=m.version + 1)
+        store.put_manifest(nxt, expected_version=m.version)
+        # resume: same version, same bytes — fine
+        store.put_manifest(nxt, expected_version=m.version + 1)
+        other = replace(
+            m, version=m.version + 1, extra={**m.extra, "x": 1}
+        )
+        with pytest.raises(ManifestConflictError):
+            store.put_manifest(other, expected_version=m.version + 1)
+
+
 class TestConditionalPutCommit:
     """Object-store CAS commit: the conditional put of the IMMUTABLE
     version-named commit object is the whole fence (the FDB
