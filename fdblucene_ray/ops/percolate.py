@@ -395,26 +395,47 @@ class Percolator:
 def _percolate_batch(batch, *, queries_ref, analyzer, text_col, id_col,
                      field_cols, df_ref):
     """Task wrapper: per-worker cached Percolator keyed by the broadcast
-    query set's ObjectRef — the trigger-term index builds once per
-    worker, tasks start on the warm pool (no actor spin-up)."""
+    query set's ObjectRef — or, for a PERSISTED monitor, by the saved
+    query file's (path, size, mtime). The trigger-term index builds
+    once per worker either way; tasks start on the warm pool (no actor
+    spin-up), and a restarted monitor re-serves straight from the
+    ``save_queries`` artifact without recompiling on the driver."""
     from fdblucene_ray.ops.broadcast import cached_state
 
     fc_key = tuple(sorted(field_cols.items())) if field_cols else None
+    if isinstance(queries_ref, str):
+        import os
+
+        stt = os.stat(queries_ref)
+        qkey = (queries_ref, stt.st_size, stt.st_mtime_ns)
+
+        def make():
+            return Percolator(
+                load_queries(queries_ref), analyzer=analyzer,
+                text_col=text_col, id_col=id_col,
+                field_cols=field_cols, df_ref=df_ref,
+            )
+    else:
+        qkey = queries_ref.hex()
+
+        def make():
+            return Percolator(
+                queries_ref, analyzer=analyzer, text_col=text_col,
+                id_col=id_col, field_cols=field_cols, df_ref=df_ref,
+            )
+
     st = cached_state(
-        ("percolator", queries_ref.hex(),
+        ("percolator", qkey,
          df_ref.hex() if df_ref is not None else None,
          analyzer, text_col, id_col, fc_key),
-        lambda: Percolator(
-            queries_ref, analyzer=analyzer, text_col=text_col,
-            id_col=id_col, field_cols=field_cols, df_ref=df_ref,
-        ),
+        make,
     )
     return st(batch)
 
 
 def percolate(
     ds: ray.data.Dataset,
-    queries: list[dict],
+    queries: list[dict] | str,
     *,
     analyzer: str = "simple",
     text_col: str = "text",
@@ -427,10 +448,30 @@ def percolate(
     ``queries``). ``field_cols`` enables multi-field clauses
     (``"url:..."``): field name -> (batch column, analyzer).
 
+    ``queries`` may be raw query dicts (compiled here) or the PATH of
+    a ``save_queries`` artifact — the persisted-monitor serving mode:
+    the driver never touches the (possibly 100k+) query set; each
+    worker loads and compiles the trigger index ONCE (cached_state
+    keyed on the file's identity) and every subsequent batch reuses it.
+
     ``df``: corpus document frequencies for trigger selection — a
     {(field, term): df} map, or an INDEX DIR over the same corpus (the
     required terms' dfs are point-looked-up there); None keeps the
     stats-free token-length heuristic."""
+    if isinstance(queries, str):
+        if isinstance(df, str):
+            df = query_term_dfs(df, load_queries(queries))
+        dref = ray.put(df) if df is not None else None
+        return ds.map_batches(
+            _percolate_batch,
+            fn_kwargs=dict(
+                queries_ref=queries, analyzer=analyzer,
+                text_col=text_col, id_col=id_col, field_cols=field_cols,
+                df_ref=dref,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     default_field = next(iter(field_cols)) if field_cols else "text"
     compiled = compile_queries(
         queries, analyzer, default_field=default_field,

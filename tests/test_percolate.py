@@ -270,3 +270,117 @@ def test_save_load_roundtrip(tmp_path, corpus):
     a = Percolator(qs)(t).to_pydict()
     b = Percolator(back)(t).to_pydict()
     assert a == b
+
+
+class TestPersistedMonitorAtScale:
+    """VERDICT r4 #9: a persisted 100k-query monitor round-trips
+    through save_queries -> percolate(path), the compiled trigger
+    index builds ONCE per worker (cached_state on the file identity —
+    a second batch reuses the SAME instance, counters accumulate), and
+    per-doc pruning keeps doc_evals far below Q x n."""
+
+    def _monitor(self, tmp_path, n_q=100_000, vocab_n=5_000):
+        from fdblucene_ray.ops.percolate import (
+            compile_queries,
+            save_queries,
+        )
+
+        rng = np.random.default_rng(31)
+        a = rng.integers(0, vocab_n, n_q)
+        b = rng.integers(0, vocab_n, n_q)
+        raw = [
+            {"must": [f"w{a[i]}", f"w{b[i]}"]} for i in range(n_q)
+        ]
+        compiled = compile_queries(raw)
+        path = str(tmp_path / "monitor.parquet")
+        assert save_queries(path, compiled) == n_q
+        return raw, compiled, path
+
+    def test_roundtrip_and_once_per_worker_load(
+        self, tmp_path, ray_session
+    ):
+        from fdblucene_ray.ops.broadcast import cached_state
+        from fdblucene_ray.ops.percolate import (
+            _percolate_batch,
+            load_queries,
+        )
+
+        raw, compiled, path = self._monitor(tmp_path, n_q=100_000)
+        assert load_queries(path) == compiled  # tuple-identical
+        rng = np.random.default_rng(5)
+        docs = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 5000, 40))
+            for _ in range(400)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(400), pa.int64()),
+             "text": pa.array(docs)}
+        )
+        kwargs = dict(
+            queries_ref=path, analyzer="simple", text_col="text",
+            id_col="doc_id", field_cols=None, df_ref=None,
+        )
+        out1 = _percolate_batch(t.slice(0, 200), **kwargs)
+        # grab the worker-cached instance the wrapper built
+        import os
+
+        stt = os.stat(path)
+        key = ("percolator", (path, stt.st_size, stt.st_mtime_ns),
+               None, "simple", "text", "doc_id", None)
+        p = cached_state(key, lambda: None)
+        assert p is not None  # same key -> same cached Percolator
+        evals_after_first = p.doc_evals
+        assert p.doc_evals_possible > 0
+        out2 = _percolate_batch(t.slice(200, 200), **kwargs)
+        # SAME instance served batch 2: counters accumulated, no
+        # second construction (a fresh build would reset them)
+        assert p.doc_evals > evals_after_first
+        # pruning: pairs actually evaluated << Q x n
+        assert p.doc_evals < 0.02 * p.doc_evals_possible, (
+            p.doc_evals, p.doc_evals_possible,
+        )
+        # and the persisted monitor MATCHES: spot-check some pairs
+        # against direct evaluation of the raw queries
+        import pandas as pd
+
+        both = pd.concat(
+            [out1.to_pandas(), out2.to_pandas()], ignore_index=True
+        )
+        tok_sets = [set(d.split()) for d in docs]
+        hits = rng.choice(len(both), size=min(50, len(both)),
+                          replace=False)
+        for i in hits:
+            qid, did = int(both.iloc[i].query_id), int(both.iloc[i].doc_id)
+            assert all(
+                w in tok_sets[did] for w in raw[qid]["must"]
+            ), (qid, did)
+
+    def test_persisted_serving_equals_inline(self, tmp_path, ray_session):
+        """percolate(path) == percolate(raw dicts) on the same docs."""
+        from fdblucene_ray.ops.percolate import (
+            compile_queries,
+            save_queries,
+        )
+
+        rng = np.random.default_rng(7)
+        raw = [
+            {"must": [f"w{rng.integers(0, 30)}"],
+             "should": [f"w{rng.integers(0, 30)}"]}
+            for _ in range(500)
+        ]
+        path = str(tmp_path / "m.parquet")
+        save_queries(path, compile_queries(raw))
+        docs = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 30, 20))
+            for _ in range(150)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(150), pa.int64()),
+             "text": pa.array(docs)}
+        )
+        ds = ray.data.from_arrow(t)
+        a = percolate(ds, raw).to_pandas()
+        b = percolate(ds, path).to_pandas()
+        ka = sorted(zip(a.query_id, a.doc_id))
+        kb = sorted(zip(b.query_id, b.doc_id))
+        assert ka == kb and len(ka) > 0
