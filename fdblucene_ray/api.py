@@ -359,9 +359,62 @@ class VectorIndex:
         )
 
 
+class Monitor:
+    """Facade over the percolator (Lucene Monitor analog): register
+    queries once, persist them, and stream documents through the
+    trigger-indexed matcher.
+
+    >>> mon = Monitor.register([{"must": ["alert", "urgent"]}],
+    ...                        "/shared/monitor.parquet")
+    >>> pairs = mon.match(ds)            # Dataset of (query_id, doc_id)
+    >>> mon2 = Monitor("/shared/monitor.parquet")   # restart: no
+    ...                                  # recompile, workers load once
+    """
+
+    def __init__(self, path: str, *, analyzer: str = "simple",
+                 field_cols: dict | None = None):
+        self.path = path
+        self.analyzer = analyzer
+        self.field_cols = field_cols
+
+    @classmethod
+    def register(cls, queries: list[dict], path: str, *,
+                 analyzer: str = "simple",
+                 field_cols: dict | None = None) -> "Monitor":
+        from fdblucene_ray.ops.percolate import (
+            compile_queries,
+            save_queries,
+        )
+
+        default_field = next(iter(field_cols)) if field_cols else "text"
+        compiled = compile_queries(
+            queries, analyzer, default_field=default_field,
+            field_analyzers={
+                f: a for f, (_, a) in (field_cols or {}).items()
+            },
+        )
+        save_queries(path, compiled)
+        return cls(path, analyzer=analyzer, field_cols=field_cols)
+
+    def queries(self) -> list[dict]:
+        from fdblucene_ray.ops.percolate import load_queries
+
+        return load_queries(self.path)
+
+    def match(self, ds, *, text_col: str = "text",
+              id_col: str = "doc_id", df=None):
+        from fdblucene_ray.ops.percolate import percolate
+
+        return percolate(
+            ds, self.path, analyzer=self.analyzer, text_col=text_col,
+            id_col=id_col, field_cols=self.field_cols, df=df,
+        )
+
+
 __all__ = [
     "Index",
     "VectorIndex",
+    "Monitor",
     "Catalog",
     "build_index",
     "build_sharded",

@@ -384,3 +384,28 @@ class TestPersistedMonitorAtScale:
         ka = sorted(zip(a.query_id, a.doc_id))
         kb = sorted(zip(b.query_id, b.doc_id))
         assert ka == kb and len(ka) > 0
+
+
+class TestMonitorFacade:
+    def test_register_match_restart(self, tmp_path, ray_session):
+        from fdblucene_ray.api import Monitor
+
+        raw = [
+            {"must": ["w1", "w2"]},
+            {"should": ["w3", "w4"]},
+        ]
+        path = str(tmp_path / "mon.parquet")
+        mon = Monitor.register(raw, path)
+        docs = ["w1 w2 w9", "w3 w8", "w5 w6", "w2 w4"]
+        t = pa.table(
+            {"doc_id": pa.array(range(4), pa.int64()),
+             "text": pa.array(docs)}
+        )
+        got = mon.match(ray.data.from_arrow(t)).to_pandas()
+        pairs = sorted(zip(got.query_id, got.doc_id))
+        assert pairs == [(0, 0), (1, 1), (1, 3)]
+        # restart from the artifact alone
+        mon2 = Monitor(path)
+        got2 = mon2.match(ray.data.from_arrow(t)).to_pandas()
+        assert sorted(zip(got2.query_id, got2.doc_id)) == pairs
+        assert len(mon2.queries()) == 2
