@@ -435,6 +435,8 @@ def run_default() -> None:
     timed("tpch_q3", lambda: q.q_tpch_q3(sf_dir))
     timed("c4_sentence_dedup", lambda: q.q_c4_sentence_dedup(sf_dir))
     timed("ann_graph", lambda: q.q_ann_graph(sf_dir))
+    timed("dedup_suffix", lambda: q.q_dedup_suffix(sf_dir))
+    timed("ann_maxsim_plaid", lambda: q.q_ann_maxsim_plaid(sf_dir))
 
     total = round(sum(timings.values()), 3)
     build_docs_per_s = round(n_docs / timings["build_index_lucene"], 1)
