@@ -458,16 +458,19 @@ def suffix_dup_spans(
     )
     # bounded candidate distribution: exact sorted array when small,
     # fixed-size Bloom filter beyond broadcast_limit (FPs are removed
-    # by the literal verify stage either way)
-    n_cand = cand.count()
-    if n_cand <= broadcast_limit:
+    # by the literal verify stage either way). One limited pull
+    # decides the path — the common (exact) case executes the
+    # candidate pipeline exactly once, never count()+collect twice.
+    head = cand.limit(broadcast_limit + 1).to_pandas()
+    if len(head) <= broadcast_limit:
         arr = np.sort(
-            cand.to_pandas()["h"].to_numpy()
-            if n_cand
+            head["h"].to_numpy()
+            if len(head)
             else np.empty(0, np.uint64)
         ).astype(np.uint64)
         cand_ref, exact, bloom_k = ray.put(arr), True, 0
     else:
+        n_cand = cand.count()
         words_n, bloom_k = _bloom_params(n_cand)
         words = np.zeros(words_n, np.uint64)
         for b in cand.iter_batches(batch_format="pyarrow"):

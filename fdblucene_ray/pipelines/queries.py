@@ -274,6 +274,56 @@ FROM picks ORDER BY rank
 """
 
 
+def _kcenter_sql(k: int = 10) -> str:
+    """SQL twin of the Gonzalez greedy k-center sample
+    (ops/clustering.kcenter_sample): fixed-depth deterministic greedy,
+    unrolled into k chained MATERIALIZED stages (same pattern as
+    ``_mmr_sql``). Stage j picks the point with the LARGEST running
+    min squared-L2 distance to the selected set (ties smallest id),
+    then folds its distance row into the running min. Reported dist =
+    the squared distance each pick saw at selection time (0.0 seed).
+    DuckDB's list_distance on DOUBLE[] computes in double precision
+    (probed), so squaring it reproduces the engine's sum((x-c)^2) to
+    well under the 6-dp output rounding."""
+    stages = [
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM ce "
+        "ORDER BY vec_id LIMIT 1)",
+        "m1 AS MATERIALIZED (SELECT ce.vec_id, ce.v, "
+        "power(list_distance(ce.v, (SELECT v FROM s1)), 2) AS md "
+        "FROM ce)",
+    ]
+    picks = [
+        "SELECT 0 AS rnk, s1.vec_id, 0.0 AS dist FROM s1"
+    ]
+    excl = "SELECT vec_id FROM s1"
+    for j in range(2, k + 1):
+        prev = f"m{j - 1}"
+        stages.append(
+            f"s{j} AS MATERIALIZED (SELECT vec_id, v, md FROM {prev} "
+            f"WHERE vec_id NOT IN ({excl}) "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        picks.append(
+            f"SELECT {j - 1} AS rnk, vec_id, md AS dist FROM s{j}"
+        )
+        excl += f" UNION ALL SELECT vec_id FROM s{j}"
+        if j < k:
+            stages.append(
+                f"m{j} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+                "least(p.md, power(list_distance(p.v, "
+                f"(SELECT v FROM s{j})), 2)) AS md FROM {prev} p)"
+            )
+    return f"""
+WITH ce AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{", ".join(stages)},
+picks AS ({" UNION ALL ".join(picks)})
+SELECT rnk::BIGINT AS rank, vec_id,
+       CAST(round(CAST(dist AS DOUBLE), 6) AS DOUBLE) AS dist
+FROM picks ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------- fulltext
 
 
@@ -6650,6 +6700,7 @@ SELECT doc, CAST(round(CAST(sc AS DOUBLE), 5) AS DOUBLE) AS score
 FROM r WHERE rn <= 10 ORDER BY rn
 """,
         "ft_mmr": _mmr_sql(["data", "stream"], n_cand=50, k=10, lam=0.7),
+        "diverse_sample": _kcenter_sql(10),
         "ann_sq8": """
 WITH e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
                   generate_subscripts(embedding, 1) AS dim
