@@ -433,17 +433,41 @@ def suffix_dup_spans(
     Literal-byte verified end to end (hash and Bloom false positives
     cannot reach the output; false negatives are impossible — see the
     module docstring's exactness argument)."""
-    import logging
-
-    import ray
+    from fdblucene_ray.ops.webtext import _spans_scatter
 
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})
-    from fdblucene_ray.ops.webtext import (
-        _spans_scatter,
-        _verify_literal,
+    verified, num_parts = _suffix_verified_positions(
+        left, min_len=min_len, min_df=min_df,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
+    out = _spans_scatter(
+        left, verified, _MaximalByteSpans(min_len), num_parts, inner=True
+    )
+    if id_col != "doc_id":
+        out = out.rename_columns({"doc_id": id_col})
+    return out
+
+
+def _suffix_verified_positions(
+    left: ray.data.Dataset,
+    *,
+    min_len: int,
+    min_df: int,
+    num_partitions: int,
+    broadcast_limit: int,
+) -> tuple[ray.data.Dataset, int]:
+    """Shared stages 1-4 of the suffix-dedup pipelines: per-batch
+    truncated suffix sorting -> hash-partitioned candidate fold ->
+    bounded candidate distribution -> literal window re-emit ->
+    byte-exact verify. Returns the verified (doc_id, pos) rows and
+    the partition count for the final co-partitioned kernel."""
+    import logging
+
+    import ray
+
+    from fdblucene_ray.ops.webtext import _verify_literal
 
     num_parts = max(
         num_partitions, int(ray.cluster_resources().get("CPU", 8))
@@ -459,7 +483,7 @@ def suffix_dup_spans(
     # bounded candidate distribution: exact sorted array when small,
     # fixed-size Bloom filter beyond broadcast_limit (FPs are removed
     # by the literal verify stage either way). One limited pull
-    # decides the path — the common (exact) case executes the
+    # decides the path - the common (exact) case executes the
     # candidate pipeline exactly once, never count()+collect twice.
     head = cand.limit(broadcast_limit + 1).to_pandas()
     if len(head) <= broadcast_limit:
@@ -476,7 +500,7 @@ def suffix_dup_spans(
         for b in cand.iter_batches(batch_format="pyarrow"):
             _bloom_add(words, b["h"].to_numpy(zero_copy_only=False), bloom_k)
         logging.getLogger(__name__).info(
-            "suffix_dup_spans: %d candidate hashes > broadcast_limit=%d; "
+            "suffix dedup: %d candidate hashes > broadcast_limit=%d; "
             "using a %d-bit Bloom filter (FPs removed by literal verify)",
             n_cand, broadcast_limit, words_n * 64,
         )
@@ -491,9 +515,137 @@ def suffix_dup_spans(
     verified = lit.groupby("part", num_partitions=num_parts).map_groups(
         _verify_literal(min_df), batch_format="pyarrow"
     )
-    out = _spans_scatter(
-        left, verified, _MaximalByteSpans(min_len), num_parts, inner=True
+    return verified, num_parts
+
+
+class _ScrubByteSpans:
+    """Final kernel for ``scrub_suffix_spans``: splice OUT every byte
+    covered by a duplicated window (coverage = one diff-array pass
+    over the batch's flattened bytes) and emit (doc_id, text,
+    n_removed). Docs with no duplicated span pass through
+    BYTE-IDENTICAL; scrubbed docs are the concatenation of their
+    uncovered byte ranges — no separator is inserted, so the result
+    is exactly Lee et al.'s remove-the-duplicate-bytes semantics."""
+
+    def __init__(self, L: int):
+        self.L = L
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "n_removed": pa.array([], pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.cast(texts, pa.string())
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        has = pc.and_kleene(
+            spans.is_valid(), pc.greater(pc.binary_length(spans), 0)
+        )
+        hasn = has.to_numpy(zero_copy_only=False)
+        n_removed = np.zeros(batch.num_rows, np.int64)
+        out_text = texts
+        idx = np.flatnonzero(hasn)
+        if len(idx):
+            take = pa.array(idx)
+            sp = spans.take(take)
+            flat, bounds = _flat_bytes(texts.take(take))
+            total = int(bounds[-1])
+            offs = np.frombuffer(sp.buffers()[1], np.int32)[
+                sp.offset : sp.offset + len(sp) + 1
+            ].astype(np.int64)
+            starts = np.frombuffer(
+                sp.buffers()[2], "<i8",
+                count=int(offs[-1] - offs[0]) // 8, offset=int(offs[0]),
+            ).astype(np.int64)
+            di = np.repeat(
+                np.arange(len(idx), dtype=np.int64),
+                (offs[1:] - offs[:-1]) // 8,
+            )
+            lens = bounds[1:] - bounds[:-1]
+            ge = bounds[di] + np.minimum(starts + self.L, lens[di])
+            gs = np.minimum(bounds[di] + starts, ge)
+            cov = (
+                np.cumsum(
+                    np.bincount(gs, minlength=total + 1)[:total]
+                    .astype(np.int64)
+                    - np.bincount(ge, minlength=total + 1)[:total]
+                )
+                > 0
+            )
+            keep = ~cov
+            cum = np.concatenate(([0], np.cumsum(cov)))
+            rem = cum[bounds[1:]] - cum[bounds[:-1]]
+            n_removed[idx] = rem
+            kept_bounds = np.concatenate(
+                ([0], np.cumsum(lens - rem))
+            ).astype(np.int32)
+            cleaned = pa.Array.from_buffers(
+                pa.string(), len(idx),
+                [None, pa.py_buffer(kept_bounds.tobytes()),
+                 pa.py_buffer(flat[keep].tobytes())],
+            )
+            # untouched rows ride a concat+take scatter
+            order = np.concatenate(
+                (np.flatnonzero(~hasn), idx)
+            ).astype(np.int64)
+            inv = np.empty(len(order), np.int64)
+            inv[order] = np.arange(len(order))
+            merged = pa.concat_arrays(
+                [texts.filter(pc.invert(has)).combine_chunks()
+                 if isinstance(texts.filter(pc.invert(has)),
+                               pa.ChunkedArray)
+                 else texts.filter(pc.invert(has)),
+                 cleaned]
+            )
+            out_text = merged.take(pa.array(inv))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": out_text,
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+
+def scrub_suffix_spans(
+    ds: ray.data.Dataset,
+    *,
+    min_len: int = 40,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Lee et al.'s REMOVE half at byte granularity: splice out every
+    byte covered by a ``min_len``-byte window duplicated across >=
+    ``min_df`` distinct docs, returning (doc_id, text, n_removed).
+    Shares the entire candidate/verify machinery with
+    ``suffix_dup_spans``; only the final co-partitioned kernel
+    differs (outer scatter — docs without duplicates pass through
+    byte-identical)."""
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    from fdblucene_ray.ops.webtext import _spans_scatter
+
+    verified, num_parts = _suffix_verified_positions(
+        left, min_len=min_len, min_df=min_df,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
-    if id_col != "doc_id":
-        out = out.rename_columns({"doc_id": id_col})
+    out = _spans_scatter(
+        left, verified, _ScrubByteSpans(min_len), num_parts, inner=False
+    )
+    if id_col != "doc_id" or text_col != "text":
+        out = out.rename_columns({"doc_id": id_col, "text": text_col})
     return out

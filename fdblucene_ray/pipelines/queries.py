@@ -3043,6 +3043,27 @@ def q_dedup_suffix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_scrub_suffix(sf_dir: str) -> pa.Table:
+    """Lee et al.'s REMOVE half at byte granularity: splice out every
+    byte covered by a 40-byte window duplicated across >=2 distinct
+    docs (ops/suffix.scrub_suffix_spans — shares the suffix-sort
+    candidate/verify machinery with dedup_suffix; docs without
+    duplicates pass through byte-identical)."""
+    from fdblucene_ray.ops.suffix import scrub_suffix_spans
+
+    out = scrub_suffix_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), min_len=40, min_df=2
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "text": pa.array(df["text"], pa.string()),
+            "n_removed": pa.array(df["n_removed"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_chunk_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style exact span dedup: non-overlapping 16-token chunks,
     corpus-wide duplicate marking (keeper = first (doc_id, chunk_idx)),
@@ -4561,6 +4582,7 @@ def queries() -> dict:
         "scrub_spans": q_scrub_spans,
         "exact_dup_spans": q_exact_dup_spans,
         "dedup_suffix": q_dedup_suffix,
+        "scrub_suffix": q_scrub_suffix,
         "url_dedup": q_url_dedup,
         "url_filter": q_url_filter,
         "host_cap": q_host_cap,
@@ -7082,6 +7104,45 @@ SELECT s.doc_id, s.span_start::BIGINT AS span_start,
          AS span_text
 FROM sp s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY s.doc_id, s.span_start
+""",
+        "scrub_suffix": r"""
+WITH idx AS (SELECT i FROM generate_series(0, 65535) AS t(i)),
+pos AS (SELECT doc_id, i, substr(text, i + 1, 40) AS gram
+        FROM documents JOIN idx ON i <= strlen(text) - 40),
+nd AS (SELECT gram FROM pos GROUP BY gram
+       HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT p.doc_id, p.i FROM pos p JOIN nd USING (gram)),
+brk AS (SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 40
+                    THEN 0 ELSE 1 END AS b
+        FROM dup),
+grp AS (SELECT doc_id, i,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM brk),
+sp AS (SELECT doc_id, min(i) AS span_start, max(i) + 40 AS span_end
+       FROM grp GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 0) AS s,
+         span_start AS e
+  FROM sp
+  UNION ALL
+  SELECT sp.doc_id, max(sp.span_end), max(strlen(d.text))
+  FROM sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id),
+cleaned AS (
+  SELECT s.doc_id,
+         string_agg(substr(d.text, s.s + 1, s.e - s.s), '' ORDER BY s.s)
+           AS text
+  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+rem AS (SELECT doc_id, sum(span_end - span_start) AS n_removed
+        FROM sp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.text, d.text) AS text,
+       coalesce(rem.n_removed, 0)::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN cleaned c USING (doc_id)
+LEFT JOIN rem USING (doc_id)
+ORDER BY d.doc_id
 """,
         "chunk_dedup": r"""
 WITH raw AS (

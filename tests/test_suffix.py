@@ -191,3 +191,72 @@ class TestSuffixDupSpans:
         want = _brute_spans2(docs, L, min_df=3)
         assert got == want
         assert {d for d, *_ in got} == {0, 1, 2}
+
+
+def _brute_scrub(docs: list[str], L: int, min_df: int = 2):
+    """Reference: remove every byte covered by a duplicated window."""
+    grams: dict[bytes, set[int]] = {}
+    enc = [d.encode() for d in docs]
+    for did, b in enumerate(enc):
+        for i in range(len(b) - L + 1):
+            grams.setdefault(b[i : i + L], set()).add(did)
+    out = []
+    for did, b in enumerate(enc):
+        cov = [False] * len(b)
+        for i in range(len(b) - L + 1):
+            if len(grams[b[i : i + L]]) >= min_df:
+                for j in range(i, i + L):
+                    cov[j] = True
+        kept = bytes(c for c, m in zip(b, cov) if not m)
+        out.append((did, kept.decode(), sum(cov)))
+    return out
+
+
+class TestScrubSuffixSpans:
+    def _run_scrub(self, docs, L, min_df=2, **kw):
+        from fdblucene_ray.ops.suffix import scrub_suffix_spans
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(docs), dtype=np.int64)
+                    ),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+        ).repartition(4)
+        t = scrub_suffix_spans(
+            ds, min_len=L, min_df=min_df, **kw
+        ).to_pandas().sort_values("doc_id")
+        return list(
+            zip(t["doc_id"].astype(int), t["text"],
+                t["n_removed"].astype(int))
+        )
+
+    def test_matches_brute_force_and_untouched_identical(
+        self, ray_session
+    ):
+        rng = np.random.default_rng(43)
+        docs = _rand_docs(rng, 14, alpha=3, lo=30, hi=150)
+        plant = "ZZZ-PLANTED-DUPLICATE-CHUNK-ZZZ"
+        docs[2] = docs[2] + plant
+        docs[9] = plant + docs[9]
+        L = 9
+        got = self._run_scrub(docs, L)
+        want = _brute_scrub(docs, L)
+        assert got == want
+        # every doc present exactly once, untouched docs byte-identical
+        untouched = [d for d, t, r in got if r == 0]
+        for d in untouched:
+            assert got[d][1] == docs[d]
+
+    def test_dup_free_passthrough(self, ray_session):
+        import hashlib
+
+        docs = [
+            f"doc {i}:" + hashlib.sha256(bytes([i])).hexdigest()
+            for i in range(12)
+        ]
+        got = self._run_scrub(docs, 10)
+        assert got == [(i, docs[i], 0) for i in range(12)]
