@@ -400,11 +400,18 @@ class _MaximalByteSpans:
             - np.repeat(offs_out[:-1], lens)
             + np.repeat(gstart, lens)
         )
-        span_text = pa.BinaryArray.from_buffers(
-            pa.binary(), len(reg_first),
-            [None, pa.py_buffer(offs_out.astype(np.int32).tobytes()),
-             pa.py_buffer(flat[take].tobytes())],
-        )
+        if int(offs_out[-1]) <= np.iinfo(np.int32).max:
+            span_text = pa.BinaryArray.from_buffers(
+                pa.binary(), len(reg_first),
+                [None, pa.py_buffer(offs_out.astype(np.int32).tobytes()),
+                 pa.py_buffer(flat[take].tobytes())],
+            )
+        else:  # >2 GB of duplicated text in ONE partition (rare)
+            span_text = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), len(reg_first),
+                [None, pa.py_buffer(offs_out.tobytes()),
+                 pa.py_buffer(flat[take].tobytes())],
+            )
         return pa.table(
             {
                 "doc_id": pa.array(ids[rdoc]),

@@ -1955,6 +1955,36 @@ def q_jsonl_ingest(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_csv_ingest(sf_dir: str) -> pa.Table:
+    """CSV corpus connector: the documents table exported once to
+    quoted CSV (Arrow CSV writer handles embedded newlines/quotes),
+    re-ingested with ray.data.read_csv, and token-counted — oracled
+    against the same stats DuckDB computes over the original parquet,
+    so quoting fidelity through the round trip is the thing under
+    test."""
+    from fdblucene_ray.ops.textstats import token_counts
+
+    key = hashlib.sha1(f"{sf_dir}:csv:v1".encode()).hexdigest()[:12]
+    out_dir = os.path.join(CACHE_ROOT, f"csv-{key}")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        os.makedirs(out_dir, exist_ok=True)
+        _docs_ds(sf_dir, ["doc_id", "text"]).repartition(4).write_csv(
+            out_dir
+        )
+        with open(os.path.join(out_dir, "_DONE"), "w") as fh:
+            fh.write("ok")
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".csv")
+    ]
+    ds = ray.data.read_csv(files)
+    df = token_counts(ds).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_warc_extract(sf_dir: str) -> pa.Table:
     """WARC ingestion (Common Crawl's at-rest container): synthesize a
     deterministic gzip-per-record WARC fixture, read it through the
@@ -4679,6 +4709,7 @@ def queries() -> dict:
         "warc_extract": q_warc_extract,
         "warc_index": q_warc_index,
         "jsonl_ingest": q_jsonl_ingest,
+        "csv_ingest": q_csv_ingest,
         "ascii_fold": q_ascii_fold,
         "auto_stopwords": q_auto_stopwords,
         "source_kl": q_source_kl,
@@ -6542,6 +6573,12 @@ FROM documents ORDER BY doc_id
         # parquet -> jsonl -> read_json round trip must equal stats
         # DuckDB computes on the original parquet.
         "jsonl_ingest": r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id
+""",
+        "csv_ingest": r"""
 SELECT doc_id,
   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
   length(text)::BIGINT AS n_chars
