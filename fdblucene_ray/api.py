@@ -285,9 +285,10 @@ class VectorIndex:
     """
 
     def __init__(self, index_dir: str, *, vec_col: str = "embedding",
-                 id_col: str = "vec_id"):
+                 id_col: str = "vec_id", kind: str = "ivf"):
         self.index_dir = index_dir
         self.vec_col, self.id_col = vec_col, id_col
+        self.kind = kind  # "ivf" (also graph layouts) or "lsh"
 
     def _kw(self):
         return dict(vec_col=self.vec_col, id_col=self.id_col)
@@ -301,6 +302,14 @@ class VectorIndex:
         return cls(index_dir, **cols)
 
     @classmethod
+    def build_lsh(cls, ds, index_dir: str, **kw) -> "VectorIndex":
+        from fdblucene_ray.ops.similarity import build_lsh_index
+
+        cols = {k: kw.pop(k) for k in ("vec_col", "id_col") if k in kw}
+        build_lsh_index(ds, index_dir, **cols, **kw)
+        return cls(index_dir, **cols, kind="lsh")
+
+    @classmethod
     def build_graph(cls, ds, index_dir: str, **kw) -> "VectorIndex":
         from fdblucene_ray.ops.graphann import build_graph_index
 
@@ -309,9 +318,13 @@ class VectorIndex:
         return cls(index_dir, **cols)
 
     def append(self, ds, batch_id: str) -> bool:
-        from fdblucene_ray.ops.similarity import append_ivf_index
+        from fdblucene_ray.ops.similarity import (
+            append_ivf_index,
+            append_lsh_index,
+        )
 
-        return append_ivf_index(ds, self.index_dir, batch_id, **self._kw())
+        fn = append_lsh_index if self.kind == "lsh" else append_ivf_index
+        return fn(ds, self.index_dir, batch_id, **self._kw())
 
     def refresh_graphs(self, ds, **kw) -> None:
         from fdblucene_ray.ops.graphann import build_graph_index
@@ -320,9 +333,13 @@ class VectorIndex:
                           **self._kw(), **kw)
 
     def topk(self, queries, query_ids, k: int = 10, *, nprobe: int = 4):
-        from fdblucene_ray.ops.similarity import ivf_topk_indexed
+        from fdblucene_ray.ops.similarity import (
+            ivf_topk_indexed,
+            lsh_topk_indexed,
+        )
 
-        return ivf_topk_indexed(
+        fn = lsh_topk_indexed if self.kind == "lsh" else ivf_topk_indexed
+        return fn(
             self.index_dir, queries, query_ids, k=k, nprobe=nprobe,
             **self._kw(),
         )

@@ -633,3 +633,25 @@ class TestVectorIndexFacade:
         assert g.num_rows == 20
         t = vi.tune(q, k=5, target_recall=1.01).to_pandas()
         assert t["recall"].iloc[-1] == 1.0
+
+
+class TestVectorIndexLsh:
+    def test_lsh_build_append_topk_via_facade(
+        self, ray_session, tmp_path
+    ):
+        from fdblucene_ray.api import VectorIndex
+
+        vecs = _clustered_vectors(300, seed=61)
+        ds = _ds_from(vecs)
+        vi = VectorIndex.build_lsh(
+            ds.filter(expr="vec_id < 200"), str(tmp_path / "l"),
+            n_bits=5,
+        )
+        assert vi.kind == "lsh"
+        assert vi.append(ds.filter(expr="vec_id >= 200"), "b1") is True
+        assert vi.append(ds.filter(expr="vec_id >= 200"), "b1") is False
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(4, vecs.shape[1]))
+        got = vi.topk(q, np.arange(4), k=5, nprobe=32).to_pandas()
+        true = brute_force_topk(ds, q, np.arange(4), k=5).to_pandas()
+        assert got.vec_id.tolist() == true.vec_id.tolist()  # full probe
