@@ -656,3 +656,197 @@ def scrub_suffix_spans(
     if id_col != "doc_id" or text_col != "text":
         out = out.rename_columns({"doc_id": id_col, "text": text_col})
     return out
+
+
+# ------------------------------------------------- incremental registry
+#
+# Streaming analog for the suffix pipelines (the shard-append /
+# append_ivf_index contract applied to dedup state): the expensive
+# stage — per-batch truncated suffix sorting over the corpus bytes —
+# runs ONCE per document batch and persists its combiner output (the
+# <= min_df (part, class-hash, doc) rows per distinct gram) as an
+# atomic, idempotent registry batch. Appending new documents seeds
+# only THEIR bytes; candidate detection folds the union of registry
+# batches, so old documents are never suffix-sorted again. The
+# literal-verify and span stages still stream the full corpus once
+# (any old doc can contain a window newly duplicated by an appended
+# one — that pass is unavoidable and cheap: rolling hash + membership,
+# no sort).
+
+
+def build_suffix_registry(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    min_len: int = 40,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> bool:
+    """Materialize the base registry: per-distinct-gram combiner rows
+    under ``{out_dir}/seeds/``. Idempotent (existing registry wins)."""
+    import os
+    import shutil
+
+    import ray
+
+    meta_path = os.path.join(out_dir, "registry.json")
+    if os.path.exists(meta_path):
+        return False
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    num_parts = max(
+        num_partitions, int(ray.cluster_resources().get("CPU", 8))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".tmp-seeds-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    left.map_batches(
+        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(tmp)
+    try:
+        os.rename(tmp, os.path.join(out_dir, "seeds"))
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    import json
+
+    t2 = meta_path + f".tmp-{os.getpid()}"
+    with open(t2, "w") as fh:
+        json.dump(
+            {"min_len": min_len, "min_df": min_df,
+             "num_parts": num_parts}, fh,
+        )
+    os.replace(t2, meta_path)
+    return True
+
+
+def append_suffix_registry(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    batch_id: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """Seed ONLY the new documents' bytes and publish one atomic
+    idempotent ``seeds-append-{batch_id}`` registry batch (same
+    contract as ``append_ivf_index``). Returns False if the batch was
+    already published."""
+    import json
+    import os
+    import shutil
+
+    dest = os.path.join(out_dir, f"seeds-append-{batch_id}")
+    if os.path.isdir(dest):
+        return False
+    with open(os.path.join(out_dir, "registry.json")) as fh:
+        meta = json.load(fh)
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    tmp = os.path.join(
+        out_dir, f".tmp-append-{batch_id}-{os.getpid()}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    left.map_batches(
+        _SuffixSeeds(
+            meta["min_len"], meta["min_df"], meta["num_parts"],
+            "text", "doc_id",
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).write_parquet(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # racing writer won
+        return False
+    return True
+
+
+def suffix_dup_spans_registry(
+    ds: ray.data.Dataset,
+    registry_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """``suffix_dup_spans`` over the FULL corpus ``ds`` with stage 1
+    served from the persisted registry (base + every published append
+    batch): old documents are never suffix-sorted again — candidate
+    hashes fold straight from the registry parquet, then the literal
+    verify and maximal-merge stages stream the corpus once. Output is
+    identical to a fresh ``suffix_dup_spans`` over the same corpus
+    (pinned by test)."""
+    import glob as _glob
+    import json
+    import logging
+    import os
+
+    import ray
+
+    from fdblucene_ray.ops.webtext import (
+        _spans_scatter,
+        _verify_literal,
+    )
+
+    with open(os.path.join(registry_dir, "registry.json")) as fh:
+        meta = json.load(fh)
+    min_len, min_df = meta["min_len"], meta["min_df"]
+    num_parts = meta["num_parts"]
+    dirs = [os.path.join(registry_dir, "seeds")] + sorted(
+        _glob.glob(os.path.join(registry_dir, "seeds-append-*"))
+    )
+    files = [
+        f
+        for d in dirs
+        for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    seeds = ray.data.read_parquet(files)
+    cand = seeds.groupby("part", num_partitions=num_parts).map_groups(
+        _cand_fold(min_df), batch_format="pyarrow"
+    )
+    head = cand.limit(broadcast_limit + 1).to_pandas()
+    if len(head) <= broadcast_limit:
+        arr = np.sort(
+            head["h"].to_numpy()
+            if len(head)
+            else np.empty(0, np.uint64)
+        ).astype(np.uint64)
+        cand_ref, exact, bloom_k = ray.put(arr), True, 0
+    else:
+        n_cand = cand.count()
+        words_n, bloom_k = _bloom_params(n_cand)
+        words = np.zeros(words_n, np.uint64)
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            _bloom_add(words, b["h"].to_numpy(zero_copy_only=False), bloom_k)
+        logging.getLogger(__name__).info(
+            "suffix registry: %d candidates > broadcast_limit=%d; Bloom",
+            n_cand, broadcast_limit,
+        )
+        cand_ref, exact = ray.put(words), False
+    left = ds.select_columns([id_col, text_col])
+    if id_col != "doc_id" or text_col != "text":
+        left = left.rename_columns({id_col: "doc_id", text_col: "text"})
+    lit = left.map_batches(
+        _EmitCandidateWindows(
+            min_len, cand_ref, exact, bloom_k, num_parts, "text", "doc_id"
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    verified = lit.groupby("part", num_partitions=num_parts).map_groups(
+        _verify_literal(min_df), batch_format="pyarrow"
+    )
+    out = _spans_scatter(
+        left, verified, _MaximalByteSpans(min_len), num_parts, inner=True
+    )
+    if id_col != "doc_id":
+        out = out.rename_columns({"doc_id": id_col})
+    return out

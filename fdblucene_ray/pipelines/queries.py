@@ -3073,6 +3073,51 @@ def q_dedup_suffix(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_suffix_append(sf_dir: str) -> pa.Table:
+    """Incremental suffix dedup: registry built over the first half of
+    the corpus, second half APPENDED as an atomic registry batch (its
+    bytes are suffix-sorted exactly once; the base is never re-sorted),
+    duplicate appends are no-ops, and the folded registry reproduces
+    the fresh pipeline bit-for-bit — same SQL oracle as dedup_suffix
+    (ops/suffix.build_suffix_registry / append_suffix_registry /
+    suffix_dup_spans_registry)."""
+    from fdblucene_ray.ops.suffix import (
+        append_suffix_registry,
+        build_suffix_registry,
+        suffix_dup_spans_registry,
+    )
+
+    full = _docs_ds(sf_dir, ["doc_id", "text"])
+    n = full.count()
+    half = n // 2
+    reg = _index_dir(sf_dir, "suffix-reg")
+    build_suffix_registry(
+        full.filter(expr=f"doc_id < {half}"), reg, min_len=40, min_df=2
+    )
+    rest = full.filter(expr=f"doc_id >= {half}")
+    append_suffix_registry(rest, reg, "b1")
+    append_suffix_registry(rest, reg, "b1")  # duplicate append: no-op
+    out = suffix_dup_spans_registry(full, reg)
+    df = out.to_pandas().sort_values(
+        ["doc_id", "span_start"]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "span_start": pa.array(df["span_start"].to_numpy(np.int64)),
+            "span_end": pa.array(df["span_end"].to_numpy(np.int64)),
+            "n_bytes": pa.array(df["n_bytes"].to_numpy(np.int64)),
+            "span_text": pa.array(
+                [
+                    x.decode() if isinstance(x, bytes) else str(x)
+                    for x in df["span_text"]
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def q_scrub_suffix(sf_dir: str) -> pa.Table:
     """Lee et al.'s REMOVE half at byte granularity: splice out every
     byte covered by a 40-byte window duplicated across >=2 distinct
@@ -4613,6 +4658,7 @@ def queries() -> dict:
         "exact_dup_spans": q_exact_dup_spans,
         "dedup_suffix": q_dedup_suffix,
         "scrub_suffix": q_scrub_suffix,
+        "dedup_suffix_append": q_dedup_suffix_append,
         "url_dedup": q_url_dedup,
         "url_filter": q_url_filter,
         "host_cap": q_host_cap,
@@ -8208,4 +8254,7 @@ SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_in,
        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_out
 FROM o GROUP BY shard ORDER BY shard
 """
+    # registry-served suffix dedup is output-identical to the fresh
+    # pipeline over the same corpus — same oracle by construction
+    sql["dedup_suffix_append"] = sql["dedup_suffix"]
     return sql

@@ -260,3 +260,73 @@ class TestScrubSuffixSpans:
         ]
         got = self._run_scrub(docs, 10)
         assert got == [(i, docs[i], 0) for i in range(12)]
+
+
+class TestSuffixRegistry:
+    """Incremental registry: appended docs seed only their own bytes;
+    the folded registry reproduces the fresh-pipeline output exactly."""
+
+    def test_append_equals_full_rebuild(self, ray_session, tmp_path):
+        from fdblucene_ray.ops.suffix import (
+            append_suffix_registry,
+            build_suffix_registry,
+            suffix_dup_spans_registry,
+        )
+
+        rng = np.random.default_rng(71)
+        base_docs = _rand_docs(rng, 10, alpha=3, lo=40, hi=120)
+        plant = "CROSS-BATCH-DUPLICATED-SEGMENT!"
+        base_docs[4] = base_docs[4] + plant
+        new_docs = _rand_docs(rng, 6, alpha=3, lo=40, hi=120)
+        new_docs[1] = plant + new_docs[1]  # dup spans base<->append
+        all_docs = base_docs + new_docs
+
+        def table(docs, base_id=0):
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(base_id, base_id + len(docs),
+                                  dtype=np.int64)
+                    ),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+
+        L = 8
+        reg = str(tmp_path / "reg")
+        base_ds = ray.data.from_arrow(table(base_docs)).repartition(3)
+        new_ds = ray.data.from_arrow(
+            table(new_docs, len(base_docs))
+        ).repartition(2)
+        assert build_suffix_registry(
+            base_ds, reg, min_len=L, min_df=2
+        ) is True
+        assert build_suffix_registry(
+            base_ds, reg, min_len=L, min_df=2
+        ) is False  # idempotent
+        assert append_suffix_registry(new_ds, reg, "b1") is True
+        assert append_suffix_registry(new_ds, reg, "b1") is False
+
+        full_ds = ray.data.from_arrow(table(all_docs)).repartition(4)
+        got = (
+            suffix_dup_spans_registry(full_ds, reg)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+        )
+        got_rows = sorted(
+            zip(
+                got["doc_id"].astype(int),
+                got["span_start"].astype(int),
+                got["span_end"].astype(int),
+                got["n_bytes"].astype(int),
+                [
+                    bytes(x) if not isinstance(x, str) else x.encode()
+                    for x in got["span_text"]
+                ],
+            )
+        )
+        want = _brute_spans2(all_docs, L)
+        assert got_rows == want
+        # the cross-batch plant was found (base doc AND appended doc)
+        docs_with = {d for d, *_ in got_rows}
+        assert 4 in docs_with and len(base_docs) + 1 in docs_with
