@@ -330,3 +330,82 @@ class TestSuffixRegistry:
         # the cross-batch plant was found (base doc AND appended doc)
         docs_with = {d for d, *_ in got_rows}
         assert 4 in docs_with and len(base_docs) + 1 in docs_with
+
+
+class TestKernelProperties:
+    """Hypothesis property tests for the byte-level kernels."""
+
+    def test_lgram_classes_exact(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fdblucene_ray.ops.suffix import _lgram_classes
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.binary(min_size=0, max_size=120).map(
+                lambda b: bytes(97 + (x % 4) for x in b)  # dense dups
+            ),
+            st.integers(min_value=1, max_value=24),
+        )
+        def check(b, L):
+            cls = _lgram_classes(np.frombuffer(b, np.uint8), L)
+            pref = [b[i : i + L] for i in range(len(b))]
+            # class equality iff L-prefix byte equality, all pairs
+            seen = {}
+            for i, p in enumerate(pref):
+                if p in seen:
+                    assert cls[i] == seen[p], (b, L, i)
+                else:
+                    for q, c in seen.items():
+                        assert cls[i] != c or q == p
+                    seen[p] = cls[i]
+
+        check()
+
+    def test_window_hashes_prefix_equality(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fdblucene_ray.ops.suffix import _window_hashes
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.binary(min_size=1, max_size=150).map(
+                lambda b: bytes(97 + (x % 3) for x in b)
+            ),
+            st.integers(min_value=1, max_value=20),
+        )
+        def check(b, L):
+            if len(b) < L:
+                return
+            h = _window_hashes(np.frombuffer(b, np.uint8), L)
+            n = len(b) - L + 1
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if b[i : i + L] == b[j : j + L]:
+                        assert h[i] == h[j], (b, L, i, j)
+
+        check()
+
+    def test_bloom_no_false_negatives(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fdblucene_ray.ops.suffix import (
+            _bloom_add,
+            _bloom_params,
+            _bloom_test,
+        )
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=2**63),
+                        min_size=1, max_size=500))
+        def check(keys):
+            ks = np.asarray(keys, np.uint64)
+            words_n, k = _bloom_params(len(ks))
+            words = np.zeros(words_n, np.uint64)
+            _bloom_add(words, ks, k)
+            assert _bloom_test(words, ks, k).all()
+
+        check()
