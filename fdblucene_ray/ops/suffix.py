@@ -16,12 +16,15 @@ dependence on tokenization.
 Distributed shape (partition-bounded — no whole-corpus concatenation or
 materialization anywhere):
 
-1. **Per-batch truncated suffix sorting** (`_lgram_classes`): each
-   corpus batch concatenates ITS docs only and runs prefix-doubling
-   capped at L (Manber–Myers ranks with the sparse-table overlap
-   refinement), yielding EXACT byte-equality classes of every
-   position's L-prefix — no hashing, no collisions, O(n log L)
-   lexsorts over a few-MB chunk. Per class the batch emits at most
+1. **Per-batch class reduction** (`_SuffixSeeds`): each corpus batch
+   concatenates ITS docs only and groups positions into L-gram
+   classes — by the O(n) rolling hash (default ``seed_mode="hash"``;
+   a collision can only ADD a candidate, which the literal verify
+   stage rejects) or by truncated prefix-doubling
+   (``seed_mode="suffix_sort"``, `_lgram_classes`: Manber–Myers ranks
+   with the sparse-table overlap refinement — EXACT byte-equality
+   classes, no collision reliance even in the combiner stats, the
+   arbitrary-length/audit path). Per class the batch emits at most
    ``min_df`` (class-hash, doc_id) rows — a combiner: volume is
    per-DISTINCT-gram, never per position, and positions never leave
    their batch here.
@@ -141,14 +144,29 @@ def _flat_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _SuffixSeeds:
-    """Pass-1 combiner: truncated suffix sorting over the batch's own
-    concatenated bytes -> per L-prefix CLASS, at most ``min_df``
-    (part, class hash, doc_id) rows. Positions stay in the batch."""
+    """Pass-1 combiner: reduce the batch's positions to per-L-gram
+    CLASS rows, at most ``min_df`` (part, class hash, doc_id) rows per
+    class. Positions stay in the batch.
+
+    Two class engines, identical FINAL pipeline output (the literal
+    verify stage removes any hash collision):
+
+    - ``seed_mode="hash"`` (default): group positions by their O(n)
+      rolling window hash — one 1-key lexsort per batch. A collision
+      merely merges two classes, which can only ADD a candidate that
+      literal verification then rejects; it can never lose one.
+    - ``seed_mode="suffix_sort"``: truncated Manber–Myers prefix
+      doubling (``_lgram_classes``) — EXACT byte-equality classes, no
+      collision reliance even in the combiner stats, at ~log2(L)
+      extra lexsorts per batch. The arbitrary-length path and the
+      collision-free audit mode."""
 
     def __init__(self, L: int, min_df: int, num_parts: int,
-                 text_col: str, id_col: str):
+                 text_col: str, id_col: str,
+                 seed_mode: str = "hash"):
         self.L, self.min_df, self.num_parts = L, min_df, num_parts
         self.text_col, self.id_col = text_col, id_col
+        self.seed_mode = seed_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -163,14 +181,17 @@ class _SuffixSeeds:
             return empty
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = bounds[1:] - bounds[:-1]
-        classes = _lgram_classes(flat, L)
+        h_all = _window_hashes(flat, L)
         doc_end = np.repeat(bounds[1:], lens)
         pos_all = np.arange(n, dtype=np.int64)
         valid = doc_end - pos_all >= L
         vpos = pos_all[valid]
         if not len(vpos):
             return empty
-        vcls = classes[valid]
+        if self.seed_mode == "suffix_sort":
+            vcls = _lgram_classes(flat, L)[valid]
+        else:
+            vcls = h_all[valid].view(np.int64)
         vdoc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[valid]
         order = np.lexsort((vdoc, vcls))
         cs, ds_, ps = vcls[order], vdoc[order], vpos[order]
@@ -180,7 +201,6 @@ class _SuffixSeeds:
         head_d = head_c.copy()
         head_d[1:] |= ds_[1:] != ds_[:-1]
         # one content hash per class, from a representative position
-        h_all = _window_hashes(flat, L)
         h_class = h_all[ps[np.flatnonzero(head_c)]]
         # bounded distinct-doc list: first min_df distinct docs/class
         idx_d = np.flatnonzero(head_d)
@@ -432,6 +452,7 @@ def suffix_dup_spans(
     id_col: str = "doc_id",
     num_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
+    seed_mode: str = "hash",
 ) -> ray.data.Dataset:
     """Maximal exactly-duplicated BYTE regions at arbitrary match
     length >= ``min_len``: one row (doc_id, span_start, span_end,
@@ -448,6 +469,7 @@ def suffix_dup_spans(
     verified, num_parts = _suffix_verified_positions(
         left, min_len=min_len, min_df=min_df,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        seed_mode=seed_mode,
     )
     out = _spans_scatter(
         left, verified, _MaximalByteSpans(min_len), num_parts, inner=True
@@ -464,6 +486,7 @@ def _suffix_verified_positions(
     min_df: int,
     num_partitions: int,
     broadcast_limit: int,
+    seed_mode: str = "hash",
 ) -> tuple[ray.data.Dataset, int]:
     """Shared stages 1-4 of the suffix-dedup pipelines: per-batch
     truncated suffix sorting -> hash-partitioned candidate fold ->
@@ -480,7 +503,8 @@ def _suffix_verified_positions(
         num_partitions, int(ray.cluster_resources().get("CPU", 8))
     )
     seeds = left.map_batches(
-        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id"),
+        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id",
+                     seed_mode),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -633,6 +657,7 @@ def scrub_suffix_spans(
     id_col: str = "doc_id",
     num_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
+    seed_mode: str = "hash",
 ) -> ray.data.Dataset:
     """Lee et al.'s REMOVE half at byte granularity: splice out every
     byte covered by a ``min_len``-byte window duplicated across >=
@@ -649,6 +674,7 @@ def scrub_suffix_spans(
     verified, num_parts = _suffix_verified_positions(
         left, min_len=min_len, min_df=min_df,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+        seed_mode=seed_mode,
     )
     out = _spans_scatter(
         left, verified, _ScrubByteSpans(min_len), num_parts, inner=False
@@ -683,6 +709,7 @@ def build_suffix_registry(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    seed_mode: str = "hash",
 ) -> bool:
     """Materialize the base registry: per-distinct-gram combiner rows
     under ``{out_dir}/seeds/``. Idempotent (existing registry wins)."""
@@ -704,7 +731,8 @@ def build_suffix_registry(
     tmp = os.path.join(out_dir, f".tmp-seeds-{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
     left.map_batches(
-        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id"),
+        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id",
+                     seed_mode),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).write_parquet(tmp)
@@ -719,7 +747,7 @@ def build_suffix_registry(
     with open(t2, "w") as fh:
         json.dump(
             {"min_len": min_len, "min_df": min_df,
-             "num_parts": num_parts}, fh,
+             "num_parts": num_parts, "seed_mode": seed_mode}, fh,
         )
     os.replace(t2, meta_path)
     return True
@@ -756,7 +784,7 @@ def append_suffix_registry(
     left.map_batches(
         _SuffixSeeds(
             meta["min_len"], meta["min_df"], meta["num_parts"],
-            "text", "doc_id",
+            "text", "doc_id", meta.get("seed_mode", "hash"),
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

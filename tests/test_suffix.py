@@ -409,3 +409,13 @@ class TestKernelProperties:
             assert _bloom_test(words, ks, k).all()
 
         check()
+
+
+class TestSeedModes:
+    def test_suffix_sort_mode_equals_hash_mode(self, ray_session):
+        rng = np.random.default_rng(83)
+        docs = _rand_docs(rng, 12, alpha=3)
+        for L in (5, 11):
+            a = _run(docs, L)
+            b = _run(docs, L, seed_mode="suffix_sort")
+            assert a == b == _brute_spans2(docs, L), L
