@@ -25,9 +25,10 @@ materialization anywhere):
    with the sparse-table overlap refinement — EXACT byte-equality
    classes, no collision reliance even in the combiner stats, the
    arbitrary-length/audit path). Per class the batch emits at most
-   ``min_df`` (class-hash, doc_id) rows — a combiner: volume is
-   per-DISTINCT-gram, never per position, and positions never leave
-   their batch here.
+   ONE (class-hash, clamped distinct-doc count) row — a combiner:
+   volume is per-DISTINCT-gram, never per position; neither positions
+   nor doc ids leave the batch (each doc lives in exactly one batch,
+   so clamped counts sum to exact distinct-doc detection).
 2. **Hash-partitioned candidate fold**: group the class rows by
    hash(h)%P; a class hash seen in >= min_df distinct docs globally is
    a candidate. (Rolling-hash collisions can only ADD candidates —
@@ -144,9 +145,9 @@ def _flat_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _SuffixSeeds:
-    """Pass-1 combiner: reduce the batch's positions to per-L-gram
-    CLASS rows, at most ``min_df`` (part, class hash, doc_id) rows per
-    class. Positions stay in the batch.
+    """Pass-1 combiner: reduce the batch's positions to ONE
+    (part, class hash, clamped distinct-doc count) row per L-gram
+    class. Positions and doc ids stay in the batch.
 
     Two class engines, identical FINAL pipeline output (the literal
     verify stage removes any hash collision):
@@ -172,14 +173,13 @@ class _SuffixSeeds:
         empty = pa.table(
             {"part": pa.array([], pa.int32()),
              "h": pa.array([], pa.uint64()),
-             "doc_id": pa.array([], pa.int64())}
+             "cnt": pa.array([], pa.int32())}
         )
         L = self.L
         flat, bounds = _flat_bytes(batch[self.text_col])
         n = len(flat)
         if not n:
             return empty
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lens = bounds[1:] - bounds[:-1]
         h_all = _window_hashes(flat, L)
         doc_end = np.repeat(bounds[1:], lens)
@@ -192,7 +192,9 @@ class _SuffixSeeds:
             vcls = _lgram_classes(flat, L)[valid]
         else:
             vcls = h_all[valid].view(np.int64)
-        vdoc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[valid]
+        vdoc = np.repeat(
+            np.arange(len(lens), dtype=np.int64), lens
+        )[valid]
         order = np.lexsort((vdoc, vcls))
         cs, ds_, ps = vcls[order], vdoc[order], vpos[order]
         head_c = np.empty(len(cs), bool)
@@ -201,46 +203,47 @@ class _SuffixSeeds:
         head_d = head_c.copy()
         head_d[1:] |= ds_[1:] != ds_[:-1]
         # one content hash per class, from a representative position
-        h_class = h_all[ps[np.flatnonzero(head_c)]]
-        # bounded distinct-doc list: first min_df distinct docs/class
+        h_out = h_all[ps[np.flatnonzero(head_c)]]
+        # ONE row per class: its batch-local DISTINCT-doc count,
+        # clamped to min_df. Doc ids need not ship at all — every
+        # doc lives in exactly one batch, so summing clamped counts
+        # per hash across batches counts distinct docs exactly up to
+        # the min_df threshold.
         idx_d = np.flatnonzero(head_d)
-        nc = head_c[idx_d]
-        grp = np.cumsum(nc) - 1
-        first_of = np.flatnonzero(nc)
-        rank = np.arange(len(idx_d), dtype=np.int64) - first_of[grp]
-        keep = rank < self.min_df
-        h_out = h_class[grp[keep]]
-        d_out = ids[ds_[idx_d[keep]]]
+        grp = np.cumsum(head_c[idx_d]) - 1
+        cnt = np.minimum(
+            np.bincount(grp), self.min_df
+        ).astype(np.int32)
         return pa.table(
             {
                 "part": pa.array(
                     part_of(h_out.view(np.int64), self.num_parts)
                 ),
                 "h": pa.array(h_out),
-                "doc_id": pa.array(d_out),
+                "cnt": pa.array(cnt),
             }
         )
 
 
 def _cand_fold(min_df: int):
-    """Per hash partition: a class hash with >= min_df distinct docs
-    across ALL batches is a candidate."""
+    """Per hash partition: a class hash whose clamped per-batch
+    distinct-doc counts SUM to >= min_df is a candidate (each doc
+    lives in exactly one batch, so the sum counts distinct docs
+    exactly up to the threshold)."""
 
     def fn(group: pa.Table) -> pa.Table:
         h = group["h"].to_numpy(zero_copy_only=False)
-        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pa.table({"h": pa.array([], pa.uint64())})
         if not len(h):
             return empty
-        order = np.lexsort((d, h))
-        hs, ds_ = h[order], d[order]
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], c[order]
         head_h = np.empty(len(hs), bool)
         head_h[0] = True
         head_h[1:] = hs[1:] != hs[:-1]
         hid = np.cumsum(head_h) - 1
-        head_d = head_h.copy()
-        head_d[1:] |= ds_[1:] != ds_[:-1]
-        ndocs = np.bincount(hid[head_d])
+        ndocs = np.bincount(hid, weights=cs)
         win = ndocs >= min_df
         if not win.any():
             return empty
@@ -764,7 +767,10 @@ def append_suffix_registry(
     """Seed ONLY the new documents' bytes and publish one atomic
     idempotent ``seeds-append-{batch_id}`` registry batch (same
     contract as ``append_ivf_index``). Returns False if the batch was
-    already published."""
+    already published. Appended doc ids must be NEW (the usual
+    append contract): distinct-doc counting sums clamped per-batch
+    counts, which is exact precisely because every doc is seeded in
+    exactly one published batch."""
     import json
     import os
     import shutil
