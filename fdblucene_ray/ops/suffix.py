@@ -723,7 +723,14 @@ def build_suffix_registry(
 
     meta_path = os.path.join(out_dir, "registry.json")
     if os.path.exists(meta_path):
-        return False
+        import json as _json
+
+        with open(meta_path) as fh:
+            if _json.load(fh).get("format") == 2:
+                return False
+        # older seed-row format: rebuild in place (the registry is
+        # derived state — safe to regenerate from the corpus)
+        shutil.rmtree(out_dir, ignore_errors=True)
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})
@@ -749,7 +756,7 @@ def build_suffix_registry(
     t2 = meta_path + f".tmp-{os.getpid()}"
     with open(t2, "w") as fh:
         json.dump(
-            {"min_len": min_len, "min_df": min_df,
+            {"format": 2, "min_len": min_len, "min_df": min_df,
              "num_parts": num_parts, "seed_mode": seed_mode}, fh,
         )
     os.replace(t2, meta_path)
@@ -780,6 +787,11 @@ def append_suffix_registry(
         return False
     with open(os.path.join(out_dir, "registry.json")) as fh:
         meta = json.load(fh)
+    if meta.get("format") != 2:
+        raise ValueError(
+            "suffix registry at %r uses an old seed-row format; "
+            "rebuild it with build_suffix_registry" % out_dir
+        )
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})
@@ -832,6 +844,11 @@ def suffix_dup_spans_registry(
 
     with open(os.path.join(registry_dir, "registry.json")) as fh:
         meta = json.load(fh)
+    if meta.get("format") != 2:
+        raise ValueError(
+            "suffix registry at %r uses an old seed-row format; "
+            "rebuild it with build_suffix_registry" % registry_dir
+        )
     min_len, min_df = meta["min_len"], meta["min_df"]
     num_parts = meta["num_parts"]
     dirs = [os.path.join(registry_dir, "seeds")] + sorted(
