@@ -711,9 +711,58 @@ def cmd_suffixdedup(args) -> int:
     out = suffix_dup_spans(
         ds, min_len=args.min_len, min_df=args.min_df,
         text_col=args.text_col, id_col=args.id_col,
+        seed_mode=args.seed_mode,
     )
     out.write_parquet(args.out)
     print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_suffixscrub(args) -> int:
+    """Byte-level duplicate scrubbing: write the cleaned corpus."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.suffix import scrub_suffix_spans
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col]
+    )
+    out = scrub_suffix_spans(
+        ds, min_len=args.min_len, min_df=args.min_df,
+        text_col=args.text_col, id_col=args.id_col,
+        seed_mode=args.seed_mode,
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_suffixregistry(args) -> int:
+    """Build or append the incremental suffix-dedup registry."""
+    _ensure_ray()
+    import ray.data
+
+    from fdblucene_ray.ops.suffix import (
+        append_suffix_registry,
+        build_suffix_registry,
+    )
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, args.text_col]
+    )
+    if args.append_batch:
+        created = append_suffix_registry(
+            ds, args.registry, args.append_batch,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    else:
+        created = build_suffix_registry(
+            ds, args.registry, min_len=args.min_len,
+            min_df=args.min_df, text_col=args.text_col,
+            id_col=args.id_col, seed_mode=args.seed_mode,
+        )
+    print(json.dumps({"registry": args.registry, "created": created}))
     return 0
 
 
@@ -1081,7 +1130,38 @@ def main(argv=None) -> int:
     sx.add_argument("--min-df", type=int, default=2)
     sx.add_argument("--text-col", default="text")
     sx.add_argument("--id-col", default="doc_id")
+    sx.add_argument("--seed-mode", default="hash",
+                    choices=["hash", "suffix_sort"])
     sx.set_defaults(fn=cmd_suffixdedup)
+
+    ss = sub.add_parser(
+        "suffixscrub", help="splice out duplicated byte spans"
+    )
+    ss.add_argument("--input", required=True, nargs="+")
+    ss.add_argument("--out", required=True)
+    ss.add_argument("--min-len", type=int, default=40)
+    ss.add_argument("--min-df", type=int, default=2)
+    ss.add_argument("--text-col", default="text")
+    ss.add_argument("--id-col", default="doc_id")
+    ss.add_argument("--seed-mode", default="hash",
+                    choices=["hash", "suffix_sort"])
+    ss.set_defaults(fn=cmd_suffixscrub)
+
+    sr = sub.add_parser(
+        "suffixregistry", help="build/append the suffix-dedup registry"
+    )
+    sr.add_argument("--input", required=True, nargs="+")
+    sr.add_argument("--registry", required=True)
+    sr.add_argument("--append-batch", default=None,
+                    help="publish an append batch with this id "
+                         "instead of building the base")
+    sr.add_argument("--min-len", type=int, default=40)
+    sr.add_argument("--min-df", type=int, default=2)
+    sr.add_argument("--text-col", default="text")
+    sr.add_argument("--id-col", default="doc_id")
+    sr.add_argument("--seed-mode", default="hash",
+                    choices=["hash", "suffix_sort"])
+    sr.set_defaults(fn=cmd_suffixregistry)
 
     ex = sub.add_parser("export", help="resumable partitioned corpus export")
     ex.add_argument("--input", required=True, nargs="+")
