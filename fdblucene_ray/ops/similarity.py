@@ -1834,20 +1834,33 @@ def maxsim_rerank_indexed(
     k: int = 10,
     doc_col: str = "doc",
     vec_col: str = "embedding",
+    candidate_source=None,
 ) -> pa.Table:
     """Indexed two-stage late interaction (the PLAID deployment shape):
     stage 1 generates candidates from the token-level IVF layout
     (``maxsim_candidates_indexed`` — per-query-token probes, union of
     per-token top docs; probed partitions only), stage 2 reruns EXACT
-    MaxSim over just those docs (broadcast id filter, no shuffle) and
-    returns the top ``k``. At full probe the composition is
-    deterministic and SQL-expressible; at partial probe it is the
-    scale path (recall pinned by pytest)."""
+    MaxSim over just those docs and returns the top ``k``. At full
+    probe the composition is deterministic and SQL-expressible; at
+    partial probe it is the scale path (recall pinned by pytest).
+
+    Stage-2 hydration: by default the candidate doc-id set broadcasts
+    once and ``ds`` streams through a searchsorted filter (no shuffle,
+    but the corpus is still scanned). At 100-TB scale pass
+    ``candidate_source``: a callable mapping the sorted candidate id
+    array to a Dataset of ONLY those docs' rows — e.g. a
+    ``read_parquet(paths, filter=pc.field(...).isin(ids))`` whose
+    predicate prunes row groups at the source, so stage-2 I/O is
+    proportional to the candidate set, not the corpus (same pruning
+    contract as the stored-field hydrate, J3)."""
     allowed = maxsim_candidates_indexed(
         index_dir, queries, nprobe=nprobe, per_token=per_token,
         doc_col=doc_col, vec_col=vec_col,
     )
+    if candidate_source is not None:
+        cand_ds = candidate_source(allowed)
+    else:
+        cand_ds = _filter_docs_broadcast(ds, allowed, doc_col)
     return maxsim_topk(
-        _filter_docs_broadcast(ds, allowed, doc_col),
-        queries, k=k, doc_col=doc_col, vec_col=vec_col,
+        cand_ds, queries, k=k, doc_col=doc_col, vec_col=vec_col,
     )

@@ -2558,8 +2558,25 @@ def q_ann_maxsim_plaid(sf_dir: str) -> pa.Table:
     exploded = ds.map_batches(add_doc, batch_format="pyarrow")
     idx = _index_dir(sf_dir, "maxsim-ivf")
     build_ivf_index(exploded, idx, n_centroids=16)
+
+    def hydrate_candidates(doc_ids):
+        # stage-2 pushdown: only the candidate docs' token rows leave
+        # the parquet scan (row-group pruned on the doc-sorted file)
+        import numpy as np_
+        import pyarrow.compute as pc_
+
+        vids = (
+            np_.asarray(doc_ids, np_.int64)[:, None] * 4
+            + np_.arange(4)
+        ).ravel()
+        return ray.data.read_parquet(
+            _emb_path(sf_dir), columns=["vec_id", "embedding"],
+            filter=pc_.field("vec_id").isin(vids.tolist()),
+        ).map_batches(add_doc, batch_format="pyarrow")
+
     return maxsim_rerank_indexed(
-        exploded, idx, q, nprobe=16, per_token=30, k=10
+        exploded, idx, q, nprobe=16, per_token=30, k=10,
+        candidate_source=hydrate_candidates,
     )
 
 

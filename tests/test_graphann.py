@@ -567,6 +567,52 @@ class TestMaxSimPlaid:
         assert got["doc"].tolist() == full["doc"].tolist()
         assert np.allclose(got["score"], full["score"])
 
+    def test_candidate_source_pushdown_equals_broadcast_filter(
+        self, ray_session, tmp_path
+    ):
+        """Stage-2 hydration through a caller-supplied pruned source
+        (the 100-TB path) returns exactly the broadcast-filter result,
+        and the source only ever sees candidate rows."""
+        import pyarrow.parquet as pq
+        from fdblucene_ray.ops.similarity import (
+            build_ivf_index,
+            maxsim_rerank_indexed,
+        )
+
+        ds, vecs, q = self._fixture()
+        idx = str(tmp_path / "msivf3")
+        build_ivf_index(ds, idx, n_centroids=8)
+        src = str(tmp_path / "corpus.parquet")
+        pq.write_table(
+            pa.concat_tables(
+                [b for b in ds.iter_batches(batch_format="pyarrow")]
+            ).sort_by("vec_id"),
+            src, row_group_size=64,
+        )
+        seen_rows = []
+
+        def hydrate(doc_ids):
+            import pyarrow.compute as pc_
+
+            out = ray.data.read_parquet(
+                src, filter=pc_.field("doc").isin(
+                    np.asarray(doc_ids, np.int64).tolist()
+                ),
+            )
+            seen_rows.append(out.count())
+            return out
+
+        base = maxsim_rerank_indexed(
+            ds, idx, q, nprobe=4, per_token=20, k=10
+        ).to_pandas()
+        push = maxsim_rerank_indexed(
+            ds, idx, q, nprobe=4, per_token=20, k=10,
+            candidate_source=hydrate,
+        ).to_pandas()
+        assert push["doc"].tolist() == base["doc"].tolist()
+        assert np.allclose(push["score"], base["score"])
+        assert seen_rows and seen_rows[0] < ds.count()  # pruned
+
     def test_partial_probe_prunes_files_and_keeps_recall(
         self, ray_session, tmp_path
     ):
