@@ -766,6 +766,32 @@ def cmd_suffixregistry(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """One-shot incremental directory sync: append new input files."""
+    _ensure_ray()
+    import json as _json
+
+    from fdblucene_ray.index.sync import sync_index, sync_status
+
+    if args.status_only:
+        print(_json.dumps(
+            sync_status(args.index, args.input_dir,
+                        pattern=args.pattern)
+        ))
+        return 0
+    fields = _json.loads(args.fields) if args.fields else None
+    m, new = sync_index(
+        args.index, args.input_dir, pattern=args.pattern,
+        files_per_shard=args.files_per_shard,
+        **({"fields": fields} if fields else {}),
+    )
+    print(_json.dumps(
+        {"ingested": [str(p) for p in new],
+         "manifest_version": None if m is None else m.version}
+    ))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Resumable partitioned corpus export (C4-kept docs per shard)."""
     _ensure_ray()
@@ -1162,6 +1188,18 @@ def main(argv=None) -> int:
     sr.add_argument("--seed-mode", default="hash",
                     choices=["hash", "suffix_sort"])
     sr.set_defaults(fn=cmd_suffixregistry)
+
+    sy = sub.add_parser(
+        "sync", help="append new input files from a directory (cron-able)"
+    )
+    sy.add_argument("--index", required=True)
+    sy.add_argument("--input-dir", required=True)
+    sy.add_argument("--pattern", default="*.parquet")
+    sy.add_argument("--files-per-shard", type=int, default=16)
+    sy.add_argument("--fields", default=None,
+                    help="JSON field config (must match the index)")
+    sy.add_argument("--status-only", action="store_true")
+    sy.set_defaults(fn=cmd_sync)
 
     ex = sub.add_parser("export", help="resumable partitioned corpus export")
     ex.add_argument("--input", required=True, nargs="+")

@@ -1,0 +1,131 @@
+"""One-shot incremental directory sync — the cron-able continuity tool
+for the §2.9 story (SURVEY.md: "new input files => one more shard =>
+new manifest version"): diff an input directory against the files this
+index has already ingested and append ONLY the new ones as one
+multi-writer-safe shard batch (``index/build.append_shards`` — CAS
+doc-id reservation, so two sync daemons against one index are safe).
+
+State: ``{index_dir}/sync/ingested.json`` maps each ingested file to
+its (size, mtime_ns) identity — published atomically AFTER the append
+commits, so a crash between append and state write re-syncs the batch,
+which ``append_shards``'s shard signatures then skip (never a double
+ingest, never a lost file). Already-ingested files are NEVER re-opened
+(tamper-probe test); a previously-ingested file whose size/mtime
+changed raises — input shards are immutable by contract.
+
+Reference analog: the reference's near-real-time refresh loop
+(IndexWriter kept open, commit per batch, README.md:71-78); here each
+sync call is one atomic commit.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from fdblucene_ray.index.manifest import Manifest, load_manifest
+
+
+def _state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "sync", "ingested.json")
+
+
+def _load_state(index_dir: str) -> dict:
+    p = _state_path(index_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _file_identity(path: str) -> dict:
+    st = os.stat(path)
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def sync_index(
+    index_dir: str,
+    input_dir: str,
+    *,
+    pattern: str = "*.parquet",
+    files_per_shard: int = 16,
+    **append_kw,
+) -> tuple[Manifest | None, list[str]]:
+    """Append every not-yet-ingested ``pattern`` file under
+    ``input_dir`` to the index; returns (manifest, newly ingested
+    paths) — (None, []) when there is nothing to do. Deterministic
+    ingest order (sorted paths); new files group into shards of
+    ``files_per_shard`` so one sync of a large backlog still
+    parallelizes across shard pipelines."""
+    from fdblucene_ray.index.build import append_shards
+
+    state = _load_state(index_dir)
+    found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+    new: list[str] = []
+    for p in found:
+        ap = os.path.abspath(p)
+        if ap in state:
+            ident = _file_identity(ap)
+            if ident != state[ap]:
+                raise ValueError(
+                    f"ingested input shard changed on disk: {ap} "
+                    f"(was {state[ap]}, now {ident}); input shards "
+                    "are immutable — write new files instead"
+                )
+            continue
+        new.append(ap)
+    if not new:
+        return None, []
+    shards = [
+        new[i : i + files_per_shard]
+        for i in range(0, len(new), files_per_shard)
+    ]
+    m = append_shards(index_dir, shards, **append_kw)
+    for ap in new:
+        state[ap] = _file_identity(ap)
+    sp = _state_path(index_dir)
+    os.makedirs(os.path.dirname(sp), exist_ok=True)
+    tmp = sp + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, sort_keys=True)
+    os.replace(tmp, sp)
+    return m, new
+
+
+def mark_ingested(index_dir: str, paths: list[str]) -> None:
+    """Adopt files into sync management WITHOUT appending them — for
+    an index whose bootstrap build already consumed them (the sync
+    state is advisory bookkeeping; the index content is authoritative
+    and untouched)."""
+    state = _load_state(index_dir)
+    for p in paths:
+        ap = os.path.abspath(p)
+        state[ap] = _file_identity(ap)
+    sp = _state_path(index_dir)
+    os.makedirs(os.path.dirname(sp), exist_ok=True)
+    tmp = sp + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, sort_keys=True)
+    os.replace(tmp, sp)
+
+
+def sync_status(index_dir: str, input_dir: str, *,
+                pattern: str = "*.parquet") -> dict:
+    """Report without ingesting: how many files are pending vs done."""
+    state = _load_state(index_dir)
+    found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+    pending = [
+        p for p in found if os.path.abspath(p) not in state
+    ]
+    m = None
+    try:
+        m = load_manifest(index_dir)
+    except Exception:
+        pass
+    return {
+        "found": len(found),
+        "ingested": len(found) - len(pending),
+        "pending": pending,
+        "manifest_version": None if m is None else m.version,
+    }

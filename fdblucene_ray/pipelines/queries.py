@@ -1562,6 +1562,53 @@ def q_ft_append_refresh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ft_sync_ingest(sf_dir: str) -> pa.Table:
+    """Directory-sync continuity (index/sync.py): the index bootstraps
+    from the inbox's first file, `sync_index` diffs the directory and
+    appends only the new files (multi-writer-safe append under the
+    hood; a second sync is a no-op), and the synced index's term stats
+    + search equal a full-corpus build — the same SQL twin as
+    ft_append_refresh."""
+    import pyarrow.parquet as pq
+
+    from fdblucene_ray.index.sync import mark_ingested, sync_index
+
+    key = hashlib.sha1(f"{sf_dir}:sync:v1".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, f"sync-{key}")
+    inbox = os.path.join(root, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    parts = [os.path.join(inbox, f"part{i}.parquet") for i in (0, 1, 2)]
+    if not all(os.path.exists(p) for p in parts):
+        t = pq.read_table(_docs_path(sf_dir))
+        per = (t.num_rows + 2) // 3
+        for i, p in enumerate(parts):
+            pq.write_table(t.slice(i * per, per), p + ".tmp",
+                           row_group_size=2048)
+            os.replace(p + ".tmp", p)
+    ix = os.path.join(root, "ix")
+    fields = {"text": {"column": "text", "analyzer": "simple"}}
+    if not os.path.exists(os.path.join(ix, "manifest.json")):
+        build_index(parts[0], ix, fields=fields, num_partitions=4)
+        # adopt the bootstrap file into sync bookkeeping (already
+        # indexed), then ingest the rest of the inbox incrementally
+        mark_ingested(ix, [parts[0]])
+    sync_index(ix, inbox, fields=fields)
+    m2, new2 = sync_index(ix, inbox, fields=fields)
+    assert m2 is None and new2 == []  # idempotent
+    s = Searcher(ix)
+    terms = ["data", "merge", "join", "window"]
+    rows = sorted((t, *s.term_stats("text", t)) for t in terms)
+    hits = s.search_terms(["data", "merge"], 10, mode="wand")
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "df": pa.array([r[1] for r in rows], pa.int64()),
+            "ttf": pa.array([r[2] for r in rows], pa.int64()),
+            "top1_doc": pa.array([hits[0][0]] * len(rows), pa.int64()),
+        }
+    )
+
+
 def q_neardup_probe(sf_dir: str) -> pa.Table:
     """Online near-dup probe: build the at-rest banded minhash index
     over documents (hive part= layout; probes read only colliding
@@ -4783,6 +4830,7 @@ def queries() -> dict:
         "compress_ratio": q_compress_ratio,
         "catalog": q_catalog,
         "ft_append_refresh": q_ft_append_refresh,
+        "ft_sync_ingest": q_ft_sync_ingest,
         "label_drift": q_label_drift,
         "neardup_probe": q_neardup_probe,
         "ft_index_stats": q_ft_index_stats,
@@ -6527,6 +6575,15 @@ FROM parts CROSS JOIN g2 ORDER BY label
 """,
         # refreshed (shard-appended) index == full-corpus build
         "ft_append_refresh": f"""
+WITH {TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf,
+       (SELECT doc_id FROM ({_bm25_sql(["data", "merge"], k=1)}))::BIGINT
+         AS top1_doc
+FROM toks WHERE tok IN ('data', 'merge', 'join', 'window')
+GROUP BY tok ORDER BY term
+""",
+        "ft_sync_ingest": f"""
 WITH {TOKS_CTE}
 SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
        count(*)::BIGINT AS ttf,
