@@ -54,6 +54,17 @@ class Index:
         append_shards(self.index_dir, shards, **kw)
         return self.refresh()
 
+    def sync(self, input_dir: str, **kw) -> tuple:
+        """One-shot incremental directory sync (index/sync.py): append
+        every not-yet-ingested parquet file under ``input_dir``.
+        Returns (manifest | None, newly ingested paths)."""
+        from fdblucene_ray.index.sync import sync_index
+
+        out = sync_index(self.index_dir, input_dir, **kw)
+        if out[0] is not None:
+            self.refresh()
+        return out
+
     @classmethod
     def merge(cls, sources, out_dir: str, **kw) -> "Index":
         srcs = [

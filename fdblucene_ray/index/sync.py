@@ -2,8 +2,8 @@
 for the §2.9 story (SURVEY.md: "new input files => one more shard =>
 new manifest version"): diff an input directory against the files this
 index has already ingested and append ONLY the new ones as one
-multi-writer-safe shard batch (``index/build.append_shards`` — CAS
-doc-id reservation, so two sync daemons against one index are safe).
+shard batch through the multi-writer-safe ``index/build.append_shards``
+(CAS doc-id reservation; see the concurrency contract below).
 
 State: ``{index_dir}/sync/ingested.json`` maps each ingested file to
 its (size, mtime_ns) identity — published atomically AFTER the append
@@ -16,6 +16,13 @@ changed raises — input shards are immutable by contract.
 Reference analog: the reference's near-real-time refresh loop
 (IndexWriter kept open, commit per batch, README.md:71-78); here each
 sync call is one atomic commit.
+
+Concurrency contract: run ONE sync process per index at a time (the
+usual single-instance cron). The underlying ``append_shards`` is
+multi-writer-safe, but two syncs that race the same inbox would both
+see the same pending files and ingest them twice — the ledger
+arbitrates file identity, not process ownership. Concurrent ingest of
+DISJOINT inputs belongs on ``append_shards`` directly.
 """
 
 from __future__ import annotations
