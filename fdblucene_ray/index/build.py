@@ -851,6 +851,7 @@ def append_shards(
     resume: bool = True,
     concurrent_shards: int = 1,
     max_publish_retries: int = 16,
+    idempotency_token: str | None = None,
     **kw,
 ) -> Manifest:
     """MULTI-WRITER-safe shard append: independent driver PROCESSES may
@@ -884,6 +885,14 @@ def append_shards(
     Creation race: if ``index_dir`` has no manifest yet, the reserve
     step CAS-creates version 0 (expected_version=-1) — two concurrent
     creators serialize on it.
+
+    ``idempotency_token``: a caller-chosen batch id recorded in
+    ``extra["append_tokens"]`` at publish. Re-calling with a token the
+    live manifest already carries is a NO-OP (returns the live
+    manifest) — the crash-replay contract a retrying ingest loop
+    (``index/sync.py``) needs. The token list keeps the most recent
+    256 entries; a replay arrives promptly after a crash, never 256
+    appends later.
     """
     import uuid as _uuid
 
@@ -894,6 +903,15 @@ def append_shards(
     from fdblucene_ray.sources.corpus import plan_fragments
 
     fields = fields or default_fields()
+    if idempotency_token is not None:
+        try:
+            live = load_manifest(index_dir)
+        except FileNotFoundError:
+            live = None
+        if live is not None and idempotency_token in live.extra.get(
+            "append_tokens", []
+        ):
+            return live  # batch already committed: replay is a no-op
     if num_partitions_per_shard is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions_per_shard = max(4, 2 * cpus)
@@ -1052,6 +1070,10 @@ def append_shards(
         )
         extra["sharded"] = True
         extra["built_at_unix"] = int(time.time())
+        if idempotency_token is not None:
+            toks = list(extra.get("append_tokens", []))
+            toks.append(idempotency_token)
+            extra["append_tokens"] = toks[-256:]
         pf = set(extra.get("positions_fields", []))
         pf |= {f for f, cfg in fields.items() if cfg.get("positions")}
         extra["positions_fields"] = sorted(pf)

@@ -6,12 +6,17 @@ shard batch through the multi-writer-safe ``index/build.append_shards``
 (CAS doc-id reservation; see the concurrency contract below).
 
 State: ``{index_dir}/sync/ingested.json`` maps each ingested file to
-its (size, mtime_ns) identity — published atomically AFTER the append
-commits, so a crash between append and state write re-syncs the batch,
-which ``append_shards``'s shard signatures then skip (never a double
-ingest, never a lost file). Already-ingested files are NEVER re-opened
-(tamper-probe test); a previously-ingested file whose size/mtime
-changed raises — input shards are immutable by contract.
+its (size, mtime_ns) identity, published atomically AFTER the append
+commits. The crash window between append and ledger is closed by a
+two-phase intent journal: each batch writes
+``sync/intent.json`` (file list + a content-derived batch token)
+BEFORE appending and calls ``append_shards(idempotency_token=token)``;
+the next sync REPLAYS any leftover intent first — the token makes a
+committed batch's replay a manifest no-op, an uncommitted one a real
+append — so a crash at any point yields exactly-once ingest (pinned by
+tests that kill both sides of the window). Already-ingested files are
+NEVER re-opened (tamper-probe test); a previously-ingested file whose
+size/mtime changed raises — input shards are immutable by contract.
 
 Reference analog: the reference's near-real-time refresh loop
 (IndexWriter kept open, commit per batch, README.md:71-78); here each
@@ -51,6 +56,62 @@ def _file_identity(path: str) -> dict:
     return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
 
 
+def _intent_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "sync", "intent.json")
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _batch_token(files: list[str]) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    for ap in files:
+        ident = _file_identity(ap)
+        h.update(
+            f"{ap}:{ident['size']}:{ident['mtime_ns']}".encode()
+        )
+    return "sync-" + h.hexdigest()[:24]
+
+
+def _ingest_batch(
+    index_dir: str,
+    files: list[str],
+    files_per_shard: int,
+    append_kw: dict,
+    token: str | None = None,
+) -> Manifest:
+    """Two-phase exactly-once ingest of one file batch: intent ->
+    idempotent append -> ledger -> intent removal. A replay passes the
+    intent's STORED token so the batch identity survives any clock or
+    identity drift between crash and recovery."""
+    from fdblucene_ray.index.build import append_shards
+
+    token = token or _batch_token(files)
+    _write_json_atomic(
+        _intent_path(index_dir), {"token": token, "files": files}
+    )
+    shards = [
+        files[i : i + files_per_shard]
+        for i in range(0, len(files), files_per_shard)
+    ]
+    m = append_shards(
+        index_dir, shards, idempotency_token=token, **append_kw
+    )
+    state = _load_state(index_dir)
+    for ap in files:
+        state[ap] = _file_identity(ap)
+    _write_json_atomic(_state_path(index_dir), state)
+    os.remove(_intent_path(index_dir))
+    return m
+
+
 def sync_index(
     index_dir: str,
     input_dir: str,
@@ -64,9 +125,17 @@ def sync_index(
     paths) — (None, []) when there is nothing to do. Deterministic
     ingest order (sorted paths); new files group into shards of
     ``files_per_shard`` so one sync of a large backlog still
-    parallelizes across shard pipelines."""
-    from fdblucene_ray.index.build import append_shards
-
+    parallelizes across shard pipelines. A leftover intent from a
+    crashed sync is replayed FIRST (exactly-once via the append
+    idempotency token — see the module docstring)."""
+    ip = _intent_path(index_dir)
+    if os.path.exists(ip):
+        with open(ip) as fh:
+            intent = json.load(fh)
+        _ingest_batch(
+            index_dir, intent["files"], files_per_shard, append_kw,
+            token=intent["token"],
+        )
     state = _load_state(index_dir)
     found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
     new: list[str] = []
@@ -84,19 +153,7 @@ def sync_index(
         new.append(ap)
     if not new:
         return None, []
-    shards = [
-        new[i : i + files_per_shard]
-        for i in range(0, len(new), files_per_shard)
-    ]
-    m = append_shards(index_dir, shards, **append_kw)
-    for ap in new:
-        state[ap] = _file_identity(ap)
-    sp = _state_path(index_dir)
-    os.makedirs(os.path.dirname(sp), exist_ok=True)
-    tmp = sp + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(state, fh, sort_keys=True)
-    os.replace(tmp, sp)
+    m = _ingest_batch(index_dir, new, files_per_shard, append_kw)
     return m, new
 
 

@@ -90,3 +90,78 @@ class TestSyncIndex:
         # s4's content is searchable
         hits = s.search_terms(["query"], 10**6, mode="exhaustive")
         assert any(d >= 120 for d, _ in hits)
+
+
+class TestSyncCrashRecovery:
+    """Exactly-once across the two crash windows: (a) after the append
+    commit but before the ledger write, (b) after the intent write but
+    before the append."""
+
+    def _setup(self, tmp_path, names=("s1", "s2")):
+        words = np.array(["one", "two", "three", "four"])
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        for n in names:
+            _write_shard(str(inbox / f"{n}.parquet"), words)
+        ix = str(tmp_path / "ix")
+        build_index(str(inbox / "s1.parquet"), ix, fields=FIELDS,
+                    num_partitions=2)
+        return inbox, ix
+
+    def test_crash_after_commit_before_ledger(
+        self, ray_session, tmp_path
+    ):
+        from fdblucene_ray.index.sync import (
+            _intent_path,
+            _state_path,
+        )
+
+        inbox, ix = self._setup(tmp_path)
+        m, new = sync_index(ix, str(inbox), pattern="s2.parquet",
+                            fields=FIELDS)
+        assert Searcher(ix).num_docs() == 80
+        # simulate the crash: the append committed (it did), the
+        # ledger write and intent removal never happened
+        os.remove(_state_path(ix))
+        import json
+        import shutil
+
+        with open(_intent_path(ix) + ".redo", "w") as fh:
+            json.dump({"token": m.extra["append_tokens"][-1],
+                       "files": new}, fh)
+        shutil.move(_intent_path(ix) + ".redo", _intent_path(ix))
+        m2, new2 = sync_index(ix, str(inbox), pattern="s2.parquet",
+                              fields=FIELDS)
+        # replay was a manifest no-op; nothing double-ingested
+        assert Searcher(ix).num_docs() == 80
+        assert m2 is None and new2 == []
+        assert not os.path.exists(_intent_path(ix))
+
+    def test_crash_after_intent_before_append(
+        self, ray_session, tmp_path
+    ):
+        from fdblucene_ray.index.sync import (
+            _batch_token,
+            _intent_path,
+            _write_json_atomic,
+        )
+
+        inbox, ix = self._setup(tmp_path)
+        # the crashed sync got as far as writing the intent only
+        files = [os.path.abspath(str(inbox / "s2.parquet"))]
+        _write_json_atomic(
+            _intent_path(ix),
+            {"token": _batch_token(files), "files": files},
+        )
+        assert Searcher(ix).num_docs() == 40
+        m2, new2 = sync_index(ix, str(inbox), pattern="s2.parquet",
+                              fields=FIELDS)
+        # the replay performed the real append exactly once; the
+        # fresh diff then found nothing new
+        assert Searcher(ix).num_docs() == 80
+        assert m2 is None and new2 == []
+        # and a further sync is a clean no-op
+        m3, new3 = sync_index(ix, str(inbox), pattern="s2.parquet",
+                              fields=FIELDS)
+        assert m3 is None and new3 == []
+        assert Searcher(ix).num_docs() == 80
