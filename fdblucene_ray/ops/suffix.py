@@ -731,6 +731,13 @@ def build_suffix_registry(
         # older seed-row format: rebuild in place (the registry is
         # derived state — safe to regenerate from the corpus)
         shutil.rmtree(out_dir, ignore_errors=True)
+    elif os.path.isdir(os.path.join(out_dir, "seeds")):
+        # crashed between the seeds rename and the meta write: the
+        # seeds dir is complete (rename follows a finished
+        # write_parquet) but unusable without meta — clear and rebuild
+        # rather than leaving a bricked registry (single-writer build
+        # contract, same as index/sync.py)
+        shutil.rmtree(out_dir, ignore_errors=True)
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})

@@ -419,3 +419,42 @@ class TestSeedModes:
             a = _run(docs, L)
             b = _run(docs, L, seed_mode="suffix_sort")
             assert a == b == _brute_spans2(docs, L), L
+
+
+class TestRegistryCrashRecovery:
+    def test_seeds_without_meta_rebuilds(self, ray_session, tmp_path):
+        """A crash between the seeds rename and the meta write must
+        not brick the registry: the next build clears and rebuilds
+        (previously it returned False forever with no registry.json,
+        and the query path failed on the missing meta)."""
+        import os
+
+        from fdblucene_ray.ops.suffix import (
+            build_suffix_registry,
+            suffix_dup_spans_registry,
+        )
+
+        rng = np.random.default_rng(91)
+        docs = _rand_docs(rng, 8, alpha=3)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(docs), dtype=np.int64)
+                    ),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+        )
+        reg = str(tmp_path / "reg")
+        assert build_suffix_registry(ds, reg, min_len=6) is True
+        # simulate the crash state: seeds present, meta gone
+        os.remove(os.path.join(reg, "registry.json"))
+        assert build_suffix_registry(ds, reg, min_len=6) is True
+        got = (
+            suffix_dup_spans_registry(ds, reg)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+        )
+        want = _brute_spans2(docs, 6)
+        assert len(got) == len(want)
