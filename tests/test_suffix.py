@@ -458,3 +458,29 @@ class TestRegistryCrashRecovery:
         )
         want = _brute_spans2(docs, 6)
         assert len(got) == len(want)
+
+
+class TestPipelineProperty:
+    def test_random_corpora_random_params(self, ray_session):
+        """Hypothesis over the WHOLE pipeline: random small-alphabet
+        corpora, random (L, min_df) — spans equal brute force."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=3, max_value=15),
+            st.sampled_from([2, 3]),
+        )
+        def check(seed, L, min_df):
+            rng = np.random.default_rng(seed)
+            docs = _rand_docs(rng, 8, alpha=3, lo=10, hi=80)
+            assert _run(docs, L, min_df=min_df) == _brute_spans2(
+                docs, L, min_df=min_df
+            ), (seed, L, min_df)
+
+        check()
