@@ -439,10 +439,48 @@ class Monitor:
         )
 
 
+class DedupRegistry:
+    """Facade over the incremental suffix-dedup registry
+    (ops/suffix.py): build once, append new document batches (their
+    bytes are suffix-seeded exactly once), query maximal duplicated
+    spans or scrub them — Lee et al.'s exact-substring dedup as a
+    maintained service.
+
+    >>> reg = DedupRegistry.build(ds, "/shared/dedup-reg", min_len=50)
+    >>> reg.append(new_docs, "2026-08-20")
+    >>> spans = reg.dup_spans(full_corpus)     # Dataset of spans
+    """
+
+    def __init__(self, registry_dir: str):
+        self.registry_dir = registry_dir
+
+    @classmethod
+    def build(cls, ds, registry_dir: str, **kw) -> "DedupRegistry":
+        from fdblucene_ray.ops.suffix import build_suffix_registry
+
+        build_suffix_registry(ds, registry_dir, **kw)
+        return cls(registry_dir)
+
+    def append(self, ds, batch_id: str, **kw) -> bool:
+        from fdblucene_ray.ops.suffix import append_suffix_registry
+
+        return append_suffix_registry(
+            ds, self.registry_dir, batch_id, **kw
+        )
+
+    def dup_spans(self, corpus_ds, **kw):
+        from fdblucene_ray.ops.suffix import suffix_dup_spans_registry
+
+        return suffix_dup_spans_registry(
+            corpus_ds, self.registry_dir, **kw
+        )
+
+
 __all__ = [
     "Index",
     "VectorIndex",
     "Monitor",
+    "DedupRegistry",
     "Catalog",
     "build_index",
     "build_sharded",

@@ -484,3 +484,33 @@ class TestPipelineProperty:
             ), (seed, L, min_df)
 
         check()
+
+
+class TestDedupRegistryFacade:
+    def test_build_append_query(self, ray_session, tmp_path):
+        from fdblucene_ray.api import DedupRegistry
+
+        rng = np.random.default_rng(97)
+        base = _rand_docs(rng, 8, alpha=3)
+        extra = _rand_docs(rng, 4, alpha=3)
+        alldocs = base + extra
+
+        def tab(docs, b=0):
+            return pa.table(
+                {"doc_id": pa.array(
+                    np.arange(b, b + len(docs), dtype=np.int64)),
+                 "text": pa.array(docs, pa.string())}
+            )
+
+        reg = DedupRegistry.build(
+            ray.data.from_arrow(tab(base)), str(tmp_path / "r"),
+            min_len=6,
+        )
+        assert reg.append(
+            ray.data.from_arrow(tab(extra, len(base))), "b1"
+        ) is True
+        got = reg.dup_spans(
+            ray.data.from_arrow(tab(alldocs))
+        ).to_pandas()
+        want = _brute_spans2(alldocs, 6)
+        assert len(got) == len(want)
