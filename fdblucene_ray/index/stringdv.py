@@ -284,16 +284,21 @@ def _build_sorted_dv_segmented(
     shutil.rmtree(d, ignore_errors=True)
     seg_root = os.path.join(d, "segments")
     os.makedirs(seg_root, exist_ok=True)
-    segs = (
-        ds.map_batches(
-            _SegmentDVWriter(seg_root, id_col, column, multi),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()["seg"]
-        .tolist()
-    )
+    seg_df = ds.map_batches(
+        _SegmentDVWriter(seg_root, id_col, column, multi),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    # an empty corpus yields a columnless frame, not an empty column
+    segs = seg_df["seg"].tolist() if "seg" in seg_df.columns else []
     segs = sorted(set(segs))
+    if not segs:  # empty corpus: publish a valid empty artifact
+        pq.write_table(
+            pa.table({"value": pa.array([], pa.string())}),
+            os.path.join(d, "dict.parquet"),
+        )
+        os.makedirs(os.path.join(d, "ords"), exist_ok=True)
+        return 0
     return merge_sorted_dv_segments(
         d, segs, dict_row_group=dict_row_group
     )
