@@ -1412,6 +1412,91 @@ def sq8_topk(
     return _merge_topk(cand.to_pandas(), k)
 
 
+def build_sq8_store(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the SQ8 code store — the at-rest compression step
+    before ANN serving (4x smaller than float32 embeddings, 8x than
+    float64):
+
+        {out_dir}/params.npz          per-dim (mn, mx)
+        {out_dir}/codes/*.parquet     (id, codes list<uint8>) rows
+
+    Idempotent (an existing store is reused). Serving reads ONLY the
+    code store (``sq8_topk_stored``) — the float embeddings never
+    leave cold storage again."""
+    import shutil
+
+    params_path = os.path.join(out_dir, "params.npz")
+    if os.path.exists(params_path):
+        z = np.load(params_path)
+        return z["mn"], z["mx"]
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    mn, mx = sq8_params(ds, vec_col=vec_col)
+    sq8_quantize(
+        ds, vec_col=vec_col, id_col=id_col, params=(mn, mx)
+    ).write_parquet(os.path.join(tmp, "codes"))
+    np.savez(os.path.join(tmp, "params.npz"), mn=mn, mx=mx)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return mn, mx
+
+
+def sq8_topk_stored(
+    store_dir: str,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate cosine top-k SERVED FROM the at-rest SQ8 code store
+    (asymmetric distance): reconstruct v_hat = mn + (code + 0.5) *
+    span / 256 per batch of CODES — the float embedding column is
+    never read. Output identical to ``sq8_topk`` over the original
+    vectors (same params, same reconstruct arithmetic; pinned by test
+    and by the shared SQL oracle)."""
+    z = np.load(os.path.join(store_dir, "params.npz"))
+    mn, mx = z["mn"], z["mx"]
+    span = mx - mn
+    qn = _normalize(np.asarray(queries, np.float64)).T
+    qids = np.asarray(query_ids, np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        codes_col = batch["codes"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        if not len(codes_col):
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        flat = codes_col.flatten().to_numpy(zero_copy_only=False)
+        q8 = flat.reshape(len(codes_col), -1).astype(np.float64)
+        xhat = mn + (q8 + 0.5) * span / 256.0
+        rec = pa.table(
+            {
+                id_col: batch[id_col],
+                "v": pa.array(xhat.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        return _score_batch_topk(
+            rec, qn_T=qn, query_ids=qids, k=k, vec_col="v",
+            id_col=id_col,
+        )
+
+    ds = ray.data.read_parquet(os.path.join(store_dir, "codes"))
+    cand = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(cand.to_pandas(), k)
+
+
 def hard_negatives(
     ds: ray.data.Dataset,
     query_ids,

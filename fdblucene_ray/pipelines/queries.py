@@ -2093,6 +2093,26 @@ def q_ann_sq8(sf_dir: str) -> pa.Table:
     return sq8_topk(ds, q, [0, 1, 2], k=10)
 
 
+def q_ann_sq8_stored(sf_dir: str) -> pa.Table:
+    """SQ8 serving from the AT-REST code store: build_sq8_store writes
+    (id, codes list<uint8>) once — 4x smaller than the float32
+    embeddings — and sq8_topk_stored reconstructs and ranks from the
+    codes alone (the float column is never read again). Same
+    reconstruct arithmetic as ann_sq8, so the SAME SQL oracle."""
+    from fdblucene_ray.ops.similarity import (
+        build_sq8_store,
+        sq8_topk_stored,
+    )
+
+    q = _query_vectors(sf_dir, [0, 1, 2])
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    )
+    store = _index_dir(sf_dir, "sq8-store")
+    build_sq8_store(ds, store)
+    return sq8_topk_stored(store, q, [0, 1, 2], k=10)
+
+
 def q_ft_mmr(sf_dir: str) -> pa.Table:
     """MMR-diversified search: BM25 top-50 for 'data stream' re-ranked
     by Maximal Marginal Relevance over the docs' embedding twins
@@ -4836,6 +4856,7 @@ def queries() -> dict:
         "ft_index_stats": q_ft_index_stats,
         "event_zscores": q_event_zscores,
         "ann_sq8": q_ann_sq8,
+        "ann_sq8_stored": q_ann_sq8_stored,
         "ft_mmr": q_ft_mmr,
     }
 
@@ -8331,4 +8352,6 @@ FROM o GROUP BY shard ORDER BY shard
     # registry-served suffix dedup is output-identical to the fresh
     # pipeline over the same corpus — same oracle by construction
     sql["dedup_suffix_append"] = sql["dedup_suffix"]
+    # at-rest SQ8 serving reconstructs with the same arithmetic
+    sql["ann_sq8_stored"] = sql["ann_sq8"]
     return sql

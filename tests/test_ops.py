@@ -1153,3 +1153,57 @@ class TestNearDupProbe:
         build_neardup_index(ds, d)
         assert probe_neardup(d, [""]).num_rows == 0
         assert probe_neardup(d, ["totally novel unseen content here"]).num_rows == 0
+
+
+class TestSq8Store:
+    def test_stored_serving_equals_on_the_fly(
+        self, ray_session, tmp_path
+    ):
+        """The at-rest code store serves identically to quantizing on
+        the fly (same params, same reconstruct arithmetic), reuses an
+        existing store, and never reads the float column at query
+        time (the store holds only id + codes)."""
+        import pyarrow as pa
+
+        from fdblucene_ray.ops.similarity import (
+            build_sq8_store,
+            sq8_topk,
+            sq8_topk_stored,
+        )
+
+        rng = np.random.default_rng(41)
+        vecs = rng.normal(size=(400, 12)).astype(np.float32)
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(400, dtype=np.int64)
+                    ),
+                    "embedding": pa.array(
+                        [v for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        q = rng.normal(size=(4, 12))
+        a = sq8_topk(ds, q, np.arange(4), k=8).to_pandas()
+        store = str(tmp_path / "sq8")
+        mn, mx = build_sq8_store(ds, store)
+        b = sq8_topk_stored(store, q, np.arange(4), k=8).to_pandas()
+        assert a[["query_id", "vec_id"]].values.tolist() == \
+            b[["query_id", "vec_id"]].values.tolist()
+        assert np.allclose(a["sim"], b["sim"])
+        # idempotent reuse returns the SAME params
+        mn2, mx2 = build_sq8_store(ds, store)
+        assert np.array_equal(mn, mn2) and np.array_equal(mx, mx2)
+        # the store schema holds codes only — no float payload at rest
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = glob.glob(os.path.join(store, "codes", "*.parquet"))[0]
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert set(names) == {"vec_id", "codes"}
