@@ -321,6 +321,14 @@ class VectorIndex:
         return cls(index_dir, **cols, kind="lsh")
 
     @classmethod
+    def build_sq8(cls, ds, index_dir: str, **kw) -> "VectorIndex":
+        from fdblucene_ray.ops.similarity import build_sq8_store
+
+        cols = {k: kw.pop(k) for k in ("vec_col", "id_col") if k in kw}
+        build_sq8_store(ds, index_dir, **cols, **kw)
+        return cls(index_dir, **cols, kind="sq8")
+
+    @classmethod
     def build_graph(cls, ds, index_dir: str, **kw) -> "VectorIndex":
         from fdblucene_ray.ops.graphann import build_graph_index
 
@@ -347,8 +355,16 @@ class VectorIndex:
         from fdblucene_ray.ops.similarity import (
             ivf_topk_indexed,
             lsh_topk_indexed,
+            sq8_topk_stored,
         )
 
+        if self.kind == "sq8":
+            # code-store serving: full scan over 8-bit codes (4x less
+            # I/O than floats); nprobe does not apply
+            return sq8_topk_stored(
+                self.index_dir, queries, query_ids, k=k,
+                id_col=self.id_col,
+            )
         fn = lsh_topk_indexed if self.kind == "lsh" else ivf_topk_indexed
         return fn(
             self.index_dir, queries, query_ids, k=k, nprobe=nprobe,
