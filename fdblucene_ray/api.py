@@ -57,12 +57,14 @@ class Index:
     def sync(self, input_dir: str, **kw) -> tuple:
         """One-shot incremental directory sync (index/sync.py): append
         every not-yet-ingested parquet file under ``input_dir``.
-        Returns (manifest | None, newly ingested paths)."""
+        Returns (manifest | None, ingested paths — including a
+        replayed crash-recovery batch). Re-opens THIS handle at the
+        new commit when anything was ingested."""
         from fdblucene_ray.index.sync import sync_index
 
         out = sync_index(self.index_dir, input_dir, **kw)
         if out[0] is not None:
-            self.refresh()
+            self.searcher = Searcher(self.index_dir)
         return out
 
     @classmethod
@@ -342,6 +344,13 @@ class VectorIndex:
             append_lsh_index,
         )
 
+        if self.kind == "sq8":
+            raise NotImplementedError(
+                "append is not supported for the SQ8 code store — "
+                "rebuild it (build_sq8_store is idempotent and cheap: "
+                "one quantize pass) or keep floats in an IVF/LSH "
+                "layout for streaming ingest"
+            )
         fn = append_lsh_index if self.kind == "lsh" else append_ivf_index
         return fn(ds, self.index_dir, batch_id, **self._kw())
 

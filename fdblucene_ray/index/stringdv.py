@@ -162,20 +162,47 @@ def build_sorted_dv(
     d = os.path.join(index_dir, DV_SORTED_DIR, field)
     vocab: np.ndarray | None = None
     if not force_segmented:
-        parts = ds.map_batches(uniq, batch_format="pyarrow").take_all()
-        vocab = np.unique(
-            np.asarray([r["value"] for r in parts], dtype=object)
-        )
-        if len(vocab) > max_dict_size:
+        # STREAMING vocabulary probe: per-batch uniques accumulate on
+        # the driver with periodic compaction and an EARLY ABORT the
+        # moment the distinct count provably exceeds the cap — driver
+        # memory stays O(max_dict_size) even when the true vocabulary
+        # is arbitrarily larger (the case the segmented path exists
+        # for; a take_all-first probe would OOM before the check).
+        acc: list[np.ndarray] = []
+        n_acc = 0
+        overflow = False
+        for b in ds.map_batches(
+            uniq, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            col = b["value"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            acc.append(np.asarray(col.to_pylist(), dtype=object))
+            n_acc += len(col)
+            if n_acc > 2 * max_dict_size:
+                merged = np.unique(np.concatenate(acc))
+                acc, n_acc = [merged], len(merged)
+                if n_acc > max_dict_size:
+                    overflow = True
+                    break
+        if not overflow:
+            vocab = (
+                np.unique(np.concatenate(acc))
+                if acc
+                else np.asarray([], dtype=object)
+            )
+            if len(vocab) > max_dict_size:
+                overflow = True
+                vocab = None
+        if overflow:
             import logging
 
             logging.getLogger(__name__).info(
-                "sorted-dv dictionary for %r has %d values "
-                "(> max_dict_size=%d): switching to the per-segment "
+                "sorted-dv dictionary for %r exceeds "
+                "max_dict_size=%d: switching to the per-segment "
                 "ords + ord-remap merge build",
-                field, len(vocab), max_dict_size,
+                field, max_dict_size,
             )
-            vocab = None
     if vocab is None:
         card = _build_sorted_dv_segmented(
             d, ds, id_col=id_col, column=column, multi=multi

@@ -128,14 +128,17 @@ def sync_index(
     parallelizes across shard pipelines. A leftover intent from a
     crashed sync is replayed FIRST (exactly-once via the append
     idempotency token — see the module docstring)."""
+    replayed_m: Manifest | None = None
+    replayed_files: list[str] = []
     ip = _intent_path(index_dir)
     if os.path.exists(ip):
         with open(ip) as fh:
             intent = json.load(fh)
-        _ingest_batch(
+        replayed_m = _ingest_batch(
             index_dir, intent["files"], files_per_shard, append_kw,
             token=intent["token"],
         )
+        replayed_files = list(intent["files"])
     state = _load_state(index_dir)
     found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
     new: list[str] = []
@@ -152,9 +155,14 @@ def sync_index(
             continue
         new.append(ap)
     if not new:
-        return None, []
+        # a replayed crash-recovery batch is THIS call's work: its
+        # original caller never saw a report (it crashed), so the
+        # replay's manifest and files are returned here rather than
+        # pretending nothing happened (reporting is at-least-once;
+        # ingestion itself stays exactly-once via the append token)
+        return replayed_m, replayed_files
     m = _ingest_batch(index_dir, new, files_per_shard, append_kw)
-    return m, new
+    return m, replayed_files + new
 
 
 def mark_ingested(index_dir: str, paths: list[str]) -> None:
@@ -166,12 +174,7 @@ def mark_ingested(index_dir: str, paths: list[str]) -> None:
     for p in paths:
         ap = os.path.abspath(p)
         state[ap] = _file_identity(ap)
-    sp = _state_path(index_dir)
-    os.makedirs(os.path.dirname(sp), exist_ok=True)
-    tmp = sp + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(state, fh, sort_keys=True)
-    os.replace(tmp, sp)
+    _write_json_atomic(_state_path(index_dir), state)
 
 
 def sync_status(index_dir: str, input_dir: str, *,

@@ -1397,10 +1397,16 @@ def sq8_topk(
         q8 = np.clip(q8, 0.0, 255.0)
         q8[:, span <= 0] = 0.0
         xhat = mn + (q8 + 0.5) * span / 256.0
+        n_r, d_r = xhat.shape
         rec = pa.table(
             {
                 id_col: batch[id_col],
-                vec_col: pa.array(xhat.tolist(), pa.list_(pa.float64())),
+                vec_col: pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n_r + 1) * d_r, d_r, dtype=np.int32)
+                    ),
+                    pa.array(xhat.ravel()),
+                ),
             }
         )
         return _score_batch_topk(
@@ -1481,10 +1487,17 @@ def sq8_topk_stored(
         flat = codes_col.flatten().to_numpy(zero_copy_only=False)
         q8 = flat.reshape(len(codes_col), -1).astype(np.float64)
         xhat = mn + (q8 + 0.5) * span / 256.0
+        n, d = xhat.shape
         rec = pa.table(
             {
                 id_col: batch[id_col],
-                "v": pa.array(xhat.tolist(), pa.list_(pa.float64())),
+                # zero-boxing list column straight from the matrix
+                "v": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * d, d, dtype=np.int32)
+                    ),
+                    pa.array(xhat.ravel()),
+                ),
             }
         )
         return _score_batch_topk(

@@ -144,6 +144,40 @@ def _flat_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
     return flat, offs - offs[0]
 
 
+def _chunked_from_ranges(
+    values: np.ndarray, lens: np.ndarray, type_=pa.binary()
+):
+    """Build a binary/string column from (flat byte values, per-row
+    byte lengths) as a CHUNKED array whose chunks each stay under the
+    int32 offset limit — one partition can carry >2 GB of payload
+    without overflowing offsets or changing the column type (a
+    large_binary fallback would fork the schema across batches)."""
+    n = len(lens)
+    if n == 0:
+        return pa.chunked_array([pa.array([], type_)])
+    bounds = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    limit = np.iinfo(np.int32).max
+    chunks = []
+    row0 = 0
+    while row0 < n:
+        # widest prefix of rows whose byte span fits int32
+        hi = int(
+            np.searchsorted(bounds, bounds[row0] + limit, side="right")
+        ) - 1
+        hi = max(hi, row0 + 1)  # a single row always fits (< 2 GB)
+        offs = (bounds[row0 : hi + 1] - bounds[row0]).astype(np.int32)
+        chunks.append(
+            pa.Array.from_buffers(
+                type_, hi - row0,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(
+                     values[bounds[row0] : bounds[hi]].tobytes())],
+            )
+        )
+        row0 = hi
+    return pa.chunked_array(chunks)
+
+
 class _SuffixSeeds:
     """Pass-1 combiner: reduce the batch's positions to ONE
     (part, class hash, clamped distinct-doc count) row per L-gram
@@ -347,11 +381,10 @@ class _EmitCandidateWindows:
         di = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[hits]
         gidx = hits[:, None] + np.arange(L, dtype=np.int64)
         values = flat[gidx.ravel()]
-        offs = (np.arange(len(hits) + 1, dtype=np.int64) * L).astype(np.int32)
-        grams = pa.BinaryArray.from_buffers(
-            pa.binary(), len(hits),
-            [None, pa.py_buffer(offs.tobytes()),
-             pa.py_buffer(values.tobytes())],
+        # chunked so a heavily-duplicated partition's window payload
+        # can exceed the int32 offset limit without schema change
+        grams = _chunked_from_ranges(
+            values, np.full(len(hits), L, np.int64)
         )
         return pa.table(
             {
@@ -423,18 +456,9 @@ class _MaximalByteSpans:
             - np.repeat(offs_out[:-1], lens)
             + np.repeat(gstart, lens)
         )
-        if int(offs_out[-1]) <= np.iinfo(np.int32).max:
-            span_text = pa.BinaryArray.from_buffers(
-                pa.binary(), len(reg_first),
-                [None, pa.py_buffer(offs_out.astype(np.int32).tobytes()),
-                 pa.py_buffer(flat[take].tobytes())],
-            )
-        else:  # >2 GB of duplicated text in ONE partition (rare)
-            span_text = pa.LargeBinaryArray.from_buffers(
-                pa.large_binary(), len(reg_first),
-                [None, pa.py_buffer(offs_out.tobytes()),
-                 pa.py_buffer(flat[take].tobytes())],
-            )
+        # chunked: a partition with >2 GB of duplicated text neither
+        # overflows int32 offsets nor forks the schema to large_binary
+        span_text = _chunked_from_ranges(flat[take], lens)
         return pa.table(
             {
                 "doc_id": pa.array(ids[rdoc]),
@@ -490,6 +514,8 @@ def _suffix_verified_positions(
     num_partitions: int,
     broadcast_limit: int,
     seed_mode: str = "hash",
+    seeds: ray.data.Dataset | None = None,
+    num_parts: int | None = None,
 ) -> tuple[ray.data.Dataset, int]:
     """Shared stages 1-4 of the suffix-dedup pipelines: per-batch
     truncated suffix sorting -> hash-partitioned candidate fold ->
@@ -502,15 +528,17 @@ def _suffix_verified_positions(
 
     from fdblucene_ray.ops.webtext import _verify_literal
 
-    num_parts = max(
-        num_partitions, int(ray.cluster_resources().get("CPU", 8))
-    )
-    seeds = left.map_batches(
-        _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id",
-                     seed_mode),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if num_parts is None:
+        num_parts = max(
+            num_partitions, int(ray.cluster_resources().get("CPU", 8))
+        )
+    if seeds is None:
+        seeds = left.map_batches(
+            _SuffixSeeds(min_len, min_df, num_parts, "text", "doc_id",
+                         seed_mode),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     cand = seeds.groupby("part", num_partitions=num_parts).map_groups(
         _cand_fold(min_df), batch_format="pyarrow"
     )
@@ -608,6 +636,25 @@ class _ScrubByteSpans:
             lens = bounds[1:] - bounds[:-1]
             ge = bounds[di] + np.minimum(starts + self.L, lens[di])
             gs = np.minimum(bounds[di] + starts, ge)
+            # UTF-8 safety: snap removal boundaries OUTWARD to char
+            # starts (a character partially covered by a duplicated
+            # window is removed whole) so kept pieces are always valid
+            # UTF-8 — byte-identical behavior on ASCII. Each doc is
+            # valid UTF-8, so its first byte is a char start and the
+            # snap never crosses a doc boundary.
+            if len(flat):
+                cont = (flat & 0xC0) == 0x80
+                if cont.any():
+                    char_starts = np.flatnonzero(~cont).astype(np.int64)
+                    gs = char_starts[
+                        np.searchsorted(char_starts, gs, side="right") - 1
+                    ]
+                    gi = np.searchsorted(char_starts, ge, side="left")
+                    ge = np.where(
+                        gi < len(char_starts),
+                        char_starts[np.minimum(gi, len(char_starts) - 1)],
+                        total,
+                    )
             cov = (
                 np.cumsum(
                     np.bincount(gs, minlength=total + 1)[:total]
@@ -620,26 +667,24 @@ class _ScrubByteSpans:
             cum = np.concatenate(([0], np.cumsum(cov)))
             rem = cum[bounds[1:]] - cum[bounds[:-1]]
             n_removed[idx] = rem
-            kept_bounds = np.concatenate(
-                ([0], np.cumsum(lens - rem))
-            ).astype(np.int32)
-            cleaned = pa.Array.from_buffers(
-                pa.string(), len(idx),
-                [None, pa.py_buffer(kept_bounds.tobytes()),
-                 pa.py_buffer(flat[keep].tobytes())],
+            cleaned = _chunked_from_ranges(
+                flat[keep], lens - rem, pa.string()
             )
-            # untouched rows ride a concat+take scatter
+            # untouched rows ride a concat+take scatter; chunked so a
+            # partition's kept text can exceed the int32 offset limit
+            untouched = texts.filter(pc.invert(has))
+            u_chunks = (
+                list(untouched.chunks)
+                if isinstance(untouched, pa.ChunkedArray)
+                else [untouched]
+            )
             order = np.concatenate(
                 (np.flatnonzero(~hasn), idx)
             ).astype(np.int64)
             inv = np.empty(len(order), np.int64)
             inv[order] = np.arange(len(order))
-            merged = pa.concat_arrays(
-                [texts.filter(pc.invert(has)).combine_chunks()
-                 if isinstance(texts.filter(pc.invert(has)),
-                               pa.ChunkedArray)
-                 else texts.filter(pc.invert(has)),
-                 cleaned]
+            merged = pa.chunked_array(
+                u_chunks + list(cleaned.chunks), pa.string()
             )
             out_text = merged.take(pa.array(inv))
         return pa.table(
@@ -839,15 +884,11 @@ def suffix_dup_spans_registry(
     (pinned by test)."""
     import glob as _glob
     import json
-    import logging
     import os
 
     import ray
 
-    from fdblucene_ray.ops.webtext import (
-        _spans_scatter,
-        _verify_literal,
-    )
+    from fdblucene_ray.ops.webtext import _spans_scatter
 
     with open(os.path.join(registry_dir, "registry.json")) as fh:
         meta = json.load(fh)
@@ -867,40 +908,13 @@ def suffix_dup_spans_registry(
         for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
     ]
     seeds = ray.data.read_parquet(files)
-    cand = seeds.groupby("part", num_partitions=num_parts).map_groups(
-        _cand_fold(min_df), batch_format="pyarrow"
-    )
-    head = cand.limit(broadcast_limit + 1).to_pandas()
-    if len(head) <= broadcast_limit:
-        arr = np.sort(
-            head["h"].to_numpy()
-            if len(head)
-            else np.empty(0, np.uint64)
-        ).astype(np.uint64)
-        cand_ref, exact, bloom_k = ray.put(arr), True, 0
-    else:
-        n_cand = cand.count()
-        words_n, bloom_k = _bloom_params(n_cand)
-        words = np.zeros(words_n, np.uint64)
-        for b in cand.iter_batches(batch_format="pyarrow"):
-            _bloom_add(words, b["h"].to_numpy(zero_copy_only=False), bloom_k)
-        logging.getLogger(__name__).info(
-            "suffix registry: %d candidates > broadcast_limit=%d; Bloom",
-            n_cand, broadcast_limit,
-        )
-        cand_ref, exact = ray.put(words), False
     left = ds.select_columns([id_col, text_col])
     if id_col != "doc_id" or text_col != "text":
         left = left.rename_columns({id_col: "doc_id", text_col: "text"})
-    lit = left.map_batches(
-        _EmitCandidateWindows(
-            min_len, cand_ref, exact, bloom_k, num_parts, "text", "doc_id"
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    verified = lit.groupby("part", num_partitions=num_parts).map_groups(
-        _verify_literal(min_df), batch_format="pyarrow"
+    verified, num_parts = _suffix_verified_positions(
+        left, min_len=min_len, min_df=min_df,
+        num_partitions=num_parts, broadcast_limit=broadcast_limit,
+        seeds=seeds, num_parts=num_parts,
     )
     out = _spans_scatter(
         left, verified, _MaximalByteSpans(min_len), num_parts, inner=True

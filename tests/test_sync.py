@@ -132,9 +132,10 @@ class TestSyncCrashRecovery:
         shutil.move(_intent_path(ix) + ".redo", _intent_path(ix))
         m2, new2 = sync_index(ix, str(inbox), pattern="s2.parquet",
                               fields=FIELDS)
-        # replay was a manifest no-op; nothing double-ingested
+        # replay was a manifest no-op; nothing double-ingested — and
+        # the recovery IS reported (its original caller crashed)
         assert Searcher(ix).num_docs() == 80
-        assert m2 is None and new2 == []
+        assert m2 is not None and new2 == new
         assert not os.path.exists(_intent_path(ix))
 
     def test_crash_after_intent_before_append(
@@ -156,10 +157,10 @@ class TestSyncCrashRecovery:
         assert Searcher(ix).num_docs() == 40
         m2, new2 = sync_index(ix, str(inbox), pattern="s2.parquet",
                               fields=FIELDS)
-        # the replay performed the real append exactly once; the
-        # fresh diff then found nothing new
+        # the replay performed the real append exactly once, and is
+        # reported as this call's work
         assert Searcher(ix).num_docs() == 80
-        assert m2 is None and new2 == []
+        assert m2 is not None and new2 == files
         # and a further sync is a clean no-op
         m3, new3 = sync_index(ix, str(inbox), pattern="s2.parquet",
                               fields=FIELDS)
