@@ -64,7 +64,10 @@ class Index:
 
         out = sync_index(self.index_dir, input_dir, **kw)
         if out[0] is not None:
-            self.searcher = Searcher(self.index_dir)
+            s = self.searcher
+            self.searcher = Searcher(
+                self.index_dir, k1=s.k1, b=s.b, mu=s.mu, lam=s.lam
+            )
         return out
 
     @classmethod

@@ -769,23 +769,21 @@ def cmd_suffixregistry(args) -> int:
 def cmd_sync(args) -> int:
     """One-shot incremental directory sync: append new input files."""
     _ensure_ray()
-    import json as _json
-
     from fdblucene_ray.index.sync import sync_index, sync_status
 
     if args.status_only:
-        print(_json.dumps(
+        print(json.dumps(
             sync_status(args.index, args.input_dir,
                         pattern=args.pattern)
         ))
         return 0
-    fields = _json.loads(args.fields) if args.fields else None
+    fields = json.loads(args.fields) if args.fields else None
     m, new = sync_index(
         args.index, args.input_dir, pattern=args.pattern,
         files_per_shard=args.files_per_shard,
         **({"fields": fields} if fields else {}),
     )
-    print(_json.dumps(
+    print(json.dumps(
         {"ingested": [str(p) for p in new],
          "manifest_version": None if m is None else m.version}
     ))

@@ -325,6 +325,16 @@ def _build_sorted_dv_segmented(
             os.path.join(d, "dict.parquet"),
         )
         os.makedirs(os.path.join(d, "ords"), exist_ok=True)
+        # a zero-row ords FILE, not just an empty dir: a fileless
+        # dataset has no schema, so any doc_id filter would fail to
+        # bind at query time
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "ord": pa.array([], pa.int32())}
+            ),
+            os.path.join(d, "ords", "empty.parquet"),
+        )
         return 0
     return merge_sorted_dv_segments(
         d, segs, dict_row_group=dict_row_group

@@ -143,7 +143,7 @@ def sync_index(
     found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
     new: list[str] = []
     for p in found:
-        ap = os.path.abspath(p)
+        ap = os.path.realpath(p)
         if ap in state:
             ident = _file_identity(ap)
             if ident != state[ap]:
@@ -172,7 +172,7 @@ def mark_ingested(index_dir: str, paths: list[str]) -> None:
     and untouched)."""
     state = _load_state(index_dir)
     for p in paths:
-        ap = os.path.abspath(p)
+        ap = os.path.realpath(p)
         state[ap] = _file_identity(ap)
     _write_json_atomic(_state_path(index_dir), state)
 
@@ -183,7 +183,7 @@ def sync_status(index_dir: str, input_dir: str, *,
     state = _load_state(index_dir)
     found = sorted(_glob.glob(os.path.join(input_dir, pattern)))
     pending = [
-        p for p in found if os.path.abspath(p) not in state
+        p for p in found if os.path.realpath(p) not in state
     ]
     m = None
     try:

@@ -1587,11 +1587,20 @@ def q_ft_sync_ingest(sf_dir: str) -> pa.Table:
             os.replace(p + ".tmp", p)
     ix = os.path.join(root, "ix")
     fields = {"text": {"column": "text", "analyzer": "simple"}}
-    if not os.path.exists(os.path.join(ix, "manifest.json")):
+    boot_done = os.path.join(root, "_BOOT_DONE")
+    if not os.path.exists(boot_done):
+        # rebuild from scratch on a half-finished bootstrap (crash
+        # between build_index and mark_ingested would otherwise make
+        # the later sync re-append part0)
+        import shutil
+
+        shutil.rmtree(ix, ignore_errors=True)
         build_index(parts[0], ix, fields=fields, num_partitions=4)
         # adopt the bootstrap file into sync bookkeeping (already
         # indexed), then ingest the rest of the inbox incrementally
         mark_ingested(ix, [parts[0]])
+        with open(boot_done, "w") as fh:
+            fh.write("ok")
     sync_index(ix, inbox, fields=fields)
     m2, new2 = sync_index(ix, inbox, fields=fields)
     assert m2 is None and new2 == []  # idempotent

@@ -4,6 +4,7 @@ fixtures, Bloom-path equivalence, partition independence."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray.data
 
@@ -534,17 +535,37 @@ class TestScrubUtf8Safety:
             plant + filler[2],
             filler[3],
         ]
+        from fdblucene_ray.ops.suffix import scrub_suffix_spans
+
         for L in (5, 9, 14):
-            got = TestScrubSuffixSpans()._run_scrub(docs, L)
-            for did, text, n_rem in got:
-                # valid UTF-8 by construction (would raise otherwise)
-                b = text.encode("utf-8")
+            ds = ray.data.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array(
+                        np.arange(len(docs), dtype=np.int64)),
+                     "text": pa.array(docs, pa.string())}
+                )
+            ).repartition(2)
+            t = pa.Table.from_pandas(
+                scrub_suffix_spans(ds, min_len=L).to_pandas()
+            ).sort_by("doc_id")
+            # validate the RAW kept bytes: cast to binary (no
+            # validation) and decode — an unaligned splice would
+            # raise UnicodeDecodeError here
+            raw = pc.cast(
+                t["text"].combine_chunks(), pa.binary()
+            ).to_pylist()
+            for did, b in enumerate(raw):
+                s = (b if isinstance(b, bytes) else b.encode()).decode(
+                    "utf-8"
+                )  # MUST be valid UTF-8
                 orig = docs[did].encode("utf-8")
-                # kept bytes are an ordered subsequence of the original
-                # formed of whole characters
-                assert len(b) + n_rem == len(orig) or n_rem >= len(
-                    orig
-                ) - len(b)  # snap may remove a few extra chars
-                assert text == text  # round-trips as a python str
-            # the untouched doc is byte-identical
-            assert got[2][1] == docs[2] and got[2][2] == 0
+                n_rem = int(t["n_removed"][did].as_py())
+                kept = len(
+                    b if isinstance(b, bytes) else b.encode()
+                )
+                assert kept + n_rem == len(orig), (L, did)
+            # the untouched doc is byte-identical with zero removed
+            assert t["text"][2].as_py() == docs[2]
+            assert t["n_removed"][2].as_py() == 0
+            # and the duplicated plant was actually removed somewhere
+            assert int(t["n_removed"][0].as_py()) > 0
